@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the /image rasterization kernel -
+the reference viewer's core aggregate, SURVEY A6) on sf0.001.
+``queries()`` exposes every implemented operator's declared query;
+``oracle_sql()`` the DuckDB twins (queries without a twin are
+non-SQL-expressible and get the driver's rows-only check).
 """
 
 from __future__ import annotations
@@ -13,26 +13,32 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from web_maxiv_hdbppviewer_spark.plans.queries import CORE_QUERIES
+from web_maxiv_hdbppviewer_spark.plans.oracle import CORE_ORACLE
+
+try:  # extension operators (dedup / similarity / text / multimodal)
+    from web_maxiv_hdbppviewer_spark.plans.extensions import (
+        EXTENSION_QUERIES,
+        EXTENSION_ORACLE,
+    )
+except ImportError:  # pragma: no cover - extensions not built yet
+    EXTENSION_QUERIES, EXTENSION_ORACLE = {}, {}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return CORE_QUERIES["q20"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(CORE_QUERIES)
+    out.update(EXTENSION_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(CORE_ORACLE)
+    out.update(EXTENSION_ORACLE)
+    return out

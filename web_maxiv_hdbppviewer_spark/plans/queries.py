@@ -1,0 +1,362 @@
+"""Declared correctness queries Q1-Q28 (SURVEY.md §2.11).
+
+Each function takes (spark, sf_dir) and returns a DataFrame; each has a
+DuckDB-oracle twin in ``plans.oracle``. The queries are built with the
+DataFrame API on top of the engine's operator library, so the correctness
+gate exercises the operators, not ad-hoc SQL strings.
+
+Determinism conventions (SURVEY §2.11): trailing ORDER BY on a unique key
+prefix, ROUND on floating aggregates, integer bucket arithmetic, timestamps
+compared as microsecond epochs. Global SUMs over many doubles are rounded at
+the data's intrinsic 2-decimal grid (engines sum floats in different orders;
+per-group aggregates are far from round boundaries, whole-table sums are
+not).
+
+Scale notes are per-query docstrings; the common posture: dimension joins
+broadcast, fact-side aggregations rely on partial aggregation, no query
+collects unbounded data to the driver (sinks stream / limit / are
+pixel-bounded).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.time import epoch_us, epoch_ms, nearest_bucket, US_PER_DAY
+from ..operators.asof import latest_per_key
+from ..operators.raster import bin_2d, hover_stats
+from ..operators.resample import resample_mean
+from ..sources.tables import load_tables
+
+# events table span (verified: 2024-01-01..2024-01-30 UTC)
+X0_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
+X_SPAN_US = 2_592_000_000_000.0  # 30 days
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_tables(spark, sf_dir)[name]
+
+
+# --- scans / projections -------------------------------------------------
+
+
+def q1(spark, sf_dir):
+    """S1/P1/U1: partition scan + projection (+ implicit union of files)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", "user_id", epoch_us("ts").alias("t_us"), "value"
+    ).orderBy("event_id")
+
+
+def q2(spark, sf_dir):
+    """S2: pushed lower-bound scan (reference's incremental fetch predicate)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(F.col("ts") >= F.lit(datetime(2024, 1, 15)))
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    )
+
+
+def q3(spark, sf_dir):
+    """S3/O2: catalog scan + sort (nation as the name catalog)."""
+    return _t(spark, sf_dir, "nation").select("n_nationkey", "n_name").orderBy("n_name")
+
+
+def q4(spark, sf_dir):
+    """S4: config-dimension scan."""
+    return _t(spark, sf_dir, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+
+def q5(spark, sf_dir):
+    """P2/P3: integer epoch synthesis (us and floored ms)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        epoch_us("ts").alias("t_us"),
+        epoch_ms("ts").alias("t_ms"),
+    ).orderBy("event_id")
+
+
+def q6(spark, sf_dir):
+    """P5/P6/P8: name concat / split / lower over a broadcast dim join."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    full = F.concat(F.col("r_name"), F.lit("/"), F.col("n_name"))
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "n_nationkey",
+            F.lower(full).alias("full_name"),
+            F.split_part(full, F.lit("/"), F.lit(1)).alias("cs"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+def q7(spark, sf_dir):
+    """P7: NaN/NULL normalization at the sink boundary."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.coalesce(F.col("value"), F.lit(-1.0)).alias("v")
+    ).orderBy("event_id")
+
+
+# --- filters / aggregates ------------------------------------------------
+
+
+def q8(spark, sf_dir):
+    """F1/F5/A5: exact time-range trim + count + sum.
+
+    SUM over the whole filtered table is rounded at the data's 2-decimal
+    grid: summation order differs between engines and 1e-6 rounding of a
+    ~1e6-magnitude float sum is not order-stable, 1e-2 is.
+    """
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(
+            F.col("ts").between(
+                F.lit(datetime(2024, 1, 10)), F.lit(datetime(2024, 1, 20))
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+    )
+
+
+def q9(spark, sf_dir):
+    """F2/O1/O5: case-insensitive pattern search, sorted, capped."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.where(F.upper(F.col("p_name")).like("%RED%"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q10(spark, sf_dir):
+    """F3/A2: positivity-style filter + per-series extrema."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(F.col("value") > 50.0)
+        .groupBy("user_id")
+        .agg(
+            F.round(F.min("value"), 6).alias("vmin"),
+            F.round(F.max("value"), 6).alias("vmax"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q11(spark, sf_dir):
+    """F4/A4: per-key watermark (max event time) for the incremental merge."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.unix_micros(F.max("ts")).alias("watermark_us"))
+        .orderBy("user_id")
+    )
+
+
+def q12(spark, sf_dir):
+    """S6/O4: range scan + top-k (TakeOrderedAndProject, no full sort)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(
+            (F.col("ts") > F.lit(datetime(2024, 1, 5)))
+            & (F.col("ts") < F.lit(datetime(2024, 1, 25)))
+        )
+        .orderBy("ts", "event_id")
+        .limit(10)
+        .select("event_id", "event_type")
+    )
+
+
+def q13(spark, sf_dir):
+    """S5/J3/O3: as-of / latest-before-t per key (window top-1)."""
+    e = _t(spark, sf_dir, "events").where(F.col("ts") < F.lit(datetime(2024, 1, 15)))
+    latest = latest_per_key(
+        e, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return latest.select("user_id", "event_id", "value").orderBy("user_id")
+
+
+# --- joins ---------------------------------------------------------------
+
+
+def q14(spark, sf_dir):
+    """J1/J2: fact -> routing-dimension broadcast equi-join chain."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "c_name", "n_name", "r_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q15(spark, sf_dir):
+    """Semi join: orders having a lineitem shipped after a date."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(datetime(1995, 1, 1))
+    )
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+def q16(spark, sf_dir):
+    """U3: anti join - customers with no high-value orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+def q17(spark, sf_dir):
+    """Range join with an equi key: ship within 90 days of order date.
+
+    The equi key keeps this a hash/sort-merge join (no interval explosion);
+    the range predicate is a post-join filter Catalyst evaluates inside the
+    join. At scale, both sides shuffle on orderkey once.
+    """
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderkey")
+    )
+
+
+# --- resample / raster ---------------------------------------------------
+
+
+def q18(spark, sf_dir):
+    """A1: resample - tumbling 1-day mean with round-to-NEAREST buckets
+    (the reference's data.py:12-14 semantics, via operators.resample)."""
+    e = _t(spark, sf_dir, "events")
+    out = resample_mean(e, US_PER_DAY)
+    return out.select(
+        "bucket", F.round("mean_v", 6).alias("mean_v"), "n"
+    ).orderBy("bucket")
+
+
+def q19(spark, sf_dir):
+    """A3: cross-series axis extrema (min of mins / max of maxes)."""
+    e = _t(spark, sf_dir, "events")
+    return e.where(F.col("event_type").isin("click", "view")).agg(
+        F.round(F.min("value"), 6).alias("axis_min"),
+        F.round(F.max("value"), 6).alias("axis_max"),
+    )
+
+
+def q20(spark, sf_dir):
+    """A6: the rasterization kernel - 100x80 pixel 2-D binned aggregate."""
+    e = _t(spark, sf_dir, "events")
+    return bin_2d(e, X0_US, X_SPAN_US, 100, 0.0, 500.0, 80).orderBy("xb", "yb")
+
+
+def q21(spark, sf_dir):
+    """A8: per-pixel-column hover stats (1-D collapse of the raster)."""
+    e = _t(spark, sf_dir, "events")
+    return hover_stats(e, X0_US, X_SPAN_US, 100, 0.0, 500.0).orderBy("xb")
+
+
+# --- sinks ---------------------------------------------------------------
+
+
+def q22(spark, sf_dir):
+    """K1: CSV-shaped projection (header applied at the sink)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(F.col("user_id") == 7)
+        .select(epoch_us("ts").alias("t_us"), F.col("value").alias("value_r"), "event_id")
+        .orderBy("t_us", "event_id")
+        .drop("event_id")
+    )
+
+
+def q23(spark, sf_dir):
+    """K2: Grafana datapoint pairs (value, ms timestamp) per target."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select("user_id", epoch_ms("ts").alias("t_ms"), "value", "event_id")
+        .orderBy("user_id", "t_ms", "event_id")
+        .drop("event_id")
+    )
+
+
+def q24(spark, sf_dir):
+    """A9/A10: grouped collection, checked as exploded rows."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        r.join(F.broadcast(n), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --- engine-surface coverage beyond the reference ------------------------
+
+
+def q25(spark, sf_dir):
+    """Distinct aggregate."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count_distinct(F.col("user_id")).alias("u"))
+        .orderBy("event_type")
+    )
+
+
+def q26(spark, sf_dir):
+    """Rollup."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.rollup("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.coalesce(F.col("event_type"), F.lit("ALL")).alias("et"), "n")
+        .orderBy("et")
+    )
+
+
+def q27(spark, sf_dir):
+    """Window analytics: lag delta + 5-row rolling mean."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("dv"),
+        F.round(F.avg("value").over(w.rowsBetween(-4, 0)), 6).alias("ma5"),
+    ).orderBy("event_id")
+
+
+def q28(spark, sf_dir):
+    """U2: set-operation family (intersect shown; union/except in operators)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("x"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("x"))
+    return c.intersect(s).orderBy("x")
+
+
+CORE_QUERIES = {f"q{i}": globals()[f"q{i}"] for i in range(1, 29)}
