@@ -1,0 +1,99 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design (SURVEY §7.1 M6): image/audio/video live as ``binary`` columns with a
+typed metadata struct; decode / feature-extract / resize / frame-sample are
+Arrow-batched Pandas functions over ``mapInPandas`` so payload bytes never
+round-trip through Python row-at-a-time. The media codec libraries (PIL,
+ffmpeg, ...) are NOT in this environment, so the codec step is stubbed
+behind an import-try (``decode_image``) with a deterministic byte-level
+fake ("features" computed from the raw bytes) standing in - the Spark-side
+plumbing (schema, batching, partitioning, UDF signature) is real and tested.
+
+Scale: mapInPandas streams Arrow record batches; payload columns should be
+stored in their own parquet column chunk (large binary) so column pruning
+skips them unless the decode stage runs. Feature extraction is
+embarrassingly parallel - no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+#: schema of the feature-extraction output (stable driver-visible contract)
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("mean_byte", DoubleType(), True),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Synthesize an opaque binary payload column + typed metadata struct.
+
+    In production the payload is the stored media blob; here it is the
+    UTF-8 encoding of the text column (deterministic, testdata-derived).
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).alias("n_bytes"),
+            F.lit("text/plain").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(blob: bytes):
+    """Decode an image payload. STUB: PIL is not available in this
+    environment; the real implementation is gated behind the import."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - always taken here
+        raise NotImplementedError(
+            "image decode requires PIL; this environment stubs the codec step"
+        ) from exc
+    import io
+
+    from PIL import Image
+
+    return Image.open(io.BytesIO(blob))
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Byte-level feature extraction over Arrow batches (mapInPandas).
+
+    The deterministic stand-in feature is the mean byte value of the
+    payload - exercises the full binary-column -> pandas -> features path
+    that a real decoder would use.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            mean_byte = payloads.map(
+                lambda b: float(sum(b)) / len(b) if len(b) else None
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "mean_byte": mean_byte,
+                }
+            )
+
+    return df.mapInPandas(batches, FEATURE_SCHEMA)

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (SURVEY §7.1 M6).
+
+Two paths:
+  - brute-force cosine top-k: the correctness baseline - broadcast the
+    (small) query set against the full corpus, rank per query. At 100 TB
+    the corpus side streams; only queries x k rows survive the window.
+  - LSH-bucketed ANN: sign-bit buckets partition the corpus; the join is
+    bucket-equi (co-partitioned, no cross product), trading recall for a
+    candidate set ~1/2^nbits of the corpus per query. This is the scale
+    path; swap the bucket function for learned IVF centroids without
+    touching the query shape.
+
+Ranking is by ROUND(cosine, 6) desc with id tiebreak - rounding first makes
+the rank deterministic across engines despite float-sum ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double_array, cosine, norm
+
+
+def with_norms(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, vec as double array, norm) - materialize once, reuse in joins."""
+    v = as_double_array(vec_col)
+    return df.select(F.col(id_col).alias("id"), v.alias("vec"), norm(v).alias("nrm"))
+
+
+def topk_cosine(
+    df: DataFrame,
+    k: int,
+    query_ids_below: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector (id < query_ids_below),
+    the k nearest other vectors. Output (q_id, cand_id, cos_r, rank)."""
+    base = with_norms(df, id_col, vec_col)
+    q = base.select(F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm"))
+    q = q.where(F.col("q_id") < query_ids_below)
+    c = base.select(F.col("id").alias("cand_id"), F.col("vec").alias("c_vec"), F.col("nrm").alias("c_nrm"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cand_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "cand_id",
+            F.round(
+                cosine(F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")), 6
+            ).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_r").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def sign_bucket(vec_col, nbits: int = 8):
+    """Sign-bit LSH bucket: bit i set iff vec[i] >= 0 (first nbits dims).
+
+    A stand-in for random-hyperplane LSH that is exactly reproducible in any
+    engine (no shared RNG needed); production would use H random
+    hyperplanes - the query shape below is unchanged.
+    """
+    bits = [
+        F.when(F.element_at(vec_col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(nbits)
+    ]
+    bit_sum = bits[0]
+    for b in bits[1:]:
+        bit_sum = bit_sum + b
+    return bit_sum
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    k: int,
+    query_ids_below: int = 10,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates share the query's sign
+    bucket. Output (q_id, cand_id, cos_r, rank) - recall < 1 by design."""
+    base = with_norms(df, id_col, vec_col).withColumn("bkt", sign_bucket(F.col("vec"), nbits))
+    q = base.where(F.col("id") < query_ids_below).select(
+        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm"), "bkt"
+    )
+    c = base.select(
+        F.col("id").alias("cand_id"), F.col("vec").alias("c_vec"), F.col("nrm").alias("c_nrm"), "bkt"
+    )
+    scored = (
+        c.join(F.broadcast(q), "bkt")
+        .where(F.col("cand_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "cand_id",
+            F.round(
+                cosine(F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")), 6
+            ).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_r").desc(), F.col("cand_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    min_cos: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= min_cos).
+
+    Brute-force all-pairs here (correctness baseline); at scale restrict to
+    LSH-bucket or IVF-cell colliding pairs first, as in ``ann_topk_lsh``.
+    """
+    base = with_norms(df, id_col, vec_col)
+    a = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6).alias("cos_r"),
+        )
+        .where(F.col("cos_r") >= min_cos)
+    )

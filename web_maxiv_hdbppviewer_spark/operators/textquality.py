@@ -1,0 +1,110 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+document fingerprinting (SURVEY §7.1 M6).
+
+All pure column expressions over higher-order array functions - language ID
+and quality scoring run inside whole-stage codegen, no UDF. Fingerprinting
+uses the portable md5-int60 hash (functions/texthash.py) so results verify
+against any SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.texthash import FP_PRIME, MERSENNE_31, md5_int60, words
+
+#: small in-expression stopword list for quality scoring (English-centric,
+#: matches the synthetic corpus vocabulary)
+STOPWORDS = ["the", "a", "of", "and", "to"]
+
+#: marker tokens per language for the n-gram/stopword language heuristic;
+#: tie-break order is the dict order (first wins)
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "es": ["el", "la", "los", "las", "que"],
+    "fr": ["le", "les", "des", "une", "est"],
+}
+
+
+def _count_in(tokens, vocab: list[str]):
+    lits = [F.lit(v) for v in vocab]
+    return F.size(F.filter(tokens, lambda x: x.isin(lits)))
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace/BPE-ish token counts: total and distinct per document."""
+    toks = words(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / stopword / diversity quality features + a combined score.
+
+    score = 0.4*stopword_ratio + 0.3*min(n_tokens/100, 1) + 0.3*distinct_ratio
+    - a deterministic toy of the usual heuristic quality filters
+    (C4/Gopher-style rules), kept SQL-mirrorable.
+    """
+    toks = words(F.col(text_col))
+    n = F.size(toks)
+    n_stop = _count_in(toks, STOPWORDS)
+    n_dist = F.size(F.array_distinct(toks))
+    stop_ratio = n_stop / n
+    dist_ratio = n_dist / n
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_m"),
+        n.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(dist_ratio, 6).alias("distinct_ratio"),
+        F.round(0.4 * stop_ratio + 0.3 * len_score + 0.3 * dist_ratio, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-token language heuristic: argmax of per-language marker hit
+    counts, ties broken by LANG_MARKERS order."""
+    toks = words(F.col(text_col))
+    scores = {lang: _count_in(toks, markers) for lang, markers in LANG_MARKERS.items()}
+    langs = list(scores)
+    # cascade: lang i wins iff its score >= every later lang's score
+    # (earlier langs already failed their own cascade step), so ties go to
+    # the earliest lang in LANG_MARKERS order - same CASE shape as the oracle
+    pred = F.lit(langs[-1])
+    for i in range(len(langs) - 2, -1, -1):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = scores[langs[i]] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(langs[i])).otherwise(pred)
+    score = scores[langs[0]]
+    for lang in langs[1:]:
+        score = F.greatest(score, scores[lang])
+    return df.select(F.col(id_col), pred.alias("pred_lang"), score.cast("long").alias("score"))
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Order-sensitive document fingerprint (rolling-hash style).
+
+    fp = sum over words of ((md5_int60(word) mod 1000003) * position_1based)
+         mod (2^31 - 1)
+    Position-weighting makes permuted documents fingerprint differently
+    (unlike bag-of-words hashes); all arithmetic fits int64 exactly.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("pos", "w")
+    )
+    return (
+        toks.select(
+            F.col(id_col),
+            ((md5_int60(F.col("w")) % FP_PRIME) * (F.col("pos") + 1)).alias("term"),
+        )
+        .groupBy(id_col)
+        .agg((F.sum("term") % MERSENNE_31).alias("fp"))
+    )

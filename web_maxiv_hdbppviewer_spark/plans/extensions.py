@@ -1,0 +1,141 @@
+"""Declared extension queries: the training-data pipeline surface
+(dedup, similarity search, text analysis, multimodal) over the
+``documents`` and ``embeddings`` testdata tables.
+
+Thresholds are tuned to the testdata's measured structure: word-bigram
+Jaccard is bimodal (planted near-dup pairs at J>=0.9 vs background <=0.13),
+embedding cosine background tops out near 0.5. Each query exercises one
+operator from ``operators/{dedup,similarity,textquality,multimodal}``.
+
+``multimodal_extract`` runs a Pandas mapInPandas stage (Arrow-batched);
+its oracle reconstructs the same feature in SQL from the source text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, textquality
+from ..sources.tables import load_tables
+
+JACCARD_THRESHOLD = 0.8
+SIMHASH_MAX_HAMMING = 3
+EMBED_NEAR_DUP_COS = 0.4
+TOPK = 5
+ANN_TOPK = 3
+ANN_NBITS = 4
+QUERY_IDS_BELOW = 10
+
+
+def _docs(spark, sf_dir):
+    return load_tables(spark, sf_dir)["documents"]
+
+
+def _emb(spark, sf_dir):
+    return load_tables(spark, sf_dir)["embeddings"]
+
+
+# --- deduplication -------------------------------------------------------
+
+
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir)).orderBy("keep_id")
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_dedup_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(_docs(spark, sf_dir), SIMHASH_MAX_HAMMING).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def dedup_embedding(spark, sf_dir):
+    return similarity.near_dup_pairs(_emb(spark, sf_dir), EMBED_NEAR_DUP_COS).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# --- similarity search ---------------------------------------------------
+
+
+def sim_topk_cosine(spark, sf_dir):
+    return similarity.topk_cosine(_emb(spark, sf_dir), TOPK, QUERY_IDS_BELOW).orderBy(
+        "q_id", "rank"
+    )
+
+
+def sim_ann_lsh(spark, sf_dir):
+    return similarity.ann_topk_lsh(
+        _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW, ANN_NBITS
+    ).orderBy("q_id", "rank")
+
+
+# --- text analysis -------------------------------------------------------
+
+
+def text_tokens(spark, sf_dir):
+    return textquality.token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def text_quality(spark, sf_dir):
+    return textquality.quality_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def text_langid(spark, sf_dir):
+    return textquality.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def text_fingerprint(spark, sf_dir):
+    return textquality.fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# --- multimodal ----------------------------------------------------------
+
+
+def multimodal_meta(spark, sf_dir):
+    with_blob = multimodal.attach_payload(_docs(spark, sf_dir))
+    return with_blob.select(
+        "doc_id",
+        F.col("meta.n_bytes").cast("long").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+    ).orderBy("doc_id")
+
+
+def multimodal_extract(spark, sf_dir):
+    with_blob = multimodal.attach_payload(_docs(spark, sf_dir))
+    feats = multimodal.extract_features(with_blob)
+    return feats.select(
+        "doc_id", "n_bytes", F.round(F.col("mean_byte"), 6).alias("mean_byte")
+    ).orderBy("doc_id")
+
+
+EXTENSION_QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+    "sim_topk_cosine": sim_topk_cosine,
+    "sim_ann_lsh": sim_ann_lsh,
+    "text_tokens": text_tokens,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "multimodal_meta": multimodal_meta,
+    "multimodal_extract": multimodal_extract,
+}
+
+from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402
+
+__all__ = ["EXTENSION_QUERIES", "EXTENSION_ORACLE"]

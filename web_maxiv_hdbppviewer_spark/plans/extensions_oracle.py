@@ -1,0 +1,228 @@
+"""DuckDB oracle SQL for the extension queries (plans/extensions.py).
+
+The oracles deliberately use the NAIVE formulation wherever the Spark side
+uses a scalable one - brute-force all-pairs for simhash (the band-bucket
+join is exact by pigeonhole, so results must coincide), a single OR-join for
+MinHash bands (Spark does a union of band-equi joins) - which makes the
+comparison a real algorithmic check, not a transliteration.
+
+Portability invariants shared with the Spark side:
+  - hash: bigint(first 15 hex of md5)  - ('0x'||substr(md5(x),1,15))::BIGINT
+  - shingles: distinct adjacent-word bigrams of lower-cased whitespace tokens
+  - all float thresholds applied to ROUND(x, 6) values
+  - integer outputs cast to BIGINT (DuckDB SUM returns HUGEINT otherwise)
+"""
+
+H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+# distinct word-bigram shingles per doc: (id, s)
+_SHINGLES = """
+  raw_toks AS (
+    SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+    FROM (SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+          FROM documents)),
+  sh AS (
+    SELECT DISTINCT doc_id AS id, w || ' ' || nw AS s
+    FROM (SELECT doc_id, w, i,
+                 lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS nw
+          FROM raw_toks)
+    WHERE nw IS NOT NULL)
+"""
+
+# exact jaccard over pairs sharing >= 1 shingle: (id_a, id_b, jaccard)
+_JACCARD = """
+  sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+  common AS (
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+    GROUP BY 1, 2),
+  jac AS (
+    SELECT id_a, id_b, ROUND(c / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sz sa ON sa.id = id_a
+    JOIN sz sb ON sb.id = id_b)
+"""
+
+# embeddings as double vectors with norms: (id, v, nrm)
+_VECS = """
+  vecs AS (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings)
+"""
+
+_SIG_COLS = ",\n        ".join(
+    f"MIN(CASE WHEN k = {k} THEN h END) AS s{k}" for k in range(12)
+)
+_BAND_COLS = ",\n        ".join(
+    "s{a}::VARCHAR || ',' || s{b}::VARCHAR || ',' || s{c}::VARCHAR AS b{j}".format(
+        a=3 * j, b=3 * j + 1, c=3 * j + 2, j=j
+    )
+    for j in range(4)
+)
+
+EXTENSION_ORACLE = {
+    "dedup_exact": """
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        FROM documents GROUP BY md5(LOWER(text)) ORDER BY keep_id
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES}, {_JACCARD}
+        SELECT id_a, id_b, jaccard FROM jac
+        WHERE jaccard >= 0.8 ORDER BY id_a, id_b
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_SHINGLES},
+        hx AS (
+          SELECT sh.id, sh.s, t.k,
+                 {H.format(x="t.k::VARCHAR || ':' || sh.s")} AS h
+          FROM sh, range(0, 12) t(k)),
+        sig AS (
+          SELECT id, {_SIG_COLS}
+          FROM hx GROUP BY id),
+        banded AS (
+          SELECT id, {_BAND_COLS}
+          FROM sig),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM banded a JOIN banded b
+            ON a.id < b.id
+           AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+        {_JACCARD}
+        SELECT j.id_a, j.id_b, j.jaccard
+        FROM jac j JOIN cand USING (id_a, id_b)
+        WHERE j.jaccard >= 0.8 ORDER BY id_a, id_b
+    """,
+    "dedup_simhash": f"""
+        WITH {_SHINGLES},
+        hx AS (SELECT id, {H.format(x="s")} AS h FROM sh),
+        bits AS (
+          SELECT id, t.i, SUM(((h >> CAST(t.i AS INT)) & 1) * 2 - 1) AS v
+          FROM hx, range(0, 60) t(i) GROUP BY id, t.i),
+        fp AS (
+          SELECT id,
+                 CAST(SUM(CASE WHEN v > 0
+                          THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                          ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY id)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY id_a, id_b
+    """,
+    "dedup_embedding": f"""
+        WITH {_VECS}
+        SELECT a.id AS id_a, b.id AS id_b,
+               ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_r
+        FROM vecs a JOIN vecs b ON a.id < b.id
+        WHERE ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+        ORDER BY id_a, id_b
+    """,
+    "sim_topk_cosine": f"""
+        WITH {_VECS},
+        scored AS (
+          SELECT q.id AS q_id, c.id AS cand_id,
+                 ROUND(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+          FROM vecs q JOIN vecs c ON c.id != q.id
+          WHERE q.id < 10),
+        ranked AS (
+          SELECT q_id, cand_id, cos_r,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos_r DESC, cand_id ASC) AS rank
+          FROM scored)
+        SELECT q_id, cand_id, cos_r, rank FROM ranked
+        WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+    "sim_ann_lsh": f"""
+        WITH {_VECS},
+        b AS (
+          SELECT id, v, nrm,
+                 (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+               + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+               + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bkt
+          FROM vecs),
+        scored AS (
+          SELECT q.id AS q_id, c.id AS cand_id,
+                 ROUND(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+          FROM b q JOIN b c ON q.bkt = c.bkt AND c.id != q.id
+          WHERE q.id < 10),
+        ranked AS (
+          SELECT q_id, cand_id, cos_r,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos_r DESC, cand_id ASC) AS rank
+          FROM scored)
+        SELECT q_id, cand_id, cos_r, rank FROM ranked
+        WHERE rank <= 3 ORDER BY q_id, rank
+    """,
+    "text_tokens": """
+        SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+               len(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS n_distinct
+        FROM documents ORDER BY doc_id
+    """,
+    "text_quality": """
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id, text,
+                 len(toks) AS n,
+                 len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+                 len(list_distinct(toks)) AS n_dist
+          FROM t)
+        SELECT doc_id,
+               length(text) AS n_chars_m,
+               n AS n_tokens,
+               ROUND(n_stop / n, 6) AS stop_ratio,
+               ROUND(n_dist / n, 6) AS distinct_ratio,
+               ROUND(0.4 * (n_stop / n) + 0.3 * least(n / 100.0, 1.0)
+                     + 0.3 * (n_dist / n), 6) AS quality
+        FROM f ORDER BY doc_id
+    """,
+    "text_langid": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS s_en,
+                 len(list_filter(toks, x -> x IN ('der','die','das','und','nicht'))) AS s_de,
+                 len(list_filter(toks, x -> x IN ('el','la','los','las','que'))) AS s_es,
+                 len(list_filter(toks, x -> x IN ('le','les','des','une','est'))) AS s_fr
+          FROM t)
+        SELECT doc_id,
+               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS pred_lang,
+               greatest(greatest(greatest(s_en, s_de), s_es), s_fr) AS score
+        FROM s ORDER BY doc_id
+    """,
+    "text_fingerprint": f"""
+        WITH raw_toks AS (
+          SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+          FROM (SELECT doc_id,
+                       list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+                FROM documents))
+        SELECT doc_id,
+               CAST(SUM(({H.format(x="w")} % 1000003) * i) % 2147483647 AS BIGINT) AS fp
+        FROM raw_toks GROUP BY doc_id ORDER BY doc_id
+    """,
+    "multimodal_meta": """
+        SELECT doc_id, strlen(text) AS n_bytes, 'text/plain' AS mime
+        FROM documents ORDER BY doc_id
+    """,
+    "multimodal_extract": """
+        SELECT doc_id, strlen(text) AS n_bytes,
+               ROUND(AVG(ascii(substr(text, CAST(i AS INT), 1))), 6) AS mean_byte
+        FROM documents, range(1, 8192) t(i)
+        WHERE i <= strlen(text)
+        GROUP BY doc_id, text ORDER BY doc_id
+    """,
+}
