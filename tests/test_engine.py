@@ -1,0 +1,286 @@
+"""Engine-surface tests: HDB++ model, lifecycles, renderers, cache,
+incremental merge, storage layout, streaming (SURVEY §5.2-§5.4)."""
+
+import json
+import math
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from web_maxiv_hdbppviewer_spark.api.lifecycle import HdbppQueryEngine
+from web_maxiv_hdbppviewer_spark.api.render import render_csv, render_grafana_json
+from web_maxiv_hdbppviewer_spark.cache import SliceCache, TtlDimension
+from web_maxiv_hdbppviewer_spark.operators.asof import asof_join
+from web_maxiv_hdbppviewer_spark.operators.extrema import pad_range
+from web_maxiv_hdbppviewer_spark.sources.fixtures import hdbpp_fixture
+from web_maxiv_hdbppviewer_spark.sources.hdbpp import (
+    day_partitions,
+    read_datapoints,
+    write_datapoints,
+)
+from web_maxiv_hdbppviewer_spark.sources.tables import load_tables
+from web_maxiv_hdbppviewer_spark.streaming.incremental import (
+    incremental_merge,
+    streaming_resample,
+)
+
+T0 = datetime(2024, 1, 5)
+T1 = datetime(2024, 1, 20)
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    catalog, datapoints = hdbpp_fixture(spark, SF_SMOKE)
+    return HdbppQueryEngine(catalog, datapoints)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_tables(spark, SF_SMOKE)["events"]
+
+
+def _attr_name(uid: int) -> str:
+    return f"cs1/dom{uid % 5}/fam{uid % 10}/mem{uid % 3}/attr{uid}"
+
+
+# --- /query lifecycle ----------------------------------------------------
+
+
+def test_query_raw_matches_source(engine, events):
+    uid = events.select("user_id").limit(1).collect()[0][0]
+    name = _attr_name(uid)
+    out = engine.query_raw([name.upper()], T0, T1)  # P8: lookup is case-insensitive
+    assert set(out) == {name.upper()}
+    got = out[name.upper()].collect()
+    expected = (
+        events.where((F.col("user_id") == uid) & F.col("ts").between(T0, T1))
+        .where(F.col("event_type") != "error")  # error rows have NULL value_r
+        .count()
+    )
+    non_null = [r for r in got if r["value_r"] is not None]
+    assert len(non_null) == expected
+    assert all(T0.timestamp() * 1e6 <= r["t"] <= T1.timestamp() * 1e6 for r in got)
+
+
+def test_query_raw_resample_means(engine, events):
+    uid = events.select("user_id").limit(1).collect()[0][0]
+    name = _attr_name(uid)
+    out = engine.query_raw([name], T0, T1, interval="1d")[name].collect()
+    # property: count conservation and constant-series mean
+    width = 86_400_000_000
+    manual = (
+        events.where((F.col("user_id") == uid) & F.col("ts").between(T0, T1))
+        .where(F.col("event_type") != "error")
+        .select(
+            (F.floor(F.unix_micros("ts") / float(width) + 0.5).cast("long") * width).alias("t"),
+            F.col("value").alias("v"),
+        )
+        .groupBy("t")
+        .agg(F.avg("v").alias("m"))
+        .collect()
+    )
+    expect = {r["t"]: r["m"] for r in manual}
+    got = {r["t"]: r["value_r"] for r in out}
+    assert got.keys() == expect.keys()
+    for t in expect:
+        assert got[t] == pytest.approx(expect[t], rel=1e-12)
+
+
+def test_query_unknown_attribute_dropped(engine):
+    out = engine.query_raw(["cs1/no/such/attr/x"], T0, T1)
+    assert out == {}
+
+
+# --- renderers -----------------------------------------------------------
+
+
+def test_render_csv_shape(engine, events):
+    uid = events.select("user_id").limit(1).collect()[0][0]
+    name = _attr_name(uid)
+    data = engine.query_raw([name], T0, T1)
+    text = render_csv(data).decode()
+    lines = text.splitlines()
+    assert lines[0] == name
+    assert lines[1] == "t[us],value_r"
+    first_t = int(lines[2].split(",")[0])
+    assert first_t >= T0.timestamp() * 1e6
+
+
+def test_render_grafana_json_nan_to_null(engine, events):
+    uid = (
+        events.where(F.col("event_type") == "error")
+        .select("user_id").limit(1).collect()[0][0]
+    )
+    name = _attr_name(uid)
+    data = engine.query_raw([name], T0, T1)
+    payload = json.loads(render_grafana_json(data).decode())
+    assert payload[0]["target"] == name
+    values = [p[0] for p in payload[0]["datapoints"]]
+    assert None in values  # error samples render as null, never NaN
+    assert not any(isinstance(v, float) and math.isnan(v) for v in values)
+
+
+# --- /image lifecycle ----------------------------------------------------
+
+
+def test_image_aggregates_bounded_and_padded(engine, events):
+    uids = [r[0] for r in events.select("user_id").distinct().limit(2).collect()]
+    attrs = [{"name": _attr_name(u), "y_axis": 0} for u in uids]
+    w, h = 50, 40
+    result = engine.image_aggregates(attrs, T0, T1, (w, h))
+    ax = result[0]
+    raster_rows = ax["raster"].count()
+    assert raster_rows <= w * h * len(uids)
+    xbs = [r["xb"] for r in ax["hover"].collect()]
+    assert all(0 <= x <= w for x in xbs)
+    y0, y1 = ax["y_range"]
+    assert y0 < y1
+    for desc in ax["descs"].values():
+        assert desc["total_points"] > 0
+
+
+def test_image_manual_axis_override(engine, events):
+    uid = events.select("user_id").limit(1).collect()[0][0]
+    attrs = [{"name": _attr_name(uid), "y_axis": 1}]
+    result = engine.image_aggregates(
+        attrs, T0, T1, (10, 10), axes={"1": {"min": 0.0, "max": 100.0}}
+    )
+    y0, y1 = result[1]["y_range"]
+    assert (y0, y1) == pytest.approx(pad_range(0.0, 100.0))
+
+
+def test_pad_range_branches():
+    assert pad_range(None, None) == (0.0, 1.0)
+    assert pad_range(5.0, 5.0) == (4.5, 5.5)  # constant series invents a band
+    assert pad_range(10.0, 10.0, log_scale=True) == (1.0, 100.0)
+    lo, hi = pad_range(0.0, 100.0)
+    assert lo == -5.0 and hi == 105.0
+
+
+# --- search lifecycle ----------------------------------------------------
+
+
+def test_search_glob_and_cap(engine):
+    hits = engine.search("cs1", "dom1/*", max_n=5).collect()
+    assert 0 < len(hits) <= 5
+    assert all(r["name"].startswith("dom1/") for r in hits)
+    all_hits = engine.search("cs1", "*", max_n=100000).collect()
+    contains_hits = engine.search("cs1", "fam2", contains=True, max_n=100000).collect()
+    assert 0 < len(contains_hits) < len(all_hits)
+    assert engine.controlsystems().collect()[0]["cs_name"] == "cs1"
+
+
+# --- as-of join ----------------------------------------------------------
+
+
+def test_asof_join_backward(spark):
+    hist = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c")], ["k", "ts", "val"]
+    )
+    probes = spark.createDataFrame([(1, 15), (1, 25), (2, 5)], ["k", "ts"])
+    got = {
+        (r["k"], r["ts"]): r["asof"]["val"] if r["asof"] else None
+        for r in asof_join(probes, hist, ["k"]).collect()
+    }
+    assert got == {(1, 15): "a", (1, 25): "b", (2, 5): None}
+
+
+# --- cache ---------------------------------------------------------------
+
+
+def test_slice_cache_hit_equals_miss_and_evicts(spark, events):
+    cache = SliceCache(max_bytes=1)  # force eviction on every put
+    day = events.where(F.to_date("ts") == "2024-01-05")
+    first = cache.put(("cs1", 1, "2024-01-05"), day)
+    n1 = first.count()
+    assert cache.get(("cs1", 1, "2024-01-05")) is not None
+    cache.put(("cs1", 1, "2024-01-06"), events.where(F.to_date("ts") == "2024-01-06"))
+    # budget of 1 byte keeps only the newest entry
+    assert cache.get(("cs1", 1, "2024-01-05")) is None
+    fresh = events.where(F.to_date("ts") == "2024-01-05").count()
+    assert n1 == fresh
+    cache.clear()
+
+
+def test_ttl_dimension_refresh(spark):
+    calls = []
+
+    def loader():
+        calls.append(1)
+        return spark.range(3)
+
+    dim = TtlDimension(loader, ttl_seconds=1000)
+    assert dim.get().count() == 3
+    assert dim.get().count() == 3
+    assert len(calls) == 1
+    dim.invalidate()
+    dim.get()
+    assert len(calls) == 2
+
+
+# --- incremental merge (X8: merged == full re-read) ----------------------
+
+
+def test_incremental_merge_equals_full(spark, events):
+    full = events.select("user_id", "ts", "value")
+    cut = datetime(2024, 1, 15)
+    cached = full.where(F.col("ts") < F.lit(cut))
+
+    def fetch_from(wm):
+        return full.where(F.col("ts") >= F.lit(wm)) if wm else full
+
+    merged = incremental_merge(cached, fetch_from, keys=["user_id"])
+    # events may legitimately collide on (user_id, ts); compare against the
+    # same dedup of the full table. (anti-join compare: exceptAll over a
+    # dropDuplicates union trips INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in
+    # Spark 4.1's ReplaceExceptWithSomething rewrite)
+    full_dd = full.dropDuplicates(["user_id", "ts"])
+    assert merged.count() == full_dd.count()
+    assert merged.join(full_dd, ["user_id", "ts", "value"], "left_anti").count() == 0
+
+
+# --- storage layout ------------------------------------------------------
+
+
+def test_write_read_datapoints_roundtrip(spark, tmp_path):
+    catalog, datapoints = hdbpp_fixture(spark, SF_SMOKE)
+    path = str(tmp_path / "dp")
+    write_datapoints(datapoints, path)
+    t0, t1 = datetime(2024, 1, 10), datetime(2024, 1, 12)
+    back = read_datapoints(spark, path, t0=t0, t1=t1)
+    expected = datapoints.where(F.col("ts").between(F.lit(t0), F.lit(t1))).count()
+    assert back.count() == expected
+    # partition pruning: the physical plan must carry a partition filter
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "period" in plan
+    assert day_partitions(t0, t1) == ["2024-01-10", "2024-01-11", "2024-01-12"]
+
+
+# --- structured streaming ------------------------------------------------
+
+
+def test_streaming_resample_matches_batch(spark, events, tmp_path):
+    src = str(tmp_path / "stream_src")
+    batch = events.select("user_id", "ts", F.col("value").alias("value_r"))
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    agg = streaming_resample(stream, 86400, keys=["user_id"])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("resampled")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM resampled")
+    expect = (
+        batch.groupBy("user_id", F.window("ts", "86400 seconds").alias("win"))
+        .agg(F.avg("value_r").alias("mean_v"), F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("win.start").alias("bucket_start"), "mean_v", "n")
+    )
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0

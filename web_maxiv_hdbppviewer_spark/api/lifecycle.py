@@ -1,0 +1,183 @@
+"""The three query lifecycles of the reference server, engine-side
+(SURVEY §3): /query raw+resampled data, /image pre-render aggregates,
+/attributes catalog search.
+
+Spark lifecycle (SURVEY §3.1 "Spark lifecycle equivalent"): request ->
+DataFrame expression -> Catalyst optimized plan (partition pruning replaces
+the reference's hand-built day fan-out, pushdown replaces its incremental
+lower-bound scan) -> only bounded aggregates (pixels, extrema, capped
+search) ever reach the driver.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.time import epoch_us
+from ..operators.extrema import pad_range, series_extrema
+from ..operators.raster import bin_2d, hover_stats
+from ..operators.resample import freq_to_us, resample_mean
+from ..sources.hdbpp import HdbppCatalog
+
+
+def _split_attr(full_name: str) -> tuple[str, str]:
+    """'cs/domain/family/member/name' -> (cs, attr) (reference hdbpp.py:90-92)."""
+    cs, rest = full_name.split("/", 1)
+    return cs, rest
+
+
+class HdbppQueryEngine:
+    """Query surface over an HdbppCatalog + unified datapoints DataFrame."""
+
+    def __init__(self, catalog: HdbppCatalog, datapoints: DataFrame):
+        self.catalog = catalog
+        self.datapoints = datapoints
+
+    # --- routing ---------------------------------------------------------
+
+    def _resolve(self, attributes: list[str]) -> dict[str, int]:
+        """Lower-cased name -> att_conf_id via the broadcast-joined catalog
+        (J1). Names absent from the catalog are dropped, like the
+        reference's None results (reference data.py:107,113 F7)."""
+        wanted = [(a, *_split_attr(a.lower())) for a in attributes]
+        spark = self.datapoints.sparkSession
+        req = spark.createDataFrame(
+            [(orig, cs, att) for orig, cs, att in wanted],
+            ["orig_name", "cs_name", "att_name"],
+        )
+        routed = self.catalog.route(
+            req.withColumn("att_name", F.lower(F.col("att_name")))
+            .withColumn("cs_name", F.lower(F.col("cs_name")))
+        )
+        rows = routed.where(F.col("att_conf_id").isNotNull()).collect()
+        return {r["orig_name"]: r["att_conf_id"] for r in rows}
+
+    # --- /query lifecycle (SURVEY §3.2) ----------------------------------
+
+    def query_raw(
+        self,
+        attributes: list[str],
+        t0: datetime,
+        t1: datetime,
+        interval: str | None = None,
+        restrict_time: bool = True,
+    ) -> dict[str, DataFrame]:
+        """Raw or resampled (t, value_r) series per attribute.
+
+        restrict_time=False returns whole covered days (the reference's
+        over-fetch-for-cache behavior, hdbpp.py:16-21); True trims exactly
+        (F1, data.py:102-108).
+        """
+        ids = self._resolve(attributes)
+        out: dict[str, DataFrame] = {}
+        for name, att_id in ids.items():
+            df = self.datapoints.where(F.col("att_conf_id") == att_id)
+            if restrict_time:
+                df = df.where(F.col("ts").between(F.lit(t0), F.lit(t1)))
+            if interval:
+                width = freq_to_us(interval)
+                res = resample_mean(df, width, value_col="value_r")
+                out[name] = (
+                    res.select(
+                        (F.col("bucket") * width).alias("t"),
+                        F.col("mean_v").alias("value_r"),
+                    ).orderBy("t")
+                )
+            else:
+                out[name] = (
+                    df.select(epoch_us("ts").alias("t"), "value_r").orderBy("t")
+                )
+        return out
+
+    # --- /image lifecycle (SURVEY §3.1, pre-render aggregates) -----------
+
+    def image_aggregates(
+        self,
+        attributes: list[dict],
+        t0: datetime,
+        t1: datetime,
+        size: tuple[int, int],
+        axes: dict[str, dict] | None = None,
+    ) -> dict:
+        """Everything the /image endpoint needs BEFORE pixel encoding:
+        per-axis y_range (extrema + padding + manual overrides,
+        plot.py:74-188), the 2-D binned raster aggregate (A6) and per-column
+        hover stats (A8). Driver receives <= w*h rows per axis.
+
+        ``attributes``: [{"name": full_name, "y_axis": 0|1}, ...]
+        ``axes``: {"0": {"scale": "linear"|"log", "min": x?, "max": x?}}
+        """
+        w, h = size
+        axes = axes or {}
+        by_axis: dict[int, list[str]] = {}
+        for spec in attributes:
+            by_axis.setdefault(int(spec.get("y_axis", 0)), []).append(spec["name"])
+
+        x0_us = int(t0.timestamp() * 1_000_000)
+        x1_us = int(t1.timestamp() * 1_000_000)
+        span_us = float(x1_us - x0_us)
+        result: dict = {}
+
+        for axis, names in by_axis.items():
+            cfg = axes.get(str(axis), {})
+            log_scale = cfg.get("scale") == "log"
+            ids = self._resolve(names)
+            if not ids:
+                continue
+            id_to_name = {v: k for k, v in ids.items()}
+            data = self.datapoints.where(
+                F.col("att_conf_id").isin(list(ids.values()))
+            ).where(F.col("ts").between(F.lit(t0), F.lit(t1)))
+
+            # per-series extrema (A2, log filter F3) - tiny driver result
+            ext = {
+                r["att_conf_id"]: r
+                for r in series_extrema(
+                    data, ["att_conf_id"], "value_r", log_scale
+                ).collect()
+            }
+            descs = {
+                id_to_name[i]: {
+                    "total_points": r["n"],
+                    "min_value": r["vmin"],
+                    "max_value": r["vmax"],
+                }
+                for i, r in ext.items()
+            }
+            # axis fold (A3) + manual overrides (J4) + padding (plot.py:160-188)
+            mins = [r["vmin"] for r in ext.values() if r["vmin"] is not None]
+            maxs = [r["vmax"] for r in ext.values() if r["vmax"] is not None]
+            vmin = cfg.get("min", min(mins) if mins else None)
+            vmax = cfg.get("max", max(maxs) if maxs else None)
+            y0, y1 = pad_range(vmin, vmax, log_scale)
+
+            plot_data = data
+            if log_scale:
+                plot_data = plot_data.where(F.col("value_r") > 0)
+            raster = bin_2d(
+                plot_data, x0_us, span_us, w, y0, y1, h,
+                value_col="value_r", keys=["att_conf_id"],
+            )
+            hover = hover_stats(
+                plot_data, x0_us, span_us, w, y0, y1,
+                value_col="value_r", keys=["att_conf_id"],
+            )
+            result[axis] = {
+                "y_range": (y0, y1),
+                "x_range": (x0_us, x1_us),
+                "raster": raster,
+                "hover": hover,
+                "descs": descs,
+            }
+        return result
+
+    # --- /attributes lifecycle (SURVEY §3.3) ------------------------------
+
+    def search(self, cs: str, pattern: str, max_n: int = 100, contains: bool = False):
+        return self.catalog.search(cs, pattern, max_n, contains)
+
+    def controlsystems(self):
+        return self.catalog.controlsystems()

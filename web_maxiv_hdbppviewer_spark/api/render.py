@@ -1,0 +1,49 @@
+"""Result renderers for the /query lifecycle (SURVEY K1/K2).
+
+Byte-compatible with the reference's renderers:
+  - CSV (reference data.py:50-55): per-attribute blocks
+    "<name>\\n t[us],value_r\\n ..." joined with newlines.
+  - Grafana JSON (reference data.py:58-75): [{"target": name,
+    "datapoints": [[value, t_ms], ...]}] with NaN -> null.
+
+These run at the API edge on BOUNDED results (a Grafana panel's resampled
+series, a capped raw window) - the only place data is collected. The t/value
+assembly itself happens engine-side as columns.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import DataFrame
+
+
+def _rows(df: DataFrame, value_col: str = "value_r", t_col: str = "t"):
+    for row in df.select(t_col, value_col).collect():
+        yield row[0], row[1]
+
+
+def render_csv(data: dict[str, DataFrame]) -> bytes:
+    """Per-attribute CSV blocks, header 't[us],value_r' (data.py:50-55)."""
+    blocks = []
+    for name, df in data.items():
+        lines = [name, "t[us],value_r"]
+        for t, v in _rows(df):
+            vtxt = "" if v is None or (isinstance(v, float) and math.isnan(v)) else repr(v)
+            lines.append(f"{t},{vtxt}")
+        blocks.append("\n".join(lines) + "\n")
+    return "\n".join(blocks).encode()
+
+
+def render_grafana_json(data: dict[str, DataFrame]) -> bytes:
+    """Grafana datasource format with ms float timestamps (data.py:58-75)."""
+    out = []
+    for name, df in data.items():
+        points = []
+        for t, v in _rows(df):
+            if v is not None and isinstance(v, float) and math.isnan(v):
+                v = None
+            points.append([v, t / 1000.0])
+        out.append({"target": name, "datapoints": points})
+    return json.dumps(out).encode()

@@ -1,0 +1,106 @@
+"""Slice cache manager + TTL dimension cache (SURVEY X6/X7).
+
+The reference keeps a byte-accounted LRU of immutable per-(cs, attr, day)
+pandas frames, 1 GB default (reference utils.py:174-236, hdbpp.py:135-137,
+341-360), and memoizes catalog fetches for 60 s (hdbpp.py:213,230).
+
+Spark restatement: ``.persist(MEMORY_AND_DISK)`` on keyed DataFrame slices
+with explicit ``unpersist`` eviction. Accounting uses an estimated row
+width x count (Spark doesn't expose exact cached bytes cheaply; the
+reference uses pandas memory_usage the same way - an estimate used only for
+eviction policy, never correctness). Future periods are never cached
+(reference hdbpp.py:352-359 F6 guard) - "today" keeps growing and goes
+through streaming/incremental.py instead.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import OrderedDict
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+
+def _estimate_row_bytes(df: DataFrame) -> int:
+    sizes = {
+        "long": 8, "bigint": 8, "double": 8, "timestamp": 8, "timestamp_ntz": 8,
+        "int": 4, "float": 4, "short": 2, "boolean": 1, "date": 4,
+    }
+    total = 0
+    for _, dtype in df.dtypes:
+        total += sizes.get(dtype, 24)  # strings/arrays: rough average
+    return max(total, 8)
+
+
+class SliceCache:
+    """Byte-budgeted LRU of persisted DataFrame slices, keyed by caller
+    (e.g. (cs, attr, period) like the reference's day-frames)."""
+
+    def __init__(self, max_bytes: int = 1_000_000_000):
+        self.max_bytes = max_bytes
+        self._entries: OrderedDict[tuple, tuple[DataFrame, int]] = OrderedDict()
+        self._bytes = 0
+
+    def get(self, key: tuple) -> DataFrame | None:
+        entry = self._entries.get(key)
+        if entry is None:
+            return None
+        self._entries.move_to_end(key)
+        return entry[0]
+
+    def put(self, key: tuple, df: DataFrame) -> DataFrame:
+        """Persist and account a slice; evicts LRU entries over budget.
+
+        Materializes the slice (count) so the persist actually happens at
+        put-time, like the reference caching completed day-frames.
+        """
+        if key in self._entries:
+            return self._entries[key][0]
+        persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+        n = persisted.count()
+        nbytes = n * _estimate_row_bytes(df)
+        self._entries[key] = (persisted, nbytes)
+        self._bytes += nbytes
+        while self._bytes > self.max_bytes and len(self._entries) > 1:
+            old_key, (old_df, old_bytes) = self._entries.popitem(last=False)
+            old_df.unpersist()
+            self._bytes -= old_bytes
+        return persisted
+
+    def clear(self) -> None:
+        for df, _ in self._entries.values():
+            df.unpersist()
+        self._entries.clear()
+        self._bytes = 0
+
+    @property
+    def size_bytes(self) -> int:
+        return self._bytes
+
+
+class TtlDimension:
+    """60s-style TTL cache of a dimension DataFrame (reference
+    @memoized_ttl, utils.py:29-50): re-runs the loader after the TTL and
+    swaps the persisted snapshot."""
+
+    def __init__(self, loader: Callable[[], DataFrame], ttl_seconds: float = 60.0):
+        self._loader = loader
+        self._ttl = ttl_seconds
+        self._df: DataFrame | None = None
+        self._loaded_at = 0.0
+
+    def get(self) -> DataFrame:
+        now = time.monotonic()
+        if self._df is None or now - self._loaded_at > self._ttl:
+            fresh = self._loader().persist(StorageLevel.MEMORY_AND_DISK)
+            fresh.count()
+            if self._df is not None:
+                self._df.unpersist()
+            self._df = fresh
+            self._loaded_at = now
+        return self._df
+
+    def invalidate(self) -> None:
+        self._loaded_at = 0.0

@@ -1,0 +1,67 @@
+"""HDB++-shaped fixtures derived from the driver's testdata.
+
+Builds the reference's logical model (catalogs + datapoint stream,
+schemas.py) deterministically out of the ``events`` table so the §3
+lifecycles (/query, /image, /attributes) can be exercised end-to-end
+against real HDB++-shaped inputs: ``user_id`` plays ``att_conf_id``,
+``value`` plays ``value_r``, rows with event_type='error' become
+value-or-error rows (error_desc set, value_r nulled - reference
+hdbpp.py:199,204 semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.hdbpp import HdbppCatalog, derive_period
+from ..sources.tables import load_tables
+
+CS_NAME = "cs1"
+DATA_TYPE = "scalar_devdouble_ro"
+
+
+def _att_name(uid_col):
+    return F.concat(
+        F.lit("dom"), (uid_col % 5).cast("string"),
+        F.lit("/fam"), (uid_col % 10).cast("string"),
+        F.lit("/mem"), (uid_col % 3).cast("string"),
+        F.lit("/attr"), uid_col.cast("string"),
+    )
+
+
+def hdbpp_fixture(spark: SparkSession, sf_dir: str) -> tuple[HdbppCatalog, DataFrame]:
+    """(catalog, datapoints) in the engine's HDB++ logical model."""
+    events = load_tables(spark, sf_dir)["events"]
+    uid = F.col("user_id")
+
+    att_conf = (
+        events.select(uid).distinct()
+        .select(
+            F.lit(CS_NAME).alias("cs_name"),
+            _att_name(uid).alias("att_name"),
+            uid.cast("long").alias("att_conf_id"),
+            F.lit(DATA_TYPE).alias("data_type"),
+        )
+    )
+    att_names = att_conf.select(
+        "cs_name",
+        F.split_part(F.col("att_name"), F.lit("/"), F.lit(1)).alias("domain"),
+        F.split_part(F.col("att_name"), F.lit("/"), F.lit(2)).alias("family"),
+        F.split_part(F.col("att_name"), F.lit("/"), F.lit(3)).alias("member"),
+        F.split_part(F.col("att_name"), F.lit("/"), F.lit(4)).alias("name"),
+    )
+
+    is_err = F.col("event_type") == "error"
+    datapoints = events.select(
+        uid.cast("long").alias("att_conf_id"),
+        F.lit(DATA_TYPE).alias("data_type"),
+        derive_period(F.col("ts")).alias("period"),
+        F.col("ts"),
+        F.when(~is_err, F.col("value")).alias("value_r"),
+        F.lit(None).cast("string").alias("value_str"),
+        F.lit(None).cast("array<double>").alias("value_arr"),
+        F.lit(0).alias("quality"),
+        F.when(is_err, F.lit("fixture error sample")).alias("error_desc"),
+    )
+    return HdbppCatalog(att_conf, att_names), datapoints

@@ -1,0 +1,80 @@
+"""Incremental merge for the hot "today" partition (SURVEY X8/T1).
+
+The reference can't cache the growing current day as immutable, so it keeps
+a cached frame, computes the watermark max(data_time), TRUNCATES the final
+second of the cache (because Cassandra can't filter microseconds
+server-side) and re-fetches data_time >= watermark (reference
+hdbpp.py:362-397).
+
+With native microsecond timestamps the truncate-a-second trick is obsolete:
+we keep cached rows strictly before the exact watermark, fetch ts >=
+watermark, and drop duplicate (att_conf_id, ts) on the seam - semantically
+identical, no re-read amplification. ``merged_equals_full`` is the
+correctness property the reference relies on implicitly; our tests assert
+it (SURVEY §5.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def watermark_us(cached: DataFrame, ts_col: str = "ts"):
+    """Exact max event time of the cached slice (reference hdbpp.py:386 A4)."""
+    row = cached.agg(F.max(ts_col).alias("wm")).collect()[0]
+    return row["wm"]
+
+
+def incremental_merge(
+    cached: DataFrame,
+    fetch_from: Callable[[object], DataFrame],
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """cached + freshly fetched suffix, exact-once on the seam.
+
+    ``fetch_from(watermark)`` must return rows with ts >= watermark (the
+    pushed lower-bound scan S2). The seam row (ts == watermark) may appear
+    in both sides; dropDuplicates on (keys, ts) keeps one - replacing the
+    reference's truncate-one-second + re-fetch (F4).
+    """
+    wm = watermark_us(cached, ts_col)
+    if wm is None:
+        return fetch_from(None)
+    keep = cached.where(F.col(ts_col) < F.lit(wm))
+    fresh = fetch_from(wm)
+    return keep.unionByName(fresh).dropDuplicates((keys or []) + [ts_col])
+
+
+def streaming_resample(
+    stream: DataFrame,
+    width_seconds: int,
+    ts_col: str = "ts",
+    value_col: str = "value_r",
+    keys: list[str] | None = None,
+    late_threshold: str = "10 seconds",
+) -> DataFrame:
+    """The T3 tumbling mean under Structured Streaming: identical window
+    expression to the batch resample, plus an event-time watermark for late
+    data (the reference's polling refresh, js/actions.js:125-190, becomes a
+    real stream). Note: streaming windows FLOOR bucket edges (standard
+    streaming semantics); the batch path's round-to-nearest exists for
+    reference parity only.
+    """
+    return (
+        stream.withWatermark(ts_col, late_threshold)
+        .groupBy(
+            *(keys or []),
+            F.window(F.col(ts_col), f"{width_seconds} seconds").alias("win"),
+        )
+        .agg(F.avg(value_col).alias("mean_v"), F.count(F.lit(1)).alias("n"))
+        .select(
+            *(keys or []),
+            F.col("win.start").alias("bucket_start"),
+            "mean_v",
+            "n",
+        )
+    )
