@@ -1,0 +1,115 @@
+"""Line-raster kernel + PNG sink tests (SURVEY A7/K3)."""
+
+import base64
+import struct
+import zlib
+from datetime import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from web_maxiv_hdbppviewer_spark.api.png import (
+    compose_image,
+    encode_png_rgba,
+    render_png_base64,
+)
+from web_maxiv_hdbppviewer_spark.api.lifecycle import HdbppQueryEngine
+from web_maxiv_hdbppviewer_spark.operators.rasterline import (
+    _segments_to_pixels,
+    rasterize_lines,
+)
+from web_maxiv_hdbppviewer_spark.sources.fixtures import hdbpp_fixture
+
+
+def test_segment_walk_diagonal():
+    # a straight diagonal from (0,0) to (9,9) covers exactly the diagonal
+    grid = _segments_to_pixels(np.array([0.0, 9.0]), np.array([0.0, 9.0]), 10, 10)
+    assert grid.sum() == 10
+    assert all(grid[i, i] == 1 for i in range(10))
+
+
+def test_segment_walk_vertical_jump():
+    # a vertical value jump must fill the intermediate pixels (connect-the-
+    # dots, not a scatter: this is what distinguishes A7 from A6)
+    grid = _segments_to_pixels(np.array([2.0, 2.0]), np.array([0.0, 7.0]), 10, 8)
+    assert grid[:, 2].sum() == 8
+    assert grid.sum() == 8
+
+
+def test_segment_walk_clips_out_of_range():
+    grid = _segments_to_pixels(np.array([-5.0, 4.0]), np.array([2.0, 2.0]), 5, 5)
+    assert grid.sum() == 5  # only the in-canvas half drew
+
+
+def test_rasterize_lines_single_series(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 0.0),
+        (1, datetime(2024, 1, 1, 0, 0, 40), 4.0),
+    ]
+    df = spark.createDataFrame(rows, ["att_conf_id", "ts", "value_r"])
+    x0 = int(datetime(2024, 1, 1).timestamp() * 1e6)
+    out = rasterize_lines(df, x0, 60e6, 6, 0.0, 6.0, 6).collect()
+    # segment from pixel (0,0) to (4,4): the diagonal
+    got = {(r["xb"], r["yb"]) for r in out}
+    assert (0, 0) in got and (4, 4) in got
+    assert len(got) == 5
+
+
+def test_rasterize_lines_null_values_skipped(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), None),
+        (1, datetime(2024, 1, 1, 0, 0, 30), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "att_conf_id long, ts timestamp, value_r double")
+    x0 = int(datetime(2024, 1, 1).timestamp() * 1e6)
+    out = rasterize_lines(df, x0, 60e6, 6, 0.0, 6.0, 6).collect()
+    assert len(out) == 1  # single surviving point, single pixel
+
+
+def test_png_roundtrip_bytes():
+    img = np.zeros((4, 3, 4), dtype=np.uint8)
+    img[0, 0] = (255, 0, 0, 255)
+    png = encode_png_rgba(img)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", png[16:24])
+    assert (w, h) == (3, 4)
+    idat = png[png.index(b"IDAT") + 4 :]
+    raw = zlib.decompress(idat[: len(idat) - png[::-1].index(b"IEND"[::-1]) - 12])
+    # each row: filter byte + w*4 rgba bytes
+    assert len(raw) == 4 * (1 + 3 * 4)
+    assert raw[1:5] == bytes((255, 0, 0, 255))
+
+
+def test_compose_image_orientation_and_colors():
+    rows = [
+        {"series": 7, "xb": 0, "yb": 0, "cnt": 1},  # bottom-left in data space
+        {"series": 7, "xb": 2, "yb": 3, "cnt": 5},
+    ]
+    img = compose_image(rows, 3, 4, colors={7: (10, 20, 30)})
+    assert tuple(img[3, 0][:3]) == (10, 20, 30)  # yb=0 -> bottom row
+    assert tuple(img[0, 2][:3]) == (10, 20, 30)  # yb=3 -> top row
+    assert img[0, 2][3] == 255  # max count -> full alpha
+    assert img[3, 0][3] < 255
+
+
+def test_render_image_end_to_end(spark):
+    catalog, dp = hdbpp_fixture(spark, SF_SMOKE)
+    eng = HdbppQueryEngine(catalog, dp)
+    uid = dp.select("att_conf_id").limit(1).collect()[0][0]
+    name = f"cs1/dom{uid % 5}/fam{uid % 10}/mem{uid % 3}/attr{uid}"
+    resp = eng.render_image(
+        [{"name": name, "y_axis": 0, "color": "#ff0000"}],
+        datetime(2024, 1, 5),
+        datetime(2024, 1, 20),
+        (64, 48),
+    )
+    img = resp["images"][0]
+    png = base64.b64decode(img["image"])
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", png[16:24])
+    assert (w, h) == (64, 48)
+    assert img["y_range"][0] < img["y_range"][1]
+    assert resp["descs"][name]["total_points"] > 0

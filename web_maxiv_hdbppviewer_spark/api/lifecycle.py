@@ -174,6 +174,57 @@ class HdbppQueryEngine:
             }
         return result
 
+    def render_image(
+        self,
+        attributes: list[dict],
+        t0: datetime,
+        t1: datetime,
+        size: tuple[int, int],
+        axes: dict[str, dict] | None = None,
+    ) -> dict:
+        """The complete /image response (reference server.py:92-148):
+        {"images": {axis: {image: base64 PNG, y_range, x_range}},
+         "descs": {attr: hover stats}}.
+
+        The line raster (A7) runs as a pandas kernel per series; the driver
+        only ever sees pixel rows and the tiny extrema results.
+        """
+        from ..operators.rasterline import rasterize_lines
+        from .png import render_png_base64
+
+        w, h = size
+        aggs = self.image_aggregates(attributes, t0, t1, size, axes)
+        images: dict = {}
+        descs: dict = {}
+        for axis, ax in aggs.items():
+            names = [a["name"] for a in attributes if int(a.get("y_axis", 0)) == axis]
+            ids = self._resolve(names)
+            y0, y1 = ax["y_range"]
+            data = self.datapoints.where(
+                F.col("att_conf_id").isin(list(ids.values()))
+            ).where(F.col("ts").between(F.lit(t0), F.lit(t1)))
+            cfg = (axes or {}).get(str(axis), {})
+            if cfg.get("scale") == "log":
+                data = data.where(F.col("value_r") > 0)
+            x0 = ax["x_range"][0]
+            pixel_rows = rasterize_lines(
+                data, x0, float(ax["x_range"][1] - x0), w, y0, y1, h
+            ).collect()
+            colors = {}
+            for spec in attributes:
+                if spec.get("color") and spec["name"] in ids:
+                    c = spec["color"].lstrip("#")
+                    colors[ids[spec["name"]]] = tuple(
+                        int(c[i : i + 2], 16) for i in (0, 2, 4)
+                    )
+            images[axis] = {
+                "image": render_png_base64(pixel_rows, w, h, colors or None),
+                "y_range": [y0, y1],
+                "x_range": list(ax["x_range"]),
+            }
+            descs.update(ax["descs"])
+        return {"images": images, "descs": descs}
+
     # --- /attributes lifecycle (SURVEY §3.3) ------------------------------
 
     def search(self, cs: str, pattern: str, max_n: int = 100, contains: bool = False):
