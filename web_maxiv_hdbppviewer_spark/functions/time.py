@@ -35,6 +35,53 @@ def epoch_ms(c: Column | str) -> Column:
     return F.floor(epoch_us(c) / 1000.0).cast("long")
 
 
+def push_time_filter(
+    df,
+    t0=None,
+    t1=None,
+    lower_inclusive: bool = True,
+    upper_inclusive: bool = True,
+    ts_col: str = "ts",
+):
+    """Time-range filter that reaches parquet row-group statistics.
+
+    A predicate on the DERIVED microsecond timestamp
+    (``timestamp_micros(ns div 1000)``) is an opaque expression to the
+    parquet source - no pushdown, full scan. When the raw int64
+    nanosecond scan column (``_ts_ns``) is present, this helper expresses
+    the same bound as a plain integer comparison on it, which pushes down
+    (X2; the reference's server-side ``data_time >= ?``, hdbpp.py:203-208).
+
+    Bound translation is exact for the truncating ns->us conversion:
+      derived ts >= t0  <=>  ns >= us(t0)*1000
+      derived ts >  t0  <=>  ns >= (us(t0)+1)*1000
+      derived ts <= t1  <=>  ns <  (us(t1)+1)*1000
+      derived ts <  t1  <=>  ns <  us(t1)*1000
+    Falls back to the timestamp column when no raw column exists (e.g.
+    native-timestamp stores, where pushdown needs no help).
+    """
+    from datetime import datetime
+
+    def _us(t: datetime) -> int:
+        return int(t.timestamp() * 1_000_000)
+
+    if "_ts_ns" in df.columns:
+        c = F.col("_ts_ns")
+        if t0 is not None:
+            lo = _us(t0) if lower_inclusive else _us(t0) + 1
+            df = df.where(c >= lo * 1000)
+        if t1 is not None:
+            hi = _us(t1) + 1 if upper_inclusive else _us(t1)
+            df = df.where(c < hi * 1000)
+        return df
+    c = F.col(ts_col)
+    if t0 is not None:
+        df = df.where(c >= F.lit(t0) if lower_inclusive else c > F.lit(t0))
+    if t1 is not None:
+        df = df.where(c <= F.lit(t1) if upper_inclusive else c < F.lit(t1))
+    return df
+
+
 def nearest_bucket(t_us: Column, width_us: float) -> Column:
     """Round-to-NEAREST time bucket index.
 

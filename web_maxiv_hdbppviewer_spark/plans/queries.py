@@ -25,7 +25,7 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.time import epoch_us, epoch_ms, nearest_bucket, US_PER_DAY
+from ..functions.time import epoch_us, epoch_ms, nearest_bucket, push_time_filter, US_PER_DAY
 from ..operators.asof import latest_per_key
 from ..operators.raster import bin_2d, hover_stats
 from ..operators.resample import resample_mean
@@ -55,7 +55,7 @@ def q2(spark, sf_dir):
     """S2: pushed lower-bound scan (reference's incremental fetch predicate)."""
     e = _t(spark, sf_dir, "events")
     return (
-        e.where(F.col("ts") >= F.lit(datetime(2024, 1, 15)))
+        push_time_filter(e, t0=datetime(2024, 1, 15))
         .select("event_id", "user_id", "value")
         .orderBy("event_id")
     )
@@ -117,11 +117,7 @@ def q8(spark, sf_dir):
     """
     e = _t(spark, sf_dir, "events")
     return (
-        e.where(
-            F.col("ts").between(
-                F.lit(datetime(2024, 1, 10)), F.lit(datetime(2024, 1, 20))
-            )
-        )
+        push_time_filter(e, t0=datetime(2024, 1, 10), t1=datetime(2024, 1, 20))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("s"),
@@ -168,9 +164,12 @@ def q12(spark, sf_dir):
     """S6/O4: range scan + top-k (TakeOrderedAndProject, no full sort)."""
     e = _t(spark, sf_dir, "events")
     return (
-        e.where(
-            (F.col("ts") > F.lit(datetime(2024, 1, 5)))
-            & (F.col("ts") < F.lit(datetime(2024, 1, 25)))
+        push_time_filter(
+            e,
+            t0=datetime(2024, 1, 5),
+            t1=datetime(2024, 1, 25),
+            lower_inclusive=False,
+            upper_inclusive=False,
         )
         .orderBy("ts", "event_id")
         .limit(10)
@@ -180,7 +179,9 @@ def q12(spark, sf_dir):
 
 def q13(spark, sf_dir):
     """S5/J3/O3: as-of / latest-before-t per key (window top-1)."""
-    e = _t(spark, sf_dir, "events").where(F.col("ts") < F.lit(datetime(2024, 1, 15)))
+    e = push_time_filter(
+        _t(spark, sf_dir, "events"), t1=datetime(2024, 1, 15), upper_inclusive=False
+    )
     latest = latest_per_key(
         e, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
     )

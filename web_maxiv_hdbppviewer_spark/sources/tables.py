@@ -53,6 +53,11 @@ def _normalize(df: DataFrame) -> DataFrame:
         if dtype == "bigint" and name == "ts":
             # int64 nanoseconds -> native microsecond timestamp (exact integer div)
             cols.append(F.timestamp_micros(F.expr(f"`{name}` div 1000")).alias(name))
+            # keep the RAW scan column too: predicates on the derived
+            # timestamp can't reach parquet row-group statistics, ones on
+            # `_ts_ns` push down (see functions.time.push_time_filter);
+            # column pruning drops it whenever unused
+            cols.append(F.col(name).alias("_ts_ns"))
         elif dtype == "timestamp_ntz":
             # value-preserving under UTC session timezone
             cols.append(F.col(name).cast("timestamp").alias(name))
