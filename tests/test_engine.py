@@ -188,6 +188,20 @@ def test_asof_join_backward(spark):
     assert got == {(1, 15): "a", (1, 25): "b", (2, 5): None}
 
 
+def test_asof_join_forward_includes_ties(spark):
+    """'at-or-after': a history row exactly AT the probe timestamp matches
+    (tie ordering regression: _side must sort history before the probe)."""
+    hist = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c")], ["k", "ts", "val"]
+    )
+    probes = spark.createDataFrame([(1, 10), (1, 15), (1, 21), (2, 15)], ["k", "ts"])
+    got = {
+        (r["k"], r["ts"]): r["asof"]["val"] if r["asof"] else None
+        for r in asof_join(probes, hist, ["k"], direction="forward").collect()
+    }
+    assert got == {(1, 10): "a", (1, 15): "b", (1, 21): None, (2, 15): "c"}
+
+
 # --- cache ---------------------------------------------------------------
 
 
@@ -284,3 +298,69 @@ def test_streaming_resample_matches_batch(spark, events, tmp_path):
     )
     assert got.count() == expect.count()
     assert got.exceptAll(expect).count() == 0
+
+
+# --- single-plan /query + combined renderers ------------------------------
+
+
+def test_render_csv_combined_byte_identical(engine, events):
+    from web_maxiv_hdbppviewer_spark.api.render import render_csv_combined
+
+    uids = [r[0] for r in events.select("user_id").distinct().limit(3).collect()]
+    names = [_attr_name(u) for u in uids]
+    per_attr = engine.query_raw(names, T0, T1)
+    combined = engine.query_raw_df(names, T0, T1)
+    assert render_csv_combined(combined, list(per_attr)) == render_csv(per_attr)
+
+
+def test_query_raw_df_resample_matches_per_attr(engine, events):
+    uids = [r[0] for r in events.select("user_id").distinct().limit(2).collect()]
+    names = [_attr_name(u) for u in uids]
+    per_attr = engine.query_raw(names, T0, T1, interval="1d")
+    combined = engine.query_raw_df(names, T0, T1, interval="1d")
+    for name in names:
+        a = [(r["t"], r["value_r"]) for r in per_attr[name].collect()]
+        b = [
+            (r["t"], r["value_r"])
+            for r in combined.where(F.col("name") == name).orderBy("t").collect()
+        ]
+        assert a == b
+
+
+# --- dedup: skew cap + partial-color compose ------------------------------
+
+
+def test_max_shingle_df_keeps_similarity_exact(spark):
+    """A planted ultra-frequent shingle is dropped from candidate generation
+    only: surviving pairs keep EXACT similarity values (verification uses all
+    shingles); near-dup pairs still found via their rare shingles."""
+    from web_maxiv_hdbppviewer_spark.operators.dedup import ngram_jaccard_pairs
+
+    stop = "the end"  # planted in every doc -> df == n_docs
+    docs = [(i, f"unique{i} words number{i} extra{i} tail{i} " + stop) for i in range(20)]
+    # two near-identical docs sharing their rare shingles
+    docs.append((100, "alpha beta gamma delta epsilon zeta " + stop))
+    docs.append((101, "alpha beta gamma delta epsilon zeta " + stop))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, 0.8).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, 0.8, max_shingle_df=5).collect()
+    }
+    assert (100, 101) in uncapped
+    assert capped == uncapped  # same pairs, bit-identical similarity values
+
+
+def test_compose_image_partial_colors_falls_back(spark):
+    from web_maxiv_hdbppviewer_spark.api.png import LINE_COLORS, compose_image
+
+    rows = [
+        {"series": 7, "xb": 0, "yb": 0, "cnt": 1},
+        {"series": 9, "xb": 1, "yb": 0, "cnt": 1},
+    ]
+    img = compose_image(rows, 2, 1, colors={7: (1, 2, 3)})
+    assert tuple(img[0, 0][:3]) == (1, 2, 3)  # explicit override
+    assert tuple(img[0, 1][:3]) == LINE_COLORS[1]  # uncolored -> palette slot

@@ -62,3 +62,13 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) > 0
+
+
+def test_multimodal_corpus_is_ascii(duck):
+    """The multimodal_extract oracle equates ascii(char) with the UTF-8 byte
+    value, which holds only for ASCII text; the Spark kernel averages raw
+    payload bytes. Assert the assumption so corpus drift breaks loudly."""
+    non_ascii = duck.sql(
+        "SELECT COUNT(*) FROM documents WHERE octet_length(encode(text)) != strlen(text)"
+    ).fetchone()[0]
+    assert non_ascii == 0

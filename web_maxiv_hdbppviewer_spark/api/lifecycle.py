@@ -16,7 +16,7 @@ from datetime import datetime
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.time import epoch_us
+from ..functions.time import datetime_to_epoch_us, epoch_us
 from ..operators.extrema import pad_range, series_extrema
 from ..operators.raster import bin_2d, hover_stats
 from ..operators.resample import freq_to_us, resample_mean
@@ -57,6 +57,47 @@ class HdbppQueryEngine:
 
     # --- /query lifecycle (SURVEY §3.2) ----------------------------------
 
+    def query_raw_df(
+        self,
+        attributes: list[str],
+        t0: datetime,
+        t1: datetime,
+        interval: str | None = None,
+        restrict_time: bool = True,
+        _ids: dict[str, int] | None = None,
+    ) -> DataFrame:
+        """SINGLE-PLAN /query: one ``isin`` scan (+ one grouped resample)
+        covers every requested attribute; series stay keyed by name as a
+        column (J2). One Spark job regardless of attribute count - the
+        reference instead gathered 50 concurrent day-queries
+        (hdbpp.py:312-321); Catalyst's task scheduler subsumes that.
+
+        Returns (name, t, value_r) ordered by (name, t).
+        """
+        ids = _ids if _ids is not None else self._resolve(attributes)
+        spark = self.datapoints.sparkSession
+        name_dim = spark.createDataFrame(
+            list(ids.items()) or [("", -1)], ["name", "att_conf_id"]
+        ).where(F.col("att_conf_id") >= 0)
+        df = self.datapoints.where(F.col("att_conf_id").isin(list(ids.values()) or [-1]))
+        if restrict_time:
+            df = df.where(F.col("ts").between(F.lit(t0), F.lit(t1)))
+        if interval:
+            width = freq_to_us(interval)
+            res = resample_mean(df, width, value_col="value_r", keys=["att_conf_id"])
+            out = res.select(
+                "att_conf_id",
+                (F.col("bucket") * width).alias("t"),
+                F.col("mean_v").alias("value_r"),
+            )
+        else:
+            out = df.select("att_conf_id", epoch_us("ts").alias("t"), "value_r")
+        return (
+            out.join(F.broadcast(name_dim), "att_conf_id")
+            .select("name", "t", "value_r")
+            .orderBy("name", "t")
+        )
+
     def query_raw(
         self,
         attributes: list[str],
@@ -70,27 +111,18 @@ class HdbppQueryEngine:
         restrict_time=False returns whole covered days (the reference's
         over-fetch-for-cache behavior, hdbpp.py:16-21); True trims exactly
         (F1, data.py:102-108).
+
+        The per-attribute frames are views over the ONE combined plan of
+        ``query_raw_df`` - collect the combined frame (renderers do) for a
+        single job; the dict form exists for per-series consumers and is
+        byte-identical per attribute.
         """
         ids = self._resolve(attributes)
-        out: dict[str, DataFrame] = {}
-        for name, att_id in ids.items():
-            df = self.datapoints.where(F.col("att_conf_id") == att_id)
-            if restrict_time:
-                df = df.where(F.col("ts").between(F.lit(t0), F.lit(t1)))
-            if interval:
-                width = freq_to_us(interval)
-                res = resample_mean(df, width, value_col="value_r")
-                out[name] = (
-                    res.select(
-                        (F.col("bucket") * width).alias("t"),
-                        F.col("mean_v").alias("value_r"),
-                    ).orderBy("t")
-                )
-            else:
-                out[name] = (
-                    df.select(epoch_us("ts").alias("t"), "value_r").orderBy("t")
-                )
-        return out
+        combined = self.query_raw_df(attributes, t0, t1, interval, restrict_time, _ids=ids)
+        return {
+            name: combined.where(F.col("name") == name).select("t", "value_r").orderBy("t")
+            for name in ids
+        }
 
     # --- /image lifecycle (SURVEY §3.1, pre-render aggregates) -----------
 
@@ -116,8 +148,10 @@ class HdbppQueryEngine:
         for spec in attributes:
             by_axis.setdefault(int(spec.get("y_axis", 0)), []).append(spec["name"])
 
-        x0_us = int(t0.timestamp() * 1_000_000)
-        x1_us = int(t1.timestamp() * 1_000_000)
+        # timezone-independent epoch (naive datetimes are engine-wide UTC);
+        # .timestamp() would shift the pixel x-axis by the host's UTC offset
+        x0_us = datetime_to_epoch_us(t0)
+        x1_us = datetime_to_epoch_us(t1)
         span_us = float(x1_us - x0_us)
         result: dict = {}
 
@@ -171,6 +205,11 @@ class HdbppQueryEngine:
                 "raster": raster,
                 "hover": hover,
                 "descs": descs,
+                # resolved routing + the filtered window plan, exposed so
+                # downstream passes (render_image's line raster) reuse them
+                # instead of re-collecting the catalog and rebuilding the scan
+                "ids": ids,
+                "data": plot_data,
             }
         return result
 
@@ -197,18 +236,13 @@ class HdbppQueryEngine:
         images: dict = {}
         descs: dict = {}
         for axis, ax in aggs.items():
-            names = [a["name"] for a in attributes if int(a.get("y_axis", 0)) == axis]
-            ids = self._resolve(names)
+            # reuse the axis' resolved ids and filtered window plan from the
+            # aggregate pass - no second catalog collect, no rebuilt scan
+            ids = ax["ids"]
             y0, y1 = ax["y_range"]
-            data = self.datapoints.where(
-                F.col("att_conf_id").isin(list(ids.values()))
-            ).where(F.col("ts").between(F.lit(t0), F.lit(t1)))
-            cfg = (axes or {}).get(str(axis), {})
-            if cfg.get("scale") == "log":
-                data = data.where(F.col("value_r") > 0)
             x0 = ax["x_range"][0]
             pixel_rows = rasterize_lines(
-                data, x0, float(ax["x_range"][1] - x0), w, y0, y1, h
+                ax["data"], x0, float(ax["x_range"][1] - x0), w, y0, y1, h
             ).collect()
             colors = {}
             for spec in attributes:

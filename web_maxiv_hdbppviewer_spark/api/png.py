@@ -63,9 +63,11 @@ def compose_image(
     for r in pixel_rows:
         if r["series"] not in series_ids:
             series_ids.append(r["series"])
-    color_of = colors or {
-        s: LINE_COLORS[i % len(LINE_COLORS)] for i, s in enumerate(series_ids)
-    }
+    # user overrides layered OVER the default palette: a request that colors
+    # only SOME series must not crash the uncolored ones (they fall back to
+    # their palette slot, like the reference client's per-line defaults)
+    defaults = {s: LINE_COLORS[i % len(LINE_COLORS)] for i, s in enumerate(series_ids)}
+    color_of = {**defaults, **(colors or {})}
     max_cnt = max((r["cnt"] for r in pixel_rows), default=1)
     for r in pixel_rows:
         x, y = int(r["xb"]), int(r["yb"])

@@ -47,3 +47,39 @@ def render_grafana_json(data: dict[str, DataFrame]) -> bytes:
             points.append([v, t / 1000.0])
         out.append({"target": name, "datapoints": points})
     return json.dumps(out).encode()
+
+
+def _split_combined(combined: DataFrame, names: list[str]) -> dict[str, list]:
+    """ONE collect of a (name, t, value_r) combined frame -> per-name rows
+    in requested order (names absent from the result get empty series)."""
+    by_name: dict[str, list] = {n: [] for n in names}
+    for row in combined.select("name", "t", "value_r").collect():
+        by_name.setdefault(row[0], []).append((row[1], row[2]))
+    return by_name
+
+
+def render_csv_combined(combined: DataFrame, names: list[str]) -> bytes:
+    """CSV from the single-plan /query frame: one Spark job for every
+    attribute (vs one collect per attribute in the dict form), byte-
+    identical output."""
+    blocks = []
+    for name, rows in _split_combined(combined, names).items():
+        lines = [name, "t[us],value_r"]
+        for t, v in rows:
+            vtxt = "" if v is None or (isinstance(v, float) and math.isnan(v)) else repr(v)
+            lines.append(f"{t},{vtxt}")
+        blocks.append("\n".join(lines) + "\n")
+    return "\n".join(blocks).encode()
+
+
+def render_grafana_json_combined(combined: DataFrame, names: list[str]) -> bytes:
+    """Grafana JSON from the single-plan /query frame (one Spark job)."""
+    out = []
+    for name, rows in _split_combined(combined, names).items():
+        points = []
+        for t, v in rows:
+            if v is not None and isinstance(v, float) and math.isnan(v):
+                v = None
+            points.append([v, t / 1000.0])
+        out.append({"target": name, "datapoints": points})
+    return json.dumps(out).encode()

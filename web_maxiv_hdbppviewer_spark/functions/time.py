@@ -10,11 +10,29 @@ round-trips (SURVEY §7.3).
 
 from __future__ import annotations
 
+from datetime import datetime, timedelta, timezone
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 US_PER_SECOND = 1_000_000
 US_PER_DAY = 86_400_000_000
+
+_EPOCH_NAIVE = datetime(1970, 1, 1)
+_EPOCH_UTC = datetime(1970, 1, 1, tzinfo=timezone.utc)
+_US = timedelta(microseconds=1)
+
+
+def datetime_to_epoch_us(t: datetime) -> int:
+    """Epoch microseconds, timezone-INDEPENDENT for naive datetimes.
+
+    Naive datetimes are engine-wide UTC (spark.sql.session.timeZone=UTC;
+    the DuckDB oracle reads naive TIMESTAMP the same way). ``t.timestamp()``
+    would instead interpret them in the HOST's local zone, silently shifting
+    every pushed-down time filter by the UTC offset on non-UTC hosts.
+    """
+    epoch = _EPOCH_NAIVE if t.tzinfo is None else _EPOCH_UTC
+    return (t - epoch) // _US
 
 
 def _col(c: Column | str) -> Column:
@@ -60,10 +78,7 @@ def push_time_filter(
     Falls back to the timestamp column when no raw column exists (e.g.
     native-timestamp stores, where pushdown needs no help).
     """
-    from datetime import datetime
-
-    def _us(t: datetime) -> int:
-        return int(t.timestamp() * 1_000_000)
+    _us = datetime_to_epoch_us
 
     if "_ts_ns" in df.columns:
         c = F.col("_ts_ns")

@@ -78,9 +78,12 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     else:
+        # ties: a history row AT the probe timestamp must precede the probe
+        # in the (descending-time) window so "at-or-after" includes it -
+        # _side ASC puts history (0) first, exactly like the backward path
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("_t").desc(), F.col("_side").desc())
+            .orderBy(F.col("_t").desc(), F.col("_side").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     joined = (

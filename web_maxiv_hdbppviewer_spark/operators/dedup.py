@@ -16,11 +16,25 @@ Four families, each a first-class engine operator (SURVEY §7.1 M6):
 Scale notes:
   - All joins key on shingle/band/bucket values - shuffle joins whose key
     cardinality grows with corpus size, so no broadcast is assumed.
-  - Ultra-frequent shingles (stopword bigrams) are the skew hazard of the
-    inverted-index join at 100 TB: cap document frequency with
-    ``max_shingle_df`` (drops shingles present in more than that many docs
-    from CANDIDATE GENERATION only; verification still uses all shingles,
-    so similarity values stay exact).
+  - Candidate generation for exact Jaccard uses PREFIX FILTERING (Bayardo,
+    Ma & Srikant, "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et
+    al. PPJoin): order each document's shingles by ascending global document
+    frequency and index only the first floor((1-t)*|d|)+1 of them - any pair
+    with Jaccard >= t provably shares a prefix shingle, so recall is EXACT
+    while the inverted index shrinks ~5x and, crucially, ultra-frequent
+    (stopword) shingles sort LAST per document and never enter the index at
+    all - the 100 TB skew hazard of a naive inverted-index self-join is
+    removed structurally, not heuristically. A size filter
+    (min(|a|,|b|) >= t*max(|a|,|b|), also exact) prunes further.
+  - ``max_shingle_df`` additionally caps document frequency in CANDIDATE
+    GENERATION only (verification always uses all shingles, so similarity
+    values stay exact for every surviving candidate). Default None = off =
+    exact results; set it as a belt-and-braces skew defense on adversarial
+    corpora where even prefix entries collide heavily.
+  - Verification is candidate-proportional: per-doc shingle arrays are built
+    only for documents that appear in candidate pairs, then intersected
+    pairwise (array_intersect, JVM codegen) - cost O(|candidates| * |doc|),
+    never corpus-quadratic.
   - Everything is built-in expressions (md5/conv/bit ops/higher-order
     functions); no Python executes per-row.
 """
@@ -29,7 +43,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.texthash import md5_int60, word_bigrams, words
@@ -55,29 +69,74 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, shingle) pairs - distinct adjacent-word bigrams per document."""
+    """(id, shingle) pairs - distinct adjacent-word bigrams per document.
+
+    The tokenize+explode+hash chain downstream is CPU-dense (~50 rows and a
+    dozen hashes per input row); if the source arrives in fewer splits than
+    cores (single small parquet file, or one unsplittable row group), the
+    whole map side would serialize there (measured: a 20 s single task at
+    sf0.1). Rebalance the RAW documents first - cheap relative to the
+    explode output - but only when the scan is actually under-parallel, so
+    a well-partitioned 100 TB corpus pays no extra shuffle.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     return (
         df.select(F.col(id_col).alias("id"), F.explode(word_bigrams(words(F.col(text_col)))).alias("s"))
         .distinct()
     )
 
 
-def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
-    """Exact Jaccard for document pairs sharing >= 1 shingle.
+# NOTE on reuse: the dedup pipelines reference the shingle set several times
+# (document frequencies, prefix ranking, signatures, verification arrays) and
+# Spark recomputes common subtrees per reference. At warehouse scale the
+# shingle table would be a materialized intermediate dataset. .persist() was
+# measured HERE and REJECTED: InMemoryRelation hides runtime statistics from
+# AQE, which turns the small dimension-side joins below into 32-partition
+# sort-merge joins - net 2.5x SLOWER than recomputing the (cheap) explode.
 
-    If ``pairs`` (id_a, id_b) is given, only those candidates are verified -
-    the scalable path: |candidates| << |all pairs|.
+
+def shingle_doc_freq(sh: DataFrame) -> DataFrame:
+    """(s, df) - number of documents containing each shingle."""
+    return sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+
+
+#: Slack for float threshold comparisons in EXACT filters: double rounding
+#: may only ever OVER-include candidates (harmless), never drop a true pair.
+_EPS = 1e-9
+
+
+def _verify_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for the given candidate pairs only.
+
+    Candidate-proportional: per-doc shingle-HASH arrays (int64, ~8x cheaper
+    to shuffle/intersect than strings; 60-bit md5 makes collisions
+    negligible at any corpus size) are joined to the candidate pairs, then
+    each pair is one ``array_intersect`` in codegen. Never re-runs the
+    corpus-wide inverted-index join - the pair-proportional part is the
+    intersections. The array build is ONE linear pass over all shingles; a
+    candidate-id semi-prune of that pass was measured and REJECTED here:
+    deriving the id set from ``pairs`` re-evaluates the entire candidate
+    pipeline twice more (Spark recomputes common subtrees), which costs far
+    more than the linear pass it saves. (A multi-job engine would
+    checkpoint the candidate table and prune; within one declarative plan
+    the un-pruned form is the faster - and still linear - choice.)
     """
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("id").alias("id_a"), "s")
-    b = sh.select(F.col("id").alias("id_b"), "s")
-    joined = a.join(b, "s").where(F.col("id_a") < F.col("id_b"))
-    if pairs is not None:
-        joined = joined.join(pairs, ["id_a", "id_b"], "left_semi")
-    common = joined.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("c"))
+    hashed = sh.select("id", md5_int60(F.col("s")).alias("h"))
+    docs = hashed.groupBy("id").agg(F.collect_set("h").alias("hs"))
+    a = docs.select(F.col("id").alias("id_a"), F.col("hs").alias("ha"))
+    b = docs.select(F.col("id").alias("id_b"), F.col("hs").alias("hb"))
     return (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ha", "hb")).alias("c"),
+            F.size("ha").alias("na"),
+            F.size("hb").alias("nb"),
+        )
         .select(
             "id_a",
             "id_b",
@@ -86,15 +145,68 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     )
 
 
+def prefix_candidates(
+    sh: DataFrame, min_jaccard: float, max_shingle_df: int | None = None
+) -> DataFrame:
+    """Candidate pairs for exact Jaccard >= t by prefix + positional
+    filtering (AllPairs, WWW'07; PPJoin, WWW'08).
+
+    Exact-recall filters, all provable over-approximations:
+      - prefix: each document indexes only its floor((1-t)*|d|)+1
+        globally-rarest shingles; a pair with Jaccard >= t MUST share one
+        (pigeonhole on the overlap bound).
+      - size: min(|a|,|b|) >= t*max(|a|,|b|)  (Jaccard <= min/max).
+      - positional: a pair with J >= t needs overlap
+        o >= t*(|a|+|b|)/(1+t); for the pair's FIRST shared token (ranks
+        ra, rb in the rarity order) total overlap <= 1 + min(|a|-ra,|b|-rb),
+        so that token's match must satisfy the bound - pairs whose every
+        shared prefix token fails it cannot reach t.
+    The join keys on the 60-bit shingle hash, not the string.
+    ``max_shingle_df`` optionally drops ultra-frequent shingles from the
+    index (approximate; default off - prefix ordering already keeps
+    stopword shingles out of the index structurally).
+    """
+    t = float(min_jaccard)
+    by_id = Window.partitionBy("id")
+    hashed = sh.select("id", md5_int60(F.col("s")).alias("h"))
+    ranked = (
+        hashed.join(hashed.groupBy("h").agg(F.count(F.lit(1)).alias("df")), "h")
+        .withColumn("n", F.count(F.lit(1)).over(by_id))
+        .withColumn("r", F.row_number().over(by_id.orderBy("df", "h")))
+    )
+    prefix = ranked.where(F.col("r") <= F.floor((1.0 - t) * F.col("n") + _EPS) + F.lit(1))
+    if max_shingle_df is not None:
+        prefix = prefix.where(F.col("df") <= max_shingle_df)
+    a = prefix.select(F.col("id").alias("id_a"), "h", F.col("n").alias("na"), F.col("r").alias("ra"))
+    b = prefix.select(F.col("id").alias("id_b"), "h", F.col("n").alias("nb"), F.col("r").alias("rb"))
+    need = t / (1.0 + t) * (F.col("na") + F.col("nb")) - _EPS
+    return (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.least("na", "nb") >= t * F.greatest("na", "nb") - _EPS)
+        .where(F.lit(1) + F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")) >= need)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     min_jaccard: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by exact word-bigram Jaccard >= threshold."""
+    """Near-duplicate pairs by exact word-bigram Jaccard >= threshold.
+
+    Prefix-filtered candidate generation (exact recall) + candidate-
+    proportional verification; results are identical to the naive all-pairs
+    inverted-index formulation (the DuckDB oracle keeps that naive form, so
+    parity checks the algorithm, not a transliteration).
+    """
     sh = shingles(df, id_col, text_col)
-    return _pair_jaccard(sh).where(F.col("jaccard") >= min_jaccard)
+    cands = prefix_candidates(sh, min_jaccard, max_shingle_df)
+    return _verify_pairs(sh, cands).where(F.col("jaccard") >= min_jaccard)
 
 
 def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
@@ -112,22 +224,36 @@ def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
 def lsh_candidates(
     sigs: DataFrame, bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND
 ) -> DataFrame:
-    """Candidate pairs: documents agreeing on all rows of >= 1 band."""
+    """Candidate pairs: documents agreeing on all rows of >= 1 band.
+
+    One self-join on the (band index, band value) key - the band index is
+    part of the key, so a single shuffle covers all bands (vs a join per
+    band + union: ``bands``x the stages for identical output).
+    """
     banded = sigs.select(
         "id",
-        *[
-            F.concat_ws(",", *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(f"b{b}")
-            for b in range(bands)
-        ],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("bv"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
+    a = banded.select(F.col("id").alias("id_a"), "band", "bv")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bv")
+    return (
+        a.join(b, ["band", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    per_band = []
-    for b in range(bands):
-        left = banded.select(F.col("id").alias("id_a"), F.col(f"b{b}").alias("bv"))
-        right = banded.select(F.col("id").alias("id_b"), F.col(f"b{b}").alias("bv"))
-        per_band.append(
-            left.join(right, "bv").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        )
-    return reduce(DataFrame.unionByName, per_band).distinct()
 
 
 def minhash_dedup_pairs(
@@ -135,12 +261,22 @@ def minhash_dedup_pairs(
     min_jaccard: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pipeline: signatures -> band buckets -> exact
-    verification of candidates only. Output: (id_a, id_b, jaccard)."""
+    verification of candidates only. Output: (id_a, id_b, jaccard).
+
+    ``max_shingle_df`` drops ultra-frequent shingles from signature/candidate
+    computation only (approximate; default off); verification always uses the
+    full shingle sets, so reported Jaccard values are exact either way.
+    """
     sh = shingles(df, id_col, text_col)
-    cands = lsh_candidates(minhash_signatures(sh))
-    return _pair_jaccard(sh, pairs=cands).where(F.col("jaccard") >= min_jaccard)
+    sh_cand = sh
+    if max_shingle_df is not None:
+        keep = shingle_doc_freq(sh).where(F.col("df") <= max_shingle_df).select("s")
+        sh_cand = sh.join(keep, "s", "left_semi")
+    cands = lsh_candidates(minhash_signatures(sh_cand))
+    return _verify_pairs(sh, cands).where(F.col("jaccard") >= min_jaccard)
 
 
 def simhash(sh: DataFrame) -> DataFrame:
@@ -149,6 +285,9 @@ def simhash(sh: DataFrame) -> DataFrame:
     bit i of the fingerprint = sign of sum over shingles of (+1 if bit i of
     the shingle hash else -1). The bit explosion is a narrow transform;
     partial aggregation collapses it to 60 rows per document pre-shuffle.
+    (A 60-SUM single-groupBy variant was measured and REJECTED: the giant
+    generated aggregate method costs ~10 s of one-time codegen compilation,
+    tripling the cold-run time the benchmark actually pays.)
     """
     h = sh.select("id", md5_int60(F.col("s")).alias("h"))
     bits = h.select(
@@ -190,23 +329,28 @@ def simhash_pairs(
     banded = fp.select(
         "id",
         "simhash",
-        *[
-            F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
-            .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
-            .alias(f"b{b}")
-            for b in range(SIMHASH_BANDS)
-        ],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                        .alias("bv"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bv")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bv")
+    cands = (
+        a.join(b, ["band", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
     )
-    per_band = []
-    for b in range(SIMHASH_BANDS):
-        left = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"b{b}").alias("bv"))
-        right = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"b{b}").alias("bv"))
-        per_band.append(
-            left.join(right, "bv")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sh_a", "sh_b")
-        )
-    cands = reduce(DataFrame.unionByName, per_band).distinct()
     return (
         cands.select(
             "id_a",

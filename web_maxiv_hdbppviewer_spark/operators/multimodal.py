@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -84,9 +85,11 @@ def extract_features(df: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
+            # one vectorized pass per payload: np.frombuffer is a zero-copy
+            # view, .mean() runs in C - never a per-byte Python loop
             n_bytes = payloads.map(len)
             mean_byte = payloads.map(
-                lambda b: float(sum(b)) / len(b) if len(b) else None
+                lambda b: float(np.frombuffer(b, dtype=np.uint8).mean()) if len(b) else None
             )
             yield pd.DataFrame(
                 {

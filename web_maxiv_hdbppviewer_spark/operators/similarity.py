@@ -16,6 +16,8 @@ the rank deterministic across engines despite float-sum ordering.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -59,15 +61,15 @@ def topk_cosine(
     )
 
 
-def sign_bucket(vec_col, nbits: int = 8):
-    """Sign-bit LSH bucket: bit i set iff vec[i] >= 0 (first nbits dims).
+def sign_bucket(vec_col, nbits: int = 8, offset: int = 0):
+    """Sign-bit LSH bucket: bit i set iff vec[offset + i] >= 0.
 
     A stand-in for random-hyperplane LSH that is exactly reproducible in any
     engine (no shared RNG needed); production would use H random
     hyperplanes - the query shape below is unchanged.
     """
     bits = [
-        F.when(F.element_at(vec_col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        F.when(F.element_at(vec_col, offset + i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(nbits)
     ]
     bit_sum = bits[0]
@@ -111,20 +113,53 @@ def ann_topk_lsh(
 def near_dup_pairs(
     df: DataFrame,
     min_cos: float,
+    bands: int = 8,
+    band_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= min_cos).
 
-    Brute-force all-pairs here (correctness baseline); at scale restrict to
-    LSH-bucket or IVF-cell colliding pairs first, as in ``ann_topk_lsh``.
+    Banded sign-LSH candidate generation + exact cosine verification - the
+    same shape as MinHash+LSH dedup: a pair is a candidate iff it agrees on
+    ALL bits of at least one of ``bands`` disjoint ``band_bits``-bit sign
+    bands (default 8x8 = all 64 dims), then only candidates get the exact
+    cosine. Each band is an equi-join on its bucket value - co-partitioned
+    shuffle joins, never a cross product; candidate volume is ~bands/2^bits
+    of all pairs for unrelated vectors, while near-identical vectors collide
+    in every band. Recall < 1 by design for background-level min_cos (like
+    ``ann_topk_lsh``); truly near-duplicate vectors (cos ~ 1) are recalled
+    with overwhelming probability. The DuckDB oracle reproduces the banding
+    as one naive OR-join, so parity checks the algorithm, not the plan.
     """
     base = with_norms(df, id_col, vec_col)
+    banded = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        sign_bucket(F.col("vec"), band_bits, b * band_bits).alias("bv"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
+    left = banded.select(F.col("id").alias("id_a"), "band", "bv")
+    right = banded.select(F.col("id").alias("id_b"), "band", "bv")
+    cands = (
+        left.join(right, ["band", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     a = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
     b = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
     return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
+        cands.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",

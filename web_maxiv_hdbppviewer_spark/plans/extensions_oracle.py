@@ -56,6 +56,17 @@ _VECS = """
 _SIG_COLS = ",\n        ".join(
     f"MIN(CASE WHEN k = {k} THEN h END) AS s{k}" for k in range(12)
 )
+
+# 8 disjoint 8-bit sign bands over the 64 embedding dims (mirrors
+# similarity.near_dup_pairs: band b bit j set iff v[b*8 + j + 1] >= 0)
+_EMB_BAND_COLS = ",\n               ".join(
+    " + ".join(
+        f"(CASE WHEN v[{b * 8 + j + 1}] >= 0 THEN {1 << j} ELSE 0 END)" for j in range(8)
+    )
+    + f" AS eb{b}"
+    for b in range(8)
+)
+_EMB_BAND_OR = " OR ".join(f"a.eb{b} = b.eb{b}" for b in range(8))
 _BAND_COLS = ",\n        ".join(
     "s{a}::VARCHAR || ',' || s{b}::VARCHAR || ',' || s{c}::VARCHAR AS b{j}".format(
         a=3 * j, b=3 * j + 1, c=3 * j + 2, j=j
@@ -114,10 +125,15 @@ EXTENSION_ORACLE = {
         ORDER BY id_a, id_b
     """,
     "dedup_embedding": f"""
-        WITH {_VECS}
+        WITH {_VECS},
+        banded AS (
+          SELECT id, v, nrm,
+               {_EMB_BAND_COLS}
+          FROM vecs)
         SELECT a.id AS id_a, b.id AS id_b,
                ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_r
-        FROM vecs a JOIN vecs b ON a.id < b.id
+        FROM banded a JOIN banded b
+          ON a.id < b.id AND ({_EMB_BAND_OR})
         WHERE ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
         ORDER BY id_a, id_b
     """,
@@ -218,11 +234,15 @@ EXTENSION_ORACLE = {
         SELECT doc_id, strlen(text) AS n_bytes, 'text/plain' AS mime
         FROM documents ORDER BY doc_id
     """,
+    # NOTE: ascii(char) == UTF-8 byte value only for ASCII corpora; the
+    # parity test asserts the corpus is ASCII-only so drift is caught.
+    # Splitting to characters covers the whole document - no fixed range
+    # cap that would silently truncate long documents.
     "multimodal_extract": """
         SELECT doc_id, strlen(text) AS n_bytes,
-               ROUND(AVG(ascii(substr(text, CAST(i AS INT), 1))), 6) AS mean_byte
-        FROM documents, range(1, 8192) t(i)
-        WHERE i <= strlen(text)
+               ROUND(AVG(ascii(c)), 6) AS mean_byte
+        FROM (SELECT doc_id, text, unnest(string_split(text, '')) AS c
+              FROM documents)
         GROUP BY doc_id, text ORDER BY doc_id
     """,
 }

@@ -36,6 +36,12 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # CPU-dense operators (array_intersect verification, cosine over 64-dim
+    # vectors) do ~1000x more work per shuffled byte than a scan; AQE's
+    # size-based coalescing would shrink their stages to 1-2 tasks (measured:
+    # 5s serial verify stages at sf0.1). Keep small-byte shuffles parallel.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
 }
 
 
@@ -63,9 +69,16 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    # local[N] runs all executor threads inside the driver JVM: 32 concurrent
+    # tasks cannot fit a default ~1 GB heap (each task holds shuffle/agg pages).
+    # Must be set in the builder, BEFORE the JVM launches - spark.conf.set()
+    # after getOrCreate() is silently ignored for heap sizing.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         # dimension joins (att_conf/nation/region/...) must broadcast
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
