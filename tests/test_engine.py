@@ -364,3 +364,94 @@ def test_compose_image_partial_colors_falls_back(spark):
     img = compose_image(rows, 2, 1, colors={7: (1, 2, 3)})
     assert tuple(img[0, 0][:3]) == (1, 2, 3)  # explicit override
     assert tuple(img[0, 1][:3]) == LINE_COLORS[1]  # uncolored -> palette slot
+
+
+# --- Cassandra connector adapter (plan-level; no live cluster) ------------
+
+
+def test_cassandra_adapter_pushdown_and_normalization(spark):
+    """The connector adapter must express its restriction as Catalyst
+    filters on the PHYSICAL columns (partition keys att_conf_id/period,
+    clustering column data_time) - that is what DSv2 pushdown hands to the
+    connector as CQL - and reconstruct microsecond event time exactly."""
+    from web_maxiv_hdbppviewer_spark.sources.cassandra import (
+        read_cassandra_datapoints,
+    )
+
+    phys = spark.createDataFrame(
+        [
+            (7, "2024-01-05", datetime(2024, 1, 5, 12, 0, 0), 123456, 1.5, 0, None),
+            (7, "2024-01-06", datetime(2024, 1, 6, 0, 0, 1), 999999, 2.5, 0, None),
+            (8, "2024-01-05", datetime(2024, 1, 5, 1, 0, 0), 1, 9.0, 0, None),
+            (7, "2024-02-01", datetime(2024, 2, 1, 0, 0, 0), 0, 4.0, 0, None),
+        ],
+        "att_conf_id long, period string, data_time timestamp, "
+        "data_time_us long, value_r double, quality int, error_desc string",
+    )
+    out = read_cassandra_datapoints(
+        spark,
+        "hdb",
+        "scalar_devdouble_ro",
+        att_conf_ids=[7],
+        t0=datetime(2024, 1, 5),
+        t1=datetime(2024, 1, 7),
+        source=phys,
+    )
+    rows = {(r["att_conf_id"], r["ts"], r["value_r"]) for r in out.collect()}
+    assert rows == {
+        (7, datetime(2024, 1, 5, 12, 0, 0, 123456), 1.5),
+        (7, datetime(2024, 1, 6, 0, 0, 1, 999999), 2.5),
+    }
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "att_conf_id" in plan and "IN (2024-01-05,2024-01-06,2024-01-07)" in plan.replace(
+        "'", ""
+    ) or "period" in plan
+    # the three pushable restrictions all survive to the optimized plan
+    for col in ("att_conf_id", "period", "data_time"):
+        assert col in plan, f"missing pushable predicate on {col}"
+
+
+# --- rasterline x-tiling ---------------------------------------------------
+
+
+def test_rasterline_tiled_equals_untiled(spark, events):
+    """Property: (series, x-tile) grouping with boundary duplication draws
+    the same pixels with the same counts as whole-series grouping."""
+    from web_maxiv_hdbppviewer_spark.operators.rasterline import rasterize_lines
+
+    data = events.select("user_id", "ts", F.col("value").alias("value_r"))
+    x0 = 1_704_067_200_000_000  # 2024-01-01 UTC
+    span = 2_592_000_000_000.0
+    kw = dict(series_col="user_id", w=64, ymin=0.0, ymax=500.0, h=48)
+    untiled = {
+        (r["series"], r["xb"], r["yb"]): r["cnt"]
+        for r in rasterize_lines(data, x0, span, tile_px=10**9, **kw).collect()
+    }
+    tiled = {
+        (r["series"], r["xb"], r["yb"]): r["cnt"]
+        for r in rasterize_lines(data, x0, span, tile_px=7, **kw).collect()
+    }
+    assert tiled == untiled
+    assert len(untiled) > 0
+
+
+def test_slice_cache_refuses_future_periods(spark, events):
+    """F6 guard: today/future day-slices keep growing - the cache must
+    refuse them (reference hdbpp.py:352-359) and route callers to the
+    incremental path."""
+    from datetime import date
+
+    cache = SliceCache()
+    day = events.where(F.to_date("ts") == "2024-01-05")
+    fake_today = date(2024, 1, 5)
+    # today's slice: returned un-persisted, never enters the cache
+    out = cache.put(("cs1", 1, "2024-01-05"), day, today=fake_today)
+    assert out is day
+    assert cache.get(("cs1", 1, "2024-01-05")) is None
+    assert cache.size_bytes == 0
+    # future slice likewise; completed (past) slice caches normally
+    cache.put(("cs1", 1, "2024-02-01"), day, today=fake_today)
+    assert cache.get(("cs1", 1, "2024-02-01")) is None
+    cache.put(("cs1", 1, "2024-01-04"), day, today=fake_today)
+    assert cache.get(("cs1", 1, "2024-01-04")) is not None
+    cache.clear()

@@ -15,12 +15,25 @@ through streaming/incremental.py instead.
 
 from __future__ import annotations
 
+import re
 import time
 from collections import OrderedDict
 from collections.abc import Callable
+from datetime import date
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
+
+_ISO_DATE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _period_from_key(key: tuple) -> str | None:
+    """The ISO-date element of a slice key, if any (keys are caller-defined
+    tuples like the reference's (cs, attr, day))."""
+    for part in reversed(key):
+        if isinstance(part, str) and _ISO_DATE.match(part):
+            return part
+    return None
 
 
 def _estimate_row_bytes(df: DataFrame) -> int:
@@ -50,12 +63,21 @@ class SliceCache:
         self._entries.move_to_end(key)
         return entry[0]
 
-    def put(self, key: tuple, df: DataFrame) -> DataFrame:
+    def put(self, key: tuple, df: DataFrame, today: date | None = None) -> DataFrame:
         """Persist and account a slice; evicts LRU entries over budget.
 
         Materializes the slice (count) so the persist actually happens at
         put-time, like the reference caching completed day-frames.
+
+        F6 guard (reference hdbpp.py:352-359): slices whose period is TODAY
+        or later are REFUSED - those partitions are still growing and must
+        go through the incremental path (streaming.incremental), never the
+        immutable cache. The period is auto-detected as the ISO-date element
+        of the key; ``today`` is injectable for tests.
         """
+        period = _period_from_key(key)
+        if period is not None and period >= (today or date.today()).isoformat():
+            return df  # mutable partition: never cached, never persisted
         if key in self._entries:
             return self._entries[key][0]
         persisted = df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -9,11 +9,16 @@ numpy Bresenham-style segment walk, emitting (series, xb, yb, cnt) pixel
 rows. Everything after (shade, stack, encode) happens driver-side on
 <= w*h rows per series.
 
-Scale: one group = one series' points in the view window (the reference
-assumes <100k points/day/attr, hdbpp.py:283-284). For longer windows,
-pre-group into (series, x-tile) with one boundary point duplicated per tile
-edge so segments crossing tiles still draw; tiles then shuffle-group
-independently. The kernel is O(points + drawn pixels) per group.
+Scale: groups are (series, x-tile), NOT whole series (the reference
+assumes <100k points/day/attr, hdbpp.py:283-284; one hot series over a
+long window would otherwise land in a single pandas task). Each point goes
+to its tile by pixel-x; additionally, whenever consecutive points fall in
+different tiles, the LATER point is duplicated into the EARLIER point's
+tile so the crossing segment has both endpoints there. The kernel draws a
+segment only when its first endpoint is tile-native, so every real segment
+is drawn EXACTLY once (by the tile owning its first endpoint) - a final
+per-pixel sum merges tile outputs. The kernel is O(points + drawn pixels)
+per group.
 """
 
 from __future__ import annotations
@@ -21,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -35,6 +40,9 @@ LINE_PIXELS_SCHEMA = StructType(
         StructField("cnt", LongType(), False),
     ]
 )
+
+#: default x-tile width in pixels; tune so one tile's points fit a task
+DEFAULT_TILE_PX = 256
 
 
 def _segments_to_pixels(xs: np.ndarray, ys: np.ndarray, w: int, h: int) -> np.ndarray:
@@ -60,6 +68,27 @@ def _segments_to_pixels(xs: np.ndarray, ys: np.ndarray, w: int, h: int) -> np.nd
     return grid
 
 
+def _tile_segments_to_pixels(
+    xs: np.ndarray, ys: np.ndarray, native: np.ndarray, w: int, h: int
+) -> np.ndarray:
+    """Like _segments_to_pixels but draws only segments whose FIRST endpoint
+    is tile-native (duplicated boundary points exist solely to complete the
+    crossing segments owned by this tile)."""
+    grid = np.zeros((h, w), dtype=np.int64)
+    for i in range(len(xs) - 1):
+        if not native[i]:
+            continue
+        x0, y0, x1, y1 = xs[i], ys[i], xs[i + 1], ys[i + 1]
+        n = int(max(abs(x1 - x0), abs(y1 - y0))) + 1
+        px = np.rint(np.linspace(x0, x1, n)).astype(np.int64)
+        py = np.rint(np.linspace(y0, y1, n)).astype(np.int64)
+        keep = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+        if keep.any():
+            flat = np.unique(py[keep] * w + px[keep])
+            grid.flat[flat] += 1
+    return grid
+
+
 def rasterize_lines(
     df: DataFrame,
     x0_us: int,
@@ -71,22 +100,37 @@ def rasterize_lines(
     series_col: str = "att_conf_id",
     ts_col: str = "ts",
     value_col: str = "value_r",
+    tile_px: int = DEFAULT_TILE_PX,
 ) -> DataFrame:
-    """Per-series connect-the-dots raster -> (series, xb, yb, cnt) rows.
+    """Connect-the-dots raster -> (series, xb, yb, cnt) rows, grouped by
+    (series, x-tile) so a hot series parallelizes across tiles.
 
     Points are mapped to CONTINUOUS pixel coordinates before the segment
     walk (the line can pass through pixels between points), y axis in data
-    orientation (yb 0 = ymin row).
+    orientation (yb 0 = ymin row). The per-pixel counts are tile-output
+    sums; tiled output == untiled output (property-tested) because every
+    real segment is drawn exactly once, by the tile of its first endpoint,
+    onto the full-width grid (a segment may legally paint pixels outside
+    its own tile's x-range).
     """
 
     def draw(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("t_us")
-        pdf = pdf[pdf["v"].notna()]
         if len(pdf) == 0:
             return pd.DataFrame(columns=["series", "xb", "yb", "cnt"])
         xs = (pdf["t_us"].to_numpy(np.float64) - x0_us) / span_us * w
         ys = (pdf["v"].to_numpy(np.float64) - ymin) / (ymax - ymin) * h
-        grid = _segments_to_pixels(xs, ys, w, h)
+        native = pdf["native"].to_numpy(bool)
+        if bool(pdf["lone"].iloc[0]):
+            # single-point SERIES: one dot (untiled-kernel semantics). A
+            # multi-point series' point sitting alone in its tile draws
+            # nothing here - its segments are owned by neighboring tiles.
+            grid = np.zeros((h, w), dtype=np.int64)
+            x, y = int(xs[0]), int(ys[0])
+            if 0 <= x < w and 0 <= y < h:
+                grid[y, x] += 1
+        else:
+            grid = _tile_segments_to_pixels(xs, ys, native, w, h)
         yy, xx = np.nonzero(grid)
         return pd.DataFrame(
             {
@@ -101,5 +145,24 @@ def rasterize_lines(
         F.col(series_col).alias("series"),
         epoch_us(F.col(ts_col)).alias("t_us"),
         F.col(value_col).cast("double").alias("v"),
+    ).where(F.col("v").isNotNull())
+    # pixel-x tile of each point + the previous point's tile (one streaming
+    # window pass; the EXPENSIVE rasterization then parallelizes per tile)
+    px = (F.col("t_us") - F.lit(x0_us)) / F.lit(span_us) * F.lit(w)
+    by_series = Window.partitionBy("series").orderBy("t_us")
+    pointed = (
+        prepared.withColumn("tile", F.floor(px / F.lit(tile_px)).cast("long"))
+        .withColumn("prev_tile", F.lag("tile").over(by_series))
+        .withColumn("lone", F.count(F.lit(1)).over(Window.partitionBy("series")) == 1)
     )
-    return prepared.groupBy("series").applyInPandas(draw, LINE_PIXELS_SCHEMA)
+    native = pointed.select(
+        "series", "t_us", "v", "lone", F.col("tile").alias("gtile"), F.lit(True).alias("native")
+    )
+    dup = pointed.where(
+        F.col("prev_tile").isNotNull() & (F.col("prev_tile") != F.col("tile"))
+    ).select(
+        "series", "t_us", "v", "lone", F.col("prev_tile").alias("gtile"), F.lit(False).alias("native")
+    )
+    tiled = native.unionByName(dup)
+    pixels = tiled.groupBy("series", "gtile").applyInPandas(draw, LINE_PIXELS_SCHEMA)
+    return pixels.groupBy("series", "xb", "yb").agg(F.sum("cnt").alias("cnt"))

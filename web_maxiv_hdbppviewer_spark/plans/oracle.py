@@ -158,4 +158,59 @@ CORE_ORACLE = {
           SELECT s_nationkey FROM supplier
         ) ORDER BY x
     """,
+    # mirrors sources.fixtures.mixed_type_datapoints + operators.typed.
+    # typed_summary: the mixed-type frame is rebuilt verbatim, then the same
+    # kind-dispatched aggregates (FILTER clauses <-> kind-guarded CASE aggs)
+    "q29": """
+        WITH dp AS (
+          SELECT user_id AS att_conf_id,
+                 CASE CAST(user_id % 4 AS INT)
+                   WHEN 0 THEN 'scalar_devdouble_ro'
+                   WHEN 1 THEN 'scalar_devstring_ro'
+                   WHEN 2 THEN 'scalar_devstate_ro'
+                   ELSE 'array_devdouble_ro' END AS data_type,
+                 ts,
+                 CASE WHEN user_id % 4 = 0 AND event_type != 'error'
+                      THEN value END AS value_r,
+                 CASE WHEN user_id % 4 = 1 AND event_type != 'error'
+                      THEN event_type
+                      WHEN user_id % 4 = 2 AND event_type != 'error'
+                      THEN (CASE WHEN value >= 50 THEN 'ON' ELSE 'FAULT' END)
+                 END AS value_str,
+                 CASE WHEN user_id % 4 = 3 AND event_type != 'error'
+                      THEN [value, value * 0.5, value * 2] END AS value_arr,
+                 CASE WHEN event_type = 'error'
+                      THEN 'fixture error sample' END AS error_desc
+          FROM events),
+        typed AS (
+          SELECT *,
+                 CASE WHEN data_type LIKE 'array_%' THEN 'spectrum'
+                      WHEN regexp_extract(data_type,
+                             '^(?:scalar|array)_dev([a-z0-9]+)_(?:ro|rw)$', 1)
+                           IN ('double','float','long','long64','short',
+                               'uchar','ulong','ulong64','ushort')
+                      THEN 'numeric'
+                      ELSE 'discrete' END AS kind
+          FROM dp)
+        SELECT att_conf_id, data_type, kind,
+               CAST(COUNT(*) FILTER (WHERE error_desc IS NULL) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE error_desc IS NOT NULL) AS BIGINT) AS n_err,
+               MIN(value_r) FILTER (WHERE kind = 'numeric') AS vmin,
+               MAX(value_r) FILTER (WHERE kind = 'numeric') AS vmax,
+               ROUND(AVG(value_r) FILTER (WHERE kind = 'numeric'), 6) AS vmean,
+               arg_max(value_str, ts)
+                 FILTER (WHERE kind = 'discrete' AND value_str IS NOT NULL
+                           AND error_desc IS NULL) AS last_str,
+               CAST(COUNT(DISTINCT value_str)
+                 FILTER (WHERE kind = 'discrete' AND error_desc IS NULL)
+                 AS BIGINT) AS n_distinct,
+               ROUND(AVG(len(value_arr))
+                 FILTER (WHERE kind = 'spectrum' AND error_desc IS NULL), 6)
+                 AS mean_len,
+               MIN(list_min(value_arr)) FILTER (WHERE kind = 'spectrum') AS el_min,
+               MAX(list_max(value_arr)) FILTER (WHERE kind = 'spectrum') AS el_max
+        FROM typed
+        GROUP BY att_conf_id, data_type, kind
+        ORDER BY att_conf_id
+    """,
 }

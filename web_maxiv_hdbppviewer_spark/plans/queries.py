@@ -360,4 +360,15 @@ def q28(spark, sf_dir):
     return c.intersect(s).orderBy("x")
 
 
-CORE_QUERIES = {f"q{i}": globals()[f"q{i}"] for i in range(1, 29)}
+def q29(spark, sf_dir):
+    """Type-dispatched aggregation over the full Tango type matrix
+    (double / string / state / spectrum), the types the reference declares
+    but never implements (reference README.md:27, hdbpp.py:55-82). One
+    grouped aggregation with kind-guarded aggregate expressions."""
+    from ..operators.typed import typed_summary
+    from ..sources.fixtures import mixed_type_datapoints
+
+    return typed_summary(mixed_type_datapoints(spark, sf_dir))
+
+
+CORE_QUERIES = {f"q{i}": globals()[f"q{i}"] for i in range(1, 30)}

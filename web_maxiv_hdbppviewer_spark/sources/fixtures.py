@@ -65,3 +65,42 @@ def hdbpp_fixture(spark: SparkSession, sf_dir: str) -> tuple[HdbppCatalog, DataF
         F.when(is_err, F.lit("fixture error sample")).alias("error_desc"),
     )
     return HdbppCatalog(att_conf, att_names), datapoints
+
+
+def mixed_type_datapoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-type datapoints: every dispatch class of the Tango type matrix.
+
+    Deterministically derived from ``events`` so a SQL oracle can rebuild it
+    verbatim: attributes rotate through double / string / state / spectrum
+    by ``user_id % 4``; readings land in the type's sidecar column
+    (value_r / value_str / value_arr), error rows carry error_desc with all
+    sidecars NULL - the reference's value-OR-error row shape
+    (hdbpp.py:199-208).
+    """
+    events = load_tables(spark, sf_dir)["events"]
+    uid = F.col("user_id")
+    tmod = (uid % 4).cast("int")
+    is_err = F.col("event_type") == "error"
+    data_type = (
+        F.when(tmod == 0, "scalar_devdouble_ro")
+        .when(tmod == 1, "scalar_devstring_ro")
+        .when(tmod == 2, "scalar_devstate_ro")
+        .otherwise("array_devdouble_ro")
+    )
+    state = F.when(F.col("value") >= 50, "ON").otherwise("FAULT")
+    return events.select(
+        uid.cast("long").alias("att_conf_id"),
+        data_type.alias("data_type"),
+        derive_period(F.col("ts")).alias("period"),
+        F.col("ts"),
+        F.when((tmod == 0) & ~is_err, F.col("value")).alias("value_r"),
+        F.when((tmod == 1) & ~is_err, F.col("event_type"))
+        .when((tmod == 2) & ~is_err, state)
+        .alias("value_str"),
+        F.when(
+            (tmod == 3) & ~is_err,
+            F.array(F.col("value"), F.col("value") * 0.5, F.col("value") * 2),
+        ).alias("value_arr"),
+        F.lit(0).alias("quality"),
+        F.when(is_err, F.lit("fixture error sample")).alias("error_desc"),
+    )
