@@ -455,3 +455,68 @@ def test_slice_cache_refuses_future_periods(spark, events):
     cache.put(("cs1", 1, "2024-01-04"), day, today=fake_today)
     assert cache.get(("cs1", 1, "2024-01-04")) is not None
     cache.clear()
+
+
+# --- parameter / history lifecycles (S5/S6) --------------------------------
+
+
+@pytest.fixture(scope="module")
+def ph_engine(spark):
+    from web_maxiv_hdbppviewer_spark.sources.fixtures import (
+        parameter_history_fixture,
+    )
+
+    catalog, datapoints = hdbpp_fixture(spark, SF_SMOKE)
+    params, history = parameter_history_fixture(spark, SF_SMOKE)
+    return HdbppQueryEngine(catalog, datapoints, parameters=params, history=history)
+
+
+def test_get_parameters_latest_before(ph_engine, events):
+    uid = (
+        events.where(F.col("event_id") % 7 == 0)
+        .select("user_id").limit(1).collect()[0][0]
+    )
+    name = _attr_name(uid)
+    row = ph_engine.get_parameters(name, T1)
+    assert row is not None
+    assert row["label"] == f"attr{uid}"
+    assert row["recv_time"] < T1
+    # the snapshot returned is the LATEST one before the cutoff
+    newest = (
+        events.where((F.col("event_id") % 7 == 0) & (F.col("user_id") == uid))
+        .where(F.col("ts") < F.lit(T1))
+        .agg(F.max("ts")).collect()[0][0]
+    )
+    assert row["recv_time"] == newest
+    assert ph_engine.get_parameters("cs1/no/such/attr/x", T1) is None
+
+
+def test_get_history_window_cap_and_shape(ph_engine, events):
+    uid = (
+        events.where(F.col("event_type").isin("signup", "purchase", "error"))
+        .groupBy("user_id").count().orderBy(F.desc("count"))
+        .limit(1).collect()[0][0]
+    )
+    name = _attr_name(uid)
+    windowed = ph_engine.get_history(name, (T0, T1))
+    assert 0 < len(windowed) <= 10  # reference caps windowed history at 10
+    assert all(set(e) == {"timestamp", "event"} for e in windowed)
+    assert all(e["event"] in ("add", "start", "stop") for e in windowed)
+    ts = [e["timestamp"] for e in windowed]
+    assert ts == sorted(ts)
+    full = ph_engine.get_history(name)
+    assert len(full) >= len(windowed)
+
+
+def test_run_cancellable_tags_and_returns(ph_engine):
+    sc = ph_engine.datapoints.sparkSession.sparkContext
+    seen = {}
+
+    def work():
+        seen["group"] = sc.getLocalProperty("spark.jobGroup.id")
+        return ph_engine.controlsystems().count()
+
+    assert ph_engine.run_cancellable("req-42", work) == 1
+    assert seen["group"] == "req-42"
+    assert sc.getLocalProperty("spark.jobGroup.id") is None
+    ph_engine.cancel("req-42")  # no running jobs: a no-op, must not raise

@@ -113,3 +113,36 @@ def test_render_image_end_to_end(spark):
     assert (w, h) == (64, 48)
     assert img["y_range"][0] < img["y_range"][1]
     assert resp["descs"][name]["total_points"] > 0
+
+
+def test_eq_hist_shading_ranks_not_magnitudes():
+    # one huge-count pixel must not wash out the rest: eq-hist assigns alpha
+    # by rank, so counts (1, 2, 1000) get three distinct increasing alphas
+    rows = [
+        {"series": 1, "xb": 0, "yb": 0, "cnt": 1},
+        {"series": 1, "xb": 1, "yb": 0, "cnt": 2},
+        {"series": 1, "xb": 2, "yb": 0, "cnt": 1000},
+    ]
+    img = compose_image(rows, 3, 1)
+    a1, a2, a3 = img[0, 0][3], img[0, 1][3], img[0, 2][3]
+    assert a1 < a2 < a3 == 255
+    # linear shading would give cnt=1 and cnt=2 nearly equal, tiny alphas
+    lin = compose_image(rows, 3, 1, shading="linear")
+    assert abs(int(lin[0, 0][3]) - int(lin[0, 1][3])) <= 1
+
+
+def test_spread_widens_line():
+    rows = [{"series": 1, "xb": 2, "yb": 2, "cnt": 1}]
+    img = compose_image(rows, 5, 5, widths={1: 1})
+    on = {(x, y) for y in range(5) for x in range(5) if img[y, x][3] > 0}
+    assert on == {(x, y) for x in (1, 2, 3) for y in (1, 2, 3)}  # 3x3 block
+
+
+def test_stack_later_series_over_earlier():
+    rows = [
+        {"series": 1, "xb": 0, "yb": 0, "cnt": 1},
+        {"series": 2, "xb": 0, "yb": 0, "cnt": 1},
+    ]
+    img = compose_image(rows, 1, 1, colors={1: (255, 0, 0), 2: (0, 255, 0)})
+    # both single-pixel layers shade to full alpha; series 2 drew last
+    assert tuple(img[0, 0]) == (0, 255, 0, 255)

@@ -30,11 +30,25 @@ def _split_attr(full_name: str) -> tuple[str, str]:
 
 
 class HdbppQueryEngine:
-    """Query surface over an HdbppCatalog + unified datapoints DataFrame."""
+    """Query surface over an HdbppCatalog + unified datapoints DataFrame.
 
-    def __init__(self, catalog: HdbppCatalog, datapoints: DataFrame):
+    ``parameters``/``history`` (optional) are the att_parameter /
+    att_history tables (schemas.ATT_PARAMETER_SCHEMA / ATT_HISTORY_SCHEMA)
+    backing the reference's parameter and event-history lookups
+    (reference hdbpp.py:166-191, 243-270).
+    """
+
+    def __init__(
+        self,
+        catalog: HdbppCatalog,
+        datapoints: DataFrame,
+        parameters: DataFrame | None = None,
+        history: DataFrame | None = None,
+    ):
         self.catalog = catalog
         self.datapoints = datapoints
+        self.parameters = parameters
+        self.history = history
 
     # --- routing ---------------------------------------------------------
 
@@ -245,19 +259,77 @@ class HdbppQueryEngine:
                 ax["data"], x0, float(ax["x_range"][1] - x0), w, y0, y1, h
             ).collect()
             colors = {}
+            widths = {}
             for spec in attributes:
-                if spec.get("color") and spec["name"] in ids:
+                if spec["name"] not in ids:
+                    continue
+                if spec.get("color"):
                     c = spec["color"].lstrip("#")
                     colors[ids[spec["name"]]] = tuple(
                         int(c[i : i + 2], 16) for i in (0, 2, 4)
                     )
+                if spec.get("width"):
+                    # per-series line widening (reference tf.spread px=width)
+                    widths[ids[spec["name"]]] = int(spec["width"])
             images[axis] = {
-                "image": render_png_base64(pixel_rows, w, h, colors or None),
+                "image": render_png_base64(
+                    pixel_rows, w, h, colors or None, widths=widths or None
+                ),
                 "y_range": [y0, y1],
                 "x_range": list(ax["x_range"]),
             }
             descs.update(ax["descs"])
         return {"images": images, "descs": descs}
+
+    # --- parameter / history lifecycles (S5/S6) ---------------------------
+
+    def get_parameters(self, attr: str, end_time: datetime):
+        """Latest parameter snapshot strictly before ``end_time`` (reference
+        get_parameters, hdbpp.py:261-270; prepared 'parameter' CQL
+        hdbpp.py:166-172: ORDER BY recv_time DESC LIMIT 1). Returns a Row or
+        None - an as-of lookup (S5/O3) via the window top-1 operator."""
+        from ..operators.asof import latest_before
+
+        if self.parameters is None:
+            return None
+        ids = self._resolve([attr])
+        if attr not in ids:
+            return None
+        rows = latest_before(
+            self.parameters.where(F.col("att_conf_id") == ids[attr]),
+            end_time,
+            keys=["att_conf_id"],
+            ts_col="recv_time",
+        ).collect()
+        return rows[0] if rows else None
+
+    def get_history(
+        self,
+        attr: str,
+        time_window: tuple[datetime, datetime] | None = None,
+        limit: int = 10,
+    ) -> list[dict]:
+        """Attribute lifecycle events (add/remove/start/stop...), reference
+        get_history (hdbpp.py:243-259): windowed queries cap at 10 events
+        ('no point trying to display too many'); unwindowed returns all.
+        Output rows {'timestamp': epoch seconds float, 'event': str} exactly
+        like the reference's time + time_us * 1e-6 assembly."""
+        if self.history is None:
+            return []
+        ids = self._resolve([attr])
+        if attr not in ids:
+            return []
+        df = self.history.where(F.col("att_conf_id") == ids[attr])
+        if time_window is not None:
+            t0, t1 = time_window
+            df = df.where((F.col("time") > F.lit(t0)) & (F.col("time") < F.lit(t1)))
+            df = df.orderBy("time").limit(limit)
+        else:
+            df = df.orderBy("time")
+        return [
+            {"timestamp": r["t_us"] / 1_000_000.0, "event": r["event"]}
+            for r in df.select(epoch_us("time").alias("t_us"), "event").collect()
+        ]
 
     # --- /attributes lifecycle (SURVEY §3.3) ------------------------------
 
@@ -266,3 +338,26 @@ class HdbppQueryEngine:
 
     def controlsystems(self):
         return self.catalog.controlsystems()
+
+    # --- staleness control (X10) ------------------------------------------
+
+    def run_cancellable(self, tag: str, fn):
+        """Run ``fn`` with every Spark job it launches tagged by ``tag``.
+
+        The reference client silently drops responses superseded by a newer
+        request (reference js/actions.js:125-190) - the stale server work
+        still runs to completion. Engine-side we can do better: a
+        superseding request calls ``cancel(tag)`` and the stale request's
+        jobs are interrupted instead of burning cluster time.
+        """
+        sc = self.datapoints.sparkSession.sparkContext
+        sc.setJobGroup(tag, f"hdbpp request {tag}", interruptOnCancel=True)
+        try:
+            return fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+
+    def cancel(self, tag: str) -> None:
+        """Cancel all running Spark jobs tagged with ``tag`` (X10)."""
+        self.datapoints.sparkSession.sparkContext.cancelJobGroup(tag)

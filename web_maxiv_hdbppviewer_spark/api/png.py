@@ -1,11 +1,22 @@
-"""PNG image sink (SURVEY K3, reference plot.py:64-71 + 206-216).
+"""PNG image sink (SURVEY K3, reference plot.py:27-71 + 195-216).
 
-The reference shades each series' raster with its color, stacks the layers
-(datashader ``tf.stack``), converts to PIL and base64-encodes a PNG. Here
-the pixel rows arrive as bounded aggregates (<= w*h per series) and the
-shade/stack/encode happens driver-side with a dependency-free PNG writer
-(stdlib zlib) - RGBA, alpha scaled by count like datashader's default
-eq-hist-ish shading, simplified to linear.
+The reference shades each series' raster with its color (datashader
+``tf.shade(agg, cmap=[color])`` - single-hue, EQ-HIST alpha by default),
+optionally widens the line (``tf.spread(image, px=width)``,
+plot.py:38-42), then stacks the per-series layers with source-over
+compositing (``tf.stack``, plot.py:206). Here the pixel rows arrive as
+bounded aggregates (<= w*h per series) and the shade/spread/stack/encode
+happens driver-side with a dependency-free PNG writer (stdlib zlib):
+
+  - eq-hist shading: alpha follows the count histogram's CDF (rank-based),
+    so dense and sparse regions both keep contrast - same transfer
+    function family as datashader's default; ``shading="linear"`` keeps
+    the simpler count-proportional alpha.
+  - spread: per-series max-alpha dilation by a square (2*px+1) kernel
+    before stacking (single-hue layers make over-compositing of a layer
+    with itself equivalent to max-alpha).
+  - stack: straight source-over in float, later series over earlier
+    (attribute order), like the reference.
 """
 
 from __future__ import annotations
@@ -49,36 +60,109 @@ def encode_png_rgba(img: np.ndarray) -> bytes:
     )
 
 
+#: datashader's default minimum alpha for shaded (non-empty) pixels
+MIN_ALPHA = 40
+
+
+def _eq_hist_alpha(cnts: np.ndarray, min_alpha: int = MIN_ALPHA) -> np.ndarray:
+    """Histogram-equalized alpha (datashader tf.shade's default transfer
+    function): alpha follows the CDF of the count distribution, so a few
+    hot pixels can't wash out the rest of the line."""
+    vals, inv, freq = np.unique(cnts, return_inverse=True, return_counts=True)
+    if len(vals) == 1:
+        return np.full(len(cnts), 255, dtype=np.float64)
+    cdf = freq.cumsum().astype(np.float64)
+    norm = (cdf - cdf[0]) / (cdf[-1] - cdf[0])
+    return (min_alpha + (255.0 - min_alpha) * norm)[inv]
+
+
+def _spread(alpha: np.ndarray, px: int) -> np.ndarray:
+    """Max-alpha dilation by a (2*px+1)^2 kernel (reference tf.spread,
+    plot.py:38-42): widens 1-pixel lines for visibility."""
+    if px <= 0:
+        return alpha
+    h, w = alpha.shape
+    out = alpha.copy()
+    for dy in range(-px, px + 1):
+        for dx in range(-px, px + 1):
+            if dy == 0 and dx == 0:
+                continue
+            shifted = np.zeros_like(alpha)
+            ys0, ys1 = max(dy, 0), h + min(dy, 0)
+            xs0, xs1 = max(dx, 0), w + min(dx, 0)
+            shifted[ys0:ys1, xs0:xs1] = alpha[ys0 - dy : ys1 - dy, xs0 - dx : xs1 - dx]
+            np.maximum(out, shifted, out=out)
+    return out
+
+
 def compose_image(
     pixel_rows: list,
     w: int,
     h: int,
     colors: dict | None = None,
+    shading: str = "eqhist",
+    widths: dict | None = None,
 ) -> np.ndarray:
-    """Stack per-series pixel rows (series, xb, yb, cnt) into one RGBA
-    image. Data orientation yb=0 at bottom -> flipped to PNG top-down; later
-    series draw over earlier (reference stacks in attribute order)."""
-    img = np.zeros((h, w, 4), dtype=np.uint8)
+    """Shade + spread + stack per-series pixel rows (series, xb, yb, cnt)
+    into one RGBA image. Data orientation yb=0 at bottom -> flipped to PNG
+    top-down; later series composite OVER earlier (reference stacks in
+    attribute order, plot.py:206). ``widths`` maps series -> spread px."""
     series_ids = []
+    by_series: dict = {}
     for r in pixel_rows:
-        if r["series"] not in series_ids:
-            series_ids.append(r["series"])
+        s = r["series"]
+        if s not in by_series:
+            series_ids.append(s)
+            by_series[s] = []
+        by_series[s].append(r)
     # user overrides layered OVER the default palette: a request that colors
     # only SOME series must not crash the uncolored ones (they fall back to
     # their palette slot, like the reference client's per-line defaults)
     defaults = {s: LINE_COLORS[i % len(LINE_COLORS)] for i, s in enumerate(series_ids)}
     color_of = {**defaults, **(colors or {})}
-    max_cnt = max((r["cnt"] for r in pixel_rows), default=1)
-    for r in pixel_rows:
-        x, y = int(r["xb"]), int(r["yb"])
-        if not (0 <= x < w and 0 <= y < h):
+
+    # premultiplied float compositing; unpremultiply at the end
+    acc = np.zeros((h, w, 4), dtype=np.float64)
+    for s in series_ids:
+        rows = [
+            r for r in by_series[s] if 0 <= int(r["xb"]) < w and 0 <= int(r["yb"]) < h
+        ]
+        if not rows:
             continue
-        alpha = int(128 + 127 * min(r["cnt"] / max_cnt, 1.0))
-        rgb = color_of[r["series"]]
-        img[h - 1 - y, x] = (*rgb, alpha)
+        xs = np.array([int(r["xb"]) for r in rows])
+        ys = h - 1 - np.array([int(r["yb"]) for r in rows])
+        cnts = np.array([r["cnt"] for r in rows], dtype=np.float64)
+        if shading == "linear":
+            alphas = 128.0 + 127.0 * np.minimum(cnts / cnts.max(), 1.0)
+        else:
+            alphas = _eq_hist_alpha(cnts)
+        layer_a = np.zeros((h, w), dtype=np.float64)
+        layer_a[ys, xs] = alphas / 255.0
+        layer_a = _spread(layer_a, int((widths or {}).get(s, 0)))
+        rgb = np.array(color_of[s], dtype=np.float64)
+        a = layer_a[..., None]
+        acc[..., :3] = rgb * a + acc[..., :3] * (1.0 - a)
+        acc[..., 3] = layer_a + acc[..., 3] * (1.0 - layer_a)
+
+    img = np.zeros((h, w, 4), dtype=np.uint8)
+    visible = acc[..., 3] > 0
+    img[..., 3] = np.rint(acc[..., 3] * 255.0).astype(np.uint8)
+    # unpremultiply for straight-alpha PNG output
+    img[..., :3][visible] = np.rint(
+        acc[..., :3][visible] / acc[..., 3][visible][:, None]
+    ).astype(np.uint8)
     return img
 
 
-def render_png_base64(pixel_rows: list, w: int, h: int, colors: dict | None = None) -> str:
+def render_png_base64(
+    pixel_rows: list,
+    w: int,
+    h: int,
+    colors: dict | None = None,
+    shading: str = "eqhist",
+    widths: dict | None = None,
+) -> str:
     """The /image payload's image field (reference plot.py:64-71)."""
-    return base64.b64encode(encode_png_rgba(compose_image(pixel_rows, w, h, colors))).decode()
+    return base64.b64encode(
+        encode_png_rgba(compose_image(pixel_rows, w, h, colors, shading, widths))
+    ).decode()

@@ -213,4 +213,37 @@ CORE_ORACLE = {
         GROUP BY att_conf_id, data_type, kind
         ORDER BY att_conf_id
     """,
+    # mirrors sources.fixtures.parameter_history_fixture: every 7th event is
+    # a parameter snapshot; latest strictly before the cutoff per attribute
+    "q30": """
+        WITH params AS (
+          SELECT user_id AS att_conf_id, ts AS recv_time,
+                 'attr' || CAST(user_id AS VARCHAR) AS label,
+                 CASE WHEN value >= 100 THEN 'V' ELSE 'mA' END AS unit,
+                 event_type AS description
+          FROM events WHERE event_id % 7 = 0),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY att_conf_id
+                                       ORDER BY recv_time DESC) AS rn
+          FROM params WHERE recv_time < TIMESTAMP '2024-01-20 00:00:00')
+        SELECT att_conf_id, epoch_us(recv_time) AS recv_us, label, unit,
+               description
+        FROM ranked WHERE rn = 1 ORDER BY att_conf_id
+    """,
+    "q31": """
+        WITH history AS (
+          SELECT user_id AS att_conf_id, ts AS time,
+                 CASE event_type WHEN 'signup' THEN 'add'
+                                 WHEN 'purchase' THEN 'start'
+                                 ELSE 'stop' END AS event
+          FROM events WHERE event_type IN ('signup', 'purchase', 'error')),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY att_conf_id
+                                       ORDER BY time) AS rn
+          FROM history
+          WHERE time > TIMESTAMP '2024-01-05 00:00:00'
+            AND time < TIMESTAMP '2024-01-20 00:00:00')
+        SELECT att_conf_id, epoch_us(time) AS t_us, event, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= 10 ORDER BY att_conf_id, t_us
+    """,
 }

@@ -371,4 +371,42 @@ def q29(spark, sf_dir):
     return typed_summary(mixed_type_datapoints(spark, sf_dir))
 
 
-CORE_QUERIES = {f"q{i}": globals()[f"q{i}"] for i in range(1, 30)}
+def q30(spark, sf_dir):
+    """S5: latest parameter snapshot strictly before a cutoff, per attribute
+    (reference prepared 'parameter' CQL: ORDER BY recv_time DESC LIMIT 1,
+    hdbpp.py:166-172) - window top-1 over the derived att_parameter table."""
+    from ..operators.asof import latest_before
+    from ..sources.fixtures import parameter_history_fixture
+
+    params, _ = parameter_history_fixture(spark, sf_dir)
+    latest = latest_before(
+        params, datetime(2024, 1, 20), keys=["att_conf_id"], ts_col="recv_time"
+    )
+    return latest.select(
+        "att_conf_id",
+        epoch_us("recv_time").alias("recv_us"),
+        "label",
+        "unit",
+        "description",
+    ).orderBy("att_conf_id")
+
+
+def q31(spark, sf_dir):
+    """S6: windowed event history, first 10 events per attribute (reference
+    prepared 'history' CQL: time range + ORDER BY time LIMIT 10,
+    hdbpp.py:178-186) - rank-per-key instead of a per-attribute loop."""
+    from ..sources.fixtures import parameter_history_fixture
+
+    _, history = parameter_history_fixture(spark, sf_dir)
+    t0, t1 = datetime(2024, 1, 5), datetime(2024, 1, 20)
+    w = Window.partitionBy("att_conf_id").orderBy("time")
+    return (
+        history.where((F.col("time") > F.lit(t0)) & (F.col("time") < F.lit(t1)))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 10)
+        .select("att_conf_id", epoch_us("time").alias("t_us"), "event", "rn")
+        .orderBy("att_conf_id", "t_us")
+    )
+
+
+CORE_QUERIES = {f"q{i}": globals()[f"q{i}"] for i in range(1, 32)}

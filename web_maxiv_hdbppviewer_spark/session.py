@@ -73,7 +73,10 @@ def get_spark(
     # tasks cannot fit a default ~1 GB heap (each task holds shuffle/agg pages).
     # Must be set in the builder, BEFORE the JVM launches - spark.conf.set()
     # after getOrCreate() is silently ignored for heap sizing.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g")
+    # Sizing measured on the 44-query sf0.1 bench: 1 GB OOMs; 64 GB lets G1
+    # grow a huge young gen whose rare evacuation pauses land mid-query
+    # (up to +25 s on one query); 16-24 GB is both safe and GC-stable.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

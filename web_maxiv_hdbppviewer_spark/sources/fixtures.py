@@ -67,6 +67,40 @@ def hdbpp_fixture(spark: SparkSession, sf_dir: str) -> tuple[HdbppCatalog, DataF
     return HdbppCatalog(att_conf, att_names), datapoints
 
 
+def parameter_history_fixture(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(att_parameter, att_history) tables in the reference's shape
+    (reference hdbpp.py:166-191 prepared CQL; schemas.ATT_PARAMETER_SCHEMA /
+    ATT_HISTORY_SCHEMA), deterministically derived from ``events`` so a SQL
+    oracle can rebuild them verbatim: every 7th event becomes a parameter
+    snapshot (label/unit/description change over time, like real attribute
+    reconfiguration); signup/purchase/error events become the attribute's
+    add/start/stop lifecycle history."""
+    events = load_tables(spark, sf_dir)["events"]
+    uid = F.col("user_id")
+    params = events.where(F.col("event_id") % 7 == 0).select(
+        uid.cast("long").alias("att_conf_id"),
+        F.col("ts").alias("recv_time"),
+        F.concat(F.lit("attr"), uid.cast("string")).alias("label"),
+        F.when(F.col("value") >= 100, "V").otherwise("mA").alias("unit"),
+        F.when(F.col("value") >= 100, "V").otherwise("mA").alias("display_unit"),
+        F.lit("%6.2f").alias("format"),
+        F.col("event_type").alias("description"),
+    )
+    history = events.where(
+        F.col("event_type").isin("signup", "purchase", "error")
+    ).select(
+        uid.cast("long").alias("att_conf_id"),
+        F.col("ts").alias("time"),
+        F.when(F.col("event_type") == "signup", "add")
+        .when(F.col("event_type") == "purchase", "start")
+        .otherwise("stop")
+        .alias("event"),
+    )
+    return params, history
+
+
 def mixed_type_datapoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-type datapoints: every dispatch class of the Tango type matrix.
 
