@@ -520,3 +520,51 @@ def test_run_cancellable_tags_and_returns(ph_engine):
     assert seen["group"] == "req-42"
     assert sc.getLocalProperty("spark.jobGroup.id") is None
     ph_engine.cancel("req-42")  # no running jobs: a no-op, must not raise
+
+
+def test_streaming_last_value_matches_batch(spark, events, tmp_path):
+    """applyInPandasWithState current-state operator: after draining the
+    stream (forced through MULTIPLE micro-batches so state actually carries
+    across batches), the final per-key state equals the batch latest-by-ts."""
+    from web_maxiv_hdbppviewer_spark.streaming.stateful import streaming_last_value
+
+    src = str(tmp_path / "state_src")
+    batch = events.select(
+        F.col("user_id").cast("long").alias("att_conf_id"), "ts",
+        F.col("value").alias("value_r"),
+    ).where(F.col("value").isNotNull())
+    batch.repartition(4).write.parquet(src)  # 4 files
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(src)
+    )
+    out = streaming_last_value(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("laststate")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode emits one row per key per batch; the LAST emission per key
+    # is the final state
+    got = {
+        r["att_conf_id"]: (r["last_ts"], r["last_value"], r["n"])
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY att_conf_id "
+            "ORDER BY n DESC) AS rn FROM laststate) WHERE rn = 1"
+        ).collect()
+    }
+    expect = {
+        r["att_conf_id"]: (r["last_ts"], r["last_value"], r["n"])
+        for r in batch.groupBy("att_conf_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.max_by("value_r", "ts").alias("last_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == expect

@@ -110,6 +110,60 @@ def ann_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
 
 
+def ann_topk_ivf(
+    df: DataFrame,
+    k: int,
+    query_ids_below: int = 10,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k, nprobe=1: assign every vector to its
+    nearest of ``n_cells`` centroid cells, then search only the query's own
+    cell. Output (q_id, cand_id, cos_r, rank) - recall < 1 by design.
+
+    Centroids here are the first ``n_cells`` vectors (deterministic,
+    training-free seeding so any engine reproduces the cells bit-for-bit);
+    production would run k-means and swap the centroid table - the
+    assignment and probe plan shapes are unchanged. Scale shape: assignment
+    is a BROADCAST of the tiny centroid table against the streaming corpus
+    (n x K cosines, one pass, no shuffle), the probe is a cell-equi join -
+    the same plan IVF indexes execute, minus the quantizer training.
+    """
+    base = with_norms(df, id_col, vec_col)
+    cents = base.where(F.col("id") < n_cells).select(
+        F.col("id").alias("cid"), F.col("vec").alias("cvec"), F.col("nrm").alias("cnrm")
+    )
+    sim = F.round(cosine(F.col("vec"), F.col("cvec"), F.col("nrm"), F.col("cnrm")), 6)
+    w_assign = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    cells = (
+        base.crossJoin(F.broadcast(cents))
+        .select("id", "vec", "nrm", "cid", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("id", "vec", "nrm", F.col("cid").alias("cell"))
+    )
+    q = cells.where(F.col("id") < query_ids_below).select(
+        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm"), "cell"
+    )
+    c = cells.select(
+        F.col("id").alias("cand_id"), F.col("vec").alias("c_vec"), F.col("nrm").alias("c_nrm"), "cell"
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("cand_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "cand_id",
+            F.round(
+                cosine(F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")), 6
+            ).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_r").desc(), F.col("cand_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
+
+
 def near_dup_pairs(
     df: DataFrame,
     min_cos: float,

@@ -34,12 +34,37 @@ def _count_in(tokens, vocab: list[str]):
 
 
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Whitespace/BPE-ish token counts: total and distinct per document."""
+    """Whitespace token counts: total and distinct per document."""
     toks = words(F.col(text_col))
     return df.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+
+
+#: BPE-ish pre-tokenizer pattern (GPT-2-style word splitting, simplified to
+#: the Java-regex/RE2 common subset - no lookahead): contractions, letter
+#: runs, digit runs, punctuation runs. Applied to lower-cased text; the
+#: token count approximates LLM token budgeting far better than whitespace.
+BPE_PATTERN = r"'[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def bpe_token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Subword-ish token stats under the BPE-style pre-tokenizer: count,
+    distinct count, and mean token length (chars/token, the compression
+    ratio LLM data pipelines budget by). Pure codegen - regexp_extract_all
+    + array functions, no UDF."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PATTERN), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_bpe"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_bpe_distinct"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+            / F.size(toks),
+            6,
+        ).alias("mean_tok_len"),
     )
 
 

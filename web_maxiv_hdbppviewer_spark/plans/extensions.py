@@ -13,6 +13,8 @@ its oracle reconstructs the same feature in SQL from the source text.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, textquality
@@ -24,6 +26,7 @@ EMBED_NEAR_DUP_COS = 0.4
 TOPK = 5
 ANN_TOPK = 3
 ANN_NBITS = 4
+IVF_CELLS = 8
 QUERY_IDS_BELOW = 10
 
 
@@ -81,11 +84,21 @@ def sim_ann_lsh(spark, sf_dir):
     ).orderBy("q_id", "rank")
 
 
+def sim_ann_ivf(spark, sf_dir):
+    return similarity.ann_topk_ivf(
+        _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW, IVF_CELLS
+    ).orderBy("q_id", "rank")
+
+
 # --- text analysis -------------------------------------------------------
 
 
 def text_tokens(spark, sf_dir):
     return textquality.token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def text_bpe(spark, sf_dir):
+    return textquality.bpe_token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def text_quality(spark, sf_dir):
@@ -101,6 +114,56 @@ def text_fingerprint(spark, sf_dir):
 
 
 # --- multimodal ----------------------------------------------------------
+
+
+# --- streaming -----------------------------------------------------------
+
+_STREAM_SEQ = itertools.count()
+
+
+def stream_last_value(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): drain
+    the events stream with availableNow and return the final per-key
+    current state. The oracle is the batch latest-by-event-time - the
+    streaming machinery must converge to exactly the batch answer."""
+    from ..functions.time import epoch_us
+    from ..streaming.stateful import streaming_last_value
+
+    load_tables(spark, sf_dir)  # applies session confs (nanosAsLong)
+    sink = f"stream_last_value_{next(_STREAM_SEQ)}"
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        # file-stream sources take a directory; glob-filter to the one table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    feed = raw.select(
+        F.col("user_id").cast("long").alias("att_conf_id"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        F.col("value").alias("value_r"),
+    ).where(F.col("value").isNotNull())
+    q = (
+        streaming_last_value(feed)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = spark.sql(
+        f"SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY att_conf_id "
+        f"ORDER BY n DESC, last_ts DESC) AS rn FROM {sink}) WHERE rn = 1"
+    )
+    return final.select(
+        "att_conf_id",
+        epoch_us("last_ts").alias("last_us"),
+        "last_value",
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("att_conf_id")
 
 
 def multimodal_meta(spark, sf_dir):
@@ -128,12 +191,15 @@ EXTENSION_QUERIES = {
     "dedup_embedding": dedup_embedding,
     "sim_topk_cosine": sim_topk_cosine,
     "sim_ann_lsh": sim_ann_lsh,
+    "sim_ann_ivf": sim_ann_ivf,
     "text_tokens": text_tokens,
+    "text_bpe": text_bpe,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "multimodal_meta": multimodal_meta,
     "multimodal_extract": multimodal_extract,
+    "stream_last_value": stream_last_value,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

@@ -174,6 +174,48 @@ EXTENSION_ORACLE = {
         SELECT q_id, cand_id, cos_r, rank FROM ranked
         WHERE rank <= 3 ORDER BY q_id, rank
     """,
+    # IVF-flat nprobe=1: centroids = first 8 vectors; every vector assigned
+    # to its max-cosine centroid (round-6 sim, cid tiebreak); probe = the
+    # query's own cell (mirrors similarity.ann_topk_ivf)
+    "sim_ann_ivf": f"""
+        WITH {_VECS},
+        cents AS (SELECT id AS cid, v AS cv, nrm AS cnrm FROM vecs WHERE id < 8),
+        assign AS (
+          SELECT id, v, nrm, cid,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY id
+                   ORDER BY ROUND(list_inner_product(v, cv) / (nrm * cnrm), 6) DESC,
+                            cid ASC) AS rn
+          FROM vecs, cents),
+        cells AS (SELECT id, v, nrm, cid AS cell FROM assign WHERE rn = 1),
+        scored AS (
+          SELECT q.id AS q_id, c.id AS cand_id,
+                 ROUND(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+          FROM cells q JOIN cells c ON q.cell = c.cell AND c.id != q.id
+          WHERE q.id < 10),
+        ranked AS (
+          SELECT q_id, cand_id, cos_r,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos_r DESC, cand_id ASC) AS rank
+          FROM scored)
+        SELECT q_id, cand_id, cos_r, rank FROM ranked
+        WHERE rank <= 3 ORDER BY q_id, rank
+    """,
+    # BPE-ish pre-tokenizer: contractions | letter runs | digit runs |
+    # punctuation runs over lower-cased text (textquality.BPE_PATTERN)
+    "text_bpe": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text),
+                   '''[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\s]+') AS t
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_bpe,
+               CAST(len(list_distinct(t)) AS BIGINT) AS n_bpe_distinct,
+               ROUND(CAST(list_sum(list_transform(t, x -> strlen(x))) AS DOUBLE)
+                     / len(t), 6) AS mean_tok_len
+        FROM toks ORDER BY doc_id
+    """,
     "text_tokens": """
         SELECT doc_id,
                len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
@@ -229,6 +271,16 @@ EXTENSION_ORACLE = {
         SELECT doc_id,
                CAST(SUM(({H.format(x="w")} % 1000003) * i) % 2147483647 AS BIGINT) AS fp
         FROM raw_toks GROUP BY doc_id ORDER BY doc_id
+    """,
+    # the streaming current-state operator must converge to the batch
+    # latest-by-event-time answer once the stream is drained
+    "stream_last_value": """
+        SELECT user_id AS att_conf_id,
+               epoch_us(MAX(ts)) AS last_us,
+               arg_max(value, ts) AS last_value,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id ORDER BY att_conf_id
     """,
     "multimodal_meta": """
         SELECT doc_id, strlen(text) AS n_bytes, 'text/plain' AS mime
