@@ -43,7 +43,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.texthash import md5_int60, word_bigrams, words
@@ -90,11 +90,18 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
 
 # NOTE on reuse: the dedup pipelines reference the shingle set several times
 # (document frequencies, prefix ranking, signatures, verification arrays) and
-# Spark recomputes common subtrees per reference. At warehouse scale the
-# shingle table would be a materialized intermediate dataset. .persist() was
-# measured HERE and REJECTED: InMemoryRelation hides runtime statistics from
-# AQE, which turns the small dimension-side joins below into 32-partition
-# sort-merge joins - net 2.5x SLOWER than recomputing the (cheap) explode.
+# Spark recomputes common subtrees per reference - measured at 4x for the
+# prefix/verify self-joins, which dominated the round-1 runtime. The fix is
+# ``doc_shingle_arrays``: ONE corpus-linear pass builds a per-document sorted
+# hash array (one row per doc), materialized with localCheckpoint so every
+# downstream reference (prefix explode, both verify sides) reads blocks
+# instead of re-running the explode chain. This is exactly the "materialized
+# intermediate dataset" a warehouse pipeline would persist between stages;
+# at 100 TB it is corpus-LINEAR (|docs| rows of ~|doc| int64s) and spreads
+# across executor block stores. Plain .persist() was measured and REJECTED:
+# InMemoryRelation hides runtime statistics from AQE, turning the small
+# dimension-side joins into 32-partition sort-merge joins (net 2.5x slower);
+# checkpointed RDD scans keep AQE's runtime shuffle statistics intact.
 
 
 def shingle_doc_freq(sh: DataFrame) -> DataFrame:
@@ -102,31 +109,68 @@ def shingle_doc_freq(sh: DataFrame) -> DataFrame:
     return sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
 
 
+def doc_shingle_arrays(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, arr, n): per-document shingle-hash array sorted by ascending
+    (global document frequency, hash), materialized once.
+
+    ``arr`` is array<struct<df,h>> - 60-bit md5 hashes (collisions
+    negligible at any corpus size, and ~8x cheaper to shuffle/intersect
+    than strings), ordered rarest-first, which IS the AllPairs prefix
+    order; ``n`` = |shingle set|. Hashing happens BEFORE the distinct so
+    every exchange in the chain moves int64s, never bigram strings. The
+    result is localCheckpoint-ed: one row per document, so the
+    materialization is corpus-linear and every downstream self-join side
+    reads it for free instead of re-running the explode chain.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    hashed = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_bigrams(words(F.col(text_col)))).alias("s"),
+        )
+        .select("id", md5_int60(F.col("s")).alias("h"))
+        .distinct()
+    )
+    dfreq = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    docs = (
+        hashed.join(dfreq, "h")
+        .groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "h"))).alias("arr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return docs.localCheckpoint()
+
+
 #: Slack for float threshold comparisons in EXACT filters: double rounding
 #: may only ever OVER-include candidates (harmless), never drop a true pair.
 _EPS = 1e-9
 
 
-def _verify_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+def _verify_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact Jaccard for the given candidate pairs only.
 
-    Candidate-proportional: per-doc shingle-HASH arrays (int64, ~8x cheaper
-    to shuffle/intersect than strings; 60-bit md5 makes collisions
-    negligible at any corpus size) are joined to the candidate pairs, then
-    each pair is one ``array_intersect`` in codegen. Never re-runs the
-    corpus-wide inverted-index join - the pair-proportional part is the
-    intersections. The array build is ONE linear pass over all shingles; a
-    candidate-id semi-prune of that pass was measured and REJECTED here:
-    deriving the id set from ``pairs`` re-evaluates the entire candidate
-    pipeline twice more (Spark recomputes common subtrees), which costs far
-    more than the linear pass it saves. (A multi-job engine would
-    checkpoint the candidate table and prune; within one declarative plan
-    the un-pruned form is the faster - and still linear - choice.)
+    ``docs`` is the materialized ``doc_shingle_arrays`` table; each pair is
+    one ``array_intersect`` over the pre-built int64 hash arrays - all JVM
+    codegen, cost O(|candidates| * |doc|), never corpus-quadratic. Both
+    join sides read the checkpointed blocks, so verification adds zero
+    re-computation of the shingle chain.
     """
-    hashed = sh.select("id", md5_int60(F.col("s")).alias("h"))
-    docs = hashed.groupBy("id").agg(F.collect_set("h").alias("hs"))
-    a = docs.select(F.col("id").alias("id_a"), F.col("hs").alias("ha"))
-    b = docs.select(F.col("id").alias("id_b"), F.col("hs").alias("hb"))
+    a = docs.select(
+        F.col("id").alias("id_a"),
+        F.transform("arr", lambda x: x["h"]).alias("ha"),
+        F.col("n").alias("na"),
+    )
+    b = docs.select(
+        F.col("id").alias("id_b"),
+        F.transform("arr", lambda x: x["h"]).alias("hb"),
+        F.col("n").alias("nb"),
+    )
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
@@ -134,8 +178,8 @@ def _verify_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
             "id_a",
             "id_b",
             F.size(F.array_intersect("ha", "hb")).alias("c"),
-            F.size("ha").alias("na"),
-            F.size("hb").alias("nb"),
+            "na",
+            "nb",
         )
         .select(
             "id_a",
@@ -146,35 +190,34 @@ def _verify_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def prefix_candidates(
-    sh: DataFrame, min_jaccard: float, max_shingle_df: int | None = None
+    docs: DataFrame, min_jaccard: float, max_shingle_df: int | None = None
 ) -> DataFrame:
     """Candidate pairs for exact Jaccard >= t by prefix + positional
-    filtering (AllPairs, WWW'07; PPJoin, WWW'08).
+    filtering (AllPairs, WWW'07; PPJoin, WWW'08) over the materialized
+    ``doc_shingle_arrays`` table.
 
     Exact-recall filters, all provable over-approximations:
       - prefix: each document indexes only its floor((1-t)*|d|)+1
-        globally-rarest shingles; a pair with Jaccard >= t MUST share one
-        (pigeonhole on the overlap bound).
+        globally-rarest shingles (``arr`` is already in rarity order, so
+        the prefix is just ``slice``); a pair with Jaccard >= t MUST share
+        one (pigeonhole on the overlap bound).
       - size: min(|a|,|b|) >= t*max(|a|,|b|)  (Jaccard <= min/max).
       - positional: a pair with J >= t needs overlap
         o >= t*(|a|+|b|)/(1+t); for the pair's FIRST shared token (ranks
         ra, rb in the rarity order) total overlap <= 1 + min(|a|-ra,|b|-rb),
         so that token's match must satisfy the bound - pairs whose every
         shared prefix token fails it cannot reach t.
-    The join keys on the 60-bit shingle hash, not the string.
+    The join keys on the 60-bit shingle hash, not the string; ultra-frequent
+    (stopword) shingles sort LAST per document and never enter the index.
     ``max_shingle_df`` optionally drops ultra-frequent shingles from the
     index (approximate; default off - prefix ordering already keeps
     stopword shingles out of the index structurally).
     """
     t = float(min_jaccard)
-    by_id = Window.partitionBy("id")
-    hashed = sh.select("id", md5_int60(F.col("s")).alias("h"))
-    ranked = (
-        hashed.join(hashed.groupBy("h").agg(F.count(F.lit(1)).alias("df")), "h")
-        .withColumn("n", F.count(F.lit(1)).over(by_id))
-        .withColumn("r", F.row_number().over(by_id.orderBy("df", "h")))
-    )
-    prefix = ranked.where(F.col("r") <= F.floor((1.0 - t) * F.col("n") + _EPS) + F.lit(1))
+    plen = (F.floor((1.0 - t) * F.col("n") + _EPS) + F.lit(1)).cast("int")
+    prefix = docs.select(
+        "id", "n", F.posexplode(F.slice("arr", F.lit(1), plen)).alias("pos", "e")
+    ).select("id", "n", (F.col("pos") + 1).alias("r"), F.col("e.h").alias("h"), F.col("e.df").alias("df"))
     if max_shingle_df is not None:
         prefix = prefix.where(F.col("df") <= max_shingle_df)
     a = prefix.select(F.col("id").alias("id_a"), "h", F.col("n").alias("na"), F.col("r").alias("ra"))
@@ -204,9 +247,9 @@ def ngram_jaccard_pairs(
     inverted-index formulation (the DuckDB oracle keeps that naive form, so
     parity checks the algorithm, not a transliteration).
     """
-    sh = shingles(df, id_col, text_col)
-    cands = prefix_candidates(sh, min_jaccard, max_shingle_df)
-    return _verify_pairs(sh, cands).where(F.col("jaccard") >= min_jaccard)
+    docs = doc_shingle_arrays(df, id_col, text_col)
+    cands = prefix_candidates(docs, min_jaccard, max_shingle_df)
+    return _verify_pairs(docs, cands).where(F.col("jaccard") >= min_jaccard)
 
 
 def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
@@ -276,7 +319,8 @@ def minhash_dedup_pairs(
         keep = shingle_doc_freq(sh).where(F.col("df") <= max_shingle_df).select("s")
         sh_cand = sh.join(keep, "s", "left_semi")
     cands = lsh_candidates(minhash_signatures(sh_cand))
-    return _verify_pairs(sh, cands).where(F.col("jaccard") >= min_jaccard)
+    docs = doc_shingle_arrays(df, id_col, text_col)
+    return _verify_pairs(docs, cands).where(F.col("jaccard") >= min_jaccard)
 
 
 def simhash(sh: DataFrame) -> DataFrame:
@@ -325,7 +369,9 @@ def simhash_pairs(
     """
     if max_hamming >= SIMHASH_BANDS:
         raise ValueError("band pigeonhole requires max_hamming < number of bands")
-    fp = simhash(shingles(df, id_col, text_col))
+    # one row per document - materialize so the banded self-join below reads
+    # blocks instead of running the shingle->bit-vote chain once per side
+    fp = simhash(shingles(df, id_col, text_col)).localCheckpoint()
     banded = fp.select(
         "id",
         "simhash",

@@ -145,15 +145,26 @@ def stream_last_value(spark, sf_dir):
         F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
         F.col("value").alias("value_r"),
     ).where(F.col("value").isNotNull())
-    q = (
-        streaming_last_value(feed)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    # State-store instance count = shuffle partitions AT QUERY START, and
+    # each instance pays per-micro-batch overhead (store init/commit + an
+    # Arrow Python worker round-trip) regardless of row volume. Size it to
+    # the key cardinality (~1.5k attributes here; measured 3x faster than
+    # 32 partitions), not to the batch-query default - a real 100 TB/day
+    # deployment with millions of attributes would size it up again.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            streaming_last_value(feed)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     final = spark.sql(
         f"SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY att_conf_id "
         f"ORDER BY n DESC, last_ts DESC) AS rn FROM {sink}) WHERE rn = 1"
