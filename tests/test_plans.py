@@ -73,3 +73,96 @@ def test_q29_single_aggregation(spark):
     plan = _plan(QUERIES["q29"](spark, SF_SMOKE))
     n_aggs = plan.count("HashAggregate")
     assert n_aggs <= 4  # partial+final (+ AQE wrappers), single groupBy
+
+
+# --- bucketed storage & skew salting (scale features) ---------------------
+
+
+def test_bucketed_table_aggregates_and_joins_without_shuffle(spark, tmp_path):
+    """write_datapoints_bucketed pre-shuffles once at write time: groupBy
+    and self-join on att_conf_id over the bucketed table must plan with NO
+    exchange on the fact side."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.sources.hdbpp import (
+        read_datapoints_bucketed,
+        write_datapoints_bucketed,
+    )
+    from web_maxiv_hdbppviewer_spark.sources.tables import load_tables
+
+    t = load_tables(spark, SF_SMOKE)
+    dp = t["events"].select(
+        F.col("user_id").alias("att_conf_id"),
+        "ts",
+        F.col("value").alias("value_r"),
+        F.lit(5).alias("data_type"),
+    )
+    try:
+        write_datapoints_bucketed(
+            dp, "dp_bucketed", num_buckets=4, path=str(tmp_path / "dp")
+        )
+        bucketed = read_datapoints_bucketed(spark, "dp_bucketed")
+
+        agg = bucketed.groupBy("att_conf_id").agg(
+            F.count(F.lit(1)).alias("n"), F.max("value_r").alias("mx")
+        )
+        assert "Exchange" not in _plan(agg), "bucketed groupBy still shuffles"
+        assert agg.count() > 0
+
+        j = bucketed.alias("a").join(
+            read_datapoints_bucketed(spark, "dp_bucketed").alias("b"), "att_conf_id"
+        )
+        jplan = _plan(j)
+        assert "Exchange hashpartitioning" not in jplan, "bucketed join still shuffles"
+        assert j.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dp_bucketed")
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.operators.skew import salted_agg
+    from web_maxiv_hdbppviewer_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    salted = salted_agg(
+        ev,
+        ["user_id"],
+        {"n": ("value", "count"), "s": ("value", "sum"),
+         "lo": ("value", "min"), "hi": ("value", "max")},
+        n_salts=7,
+    )
+    plain = ev.groupBy("user_id").agg(
+        F.count("value").alias("n"), F.sum("value").alias("s"),
+        F.min("value").alias("lo"), F.max("value").alias("hi"),
+    )
+    got = {r["user_id"]: r for r in salted.collect()}
+    want = {r["user_id"]: r for r in plain.collect()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert (g["n"], g["lo"], g["hi"]) == (w["n"], w["lo"], w["hi"])
+        # float sum re-association across salt stages: last-ulp tolerance
+        assert g["s"] == pytest.approx(w["s"], rel=1e-12)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from web_maxiv_hdbppviewer_spark.operators.skew import salted_join
+    from web_maxiv_hdbppviewer_spark.sources.tables import load_tables
+
+    t = load_tables(spark, SF_SMOKE)
+    li, orders = t["lineitem"], t["orders"].select("o_orderkey", "o_custkey")
+    for how in ("inner", "left"):
+        salted = salted_join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), orders,
+            ["o_orderkey"], how=how, n_salts=5,
+        ).select("o_orderkey", "l_linenumber", "o_custkey")
+        plain = (
+            li.withColumnRenamed("l_orderkey", "o_orderkey")
+            .join(orders, "o_orderkey", how)
+            .select("o_orderkey", "l_linenumber", "o_custkey")
+        )
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, plain.collect())
+        ), how

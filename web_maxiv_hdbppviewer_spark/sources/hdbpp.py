@@ -24,8 +24,8 @@ Storage layout for 100 TB (write_datapoints):
     sortWithinPartitions so parquet row-group min/max statistics prune
     non-requested attributes and time sub-ranges (subsumes the
     reference's searchsorted slicing, plot.py:86-90).
-  - optionally bucketBy(att_conf_id) into a table for shuffle-free
-    per-attribute joins/aggregations at cluster scale.
+  - bucketBy(att_conf_id) into a table (write_datapoints_bucketed) for
+    shuffle-free per-attribute joins/aggregations at cluster scale.
 """
 
 from __future__ import annotations
@@ -114,6 +114,59 @@ def write_datapoints(df: DataFrame, path: str, zone: str = DEFAULT_PERIOD_ZONE) 
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def write_datapoints_bucketed(
+    df: DataFrame,
+    table: str,
+    num_buckets: int = 64,
+    path: str | None = None,
+    zone: str = DEFAULT_PERIOD_ZONE,
+) -> None:
+    """Write datapoints as a bucketed table: partitionBy(data_type, period)
+    for pruning + bucketBy(att_conf_id) sorted by (att_conf_id, ts).
+
+    Bucketing pre-shuffles ONCE at write time: every per-attribute
+    aggregation, as-of join, or datapoint-to-datapoint join thereafter
+    reads hash-partitioned, sorted buckets and plans with NO exchange and
+    NO sort - at 100 TB that converts the dominant per-query shuffle into
+    a one-time write cost. ``num_buckets`` should be sized so one bucket
+    of one (type, day) partition fits an executor core (e.g. 1 TB/day of
+    doubles -> 64-256 buckets).
+    """
+    out = df
+    if "period" not in df.columns:
+        out = out.withColumn("period", derive_period(F.col("ts"), zone))
+    w = (
+        out.repartition(num_buckets, "att_conf_id")
+        .write.partitionBy("data_type", "period")
+        .bucketBy(num_buckets, "att_conf_id")
+        .sortBy("att_conf_id", "ts")
+        .mode("overwrite")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_datapoints_bucketed(
+    spark,
+    table: str,
+    att_conf_ids: list[int] | None = None,
+    t0: datetime | None = None,
+    t1: datetime | None = None,
+    zone: str = DEFAULT_PERIOD_ZONE,
+) -> DataFrame:
+    """Pruned scan of the bucketed table (see ``read_datapoints`` for the
+    predicate semantics; bucket pruning additionally skips non-matching
+    ``att_conf_id`` bucket files before any IO)."""
+    df = spark.table(table)
+    if t0 is not None and t1 is not None:
+        df = df.where(F.col("period").isin(day_partitions(t0, t1, zone)))
+        df = df.where(F.col("ts").between(F.lit(t0), F.lit(t1)))
+    if att_conf_ids is not None:
+        df = df.where(F.col("att_conf_id").isin([int(i) for i in att_conf_ids]))
+    return df
 
 
 def read_datapoints(
