@@ -166,3 +166,17 @@ def test_salted_join_matches_plain_join(spark):
         assert sorted(map(tuple, salted.collect())) == sorted(
             map(tuple, plain.collect())
         ), how
+
+
+def test_connected_components_chain_and_isolated(spark):
+    """A 6-node path (worst diameter per edge) plus an isolated node: all
+    path nodes collapse to the min id via pointer jumping; the isolated
+    node labels itself."""
+    from web_maxiv_hdbppviewer_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], ["id"])
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (1, 0), (6, 6)][:5], ["src", "dst"]
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 6}

@@ -1,0 +1,97 @@
+"""Distributed connected components: near-dup pairs -> duplicate clusters.
+
+Pair generation (dedup.py) is only half of corpus deduplication - the
+training-data pipeline needs each document assigned to a duplicate CLUSTER
+so one representative per cluster survives. Components are computed by
+iterative min-label propagation with pointer jumping (path halving), the
+DataFrame form of the MapReduce CC algorithms (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14):
+
+  - propagate: lbl(v) <- min(lbl(v), min over neighbors u of lbl(u))
+    - one shuffle join edges x labels + one groupBy(dst) per round
+  - jump: lbl(v) <- lbl(lbl(v)) - halves label-chain depth, so rounds are
+    O(log diameter), not O(diameter)
+  - labels are localCheckpoint-ed per round: the loop is driver-side but
+    each round is a fully distributed plan over (edges, labels) - no
+    collect of any corpus-sized data; convergence is a count() of changed
+    labels (0 rows -> done).
+
+Near-dup graphs are unions of small cliques (diameter ~= 2), so this
+converges in 2-3 rounds; the pointer jumping bounds pathological chains.
+This is genuinely iterative - not expressible as one SQL query in Spark -
+but DuckDB's recursive CTE gives an exact independent oracle
+(plans/extensions_oracle.py: transitive closure + min label).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(id, cluster_id): every node labeled with the min node id reachable
+    from it (isolated nodes label themselves).
+
+    ``edges`` is undirected (each pair listed once in either direction).
+    Raises if ``max_rounds`` is hit without convergence - at the default
+    25, pointer jumping would need a component diameter > 2^25.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.localCheckpoint()
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        neigh_min = (
+            e.join(labels, e["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        merged = (
+            labels.join(neigh_min, labels["id"] == neigh_min["dst"], "left")
+            .select("id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+        )
+        # pointer jumping: follow the label's own label (path halving)
+        as_map = merged.select(
+            F.col("id").alias("m_id"), F.col("lbl").alias("m_lbl")
+        )
+        jumped = (
+            merged.join(as_map, merged["lbl"] == as_map["m_id"], "left")
+            .select("id", F.coalesce("m_lbl", "lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels.select("id", F.col("lbl").alias("cluster_id"))
+    raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, cluster_id) for EVERY document: near-dup pairs become
+    cluster edges; cluster_id = min doc_id of the component, so the
+    canonical keep-one-per-cluster rule is ``doc_id == cluster_id``."""
+    cc = connected_components(
+        docs.select(id_col), pairs, id_col=id_col, src_col="id_a", dst_col="id_b"
+    )
+    return cc.select(F.col("id").alias(id_col), "cluster_id")

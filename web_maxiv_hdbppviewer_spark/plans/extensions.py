@@ -69,6 +69,17 @@ def dedup_embedding(spark, sf_dir):
     )
 
 
+def dedup_clusters(spark, sf_dir):
+    """Pairs -> duplicate clusters (iterative connected components): every
+    document labeled with its cluster representative; the keep rule is
+    doc_id == cluster_id. Oracle: recursive-CTE transitive closure."""
+    from ..operators import graph
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select("id_a", "id_b")
+    return graph.duplicate_clusters(docs, pairs).orderBy("doc_id")
+
+
 # --- similarity search ---------------------------------------------------
 
 
@@ -200,6 +211,7 @@ EXTENSION_QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_clusters": dedup_clusters,
     "sim_topk_cosine": sim_topk_cosine,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,

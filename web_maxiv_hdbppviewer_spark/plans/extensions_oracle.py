@@ -106,6 +106,25 @@ EXTENSION_ORACLE = {
         FROM jac j JOIN cand USING (id_a, id_b)
         WHERE j.jaccard >= 0.8 ORDER BY id_a, id_b
     """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_SHINGLES}, {_JACCARD},
+        pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM pairs),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        lbl AS (
+          SELECT u AS id, MIN(v) AS mn FROM reach GROUP BY u)
+        SELECT d.doc_id,
+               CAST(LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS BIGINT)
+                 AS cluster_id
+        FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+        ORDER BY d.doc_id
+    """,
     "dedup_simhash": f"""
         WITH {_SHINGLES},
         hx AS (SELECT id, {H.format(x="s")} AS h FROM sh),
