@@ -51,6 +51,35 @@ from ..functions.texthash import md5_int60, word_bigrams, words
 NUM_PERM = 12
 BANDS = 4
 ROWS_PER_BAND = NUM_PERM // BANDS
+#: Minhash "permutations" are affine maps over Z_p, p = 2^31 - 1 (Mersenne):
+#: pi_k(h) = (A_k * (h mod p) + B_k) mod p  applied to the document's 60-bit
+#: shingle hashes. Products stay < 2^62, so every step is exact int64
+#: arithmetic that any SQL engine reproduces bit-for-bit (the DuckDB oracle
+#: shares these literal constants via plans/extensions_oracle.py). Replaces
+#: 12 salted md5-of-string hashes per shingle with 1 md5 + 12 integer maps.
+#:
+#: The coefficients come from a fixed 64-bit LCG (Knuth MMIX constants), NOT
+#: a closed form in k: affine maps whose A_k are linearly related (e.g.
+#: A_k = c*(k+1)) nearly preserve each other's value ORDER mod p, so the
+#: per-document argmin coincides across "permutations" and LSH candidate
+#: counts explode (measured: 105k candidate pairs on 5k docs vs ~300 with
+#: independent coefficients). Pairwise-independent a,b need genuine
+#: pseudo-randomness.
+MINHASH_P = 2_147_483_647
+
+
+def _minhash_ab(n: int) -> list[tuple[int, int]]:
+    x, out = 0x9E3779B97F4A7C15, []
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (x >> 33) % (MINHASH_P - 1) + 1  # a != 0
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (x >> 33) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+MINHASH_AB = _minhash_ab(NUM_PERM)
 SIMHASH_BITS = 60
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
@@ -109,11 +138,29 @@ def shingle_doc_freq(sh: DataFrame) -> DataFrame:
     return sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
 
 
+#: Session-scoped memo of materialized shingle-array tables, keyed by the
+#: SEMANTIC hash of the (un-checkpointed) plan: the bench/server session runs
+#: several dedup families (ngram, minhash, clusters) over the same corpus and
+#: each needs the same corpus-linear materialization - without the memo every
+#: query rebuilds it (measured 7.8 s of a 10.3 s minhash run at sf0.1). This
+#: is the "shared materialized intermediate" of a warehouse pipeline, scoped
+#: to the driver process. Entries are dropped when their SparkSession dies.
+#: Caveat (documented contract): the key is the logical plan, so overwriting
+#: the underlying files at the same path within one session returns stale
+#: arrays - call clear_shingle_cache() after rewriting a corpus in place.
+_SHINGLE_CACHE: list[tuple[int, DataFrame, DataFrame]] = []
+_SHINGLE_CACHE_MAX = 4
+
+
+def clear_shingle_cache() -> None:
+    _SHINGLE_CACHE.clear()
+
+
 def doc_shingle_arrays(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, arr, n): per-document shingle-hash array sorted by ascending
-    (global document frequency, hash), materialized once.
+    (global document frequency, hash), materialized once per session.
 
     ``arr`` is array<struct<df,h>> - 60-bit md5 hashes (collisions
     negligible at any corpus size, and ~8x cheaper to shuffle/intersect
@@ -122,7 +169,8 @@ def doc_shingle_arrays(
     every exchange in the chain moves int64s, never bigram strings. The
     result is localCheckpoint-ed: one row per document, so the
     materialization is corpus-linear and every downstream self-join side
-    reads it for free instead of re-running the explode chain.
+    (and every dedup family in the same session, via the semantic-hash
+    memo) reads it for free instead of re-running the explode chain.
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
@@ -144,7 +192,18 @@ def doc_shingle_arrays(
             F.count(F.lit(1)).alias("n"),
         )
     )
-    return docs.localCheckpoint()
+    sem = docs.semanticHash()
+    for h, plan, res in _SHINGLE_CACHE:
+        if (
+            h == sem
+            and res.sparkSession is df.sparkSession
+            and docs.sameSemantics(plan)
+        ):
+            return res
+    res = docs.localCheckpoint()
+    _SHINGLE_CACHE.append((sem, docs, res))
+    del _SHINGLE_CACHE[:-_SHINGLE_CACHE_MAX]
+    return res
 
 
 #: Slack for float threshold comparisons in EXACT filters: double rounding
@@ -252,16 +311,32 @@ def ngram_jaccard_pairs(
     return _verify_pairs(docs, cands).where(F.col("jaccard") >= min_jaccard)
 
 
-def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
-    """Per-document minhash signature columns s0..s{k-1}.
+def minhash_signatures(
+    docs: DataFrame, max_shingle_df: int | None = None
+) -> DataFrame:
+    """Per-document minhash signature columns s0..s{k-1} from the
+    materialized ``doc_shingle_arrays`` table.
 
-    Each "permutation" is an independent salted portable hash (min over
-    shingles of md5-int60 of "k:shingle") - no multiply-mod permutations, so
-    there is no integer-overflow hazard and any engine with md5 reproduces
-    the signature bit-for-bit.
+    Each signature column is ``array_min(transform(arr, affine map))`` - a
+    pure per-row projection over the checkpointed arrays, so the whole
+    signature stage adds ZERO shuffles and zero re-tokenization (the
+    round-1 form re-ran the tokenize/explode chain and 12 string md5s per
+    shingle row; this is 1 md5 per shingle, paid once in
+    ``doc_shingle_arrays``). ``max_shingle_df`` drops ultra-frequent
+    shingles from signatures (candidate generation) without touching the
+    verification arrays.
     """
-    aggs = [F.min(md5_int60(F.col("s"), salt=str(k))).alias(f"s{k}") for k in range(num_perm)]
-    return sh.groupBy("id").agg(*aggs)
+    arr = F.col("arr")
+    if max_shingle_df is not None:
+        arr = F.filter(arr, lambda x: x["df"] <= F.lit(max_shingle_df))
+    h31 = lambda x: x["h"] % F.lit(MINHASH_P)  # noqa: E731
+    sig_cols = [
+        F.array_min(
+            F.transform(arr, lambda x: (F.lit(a) * h31(x) + F.lit(b)) % F.lit(MINHASH_P))
+        ).alias(f"s{k}")
+        for k, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return docs.select("id", *sig_cols)
 
 
 def lsh_candidates(
@@ -312,14 +387,13 @@ def minhash_dedup_pairs(
     ``max_shingle_df`` drops ultra-frequent shingles from signature/candidate
     computation only (approximate; default off); verification always uses the
     full shingle sets, so reported Jaccard values are exact either way.
+
+    One corpus pass: signatures AND verification both read the single
+    checkpointed ``doc_shingle_arrays`` materialization; the only shuffles
+    in the whole pipeline are the array build and the band-bucket join.
     """
-    sh = shingles(df, id_col, text_col)
-    sh_cand = sh
-    if max_shingle_df is not None:
-        keep = shingle_doc_freq(sh).where(F.col("df") <= max_shingle_df).select("s")
-        sh_cand = sh.join(keep, "s", "left_semi")
-    cands = lsh_candidates(minhash_signatures(sh_cand))
     docs = doc_shingle_arrays(df, id_col, text_col)
+    cands = lsh_candidates(minhash_signatures(docs, max_shingle_df))
     return _verify_pairs(docs, cands).where(F.col("jaccard") >= min_jaccard)
 
 

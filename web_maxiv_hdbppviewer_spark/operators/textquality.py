@@ -121,15 +121,21 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
          mod (2^31 - 1)
     Position-weighting makes permuted documents fingerprint differently
     (unlike bag-of-words hashes); all arithmetic fits int64 exactly.
+
+    Computed as a per-row higher-order ``aggregate`` over the token array -
+    NO explode and NO shuffle (the round-1 posexplode+groupBy form shuffled
+    one row per token; this is embarrassingly parallel and corpus-linear).
+    The running ``(acc + x) % M`` fold equals the oracle's ``SUM(term) % M``
+    by modular arithmetic; zero-token documents are dropped to match the
+    oracle's empty-unnest semantics.
     """
-    toks = df.select(
-        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("pos", "w")
+    toks = words(F.col(text_col))
+    terms = F.transform(
+        toks, lambda w, i: (md5_int60(w) % FP_PRIME) * (i + F.lit(1))
     )
-    return (
-        toks.select(
-            F.col(id_col),
-            ((md5_int60(F.col("w")) % FP_PRIME) * (F.col("pos") + 1)).alias("term"),
-        )
-        .groupBy(id_col)
-        .agg((F.sum("term") % MERSENNE_31).alias("fp"))
+    fp = F.aggregate(
+        terms,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc + x) % F.lit(MERSENNE_31),
     )
+    return df.where(F.size(toks) > 0).select(F.col(id_col), fp.alias("fp"))

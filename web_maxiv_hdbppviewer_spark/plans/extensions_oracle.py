@@ -15,6 +15,10 @@ Portability invariants shared with the Spark side:
 
 H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
+# minhash affine-permutation constants - the SAME literals the Spark side
+# applies (operators/dedup.MINHASH_AB), so signatures agree bit-for-bit
+from ..operators.dedup import MINHASH_AB, MINHASH_P  # noqa: E402
+
 # distinct word-bigram shingles per doc: (id, s)
 _SHINGLES = """
   raw_toks AS (
@@ -54,7 +58,8 @@ _VECS = """
 """
 
 _SIG_COLS = ",\n        ".join(
-    f"MIN(CASE WHEN k = {k} THEN h END) AS s{k}" for k in range(12)
+    f"MIN(({a} * h31 + {b}) % {MINHASH_P}) AS s{k}"
+    for k, (a, b) in enumerate(MINHASH_AB)
 )
 
 # 8 disjoint 8-bit sign bands over the 64 embedding dims (mirrors
@@ -87,9 +92,8 @@ EXTENSION_ORACLE = {
     "dedup_minhash_lsh": f"""
         WITH {_SHINGLES},
         hx AS (
-          SELECT sh.id, sh.s, t.k,
-                 {H.format(x="t.k::VARCHAR || ':' || sh.s")} AS h
-          FROM sh, range(0, 12) t(k)),
+          SELECT id, {H.format(x="s")} % {MINHASH_P} AS h31
+          FROM sh),
         sig AS (
           SELECT id, {_SIG_COLS}
           FROM hx GROUP BY id),
