@@ -97,26 +97,6 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, shingle) pairs - distinct adjacent-word bigrams per document.
-
-    The tokenize+explode+hash chain downstream is CPU-dense (~50 rows and a
-    dozen hashes per input row); if the source arrives in fewer splits than
-    cores (single small parquet file, or one unsplittable row group), the
-    whole map side would serialize there (measured: a 20 s single task at
-    sf0.1). Rebalance the RAW documents first - cheap relative to the
-    explode output - but only when the scan is actually under-parallel, so
-    a well-partitioned 100 TB corpus pays no extra shuffle.
-    """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(word_bigrams(words(F.col(text_col)))).alias("s"))
-        .distinct()
-    )
-
-
 # NOTE on reuse: the dedup pipelines reference the shingle set several times
 # (document frequencies, prefix ranking, signatures, verification arrays) and
 # Spark recomputes common subtrees per reference - measured at 4x for the
@@ -133,11 +113,6 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
 # checkpointed RDD scans keep AQE's runtime shuffle statistics intact.
 
 
-def shingle_doc_freq(sh: DataFrame) -> DataFrame:
-    """(s, df) - number of documents containing each shingle."""
-    return sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-
-
 #: Session-scoped memo of materialized shingle-array tables, keyed by the
 #: SEMANTIC hash of the (un-checkpointed) plan: the bench/server session runs
 #: several dedup families (ngram, minhash, clusters) over the same corpus and
@@ -147,13 +122,37 @@ def shingle_doc_freq(sh: DataFrame) -> DataFrame:
 #: to the driver process. Entries are dropped when their SparkSession dies.
 #: Caveat (documented contract): the key is the logical plan, so overwriting
 #: the underlying files at the same path within one session returns stale
-#: arrays - call clear_shingle_cache() after rewriting a corpus in place.
+#: arrays - call clear_dedup_caches() after rewriting a corpus in place.
 _SHINGLE_CACHE: list[tuple[int, DataFrame, DataFrame]] = []
-_SHINGLE_CACHE_MAX = 4
+#: Same memo pattern for the (tiny) verified near-dup pair tables: the
+#: cluster query consumes exactly the pair table the pair query declares,
+#: so one session computes the prefix-join + verification once.
+_PAIR_CACHE: list[tuple[int, DataFrame, DataFrame]] = []
+_MEMO_MAX = 4
 
 
-def clear_shingle_cache() -> None:
+def clear_dedup_caches() -> None:
     _SHINGLE_CACHE.clear()
+    _PAIR_CACHE.clear()
+
+
+def _memoized_checkpoint(cache: list, plan: DataFrame) -> DataFrame:
+    """localCheckpoint ``plan`` once per session per semantic plan.
+
+    Keyed by Catalyst's semantic hash (+ a full sameSemantics check on hash
+    hits); entries from a different/stopped SparkSession never match."""
+    sem = plan.semanticHash()
+    for h, p, res in cache:
+        if (
+            h == sem
+            and res.sparkSession is plan.sparkSession
+            and plan.sameSemantics(p)
+        ):
+            return res
+    res = plan.localCheckpoint()
+    cache.append((sem, plan, res))
+    del cache[:-_MEMO_MAX]
+    return res
 
 
 def doc_shingle_arrays(
@@ -192,18 +191,7 @@ def doc_shingle_arrays(
             F.count(F.lit(1)).alias("n"),
         )
     )
-    sem = docs.semanticHash()
-    for h, plan, res in _SHINGLE_CACHE:
-        if (
-            h == sem
-            and res.sparkSession is df.sparkSession
-            and docs.sameSemantics(plan)
-        ):
-            return res
-    res = docs.localCheckpoint()
-    _SHINGLE_CACHE.append((sem, docs, res))
-    del _SHINGLE_CACHE[:-_SHINGLE_CACHE_MAX]
-    return res
+    return _memoized_checkpoint(_SHINGLE_CACHE, docs)
 
 
 #: Slack for float threshold comparisons in EXACT filters: double rounding
@@ -308,7 +296,10 @@ def ngram_jaccard_pairs(
     """
     docs = doc_shingle_arrays(df, id_col, text_col)
     cands = prefix_candidates(docs, min_jaccard, max_shingle_df)
-    return _verify_pairs(docs, cands).where(F.col("jaccard") >= min_jaccard)
+    pairs = _verify_pairs(docs, cands).where(F.col("jaccard") >= min_jaccard)
+    # |pairs| ~ |true near-dups| - tiny; memoized so the pair query and the
+    # cluster query share one prefix-join + verification per session
+    return _memoized_checkpoint(_PAIR_CACHE, pairs)
 
 
 def minhash_signatures(
@@ -397,8 +388,8 @@ def minhash_dedup_pairs(
     return _verify_pairs(docs, cands).where(F.col("jaccard") >= min_jaccard)
 
 
-def simhash(sh: DataFrame) -> DataFrame:
-    """60-bit SimHash per document from its shingle set.
+def simhash(h: DataFrame) -> DataFrame:
+    """60-bit SimHash per document from its shingle-hash rows (id, h).
 
     bit i of the fingerprint = sign of sum over shingles of (+1 if bit i of
     the shingle hash else -1). The bit explosion is a narrow transform;
@@ -407,7 +398,6 @@ def simhash(sh: DataFrame) -> DataFrame:
     generated aggregate method costs ~10 s of one-time codegen compilation,
     tripling the cold-run time the benchmark actually pays.)
     """
-    h = sh.select("id", md5_int60(F.col("s")).alias("h"))
     bits = h.select(
         "id",
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"),
@@ -443,9 +433,16 @@ def simhash_pairs(
     """
     if max_hamming >= SIMHASH_BANDS:
         raise ValueError("band pigeonhole requires max_hamming < number of bands")
-    # one row per document - materialize so the banded self-join below reads
-    # blocks instead of running the shingle->bit-vote chain once per side
-    fp = simhash(shingles(df, id_col, text_col)).localCheckpoint()
+    # shingle hashes come from the memoized doc_shingle_arrays table (already
+    # distinct, already hashed), so simhash shares the one tokenize pass per
+    # session with the ngram/minhash/cluster families; the fingerprint table
+    # is one row per document - materialize it so the banded self-join below
+    # reads blocks instead of running the bit-vote chain once per side
+    sh = (
+        doc_shingle_arrays(df, id_col, text_col)
+        .select("id", F.explode(F.transform("arr", lambda x: x["h"])).alias("h"))
+    )
+    fp = simhash(sh).localCheckpoint()
     banded = fp.select(
         "id",
         "simhash",
