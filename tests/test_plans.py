@@ -180,3 +180,60 @@ def test_connected_components_chain_and_isolated(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in connected_components(nodes, edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 6}
+
+
+def test_hash_split_partition_invariant_and_complete(spark):
+    """Split assignment is a pure projection: every row lands in exactly one
+    split, and repartitioning the input never changes any assignment (the
+    reason Spark's per-partition-seeded df.sample was rejected)."""
+    from web_maxiv_hdbppviewer_spark.operators.sampling import hash_split
+
+    docs = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    frac = {"train": 0.8, "val": 0.1, "test": 0.1}
+    base = {r["doc_id"]: r["split"] for r in hash_split(docs, frac).collect()}
+    assert len(base) == 1000 and set(base.values()) == {"train", "val", "test"}
+    shuffled = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(7), frac).collect()
+    }
+    assert shuffled == base
+
+
+def test_stratified_sample_monotone(spark):
+    """Raising a stratum's fraction only ADDS rows - the kept set at a lower
+    fraction is a subset of the kept set at a higher one."""
+    from web_maxiv_hdbppviewer_spark.operators.sampling import stratified_sample
+
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    small = {r["doc_id"] for r in stratified_sample(docs, {"src0": 0.2}).collect()}
+    large = {r["doc_id"] for r in stratified_sample(docs, {"src0": 0.6}).collect()}
+    assert small < large
+    # unlisted strata honor default_fraction=0.0: nothing outside src0 kept
+    kept_src = {
+        r["source"] for r in stratified_sample(docs, {"src0": 0.5}).collect()
+    }
+    assert kept_src == {"src0"}
+
+
+def test_sample_frames_row_expansion(spark):
+    """Frame sampling is 1->N: a 1300-byte payload has ceil(1300/256)=6
+    frames, of which every=4 keeps frames 0 and 4 (both full 256-byte
+    spans); 1000- and 513-byte payloads keep frame 0 only."""
+    from web_maxiv_hdbppviewer_spark.operators.multimodal import sample_frames
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, b"a" * 1000), (2, b"b" * 513), (3, b"c" * 1300)],
+        ["doc_id", "payload"],
+    )
+    rows = {
+        (r["doc_id"], r["frame_idx"]): r["n_bytes"]
+        for r in sample_frames(docs, every=4).collect()
+    }
+    assert rows == {(1, 0): 256, (2, 0): 256, (3, 0): 256, (3, 4): 256}

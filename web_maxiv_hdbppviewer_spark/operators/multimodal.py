@@ -40,6 +40,27 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_bytes_in", LongType(), False),
+        StructField("n_bytes_out", LongType(), False),
+        StructField("mean_byte_out", DoubleType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("mean_byte", DoubleType(), True),
+    ]
+)
+
+#: byte length of one synthetic "video frame" chunk
+FRAME_BYTES = 256
+
 
 def attach_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Synthesize an opaque binary payload column + typed metadata struct.
@@ -100,3 +121,72 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def resize_payloads(df: DataFrame, factor: int = 2) -> DataFrame:
+    """"Resize" payloads by an integer downscale factor (mapInPandas).
+
+    The codec-free deterministic kernel keeps every ``factor``-th byte
+    (``arr[::factor]``, a strided numpy view - no Python byte loop); a real
+    image resize would swap in the PIL kernel behind ``decode_image`` with
+    the identical Arrow plumbing, schema, and batch shape. Output proves
+    the byte selection (mean of kept bytes), not just the length.
+    """
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+
+            def kept(b: bytes) -> np.ndarray:
+                return np.frombuffer(b, dtype=np.uint8)[::factor]
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes_in": payloads.map(len),
+                    "n_bytes_out": payloads.map(lambda b: len(kept(b))),
+                    "mean_byte_out": payloads.map(
+                        lambda b: float(kept(b).mean()) if len(b) else None
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every: int = 4) -> DataFrame:
+    """Frame sampling over synthetic "video" payloads (mapInPandas, 1->N).
+
+    The payload is treated as consecutive ``FRAME_BYTES``-byte frames (a
+    stand-in for a real container demux, which would live behind the codec
+    stub); every ``every``-th frame is emitted as its own output row - the
+    1->N row expansion is the real plumbing shape of video frame extraction
+    (batch sizes grow by ~len/every, Arrow handles the fan-out, and the
+    stage stays shuffle-free/embarrassingly parallel).
+    """
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sizes, means = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(b, dtype=np.uint8)
+                for fi in range(0, -(-len(arr) // FRAME_BYTES), every):
+                    frame = arr[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    sizes.append(len(frame))
+                    means.append(float(frame.mean()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "n_bytes": sizes,
+                    "mean_byte": means,
+                }
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)

@@ -1,0 +1,91 @@
+"""Deterministic sampling/splitting for training-data pipelines.
+
+The 100 TB corpus operations every training run needs:
+
+  - ``hash_split``: train/val/test assignment by hashing the document id -
+    stable across runs, machines, and engines (no RNG state), embarrassingly
+    parallel (pure projection, zero shuffles), and exactly reproducible by
+    any SQL engine with md5 - which is what the DuckDB oracle does.
+  - ``stratified_sample``: per-stratum keep fractions (domain mixing /
+    up-down-weighting by source) with the same hash-bucket construction -
+    a filter, not a shuffle; changing the mix never reshuffles the corpus.
+
+Both use bucket = md5_int60("seed:id") mod 10_000 so fractions have 4
+decimal digits of resolution; buckets are uniform because the 60-bit hash
+is. Spark's own df.sample/sampleBy were deliberately NOT used: they are
+seeded per-partition, so results change with partitioning/cluster size -
+a silent reproducibility hazard in any multi-run training pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.texthash import md5_int60
+
+#: bucket resolution: fractions are exact multiples of 1/10000
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column, seed: str) -> Column:
+    """Stable bucket in [0, BUCKETS) from a seeded portable hash of the id."""
+    return md5_int60(id_col.cast("string"), salt=seed) % BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by cumulative hash-bucket ranges.
+
+    ``fractions`` maps split name -> fraction; they must sum to 1.0 (within
+    bucket resolution). Assignment is a pure projection - the 100 TB corpus
+    is never shuffled, and the same (id, seed) always lands in the same
+    split on any engine.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1.0 / BUCKETS:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    bucket = hash_bucket(F.col(id_col), seed)
+    cum = 0.0
+    expr = None
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = bucket < int(round(cum * BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    seed: str = "sample",
+) -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows (domain mixing).
+
+    ``fractions`` maps stratum value -> keep fraction in [0, 1]; strata not
+    listed keep ``default_fraction``. A row is kept iff its hash bucket is
+    below fraction*BUCKETS - a codegen filter with no shuffle and no RNG,
+    so mixes are reproducible and monotone (raising a fraction only ADDS
+    documents, it never swaps the kept set - critical for incremental
+    corpus builds).
+    """
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} outside [0, 1]: {v}")
+    bucket = hash_bucket(F.col(id_col), seed)
+    thresh = F.lit(int(round(default_fraction * BUCKETS)))
+    for value, frac in fractions.items():
+        thresh = (
+            F.when(F.col(strata_col) == value, int(round(frac * BUCKETS)))
+            .otherwise(thresh)
+        )
+    return df.where(bucket < thresh)

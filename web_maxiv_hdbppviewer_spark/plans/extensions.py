@@ -17,10 +17,16 @@ import itertools
 
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity, textquality
+from ..operators import dedup, multimodal, sampling, similarity, textquality
 from ..sources.tables import load_tables
 
 JACCARD_THRESHOLD = 0.8
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+MIX_FRACTIONS = {"src0": 0.5, "src1": 0.25}
+MIX_DEFAULT = 0.1
+CURATION_MIN_QUALITY = 0.32
+RESIZE_FACTOR = 2
+FRAME_EVERY = 4
 SIMHASH_MAX_HAMMING = 3
 EMBED_NEAR_DUP_COS = 0.4
 TOPK = 5
@@ -205,6 +211,72 @@ def multimodal_extract(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def multimodal_resize(spark, sf_dir):
+    with_blob = multimodal.attach_payload(_docs(spark, sf_dir))
+    out = multimodal.resize_payloads(with_blob, RESIZE_FACTOR)
+    return out.select(
+        "doc_id",
+        "n_bytes_in",
+        "n_bytes_out",
+        F.round(F.col("mean_byte_out"), 6).alias("mean_byte_out"),
+    ).orderBy("doc_id")
+
+
+def multimodal_frames(spark, sf_dir):
+    with_blob = multimodal.attach_payload(_docs(spark, sf_dir))
+    out = multimodal.sample_frames(with_blob, FRAME_EVERY)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "n_bytes",
+        F.round(F.col("mean_byte"), 6).alias("mean_byte"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+# --- pipeline: sampling / splitting / curation ---------------------------
+
+
+def pipe_split(spark, sf_dir):
+    """Deterministic train/val/test assignment - pure projection, and the
+    oracle recomputes the identical md5-bucket assignment in SQL."""
+    return (
+        sampling.hash_split(_docs(spark, sf_dir), SPLIT_FRACTIONS)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+def pipe_domain_mix(spark, sf_dir):
+    """Per-source keep fractions (domain mixing) - a deterministic filter."""
+    return (
+        sampling.stratified_sample(
+            _docs(spark, sf_dir), MIX_FRACTIONS, default_fraction=MIX_DEFAULT
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def pipe_curation(spark, sf_dir):
+    """End-to-end corpus curation: quality filter -> exact-dedup keep-one ->
+    split assignment -> per (split, source) counts. Composes three operator
+    families into the table a training run actually consumes."""
+    docs = _docs(spark, sf_dir)
+    good = (
+        textquality.quality_scores(docs)
+        .where(F.col("quality") >= CURATION_MIN_QUALITY)
+        .select("doc_id")
+    )
+    reps = dedup.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(good, "doc_id", "left_semi").join(reps, "doc_id", "left_semi")
+    return (
+        sampling.hash_split(kept, SPLIT_FRACTIONS)
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "source")
+    )
+
+
 EXTENSION_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -222,6 +294,11 @@ EXTENSION_QUERIES = {
     "text_fingerprint": text_fingerprint,
     "multimodal_meta": multimodal_meta,
     "multimodal_extract": multimodal_extract,
+    "multimodal_resize": multimodal_resize,
+    "multimodal_frames": multimodal_frames,
+    "pipe_split": pipe_split,
+    "pipe_domain_mix": pipe_domain_mix,
+    "pipe_curation": pipe_curation,
     "stream_last_value": stream_last_value,
 }
 

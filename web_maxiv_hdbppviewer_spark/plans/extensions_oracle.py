@@ -320,4 +320,80 @@ EXTENSION_ORACLE = {
               FROM documents)
         GROUP BY doc_id, text ORDER BY doc_id
     """,
+    # byte positions are 1-based characters (ASCII corpus, asserted in
+    # tests); "resize" keeps every 2nd byte starting at the first
+    # (extensions.RESIZE_FACTOR = 2)
+    "multimodal_resize": """
+        SELECT doc_id, strlen(text) AS n_bytes_in,
+               COUNT(*) AS n_bytes_out,
+               ROUND(AVG(ascii(c)), 6) AS mean_byte_out
+        FROM (SELECT doc_id, text, unnest(string_split(text, '')) AS c,
+                     generate_subscripts(string_split(text, ''), 1) AS i
+              FROM documents)
+        WHERE (i - 1) % 2 = 0
+        GROUP BY doc_id, text ORDER BY doc_id
+    """,
+    # 256-byte frames, every 4th kept (multimodal.FRAME_BYTES,
+    # extensions.FRAME_EVERY)
+    "multimodal_frames": """
+        SELECT doc_id, CAST((i - 1) // 256 AS BIGINT) AS frame_idx,
+               COUNT(*) AS n_bytes, ROUND(AVG(ascii(c)), 6) AS mean_byte
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS c,
+                     generate_subscripts(string_split(text, ''), 1) AS i
+              FROM documents)
+        WHERE ((i - 1) // 256) % 4 = 0
+        GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx
+    """,
+    # split thresholds mirror extensions.SPLIT_FRACTIONS {train .8/val .1/
+    # test .1} over 10000 hash buckets (operators/sampling.BUCKETS)
+    "pipe_split": f"""
+        SELECT doc_id,
+               CASE WHEN b < 8000 THEN 'train'
+                    WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     {H.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 10000 AS b
+              FROM documents)
+        ORDER BY doc_id
+    """,
+    # keep fractions mirror extensions.MIX_FRACTIONS {src0 .5, src1 .25,
+    # default .1}
+    "pipe_domain_mix": f"""
+        SELECT doc_id, source
+        FROM (SELECT doc_id, source,
+                     {H.format(x="'sample:' || CAST(doc_id AS VARCHAR)")} % 10000 AS b
+              FROM documents)
+        WHERE b < CASE source WHEN 'src0' THEN 5000
+                              WHEN 'src1' THEN 2500 ELSE 1000 END
+        ORDER BY doc_id
+    """,
+    # quality threshold mirrors extensions.CURATION_MIN_QUALITY = 0.32
+    "pipe_curation": f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id,
+                 len(toks) AS n,
+                 len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+                 len(list_distinct(toks)) AS n_dist
+          FROM t),
+        good AS (
+          SELECT doc_id FROM f
+          WHERE ROUND(0.4 * (n_stop / n) + 0.3 * least(n / 100.0, 1.0)
+                      + 0.3 * (n_dist / n), 6) >= 0.32),
+        reps AS (
+          SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(LOWER(text))),
+        kept AS (
+          SELECT d.doc_id, d.source FROM documents d
+          JOIN good USING (doc_id) JOIN reps USING (doc_id)),
+        sp AS (
+          SELECT source,
+                 {H.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 10000 AS b
+          FROM kept)
+        SELECT CASE WHEN b < 8000 THEN 'train'
+                    WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+               source, COUNT(*) AS n_docs
+        FROM sp GROUP BY 1, 2 ORDER BY split, source
+    """,
 }
