@@ -237,3 +237,26 @@ def test_sample_frames_row_expansion(spark):
         for r in sample_frames(docs, every=4).collect()
     }
     assert rows == {(1, 0): 256, (2, 0): 256, (3, 0): 256, (3, 4): 256}
+
+
+def test_sampling_and_fingerprints_are_shuffle_free(spark):
+    """The corpus-scale pipeline claims zero-shuffle for split assignment,
+    stratified sampling, fingerprints, and minhash signatures - assert no
+    Exchange ever enters those plans."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.operators import dedup, sampling, textquality
+
+    docs = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("src0").alias("source"),
+        F.lit("alpha beta gamma delta").alias("text"),
+    )
+    plans = [
+        _plan(sampling.hash_split(docs, {"train": 0.9, "test": 0.1})),
+        _plan(sampling.stratified_sample(docs, {"src0": 0.5})),
+        _plan(textquality.fingerprints(docs)),
+        _plan(dedup.minhash_signatures(dedup.doc_shingle_arrays(docs))),
+    ]
+    for plan in plans:
+        assert "Exchange" not in plan

@@ -171,18 +171,40 @@ def sample_frames(df: DataFrame, every: int = 4) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, idxs, sizes, means = [], [], [], []
-            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                arr = np.frombuffer(b, dtype=np.uint8)
-                for fi in range(0, -(-len(arr) // FRAME_BYTES), every):
-                    frame = arr[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
-                    ids.append(doc_id)
-                    idxs.append(fi)
-                    sizes.append(len(frame))
-                    means.append(float(frame.mean()))
+            # one concatenated byte buffer per Arrow batch; every kept frame
+            # becomes a (start, length) slice aggregated with np.add.reduceat
+            # - no per-frame (let alone per-byte) Python work
+            payloads = [np.frombuffer(b, dtype=np.uint8) for b in pdf["payload"]]
+            lens = np.array([len(a) for a in payloads], dtype=np.int64)
+            n_frames = -(-lens // FRAME_BYTES)
+            kept = -(-n_frames // every)  # frames 0, every, 2*every, ...
+            doc_ids = np.repeat(pdf["doc_id"].to_numpy(), kept)
+            # kept frame indices, per doc: concatenated aranges
+            idxs = (
+                np.arange(int(kept.sum()), dtype=np.int64)
+                - np.repeat(np.concatenate(([0], np.cumsum(kept)[:-1])), kept)
+            ) * every
+            starts = np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), kept)
+            f0 = starts + idxs * FRAME_BYTES
+            f1 = np.minimum(f0 + FRAME_BYTES, starts + np.repeat(lens, kept))
+            sizes = f1 - f0
+            buf = np.concatenate(payloads) if payloads else np.empty(0, np.uint8)
+            if len(f0):
+                # reduceat segments: [f0_i, f1_i) sums at even positions;
+                # every index must be < len(buf), and only the LAST end
+                # bound can equal it (frames are non-empty, so each start
+                # is in range) - drop it and let reduceat run to the end
+                bounds = np.empty(2 * len(f0), dtype=np.int64)
+                bounds[0::2], bounds[1::2] = f0, f1
+                if bounds[-1] == len(buf):
+                    bounds = bounds[:-1]
+                sums = np.add.reduceat(buf.astype(np.int64), bounds)[0::2]
+                means = sums / sizes
+            else:
+                means = np.empty(0, dtype=np.float64)
             yield pd.DataFrame(
                 {
-                    "doc_id": ids,
+                    "doc_id": doc_ids,
                     "frame_idx": idxs,
                     "n_bytes": sizes,
                     "mean_byte": means,

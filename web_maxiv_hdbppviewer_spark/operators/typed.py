@@ -81,3 +81,36 @@ def typed_summary(dp: DataFrame) -> DataFrame:
         )
         .orderBy("att_conf_id")
     )
+
+
+def spectrum_resample(
+    dp: DataFrame, width_us: int, bucket_col: str = "bucket"
+) -> DataFrame:
+    """Per-ELEMENT tumbling-window mean for spectrum (array) attributes -
+    the analytical operation the reference's missing array support would
+    need first (trend each channel of a 1024-point spectrum over time).
+
+    posexplode turns each reading into |arr| (element-index, value) rows -
+    the idiomatic columnar explode: Catalyst applies map-side partial
+    aggregation to the (att, bucket, idx) key before the single shuffle, so
+    the exchanged rows are one per (attribute, window, channel), not one
+    per raw element. Readings of differing lengths contribute to exactly
+    the channels they carry (n counts per channel). Round-to-nearest
+    buckets match operators/resample.resample_mean.
+    """
+    from ..functions.time import epoch_us, nearest_bucket
+
+    spec = dp.where(
+        (type_kind(F.col("data_type")) == "spectrum")
+        & F.col("error_desc").isNull()
+        & F.col("value_arr").isNotNull()
+    )
+    el = spec.select(
+        "att_conf_id",
+        nearest_bucket(epoch_us(F.col("ts")), width_us).alias(bucket_col),
+        F.posexplode("value_arr").alias("idx", "v"),
+    ).where(F.col("v").isNotNull())  # null elements carry no reading
+    return el.groupBy("att_conf_id", bucket_col, "idx").agg(
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -246,4 +246,26 @@ CORE_ORACLE = {
         SELECT att_conf_id, epoch_us(time) AS t_us, event, CAST(rn AS BIGINT) AS rn
         FROM ranked WHERE rn <= 10 ORDER BY att_conf_id, t_us
     """,
+    # spectrum_resample over the rebuilt mixed-type fixture: only the
+    # array-typed attributes (user_id % 4 = 3), per-channel daily means;
+    # null elements (null source value) carry no reading on either side
+    "q32": """
+        WITH spec AS (
+          SELECT user_id AS att_conf_id, ts,
+                 [value, value * 0.5, value * 2] AS arr
+          FROM events
+          WHERE user_id % 4 = 3 AND event_type != 'error'),
+        el AS (
+          SELECT att_conf_id,
+                 CAST(FLOOR(epoch_us(ts) / 86400000000.0 + 0.5) AS BIGINT)
+                   AS bucket,
+                 CAST(generate_subscripts(arr, 1) - 1 AS INT) AS idx,
+                 unnest(arr) AS v
+          FROM spec)
+        SELECT att_conf_id, bucket, idx,
+               ROUND(AVG(v), 6) AS mean_v, COUNT(*) AS n
+        FROM el WHERE v IS NOT NULL
+        GROUP BY att_conf_id, bucket, idx
+        ORDER BY att_conf_id, bucket, idx
+    """,
 }

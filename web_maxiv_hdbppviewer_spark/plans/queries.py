@@ -409,4 +409,15 @@ def q31(spark, sf_dir):
     )
 
 
-CORE_QUERIES = {f"q{i}": globals()[f"q{i}"] for i in range(1, 32)}
+def q32(spark, sf_dir):
+    """Spectrum per-element resample: tumbling 1-day mean of every array
+    CHANNEL of the array-typed attributes - the first analytical operation
+    the reference's missing spectrum support (README.md:27) would need."""
+    from ..operators.typed import spectrum_resample
+    from ..sources.fixtures import mixed_type_datapoints
+
+    out = spectrum_resample(mixed_type_datapoints(spark, sf_dir), US_PER_DAY)
+    return out.orderBy("att_conf_id", "bucket", "idx")
+
+
+CORE_QUERIES = {f"q{i}": globals()[f"q{i}"] for i in range(1, 33)}
