@@ -260,3 +260,29 @@ def test_sampling_and_fingerprints_are_shuffle_free(spark):
     ]
     for plan in plans:
         assert "Exchange" not in plan
+
+
+def test_ivf_nprobe_recall_dial(spark):
+    """nprobe is the IVF recall dial: recall@k vs brute force must be
+    monotone in nprobe, and probing ALL cells must reach recall 1.0 (every
+    candidate lives in some probed cell)."""
+    from web_maxiv_hdbppviewer_spark.operators.similarity import (
+        ann_topk_ivf,
+        topk_cosine,
+    )
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    truth = {
+        (r["q_id"], r["cand_id"]) for r in topk_cosine(emb, 3).collect()
+    }
+
+    def recall(nprobe: int) -> float:
+        got = {
+            (r["q_id"], r["cand_id"])
+            for r in ann_topk_ivf(emb, 3, n_cells=8, nprobe=nprobe).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r2, r_all = recall(1), recall(2), recall(8)
+    assert r1 <= r2 <= r_all
+    assert r_all == 1.0

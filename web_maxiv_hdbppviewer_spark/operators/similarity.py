@@ -115,12 +115,16 @@ def ann_topk_ivf(
     k: int,
     query_ids_below: int = 10,
     n_cells: int = 8,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-flat approximate top-k, nprobe=1: assign every vector to its
-    nearest of ``n_cells`` centroid cells, then search only the query's own
-    cell. Output (q_id, cand_id, cos_r, rank) - recall < 1 by design.
+    """IVF-flat approximate top-k: assign every vector to its nearest of
+    ``n_cells`` centroid cells, then search the query's ``nprobe`` nearest
+    cells. Output (q_id, cand_id, cos_r, rank) - recall < 1 by design and
+    rises with ``nprobe`` (the standard IVF recall/cost dial: probing p of
+    K cells scans ~p/K of the corpus; each candidate keeps exactly one
+    cell, so multi-probe never duplicates a (query, candidate) pair).
 
     Centroids here are the first ``n_cells`` vectors (deterministic,
     training-free seeding so any engine reproduces the cells bit-for-bit);
@@ -136,15 +140,19 @@ def ann_topk_ivf(
     )
     sim = F.round(cosine(F.col("vec"), F.col("cvec"), F.col("nrm"), F.col("cnrm")), 6)
     w_assign = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cid").asc())
-    cells = (
+    assigned = (
         base.crossJoin(F.broadcast(cents))
         .select("id", "vec", "nrm", "cid", sim.alias("sim"))
         .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("id", "vec", "nrm", F.col("cid").alias("cell"))
     )
-    q = cells.where(F.col("id") < query_ids_below).select(
-        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm"), "cell"
+    cells = assigned.where(F.col("rn") == 1).select(
+        "id", "vec", "nrm", F.col("cid").alias("cell")
+    )
+    q = assigned.where(
+        (F.col("rn") <= nprobe) & (F.col("id") < query_ids_below)
+    ).select(
+        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm"),
+        F.col("cid").alias("cell"),
     )
     c = cells.select(
         F.col("id").alias("cand_id"), F.col("vec").alias("c_vec"), F.col("nrm").alias("c_nrm"), "cell"

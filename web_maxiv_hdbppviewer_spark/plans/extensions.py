@@ -33,6 +33,7 @@ TOPK = 5
 ANN_TOPK = 3
 ANN_NBITS = 4
 IVF_CELLS = 8
+IVF_NPROBE = 2
 QUERY_IDS_BELOW = 10
 
 
@@ -103,7 +104,7 @@ def sim_ann_lsh(spark, sf_dir):
 
 def sim_ann_ivf(spark, sf_dir):
     return similarity.ann_topk_ivf(
-        _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW, IVF_CELLS
+        _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW, IVF_CELLS, IVF_NPROBE
     ).orderBy("q_id", "rank")
 
 

@@ -197,9 +197,10 @@ EXTENSION_ORACLE = {
         SELECT q_id, cand_id, cos_r, rank FROM ranked
         WHERE rank <= 3 ORDER BY q_id, rank
     """,
-    # IVF-flat nprobe=1: centroids = first 8 vectors; every vector assigned
-    # to its max-cosine centroid (round-6 sim, cid tiebreak); probe = the
-    # query's own cell (mirrors similarity.ann_topk_ivf)
+    # IVF-flat nprobe=2 (extensions.IVF_NPROBE): centroids = first 8
+    # vectors; every vector assigned to its max-cosine centroid (round-6
+    # sim, cid tiebreak); queries probe their 2 nearest cells (mirrors
+    # similarity.ann_topk_ivf - candidates keep one cell, so no dup pairs)
     "sim_ann_ivf": f"""
         WITH {_VECS},
         cents AS (SELECT id AS cid, v AS cv, nrm AS cnrm FROM vecs WHERE id < 8),
@@ -211,11 +212,12 @@ EXTENSION_ORACLE = {
                             cid ASC) AS rn
           FROM vecs, cents),
         cells AS (SELECT id, v, nrm, cid AS cell FROM assign WHERE rn = 1),
+        probes AS (SELECT id, v, nrm, cid AS cell FROM assign
+                   WHERE rn <= 2 AND id < 10),
         scored AS (
           SELECT q.id AS q_id, c.id AS cand_id,
                  ROUND(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
-          FROM cells q JOIN cells c ON q.cell = c.cell AND c.id != q.id
-          WHERE q.id < 10),
+          FROM probes q JOIN cells c ON q.cell = c.cell AND c.id != q.id),
         ranked AS (
           SELECT q_id, cand_id, cos_r,
                  ROW_NUMBER() OVER (PARTITION BY q_id
