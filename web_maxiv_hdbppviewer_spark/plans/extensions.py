@@ -234,6 +234,57 @@ def multimodal_frames(spark, sf_dir):
     ).orderBy("doc_id", "frame_idx")
 
 
+def stream_window(spark, sf_dir):
+    """Watermarked tumbling-window aggregation as a STREAM (T3 declared):
+    drain the events stream with availableNow through streaming_resample
+    (event-time watermark + 1-day windows). Complete output mode makes the
+    final memory-sink state equal the batch windowed aggregation exactly,
+    so the DuckDB oracle is plain windowed SQL - the strongest check a
+    streaming query can get. (A 100 TB deployment would run append mode to
+    a real sink; complete mode here bounds state at |windows|, which is
+    fine for the bench and keeps the check exact.)"""
+    from ..functions.time import epoch_us
+    from ..streaming.incremental import streaming_resample
+
+    load_tables(spark, sf_dir)  # applies session confs (nanosAsLong)
+    sink = f"stream_window_{next(_STREAM_SEQ)}"
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    feed = raw.select(
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        F.col("value").alias("value_r"),
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            streaming_resample(feed, width_seconds=86400)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        .select(
+            epoch_us("bucket_start").alias("bucket_us"),
+            F.round("mean_v", 6).alias("mean_v"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("bucket_us")
+    )
+
+
 # --- pipeline: sampling / splitting / curation ---------------------------
 
 
@@ -301,6 +352,7 @@ EXTENSION_QUERIES = {
     "pipe_domain_mix": pipe_domain_mix,
     "pipe_curation": pipe_curation,
     "stream_last_value": stream_last_value,
+    "stream_window": stream_window,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

@@ -368,6 +368,14 @@ EXTENSION_ORACLE = {
                               WHEN 'src1' THEN 2500 ELSE 1000 END
         ORDER BY doc_id
     """,
+    # the streamed tumbling windows (complete mode, availableNow drain)
+    # must equal plain batch windowed SQL; streaming windows FLOOR edges
+    "stream_window": """
+        SELECT CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                 * 86400000000 AS bucket_us,
+               ROUND(AVG(value), 6) AS mean_v, COUNT(*) AS n
+        FROM events GROUP BY bucket_us ORDER BY bucket_us
+    """,
     # quality threshold mirrors extensions.CURATION_MIN_QUALITY = 0.32
     "pipe_curation": f"""
         WITH t AS (
