@@ -286,3 +286,27 @@ def test_ivf_nprobe_recall_dial(spark):
     r1, r2, r_all = recall(1), recall(2), recall(8)
     assert r1 <= r2 <= r_all
     assert r_all == 1.0
+
+
+def test_pack_sequences_tiles_each_shard(spark):
+    """Packed spans must tile each shard's token stream exactly: sorted by
+    start_tok, every document begins where the previous one ended, starting
+    at 0 - no gaps, no overlaps, regardless of input partitioning."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.operators.sampling import pack_sequences
+
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("tok"), (F.col("id") % 7 + 1).cast("int"))).alias("text"),
+    )
+    rows = pack_sequences(docs.repartition(5), seq_len=16, n_shards=4).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append((r["start_tok"], r["end_tok"]))
+    assert len(rows) == 300 and len(by_shard) == 4
+    for spans in by_shard.values():
+        pos = 0
+        for s, e in sorted(spans):
+            assert s == pos and e > s
+            pos = e

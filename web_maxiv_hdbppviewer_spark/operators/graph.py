@@ -60,24 +60,25 @@ def connected_components(
         )
         merged = (
             labels.join(neigh_min, labels["id"] == neigh_min["dst"], "left")
-            .select("id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .select(
+                "id",
+                F.col("lbl").alias("old"),
+                F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
         )
-        # pointer jumping: follow the label's own label (path halving)
+        # pointer jumping: follow the label's own label (path halving); the
+        # old label rides along so convergence is a count over THIS
+        # checkpoint, not an extra join against the previous round
         as_map = merged.select(
             F.col("id").alias("m_id"), F.col("lbl").alias("m_lbl")
         )
         jumped = (
             merged.join(as_map, merged["lbl"] == as_map["m_id"], "left")
-            .select("id", F.coalesce("m_lbl", "lbl").alias("lbl"))
+            .select("id", "old", F.coalesce("m_lbl", "lbl").alias("lbl"))
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.where(F.col("lbl") != F.col("old")).count()
+        labels = jumped.select("id", "lbl")
         if changed == 0:
             return labels.select("id", F.col("lbl").alias("cluster_id"))
     raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")

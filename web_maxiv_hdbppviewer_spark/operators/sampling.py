@@ -89,3 +89,56 @@ def stratified_sample(
             .otherwise(thresh)
         )
     return df.where(bucket < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "pack",
+) -> DataFrame:
+    """Assign every document a contiguous token span inside a packed
+    training shard (GPT-style packing: concatenate documents in a
+    deterministic pseudo-random order, then cut fixed ``seq_len`` windows).
+
+    Output: (id, shard, start_tok, end_tok, seq_id) where ``start_tok`` is
+    the document's offset in its shard's token stream and ``seq_id`` =
+    floor(start_tok / seq_len) - the training sequence its first token
+    lands in (documents may straddle sequence boundaries, as packed
+    pretraining datasets do).
+
+    Scale shape: ONE shuffle by shard + a per-shard window cumsum; shards
+    are hash-assigned, so ``n_shards`` is the parallelism dial (size it to
+    ~executor count x a small constant; each task sorts |corpus|/n_shards
+    rows). Order within a shard is (hash bucket, id) - deterministic across
+    engines and cluster sizes, so the packed layout is reproducible
+    bit-for-bit, unlike RNG-shuffled packing.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.texthash import words
+
+    b = hash_bucket(F.col(id_col), seed)
+    base = df.select(
+        F.col(id_col),
+        b.alias("_b"),
+        (b % n_shards).alias("shard"),
+        F.size(words(F.col(text_col))).cast("long").alias("_n"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_b", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.withColumn("start_tok", F.coalesce(F.sum("_n").over(w), F.lit(0)))
+        .select(
+            id_col,
+            "shard",
+            "start_tok",
+            (F.col("start_tok") + F.col("_n")).alias("end_tok"),
+            F.floor(F.col("start_tok") / seq_len).alias("seq_id"),
+        )
+    )

@@ -25,6 +25,8 @@ SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 MIX_FRACTIONS = {"src0": 0.5, "src1": 0.25}
 MIX_DEFAULT = 0.1
 CURATION_MIN_QUALITY = 0.32
+PACK_SEQ_LEN = 2048
+PACK_SHARDS = 16
 RESIZE_FACTOR = 2
 FRAME_EVERY = 4
 SIMHASH_MAX_HAMMING = 3
@@ -329,6 +331,16 @@ def pipe_curation(spark, sf_dir):
     )
 
 
+def pipe_pack(spark, sf_dir):
+    """Sequence packing: every document's contiguous token span in its
+    packed training shard (deterministic order, documents may straddle
+    sequence boundaries). Oracle: the same window cumsum in SQL."""
+    return (
+        sampling.pack_sequences(_docs(spark, sf_dir), PACK_SEQ_LEN, PACK_SHARDS)
+        .orderBy("doc_id")
+    )
+
+
 EXTENSION_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -351,6 +363,7 @@ EXTENSION_QUERIES = {
     "pipe_split": pipe_split,
     "pipe_domain_mix": pipe_domain_mix,
     "pipe_curation": pipe_curation,
+    "pipe_pack": pipe_pack,
     "stream_last_value": stream_last_value,
     "stream_window": stream_window,
 }

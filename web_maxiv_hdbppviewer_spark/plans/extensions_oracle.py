@@ -376,6 +376,27 @@ EXTENSION_ORACLE = {
                ROUND(AVG(value), 6) AS mean_v, COUNT(*) AS n
         FROM events GROUP BY bucket_us ORDER BY bucket_us
     """,
+    # packing mirrors extensions.PACK_SEQ_LEN=2048 / PACK_SHARDS=16 and
+    # operators/sampling.pack_sequences: shard = bucket % 16, order within
+    # shard = (bucket, doc_id), start = exclusive running token sum
+    "pipe_pack": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                   AS n_tok,
+                 {H.format(x="'pack:' || CAST(doc_id AS VARCHAR)")} % 10000 AS b
+          FROM documents),
+        c AS (
+          SELECT doc_id, b % 16 AS shard, n_tok,
+                 COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY b % 16 ORDER BY b, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_tok
+          FROM t)
+        SELECT doc_id, shard, start_tok, start_tok + n_tok AS end_tok,
+               CAST(FLOOR(start_tok / 2048.0) AS BIGINT) AS seq_id
+        FROM c ORDER BY doc_id
+    """,
     # quality threshold mirrors extensions.CURATION_MIN_QUALITY = 0.32
     "pipe_curation": f"""
         WITH t AS (
