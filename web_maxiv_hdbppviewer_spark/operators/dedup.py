@@ -388,35 +388,39 @@ def minhash_dedup_pairs(
     return _verify_pairs(docs, cands).where(F.col("jaccard") >= min_jaccard)
 
 
-def simhash(h: DataFrame) -> DataFrame:
-    """60-bit SimHash per document from its shingle-hash rows (id, h).
+def simhash(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash per document from the materialized shingle-hash
+    arrays (id, arr).
 
     bit i of the fingerprint = sign of sum over shingles of (+1 if bit i of
-    the shingle hash else -1). The bit explosion is a narrow transform;
-    partial aggregation collapses it to 60 rows per document pre-shuffle.
-    (A 60-SUM single-groupBy variant was measured and REJECTED: the giant
-    generated aggregate method costs ~10 s of one-time codegen compilation,
-    tripling the cold-run time the benchmark actually pays.)
+    the shingle hash else -1). Computed as a per-row higher-order fold:
+    accumulate the 60 bit votes with ``aggregate``+``zip_with`` over the
+    document's array, then pack sign bits - a pure projection. The round-1
+    explode form pushed 60 rows PER SHINGLE through two shuffled
+    aggregations (60x corpus rows through an exchange at 100 TB); this has
+    ZERO shuffles and zero exchanged rows.
     """
-    bits = h.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"),
-        F.col("h"),
-    ).select(
-        "id",
-        "i",
-        # SQL expr form: the python shiftright() wrapper only takes a
-        # literal shift amount, the SQL function takes any expression
-        (F.expr("shiftright(h, i)").bitwiseAND(F.lit(1)) * 2 - 1).alias("w"),
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
+    votes = F.aggregate(
+        F.col("arr"),
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, x: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(x["h"].bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
     )
-    bit_votes = bits.groupBy("id", "i").agg(F.sum("w").alias("v"))
-    return bit_votes.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
+    fp = F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
+    return docs.select("id", fp.alias("simhash"))
 
 
 def simhash_pairs(
@@ -437,12 +441,8 @@ def simhash_pairs(
     # distinct, already hashed), so simhash shares the one tokenize pass per
     # session with the ngram/minhash/cluster families; the fingerprint table
     # is one row per document - materialize it so the banded self-join below
-    # reads blocks instead of running the bit-vote chain once per side
-    sh = (
-        doc_shingle_arrays(df, id_col, text_col)
-        .select("id", F.explode(F.transform("arr", lambda x: x["h"])).alias("h"))
-    )
-    fp = simhash(sh).localCheckpoint()
+    # reads blocks instead of running the bit-vote fold once per side
+    fp = simhash(doc_shingle_arrays(df, id_col, text_col)).localCheckpoint()
     banded = fp.select(
         "id",
         "simhash",
