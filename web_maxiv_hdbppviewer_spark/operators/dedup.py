@@ -174,13 +174,19 @@ def doc_shingle_arrays(
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
         df = df.repartition(parallelism)
-    hashed = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_bigrams(words(F.col(text_col)))).alias("s"),
-        )
-        .select("id", md5_int60(F.col("s")).alias("h"))
-        .distinct()
+    # per-document distinct is ROW-LOCAL (array_distinct over the hashed
+    # shingle array) - the round-1 explode-then-DISTINCT shuffled the whole
+    # exploded corpus once before any aggregation; this plan's only
+    # exchanges are the document-frequency groupBy and the array rebuild
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_bigrams(words(F.col(text_col))), lambda s: md5_int60(s)
+                )
+            )
+        ).alias("h"),
     )
     dfreq = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     docs = (
