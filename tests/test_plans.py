@@ -310,3 +310,21 @@ def test_pack_sequences_tiles_each_shard(spark):
         for s, e in sorted(spans):
             assert s == pos and e > s
             pos = e
+
+
+def test_minhash_lsh_full_recall_on_testdata(spark):
+    """Oracle parity cannot catch an LSH quality collapse (both sides share
+    the banding constants), so pin recall directly: on the planted near-dup
+    corpus the MinHash candidates must recover EVERY exact-Jaccard pair."""
+    from web_maxiv_hdbppviewer_spark.operators import dedup
+
+    docs = spark.read.parquet(SF_SMOKE + "/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, 0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(docs, 0.8).collect()
+    }
+    assert exact and lsh == exact
