@@ -328,3 +328,46 @@ def test_minhash_lsh_full_recall_on_testdata(spark):
         for r in dedup.minhash_dedup_pairs(docs, 0.8).collect()
     }
     assert exact and lsh == exact
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    """The packed-corpus sink must produce one directory per (split, shard)
+    with rows span-ordered within every file, and round-trip all docs."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.operators.sampling import (
+        hash_split,
+        pack_sequences,
+        write_training_shards,
+    )
+
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("w"), (F.col("id") % 5 + 1).cast("int"))).alias("text"),
+    )
+    packed = pack_sequences(
+        hash_split(docs, {"train": 0.9, "val": 0.1}),
+        seq_len=32,
+        n_shards=3,
+        by=["split"],
+    )
+    path = str(tmp_path / "corpus")
+    write_training_shards(docs, packed, path)
+
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    assert set(back.select("split").distinct().toPandas()["split"]) == {"train", "val"}
+    # per-(split, shard) file rows are start_tok-ordered AND tile the
+    # stream exactly (packing within the split leaves no holes)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(path + "/split=*/shard=*/*.parquet"):
+        t = pq.read_table(f, columns=["start_tok", "end_tok"])
+        spans = list(zip(t["start_tok"].to_pylist(), t["end_tok"].to_pylist()))
+        assert spans == sorted(spans), f
+        pos = 0
+        for s, e in spans:
+            assert s == pos and e > s, f
+            pos = e

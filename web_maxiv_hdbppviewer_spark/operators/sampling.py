@@ -98,6 +98,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: str = "pack",
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Assign every document a contiguous token span inside a packed
     training shard (GPT-style packing: concatenate documents in a
@@ -115,20 +116,27 @@ def pack_sequences(
     rows). Order within a shard is (hash bucket, id) - deterministic across
     engines and cluster sizes, so the packed layout is reproducible
     bit-for-bit, unlike RNG-shuffled packing.
+
+    ``by`` adds grouping columns (e.g. the ``split`` from ``hash_split``)
+    so token streams tile each (*by, shard) independently - pack WITHIN a
+    split, or removing another split's documents would leave holes in the
+    stream.
     """
     from pyspark.sql import Window
 
     from ..functions.texthash import words
 
+    by = list(by or [])
     b = hash_bucket(F.col(id_col), seed)
     base = df.select(
         F.col(id_col),
+        *by,
         b.alias("_b"),
         (b % n_shards).alias("shard"),
         F.size(words(F.col(text_col))).cast("long").alias("_n"),
     )
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*by, "shard")
         .orderBy("_b", id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -136,9 +144,40 @@ def pack_sequences(
         base.withColumn("start_tok", F.coalesce(F.sum("_n").over(w), F.lit(0)))
         .select(
             id_col,
+            *by,
             "shard",
             "start_tok",
             (F.col("start_tok") + F.col("_n")).alias("end_tok"),
             F.floor(F.col("start_tok") / seq_len).alias("seq_id"),
         )
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    packed: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the packed training corpus: documents joined to their
+    pack assignments, written as parquet partitioned by (split, shard) with
+    rows ordered by ``start_tok`` inside every file - the layout a training
+    data-loader streams sequentially (one directory per split/shard, token
+    spans contiguous on disk).
+
+    ``packed`` is ``pack_sequences`` output, optionally carrying a
+    ``split`` column from ``hash_split`` (defaults to a single 'train'
+    partition when absent). One shuffle total: repartition by the write
+    partitions, then sortWithinPartitions - Spark writes each (split,
+    shard) directory from a single sorted task, so files are span-ordered
+    without a global sort.
+    """
+    cols = packed.columns
+    if "split" not in cols:
+        packed = packed.withColumn("split", F.lit("train"))
+    out = (
+        docs.join(packed, id_col)
+        .repartition(F.col("split"), F.col("shard"))
+        .sortWithinPartitions("split", "shard", "start_tok")
+    )
+    out.write.mode("overwrite").partitionBy("split", "shard").parquet(path)
