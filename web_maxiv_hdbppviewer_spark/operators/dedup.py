@@ -482,3 +482,55 @@ def simhash_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_ngram_pairs(
+    df: DataFrame,
+    is_new,
+    min_jaccard: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs INVOLVING a newly-ingested batch only - the
+    operation a daily ingest actually runs: dedup the new batch against the
+    standing corpus (and within itself) WITHOUT re-deduping the corpus.
+
+    ``is_new`` is a Column predicate over the normalized ``id`` column
+    marking batch membership. The prefix inverted index still covers the
+    whole corpus (the standing index a warehouse maintains), but the PROBE
+    side is restricted to the new batch before the join, so candidate
+    generation is proportional to |batch| x bucket sizes, never
+    |corpus|^2 - and results are exactly the corpus-wide pairs that touch
+    the batch (pairs are normalized to id_a < id_b). Document frequencies
+    come from the full corpus, so prefix ordering is consistent on both
+    sides and recall stays exact (any shared global order is).
+    """
+    t = float(min_jaccard)
+    docs = doc_shingle_arrays(df, id_col, text_col)
+    plen = (F.floor((1.0 - t) * F.col("n") + _EPS) + F.lit(1)).cast("int")
+    prefix = docs.select(
+        "id", "n", F.posexplode(F.slice("arr", F.lit(1), plen)).alias("pos", "e")
+    ).select(
+        "id", "n", (F.col("pos") + 1).alias("r"),
+        F.col("e.h").alias("h"), F.col("e.df").alias("df"),
+    )
+    if max_shingle_df is not None:
+        prefix = prefix.where(F.col("df") <= max_shingle_df)
+    a = prefix.select(F.col("id").alias("id_x"), "h", F.col("n").alias("na"), F.col("r").alias("ra"))
+    b = prefix.where(is_new(F.col("id"))).select(
+        F.col("id").alias("id_y"), "h", F.col("n").alias("nb"), F.col("r").alias("rb")
+    )
+    need = t / (1.0 + t) * (F.col("na") + F.col("nb")) - _EPS
+    cands = (
+        a.join(b, "h")
+        .where(F.col("id_x") != F.col("id_y"))
+        .where(F.least("na", "nb") >= t * F.greatest("na", "nb") - _EPS)
+        .where(F.lit(1) + F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")) >= need)
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+        )
+        .distinct()
+    )
+    return _verify_pairs(docs, cands).where(F.col("jaccard") >= min_jaccard)

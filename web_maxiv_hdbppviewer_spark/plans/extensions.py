@@ -27,6 +27,7 @@ MIX_DEFAULT = 0.1
 CURATION_MIN_QUALITY = 0.32
 PACK_SEQ_LEN = 2048
 PACK_SHARDS = 16
+INGEST_NEW_BUCKETS = 1000  # hash buckets < 1000 of 10000 = the "new batch"
 RESIZE_FACTOR = 2
 FRAME_EVERY = 4
 SIMHASH_MAX_HAMMING = 3
@@ -76,6 +77,17 @@ def dedup_embedding(spark, sf_dir):
     return similarity.near_dup_pairs(_emb(spark, sf_dir), EMBED_NEAR_DUP_COS).orderBy(
         "id_a", "id_b"
     )
+
+
+def dedup_incremental(spark, sf_dir):
+    """Dedup a newly-ingested batch (a deterministic 10% hash slice) against
+    the standing corpus: pairs involving at least one batch document. The
+    probe side of the prefix join is batch-restricted, so the work is
+    proportional to the batch - the daily-ingest shape at 100 TB."""
+    is_new = lambda c: sampling.hash_bucket(c, "ingest") < INGEST_NEW_BUCKETS  # noqa: E731
+    return dedup.incremental_ngram_pairs(
+        _docs(spark, sf_dir), is_new, JACCARD_THRESHOLD
+    ).orderBy("id_a", "id_b")
 
 
 def dedup_clusters(spark, sf_dir):
@@ -347,6 +359,7 @@ EXTENSION_QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_incremental": dedup_incremental,
     "dedup_clusters": dedup_clusters,
     "sim_topk_cosine": sim_topk_cosine,
     "sim_ann_lsh": sim_ann_lsh,

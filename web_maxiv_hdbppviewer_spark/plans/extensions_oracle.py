@@ -110,6 +110,19 @@ EXTENSION_ORACLE = {
         FROM jac j JOIN cand USING (id_a, id_b)
         WHERE j.jaccard >= 0.8 ORDER BY id_a, id_b
     """,
+    # naive form: ALL corpus pairs, then keep those touching the hash-slice
+    # batch (extensions.INGEST_NEW_BUCKETS = 1000 of 10000)
+    "dedup_incremental": f"""
+        WITH {_SHINGLES}, {_JACCARD},
+        newdocs AS (
+          SELECT doc_id FROM documents
+          WHERE {H.format(x="'ingest:' || CAST(doc_id AS VARCHAR)")} % 10000 < 1000)
+        SELECT id_a, id_b, jaccard FROM jac
+        WHERE jaccard >= 0.8
+          AND (id_a IN (SELECT doc_id FROM newdocs)
+               OR id_b IN (SELECT doc_id FROM newdocs))
+        ORDER BY id_a, id_b
+    """,
     "dedup_clusters": f"""
         WITH RECURSIVE {_SHINGLES}, {_JACCARD},
         pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
