@@ -53,7 +53,7 @@ def test_dedup_queries_have_no_cross_product(spark):
     """Every similarity/dedup pipeline is candidate-bucketed: a cartesian
     or nested-loop join anywhere in these plans is a scale regression."""
     for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-                  "dedup_embedding", "sim_ann_lsh"):
+                  "dedup_embedding", "dedup_incremental", "sim_ann_lsh"):
         plan = _plan(QUERIES[name](spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
@@ -371,3 +371,28 @@ def test_write_training_shards_layout(spark, tmp_path):
         for s, e in spans:
             assert s == pos and e > s, f
             pos = e
+
+
+def test_dedup_and_graph_empty_input_edges(spark):
+    """Degenerate inputs must return empty/identity results, not crash:
+    an edgeless graph labels every node itself; a corpus with no near-dups
+    yields no pairs; an empty corpus yields empty everything."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.operators import dedup
+    from web_maxiv_hdbppviewer_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(1,), (2,)], ["id"])
+    no_edges = spark.createDataFrame([], "src long, dst long")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(nodes, no_edges).collect()}
+    assert got == {1: 1, 2: 2}
+
+    distinct_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")], ["doc_id", "text"]
+    )
+    assert dedup.ngram_jaccard_pairs(distinct_docs, 0.8).count() == 0
+    assert dedup.minhash_dedup_pairs(distinct_docs, 0.8).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.simhash_pairs(empty_docs).count() == 0
+    assert dedup.incremental_ngram_pairs(empty_docs, lambda c: F.lit(True), 0.8).count() == 0
