@@ -252,11 +252,13 @@ def test_sampling_and_fingerprints_are_shuffle_free(spark):
         F.lit("src0").alias("source"),
         F.lit("alpha beta gamma delta").alias("text"),
     )
+    arrays = dedup.doc_shingle_arrays(docs)
     plans = [
         _plan(sampling.hash_split(docs, {"train": 0.9, "test": 0.1})),
         _plan(sampling.stratified_sample(docs, {"src0": 0.5})),
         _plan(textquality.fingerprints(docs)),
-        _plan(dedup.minhash_signatures(dedup.doc_shingle_arrays(docs))),
+        _plan(dedup.minhash_signatures(arrays)),
+        _plan(dedup.simhash(arrays)),
     ]
     for plan in plans:
         assert "Exchange" not in plan
