@@ -299,6 +299,55 @@ def stream_window(spark, sf_dir):
     )
 
 
+def stream_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup with BOUNDED state: the events stream
+    unioned with itself (every row duplicated) must come out exactly once.
+    dropDuplicatesWithinWatermark keeps per-key state only inside the
+    watermark horizon - the scale-correct ingest guard (plain streaming
+    dropDuplicates grows state forever). Oracle: the plain batch table."""
+    from ..functions.time import epoch_us
+
+    load_tables(spark, sf_dir)  # applies session confs (nanosAsLong)
+    sink = f"stream_dedup_{next(_STREAM_SEQ)}"
+
+    def one_stream():
+        return (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .select(
+                "event_id",
+                F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+                F.col("user_id"),
+            )
+        )
+
+    feed = one_stream().union(one_stream())
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            feed.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        .select("event_id", epoch_us("ts").alias("t_us"), "user_id")
+        .orderBy("event_id")
+    )
+
+
 # --- pipeline: sampling / splitting / curation ---------------------------
 
 
@@ -379,6 +428,7 @@ EXTENSION_QUERIES = {
     "pipe_pack": pipe_pack,
     "stream_last_value": stream_last_value,
     "stream_window": stream_window,
+    "stream_dedup": stream_dedup,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

@@ -381,6 +381,11 @@ EXTENSION_ORACLE = {
                               WHEN 'src1' THEN 2500 ELSE 1000 END
         ORDER BY doc_id
     """,
+    # streaming dedup of the self-unioned stream must equal the plain table
+    "stream_dedup": """
+        SELECT event_id, epoch_us(ts) AS t_us, user_id
+        FROM events ORDER BY event_id
+    """,
     # the streamed tumbling windows (complete mode, availableNow drain)
     # must equal plain batch windowed SQL; streaming windows FLOOR edges
     "stream_window": """
