@@ -33,8 +33,13 @@ def main() -> None:
     spark = get_spark(app_name="hdbpp-spark-bench")
     queries = entry_mod.queries()
 
-    # warmup: JVM, codegen, parquet footer caches
+    # warmup: JVM, codegen, parquet footer caches, and the Arrow Python
+    # worker pool (otherwise its one-time startup lands on whichever
+    # mapInPandas query happens to run first)
     queries["q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.range(0, 32, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(queries, key=lambda n: (len(n), n)):
