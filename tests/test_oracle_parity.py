@@ -49,6 +49,15 @@ def test_query_matches_oracle(name, spark, duck):
     s_cols, s_rows = _canon(sdf)
     d_cols, d_rows = _canon(ddf)
     assert s_cols == d_cols, f"{name}: column names differ: {s_cols} vs {d_cols}"
+    # numeric FAMILY must agree too: python equates 5 == 5.0, but the
+    # driver's value-hash need not - a DuckDB HUGEINT (e.g. an uncast SUM)
+    # arrives as float64 and would silently pass the cell comparison below
+    fam = lambda k: "f" if k == "f" else ("i" if k in "iu" else k)  # noqa: E731
+    for c in s_cols:
+        sk, dk = sdf[c].dtype.kind, ddf[c].dtype.kind
+        assert not ({fam(sk), fam(dk)} == {"i", "f"}), (
+            f"{name}.{c}: dtype family differs: spark {sdf[c].dtype} vs oracle {ddf[c].dtype}"
+        )
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count {len(s_rows)} vs oracle {len(d_rows)}"
     )

@@ -406,10 +406,10 @@ EXTENSION_ORACLE = {
           FROM documents),
         c AS (
           SELECT doc_id, b % 16 AS shard, n_tok,
-                 COALESCE(SUM(n_tok) OVER (
+                 CAST(COALESCE(SUM(n_tok) OVER (
                    PARTITION BY b % 16 ORDER BY b, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS start_tok
+                   AS BIGINT) AS start_tok
           FROM t)
         SELECT doc_id, shard, start_tok, start_tok + n_tok AS end_tok,
                CAST(FLOOR(start_tok / 2048.0) AS BIGINT) AS seq_id
