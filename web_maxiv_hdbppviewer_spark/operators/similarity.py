@@ -118,6 +118,7 @@ def ann_topk_ivf(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: assign every vector to its nearest of
     ``n_cells`` centroid cells, then search the query's ``nprobe`` nearest
@@ -126,18 +127,24 @@ def ann_topk_ivf(
     K cells scans ~p/K of the corpus; each candidate keeps exactly one
     cell, so multi-probe never duplicates a (query, candidate) pair).
 
-    Centroids here are the first ``n_cells`` vectors (deterministic,
+    Default centroids are the first ``n_cells`` vectors (deterministic,
     training-free seeding so any engine reproduces the cells bit-for-bit);
-    production would run k-means and swap the centroid table - the
-    assignment and probe plan shapes are unchanged. Scale shape: assignment
-    is a BROADCAST of the tiny centroid table against the streaming corpus
+    pass ``centroids`` = a (cid, cvec) table - e.g. from
+    ``train_ivf_centroids`` - to plug in a TRAINED quantizer with the
+    identical assignment/probe plan shape. Scale shape: assignment is a
+    BROADCAST of the tiny centroid table against the streaming corpus
     (n x K cosines, one pass, no shuffle), the probe is a cell-equi join -
-    the same plan IVF indexes execute, minus the quantizer training.
+    the same plan IVF indexes execute.
     """
     base = with_norms(df, id_col, vec_col)
-    cents = base.where(F.col("id") < n_cells).select(
-        F.col("id").alias("cid"), F.col("vec").alias("cvec"), F.col("nrm").alias("cnrm")
-    )
+    if centroids is None:
+        cents = base.where(F.col("id") < n_cells).select(
+            F.col("id").alias("cid"), F.col("vec").alias("cvec"), F.col("nrm").alias("cnrm")
+        )
+    else:
+        cents = centroids.select(
+            "cid", "cvec", norm(F.col("cvec")).alias("cnrm")
+        )
     sim = F.round(cosine(F.col("vec"), F.col("cvec"), F.col("nrm"), F.col("cnrm")), 6)
     w_assign = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cid").asc())
     assigned = (
@@ -229,3 +236,65 @@ def near_dup_pairs(
         )
         .where(F.col("cos_r") >= min_cos)
     )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means for the IVF quantizer: (cid, cvec).
+
+    Init = the first ``n_cells`` vectors; each iteration assigns every
+    vector to its max-ROUND(cosine,6) centroid (cid tiebreak) and recomputes
+    centroids as the element-wise member mean, ROUNDED to 6 decimals -
+    the same determinism discipline as ranking: rounding collapses
+    float-sum-order noise so any engine reproduces the trained centroids
+    bit-for-bit (the DuckDB oracle unrolls the identical iterations).
+    Cells that lose all members drop out (both sides agree).
+
+    Scale shape: per iteration, assignment is a broadcast of the K-row
+    centroid table against the streaming corpus (the IVF plan shape), and
+    the update is one posexplode + (cell, dim) aggregation - corpus-linear.
+    The K x dim centroid table round-trips through the driver between
+    iterations (bounded by K, never by the corpus - the same shape MLlib
+    uses for k-means centroids).
+    """
+    base = with_norms(df, id_col, vec_col).localCheckpoint()
+    cents = base.where(F.col("id") < n_cells).select(
+        F.col("id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    for _ in range(iters):
+        c = cents.select(
+            "cid", "cvec", norm(F.col("cvec")).alias("cnrm")
+        )
+        sim = F.round(cosine(F.col("vec"), F.col("cvec"), F.col("nrm"), F.col("cnrm")), 6)
+        members = (
+            base.crossJoin(F.broadcast(c))
+            .select("id", "vec", "cid", sim.alias("sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+        )
+        dims = members.select("cid", F.posexplode("vec").alias("idx", "x"))
+        means = (
+            dims.groupBy("cid", "idx")
+            .agg(F.round(F.avg("x"), 6).alias("av"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "av"))),
+                    lambda s: s["av"],
+                ).alias("cvec")
+            )
+        )
+        # K rows of dim doubles: flatten the iteration boundary through the
+        # driver so plan depth stays constant across iterations
+        spark = df.sparkSession
+        cents = spark.createDataFrame(
+            [(r["cid"], r["cvec"]) for r in means.collect()],
+            "cid long, cvec array<double>",
+        )
+    return cents

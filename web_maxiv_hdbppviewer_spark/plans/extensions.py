@@ -37,6 +37,7 @@ ANN_TOPK = 3
 ANN_NBITS = 4
 IVF_CELLS = 8
 IVF_NPROBE = 2
+KMEANS_ITERS = 2
 QUERY_IDS_BELOW = 10
 
 
@@ -119,6 +120,17 @@ def sim_ann_lsh(spark, sf_dir):
 def sim_ann_ivf(spark, sf_dir):
     return similarity.ann_topk_ivf(
         _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW, IVF_CELLS, IVF_NPROBE
+    ).orderBy("q_id", "rank")
+
+
+def sim_ann_ivf_trained(spark, sf_dir):
+    """IVF with a TRAINED quantizer: deterministic Lloyd k-means centroids
+    (round-6 discipline) feed the same assignment/probe plan. The oracle
+    unrolls the identical training iterations in SQL."""
+    emb = _emb(spark, sf_dir)
+    cents = similarity.train_ivf_centroids(emb, IVF_CELLS, KMEANS_ITERS)
+    return similarity.ann_topk_ivf(
+        emb, ANN_TOPK, QUERY_IDS_BELOW, IVF_CELLS, IVF_NPROBE, centroids=cents
     ).orderBy("q_id", "rank")
 
 
@@ -413,6 +425,7 @@ EXTENSION_QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
+    "sim_ann_ivf_trained": sim_ann_ivf_trained,
     "text_tokens": text_tokens,
     "text_bpe": text_bpe,
     "text_quality": text_quality,

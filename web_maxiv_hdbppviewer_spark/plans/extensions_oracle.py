@@ -57,6 +57,37 @@ _VECS = """
     FROM embeddings)
 """
 
+# deterministic Lloyd k-means unrolled: cents0 = first 8 vectors; each
+# iteration = round-6-cosine assignment (cid tiebreak) + round-6
+# element-wise member means (mirrors similarity.train_ivf_centroids)
+_KMEANS_N_ITERS = 2
+
+
+def _kmeans_ctes(iters: int) -> tuple[str, str]:
+    parts = ["cents0 AS (SELECT id AS cid, v AS cv FROM vecs WHERE id < 8)"]
+    prev = "cents0"
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i} AS (
+          SELECT x.id, x.v, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY x.id ORDER BY
+                   ROUND(list_inner_product(x.v, c.cv) /
+                         (x.nrm * sqrt(list_inner_product(c.cv, c.cv))), 6)
+                     DESC, c.cid) AS rn
+          FROM vecs x, {prev} c),
+        cents{i} AS (
+          SELECT cid, list(av ORDER BY idx) AS cv
+          FROM (SELECT cid, idx, ROUND(AVG(x), 6) AS av
+                FROM (SELECT cid, unnest(v) AS x,
+                             generate_subscripts(v, 1) AS idx
+                      FROM a{i} WHERE rn = 1)
+                GROUP BY cid, idx)
+          GROUP BY cid)""")
+        prev = f"cents{i}"
+    return ",\n        ".join(parts) + ",", prev
+
+
+_KMEANS_CTES, _KMEANS_FINAL = _kmeans_ctes(_KMEANS_N_ITERS)
+
 _SIG_COLS = ",\n        ".join(
     f"MIN(({a} * h31 + {b}) % {MINHASH_P}) AS s{k}"
     for k, (a, b) in enumerate(MINHASH_AB)
@@ -224,6 +255,34 @@ EXTENSION_ORACLE = {
                    ORDER BY ROUND(list_inner_product(v, cv) / (nrm * cnrm), 6) DESC,
                             cid ASC) AS rn
           FROM vecs, cents),
+        cells AS (SELECT id, v, nrm, cid AS cell FROM assign WHERE rn = 1),
+        probes AS (SELECT id, v, nrm, cid AS cell FROM assign
+                   WHERE rn <= 2 AND id < 10),
+        scored AS (
+          SELECT q.id AS q_id, c.id AS cand_id,
+                 ROUND(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+          FROM probes q JOIN cells c ON q.cell = c.cell AND c.id != q.id),
+        ranked AS (
+          SELECT q_id, cand_id, cos_r,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos_r DESC, cand_id ASC) AS rank
+          FROM scored)
+        SELECT q_id, cand_id, cos_r, rank FROM ranked
+        WHERE rank <= 3 ORDER BY q_id, rank
+    """,
+    # trained-quantizer IVF: unroll the SAME deterministic Lloyd iterations
+    # (extensions.KMEANS_ITERS = 2, init = first 8 vectors, round-6 sims
+    # and round-6 centroid means) then assign/probe exactly like sim_ann_ivf
+    "sim_ann_ivf_trained": f"""
+        WITH {_VECS},
+        {_KMEANS_CTES}
+        assign AS (
+          SELECT x.id, x.v, x.nrm, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY x.id ORDER BY
+                   ROUND(list_inner_product(x.v, c.cv) /
+                         (x.nrm * sqrt(list_inner_product(c.cv, c.cv))), 6)
+                     DESC, c.cid) AS rn
+          FROM vecs x, {_KMEANS_FINAL} c),
         cells AS (SELECT id, v, nrm, cid AS cell FROM assign WHERE rn = 1),
         probes AS (SELECT id, v, nrm, cid AS cell FROM assign
                    WHERE rn <= 2 AND id < 10),
