@@ -261,6 +261,14 @@ def train_ivf_centroids(
     The K x dim centroid table round-trips through the driver between
     iterations (bounded by K, never by the corpus - the same shape MLlib
     uses for k-means centroids).
+
+    Centroids deliberately flow as DATA (broadcast join), not as literal
+    expressions: an inline-literal argmax projection was measured and
+    REJECTED - with the folds inlined into the argmax cascade the analyzer
+    cost exploded (42 s/run), and even with sims materialized as columns
+    the per-iteration recompile (literals change every round) made it
+    slower than the constant-shape broadcast plan, which also scales to
+    large K where literal expressions cannot.
     """
     base = with_norms(df, id_col, vec_col).localCheckpoint()
     cents = base.where(F.col("id") < n_cells).select(
