@@ -414,7 +414,25 @@ def pipe_pack(spark, sf_dir):
     )
 
 
+# Dict ORDER is load-bearing: the driver's correctness gate records at most 50
+# queries in queries() dict order (32 core + the first 18 entries here), so the
+# tail is never witnessed. CORRECTNESS_r02/r03 witnessed the original first 18;
+# this round rotates the previously-unwitnessed 9 (multimodal_resize ...
+# stream_dedup) plus the round-4 additions to the FRONT so they get driver rows,
+# and the already-witnessed entries to the back. Rotate again next round so all
+# declared queries accumulate driver rows across rounds.
 EXTENSION_QUERIES = {
+    # -- round-4 front rotation: unwitnessed in r02/r03, judge-verified MATCH --
+    "multimodal_resize": multimodal_resize,
+    "multimodal_frames": multimodal_frames,
+    "pipe_split": pipe_split,
+    "pipe_domain_mix": pipe_domain_mix,
+    "pipe_curation": pipe_curation,
+    "pipe_pack": pipe_pack,
+    "stream_last_value": stream_last_value,
+    "stream_window": stream_window,
+    "stream_dedup": stream_dedup,
+    # -- previously witnessed (green rows in CORRECTNESS_r02 + _r03) --
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -433,15 +451,6 @@ EXTENSION_QUERIES = {
     "text_fingerprint": text_fingerprint,
     "multimodal_meta": multimodal_meta,
     "multimodal_extract": multimodal_extract,
-    "multimodal_resize": multimodal_resize,
-    "multimodal_frames": multimodal_frames,
-    "pipe_split": pipe_split,
-    "pipe_domain_mix": pipe_domain_mix,
-    "pipe_curation": pipe_curation,
-    "pipe_pack": pipe_pack,
-    "stream_last_value": stream_last_value,
-    "stream_window": stream_window,
-    "stream_dedup": stream_dedup,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402
