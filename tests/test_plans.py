@@ -67,6 +67,21 @@ def test_ivf_assignment_broadcasts_centroids(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_assignment_is_aggregation_not_window(spark):
+    """Cell assignment must be a map-side-combinable max_by aggregation, not
+    a row_number Window over the n x K broadcast-join output: a Window there
+    shuffles+sorts K corpus-amplified vector-carrying rows. The only Window
+    allowed in the whole plan is the final per-query rank (q_id-partitioned,
+    candidate-sized input)."""
+    plan = _plan(QUERIES["sim_ann_ivf"](spark, SF_SMOKE))
+    # "Window [" is the real Window node; WindowGroupLimit (the top-k
+    # pre-filter Spark derives from rank<=k) is fine and expected.
+    n_windows = plan.count("Window [")
+    assert n_windows == 1, f"expected exactly the final-rank Window, got {n_windows}"
+    # and the assignment must partial-aggregate before its exchange
+    assert "partial_max_by" in plan
+
+
 def test_q29_single_aggregation(spark):
     """The type-dispatched summary is ONE grouped aggregation (partial +
     final), not a per-kind job fan-out: exactly one shuffle by group key."""

@@ -146,20 +146,51 @@ def ann_topk_ivf(
             "cid", "cvec", norm(F.col("cvec")).alias("cnrm")
         )
     sim = F.round(cosine(F.col("vec"), F.col("cvec"), F.col("nrm"), F.col("cnrm")), 6)
-    w_assign = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cid").asc())
-    assigned = (
-        base.crossJoin(F.broadcast(cents))
-        .select("id", "vec", "nrm", "cid", sim.alias("sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
+    scored_assign = base.crossJoin(F.broadcast(cents)).select(
+        "id", "vec", "nrm", "cid", sim.alias("sim")
     )
-    cells = assigned.where(F.col("rn") == 1).select(
-        "id", "vec", "nrm", F.col("cid").alias("cell")
+    # Argmax cell per vector as a map-side-combinable aggregation: the n x K
+    # broadcast-join rows collapse to n rows BEFORE the exchange (partial
+    # max_by per partition), instead of shuffling+sorting all n x K
+    # vector-carrying rows through a Window - the K-fold amplification that
+    # made this the one structural scale flaw. Ordering key struct(sim, -cid)
+    # reproduces the Window's (sim desc, cid asc) tiebreak exactly, so ranks
+    # and hashes are unchanged.
+    best = F.max_by(
+        F.struct(F.col("cid"), F.col("vec"), F.col("nrm")),
+        F.struct(F.col("sim"), (-F.col("cid")).alias("ncid")),
     )
-    q = assigned.where(
-        (F.col("rn") <= nprobe) & (F.col("id") < query_ids_below)
-    ).select(
-        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm"),
-        F.col("cid").alias("cell"),
+    cells = (
+        scored_assign.groupBy("id")
+        .agg(best.alias("b"))
+        .select("id", F.col("b.vec").alias("vec"), F.col("b.nrm").alias("nrm"),
+                F.col("b.cid").alias("cell"))
+    )
+    # Query probes (nprobe nearest cells): the query set is tiny (filtered
+    # BEFORE aggregation), so collect the per-id cell list and slice the
+    # (sim desc, cid asc) prefix - same order the Window produced.
+    q = (
+        scored_assign.where(F.col("id") < query_ids_below)
+        .groupBy("id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("sim")).alias("ns"), F.col("cid").alias("cid"))
+                    )
+                ),
+                1,
+                nprobe,
+            ).alias("probes"),
+            F.max_by(F.struct(F.col("vec"), F.col("nrm")), F.col("cid")).alias("v"),
+        )
+        .select(
+            F.col("id").alias("q_id"),
+            F.col("v.vec").alias("q_vec"),
+            F.col("v.nrm").alias("q_nrm"),
+            F.explode("probes").alias("p"),
+        )
+        .select("q_id", "q_vec", "q_nrm", F.col("p.cid").alias("cell"))
     )
     c = cells.select(
         F.col("id").alias("cand_id"), F.col("vec").alias("c_vec"), F.col("nrm").alias("c_nrm"), "cell"
@@ -274,17 +305,27 @@ def train_ivf_centroids(
     cents = base.where(F.col("id") < n_cells).select(
         F.col("id").alias("cid"), F.col("vec").alias("cvec")
     )
-    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cid").asc())
     for _ in range(iters):
         c = cents.select(
             "cid", "cvec", norm(F.col("cvec")).alias("cnrm")
         )
         sim = F.round(cosine(F.col("vec"), F.col("cvec"), F.col("nrm"), F.col("cnrm")), 6)
+        # map-side max_by argmax (same rewrite as ann_topk_ivf): n x K
+        # broadcast rows partial-aggregate to n per partition before the one
+        # exchange, paid once per Lloyd iteration; struct(sim, -cid) keeps
+        # the (sim desc, cid asc) tiebreak so trained centroids are
+        # bit-identical to the Window formulation.
         members = (
             base.crossJoin(F.broadcast(c))
             .select("id", "vec", "cid", sim.alias("sim"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
+            .groupBy("id")
+            .agg(
+                F.max_by(
+                    F.struct(F.col("cid"), F.col("vec")),
+                    F.struct(F.col("sim"), (-F.col("cid")).alias("ncid")),
+                ).alias("b")
+            )
+            .select("id", F.col("b.cid").alias("cid"), F.col("b.vec").alias("vec"))
         )
         dims = members.select("cid", F.posexplode("vec").alias("idx", "x"))
         means = (
