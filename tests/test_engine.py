@@ -568,3 +568,41 @@ def test_streaming_last_value_matches_batch(spark, events, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_hyperplane_lsh_survives_correlated_dims(spark):
+    """Coordinate-sign bucketing degenerates on correlated embeddings: if
+    every vector's leading coordinates share a sign (common for real
+    embedding models), ALL vectors collapse into one bucket and the
+    candidate join becomes all-pairs. Random-hyperplane buckets must (a)
+    keep discriminating on exactly that corpus and (b) still collide
+    near-duplicate vectors (the recall side)."""
+    from web_maxiv_hdbppviewer_spark.operators.similarity import (
+        hyperplane_bucket,
+        sign_bucket,
+    )
+
+    # deterministic correlated corpus: 100 vectors, all 64 coords > 0
+    x, rows = 12345, []
+    for vid in range(100):
+        vec, vals = [], []
+        for _ in range(64):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            vals.append(0.05 + (x >> 40) / float(1 << 24))  # in (0.05, 1.05)
+        rows.append((vid, vals))
+    # plant a near-duplicate of vector 0 (tiny positive perturbation)
+    dup = [v * 1.001 for v in rows[0][1]]
+    rows.append((100, dup))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = df.select(
+        "vec_id",
+        sign_bucket(F.col("embedding"), 4).alias("sb"),
+        hyperplane_bucket(F.col("embedding"), 4).alias("hb"),
+    ).collect()
+    sign_buckets = {r["sb"] for r in out}
+    hyper_buckets = {r["hb"] for r in out}
+    assert len(sign_buckets) == 1, "expected coordinate signs to collapse"
+    assert len(hyper_buckets) > 1, "hyperplane buckets must keep discriminating"
+    by_id = {r["vec_id"]: r["hb"] for r in out}
+    assert by_id[0] == by_id[100], "near-duplicate must share its hyperplane bucket"

@@ -93,14 +93,31 @@ _SIG_COLS = ",\n        ".join(
     for k, (a, b) in enumerate(MINHASH_AB)
 )
 
-# 8 disjoint 8-bit sign bands over the 64 embedding dims (mirrors
-# similarity.near_dup_pairs: band b bit j set iff v[b*8 + j + 1] >= 0)
-_EMB_BAND_COLS = ",\n               ".join(
-    " + ".join(
-        f"(CASE WHEN v[{b * 8 + j + 1}] >= 0 THEN {1 << j} ELSE 0 END)" for j in range(8)
+# random-hyperplane sign LSH - the SAME +-1 plane literals the Spark side
+# applies (operators/similarity.HYPERPLANES), emitted as an explicit
+# left-to-right chain of +-v[j] terms so the double sum is bit-identical
+from ..operators.similarity import HYPERPLANES  # noqa: E402
+
+
+def _plane_dot_sql(plane):
+    terms = " ".join(
+        ("+ " if s > 0 else "- ") + f"v[{j + 1}]" for j, s in enumerate(plane)
     )
-    + f" AS eb{b}"
-    for b in range(8)
+    return terms[2:] if terms.startswith("+ ") else terms
+
+
+def _hp_bucket_sql(nbits, plane_offset=0):
+    return " + ".join(
+        f"(CASE WHEN ROUND({_plane_dot_sql(HYPERPLANES[plane_offset + i])}, 6) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(nbits)
+    )
+
+
+# 8 disjoint 8-bit hyperplane bands (mirrors similarity.near_dup_pairs:
+# band b bit j set iff ROUND(dot(v, H[b*8 + j]), 6) >= 0)
+_EMB_BAND_COLS = ",\n               ".join(
+    _hp_bucket_sql(8, b * 8) + f" AS eb{b}" for b in range(8)
 )
 _EMB_BAND_OR = " OR ".join(f"a.eb{b} = b.eb{b}" for b in range(8))
 _BAND_COLS = ",\n        ".join(
@@ -223,10 +240,7 @@ EXTENSION_ORACLE = {
         WITH {_VECS},
         b AS (
           SELECT id, v, nrm,
-                 (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
-               + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
-               + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
-               + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bkt
+                 {_hp_bucket_sql(4)} AS bkt
           FROM vecs),
         scored AS (
           SELECT q.id AS q_id, c.id AS cand_id,
