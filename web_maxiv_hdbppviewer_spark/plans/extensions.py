@@ -414,6 +414,61 @@ def pipe_pack(spark, sf_dir):
     )
 
 
+def pipe_shard_sink(spark, sf_dir):
+    """Sharded training sink ROUND-TRIP: hash_split + pack-within-split +
+    ``write_training_shards`` to parquet partitioned by (split, shard), read
+    BACK from disk and audited per partition directory: document count,
+    total tokens, span extent, and ``contiguous`` - true iff, in on-disk
+    row order, every document's start_tok equals the previous document's
+    end_tok starting from 0 (the sequential-stream layout a training
+    data-loader requires). The oracle recomputes the same layout from first
+    principles (split CASE + per-(split,shard) window cumsum), so a green
+    row proves the sink wrote exactly the declared packing - not just that
+    a write happened."""
+    import os
+
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    packed = sampling.pack_sequences(
+        sampling.hash_split(docs, SPLIT_FRACTIONS),
+        PACK_SEQ_LEN,
+        PACK_SHARDS,
+        by=["split"],
+    ).select("doc_id", "split", "shard", "start_tok", "end_tok", "seq_id")
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    path = os.path.join(
+        repo_root, "spark-warehouse",
+        "shard_sink_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    sampling.write_training_shards(docs.select("doc_id", "text"), packed, path)
+    # one file per (split, shard) dir at this scale; _mid preserves on-disk
+    # row order within each scan partition (file splits are enumerated in
+    # offset order), so lag() over (_file, _mid) walks the stream layout
+    back = (
+        spark.read.parquet(path)
+        .withColumn("_file", F.input_file_name())
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    wf = Window.partitionBy("_file").orderBy("_mid")
+    return (
+        back.withColumn("_prev_end", F.lag("end_tok").over(wf))
+        .groupBy("split", F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("end_tok") - F.col("start_tok")).alias("total_toks"),
+            F.min("start_tok").alias("min_start"),
+            F.max("end_tok").alias("max_end"),
+            F.bool_and(
+                F.col("start_tok") == F.coalesce(F.col("_prev_end"), F.lit(0))
+            ).alias("contiguous"),
+        )
+        .orderBy("split", "shard")
+    )
+
+
 # Dict ORDER is load-bearing: the driver's correctness gate records at most 50
 # queries in queries() dict order (32 core + the first 18 entries here), so the
 # tail is never witnessed. CORRECTNESS_r02/r03 witnessed the original first 18;
@@ -432,6 +487,8 @@ EXTENSION_QUERIES = {
     "stream_last_value": stream_last_value,
     "stream_window": stream_window,
     "stream_dedup": stream_dedup,
+    # -- new in round 4 (must also sit inside the 50-entry gate window) --
+    "pipe_shard_sink": pipe_shard_sink,
     # -- previously witnessed (green rows in CORRECTNESS_r02 + _r03) --
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

@@ -488,6 +488,40 @@ EXTENSION_ORACLE = {
                CAST(FLOOR(start_tok / 2048.0) AS BIGINT) AS seq_id
         FROM c ORDER BY doc_id
     """,
+    # the shard-sink audit recomputed from first principles: split CASE
+    # (mirrors pipe_split), pack-within-split window cumsum (mirrors
+    # pipe_pack with PARTITION BY split, shard), then per-(split, shard)
+    # layout aggregates. contiguous is derivable here (cumsum tiles by
+    # construction); the Spark side measures it from on-disk row order.
+    "pipe_shard_sink": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                   AS n_tok,
+                 {H.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 10000 AS bs,
+                 {H.format(x="'pack:' || CAST(doc_id AS VARCHAR)")} % 10000 AS bp
+          FROM documents),
+        s AS (
+          SELECT doc_id, n_tok, bp,
+                 CASE WHEN bs < 8000 THEN 'train'
+                      WHEN bs < 9000 THEN 'val' ELSE 'test' END AS split
+          FROM t),
+        c AS (
+          SELECT split, bp % 16 AS shard, n_tok,
+                 CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY split, bp % 16 ORDER BY bp, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_tok
+          FROM s)
+        SELECT split, CAST(shard AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_toks,
+               CAST(MIN(start_tok) AS BIGINT) AS min_start,
+               CAST(MAX(start_tok + n_tok) AS BIGINT) AS max_end,
+               (MIN(start_tok) = 0
+                AND MAX(start_tok + n_tok) = SUM(n_tok)) AS contiguous
+        FROM c GROUP BY split, shard ORDER BY split, shard
+    """,
     # quality threshold mirrors extensions.CURATION_MIN_QUALITY = 0.32
     "pipe_curation": f"""
         WITH t AS (
