@@ -47,6 +47,29 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # end-to-end /image lifecycle (BASELINE.md: "end-to-end query latency
+    # for the §3 lifecycles"): catalog resolve -> extrema/pad -> 2-D binned
+    # raster + hover stats -> per-series line raster -> PNG encode, i.e.
+    # the full render_image path including the driver-side pixel collect
+    # and base64 encode the declared per-operator queries don't cover.
+    from datetime import datetime
+
+    from web_maxiv_hdbppviewer_spark.api.lifecycle import HdbppQueryEngine
+    from web_maxiv_hdbppviewer_spark.sources.fixtures import hdbpp_fixture
+
+    catalog, datapoints = hdbpp_fixture(spark, sf_dir)
+    engine = HdbppQueryEngine(catalog, datapoints)
+    attrs = [
+        {"name": f"cs1/dom{u % 5}/fam{u % 10}/mem{u % 3}/attr{u}", "y_axis": u % 2}
+        for u in range(8)
+    ]
+    t0 = time.perf_counter()
+    out = engine.render_image(
+        attrs, datetime(2024, 1, 1), datetime(2024, 1, 31), (800, 400)
+    )
+    assert out["images"], "lifecycle produced no axis images"
+    timings["lifecycle_image"] = round(time.perf_counter() - t0, 4)
+
     print(
         json.dumps(
             {

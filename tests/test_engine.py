@@ -606,3 +606,20 @@ def test_hyperplane_lsh_survives_correlated_dims(spark):
     assert len(hyper_buckets) > 1, "hyperplane buckets must keep discriminating"
     by_id = {r["vec_id"]: r["hb"] for r in out}
     assert by_id[0] == by_id[100], "near-duplicate must share its hyperplane bucket"
+
+
+def test_lang_id_trigram_classifies_planted_languages(spark):
+    """The trigram-profile classifier must pick the right language for
+    planted non-English fixtures (the marker-word v1 needed exact stopword
+    hits; trigrams must classify inflected/compound forms too)."""
+    from web_maxiv_hdbppviewer_spark.operators.textquality import lang_id
+
+    rows = [
+        (0, "the cat and the dog are sitting in the garden of the house"),
+        (1, "die verschiedenen einrichtungen und die geschichte der stadt"),
+        (2, "la questione era que los escritorios estaban ocupados en la oficina"),
+        (3, "le paysage et le laboratoire est entre les grandes eaux"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "es", 3: "fr"}, got

@@ -18,13 +18,15 @@ from ..functions.texthash import FP_PRIME, MERSENNE_31, md5_int60, words
 #: matches the synthetic corpus vocabulary)
 STOPWORDS = ["the", "a", "of", "and", "to"]
 
-#: marker tokens per language for the n-gram/stopword language heuristic;
-#: tie-break order is the dict order (first wins)
-LANG_MARKERS = {
-    "en": ["the", "a", "of", "and", "to", "is"],
-    "de": ["der", "die", "das", "und", "nicht"],
-    "es": ["el", "la", "los", "las", "que"],
-    "fr": ["le", "les", "des", "une", "est"],
+#: per-language character-trigram profiles (space = word boundary, the
+#: standard n-gram-profile language ID of Cavnar-Trenkle'94 reduced to
+#: literal top-trigram lists so scoring stays pure codegen and
+#: SQL-mirrorable); tie-break order is the dict order (first wins)
+LANG_TRIGRAMS = {
+    "en": [" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", " to"],
+    "de": [" de", "der", "die", "ie ", "und", " un", "sch", "ein", "ch ", "cht"],
+    "es": [" qu", "que", "ue ", " la", "la ", "os ", " es", "cio", " en", "ado"],
+    "fr": [" le", "le ", "es ", " et", "et ", " la", "ent", " pa", "ais", "eur"],
 }
 
 
@@ -92,11 +94,31 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def _trigram_hits(text_lower, trigram: str):
+    """Non-overlapping occurrence count of one trigram: every engine agrees
+    on (len(s) - len(replace(s, t, ''))) / 3, and the division is exact."""
+    return (
+        (F.length(text_lower) - F.length(F.replace(text_lower, F.lit(trigram), F.lit(""))))
+        / F.lit(3)
+    ).cast("long")
+
+
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Marker-token language heuristic: argmax of per-language marker hit
-    counts, ties broken by LANG_MARKERS order."""
-    toks = words(F.col(text_col))
-    scores = {lang: _count_in(toks, markers) for lang, markers in LANG_MARKERS.items()}
+    """Char-trigram-profile language ID: score(lang) = total occurrences of
+    that language's profile trigrams in the lower-cased text; argmax with
+    ties broken by LANG_TRIGRAMS order. Trigram counting via length-delta
+    of replace() keeps the whole classifier inside whole-stage codegen and
+    bit-reproducible in any SQL engine - no tokenizer dependency, and
+    unlike the marker-word heuristic it scores inflected/compound forms
+    (German 'verschiedenen' hits 'sch'/'ein'/'cht' without exact-word
+    matches)."""
+    low = F.lower(F.col(text_col))
+    scores = {
+        lang: sum(
+            (_trigram_hits(low, t) for t in tris[1:]), _trigram_hits(low, tris[0])
+        )
+        for lang, tris in LANG_TRIGRAMS.items()
+    }
     langs = list(scores)
     # cascade: lang i wins iff its score >= every later lang's score
     # (earlier langs already failed their own cascade step), so ties go to

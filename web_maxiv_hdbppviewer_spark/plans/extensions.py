@@ -487,8 +487,10 @@ EXTENSION_QUERIES = {
     "stream_last_value": stream_last_value,
     "stream_window": stream_window,
     "stream_dedup": stream_dedup,
-    # -- new in round 4 (must also sit inside the 50-entry gate window) --
+    # -- new or behavior-changed in round 4 (must also sit inside the
+    #    50-entry gate window so this round's driver rows witness them) --
     "pipe_shard_sink": pipe_shard_sink,
+    "text_langid": text_langid,
     # -- previously witnessed (green rows in CORRECTNESS_r02 + _r03) --
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -504,7 +506,6 @@ EXTENSION_QUERIES = {
     "text_tokens": text_tokens,
     "text_bpe": text_bpe,
     "text_quality": text_quality,
-    "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "multimodal_meta": multimodal_meta,
     "multimodal_extract": multimodal_extract,

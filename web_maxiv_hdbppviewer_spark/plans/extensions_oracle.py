@@ -119,6 +119,20 @@ def _hp_bucket_sql(nbits, plane_offset=0):
 _EMB_BAND_COLS = ",\n               ".join(
     _hp_bucket_sql(8, b * 8) + f" AS eb{b}" for b in range(8)
 )
+
+# trigram-profile scores - the SAME literals as textquality.LANG_TRIGRAMS;
+# length() (CHARACTERS, matching Spark's length - strlen would count bytes)
+# delta of replace() / 3 is exact, so the cast to BIGINT is lossless
+from ..operators.textquality import LANG_TRIGRAMS  # noqa: E402
+
+_LANG_SCORE_COLS = ",\n                 ".join(
+    "CAST(("
+    + " + ".join(
+        f"(length(s) - length(replace(s, '{t}', ''))) / 3" for t in tris
+    )
+    + f") AS BIGINT) AS s_{lang}"
+    for lang, tris in LANG_TRIGRAMS.items()
+)
 _EMB_BAND_OR = " OR ".join(f"a.eb{b} = b.eb{b}" for b in range(8))
 _BAND_COLS = ",\n        ".join(
     "s{a}::VARCHAR || ',' || s{b}::VARCHAR || ',' || s{c}::VARCHAR AS b{j}".format(
@@ -353,17 +367,14 @@ EXTENSION_ORACLE = {
                      + 0.3 * (n_dist / n), 6) AS quality
         FROM f ORDER BY doc_id
     """,
-    "text_langid": """
-        WITH t AS (
+    # trigram-profile language ID - the SAME profile literals the Spark side
+    # scores (operators/textquality.LANG_TRIGRAMS), occurrence counting via
+    # the exact length-delta-of-replace identity
+    "text_langid": f"""
+        WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+        sc AS (
           SELECT doc_id,
-                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
-          FROM documents),
-        s AS (
-          SELECT doc_id,
-                 len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS s_en,
-                 len(list_filter(toks, x -> x IN ('der','die','das','und','nicht'))) AS s_de,
-                 len(list_filter(toks, x -> x IN ('el','la','los','las','que'))) AS s_es,
-                 len(list_filter(toks, x -> x IN ('le','les','des','une','est'))) AS s_fr
+                 {_LANG_SCORE_COLS}
           FROM t)
         SELECT doc_id,
                CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
@@ -371,7 +382,7 @@ EXTENSION_ORACLE = {
                     WHEN s_es >= s_fr THEN 'es'
                     ELSE 'fr' END AS pred_lang,
                greatest(greatest(greatest(s_en, s_de), s_es), s_fr) AS score
-        FROM s ORDER BY doc_id
+        FROM sc ORDER BY doc_id
     """,
     "text_fingerprint": f"""
         WITH raw_toks AS (
