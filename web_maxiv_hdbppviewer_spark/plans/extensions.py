@@ -17,7 +17,7 @@ import itertools
 
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, sampling, similarity, textquality
+from ..operators import bpe, dedup, multimodal, sampling, similarity, textquality
 from ..sources.tables import load_tables
 
 JACCARD_THRESHOLD = 0.8
@@ -151,6 +151,28 @@ def text_quality(spark, sf_dir):
 
 def text_langid(spark, sf_dir):
     return textquality.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def text_bpe_train(spark, sf_dir):
+    """REAL BPE merge training (word-frequency BPE, Sennrich'16): the merge
+    table (step, lhs, rhs, n_pairs) learned distributively - one corpus
+    pass, then vocabulary-sized pair-count iterations with only the winning
+    pair crossing the driver per step. Oracle: the identical iterations
+    unrolled in SQL (list_reduce greedy merge)."""
+    return bpe.train_bpe_merges(_docs(spark, sf_dir), bpe.N_MERGES).orderBy("step")
+
+
+def text_bpe_apply(spark, sf_dir):
+    """Per-document token counts under the merges text_bpe_train just
+    learned: train (driver-bounded merge list), re-tokenize the vocabulary
+    through the merge sequence once, broadcast-join word sizes back to the
+    exploded corpus. Oracle: unrolled training + the same vocab join."""
+    docs = _docs(spark, sf_dir)
+    learned = [
+        (r["lhs"], r["rhs"])
+        for r in bpe.train_bpe_merges(docs, bpe.N_MERGES).orderBy("step").collect()
+    ]
+    return bpe.apply_bpe_merges(docs, learned).orderBy("doc_id")
 
 
 def text_fingerprint(spark, sf_dir):
@@ -491,18 +513,20 @@ EXTENSION_QUERIES = {
     #    50-entry gate window so this round's driver rows witness them) --
     "pipe_shard_sink": pipe_shard_sink,
     "text_langid": text_langid,
+    "text_bpe_train": text_bpe_train,
+    "text_bpe_apply": text_bpe_apply,
+    "sim_ann_lsh": sim_ann_lsh,
+    "dedup_embedding": dedup_embedding,
+    "sim_ann_ivf": sim_ann_ivf,
+    "sim_ann_ivf_trained": sim_ann_ivf_trained,
     # -- previously witnessed (green rows in CORRECTNESS_r02 + _r03) --
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
-    "dedup_embedding": dedup_embedding,
     "dedup_incremental": dedup_incremental,
     "dedup_clusters": dedup_clusters,
     "sim_topk_cosine": sim_topk_cosine,
-    "sim_ann_lsh": sim_ann_lsh,
-    "sim_ann_ivf": sim_ann_ivf,
-    "sim_ann_ivf_trained": sim_ann_ivf_trained,
     "text_tokens": text_tokens,
     "text_bpe": text_bpe,
     "text_quality": text_quality,

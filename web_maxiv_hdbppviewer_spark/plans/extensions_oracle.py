@@ -141,7 +141,70 @@ _BAND_COLS = ",\n        ".join(
     for j in range(4)
 )
 
+# unrolled BPE training (mirrors operators/bpe.train_bpe_merges): one
+# word-frequency pass, then per merge step a pair-count + argmax + exact
+# greedy list_reduce re-tokenization. MATERIALIZED keeps DuckDB from
+# inlining each state CTE into its two consumers (exponential re-eval).
+from ..operators.bpe import N_MERGES as _BPE_N  # noqa: E402
+
+
+def _bpe_blocks(n: int) -> list[str]:
+    blocks = [
+        """st0 AS MATERIALIZED (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS f,
+                 array_to_string(string_split(w, ''), chr(31)) AS s
+          FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS w
+                FROM documents)
+          GROUP BY w)"""
+    ]
+    for k in range(1, n + 1):
+        p = k - 1
+        blocks.append(f"""pc{k} AS MATERIALIZED (
+          SELECT lhs, rhs, CAST(SUM(f) AS BIGINT) AS n_pairs
+          FROM (SELECT f, l[i] AS lhs, l[i + 1] AS rhs
+                FROM (SELECT f, l, unnest(generate_series(1, len(l) - 1)) AS i
+                      FROM (SELECT f, string_split(s, chr(31)) AS l FROM st{p})))
+          GROUP BY lhs, rhs)""")
+        blocks.append(f"""best{k} AS MATERIALIZED (
+          SELECT {k} AS step, lhs, rhs, n_pairs FROM pc{k}
+          ORDER BY n_pairs DESC, lhs, rhs LIMIT 1)""")
+        blocks.append(f"""st{k} AS MATERIALIZED (
+          SELECT w, f, list_reduce(string_split(s, chr(31)), (acc, x) ->
+            CASE WHEN (acc = b.lhs OR ends_with(acc, chr(31) || b.lhs))
+                      AND x = b.rhs
+                 THEN acc || b.rhs ELSE acc || chr(31) || x END) AS s
+          FROM st{p}, best{k} b)""")
+    return blocks
+
+
+def _bpe_train_sql(n: int = _BPE_N) -> str:
+    union = "\n          UNION ALL ".join(
+        f"SELECT CAST(step AS BIGINT) AS step, lhs, rhs, n_pairs FROM best{k}"
+        for k in range(1, n + 1)
+    )
+    return (
+        "WITH " + ",\n        ".join(_bpe_blocks(n)) + f"\n        {union} ORDER BY step"
+    )
+
+
+def _bpe_apply_sql(n: int = _BPE_N) -> str:
+    return (
+        "WITH " + ",\n        ".join(_bpe_blocks(n)) + f"""
+        SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+        FROM (SELECT doc_id,
+                     unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS w
+              FROM documents)
+        JOIN (SELECT w, CAST(len(string_split(s, chr(31))) AS BIGINT) AS n_tok
+              FROM st{n}) USING (w)
+        GROUP BY doc_id ORDER BY doc_id"""
+    )
+
+
 EXTENSION_ORACLE = {
+    "text_bpe_train": _bpe_train_sql(),
+    "text_bpe_apply": _bpe_apply_sql(),
     "dedup_exact": """
         SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         FROM documents GROUP BY md5(LOWER(text)) ORDER BY keep_id
