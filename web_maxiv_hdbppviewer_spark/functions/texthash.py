@@ -36,6 +36,19 @@ def word_bigrams(tokens: Column) -> Column:
     )
 
 
+def word_kgrams(tokens: Column, k: int) -> Column:
+    """Adjacent word k-grams joined with one space. Guarded for short
+    docs: Spark's sequence(1, n-k+1) DESCENDS when n < k (it would emit
+    [1, 0]), so the short case returns an empty array explicitly - matching
+    SQL engines whose generate_series is empty when stop < start."""
+    n = F.size(tokens)
+    idxs = F.sequence(F.lit(1), n - k + 1)
+    grams = F.transform(
+        idxs, lambda i: F.array_join(F.slice(tokens, i, k), " ")
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
 def md5_int60(c: Column, salt: str | None = None) -> Column:
     """Portable 60-bit integer hash: bigint(md5(salt ':' x)[0:15 hex])."""
     src = F.concat(F.lit(f"{salt}:"), c) if salt is not None else c

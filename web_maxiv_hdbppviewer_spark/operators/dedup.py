@@ -46,7 +46,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.texthash import md5_int60, word_bigrams, words
+from ..functions.texthash import md5_int60, word_bigrams, word_kgrams, words
 
 NUM_PERM = 12
 BANDS = 4
@@ -534,3 +534,58 @@ def incremental_ngram_pairs(
         .distinct()
     )
     return _verify_pairs(docs, cands).where(F.col("jaccard") >= min_jaccard)
+
+
+def contamination_overlap(
+    eval_docs: DataFrame,
+    train_docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval decontamination check (the n-gram-overlap audit every
+    LLM training pipeline runs before trusting a benchmark number): for
+    each eval document, how many of its distinct word ``k``-grams also
+    appear anywhere in the training corpus.
+
+    Output (id, n_shingles, n_shared, shared_frac) - shared_frac ~ 1 means
+    the eval doc is effectively contained in the training set.
+
+    Scale shape: one distinct-shingle projection per side and a
+    shingle-equi LEFT SEMI join (co-partitioned shuffle, candidate volume
+    bounded by the eval side's shingles - never a cross product); the
+    train side deduplicates first so corpus-frequency skew cannot blow up
+    the join. At 100 TB the standard production refinement is a bloom
+    filter on the train shingle set broadcast to the eval side; the join
+    below is the exact form of that check.
+    """
+    ev_grams = eval_docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_kgrams(words(F.col(text_col)), k)).alias("g"),
+    )
+    sizes = ev_grams.select("id", F.size("g").cast("long").alias("n_shingles"))
+    ev = ev_grams.select("id", F.explode("g").alias("s"))
+    tr = (
+        train_docs.select(
+            F.explode(F.array_distinct(word_kgrams(words(F.col(text_col)), k))).alias("s")
+        )
+        .distinct()
+    )
+    shared = (
+        ev.join(tr, "s", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        sizes.join(shared, "id", "left")
+        .select(
+            "id",
+            "n_shingles",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            F.round(
+                F.coalesce(F.col("n_shared"), F.lit(0))
+                / F.greatest(F.col("n_shingles"), F.lit(1)),
+                6,
+            ).alias("shared_frac"),
+        )
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.texthash import FP_PRIME, MERSENNE_31, md5_int60, words
+from ..functions.texthash import FP_PRIME, MERSENNE_31, md5_int60, word_kgrams, words
 
 #: small in-expression stopword list for quality scoring (English-centric,
 #: matches the synthetic corpus vocabulary)
@@ -161,3 +161,51 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         lambda acc, x: (acc + x) % F.lit(MERSENNE_31),
     )
     return df.where(F.size(toks) > 0).select(F.col(id_col), fp.alias("fp"))
+
+
+def repetition_scores(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition features: of a document's
+    word ``k``-gram occurrences, what fraction are repeats of an earlier
+    k-gram (dup_frac), and what fraction belongs to the single most
+    frequent k-gram (top_frac). High values flag boilerplate / template /
+    spam documents that length or stopword heuristics miss.
+
+    dup_frac is a pure projection (array size vs distinct size, zero
+    shuffles); top_frac needs per-(doc, gram) counts - one explode +
+    grouped aggregation, corpus-linear in total k-grams with partial
+    aggregation before the exchange.
+    """
+    grams = word_kgrams(words(F.col(text_col)), k)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        grams.alias("g"),
+    )
+    top = (
+        base.select("id", F.explode("g").alias("s"))
+        .groupBy("id", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").cast("long").alias("top_c"))
+    )
+    return (
+        base.select("id", "n_grams", "n_distinct")
+        .join(top, "id", "left")
+        .select(
+            "id",
+            "n_grams",
+            F.round(
+                (F.col("n_grams") - F.col("n_distinct"))
+                / F.greatest(F.col("n_grams"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+            F.round(
+                F.coalesce(F.col("top_c"), F.lit(0))
+                / F.greatest(F.col("n_grams"), F.lit(1)),
+                6,
+            ).alias("top_frac"),
+        )
+    )

@@ -202,9 +202,69 @@ def _bpe_apply_sql(n: int = _BPE_N) -> str:
     )
 
 
+# word k-grams as (id, gram) rows: join k consecutive tokens with spaces;
+# generate_series(1, n-k+1) is empty when the doc is shorter than k
+def _kgram_rows_sql(k: int, src: str = "documents") -> str:
+    return f"""
+          SELECT doc_id AS id,
+                 array_to_string(list_slice(l, i, i + {k - 1}), ' ') AS s
+          FROM (SELECT doc_id, l,
+                       unnest(generate_series(1, len(l) - {k - 1})) AS i
+                FROM (SELECT doc_id,
+                             list_filter(string_split(lower(text), ' '),
+                                         x -> x <> '') AS l
+                      FROM {src}))"""
+
+
 EXTENSION_ORACLE = {
     "text_bpe_train": _bpe_train_sql(),
     "text_bpe_apply": _bpe_apply_sql(),
+    # Gopher-style repetition: duplicate word-trigram fraction + top-trigram
+    # mass (mirrors textquality.repetition_scores, REPETITION_K = 3)
+    "text_repetition": f"""
+        WITH g AS ({_kgram_rows_sql(3)}),
+        agg AS (
+          SELECT id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct,
+                 CAST(MAX(c) AS BIGINT) AS top_c
+          FROM (SELECT id, s, COUNT(*) OVER (PARTITION BY id, s) AS c FROM g)
+          GROUP BY id)
+        SELECT d.doc_id AS id,
+               CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+               ROUND(COALESCE(n_grams - n_distinct, 0)
+                     / GREATEST(COALESCE(n_grams, 0), 1), 6) AS dup_frac,
+               ROUND(COALESCE(top_c, 0)
+                     / GREATEST(COALESCE(n_grams, 0), 1), 6) AS top_frac
+        FROM documents d LEFT JOIN agg ON agg.id = d.doc_id
+        ORDER BY id
+    """,
+    # decontamination audit (mirrors dedup.contamination_overlap over the
+    # pipe_split hash splits, CONTAMINATION_K = 5): distinct test-doc
+    # 5-grams that appear anywhere in the train split
+    "pipe_contamination": f"""
+        WITH sp AS (
+          SELECT doc_id, text,
+                 CASE WHEN b < 8000 THEN 'train'
+                      WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT doc_id, text,
+                       {H.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 10000 AS b
+                FROM documents)),
+        evg AS (SELECT DISTINCT id, s FROM ({_kgram_rows_sql(5, "(SELECT doc_id, text FROM sp WHERE split = 'test')")})),
+        trg AS (SELECT DISTINCT s FROM ({_kgram_rows_sql(5, "(SELECT doc_id, text FROM sp WHERE split = 'train')")})),
+        sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM evg GROUP BY id),
+        shared AS (
+          SELECT id, CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM evg JOIN trg USING (s) GROUP BY id)
+        SELECT t.doc_id AS id,
+               CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+               ROUND(COALESCE(n_shared, 0)
+                     / GREATEST(COALESCE(n_shingles, 0), 1), 6) AS shared_frac
+        FROM (SELECT doc_id FROM sp WHERE split = 'test') t
+        LEFT JOIN sizes ON sizes.id = t.doc_id
+        LEFT JOIN shared ON shared.id = t.doc_id
+        ORDER BY id
+    """,
     "dedup_exact": """
         SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         FROM documents GROUP BY md5(LOWER(text)) ORDER BY keep_id
