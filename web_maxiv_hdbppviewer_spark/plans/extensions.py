@@ -174,6 +174,54 @@ def _trained_merges(spark, sf_dir) -> list[tuple[int, str, str, int]]:
     return _BPE_MERGE_MEMO[key]
 
 
+def sim_quantize(spark, sf_dir):
+    """Int8 embedding quantization audit: per-vector scale, code-vector
+    L1 mass / extremes, and max dequantization error - the scalars that
+    certify the int8 codes bit-for-bit without shipping arrays through the
+    comparator. Quantization itself is a pure projection (zero shuffles)."""
+    qz = similarity.quantize_embeddings(_emb(spark, sf_dir))
+    v = F.col("_v")
+    return (
+        qz.join(
+            similarity.with_norms(_emb(spark, sf_dir)).select(
+                "id", F.col("vec").alias("_v")
+            ),
+            "id",
+        )
+        .select(
+            "id",
+            "scale_r",
+            F.aggregate(
+                F.col("qvec"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.abs(x.cast("long")),
+            ).alias("q_l1"),
+            F.array_min("qvec").cast("long").alias("q_min"),
+            F.array_max("qvec").cast("long").alias("q_max"),
+            F.round(
+                F.array_max(
+                    F.zip_with(
+                        F.col("qvec"),
+                        v,
+                        lambda q, x: F.abs(q.cast("double") * F.col("scale_r") - x),
+                    )
+                ),
+                6,
+            ).alias("max_err_r"),
+        )
+        .orderBy("id")
+    )
+
+
+def sim_topk_quantized(spark, sf_dir):
+    """Brute-force cosine top-k over the DEQUANTIZED int8 embeddings - the
+    recall-fidelity probe for quantization, shape-identical to
+    sim_topk_cosine so rank drift is directly diffable."""
+    return similarity.topk_cosine_quantized(
+        _emb(spark, sf_dir), TOPK, QUERY_IDS_BELOW
+    ).orderBy("q_id", "rank")
+
+
 def text_repetition(spark, sf_dir):
     """Within-document repetition features (Gopher-style boilerplate
     detection): duplicate word-trigram fraction and top-trigram mass per
@@ -560,6 +608,8 @@ EXTENSION_QUERIES = {
     "dedup_embedding": dedup_embedding,
     "text_repetition": text_repetition,
     "pipe_contamination": pipe_contamination,
+    "sim_quantize": sim_quantize,
+    "sim_topk_quantized": sim_topk_quantized,
     # -- previously witnessed (green rows in CORRECTNESS_r02 + _r03; the
     #    two IVF queries' round-4 plan rewrite is bit-result-identical to
     #    their witnessed rows, re-verified by local parity at sf0.01) --

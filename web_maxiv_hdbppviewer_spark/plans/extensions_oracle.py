@@ -216,9 +216,55 @@ def _kgram_rows_sql(k: int, src: str = "documents") -> str:
                       FROM {src}))"""
 
 
+# int8 symmetric quantization (mirrors similarity.quantize_embeddings):
+# scale = ROUND(max|v|/127, 6) so both engines divide by the identical
+# double; codes = clamp(ROUND(v/scale), +-127)
+_QUANT = """
+  qz AS (
+    SELECT id, v, scale_r,
+           CASE WHEN scale_r > 0
+                THEN list_transform(v, x -> GREATEST(-127, LEAST(127,
+                       CAST(ROUND(x / scale_r, 0) AS INT))))
+                ELSE list_transform(v, x -> 0) END AS qvec
+    FROM (SELECT id, v,
+                 ROUND(list_max(list_transform(v, x -> abs(x))) / 127.0, 6)
+                   AS scale_r
+          FROM vecs))
+"""
+
 EXTENSION_ORACLE = {
     "text_bpe_train": _bpe_train_sql(),
     "text_bpe_apply": _bpe_apply_sql(),
+    "sim_quantize": f"""
+        WITH {_VECS}, {_QUANT}
+        SELECT id, scale_r,
+               CAST(list_sum(list_transform(qvec, x -> abs(x))) AS BIGINT) AS q_l1,
+               CAST(list_min(qvec) AS BIGINT) AS q_min,
+               CAST(list_max(qvec) AS BIGINT) AS q_max,
+               (SELECT ROUND(MAX(ABS(q * scale_r - x)), 6)
+                FROM (SELECT unnest(qvec) AS q, unnest(v) AS x)) AS max_err_r
+        FROM qz ORDER BY id
+    """,
+    "sim_topk_quantized": f"""
+        WITH {_VECS}, {_QUANT},
+        deq AS (
+          SELECT id, list_transform(qvec, q -> q * scale_r) AS v
+          FROM qz),
+        nv AS (
+          SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM deq),
+        scored AS (
+          SELECT q.id AS q_id, c.id AS cand_id,
+                 ROUND(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+          FROM nv q JOIN nv c ON c.id != q.id
+          WHERE q.id < 10),
+        ranked AS (
+          SELECT q_id, cand_id, cos_r,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos_r DESC, cand_id ASC) AS rank
+          FROM scored)
+        SELECT q_id, cand_id, cos_r, rank FROM ranked
+        WHERE rank <= 5 ORDER BY q_id, rank
+    """,
     # Gopher-style repetition: duplicate word-trigram fraction + top-trigram
     # mass (mirrors textquality.repetition_scores, REPETITION_K = 3)
     "text_repetition": f"""
