@@ -53,7 +53,8 @@ def test_dedup_queries_have_no_cross_product(spark):
     """Every similarity/dedup pipeline is candidate-bucketed: a cartesian
     or nested-loop join anywhere in these plans is a scale regression."""
     for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-                  "dedup_embedding", "dedup_incremental", "sim_ann_lsh"):
+                  "dedup_embedding", "dedup_incremental", "sim_ann_lsh",
+                  "pipe_contamination", "text_repetition"):
         plan = _plan(QUERIES[name](spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
