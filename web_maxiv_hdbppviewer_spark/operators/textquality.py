@@ -172,40 +172,51 @@ def repetition_scores(
     frequent k-gram (top_frac). High values flag boilerplate / template /
     spam documents that length or stopword heuristics miss.
 
-    dup_frac is a pure projection (array size vs distinct size, zero
-    shuffles); top_frac needs per-(doc, gram) counts - one explode +
-    grouped aggregation, corpus-linear in total k-grams with partial
-    aggregation before the exchange.
+    The WHOLE operator is a projection - zero shuffles, zero joins: the
+    top-gram count is the longest run in the doc's SORTED gram array,
+    computed by one sequential fold (an explode + double groupBy + join
+    formulation was measured ~10x slower at sf0.1 and shuffled the corpus's
+    grams twice for a per-document statistic).
+
+    The gram array is LET-BOUND via transform-over-a-1-element-array and
+    unpacked through explode: CollapseProject otherwise re-inlines the
+    k-gram construction into every one of its four uses (measured ~4x
+    recompute per row), and a Generate node is the projection-collapse
+    barrier that keeps it evaluated once.
     """
     grams = word_kgrams(words(F.col(text_col)), k)
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+
+    def _stats(g):
+        n = F.size(g)
+        run_state = F.aggregate(
+            F.array_sort(g),
+            F.struct(F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(one).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(one),
+                ).alias("best"),
+            ),
+        )
+        return F.struct(
+            n.cast("long").alias("n_grams"),
+            F.round(
+                (n - F.size(F.array_distinct(g))) / F.greatest(n, F.lit(1)), 6
+            ).alias("dup_frac"),
+            F.round(run_state["best"] / F.greatest(n, F.lit(1)), 6).alias("top_frac"),
+        )
+
     base = df.select(
         F.col(id_col).alias("id"),
-        F.size(grams).cast("long").alias("n_grams"),
-        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
-        grams.alias("g"),
+        F.explode(F.transform(F.array(grams), _stats)).alias("st"),
     )
-    top = (
-        base.select("id", F.explode("g").alias("s"))
-        .groupBy("id", "s")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("id")
-        .agg(F.max("c").cast("long").alias("top_c"))
-    )
-    return (
-        base.select("id", "n_grams", "n_distinct")
-        .join(top, "id", "left")
-        .select(
-            "id",
-            "n_grams",
-            F.round(
-                (F.col("n_grams") - F.col("n_distinct"))
-                / F.greatest(F.col("n_grams"), F.lit(1)),
-                6,
-            ).alias("dup_frac"),
-            F.round(
-                F.coalesce(F.col("top_c"), F.lit(0))
-                / F.greatest(F.col("n_grams"), F.lit(1)),
-                6,
-            ).alias("top_frac"),
-        )
+    return base.select(
+        "id",
+        F.col("st.n_grams").alias("n_grams"),
+        F.col("st.dup_frac").alias("dup_frac"),
+        F.col("st.top_frac").alias("top_frac"),
     )
