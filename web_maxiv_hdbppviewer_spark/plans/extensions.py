@@ -271,6 +271,43 @@ def text_fingerprint(spark, sf_dir):
 # --- multimodal ----------------------------------------------------------
 
 
+#: session gap for window_sessions (µs and the Spark literal)
+SESSION_GAP_US = 21_600_000_000
+SESSION_GAP = "6 hours"
+
+
+def window_sessions(spark, sf_dir):
+    """Gap-based sessionization (the session-window sibling of T3's
+    tumbling windows): per-user sessions that close after 6h of
+    inactivity - F.session_window start/end (end = last event + gap),
+    event count, round-6 value sum. The identical expression runs under
+    Structured Streaming with withWatermark (sessions merge across
+    micro-batches); batch mode here makes it oracle-checkable against the
+    classic gaps-and-islands SQL."""
+    from ..functions.time import epoch_us
+
+    # load_tables already synthesizes ts as a µs TIMESTAMP from the raw
+    # int64 nanos column
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.col("ts").alias("tss"), "value"
+    )
+    return (
+        ev.groupBy("user_id", F.session_window(F.col("tss"), SESSION_GAP).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_v"),
+        )
+        .select(
+            "user_id",
+            epoch_us(F.col("w.start")).alias("start_us"),
+            epoch_us(F.col("w.end")).alias("end_us"),
+            "n_events",
+            "sum_v",
+        )
+        .orderBy("user_id", "start_us")
+    )
+
+
 # --- streaming -----------------------------------------------------------
 
 _STREAM_SEQ = itertools.count()
@@ -610,6 +647,7 @@ EXTENSION_QUERIES = {
     "pipe_contamination": pipe_contamination,
     "sim_quantize": sim_quantize,
     "sim_topk_quantized": sim_topk_quantized,
+    "window_sessions": window_sessions,
     # -- previously witnessed (green rows in CORRECTNESS_r02 + _r03; the
     #    two IVF queries' round-4 plan rewrite is bit-result-identical to
     #    their witnessed rows, re-verified by local parity at sf0.01) --

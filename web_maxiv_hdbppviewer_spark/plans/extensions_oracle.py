@@ -634,6 +634,30 @@ EXTENSION_ORACLE = {
                               WHEN 'src1' THEN 2500 ELSE 1000 END
         ORDER BY doc_id
     """,
+    # gaps-and-islands sessionization (mirrors extensions.window_sessions,
+    # 6h gap): new session iff the per-user time delta >= gap; session end
+    # = last event + gap, matching F.session_window semantics
+    "window_sessions": """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+        m AS (
+          SELECT user_id, t, value,
+                 CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                        OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                           >= 21600000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM e),
+        i AS (
+          SELECT user_id, t, value,
+                 SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m)
+        SELECT user_id,
+               CAST(MIN(t) AS BIGINT) AS start_us,
+               CAST(MAX(t) + 21600000000 AS BIGINT) AS end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 6) AS sum_v
+        FROM i GROUP BY user_id, sid ORDER BY user_id, start_us
+    """,
     # streaming dedup of the self-unioned stream must equal the plain table
     "stream_dedup": """
         SELECT event_id, epoch_us(ts) AS t_us, user_id
