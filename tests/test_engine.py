@@ -623,3 +623,24 @@ def test_lang_id_trigram_classifies_planted_languages(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
     assert got == {0: "en", 1: "de", 2: "es", 3: "fr"}, got
+
+
+def test_bpe_merge_fold_is_exact_greedy(spark):
+    """The merge fold must implement greedy left-to-right non-overlapping
+    BPE application: a run [a,a,a] under pair (a,a) merges the FIRST two
+    tokens ([aa, a]), and alternations [x,a,b,a,b] merge every eligible
+    pair in one pass - the semantics the DuckDB list_reduce oracle
+    replicates verbatim."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.operators.bpe import SEP, _merge_fold
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["x", "a", "b", "a", "b"],), (["a"],)],
+        "l array<string>",
+    )
+    got = [r[0] for r in df.select(_merge_fold(F.col("l"), "a", "a")).collect()]
+    assert got[0] == "aa" + SEP + "a"
+    got2 = [r[0] for r in df.select(_merge_fold(F.col("l"), "a", "b")).collect()]
+    assert got2[1] == "x" + SEP + "ab" + SEP + "ab"
+    assert got2[2] == "a"  # single-token word passes through untouched
