@@ -40,6 +40,12 @@ def main() -> None:
     spark.range(0, 32, 1, 32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # touch every input table once so footer/page caches are warm for the
+    # extension queries too, not just the events-backed core set
+    for t in ("documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(queries, key=lambda n: (len(n), n)):

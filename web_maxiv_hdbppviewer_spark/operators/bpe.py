@@ -75,14 +75,22 @@ def train_bpe_merges(
     (step, lhs, rhs, n_pairs) - step is 1-based training order, n_pairs the
     frequency-weighted adjacent-pair count that won the step."""
     spark = df.sparkSession
+    # ONE materialization (the corpus-wide word-count pass); the evolving
+    # tokenization stays a LAZY nested-fold expression over it - per
+    # iteration that re-evaluates every prior merge's fold (O(n_merges^2 x
+    # vocab) total, cheap for vocabulary tables), which beats a
+    # localCheckpoint job per iteration (measured: checkpoint scheduling
+    # dominated the loop on small vocabularies, and at large vocab a
+    # checkpoint write per merge step is corpus-I/O the folds avoid).
     states = (
         word_frequencies(df, text_col)
         .select("w", "f", F.array_join(F.split("w", ""), SEP).alias("s"))
         .localCheckpoint()
     )
+    s_expr = F.col("s")
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
-        l = F.split(F.col("s"), SEP)
+        l = F.split(s_expr, SEP)
         pairs = states.select(
             "f",
             F.explode(
@@ -105,9 +113,7 @@ def train_bpe_merges(
             break
         a, b, n = best[0]["lhs"], best[0]["rhs"], int(best[0]["n_pairs"])
         merges.append((step, a, b, n))
-        states = states.select(
-            "w", "f", _merge_fold(F.split(F.col("s"), SEP), a, b).alias("s")
-        ).localCheckpoint()
+        s_expr = _merge_fold(F.split(s_expr, SEP), a, b)
     return spark.createDataFrame(
         merges, "step long, lhs string, rhs string, n_pairs long"
     )
