@@ -644,3 +644,17 @@ def test_bpe_merge_fold_is_exact_greedy(spark):
     got2 = [r[0] for r in df.select(_merge_fold(F.col("l"), "a", "b")).collect()]
     assert got2[1] == "x" + SEP + "ab" + SEP + "ab"
     assert got2[2] == "a"  # single-token word passes through untouched
+
+
+def test_quantization_error_bounded_by_half_scale(spark):
+    """Symmetric int8 quantization error must never exceed scale/2: codes
+    are round-to-nearest and max|v| maps to exactly +-127, so clamping
+    never truncates. A violation means the scale or rounding drifted."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["sim_quantize"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["max_err_r"] <= r["scale_r"] / 2 + 1e-9, (
+            r["id"], r["max_err_r"], r["scale_r"])
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127

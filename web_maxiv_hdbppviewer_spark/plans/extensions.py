@@ -276,6 +276,36 @@ SESSION_GAP_US = 21_600_000_000
 SESSION_GAP = "6 hours"
 
 
+def sim_ann_recall(spark, sf_dir):
+    """Recall@k of the hyperplane-LSH ANN against the exact brute-force
+    top-k, per query - the measurement loop that justifies (or indicts)
+    any ANN configuration. Exact side uses the ANN's k so the sets are
+    comparable; output (q_id, n_hits, recall_r)."""
+    ann = similarity.ann_topk_lsh(
+        _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW, ANN_NBITS
+    ).select("q_id", "cand_id")
+    exact = similarity.topk_cosine(
+        _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW
+    ).select("q_id", "cand_id")
+    hits = (
+        exact.join(ann, ["q_id", "cand_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    qids = exact.select("q_id").distinct()
+    return (
+        qids.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(ANN_TOPK)), 6
+            ).alias("recall_r"),
+        )
+        .orderBy("q_id")
+    )
+
+
 def window_sessions(spark, sf_dir):
     """Gap-based sessionization (the session-window sibling of T3's
     tumbling windows): per-user sessions that close after 6h of
@@ -648,6 +678,7 @@ EXTENSION_QUERIES = {
     "sim_quantize": sim_quantize,
     "sim_topk_quantized": sim_topk_quantized,
     "window_sessions": window_sessions,
+    "sim_ann_recall": sim_ann_recall,
     # -- previously witnessed (green rows in CORRECTNESS_r02 + _r03; the
     #    two IVF queries' round-4 plan rewrite is bit-result-identical to
     #    their witnessed rows, re-verified by local parity at sf0.01) --

@@ -634,6 +634,43 @@ EXTENSION_ORACLE = {
                               WHEN 'src1' THEN 2500 ELSE 1000 END
         ORDER BY doc_id
     """,
+    # recall@k of hyperplane-LSH ANN vs exact top-k (mirrors
+    # extensions.sim_ann_recall: both sides at ANN_TOPK=3, nbits=4)
+    "sim_ann_recall": f"""
+        WITH {_VECS},
+        b AS (
+          SELECT id, v, nrm, {_hp_bucket_sql(4)} AS bkt
+          FROM vecs),
+        ann AS (
+          SELECT q_id, cand_id FROM (
+            SELECT q.id AS q_id, c.id AS cand_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.id
+                     ORDER BY ROUND(list_inner_product(q.v, c.v)
+                                    / (q.nrm * c.nrm), 6) DESC, c.id ASC) AS rank
+            FROM b q JOIN b c ON q.bkt = c.bkt AND c.id != q.id
+            WHERE q.id < 10)
+          WHERE rank <= 3),
+        exact AS (
+          SELECT q_id, cand_id FROM (
+            SELECT q.id AS q_id, c.id AS cand_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.id
+                     ORDER BY ROUND(list_inner_product(q.v, c.v)
+                                    / (q.nrm * c.nrm), 6) DESC, c.id ASC) AS rank
+            FROM vecs q JOIN vecs c ON c.id != q.id
+            WHERE q.id < 10)
+          WHERE rank <= 3),
+        hits AS (
+          SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM exact e JOIN ann a ON a.q_id = e.q_id AND a.cand_id = e.cand_id
+          GROUP BY e.q_id),
+        qids AS (SELECT DISTINCT q_id FROM exact)
+        SELECT qids.q_id AS q_id,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_hits,
+               ROUND(COALESCE(n, 0) / 3.0, 6) AS recall_r
+        FROM qids LEFT JOIN hits USING (q_id) ORDER BY q_id
+    """,
     # gaps-and-islands sessionization (mirrors extensions.window_sessions,
     # 6h gap): new session iff the per-user time delta >= gap; session end
     # = last event + gap, matching F.session_window semantics
