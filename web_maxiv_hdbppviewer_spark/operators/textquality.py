@@ -18,6 +18,10 @@ from ..functions.texthash import FP_PRIME, MERSENNE_31, md5_int60, word_kgrams, 
 #: matches the synthetic corpus vocabulary)
 STOPWORDS = ["the", "a", "of", "and", "to"]
 
+#: literal query terms for the declared BM25 scoring query (mixed document
+#: frequencies: two common terms, one rare)
+BM25_TERMS = ["query", "dup", "customer"]
+
 #: per-language character-trigram profiles (space = word boundary, the
 #: standard n-gram-profile language ID of Cavnar-Trenkle'94 reduced to
 #: literal top-trigram lists so scoring stays pure codegen and
@@ -220,3 +224,56 @@ def repetition_scores(
         F.col("st.dup_frac").alias("dup_frac"),
         F.col("st.top_frac").alias("top_frac"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance of every document against a literal query-term list
+    (Robertson-Sparck Jones; the ranking function behind Lucene et al.):
+
+      score(d) = sum over t of idf(t) * tf * (k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+      idf(t)   = ROUND(ln((N - df_t + 0.5)/(df_t + 0.5) + 1), 6)
+
+    Corpus statistics (N, per-term document frequencies, ROUND-6 avgdl)
+    are ONE aggregation pass collected to the driver (a handful of
+    scalars, bounded by the term count - the same bounded-round-trip
+    discipline as BPE/k-means training); scoring is then a pure
+    projection. Both idf and avgdl are rounded to 6 decimals BEFORE use,
+    so the only cross-engine float surface is the final arithmetic, which
+    is written in the identical operation order as the SQL oracle.
+    """
+    import math
+
+    toks = words(F.col(text_col))
+    stats = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.size(toks)), 6).alias("avgdl"),
+        *[
+            F.sum(
+                (F.size(F.filter(toks, lambda x: x == F.lit(t))) > 0).cast("long")
+            ).alias(f"df{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], stats["avgdl"]
+    idfs = [
+        round(
+            math.log((n_docs - stats[f"df{i}"] + 0.5) / (stats[f"df{i}"] + 0.5) + 1.0),
+            6,
+        )
+        for i in range(len(terms))
+    ]
+    dl = F.size(toks).cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(float(avgdl)))
+    score = None
+    for t, idf in zip(terms, idfs):
+        tf = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
+        part = F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
+        score = part if score is None else score + part
+    return df.select(F.col(id_col), F.round(score, 6).alias("bm25"))

@@ -222,6 +222,16 @@ def sim_topk_quantized(spark, sf_dir):
     ).orderBy("q_id", "rank")
 
 
+def text_bm25(spark, sf_dir):
+    """BM25 relevance of every document against the literal BM25_TERMS
+    query (one corpus-stats aggregation collected to the driver, then a
+    pure scoring projection). Oracle: the identical statistics and scoring
+    arithmetic in SQL, operation order matched term for term."""
+    return textquality.bm25_scores(
+        _docs(spark, sf_dir), textquality.BM25_TERMS
+    ).orderBy("doc_id")
+
+
 def text_repetition(spark, sf_dir):
     """Within-document repetition features (Gopher-style boilerplate
     detection): duplicate word-trigram fraction and top-trigram mass per
@@ -274,6 +284,53 @@ def text_fingerprint(spark, sf_dir):
 #: session gap for window_sessions (µs and the Spark literal)
 SESSION_GAP_US = 21_600_000_000
 SESSION_GAP = "6 hours"
+
+
+def events_quantiles(spark, sf_dir):
+    """Exact per-user latency-style percentiles (P50/P95/P99): Spark's
+    exact ``percentile`` (linear interpolation) is bit-matched by DuckDB's
+    ``quantile_cont`` under the round-6 discipline. NaNs are filtered
+    explicitly - the two engines order NaN differently, and percentile
+    semantics over NaN are not portable."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def window_sliding(spark, sf_dir):
+    """Sliding-window aggregation (1-day windows advancing every 6h):
+    every event lands in 4 overlapping windows - F.window with a slide
+    shorter than the width, the hopping-window form the tumbling coverage
+    (q18/stream_window) lacks. The oracle replicates by unioning the 4
+    per-offset bucket assignments."""
+    from ..functions.time import epoch_us
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = F.window(F.col("ts"), "1 day", "6 hours")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("value"), 6).alias("mean_v"),
+        )
+        .select(
+            epoch_us(F.col("w.start")).alias("start_us"),
+            epoch_us(F.col("w.end")).alias("end_us"),
+            "n",
+            "mean_v",
+        )
+        .orderBy("start_us")
+    )
 
 
 def sim_ann_recall(spark, sf_dir):
@@ -679,6 +736,9 @@ EXTENSION_QUERIES = {
     "sim_topk_quantized": sim_topk_quantized,
     "window_sessions": window_sessions,
     "sim_ann_recall": sim_ann_recall,
+    "events_quantiles": events_quantiles,
+    "window_sliding": window_sliding,
+    "text_bm25": text_bm25,
     # -- previously witnessed (green rows in CORRECTNESS_r02 + _r03; the
     #    two IVF queries' round-4 plan rewrite is bit-result-identical to
     #    their witnessed rows, re-verified by local parity at sf0.01) --

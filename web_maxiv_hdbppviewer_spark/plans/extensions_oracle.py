@@ -146,6 +146,7 @@ _BAND_COLS = ",\n        ".join(
 # greedy list_reduce re-tokenization. MATERIALIZED keeps DuckDB from
 # inlining each state CTE into its two consumers (exponential re-eval).
 from ..operators.bpe import N_MERGES as _BPE_N  # noqa: E402
+from ..operators.textquality import BM25_TERMS as _BM25_TERMS  # noqa: E402
 
 
 def _bpe_blocks(n: int) -> list[str]:
@@ -670,6 +671,62 @@ EXTENSION_ORACLE = {
                CAST(COALESCE(n, 0) AS BIGINT) AS n_hits,
                ROUND(COALESCE(n, 0) / 3.0, 6) AS recall_r
         FROM qids LEFT JOIN hits USING (q_id) ORDER BY q_id
+    """,
+    # BM25 against the literal extensions.BM25_TERMS query: identical
+    # corpus statistics (N, df_t, ROUND-6 avgdl), idf ROUNDed to 6 before
+    # use, and the scoring arithmetic written in the same operation order
+    # as the Spark projection (k1=1.2, b=0.75)
+    "text_bm25": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents),
+        st AS (
+          SELECT COUNT(*) AS n, ROUND(AVG(len(toks)), 6) AS avgdl FROM t),
+        dfs AS (
+          SELECT {", ".join(
+            f"SUM(CASE WHEN len(list_filter(toks, x -> x = '{t}')) > 0"
+            f" THEN 1 ELSE 0 END) AS df{i}" for i, t in enumerate(_BM25_TERMS))}
+          FROM t),
+        idf AS (
+          SELECT {", ".join(
+            f"ROUND(ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1), 6) AS idf{i}"
+            for i in range(len(_BM25_TERMS)))}
+          FROM st, dfs)
+        SELECT doc_id,
+               ROUND({" + ".join(
+                 f"idf{i} * tf{i} * 2.2 / (tf{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+                 for i in range(len(_BM25_TERMS)))}, 6) AS bm25
+        FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                     {", ".join(
+                       f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+                       for i, t in enumerate(_BM25_TERMS))}
+              FROM t), st, idf
+        ORDER BY doc_id
+    """,
+    # exact percentiles: Spark percentile == DuckDB quantile_cont (both
+    # linear interpolation) under round-6; NaNs filtered on both sides
+    "events_quantiles": """
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.95), 6) AS p95,
+               ROUND(quantile_cont(value, 0.99), 6) AS p99
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        GROUP BY user_id ORDER BY user_id
+    """,
+    # hopping windows: every event belongs to width/slide = 4 windows whose
+    # starts are the 4 preceding slide-aligned boundaries (Spark's
+    # epoch-aligned window(ts, '1 day', '6 hours') semantics)
+    "window_sliding": """
+        WITH e AS (SELECT epoch_us(ts) AS t, value FROM events),
+        x AS (
+          SELECT ((t // 21600000000) - k) * 21600000000 AS start_us, value
+          FROM e, range(0, 4) r(k))
+        SELECT CAST(start_us AS BIGINT) AS start_us,
+               CAST(start_us + 86400000000 AS BIGINT) AS end_us,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(value), 6) AS mean_v
+        FROM x GROUP BY start_us ORDER BY start_us
     """,
     # gaps-and-islands sessionization (mirrors extensions.window_sessions,
     # 6h gap): new session iff the per-user time delta >= gap; session end
