@@ -178,17 +178,12 @@ def sim_quantize(spark, sf_dir):
     """Int8 embedding quantization audit: per-vector scale, code-vector
     L1 mass / extremes, and max dequantization error - the scalars that
     certify the int8 codes bit-for-bit without shipping arrays through the
-    comparator. Quantization itself is a pure projection (zero shuffles)."""
-    qz = similarity.quantize_embeddings(_emb(spark, sf_dir))
-    v = F.col("_v")
+    comparator. One pure projection end to end (keep_vec carries the float
+    vector alongside the codes, so no re-join against the source)."""
+    qz = similarity.quantize_embeddings(_emb(spark, sf_dir), keep_vec=True)
+    v = F.col("vec")
     return (
-        qz.join(
-            similarity.with_norms(_emb(spark, sf_dir)).select(
-                "id", F.col("vec").alias("_v")
-            ),
-            "id",
-        )
-        .select(
+        qz.select(
             "id",
             "scale_r",
             F.aggregate(
