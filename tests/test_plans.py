@@ -414,3 +414,12 @@ def test_dedup_and_graph_empty_input_edges(spark):
     empty_docs = spark.createDataFrame([], "doc_id long, text string")
     assert dedup.simhash_pairs(empty_docs).count() == 0
     assert dedup.incremental_ngram_pairs(empty_docs, lambda c: F.lit(True), 0.8).count() == 0
+
+
+def test_sim_quantize_is_projection_only(spark):
+    """The quantization audit must stay a pure projection: no join against
+    the source table (keep_vec carries the float vector), and the only
+    exchange is the presentation orderBy."""
+    plan = _plan(QUERIES["sim_quantize"](spark, SF_SMOKE))
+    assert "Join" not in plan, "quantization audit re-joined its source"
+    assert plan.count("Exchange") <= 1

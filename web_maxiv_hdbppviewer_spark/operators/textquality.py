@@ -81,20 +81,34 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     - a deterministic toy of the usual heuristic quality filters
     (C4/Gopher-style rules), kept SQL-mirrorable.
     """
-    toks = words(F.col(text_col))
-    n = F.size(toks)
-    n_stop = _count_in(toks, STOPWORDS)
-    n_dist = F.size(F.array_distinct(toks))
-    stop_ratio = n_stop / n
-    dist_ratio = n_dist / n
-    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
-    return df.select(
+    # let-bind the token array behind a Generate barrier: CollapseProject
+    # otherwise re-inlines the split into each of the ~6 uses per row
+    def _feat(toks):
+        n = F.size(toks)
+        stop_ratio = _count_in(toks, STOPWORDS) / n
+        dist_ratio = F.size(F.array_distinct(toks)) / n
+        len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            F.round(stop_ratio, 6).alias("stop_ratio"),
+            F.round(dist_ratio, 6).alias("distinct_ratio"),
+            F.round(
+                0.4 * stop_ratio + 0.3 * len_score + 0.3 * dist_ratio, 6
+            ).alias("quality"),
+        )
+
+    base = df.select(
         F.col(id_col),
         F.length(F.col(text_col)).cast("long").alias("n_chars_m"),
-        n.cast("long").alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(dist_ratio, 6).alias("distinct_ratio"),
-        F.round(0.4 * stop_ratio + 0.3 * len_score + 0.3 * dist_ratio, 6).alias("quality"),
+        F.explode(F.transform(F.array(words(F.col(text_col))), _feat)).alias("q"),
+    )
+    return base.select(
+        id_col,
+        "n_chars_m",
+        F.col("q.n_tokens").alias("n_tokens"),
+        F.col("q.stop_ratio").alias("stop_ratio"),
+        F.col("q.distinct_ratio").alias("distinct_ratio"),
+        F.col("q.quality").alias("quality"),
     )
 
 
