@@ -281,6 +281,30 @@ SESSION_GAP_US = 21_600_000_000
 SESSION_GAP = "6 hours"
 
 
+def events_rollup(spark, sf_dir):
+    """Hierarchical ROLLUP aggregation (the OLAP grouping-sets family):
+    event counts and round-6 value sums at (event_type, user bucket),
+    (event_type), and grand-total levels in ONE pass - Spark expands the
+    grouping sets before the shuffle, so it costs one exchange, not three
+    jobs. grouping_id disambiguates levels (NULL-valued group columns vs
+    genuine NULLs)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.select(
+            "event_type",
+            (F.col("user_id") % 10).cast("long").alias("user_bucket"),
+            "value",
+        )
+        .rollup("event_type", "user_bucket")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_v"),
+        )
+        .orderBy("gid", "event_type", "user_bucket")
+    )
+
+
 def events_quantiles(spark, sf_dir):
     """Exact per-user latency-style percentiles (P50/P95/P99): Spark's
     exact ``percentile`` (linear interpolation) is bit-matched by DuckDB's
@@ -734,6 +758,7 @@ EXTENSION_QUERIES = {
     "events_quantiles": events_quantiles,
     "window_sliding": window_sliding,
     "text_bm25": text_bm25,
+    "events_rollup": events_rollup,
     # -- previously witnessed (green rows in CORRECTNESS_r02 + _r03; the
     #    two IVF queries' round-4 plan rewrite is bit-result-identical to
     #    their witnessed rows, re-verified by local parity at sf0.01) --

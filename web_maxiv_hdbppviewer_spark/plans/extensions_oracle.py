@@ -704,6 +704,19 @@ EXTENSION_ORACLE = {
               FROM t), st, idf
         ORDER BY doc_id
     """,
+    # ROLLUP levels with GROUPING() encoding matched to Spark's
+    # grouping_id bit order (event_type = high bit... low bit = last col)
+    "events_rollup": """
+        SELECT event_type,
+               CAST(user_id % 10 AS BIGINT) AS user_bucket,
+               CAST(GROUPING(event_type) * 2
+                    + GROUPING(user_id % 10) AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(value), 6) AS sum_v
+        FROM events
+        GROUP BY ROLLUP(event_type, user_id % 10)
+        ORDER BY gid, event_type, user_bucket
+    """,
     # exact percentiles: Spark percentile == DuckDB quantile_cont (both
     # linear interpolation) under round-6; NaNs filtered on both sides
     "events_quantiles": """
