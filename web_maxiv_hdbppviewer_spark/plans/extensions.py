@@ -305,6 +305,27 @@ def events_rollup(spark, sf_dir):
     )
 
 
+#: the events table's closed event vocabulary (pivot columns)
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot(spark, sf_dir):
+    """Pivoted per-user event-type counts (long -> wide): one row per user,
+    one column per event type, via DataFrame ``pivot`` with EXPLICIT value
+    list - literal pivot values keep it one aggregation pass (no extra
+    distinct-scan job to discover columns). Absent combinations coalesce
+    to 0; the oracle is plain conditional aggregation."""
+    ev = load_tables(spark, sf_dir)["events"]
+    wide = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    ).orderBy("user_id")
+
+
 def events_quantiles(spark, sf_dir):
     """Exact per-user latency-style percentiles (P50/P95/P99): Spark's
     exact ``percentile`` (linear interpolation) is bit-matched by DuckDB's
@@ -759,6 +780,7 @@ EXTENSION_QUERIES = {
     "window_sliding": window_sliding,
     "text_bm25": text_bm25,
     "events_rollup": events_rollup,
+    "events_pivot": events_pivot,
     # -- previously witnessed (green rows in CORRECTNESS_r02 + _r03; the
     #    two IVF queries' round-4 plan rewrite is bit-result-identical to
     #    their witnessed rows, re-verified by local parity at sf0.01) --

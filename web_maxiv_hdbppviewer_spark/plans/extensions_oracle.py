@@ -704,6 +704,17 @@ EXTENSION_ORACLE = {
               FROM t), st, idf
         ORDER BY doc_id
     """,
+    # long->wide pivot as conditional aggregation (mirrors
+    # extensions.events_pivot's literal EVENT_TYPES column set)
+    "events_pivot": """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
     # ROLLUP levels with GROUPING() encoding matched to Spark's
     # grouping_id bit order (event_type = high bit... low bit = last col)
     "events_rollup": """
