@@ -658,3 +658,43 @@ def test_quantization_error_bounded_by_half_scale(spark):
         assert r["max_err_r"] <= r["scale_r"] / 2 + 1e-9, (
             r["id"], r["max_err_r"], r["scale_r"])
         assert -127 <= r["q_min"] <= r["q_max"] <= 127
+
+
+def test_datapoints_text_formats_round_trip(spark, tmp_path):
+    """CSV / JSONL / ORC interchange must round-trip the datapoints dataset
+    losslessly under the ENFORCED schema: microsecond timestamps survive
+    the ISO text encoding, NULL vs empty-string readings stay distinct,
+    and the spectrum array survives CSV's flat encoding."""
+    from datetime import datetime
+
+    from web_maxiv_hdbppviewer_spark.schemas import DATAPOINTS_SCHEMA
+    from web_maxiv_hdbppviewer_spark.sources import formats
+
+    rows = [
+        (1, "scalar_devdouble_ro", "2024-01-05",
+         datetime(2024, 1, 5, 12, 0, 0, 123456), 1.5, None, None, 0, None),
+        (1, "scalar_devstring_ro", "2024-01-05",
+         datetime(2024, 1, 5, 12, 0, 1, 999999), None, "", None, 0, None),
+        (2, "scalar_devstring_ro", "2024-01-06",
+         datetime(2024, 1, 6, 0, 0, 0, 1), None, "hello world", None, 1, "err"),
+        (2, "scalar_devdouble_ro", "2024-01-06",
+         datetime(2024, 1, 6, 23, 59, 59, 500000), -0.25, None,
+         [1.0, -2.5, 0.1234567890123], None, None),
+    ]
+    df = spark.createDataFrame(rows, DATAPOINTS_SCHEMA)
+    want = sorted(map(tuple, df.collect()))
+
+    p = str(tmp_path / "csv")
+    formats.write_datapoints_csv(df, p)
+    got = sorted(map(tuple, formats.read_datapoints_csv(spark, p).collect()))
+    assert got == want, "csv round-trip drifted"
+
+    p = str(tmp_path / "jsonl")
+    formats.write_datapoints_jsonl(df, p)
+    got = sorted(map(tuple, formats.read_datapoints_jsonl(spark, p).collect()))
+    assert got == want, "jsonl round-trip drifted"
+
+    p = str(tmp_path / "orc")
+    formats.write_datapoints_orc(df, p)
+    got = sorted(map(tuple, formats.read_datapoints_orc(spark, p).collect()))
+    assert got == want, "orc round-trip drifted"
