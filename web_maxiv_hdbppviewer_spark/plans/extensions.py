@@ -158,7 +158,10 @@ def text_langid(spark, sf_dir):
 #: learned merge tables per (sf_dir, n_merges): training is deterministic,
 #: so text_bpe_train and text_bpe_apply share one training run per session
 #: instead of each paying the iteration loop (merge lists are tiny driver
-#: values, no Spark state is cached)
+#: values, no Spark state is cached). Bench note: whichever BPE query runs
+#: FIRST in a session pays the full training loop (one corpus pass + 6
+#: vocabulary-sized pair-count jobs) - a fixed, bounded cost, not a
+#: corpus-proportional plan problem.
 _BPE_MERGE_MEMO: dict[tuple[str, int], list[tuple[int, str, str, int]]] = {}
 
 
