@@ -698,3 +698,21 @@ def test_datapoints_text_formats_round_trip(spark, tmp_path):
     formats.write_datapoints_orc(df, p)
     got = sorted(map(tuple, formats.read_datapoints_orc(spark, p).collect()))
     assert got == want, "orc round-trip drifted"
+
+
+def test_csv_ingest_failfast_on_malformed_rows(spark, tmp_path):
+    """Re-ingest must fail LOUDLY on schema-violating rows (FAILFAST), not
+    null them out: a 100 TB re-ingest that silently drops readings is data
+    loss with green dashboards."""
+    import pytest as _pytest
+
+    from web_maxiv_hdbppviewer_spark.sources import formats
+
+    d = tmp_path / "bad" / "period=2024-01-05"
+    d.mkdir(parents=True)
+    (d / "part-000.csv").write_text(
+        "att_conf_id,data_type,ts,value_r,value_str,value_arr_csv,quality,error_desc\n"
+        "not_a_number,scalar_devdouble_ro,2024-01-05T12:00:00.000000Z,1.5,\\N,\\N,0,\\N\n"
+    )
+    with _pytest.raises(Exception, match="Malformed|FAILFAST|BadRecord"):
+        formats.read_datapoints_csv(spark, str(tmp_path / "bad")).collect()
