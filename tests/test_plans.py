@@ -423,3 +423,13 @@ def test_sim_quantize_is_projection_only(spark):
     plan = _plan(QUERIES["sim_quantize"](spark, SF_SMOKE))
     assert "Join" not in plan, "quantization audit re-joined its source"
     assert plan.count("Exchange") <= 1
+
+
+def test_grouping_sets_and_sliding_windows_are_single_pass(spark):
+    """ROLLUP levels and overlapping sliding windows must plan as ONE scan
+    + ONE Expand (row replication before the aggregation shuffle) - never a
+    job or union per level/offset."""
+    for name in ("events_rollup", "window_sliding"):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert plan.count("FileScan") == 1, f"{name}: multiple scans"
+        assert plan.count("Expand") == 1, f"{name}: expected one Expand"
