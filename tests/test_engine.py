@@ -219,6 +219,31 @@ def test_slice_cache_hit_equals_miss_and_evicts(spark, events):
     cache.clear()
 
 
+def test_cache_guard_matches_query_rule(spark, events):
+    """The F6 future-period guard has TWO expressions of one rule - the
+    SliceCache.put refusal (driver-side string compare) and the declared
+    query q34's ``cacheable_period`` column - and they must agree on every
+    period of the testdata, including the today-is-hot boundary: put() must
+    persist exactly the periods q34 marks cacheable."""
+    from datetime import date
+
+    import __spark_entry__ as entry_mod
+    from tests.conftest import SF_SMOKE
+
+    today = date(2024, 1, 15)
+    rows = entry_mod.queries()["q34"](spark, SF_SMOKE).collect()
+    assert {r["period"] for r in rows} >= {"2024-01-14", "2024-01-15"}  # edge present
+    cache = SliceCache(max_bytes=1 << 40)
+    try:
+        for r in rows:
+            day = events.where(F.to_date("ts") == r["period"]).limit(1)
+            cache.put(("cs1", 1, r["period"]), day, today=today)
+            assert (cache.get(("cs1", 1, r["period"])) is not None) == r["cacheable"], (
+                r["period"], r["cacheable"])
+    finally:
+        cache.clear()
+
+
 def test_ttl_dimension_refresh(spark):
     calls = []
 
@@ -625,25 +650,85 @@ def test_lang_id_trigram_classifies_planted_languages(spark):
     assert got == {0: "en", 1: "de", 2: "es", 3: "fr"}, got
 
 
-def test_bpe_merge_fold_is_exact_greedy(spark):
-    """The merge fold must implement greedy left-to-right non-overlapping
-    BPE application: a run [a,a,a] under pair (a,a) merges the FIRST two
-    tokens ([aa, a]), and alternations [x,a,b,a,b] merge every eligible
-    pair in one pass - the semantics the DuckDB list_reduce oracle
+def test_bpe_merge_application_is_exact_greedy():
+    """Merge application must be greedy left-to-right non-overlapping: a
+    run [a,a,a] under pair (a,a) merges the FIRST two symbols ([aa, a], no
+    cascade within the pass), and alternations [x,a,b,a,b] merge every
+    eligible pair in one pass - the semantics the DuckDB list_reduce oracle
     replicates verbatim."""
-    from pyspark.sql import functions as F
+    from web_maxiv_hdbppviewer_spark.operators.bpe import _apply_merge_local
 
-    from web_maxiv_hdbppviewer_spark.operators.bpe import SEP, _merge_fold
+    assert _apply_merge_local(["a", "a", "a"], "a", "a") == ["aa", "a"]
+    assert _apply_merge_local(["x", "a", "b", "a", "b"], "a", "b") == ["x", "ab", "ab"]
+    assert _apply_merge_local(["a"], "a", "b") == ["a"]  # single symbol untouched
 
-    df = spark.createDataFrame(
-        [(["a", "a", "a"],), (["x", "a", "b", "a", "b"],), (["a"],)],
-        "l array<string>",
+
+def test_bpe_local_trainer_matches_naive_greedy_at_scale(spark):
+    """The incremental driver-side trainer (round-5 scale path: one corpus
+    pass, then vocabulary-sized driver work) must produce the EXACT merge
+    table a naive recount-everything greedy trainer produces - for hundreds
+    of merges, in seconds. The naive twin recounts every adjacent pair per
+    step, so agreement at n=64 over the real sf0.001 vocabulary pins the
+    incremental bookkeeping (patch-only-affected-words) to the greedy
+    semantics; n=256 pins the runtime claim."""
+    import time
+
+    from web_maxiv_hdbppviewer_spark.operators.bpe import (
+        _apply_merge_local,
+        train_merges_local,
+        word_frequencies,
     )
-    got = [r[0] for r in df.select(_merge_fold(F.col("l"), "a", "a")).collect()]
-    assert got[0] == "aa" + SEP + "a"
-    got2 = [r[0] for r in df.select(_merge_fold(F.col("l"), "a", "b")).collect()]
-    assert got2[1] == "x" + SEP + "ab" + SEP + "ab"
-    assert got2[2] == "a"  # single-token word passes through untouched
+
+    docs = spark.read.parquet(SF_SMOKE + "/documents.parquet")
+    wf = [(r["w"], int(r["f"])) for r in word_frequencies(docs).orderBy("w").collect()]
+
+    def naive(wordfreqs, n_merges):
+        syms = [list(w) for w, _ in wordfreqs]
+        freqs = [f for _, f in wordfreqs]
+        merges = []
+        for step in range(1, n_merges + 1):
+            counts = {}
+            for s, f in zip(syms, freqs):
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+            if not counts:
+                break
+            (lhs, rhs), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((step, lhs, rhs, n))
+            syms = [_apply_merge_local(s, lhs, rhs) for s in syms]
+        return merges
+
+    assert train_merges_local(wf, 64) == naive(wf, 64)
+    t0 = time.perf_counter()
+    big = train_merges_local(wf, 256)
+    # the tiny synthetic vocabulary (31 words) exhausts its pairs before
+    # 256 merges - BOTH trainers must break early at the same step
+    assert big == naive(wf, 256)
+    assert time.perf_counter() - t0 < 30, "256 merges must train in seconds"
+
+
+def test_bpe_trainer_early_break_on_exhausted_pairs(spark):
+    """A vocabulary whose pairs run out before n_merges must yield a SHORT
+    merge table (Spark side breaks early) and the SQL oracle must agree -
+    its st{k} chain falls through via the LEFT JOIN identity fallback
+    instead of going empty (ADVICE r4)."""
+    import duckdb
+
+    from web_maxiv_hdbppviewer_spark.operators.bpe import train_bpe_merges
+    from web_maxiv_hdbppviewer_spark.plans.extensions_oracle import _bpe_train_sql
+
+    docs = spark.createDataFrame([(1, "ab ab"), (2, "ab")], "doc_id long, text string")
+    got = [tuple(r) for r in train_bpe_merges(docs, 6).orderBy("step").collect()]
+    assert got == [(1, "a", "b", 3)]  # one merge possible, then exhausted
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES (1, 'ab ab'), (2, 'ab'))"
+        " t(doc_id, text)"
+    )
+    oracle = [tuple(r) for r in con.execute(_bpe_train_sql(6)).fetchall()]
+    assert oracle == [(1, "a", "b", 3)]
+    con.close()
 
 
 def test_quantization_error_bounded_by_half_scale(spark):

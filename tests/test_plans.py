@@ -425,6 +425,25 @@ def test_sim_quantize_is_projection_only(spark):
     assert plan.count("Exchange") <= 1
 
 
+def test_bm25_and_langid_evaluate_text_expressions_once(spark):
+    """bm25 and langid LET-BIND their expensive per-row expressions (the
+    whitespace tokenization; the 40-replace trigram scores) behind a
+    Generate barrier: the plan's Project nodes above the Generate must
+    reference only the bound column - a split()/replace() appearing in a
+    Project means CollapseProject re-inlined the work per consumer (the
+    r4 anti-pattern: ~4x tokenization in bm25, ~4x scoring in langid)."""
+    plan = _plan(QUERIES["text_bm25"](spark, SF_SMOKE))
+    for line in plan.splitlines():
+        if "Project" in line:
+            assert "split(" not in line, "bm25 re-tokenizes above the Generate"
+    assert "Generate" in plan
+    plan = _plan(QUERIES["text_langid"](spark, SF_SMOKE))
+    for line in plan.splitlines():
+        if "Project" in line:
+            assert "replace(" not in line, "langid re-scores above the Generate"
+    assert "Generate" in plan
+
+
 def test_grouping_sets_and_sliding_windows_are_single_pass(spark):
     """ROLLUP levels and overlapping sliding windows must plan as ONE scan
     + ONE Expand (row replication before the aggregation shuffle) - never a

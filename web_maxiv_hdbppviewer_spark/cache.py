@@ -47,6 +47,17 @@ def _estimate_row_bytes(df: DataFrame) -> int:
     return max(total, 8)
 
 
+def cacheable_period(period_col, today: date):
+    """Column twin of the ``SliceCache.put`` F6 guard: a slice period is
+    cacheable iff it is strictly BEFORE today (ISO-date strings compare
+    lexicographically = chronologically). Declared query q34 witnesses this
+    rule against the SQL oracle; ``test_cache_guard_matches_query_rule``
+    pins the class guard to the same boundary."""
+    from pyspark.sql import functions as F
+
+    return period_col < F.lit(today.isoformat())
+
+
 class SliceCache:
     """Byte-budgeted LRU of persisted DataFrame slices, keyed by caller
     (e.g. (cs, attr, period) like the reference's day-frames)."""

@@ -129,18 +129,38 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     bit-reproducible in any SQL engine - no tokenizer dependency, and
     unlike the marker-word heuristic it scores inflected/compound forms
     (German 'verschiedenen' hits 'sch'/'ein'/'cht' without exact-word
-    matches)."""
-    low = F.lower(F.col(text_col))
-    scores = {
-        lang: sum(
-            (_trigram_hits(low, t) for t in tris[1:]), _trigram_hits(low, tris[0])
+    matches).
+
+    The per-language scores are LET-BOUND behind a Generate barrier (the
+    quality_scores pattern, PLANS.md): the argmax cascade compares each
+    score up to |langs| times and CollapseProject would otherwise re-inline
+    the full 10-replace() counting chain (plus its lower()) at every use -
+    measured ~4x per-row work, the round-4 1.83 s regression. Bound, each
+    profile trigram is counted exactly once per row - the same one-pass
+    shape as the oracle's `sc` CTE."""
+
+    def _scores(low):
+        return F.struct(
+            *[
+                sum(
+                    (_trigram_hits(low, t) for t in tris[1:]),
+                    _trigram_hits(low, tris[0]),
+                )
+                .cast("long")
+                .alias(f"s_{lang}")
+                for lang, tris in LANG_TRIGRAMS.items()
+            ]
         )
-        for lang, tris in LANG_TRIGRAMS.items()
-    }
-    langs = list(scores)
+
+    base = df.select(
+        F.col(id_col),
+        F.explode(F.transform(F.array(F.lower(F.col(text_col))), _scores)).alias("sc"),
+    )
+    langs = list(LANG_TRIGRAMS)
+    scores = {lang: F.col(f"sc.s_{lang}") for lang in langs}
     # cascade: lang i wins iff its score >= every later lang's score
     # (earlier langs already failed their own cascade step), so ties go to
-    # the earliest lang in LANG_MARKERS order - same CASE shape as the oracle
+    # the earliest lang in LANG_TRIGRAMS order - same CASE shape as the oracle
     pred = F.lit(langs[-1])
     for i in range(len(langs) - 2, -1, -1):
         cond = None
@@ -151,7 +171,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     score = scores[langs[0]]
     for lang in langs[1:]:
         score = F.greatest(score, scores[lang])
-    return df.select(F.col(id_col), pred.alias("pred_lang"), score.cast("long").alias("score"))
+    return base.select(F.col(id_col), pred.alias("pred_lang"), score.cast("long").alias("score"))
 
 
 def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -261,11 +281,30 @@ def bm25_scores(
     projection. Both idf and avgdl are rounded to 6 decimals BEFORE use,
     so the only cross-engine float surface is the final arithmetic, which
     is written in the identical operation order as the SQL oracle.
+
+    The token array is LET-BOUND behind a Generate barrier in BOTH passes
+    (the quality_scores pattern, PLANS.md): the stats aggregation reads it
+    1 + |terms| times and the scoring projection |terms| + 1 times, so
+    CollapseProject would otherwise re-run the whitespace split ~4x per
+    row per pass - a scan-cost multiplier at corpus scale. Bound, each
+    row is tokenized exactly once per pass.
+
+    Empty/degenerate corpora short-circuit to an empty result (n == 0, or
+    avgdl NULL/0 when every document tokenizes to nothing): BM25 is
+    undefined there and the guard keeps the driver-side float(avgdl) and
+    the dl/avgdl norm from raising - same defensive shape as the other
+    driver-bounded trainers.
     """
     import math
 
-    toks = words(F.col(text_col))
-    stats = df.select(
+    def _tok_bound(frame, *head):
+        return frame.select(
+            *head,
+            F.explode(F.array(words(F.col(text_col)))).alias("toks"),
+        )
+
+    toks = F.col("toks")
+    stats = _tok_bound(df).select(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(F.size(toks)), 6).alias("avgdl"),
         *[
@@ -276,6 +315,10 @@ def bm25_scores(
         ],
     ).collect()[0]
     n_docs, avgdl = stats["n"], stats["avgdl"]
+    if not n_docs or not avgdl:
+        return df.select(
+            F.col(id_col), F.lit(None).cast("double").alias("bm25")
+        ).where(F.lit(False))
     idfs = [
         round(
             math.log((n_docs - stats[f"df{i}"] + 0.5) / (stats[f"df{i}"] + 0.5) + 1.0),
@@ -290,4 +333,6 @@ def bm25_scores(
         tf = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
         part = F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
         score = part if score is None else score + part
-    return df.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+    return _tok_bound(df, F.col(id_col)).select(
+        F.col(id_col), F.round(score, 6).alias("bm25")
+    )

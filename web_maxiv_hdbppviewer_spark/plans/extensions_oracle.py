@@ -170,12 +170,19 @@ def _bpe_blocks(n: int) -> list[str]:
         blocks.append(f"""best{k} AS MATERIALIZED (
           SELECT {k} AS step, lhs, rhs, n_pairs FROM pc{k}
           ORDER BY n_pairs DESC, lhs, rhs LIMIT 1)""")
+        # LEFT JOIN ON TRUE + identity fallback: if training exhausts pairs
+        # before step k, best{k} is empty and Spark's trainer breaks early
+        # with a shorter merge list - the state chain must then pass through
+        # unchanged instead of going empty (ADVICE r4)
         blocks.append(f"""st{k} AS MATERIALIZED (
-          SELECT w, f, list_reduce(string_split(s, chr(31)), (acc, x) ->
-            CASE WHEN (acc = b.lhs OR ends_with(acc, chr(31) || b.lhs))
-                      AND x = b.rhs
-                 THEN acc || b.rhs ELSE acc || chr(31) || x END) AS s
-          FROM st{p}, best{k} b)""")
+          SELECT w, f,
+                 CASE WHEN b.lhs IS NULL THEN s
+                      ELSE list_reduce(string_split(s, chr(31)), (acc, x) ->
+                        CASE WHEN (acc = b.lhs OR ends_with(acc, chr(31) || b.lhs))
+                                  AND x = b.rhs
+                             THEN acc || b.rhs ELSE acc || chr(31) || x END)
+                 END AS s
+          FROM st{p} LEFT JOIN best{k} b ON TRUE)""")
     return blocks
 
 

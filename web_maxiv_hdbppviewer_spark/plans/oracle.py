@@ -268,4 +268,21 @@ CORE_ORACLE = {
         GROUP BY att_conf_id, bucket, idx
         ORDER BY att_conf_id, bucket, idx
     """,
+    # S7 paged fetch: page [400, 600) of the time-ordered range scan
+    "q33": """
+        SELECT event_id, epoch_us(ts) AS t_us, value FROM events
+        WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                     AND TIMESTAMP '2024-01-20 00:00:00'
+        ORDER BY ts, event_id LIMIT 200 OFFSET 400
+    """,
+    # F6 future-period guard: cacheable iff period < the fixed 'now'
+    # (2024-01-15), the SliceCache.put refusal rule
+    "q34": """
+        SELECT strftime(ts, '%Y-%m-%d') AS period,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               strftime(ts, '%Y-%m-%d') < '2024-01-15' AS cacheable
+        FROM events
+        GROUP BY strftime(ts, '%Y-%m-%d')
+        ORDER BY period
+    """,
 }

@@ -420,4 +420,44 @@ def q32(spark, sf_dir):
     return out.orderBy("att_conf_id", "bucket", "idx")
 
 
-CORE_QUERIES = {f"q{i}": globals()[f"q{i}"] for i in range(1, 33)}
+def q33(spark, sf_dir):
+    """S7: paged fetch - one PAGE of a sorted range scan (the reference's
+    fetchmany-style page iteration, hdbpp.py paged result walk): rows
+    [400, 600) of the time-ordered window. Spark plans offset+limit as
+    CollectLimit with a skip - per-partition top-(offset+limit) then one
+    merge, never a global sort; at scale a resumable reader would keyset-
+    paginate (WHERE ts > last_seen) instead, which is q2's pushed scan."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        push_time_filter(e, t0=datetime(2024, 1, 10), t1=datetime(2024, 1, 20))
+        .orderBy("ts", "event_id")
+        .offset(400)
+        .limit(200)
+        .select("event_id", epoch_us("ts").alias("t_us"), "value")
+    )
+
+
+def q34(spark, sf_dir):
+    """F6: future-period cache guard as a declared query - per day-period
+    of the events table, the row count and whether the immutable slice
+    cache may admit it relative to a fixed 'now' (2024-01-15, mid-range):
+    the SAME ISO-lexicographic rule SliceCache.put enforces (cache.py F6
+    guard; column twin ``cacheable_period``), so the oracle hash witnesses
+    the guard's decision boundary including the today-is-hot edge."""
+    from datetime import date
+
+    from ..cache import cacheable_period
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(F.date_format("ts", "yyyy-MM-dd").alias("period"))
+        .groupBy("period")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "period", "n", cacheable_period(F.col("period"), date(2024, 1, 15)).alias("cacheable")
+        )
+        .orderBy("period")
+    )
+
+
+CORE_QUERIES = {f"q{i}": globals()[f"q{i}"] for i in range(1, 35)}
