@@ -325,6 +325,37 @@ def test_streaming_resample_matches_batch(spark, events, tmp_path):
     assert got.exceptAll(expect).count() == 0
 
 
+def test_stream_events_unit_drift_guard(spark):
+    """The streamed events feed must agree with the batch table on the REAL
+    testdata files — r6 regression guard: a hard-coded stream schema read
+    timestamp[us] parquet as the old nanos-as-int64 layout and every streamed
+    ts came out 1000x too small while the batch path stayed correct. Any
+    future storage-layout drift that the stream normalizes differently from
+    the batch path trips this immediately."""
+    from tests.conftest import SF_SMOKE
+    from web_maxiv_hdbppviewer_spark.plans.extensions import _stream_events
+    from web_maxiv_hdbppviewer_spark.sources.tables import load_tables
+
+    batch = load_tables(spark, SF_SMOKE)["events"]
+    q = (
+        _stream_events(spark, SF_SMOKE)
+        .select("ts")
+        .writeStream.format("memory")
+        .queryName("unit_drift_guard")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT min(ts) AS lo, max(ts) AS hi, count(*) AS n FROM unit_drift_guard"
+    ).first()
+    want = batch.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count(F.lit(1)).alias("n")
+    ).first()
+    assert (got.lo, got.hi, got.n) == (want.lo, want.hi, want.n)
+
+
 # --- single-plan /query + combined renderers ------------------------------
 
 

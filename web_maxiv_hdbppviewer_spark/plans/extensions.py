@@ -455,6 +455,30 @@ def window_sessions(spark, sf_dir):
 _STREAM_SEQ = itertools.count()
 
 
+def _stream_events(spark, sf_dir):
+    """Schema-normalized streaming scan of the events table.
+
+    readStream requires an explicit schema; hard-coding one is exactly how
+    the round-6 unit bug happened (the testdata's ``ts`` moved from
+    TIMESTAMP(NANOS)-as-int64 to native timestamp[us] and three streaming
+    queries silently read values 1000x too small). Instead we infer the
+    physical schema from the parquet footer via a zero-row batch read and
+    route the stream through the SAME ``_normalize`` dtype dispatch the
+    batch path uses (sources/tables.py): whatever layout the files have,
+    stream and batch agree by construction. The footer read is metadata-only
+    (no data scan) and happens once per query at plan time."""
+    from ..sources.tables import _normalize
+
+    physical = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(physical)
+        # file-stream sources take a directory; glob-filter to the one table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return _normalize(raw)
+
+
 def stream_last_value(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState): drain
     the events stream with availableNow and return the final per-key
@@ -465,18 +489,9 @@ def stream_last_value(spark, sf_dir):
 
     load_tables(spark, sf_dir)  # applies session confs (nanosAsLong)
     sink = f"stream_last_value_{next(_STREAM_SEQ)}"
-    raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        # file-stream sources take a directory; glob-filter to the one table
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    feed = raw.select(
+    feed = _stream_events(spark, sf_dir).select(
         F.col("user_id").cast("long").alias("att_conf_id"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        F.col("ts"),
         F.col("value").alias("value_r"),
     ).where(F.col("value").isNotNull())
     # State-store instance count = shuffle partitions AT QUERY START, and
@@ -566,16 +581,8 @@ def stream_window(spark, sf_dir):
 
     load_tables(spark, sf_dir)  # applies session confs (nanosAsLong)
     sink = f"stream_window_{next(_STREAM_SEQ)}"
-    raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    feed = raw.select(
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+    feed = _stream_events(spark, sf_dir).select(
+        F.col("ts"),
         F.col("value").alias("value_r"),
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -615,18 +622,8 @@ def stream_dedup(spark, sf_dir):
     sink = f"stream_dedup_{next(_STREAM_SEQ)}"
 
     def one_stream():
-        return (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, event_type string, "
-                "value double, props string"
-            )
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .select(
-                "event_id",
-                F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-                F.col("user_id"),
-            )
+        return _stream_events(spark, sf_dir).select(
+            "event_id", F.col("ts"), F.col("user_id")
         )
 
     feed = one_stream().union(one_stream())
