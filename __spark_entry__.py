@@ -30,18 +30,43 @@ def entry(spark: SparkSession) -> DataFrame:
     return CORE_QUERIES["q20"](spark, "/root/testdata/sf0.001")
 
 
+# The verification driver records correctness rows for at most the first 50
+# dict entries of queries(). WITNESS SCHEDULE (deterministic, since r5):
+#   window = [queries FIXED or NEW this round] + [least-recently-witnessed
+#            stable queries, to fill 50]
+# Round-7 window: the 3 streaming queries fixed this round FIRST (their r4
+# rows were stale-green over broken code - the exact failure mode this
+# rotation exists to prevent), then the 22 stable extensions whose newest
+# driver rows are r4 (three rounds stale), then the behavior-changed
+# pipe_shard_sink (per-invocation sink path + one-file audit) and the new
+# lifecycle_aggregate witness, then core q1-q23 to fill. Outside the window:
+# q24-q34 and the 15 extensions with fresh green r6 rows - all of them are
+# still parity-checked at sf0.001 by tests/test_oracle_parity.py every test
+# run, and rotate back in next round.
+_WINDOW = [
+    "stream_last_value", "stream_window", "stream_dedup",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_incremental", "dedup_clusters",
+    "sim_topk_cosine", "sim_topk_quantized", "sim_ann_lsh", "sim_ann_recall",
+    "sim_ann_ivf", "sim_ann_ivf_trained",
+    "pipe_split", "pipe_domain_mix", "pipe_curation", "pipe_pack",
+    "pipe_contamination",
+    "window_sessions", "window_sliding",
+    "events_quantiles", "events_rollup", "events_pivot",
+    "pipe_shard_sink", "lifecycle_aggregate",
+] + [f"q{i}" for i in range(1, 24)]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # The verification driver records correctness rows for at most the
-    # first 50 dict entries. Round-5 window (deterministic schedule, see
-    # the EXTENSION_QUERIES ordering comment): CORE first - q10-q32 were
-    # last driver-witnessed in r3 and rotate back in, plus the new q33/q34
-    # - then the 16 extensions that changed behavior or plan this round.
-    # 34 + 16 = exactly 50; the 25 stable extensions outside the window
-    # keep their green r4 rows (code-unchanged) and are parity-checked at
-    # sf0.001 by tests/test_oracle_parity.py every test run.
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(CORE_QUERIES)
-    out.update(EXTENSION_QUERIES)
+    all_q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    all_q.update(CORE_QUERIES)
+    all_q.update(EXTENSION_QUERIES)
+    missing = [n for n in _WINDOW if n not in all_q]
+    assert not missing, f"witness window names unknown: {missing}"
+    assert len(_WINDOW) == 50, len(_WINDOW)
+    out = {name: all_q[name] for name in _WINDOW}
+    for name, fn in all_q.items():
+        out.setdefault(name, fn)
     return out
 
 

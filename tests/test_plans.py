@@ -391,6 +391,21 @@ def test_write_training_shards_layout(spark, tmp_path):
             pos = e
 
 
+def test_pipe_shard_sink_concurrent_invocations(spark):
+    """Two interleaved invocations must not clobber each other: the r5-r6
+    version wrote to one FIXED shared path, so a second run's overwrite
+    raced a first run still lazily reading its output. Now each invocation
+    writes a private mkdtemp directory - collect the FIRST result AFTER the
+    second write and both must yield the identical deterministic layout."""
+    from web_maxiv_hdbppviewer_spark.plans.extensions import pipe_shard_sink
+
+    a = pipe_shard_sink(spark, SF_SMOKE)
+    b = pipe_shard_sink(spark, SF_SMOKE)  # second write before a collects
+    pa, pb = a.toPandas(), b.toPandas()
+    assert len(pa) > 0
+    assert pa.equals(pb)
+
+
 def test_dedup_and_graph_empty_input_edges(spark):
     """Degenerate inputs must return empty/identity results, not crash:
     an edgeless graph labels every node itself; a corpus with no near-dups

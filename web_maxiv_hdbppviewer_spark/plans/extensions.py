@@ -714,7 +714,10 @@ def pipe_shard_sink(spark, sf_dir):
     principles (split CASE + per-(split,shard) window cumsum), so a green
     row proves the sink wrote exactly the declared packing - not just that
     a write happened."""
+    import atexit
     import os
+    import shutil
+    import tempfile
 
     from pyspark.sql import Window
 
@@ -728,14 +731,36 @@ def pipe_shard_sink(spark, sf_dir):
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    path = os.path.join(
-        repo_root, "spark-warehouse",
-        "shard_sink_" + os.path.basename(os.path.normpath(sf_dir)),
+    sink_root = os.path.join(repo_root, "spark-warehouse")
+    os.makedirs(sink_root, exist_ok=True)
+    # Per-INVOCATION sink path: concurrent runs (driver gate + a local pytest,
+    # or two sf dirs racing) each get a private directory, so one run's
+    # overwrite can never clobber a directory another run is still reading.
+    # The dir must outlive this function - the returned DataFrame scans it
+    # lazily when the caller collects - so cleanup is deferred to process
+    # exit rather than a finally block.
+    path = tempfile.mkdtemp(
+        prefix="shard_sink_" + os.path.basename(os.path.normpath(sf_dir)) + "_",
+        dir=sink_root,
     )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     sampling.write_training_shards(docs.select("doc_id", "text"), packed, path)
-    # one file per (split, shard) dir at this scale; _mid preserves on-disk
-    # row order within each scan partition (file splits are enumerated in
-    # offset order), so lag() over (_file, _mid) walks the stream layout
+    # The contiguity audit below walks rows in on-disk order WITHIN one file
+    # (lag over (_file, _mid)); that only equals the stream layout if each
+    # (split, shard) directory holds exactly ONE parquet file. The writer
+    # guarantees it (repartition by (split, shard) puts each combo in a
+    # single task), but guarantee != assumption: verify on the actual
+    # directory tree before trusting the audit. Driver-side cost is bounded
+    # by |splits| x |shards| leaf dirs, not data volume.
+    for dirpath, _dirnames, filenames in os.walk(path):
+        parts = [f for f in filenames if f.endswith(".parquet")]
+        if os.path.basename(dirpath).startswith("shard="):
+            assert len(parts) == 1, f"{dirpath}: {len(parts)} files, expected 1"
+        else:
+            assert not parts, f"unexpected parquet outside shard dirs: {dirpath}"
+    # _mid preserves on-disk row order within each scan partition (file
+    # splits are enumerated in offset order), so lag() over (_file, _mid)
+    # walks the stream layout
     back = (
         spark.read.parquet(path)
         .withColumn("_file", F.input_file_name())
@@ -758,24 +783,11 @@ def pipe_shard_sink(spark, sf_dir):
     )
 
 
-# Dict ORDER is load-bearing: the driver's correctness gate records at most
-# 50 queries in queries() dict order. The WITNESS SCHEDULE (since round 5,
-# per ADVICE r4) is deterministic:
-#   window = [all CORE queries] + [extensions NEW or BEHAVIOR-CHANGED this
-#            round] + [least-recently-witnessed stable extensions, to fill]
-# Round 5 instantiation: 34 core (q10-q32 were last witnessed in r3 - their
-# rotation back in is the round's top verdict item) + the 16 r5-changed
-# extensions below = exactly 50; the 25 stable extensions outside the window
-# all have green r4 rows, are code-unchanged this round (diff-stability),
-# and are re-checked locally every test run by tests/test_oracle_parity.py
-# (full battery at sf0.001 - the local smoke gate ADVICE asked for).
-# Every query is therefore driver- or parity-witnessed each round, and
-# driver-witnessed within 2 rounds.
+# Dict order here is NOT the witness window anymore: since round 7 the
+# 50-entry driver window is the explicit _WINDOW list in __spark_entry__.py
+# (rotated every round toward the least-recently-witnessed queries); this
+# dict is just the name -> callable registry.
 EXTENSION_QUERIES = {
-    # -- new or behavior-changed in round 5: BPE training moved driver-side
-    #    (bpe.py), bm25/langid let-bound behind Generate barriers, the
-    #    per-document projection family presorted (see _docs_sorted), the
-    #    embedding near-dup kernel memoized, the shard sink race-proofed --
     "text_bpe_train": text_bpe_train,
     "text_bpe_apply": text_bpe_apply,
     "text_bm25": text_bm25,

@@ -285,4 +285,44 @@ CORE_ORACLE = {
         GROUP BY strftime(ts, '%Y-%m-%d')
         ORDER BY period
     """,
+    # /image lifecycle from first principles: fixture datapoints (user_id ->
+    # att_conf_id, error rows -> NULL value_r), axis extrema + 5% padding
+    # (plot.py:160-188), clip to [y0, y1), 100x80 binning, per-series raster
+    # + per-column hover, y_range on every row. x0/span literals are
+    # 2024-01-05T00Z in us and 15 days in us.
+    "lifecycle_aggregate": """
+        WITH dp AS (
+          SELECT user_id AS att_conf_id, ts,
+                 CASE WHEN event_type <> 'error' THEN value END AS value_r
+          FROM events
+          WHERE user_id < 10
+            AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+                       AND TIMESTAMP '2024-01-20 00:00:00'),
+        rng AS (
+          SELECT MIN(value_r) - (MAX(value_r) - MIN(value_r)) * 0.05 AS y0,
+                 MAX(value_r) + (MAX(value_r) - MIN(value_r)) * 0.05 AS y1
+          FROM dp),
+        clipped AS (
+          SELECT att_conf_id,
+                 CAST(FLOOR((epoch_us(ts) - 1704412800000000)
+                            / 1296000000000.0 * 100) AS INT) AS xb,
+                 CAST(FLOOR((value_r - y0) / (y1 - y0) * 80) AS INT) AS yb,
+                 value_r
+          FROM dp, rng
+          WHERE value_r >= y0 AND value_r < y1),
+        raster AS (
+          SELECT 'raster' AS kind, att_conf_id, xb, yb,
+                 COUNT(*) AS cnt, ROUND(AVG(value_r), 6) AS vmean,
+                 ROUND(MIN(value_r), 6) AS vmin, ROUND(MAX(value_r), 6) AS vmax
+          FROM clipped GROUP BY att_conf_id, xb, yb),
+        hover AS (
+          SELECT 'hover' AS kind, att_conf_id, xb,
+                 CAST(-1 AS INT) AS yb,
+                 COUNT(*) AS cnt, CAST(NULL AS DOUBLE) AS vmean,
+                 ROUND(MIN(value_r), 6) AS vmin, ROUND(MAX(value_r), 6) AS vmax
+          FROM clipped GROUP BY att_conf_id, xb)
+        SELECT kind, att_conf_id, xb, yb, cnt, vmean, vmin, vmax, y0, y1
+        FROM (SELECT * FROM raster UNION ALL SELECT * FROM hover), rng
+        ORDER BY kind, att_conf_id, xb, yb
+    """,
 }

@@ -460,4 +460,52 @@ def q34(spark, sf_dir):
     )
 
 
+def lifecycle_aggregate(spark, sf_dir):
+    """End-to-end /image lifecycle witness (reference server.py:92-148):
+    fixture catalog -> HdbppQueryEngine.image_aggregates -> the complete
+    pre-render artifact as ONE hashable frame. Rows are the per-series 2-D
+    raster (A6, kind='raster') unioned with the per-column hover stats
+    (A8, kind='hover', yb=-1/vmean=NULL), every row carrying the padded
+    axis y_range the engine computed driver-side (A2/A3 extrema fold +
+    plot.py:160-188 padding). This hashes the exact numbers /image encodes
+    into pixels, so a green row proves routing, extrema, padding, clipping
+    and binning agree with first-principles SQL - not just that the raster
+    aggregates match (q20/q21 already witness those in isolation)."""
+    from ..api.lifecycle import HdbppQueryEngine
+    from ..sources.fixtures import hdbpp_fixture
+
+    catalog, datapoints = hdbpp_fixture(spark, sf_dir)
+    engine = HdbppQueryEngine(catalog, datapoints)
+    names = [f"cs1/dom{u % 5}/fam{u % 10}/mem{u % 3}/attr{u}" for u in range(10)]
+    aggs = engine.image_aggregates(
+        [{"name": n, "y_axis": 0} for n in names],
+        datetime(2024, 1, 5),
+        datetime(2024, 1, 20),
+        (100, 80),
+    )
+    ax = aggs[0]
+    y0, y1 = ax["y_range"]
+    raster = ax["raster"].select(
+        F.lit("raster").alias("kind"),
+        "att_conf_id", "xb", "yb", "cnt", "vmean", "vmin", "vmax",
+    )
+    hover = ax["hover"].select(
+        F.lit("hover").alias("kind"),
+        "att_conf_id", "xb",
+        F.lit(-1).cast("int").alias("yb"),
+        "cnt",
+        F.lit(None).cast("double").alias("vmean"),
+        "vmin", "vmax",
+    )
+    return (
+        raster.unionAll(hover)
+        # raw doubles, no rounding: y0/y1 derive from MIN/MAX (exact) via the
+        # identical IEEE ops on both sides, so they are bit-equal by design
+        .withColumn("y0", F.lit(float(y0)))
+        .withColumn("y1", F.lit(float(y1)))
+        .orderBy("kind", "att_conf_id", "xb", "yb")
+    )
+
+
 CORE_QUERIES = {f"q{i}": globals()[f"q{i}"] for i in range(1, 35)}
+CORE_QUERIES["lifecycle_aggregate"] = lifecycle_aggregate
