@@ -762,6 +762,45 @@ def test_bpe_trainer_early_break_on_exhausted_pairs(spark):
     con.close()
 
 
+def test_bpe_apply_heavy_tail_vocab_no_collect(spark):
+    """apply_bpe_merges must size a hapax-dominated vocabulary correctly
+    WITHOUT collecting it: 2000 distinct one-off words (the heavy tail),
+    a few Zipf-head repeats, an all-spaces doc (must vanish - explode
+    semantics) and case folding. Expected counts computed by a local
+    reference implementation of the same greedy merge."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.operators.bpe import (
+        _apply_merge_local,
+        apply_bpe_merges,
+    )
+
+    merges = [("a", "b"), ("ab", "c"), ("x", "y")]
+    rows = [
+        (i, " ".join(f"w{i}abc{j}xy" for j in range(3))) for i in range(2000)
+    ]
+    rows += [(9001, "THE the ABCxy the"), (9002, "   "), (9003, "abc abc")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def local_n(word):
+        syms = list(word.lower())
+        for a, b in merges:
+            syms = _apply_merge_local(syms, a, b)
+        return len(syms)
+
+    expect = {
+        i: sum(local_n(t) for t in text.lower().split(" ") if t)
+        for i, text in rows
+        if any(t for t in text.split(" "))
+    }
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in apply_bpe_merges(docs, merges).collect()
+    }
+    assert got == expect
+    assert 9002 not in got
+
+
 def test_quantization_error_bounded_by_half_scale(spark):
     """Symmetric int8 quantization error must never exceed scale/2: codes
     are round-to-nearest and max|v| maps to exactly +-127, so clamping
@@ -796,6 +835,13 @@ def test_datapoints_text_formats_round_trip(spark, tmp_path):
         (2, "scalar_devdouble_ro", "2024-01-06",
          datetime(2024, 1, 6, 23, 59, 59, 500000), -0.25, None,
          [1.0, -2.5, 0.1234567890123], None, None),
+        # the three CSV corner contracts: a reading whose TEXT is literally
+        # the \N null marker (and one with bare backslashes), an EMPTY
+        # spectrum distinct from a NULL one
+        (3, "scalar_devstring_ro", "2024-01-07",
+         datetime(2024, 1, 7, 1, 2, 3, 4), None, "\\N", None, 0, "a\\b\\\\N"),
+        (3, "array_devdouble_ro", "2024-01-07",
+         datetime(2024, 1, 7, 2, 3, 4, 5), None, None, [], 0, None),
     ]
     df = spark.createDataFrame(rows, DATAPOINTS_SCHEMA)
     want = sorted(map(tuple, df.collect()))
@@ -814,6 +860,26 @@ def test_datapoints_text_formats_round_trip(spark, tmp_path):
     formats.write_datapoints_orc(df, p)
     got = sorted(map(tuple, formats.read_datapoints_orc(spark, p).collect()))
     assert got == want, "orc round-trip drifted"
+
+
+def test_csv_export_refuses_nonfinite_spectra(spark, tmp_path):
+    """NaN/Inf/NULL array elements are outside the %.17g round-trip
+    guarantee: the CSV writer must raise, not rewrite (use JSONL/ORC)."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from web_maxiv_hdbppviewer_spark.schemas import DATAPOINTS_SCHEMA
+    from web_maxiv_hdbppviewer_spark.sources import formats
+
+    for bad in ([float("nan")], [float("inf"), 1.0], [1.0, None]):
+        df = spark.createDataFrame(
+            [(1, "array_devdouble_ro", "2024-01-05",
+              datetime(2024, 1, 5), None, None, bad, 0, None)],
+            DATAPOINTS_SCHEMA,
+        )
+        with _pytest.raises(Exception, match="finite|round-trip"):
+            formats.write_datapoints_csv(df, str(tmp_path / "nf"))
 
 
 def test_csv_ingest_failfast_on_malformed_rows(spark, tmp_path):

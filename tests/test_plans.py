@@ -391,6 +391,33 @@ def test_write_training_shards_layout(spark, tmp_path):
             pos = e
 
 
+PRESORTED_FAMILY = [
+    "text_tokens", "text_bpe", "text_quality", "text_langid", "text_bm25",
+    "text_repetition", "text_fingerprint",
+    "multimodal_meta", "multimodal_extract", "multimodal_resize",
+    "multimodal_frames",
+]
+
+
+@pytest.mark.parametrize("name", PRESORTED_FAMILY)
+def test_presorted_family_has_no_exchange_above_sort(name, spark):
+    """The per-document projection family rides ONE early Sort(doc_id) below
+    narrow order-preserving ops (projections / Generate / mapInPandas) - the
+    output is globally doc_id-sorted with no trailing orderBy (see
+    extensions._docs_sorted: a trailing range-exchange would re-execute the
+    heavy projection via its sampling pass). That contract is physical, so
+    pin it: exactly one Sort in the plan, and every Exchange sits BELOW it
+    (the range partitioning feeding the sort) - an Exchange ABOVE the Sort
+    means some new op went wide and silently scrambled the output order."""
+    plan = _plan(QUERIES[name](spark, SF_SMOKE))
+    sort_positions = [i for i in range(len(plan)) if plan.startswith("Sort ", i)]
+    assert len(sort_positions) == 1, f"{name}: expected exactly one Sort\n{plan}"
+    first_exchange = plan.find("Exchange")
+    assert first_exchange == -1 or first_exchange > sort_positions[0], (
+        f"{name}: Exchange above the Sort scrambles presorted output\n{plan}"
+    )
+
+
 def test_pipe_shard_sink_concurrent_invocations(spark):
     """Two interleaved invocations must not clobber each other: the r5-r6
     version wrote to one FIXED shared path, so a second run's overwrite

