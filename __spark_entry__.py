@@ -53,8 +53,8 @@ _WINDOW = [
     "pipe_contamination",
     "window_sessions", "window_sliding",
     "events_quantiles", "events_rollup", "events_pivot",
-    "pipe_shard_sink", "lifecycle_aggregate",
-] + [f"q{i}" for i in range(1, 24)]
+    "pipe_shard_sink", "lifecycle_aggregate", "pipe_delta",
+] + [f"q{i}" for i in range(1, 23)]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

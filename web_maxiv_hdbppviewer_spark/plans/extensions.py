@@ -703,6 +703,27 @@ def pipe_pack(spark, sf_dir):
     )
 
 
+def pipe_delta(spark, sf_dir):
+    """Incremental snapshot reconciliation: two deterministic corpus
+    versions derived from ``documents`` (v1 lacks the doc_id%10==0 slice =
+    'added later'; v2 dropped the %10==1 slice and edited the text of every
+    %7==0 doc), diffed by content fingerprint into added / removed /
+    changed / unchanged - the primitive an incremental 100 TB pipeline
+    keys its re-processing on. Only (id, md5) shuffles, never text."""
+    from ..operators import delta
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    v1 = docs.where(d % 10 != 0).select("doc_id", "text")
+    v2 = docs.where(d % 10 != 1).select(
+        "doc_id",
+        F.when(d % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return delta.snapshot_diff(v1, v2).orderBy("id")
+
+
 def pipe_shard_sink(spark, sf_dir):
     """Sharded training sink ROUND-TRIP: hash_split + pack-within-split +
     ``write_training_shards`` to parquet partitioned by (split, shard), read
@@ -806,6 +827,7 @@ EXTENSION_QUERIES = {
     "pipe_shard_sink": pipe_shard_sink,
     # -- stable, driver-witnessed in round 4 (green CORRECTNESS_r04 rows),
     #    code-unchanged in round 5 --
+    "pipe_delta": pipe_delta,
     "pipe_split": pipe_split,
     "pipe_domain_mix": pipe_domain_mix,
     "pipe_curation": pipe_curation,

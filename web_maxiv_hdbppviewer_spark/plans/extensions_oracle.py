@@ -622,6 +622,26 @@ EXTENSION_ORACLE = {
     """,
     # split thresholds mirror extensions.SPLIT_FRACTIONS {train .8/val .1/
     # test .1} over 10000 hash buckets (operators/sampling.BUCKETS)
+    # snapshot reconciliation: same deterministic v1/v2 derivation, statuses
+    # from a FULL OUTER join of per-side fingerprints (the fingerprints never
+    # cross engines - only the statuses are compared)
+    "pipe_delta": """
+        WITH v1 AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        v2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+          FROM documents WHERE doc_id % 10 <> 1),
+        o AS (SELECT doc_id AS id, md5(text) AS fp_old FROM v1),
+        n AS (SELECT doc_id AS id, md5(text) AS fp_new FROM v2)
+        SELECT id,
+               CASE WHEN fp_old IS NULL THEN 'added'
+                    WHEN fp_new IS NULL THEN 'removed'
+                    WHEN fp_old = fp_new THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM o FULL OUTER JOIN n USING (id)
+        ORDER BY id
+    """,
     "pipe_split": f"""
         SELECT doc_id,
                CASE WHEN b < 8000 THEN 'train'
