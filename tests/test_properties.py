@@ -1,0 +1,69 @@
+"""Hypothesis property tests for the pure-Python kernels (no SparkSession:
+these run in milliseconds and fuzz the logic that oracle parity can only
+probe at the fixed testdata points).
+
+The BPE kernels are the subtlest driver-side code in the repo - greedy
+non-overlapping merge application and incremental pair-count maintenance -
+so they get randomized coverage against independent twins: the trainer vs a
+recount-everything greedy implementation, the merge application vs its
+algebraic invariants.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from web_maxiv_hdbppviewer_spark.operators.bpe import (
+    _apply_merge_local,
+    train_merges_local,
+)
+
+# tiny alphabet forces pair collisions, overlapping runs ("aaaa") and
+# tie-breaks - the corners where greedy/non-overlap/ordering bugs live
+_WORDS = st.text(alphabet="ab", min_size=1, max_size=8)
+
+
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "ab", "ba", "aa"]), max_size=12),
+    lhs=st.sampled_from(["a", "b", "ab", "ba", "aa"]),
+    rhs=st.sampled_from(["a", "b", "ab", "ba", "aa"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_apply_merge_invariants(syms, lhs, rhs):
+    """Greedy left-to-right non-overlapping merge: (1) concatenation is
+    preserved, (2) no adjacent (lhs, rhs) pair survives - after a merge the
+    glued token can never itself be ``lhs`` (it is strictly longer), and an
+    unconsumed ``lhs`` before an ``rhs`` would have merged."""
+    out = _apply_merge_local(syms, lhs, rhs)
+    assert "".join(out) == "".join(syms)
+    assert all(not (out[i] == lhs and out[i + 1] == rhs) for i in range(len(out) - 1))
+    assert len(out) <= len(syms)
+
+
+@given(
+    wf=st.dictionaries(_WORDS, st.integers(1, 5), min_size=1, max_size=10),
+    n_merges=st.integers(1, 8),
+)
+@settings(max_examples=150, deadline=None)
+def test_incremental_trainer_matches_recount_trainer(wf, n_merges):
+    """The incremental trainer (patch only affected words) must equal a
+    recount-everything greedy trainer - an INDEPENDENT implementation of the
+    same spec - on random vocabularies, including early pair exhaustion."""
+    wordfreqs = sorted(wf.items())
+
+    def recount(wordfreqs, n_merges):
+        syms = [list(w) for w, _ in wordfreqs]
+        freqs = [f for _, f in wordfreqs]
+        merges = []
+        for step in range(1, n_merges + 1):
+            counts = {}
+            for s, f in zip(syms, freqs):
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+            if not counts:
+                break
+            (lhs, rhs), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((step, lhs, rhs, n))
+            syms = [_apply_merge_local(s, lhs, rhs) for s in syms]
+        return merges
+
+    assert train_merges_local(wordfreqs, n_merges) == recount(wordfreqs, n_merges)
