@@ -32,9 +32,19 @@ def snapshot_diff(
 
     Documents are compared by an md5 fingerprint of ``content_cols``
     (computed per side pre-shuffle; fingerprints never cross engines, so
-    any deterministic hash gives identical statuses).
+    any deterministic hash gives identical statuses). Each content column
+    is coalesced to a distinct NULL sentinel BEFORE hashing: concat_ws
+    silently skips NULL args, which would otherwise fingerprint
+    (NULL,) == ('',) and ('a', NULL) == ('a', '') - and would diverge from
+    a md5(NULL)=NULL oracle, where NULL-text rows misreport as
+    added/removed instead of unchanged.
     """
-    fp = F.md5(F.concat_ws("\x1f", *content_cols))
+    fp = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c), F.lit("\x00NULL")) for c in content_cols],
+        )
+    )
     o = old.select(F.col(id_col).alias("id"), fp.alias("fp_old"))
     n = new.select(F.col(id_col).alias("id"), fp.alias("fp_new"))
     status = (

@@ -466,9 +466,17 @@ def _stream_events(spark, sf_dir):
     route the stream through the SAME ``_normalize`` dtype dispatch the
     batch path uses (sources/tables.py): whatever layout the files have,
     stream and batch agree by construction. The footer read is metadata-only
-    (no data scan) and happens once per query at plan time."""
+    (no data scan) and happens once per query at plan time.
+
+    The footer read's PHYSICAL schema depends on session confs (nanosAsLong
+    flips TIMESTAMP(NANOS) between int64 and an unreadable error), so the
+    helper applies the engine confs itself rather than trusting callers to
+    have gone through configure()/load_tables() first - a standalone caller
+    must infer the same layout ``_normalize`` dispatches on."""
+    from ..session import configure
     from ..sources.tables import _normalize
 
+    configure(spark)
     physical = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(physical)

@@ -632,8 +632,10 @@ EXTENSION_ORACLE = {
           SELECT doc_id,
                  CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
           FROM documents WHERE doc_id % 10 <> 1),
-        o AS (SELECT doc_id AS id, md5(text) AS fp_old FROM v1),
-        n AS (SELECT doc_id AS id, md5(text) AS fp_new FROM v2)
+        -- COALESCE to the same NULL sentinel as snapshot_diff: NULL text
+        -- must fingerprint as a distinct value, not as md5(NULL)=NULL
+        o AS (SELECT doc_id AS id, md5(COALESCE(text, chr(0) || 'NULL')) AS fp_old FROM v1),
+        n AS (SELECT doc_id AS id, md5(COALESCE(text, chr(0) || 'NULL')) AS fp_new FROM v2)
         SELECT id,
                CASE WHEN fp_old IS NULL THEN 'added'
                     WHEN fp_new IS NULL THEN 'removed'
