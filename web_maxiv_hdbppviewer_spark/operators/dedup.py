@@ -486,26 +486,35 @@ def simhash_pairs(
 
 def incremental_ngram_pairs(
     df: DataFrame,
-    is_new,
-    min_jaccard: float,
+    is_new=None,
+    min_jaccard: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = None,
+    new_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs INVOLVING a newly-ingested batch only - the
     operation a daily ingest actually runs: dedup the new batch against the
     standing corpus (and within itself) WITHOUT re-deduping the corpus.
 
-    ``is_new`` is a Column predicate over the normalized ``id`` column
-    marking batch membership. The prefix inverted index still covers the
-    whole corpus (the standing index a warehouse maintains), but the PROBE
-    side is restricted to the new batch before the join, so candidate
+    Batch membership comes in one of two shapes: ``is_new``, a Column
+    predicate over the normalized ``id`` column (a derivable slice, e.g. a
+    hash bucket), or ``new_ids``, a one-column DataFrame manifest of batch
+    ids - the form an incremental pipeline actually has in hand (e.g. the
+    'added' slice of operators/delta.snapshot_diff). A manifest restricts
+    the probe side with a LEFT SEMI join on id (AQE broadcasts it when
+    small); either way the prefix inverted index still covers the whole
+    corpus (the standing index a warehouse maintains), but the PROBE side
+    is restricted to the new batch before the join, so candidate
     generation is proportional to |batch| x bucket sizes, never
     |corpus|^2 - and results are exactly the corpus-wide pairs that touch
     the batch (pairs are normalized to id_a < id_b). Document frequencies
     come from the full corpus, so prefix ordering is consistent on both
     sides and recall stays exact (any shared global order is).
     """
+    assert (is_new is None) != (new_ids is None), (
+        "pass exactly one of is_new (Column predicate) or new_ids (manifest)"
+    )
     t = float(min_jaccard)
     docs = doc_shingle_arrays(df, id_col, text_col)
     plen = (F.floor((1.0 - t) * F.col("n") + _EPS) + F.lit(1)).cast("int")
@@ -518,7 +527,12 @@ def incremental_ngram_pairs(
     if max_shingle_df is not None:
         prefix = prefix.where(F.col("df") <= max_shingle_df)
     a = prefix.select(F.col("id").alias("id_x"), "h", F.col("n").alias("na"), F.col("r").alias("ra"))
-    b = prefix.where(is_new(F.col("id"))).select(
+    if new_ids is not None:
+        manifest = new_ids.select(F.col(new_ids.columns[0]).alias("id"))
+        probe = prefix.join(manifest, "id", "left_semi")
+    else:
+        probe = prefix.where(is_new(F.col("id")))
+    b = probe.select(
         F.col("id").alias("id_y"), "h", F.col("n").alias("nb"), F.col("r").alias("rb")
     )
     need = t / (1.0 + t) * (F.col("na") + F.col("nb")) - _EPS

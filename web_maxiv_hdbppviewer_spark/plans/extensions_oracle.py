@@ -644,6 +644,83 @@ EXTENSION_ORACLE = {
         FROM o FULL OUTER JOIN n USING (id)
         ORDER BY id
     """,
+    # the diff driving incremental work, composed from first principles:
+    # statuses from the fingerprint FULL OUTER join; 'added' docs get an
+    # ALL-PAIRS jaccard count over the v2 corpus (the naive form of the
+    # Spark side's prefix-filtered incremental probe) with min-id-wins
+    # keep; 'changed' docs get the text_quality formula over the NEW text
+    "pipe_delta_apply": """
+        WITH v1 AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        v2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+          FROM documents WHERE doc_id % 10 <> 1),
+        o AS (SELECT doc_id AS id, md5(COALESCE(text, chr(0) || 'NULL')) AS fp_old FROM v1),
+        n AS (SELECT doc_id AS id, md5(COALESCE(text, chr(0) || 'NULL')) AS fp_new FROM v2),
+        st AS (
+          SELECT id,
+                 CASE WHEN fp_old IS NULL THEN 'added'
+                      WHEN fp_new IS NULL THEN 'removed'
+                      WHEN fp_old = fp_new THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM o FULL OUTER JOIN n USING (id)),
+        added AS (SELECT id FROM st WHERE status = 'added'),
+        changed AS (SELECT id FROM st WHERE status = 'changed'),
+        raw_toks AS (
+          SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+          FROM (SELECT doc_id,
+                       list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+                FROM v2)),
+        sh AS (
+          SELECT DISTINCT doc_id AS id, w || ' ' || nw AS s
+          FROM (SELECT doc_id, w, i,
+                       lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS nw
+                FROM raw_toks)
+          WHERE nw IS NOT NULL),
+        sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+        common AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT id_a, id_b, ROUND(c / (sa.n + sb.n - c), 6) AS jaccard
+          FROM common
+          JOIN sz sa ON sa.id = id_a
+          JOIN sz sb ON sb.id = id_b),
+        pairs AS (
+          SELECT id_a, id_b FROM jac
+          WHERE jaccard >= 0.8
+            AND (id_a IN (SELECT id FROM added)
+                 OR id_b IN (SELECT id FROM added))),
+        probe AS (
+          SELECT a.id, 'dedup_probe' AS action,
+                 CAST((SELECT COUNT(*) FROM pairs p
+                       WHERE p.id_a = a.id OR p.id_b = a.id) AS DOUBLE) AS metric_r,
+                 NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = a.id) AS keep
+          FROM added a),
+        cq AS (
+          SELECT v2.doc_id, v2.text,
+                 list_filter(string_split(lower(v2.text), ' '), x -> x <> '') AS toks
+          FROM v2 JOIN changed ON v2.doc_id = changed.id),
+        cf AS (
+          SELECT doc_id,
+                 len(toks) AS nt,
+                 len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+                 len(list_distinct(toks)) AS n_dist
+          FROM cq),
+        resc AS (
+          SELECT doc_id AS id, 'rescore' AS action,
+                 ROUND(0.4 * (n_stop / nt) + 0.3 * least(nt / 100.0, 1.0)
+                       + 0.3 * (n_dist / nt), 6) AS metric_r,
+                 ROUND(0.4 * (n_stop / nt) + 0.3 * least(nt / 100.0, 1.0)
+                       + 0.3 * (n_dist / nt), 6) >= 0.32 AS keep
+          FROM cf)
+        SELECT * FROM probe
+        UNION ALL
+        SELECT * FROM resc
+        ORDER BY id
+    """,
     "pipe_split": f"""
         SELECT doc_id,
                CASE WHEN b < 8000 THEN 'train'
