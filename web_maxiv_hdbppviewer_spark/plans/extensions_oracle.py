@@ -844,6 +844,16 @@ EXTENSION_ORACLE = {
         FROM events WHERE value IS NOT NULL AND NOT isnan(value)
         GROUP BY user_id ORDER BY user_id
     """,
+    # approx-percentile guarantee measurement: the sketch values are
+    # engine-specific, so the oracle pins the user set, the exact counts,
+    # and that every in-engine rank-error bound check concluded TRUE
+    # (extensions.events_quantiles_approx documents the measurement)
+    "events_quantiles_approx": """
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               TRUE AS ok_p50, TRUE AS ok_p95, TRUE AS ok_p99
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        GROUP BY user_id ORDER BY user_id
+    """,
     # hopping windows: every event belongs to width/slide = 4 windows whose
     # starts are the 4 preceding slide-aligned boundaries (Spark's
     # epoch-aligned window(ts, '1 day', '6 hours') semantics)
