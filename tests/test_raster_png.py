@@ -146,3 +146,24 @@ def test_stack_later_series_over_earlier():
     img = compose_image(rows, 1, 1, colors={1: (255, 0, 0), 2: (0, 255, 0)})
     # both single-pixel layers shade to full alpha; series 2 drew last
     assert tuple(img[0, 0]) == (0, 255, 0, 255)
+
+
+def test_png_decode_round_trips_encode():
+    """decode_png_rgba must invert encode_png_rgba exactly (the
+    lifecycle_image witness digests decoded pixels, so a lossy or
+    misaligned decode would silently witness the wrong image), and must
+    refuse non-RGBA PNGs rather than misread them."""
+    import numpy as np
+    import pytest
+
+    from web_maxiv_hdbppviewer_spark.api.png import (
+        decode_png_rgba,
+        encode_png_rgba,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 7, 4), dtype=np.uint8)
+    assert (decode_png_rgba(encode_png_rgba(img)) == img).all()
+
+    with pytest.raises(AssertionError):
+        decode_png_rgba(b"\x89PNG\r\n\x1a\njunk")

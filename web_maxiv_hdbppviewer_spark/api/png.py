@@ -60,6 +60,36 @@ def encode_png_rgba(img: np.ndarray) -> bytes:
     )
 
 
+def decode_png_rgba(data: bytes) -> np.ndarray:
+    """Inverse of ``encode_png_rgba`` for the subset it emits (8-bit RGBA,
+    filter 0 on every scanline, any IDAT chunking): back to (h, w, 4)
+    uint8. Raises on anything else - this is a verification decoder for
+    pixel-level witnesses (the PNG BYTES are not stable across zlib
+    versions/levels; the decoded array is), not a general PNG reader."""
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, w = 8, None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            assert (depth, ctype) == (8, 6), "decoder handles 8-bit RGBA only"
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + length
+    assert w is not None, "missing IHDR chunk"
+    raw = zlib.decompress(idat)
+    stride = 1 + 4 * w
+    rows = []
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        assert line[0] == 0, f"unexpected filter {line[0]} on row {y}"
+        rows.append(np.frombuffer(line[1:], dtype=np.uint8).reshape(w, 4))
+    return np.stack(rows)
+
+
 #: datashader's default minimum alpha for shaded (non-empty) pixels
 MIN_ALPHA = 40
 

@@ -507,5 +507,56 @@ def lifecycle_aggregate(spark, sf_dir):
     )
 
 
+def lifecycle_image(spark, sf_dir):
+    """The PNG path witnessed end-to-end (reference server.py:92-148 +
+    plot.py render): fixture catalog -> render_image -> base64 PNG per
+    axis -> DECODED pixel array digested to one row per axis (axis, w, h,
+    n_lit opaque pixels, sha256 of the raw RGBA bytes, y0, y1). Hashing
+    the decoded array, not the PNG bytes, keeps the digest stable across
+    zlib versions while still pinning every pixel the line raster, alpha
+    equalization, spread and palette produced. Rows-only driver entry: the
+    render is not SQL-expressible, but the digest is deterministic, so any
+    regression anywhere in the raster -> compose -> encode stack flips the
+    value hash. Driver-side work stays pixel-bounded (w*h rows per axis)."""
+    import base64
+    import hashlib
+    from datetime import datetime as _dt
+
+    from ..api.lifecycle import HdbppQueryEngine
+    from ..api.png import decode_png_rgba
+    from ..sources.fixtures import hdbpp_fixture
+
+    catalog, datapoints = hdbpp_fixture(spark, sf_dir)
+    engine = HdbppQueryEngine(catalog, datapoints)
+    attrs = [
+        {"name": f"cs1/dom{u % 5}/fam{u % 10}/mem{u % 3}/attr{u}", "y_axis": u % 2}
+        for u in range(8)
+    ]
+    out = engine.render_image(
+        attrs, _dt(2024, 1, 1), _dt(2024, 1, 31), (200, 120)
+    )
+    rows = []
+    for axis in sorted(out["images"]):
+        ax = out["images"][axis]
+        img = decode_png_rgba(base64.b64decode(ax["image"]))
+        rows.append(
+            (
+                int(axis),
+                int(img.shape[1]),
+                int(img.shape[0]),
+                int((img[:, :, 3] > 0).sum()),
+                hashlib.sha256(img.tobytes()).hexdigest(),
+                float(ax["y_range"][0]),
+                float(ax["y_range"][1]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "axis int, width int, height int, n_lit long, pixel_sha256 string,"
+        " y0 double, y1 double",
+    )
+
+
 CORE_QUERIES = {f"q{i}": globals()[f"q{i}"] for i in range(1, 35)}
 CORE_QUERIES["lifecycle_aggregate"] = lifecycle_aggregate
+CORE_QUERIES["lifecycle_image"] = lifecycle_image
