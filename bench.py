@@ -55,6 +55,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in sorted(queries, key=lambda n: (len(n), n)):
+        if name == "lifecycle_image":
+            # timed by the dedicated end-to-end block below at the full
+            # 800x400 viewport; the declared query is the same render path
+            # at witness size and would collide on the timings key
+            continue
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)

@@ -494,3 +494,20 @@ def test_grouping_sets_and_sliding_windows_are_single_pass(spark):
         plan = _plan(QUERIES[name](spark, SF_SMOKE))
         assert plan.count("FileScan") == 1, f"{name}: multiple scans"
         assert plan.count("Expand") == 1, f"{name}: expected one Expand"
+
+
+def test_witness_window_leads_with_changed_queries():
+    """Rotation honesty (VERDICT r7 'Next round' #8): every query the
+    builder declares behavior-changed this round must lead the driver's
+    50-entry witness window - the r7 miss (text_bpe_apply rewritten but
+    left outside the window) becomes a suite failure, not a judge finding.
+    Also pins the window invariants queries() relies on: exactly 50
+    distinct known names, emitted first."""
+    import __spark_entry__ as entry_mod
+
+    changed = entry_mod._CHANGED_THIS_ROUND
+    window = entry_mod._WINDOW
+    assert changed, "maintain the per-round changelist; empty means stale"
+    assert window[: len(changed)] == changed
+    assert len(window) == 50 and len(set(window)) == 50
+    assert list(entry_mod.queries())[:50] == window
