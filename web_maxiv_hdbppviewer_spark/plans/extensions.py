@@ -815,7 +815,15 @@ def pipe_delta_apply(spark, sf_dir):
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    diff = delta.snapshot_diff(v1, v2)
+    # the diff feeds BOTH slices: checkpoint the tiny (id, status) frame
+    # (~24 bytes/doc) so the fingerprint full-outer join runs once, not
+    # once per downstream branch - plan-verified: the un-checkpointed form
+    # duplicates every snapshot scan (11 parquet scans at sf0.01); at
+    # 100 TB that halves the snapshot reads. Same bounded-materialization
+    # discipline as dedup_clusters' per-round localCheckpoint
+    # (operators/graph.py); executor-local storage means a lost executor
+    # re-runs the job, the standard trade for a frame this small.
+    diff = delta.snapshot_diff(v1, v2).localCheckpoint(eager=False)
     added = diff.where(F.col("status") == "added").select("id")
     changed = diff.where(F.col("status") == "changed").select("id")
 
