@@ -53,7 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHANGED_THIS_ROUND = [
     "text_bpe_apply", "text_bpe_train", "text_bpe",
     "pipe_delta", "pipe_delta_apply",
-    "events_quantiles_approx", "lifecycle_image",
+    "events_quantiles_approx", "lifecycle_image", "stream_sessions",
     "dedup_incremental",
     "stream_last_value", "stream_window", "stream_dedup",
 ]
@@ -67,7 +67,7 @@ _WINDOW = (
         "multimodal_frames",
         "sim_quantize", "dedup_embedding",
     ]
-    + [f"q{i}" for i in range(1, 16)]
+    + [f"q{i}" for i in range(1, 15)]
 )
 
 

@@ -675,6 +675,59 @@ def stream_window(spark, sf_dir):
     )
 
 
+def stream_sessions(spark, sf_dir):
+    """Gap-based sessionization as a STREAM - the exact claim
+    ``window_sessions`` makes ("the identical expression runs under
+    Structured Streaming"), now witnessed: the same per-user
+    session_window aggregation over the watermarked events stream,
+    drained availableNow. Sessions that straddle micro-batch boundaries
+    must MERGE in the state store (the part batch mode can't exercise);
+    complete output mode makes the final sink equal the batch answer
+    exactly, so the oracle is the same gaps-and-islands SQL. A 100 TB
+    deployment runs append mode to a real sink with watermark-bounded
+    state; complete mode here bounds state at |sessions| and keeps the
+    check exact."""
+    from ..functions.time import epoch_us
+
+    load_tables(spark, sf_dir)  # applies session confs (nanosAsLong)
+    sink = f"stream_sessions_{next(_STREAM_SEQ)}"
+    feed = _stream_events(spark, sf_dir).select(
+        "user_id", F.col("ts").alias("tss"), "value"
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            feed.withWatermark("tss", "1 hour")
+            .groupBy(
+                "user_id", F.session_window(F.col("tss"), SESSION_GAP).alias("w")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_v"),
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        .select(
+            "user_id",
+            epoch_us(F.col("w.start")).alias("start_us"),
+            epoch_us(F.col("w.end")).alias("end_us"),
+            "n_events",
+            "sum_v",
+        )
+        .orderBy("user_id", "start_us")
+    )
+
+
 def stream_dedup(spark, sf_dir):
     """Streaming exactly-once dedup with BOUNDED state: the events stream
     unioned with itself (every row duplicated) must come out exactly once.
@@ -969,6 +1022,7 @@ EXTENSION_QUERIES = {
     "stream_last_value": stream_last_value,
     "stream_window": stream_window,
     "stream_dedup": stream_dedup,
+    "stream_sessions": stream_sessions,
     "sim_ann_lsh": sim_ann_lsh,
     "pipe_contamination": pipe_contamination,
     "sim_topk_quantized": sim_topk_quantized,

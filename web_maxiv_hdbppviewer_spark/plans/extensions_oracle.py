@@ -991,3 +991,7 @@ EXTENSION_ORACLE = {
         FROM sp GROUP BY 1, 2 ORDER BY split, source
     """,
 }
+
+# the streaming sessionization must converge to EXACTLY the batch answer
+# (complete-mode drain), so its oracle is the same gaps-and-islands SQL
+EXTENSION_ORACLE["stream_sessions"] = EXTENSION_ORACLE["window_sessions"]
