@@ -511,3 +511,20 @@ def test_witness_window_leads_with_changed_queries():
     assert window[: len(changed)] == changed
     assert len(window) == 50 and len(set(window)) == 50
     assert list(entry_mod.queries())[:50] == window
+
+
+def test_pq_adc_broadcast_only_no_cartesian(spark):
+    """The PQ ADC plan (sim_topk_pq) must keep every join broadcast-side
+    (codebooks and per-query tables are tiny) and contain no cartesian or
+    nested-loop join, and its encoding argmin must be the map-side min_by
+    aggregation (an ObjectHashAggregate/SortAggregate pair), not a Window
+    over the n_sub x k amplified rows."""
+    plan = _plan(QUERIES["sim_topk_pq"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # exactly ONE Window node - the final per-query top-k rank; the
+    # encode/assign argmins must stay min_by aggregations
+    assert plan.count("Window [") == 1, plan.count("Window [")
+    assert "min_by" in plan

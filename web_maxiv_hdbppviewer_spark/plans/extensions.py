@@ -136,6 +136,18 @@ def sim_ann_ivf(spark, sf_dir):
     ).orderBy("q_id", "rank")
 
 
+def sim_topk_pq(spark, sf_dir):
+    """Product-quantized ADC top-k (the 64x-compression serving path):
+    per-subspace codebooks trained by deterministic Lloyd, candidates
+    reduced to 4 codes each, queries kept full-precision. Oracle unrolls
+    the identical subspace k-means, encoding and table-lookup ranking in
+    SQL. Same output shape as sim_topk_cosine so PQ rank drift is
+    directly diffable against the float baseline."""
+    return similarity.topk_cosine_pq(
+        _emb(spark, sf_dir), TOPK, QUERY_IDS_BELOW
+    ).orderBy("q_id", "rank")
+
+
 def sim_ann_ivf_trained(spark, sf_dir):
     """IVF with a TRAINED quantizer: deterministic Lloyd k-means centroids
     (round-6 discipline) feed the same assignment/probe plan. The oracle
@@ -445,17 +457,9 @@ def window_sliding(spark, sf_dir):
     )
 
 
-def sim_ann_recall(spark, sf_dir):
-    """Recall@k of the hyperplane-LSH ANN against the exact brute-force
-    top-k, per query - the measurement loop that justifies (or indicts)
-    any ANN configuration. Exact side uses the ANN's k so the sets are
-    comparable; output (q_id, n_hits, recall_r)."""
-    ann = similarity.ann_topk_lsh(
-        _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW, ANN_NBITS
-    ).select("q_id", "cand_id")
-    exact = similarity.topk_cosine(
-        _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW
-    ).select("q_id", "cand_id")
+def _recall_vs_exact(ann, exact, k):
+    """Per-query recall@k of an approximate ranking against the exact one:
+    (q_id, n_hits, recall_r). Shared by every ANN-measurement query."""
     hits = (
         exact.join(ann, ["q_id", "cand_id"], "left_semi")
         .groupBy("q_id")
@@ -468,11 +472,39 @@ def sim_ann_recall(spark, sf_dir):
             "q_id",
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
             F.round(
-                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(ANN_TOPK)), 6
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 6
             ).alias("recall_r"),
         )
         .orderBy("q_id")
     )
+
+
+def sim_ann_recall(spark, sf_dir):
+    """Recall@k of the hyperplane-LSH ANN against the exact brute-force
+    top-k, per query - the measurement loop that justifies (or indicts)
+    any ANN configuration. Exact side uses the ANN's k so the sets are
+    comparable; output (q_id, n_hits, recall_r)."""
+    ann = similarity.ann_topk_lsh(
+        _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW, ANN_NBITS
+    ).select("q_id", "cand_id")
+    exact = similarity.topk_cosine(
+        _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW
+    ).select("q_id", "cand_id")
+    return _recall_vs_exact(ann, exact, ANN_TOPK)
+
+
+def sim_pq_recall(spark, sf_dir):
+    """Recall@k of the product-quantized ADC ranking against the exact
+    float top-k - the fidelity dial for the 64x compression (more
+    subspaces / larger codebooks raise it; the measurement is the same
+    loop as sim_ann_recall with PQ in the approximate seat)."""
+    pq = similarity.topk_cosine_pq(
+        _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW
+    ).select("q_id", "cand_id")
+    exact = similarity.topk_cosine(
+        _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW
+    ).select("q_id", "cand_id")
+    return _recall_vs_exact(pq, exact, ANN_TOPK)
 
 
 def window_sessions(spark, sf_dir):
@@ -1035,6 +1067,8 @@ EXTENSION_QUERIES = {
     "events_pivot": events_pivot,
     "sim_ann_ivf": sim_ann_ivf,
     "sim_ann_ivf_trained": sim_ann_ivf_trained,
+    "sim_topk_pq": sim_topk_pq,
+    "sim_pq_recall": sim_pq_recall,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,

@@ -88,6 +88,85 @@ def _kmeans_ctes(iters: int) -> tuple[str, str]:
 
 _KMEANS_CTES, _KMEANS_FINAL = _kmeans_ctes(_KMEANS_N_ITERS)
 
+# per-subspace PQ codebooks unrolled (mirrors similarity.train_pq_codebooks):
+# subvectors via list_slice, squared-L2 through the inner-product identity
+# (the primitive both engines fold identically), round-6 + cid-asc argmin,
+# round-6 member means - all subspaces in one CTE chain keyed by m
+from ..operators.similarity import (  # noqa: E402
+    PQ_ITERS as _PQ_ITERS,
+    PQ_K as _PQ_K,
+    PQ_M as _PQ_M,
+    PQ_SUBDIM as _PQ_SD,
+)
+
+_PQ_L2 = (
+    "ROUND(list_inner_product(x.sv, x.sv) - 2 * list_inner_product(x.sv, c.cv)"
+    " + list_inner_product(c.cv, c.cv), 6)"
+)
+
+
+def _pq_ctes(iters: int) -> tuple[str, str]:
+    parts = [
+        f"""psv AS (
+          SELECT id, nrm, m,
+                 list_slice(v, m * {_PQ_SD} + 1, (m + 1) * {_PQ_SD}) AS sv
+          FROM vecs, range(0, {_PQ_M}) r(m))""",
+        f"pc0 AS (SELECT m, id AS cid, sv AS cv FROM psv WHERE id < {_PQ_K})",
+    ]
+    prev = "pc0"
+    for i in range(1, iters + 1):
+        parts.append(f"""pa{i} AS (
+          SELECT x.id, x.m, x.sv, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY x.id, x.m
+                                    ORDER BY {_PQ_L2} ASC, c.cid ASC) AS rn
+          FROM psv x JOIN {prev} c ON x.m = c.m),
+        pc{i} AS (
+          SELECT m, cid, list(av ORDER BY idx) AS cv
+          FROM (SELECT m, cid, idx, ROUND(AVG(x), 6) AS av
+                FROM (SELECT m, cid, unnest(sv) AS x,
+                             generate_subscripts(sv, 1) AS idx
+                      FROM pa{i} WHERE rn = 1)
+                GROUP BY m, cid, idx)
+          GROUP BY m, cid)""")
+        prev = f"pc{i}"
+    return ",\n        ".join(parts) + ",", prev
+
+
+_PQ_CTES, _PQ_FINAL = _pq_ctes(_PQ_ITERS)
+
+# explicit left-to-right ADC sums over the pivoted per-subspace columns -
+# a plain SUM() would reintroduce float-order nondeterminism
+_PQ_PD_SUM = " + ".join(f"MAX(CASE WHEN k.m = {m} THEN t.pd END)" for m in range(_PQ_M))
+_PQ_NSQ_SUM = " + ".join(f"MAX(CASE WHEN k.m = {m} THEN t.nsq END)" for m in range(_PQ_M))
+
+# the shared PQ pipeline tail: encode -> per-query tables -> ADC -> ranking
+# (consumed by sim_topk_pq at k=5 and sim_pq_recall at k=3)
+_PQ_RANKED = f"""codes AS (
+          SELECT id, m, cid AS code FROM (
+            SELECT x.id, x.m, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY x.id, x.m
+                                      ORDER BY {_PQ_L2} ASC, c.cid ASC) AS rn
+            FROM psv x JOIN {_PQ_FINAL} c ON x.m = c.m)
+          WHERE rn = 1),
+        qtab AS (
+          SELECT x.id AS q_id, x.nrm AS q_nrm, x.m, c.cid AS code,
+                 ROUND(list_inner_product(x.sv, c.cv), 6) AS pd,
+                 ROUND(list_inner_product(c.cv, c.cv), 6) AS nsq
+          FROM psv x JOIN {_PQ_FINAL} c ON x.m = c.m
+          WHERE x.id < 10),
+        adc AS (
+          SELECT t.q_id, k.id AS cand_id,
+                 ROUND(({_PQ_PD_SUM})
+                       / (MAX(t.q_nrm) * sqrt({_PQ_NSQ_SUM})), 6) AS acos_r
+          FROM codes k JOIN qtab t ON k.m = t.m AND k.code = t.code
+          WHERE k.id != t.q_id
+          GROUP BY t.q_id, k.id),
+        pqranked AS (
+          SELECT q_id, cand_id, acos_r,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY acos_r DESC, cand_id ASC) AS rank
+          FROM adc)"""
+
 _SIG_COLS = ",\n        ".join(
     f"MIN(({a} * h31 + {b}) % {MINHASH_P}) AS s{k}"
     for k, (a, b) in enumerate(MINHASH_AB)
@@ -426,6 +505,45 @@ EXTENSION_ORACLE = {
           FROM scored)
         SELECT q_id, cand_id, cos_r, rank FROM ranked
         WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+    # ADC top-k over trained PQ codes (mirrors similarity.topk_cosine_pq):
+    # codebooks from the unrolled per-subspace k-means, candidate codes from
+    # the final assignment, approx cosine from per-query partial-dot tables
+    # with explicit left-to-right sums
+    "sim_topk_pq": f"""
+        WITH {_VECS},
+        {_PQ_CTES}
+        {_PQ_RANKED}
+        SELECT q_id, cand_id, acos_r, rank FROM pqranked
+        WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+    # recall@k of PQ ADC vs the exact float top-k (mirrors
+    # extensions.sim_pq_recall; same composition as sim_ann_recall with
+    # the PQ ranking in place of the LSH one, both sides at k=3)
+    "sim_pq_recall": f"""
+        WITH {_VECS},
+        {_PQ_CTES}
+        {_PQ_RANKED},
+        ann AS (SELECT q_id, cand_id FROM pqranked WHERE rank <= 3),
+        exact AS (
+          SELECT q_id, cand_id FROM (
+            SELECT q.id AS q_id, c.id AS cand_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.id
+                     ORDER BY ROUND(list_inner_product(q.v, c.v)
+                                    / (q.nrm * c.nrm), 6) DESC, c.id ASC) AS rank
+            FROM vecs q JOIN vecs c ON c.id != q.id
+            WHERE q.id < 10)
+          WHERE rank <= 3),
+        hits AS (
+          SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM exact e JOIN ann a ON a.q_id = e.q_id AND a.cand_id = e.cand_id
+          GROUP BY e.q_id),
+        qids AS (SELECT DISTINCT q_id FROM exact)
+        SELECT qids.q_id AS q_id,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_hits,
+               ROUND(COALESCE(n, 0) / 3.0, 6) AS recall_r
+        FROM qids LEFT JOIN hits USING (q_id) ORDER BY q_id
     """,
     "sim_ann_lsh": f"""
         WITH {_VECS},
