@@ -52,6 +52,8 @@ def main() -> None:
     from web_maxiv_hdbppviewer_spark.plans import extensions
 
     extensions._trained_merges(spark, sf_dir)
+    # likewise the PQ codebooks (sim_topk_pq / sim_pq_recall share the memo)
+    extensions._pq_codebooks(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in sorted(queries, key=lambda n: (len(n), n)):

@@ -144,7 +144,8 @@ def sim_topk_pq(spark, sf_dir):
     SQL. Same output shape as sim_topk_cosine so PQ rank drift is
     directly diffable against the float baseline."""
     return similarity.topk_cosine_pq(
-        _emb(spark, sf_dir), TOPK, QUERY_IDS_BELOW
+        _emb(spark, sf_dir), TOPK, QUERY_IDS_BELOW,
+        codebooks=_pq_codebooks(spark, sf_dir),
     ).orderBy("q_id", "rank")
 
 
@@ -200,6 +201,24 @@ def _trained_merges(spark, sf_dir) -> list[tuple[int, str, str, int]]:
             .collect()
         ]
     return _BPE_MERGE_MEMO[key]
+
+
+#: trained PQ codebooks per sf_dir - training is deterministic, so
+#: sim_topk_pq and sim_pq_recall share one training run per session (the
+#: same bounded-driver-value memo discipline as _BPE_MERGE_MEMO: plain
+#: rows, recreated as a DataFrame per call, no Spark state cached)
+_PQ_CODEBOOK_MEMO: dict[str, list] = {}
+
+
+def _pq_codebooks(spark, sf_dir):
+    if sf_dir not in _PQ_CODEBOOK_MEMO:
+        cb = similarity.train_pq_codebooks(_emb(spark, sf_dir))
+        _PQ_CODEBOOK_MEMO[sf_dir] = [
+            (int(r["m"]), int(r["cid"]), list(r["cv"])) for r in cb.collect()
+        ]
+    return spark.createDataFrame(
+        _PQ_CODEBOOK_MEMO[sf_dir], "m int, cid long, cv array<double>"
+    )
 
 
 def sim_quantize(spark, sf_dir):
@@ -499,7 +518,8 @@ def sim_pq_recall(spark, sf_dir):
     subspaces / larger codebooks raise it; the measurement is the same
     loop as sim_ann_recall with PQ in the approximate seat)."""
     pq = similarity.topk_cosine_pq(
-        _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW
+        _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW,
+        codebooks=_pq_codebooks(spark, sf_dir),
     ).select("q_id", "cand_id")
     exact = similarity.topk_cosine(
         _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW
