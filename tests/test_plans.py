@@ -528,3 +528,47 @@ def test_pq_adc_broadcast_only_no_cartesian(spark):
     # encode/assign argmins must stay min_by aggregations
     assert plan.count("Window [") == 1, plan.count("Window [")
     assert "min_by" in plan
+
+
+def test_snapshot_diff_exchange_free_on_bucketed_snapshots(spark, tmp_path):
+    """snapshot_diff's scale claim (operators/delta.py: 'exchange-free if
+    bucketed'), plan-asserted: with both corpus snapshots bucketed by the
+    id key, the (id, md5) full-outer join must plan with NO hash-partition
+    exchange - the fingerprint projection is narrow, so the write-time
+    bucketing carries through to the join. Statuses must equal the
+    unbucketed result."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.operators.delta import snapshot_diff
+    from web_maxiv_hdbppviewer_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    d = F.col("doc_id")
+    v1 = docs.where(d % 10 != 0).select("doc_id", "text")
+    v2 = docs.where(d % 10 != 1).select(
+        "doc_id",
+        F.when(d % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    expected = {r["id"]: r["status"] for r in snapshot_diff(v1, v2).collect()}
+    try:
+        for name, side in (("snap_v1", v1), ("snap_v2", v2)):
+            (
+                side.write.mode("overwrite")
+                .option("path", str(tmp_path / name))
+                .bucketBy(4, "doc_id")
+                .sortBy("doc_id")
+                .saveAsTable(name)
+            )
+        b1, b2 = spark.table("snap_v1"), spark.table("snap_v2")
+        diff = snapshot_diff(b1, b2)
+        plan = _plan(diff)
+        assert "Exchange hashpartitioning" not in plan, (
+            "bucketed snapshot diff still shuffles"
+        )
+        got = {r["id"]: r["status"] for r in diff.collect()}
+        assert got == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS snap_v1")
+        spark.sql("DROP TABLE IF EXISTS snap_v2")
