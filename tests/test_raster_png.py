@@ -167,3 +167,26 @@ def test_png_decode_round_trips_encode():
 
     with pytest.raises(AssertionError):
         decode_png_rgba(b"\x89PNG\r\n\x1a\njunk")
+
+
+def test_compose_image_is_row_order_independent():
+    """collect() row order depends on partition scheduling, so compose
+    must produce the identical image for any permutation of pixel_rows -
+    both palette assignment and stacking key on the series ID, not on
+    first appearance (the lifecycle_image digest relies on this)."""
+    import random
+
+    import numpy as np
+
+    rows = [
+        {"series": s, "xb": x, "yb": y, "cnt": c}
+        for s, x, y, c in [
+            (2, 0, 0, 1), (1, 0, 0, 3), (3, 1, 1, 2), (1, 2, 2, 1), (2, 2, 2, 5)
+        ]
+    ]
+    ref = compose_image(rows, 4, 4)
+    rng = random.Random(3)
+    for _ in range(5):
+        shuffled = rows[:]
+        rng.shuffle(shuffled)
+        assert (compose_image(shuffled, 4, 4) == ref).all()

@@ -135,16 +135,16 @@ def compose_image(
 ) -> np.ndarray:
     """Shade + spread + stack per-series pixel rows (series, xb, yb, cnt)
     into one RGBA image. Data orientation yb=0 at bottom -> flipped to PNG
-    top-down; later series composite OVER earlier (reference stacks in
-    attribute order, plot.py:206). ``widths`` maps series -> spread px."""
-    series_ids = []
+    top-down; series composite in ASCENDING id order, later OVER earlier
+    (the reference stacks in attribute order, plot.py:206, and attribute
+    ids are catalog-ordered - crucially this is DETERMINISTIC, where
+    first-appearance order of collected pixel rows depends on partition
+    scheduling and would flip both the default palette assignment and the
+    stacking between runs). ``widths`` maps series -> spread px."""
     by_series: dict = {}
     for r in pixel_rows:
-        s = r["series"]
-        if s not in by_series:
-            series_ids.append(s)
-            by_series[s] = []
-        by_series[s].append(r)
+        by_series.setdefault(r["series"], []).append(r)
+    series_ids = sorted(by_series)
     # user overrides layered OVER the default palette: a request that colors
     # only SOME series must not crash the uncolored ones (they fall back to
     # their palette slot, like the reference client's per-line defaults)
