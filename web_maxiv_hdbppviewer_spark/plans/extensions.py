@@ -863,6 +863,54 @@ def pipe_curation(spark, sf_dir):
     )
 
 
+def pipe_funnel(spark, sf_dir):
+    """Curation-funnel observability: per-stage survivor counts for the
+    standard corpus-cleaning chain - quality filter, then exact dedup
+    (min-id representative per md5 among survivors), then near-dup drop
+    (docs dominated by a smaller-id jaccard partner among survivors).
+    Pipelines at 100 TB live and die by this report (where did my tokens
+    go?); each stage row is (stage, name, n_in, n_kept) with n_in equal
+    to the previous stage's n_kept, so the funnel is self-auditing. Each
+    stage applies to the PREVIOUS stage's survivors - unlike
+    pipe_curation, which intersects independent filters - so the counts
+    attribute every dropped doc to exactly one stage. Three single-row
+    aggregates unioned; the heavy stages reuse the filtered corpus, not
+    the full table."""
+    docs = _docs(spark, sf_dir)
+    total = docs.select("doc_id")
+    good = (
+        textquality.quality_scores(docs)
+        .where(F.col("quality") >= CURATION_MIN_QUALITY)
+        .select("doc_id")
+    )
+    s2 = docs.join(good, "doc_id", "left_semi")
+    reps = dedup.exact_dedup(s2).select(F.col("keep_id").alias("doc_id"))
+    s3 = s2.join(reps, "doc_id", "left_semi")
+    dominated = (
+        dedup.ngram_jaccard_pairs(s3, JACCARD_THRESHOLD)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s4 = s3.join(dominated, "doc_id", "left_anti")
+
+    def row(stage, name, df_in, df_kept):
+        n_in = df_in.agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+        n_kept = df_kept.agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        return n_in.crossJoin(n_kept).select(
+            F.lit(stage).cast("long").alias("stage"),
+            F.lit(name).alias("name"),
+            "n_in",
+            "n_kept",
+        )
+
+    return (
+        row(1, "quality", total, s2)
+        .unionByName(row(2, "exact_dedup", s2, s3))
+        .unionByName(row(3, "near_dup", s3, s4))
+        .orderBy("stage")
+    )
+
+
 def pipe_pack(spark, sf_dir):
     """Sequence packing: every document's contiguous token span in its
     packed training shard (deterministic order, documents may straddle
@@ -1070,6 +1118,7 @@ EXTENSION_QUERIES = {
     "pipe_split": pipe_split,
     "pipe_domain_mix": pipe_domain_mix,
     "pipe_curation": pipe_curation,
+    "pipe_funnel": pipe_funnel,
     "pipe_pack": pipe_pack,
     "stream_last_value": stream_last_value,
     "stream_window": stream_window,

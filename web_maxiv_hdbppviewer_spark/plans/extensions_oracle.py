@@ -1079,6 +1079,66 @@ EXTENSION_ORACLE = {
         FROM c GROUP BY split, shard ORDER BY split, shard
     """,
     # quality threshold mirrors extensions.CURATION_MIN_QUALITY = 0.32
+    # sequential curation funnel (mirrors extensions.pipe_funnel): each
+    # stage filters the PREVIOUS stage's survivors; near-dup drop = docs
+    # appearing as the larger id of a >= 0.8 jaccard pair among stage-3
+    # survivors (shingles computed over the survivors, like the Spark side)
+    "pipe_funnel": """
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id,
+                 len(toks) AS n,
+                 len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+                 len(list_distinct(toks)) AS n_dist
+          FROM t),
+        s2 AS (
+          SELECT d.doc_id, d.text FROM documents d JOIN f USING (doc_id)
+          WHERE ROUND(0.4 * (n_stop / n) + 0.3 * least(n / 100.0, 1.0)
+                      + 0.3 * (n_dist / n), 6) >= 0.32),
+        reps AS (
+          SELECT MIN(doc_id) AS doc_id FROM s2 GROUP BY md5(LOWER(text))),
+        s3 AS (SELECT s2.doc_id, s2.text FROM s2 JOIN reps USING (doc_id)),
+        raw_toks3 AS (
+          SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+          FROM (SELECT doc_id,
+                       list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+                FROM s3)),
+        sh3 AS (
+          SELECT DISTINCT doc_id AS id, w || ' ' || nw AS s
+          FROM (SELECT doc_id, w, i,
+                       lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS nw
+                FROM raw_toks3)
+          WHERE nw IS NOT NULL),
+        sz3 AS (SELECT id, COUNT(*) AS n FROM sh3 GROUP BY id),
+        common3 AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+          FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.id < b.id
+          GROUP BY 1, 2),
+        dominated AS (
+          SELECT DISTINCT id_b AS doc_id
+          FROM common3
+          JOIN sz3 sa ON sa.id = id_a
+          JOIN sz3 sb ON sb.id = id_b
+          WHERE ROUND(c / (sa.n + sb.n - c), 6) >= 0.8),
+        s4 AS (
+          SELECT doc_id FROM s3
+          WHERE doc_id NOT IN (SELECT doc_id FROM dominated))
+        SELECT CAST(1 AS BIGINT) AS stage, 'quality' AS name,
+               CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_in,
+               CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_kept
+        UNION ALL
+        SELECT 2, 'exact_dedup',
+               CAST((SELECT COUNT(*) FROM s2) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+        UNION ALL
+        SELECT 3, 'near_dup',
+               CAST((SELECT COUNT(*) FROM s3) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM s4) AS BIGINT)
+        ORDER BY stage
+    """,
     "pipe_curation": f"""
         WITH t AS (
           SELECT doc_id, text,
