@@ -873,30 +873,46 @@ def pipe_funnel(spark, sf_dir):
     to the previous stage's n_kept, so the funnel is self-auditing. Each
     stage applies to the PREVIOUS stage's survivors - unlike
     pipe_curation, which intersects independent filters - so the counts
-    attribute every dropped doc to exactly one stage. Three single-row
-    aggregates unioned; each stage boundary is localCheckpoint-ed so the
-    chain executes ONCE even though every stage feeds two counts and the
-    next stage (un-checkpointed, the shared subtrees re-ran per count:
-    measured 9.6 s -> 3.4 s at sf0.1). The funnel needs each stage's
-    surviving text downstream anyway, so materializing survivors once is
-    the same trade a 100 TB run makes - stage outputs land in scratch
-    storage instead of being recomputed per consumer."""
+    attribute every dropped doc to exactly one stage.
+
+    Execution shape: the COUNTS all read tiny id-frames (survivor doc_id
+    sets, localCheckpoint-ed - a few bytes/doc), the one text-carrying
+    frame (s2) is referenced exactly once (by exact_dedup), and the
+    near-dup stage reads the session-shared full-corpus shingle index
+    (see the inline note), so nothing corpus-sized is recomputed per
+    consumer or checkpointed; the corpus is re-scanned per stage through
+    the pruned parquet scan, the same stage-boundary trade a 100 TB run
+    makes with scratch manifests."""
     docs = _docs(spark, sf_dir)
     total = docs.select("doc_id")
-    good = (
+    good_ids = (
         textquality.quality_scores(docs)
         .where(F.col("quality") >= CURATION_MIN_QUALITY)
         .select("doc_id")
+        .localCheckpoint(eager=False)
     )
-    s2 = docs.join(good, "doc_id", "left_semi").localCheckpoint(eager=False)
-    reps = dedup.exact_dedup(s2).select(F.col("keep_id").alias("doc_id"))
-    s3 = s2.join(reps, "doc_id", "left_semi").localCheckpoint(eager=False)
+    s2 = docs.join(good_ids, "doc_id", "left_semi")
+    s3_ids = (
+        dedup.exact_dedup(s2)
+        .select(F.col("keep_id").alias("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+    # near-dup pairs come from the FULL-corpus index filtered to surviving
+    # endpoints - identical to shingling the survivors (jaccard is
+    # pairwise and the prefix filter is recall-exact under ANY global df
+    # order), but it reuses the session's one memoized shingle
+    # materialization instead of building a second index over the
+    # filtered corpus (measured: the survivor-only index cost ~5 s at
+    # sf0.1 with zero reuse). A 100 TB pipeline makes the same call: the
+    # corpus-wide pair set already exists from its dedup stage.
+    pairs = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
     dominated = (
-        dedup.ngram_jaccard_pairs(s3, JACCARD_THRESHOLD)
+        pairs.join(s3_ids.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi")
+        .join(s3_ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    s4 = s3.join(dominated, "doc_id", "left_anti")
+    s4_ids = s3_ids.join(dominated, "doc_id", "left_anti")
 
     def row(stage, name, df_in, df_kept):
         n_in = df_in.agg(F.count(F.lit(1)).cast("long").alias("n_in"))
@@ -909,9 +925,9 @@ def pipe_funnel(spark, sf_dir):
         )
 
     return (
-        row(1, "quality", total, s2)
-        .unionByName(row(2, "exact_dedup", s2, s3))
-        .unionByName(row(3, "near_dup", s3, s4))
+        row(1, "quality", total, good_ids)
+        .unionByName(row(2, "exact_dedup", good_ids, s3_ids))
+        .unionByName(row(3, "near_dup", s3_ids, s4_ids))
         .orderBy("stage")
     )
 
