@@ -53,7 +53,9 @@ def main() -> None:
 
     extensions._trained_merges(spark, sf_dir)
     # likewise the PQ codebooks (sim_topk_pq / sim_pq_recall share the memo)
+    # and the IVFPQ artifacts (coarse centroids + residual codebooks)
     extensions._pq_codebooks(spark, sf_dir)
+    extensions._ivfpq_artifacts(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in sorted(queries, key=lambda n: (len(n), n)):

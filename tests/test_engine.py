@@ -980,3 +980,57 @@ def test_csv_ingest_failfast_on_malformed_rows(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="Malformed|FAILFAST|BadRecord"):
         formats.read_datapoints_csv(spark, str(tmp_path / "bad")).collect()
+
+
+def test_pq_assignment_and_adc_match_numpy_brute_force(spark):
+    """Independent PQ check: the oracle replicates the engine's OWN argmin
+    formulation, so a shared misconception would pass parity. Here numpy
+    recomputes codebook assignment (nearest codeword per subspace, round-6
+    L2, cid tiebreak) and the ADC cosine from first principles on random
+    vectors, with no shared expression code."""
+    import numpy as np
+
+    from web_maxiv_hdbppviewer_spark.operators.similarity import (
+        pq_assign,
+        topk_cosine_pq,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 64)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cb = train_pq_codebooks(df)
+    books = {}  # m -> sorted list of (cid, np vector)
+    for r in cb.collect():
+        books.setdefault(r["m"], []).append((r["cid"], np.array(r["cv"])))
+
+    def np_code(v64, m):
+        sub = v64[m * 16 : (m + 1) * 16].astype(np.float64)
+        best = None
+        for cid, cv in sorted(books[m]):
+            d = round(float(sub @ sub - 2 * (sub @ cv) + cv @ cv), 6)
+            if best is None or (d, cid) < best[:2]:
+                best = (d, cid)
+        return best[1]
+
+    got = {(r["id"], r["m"]): r["code"] for r in pq_assign(df, cb).collect()}
+    for i in range(len(vecs)):
+        for m in range(4):
+            assert got[(i, m)] == np_code(vecs[i], m), (i, m)
+
+    # ADC: approx cosine from the codes, numpy-recomputed
+    top = topk_cosine_pq(df, 3, query_ids_below=2, codebooks=cb).collect()
+    assert top
+    for r in top:
+        qv = vecs[r["q_id"]].astype(np.float64)
+        pd_sum = 0.0
+        nsq_sum = 0.0
+        for m in range(4):
+            cv = dict(books[m])[np_code(vecs[r["cand_id"]], m)]
+            pd_sum += round(float(qv[m * 16 : (m + 1) * 16] @ cv), 6)
+            nsq_sum += round(float(cv @ cv), 6)
+        expect = round(pd_sum / (float(np.sqrt(qv @ qv)) * float(np.sqrt(nsq_sum))), 6)
+        assert abs(r["acos_r"] - expect) < 2e-6, (tuple(r), expect)

@@ -149,6 +149,20 @@ def sim_topk_pq(spark, sf_dir):
     ).orderBy("q_id", "rank")
 
 
+def sim_ann_ivfpq(spark, sf_dir):
+    """Residual IVF-PQ ANN (the production index shape - FAISS IVFPQ):
+    trained coarse cells route vectors, residuals are product-quantized,
+    queries probe nprobe cells and score candidates purely from code
+    lookups plus centroid cross terms. The oracle unrolls BOTH trainings
+    (coarse cosine k-means + per-subspace residual k-means), the residual
+    arithmetic, and the full ADC algebra - parity is bit-exact."""
+    cents, rcb = _ivfpq_artifacts(spark, sf_dir)
+    return similarity.ann_topk_ivfpq(
+        _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW, IVF_CELLS, IVF_NPROBE,
+        KMEANS_ITERS, centroids=cents, codebooks=rcb,
+    ).orderBy("q_id", "rank")
+
+
 def sim_ann_ivf_trained(spark, sf_dir):
     """IVF with a TRAINED quantizer: deterministic Lloyd k-means centroids
     (round-6 discipline) feed the same assignment/probe plan. The oracle
@@ -218,6 +232,28 @@ def _pq_codebooks(spark, sf_dir):
         ]
     return spark.createDataFrame(
         _PQ_CODEBOOK_MEMO[sf_dir], "m int, cid long, cv array<double>"
+    )
+
+
+#: trained IVFPQ artifacts (coarse centroids + residual codebooks) per
+#: sf_dir - same bounded-row memo discipline; sim_ann_ivf_trained shares
+#: the coarse centroids (identical deterministic training)
+_IVFPQ_MEMO: dict[str, tuple[list, list]] = {}
+
+
+def _ivfpq_artifacts(spark, sf_dir):
+    if sf_dir not in _IVFPQ_MEMO:
+        cents, rcb = similarity.train_ivfpq(
+            _emb(spark, sf_dir), IVF_CELLS, KMEANS_ITERS
+        )
+        _IVFPQ_MEMO[sf_dir] = (
+            [(int(r["cid"]), list(r["cvec"])) for r in cents.collect()],
+            [(int(r["m"]), int(r["cid"]), list(r["cv"])) for r in rcb.collect()],
+        )
+    cr, rr = _IVFPQ_MEMO[sf_dir]
+    return (
+        spark.createDataFrame(cr, "cid long, cvec array<double>"),
+        spark.createDataFrame(rr, "m int, cid long, cv array<double>"),
     )
 
 
@@ -1159,6 +1195,7 @@ EXTENSION_QUERIES = {
     "sim_ann_ivf_trained": sim_ann_ivf_trained,
     "sim_topk_pq": sim_topk_pq,
     "sim_pq_recall": sim_pq_recall,
+    "sim_ann_ivfpq": sim_ann_ivfpq,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,

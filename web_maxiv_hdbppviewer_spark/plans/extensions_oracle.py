@@ -105,30 +105,35 @@ _PQ_L2 = (
 )
 
 
-def _pq_ctes(iters: int) -> tuple[str, str]:
+def _pq_ctes(
+    iters: int, src: str = "vecs", vcol: str = "v", extra: str = "nrm, ", p: str = ""
+) -> tuple[str, str]:
+    """Per-subspace k-means CTE chain over ``src.vcol``; ``p`` prefixes
+    every CTE name so one query can train two codebooks (sim_ann_ivfpq
+    trains PQ over RESIDUALS next to the coarse cosine k-means)."""
     parts = [
-        f"""psv AS (
-          SELECT id, nrm, m,
-                 list_slice(v, m * {_PQ_SD} + 1, (m + 1) * {_PQ_SD}) AS sv
-          FROM vecs, range(0, {_PQ_M}) r(m))""",
-        f"pc0 AS (SELECT m, id AS cid, sv AS cv FROM psv WHERE id < {_PQ_K})",
+        f"""{p}psv AS (
+          SELECT id, {extra}m,
+                 list_slice({vcol}, m * {_PQ_SD} + 1, (m + 1) * {_PQ_SD}) AS sv
+          FROM {src}, range(0, {_PQ_M}) r(m))""",
+        f"{p}pc0 AS (SELECT m, id AS cid, sv AS cv FROM {p}psv WHERE id < {_PQ_K})",
     ]
-    prev = "pc0"
+    prev = f"{p}pc0"
     for i in range(1, iters + 1):
-        parts.append(f"""pa{i} AS (
+        parts.append(f"""{p}pa{i} AS (
           SELECT x.id, x.m, x.sv, c.cid,
                  ROW_NUMBER() OVER (PARTITION BY x.id, x.m
                                     ORDER BY {_PQ_L2} ASC, c.cid ASC) AS rn
-          FROM psv x JOIN {prev} c ON x.m = c.m),
-        pc{i} AS (
+          FROM {p}psv x JOIN {prev} c ON x.m = c.m),
+        {p}pc{i} AS (
           SELECT m, cid, list(av ORDER BY idx) AS cv
           FROM (SELECT m, cid, idx, ROUND(AVG(x), 6) AS av
                 FROM (SELECT m, cid, unnest(sv) AS x,
                              generate_subscripts(sv, 1) AS idx
-                      FROM pa{i} WHERE rn = 1)
+                      FROM {p}pa{i} WHERE rn = 1)
                 GROUP BY m, cid, idx)
           GROUP BY m, cid)""")
-        prev = f"pc{i}"
+        prev = f"{p}pc{i}"
     return ",\n        ".join(parts) + ",", prev
 
 
@@ -138,6 +143,19 @@ _PQ_CTES, _PQ_FINAL = _pq_ctes(_PQ_ITERS)
 # a plain SUM() would reintroduce float-order nondeterminism
 _PQ_PD_SUM = " + ".join(f"MAX(CASE WHEN k.m = {m} THEN t.pd END)" for m in range(_PQ_M))
 _PQ_NSQ_SUM = " + ".join(f"MAX(CASE WHEN k.m = {m} THEN t.nsq END)" for m in range(_PQ_M))
+
+# residual-PQ chain for sim_ann_ivfpq: same generator over the residual
+# table (no nrm column), r-prefixed so it coexists with the coarse k-means
+_RPQ_CTES, _RPQ_FINAL = _pq_ctes(_PQ_ITERS, src="res", vcol="rv", extra="", p="r")
+_IVFPQ_PD_SUM = " + ".join(
+    f"MAX(CASE WHEN k.m = {m} THEN pdt.pd END)" for m in range(_PQ_M)
+)
+_IVFPQ_NSQ_SUM = " + ".join(
+    f"MAX(CASE WHEN k.m = {m} THEN nsqt.nsq END)" for m in range(_PQ_M)
+)
+_IVFPQ_CROSS_SUM = " + ".join(
+    f"MAX(CASE WHEN k.m = {m} THEN crosst.crs END)" for m in range(_PQ_M)
+)
 
 # the shared PQ pipeline tail: encode -> per-query tables -> ADC -> ranking
 # (consumed by sim_topk_pq at k=5 and sim_pq_recall at k=3)
@@ -544,6 +562,86 @@ EXTENSION_ORACLE = {
                CAST(COALESCE(n, 0) AS BIGINT) AS n_hits,
                ROUND(COALESCE(n, 0) / 3.0, 6) AS recall_r
         FROM qids LEFT JOIN hits USING (q_id) ORDER BY q_id
+    """,
+    # residual IVF-PQ (mirrors similarity.ann_topk_ivfpq): coarse cosine
+    # k-means cells (the sim_ann_ivf_trained chain), residual = v - cell
+    # centroid via zipped parallel unnests, per-subspace k-means over the
+    # residuals (prefixed r* CTEs), and ADC with the centroid cross terms
+    # - every leaf rounded, every sum explicit left-to-right
+    "sim_ann_ivfpq": f"""
+        WITH {_VECS},
+        {_KMEANS_CTES}
+        assign AS (
+          SELECT x.id, x.v, x.nrm, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY x.id ORDER BY
+                   ROUND(list_inner_product(x.v, c.cv) /
+                         (x.nrm * sqrt(list_inner_product(c.cv, c.cv))), 6)
+                     DESC, c.cid) AS rn
+          FROM vecs x, {_KMEANS_FINAL} c),
+        cells AS (SELECT id, v, nrm, cid AS cell FROM assign WHERE rn = 1),
+        probes AS (SELECT id, v, nrm, cid AS cell FROM assign
+                   WHERE rn <= 2 AND id < 10),
+        res AS (
+          SELECT id, cell, list(vx - cx ORDER BY idx) AS rv
+          FROM (SELECT l.id, l.cell, unnest(l.v) AS vx, unnest(c.cv) AS cx,
+                       generate_subscripts(l.v, 1) AS idx
+                FROM cells l JOIN {_KMEANS_FINAL} c ON l.cell = c.cid)
+          GROUP BY id, cell),
+        {_RPQ_CTES}
+        rcodes AS (
+          SELECT id, m, cid AS code FROM (
+            SELECT x.id, x.m, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY x.id, x.m
+                                      ORDER BY {_PQ_L2} ASC, c.cid ASC) AS rn
+            FROM rpsv x JOIN {_RPQ_FINAL} c ON x.m = c.m)
+          WHERE rn = 1),
+        cand AS (
+          SELECT rc.id, r.cell, rc.m, rc.code
+          FROM rcodes rc JOIN res r ON rc.id = r.id),
+        qpsv AS (
+          SELECT id, m, list_slice(v, m * {_PQ_SD} + 1, (m + 1) * {_PQ_SD}) AS sv
+          FROM vecs, range(0, {_PQ_M}) r(m) WHERE id < 10),
+        pdt AS (
+          SELECT x.id AS q_id, x.m, c.cid AS code,
+                 ROUND(list_inner_product(x.sv, c.cv), 6) AS pd
+          FROM qpsv x JOIN {_RPQ_FINAL} c ON x.m = c.m),
+        nsqt AS (
+          SELECT m, cid AS code,
+                 ROUND(list_inner_product(cv, cv), 6) AS nsq
+          FROM {_RPQ_FINAL}),
+        csub AS (
+          SELECT cid AS cell, m,
+                 list_slice(cv, m * {_PQ_SD} + 1, (m + 1) * {_PQ_SD}) AS csv
+          FROM {_KMEANS_FINAL}, range(0, {_PQ_M}) r(m)),
+        crosst AS (
+          SELECT s.cell, s.m, c.cid AS code,
+                 ROUND(list_inner_product(s.csv, c.cv), 6) AS crs
+          FROM csub s JOIN {_RPQ_FINAL} c ON s.m = c.m),
+        qc AS (
+          SELECT p.id AS q_id, p.cell, p.nrm AS q_nrm,
+                 ROUND(list_inner_product(p.v, c.cv), 6) AS qc_dot,
+                 ROUND(list_inner_product(c.cv, c.cv), 6) AS ipcc
+          FROM probes p JOIN {_KMEANS_FINAL} c ON p.cell = c.cid),
+        adc AS (
+          SELECT t.q_id, k.id AS cand_id,
+                 ROUND((MAX(t.qc_dot) + ({_IVFPQ_PD_SUM}))
+                       / (MAX(t.q_nrm)
+                          * sqrt(MAX(t.ipcc) + 2 * ({_IVFPQ_CROSS_SUM})
+                                 + ({_IVFPQ_NSQ_SUM}))), 6) AS acos_r
+          FROM cand k
+          JOIN qc t ON k.cell = t.cell AND k.id != t.q_id
+          JOIN pdt ON pdt.q_id = t.q_id AND pdt.m = k.m AND pdt.code = k.code
+          JOIN nsqt ON nsqt.m = k.m AND nsqt.code = k.code
+          JOIN crosst ON crosst.cell = k.cell AND crosst.m = k.m
+                     AND crosst.code = k.code
+          GROUP BY t.q_id, k.id),
+        ranked AS (
+          SELECT q_id, cand_id, acos_r,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY acos_r DESC, cand_id ASC) AS rank
+          FROM adc)
+        SELECT q_id, cand_id, acos_r, rank FROM ranked
+        WHERE rank <= 3 ORDER BY q_id, rank
     """,
     "sim_ann_lsh": f"""
         WITH {_VECS},
