@@ -518,7 +518,9 @@ def test_pq_adc_broadcast_only_no_cartesian(spark):
     (codebooks and per-query tables are tiny) and contain no cartesian or
     nested-loop join, and its encoding argmin must be the map-side min_by
     aggregation (an ObjectHashAggregate/SortAggregate pair), not a Window
-    over the n_sub x k amplified rows."""
+    over the n_sub x k amplified rows. The residual IVF-PQ plan
+    (sim_ann_ivfpq) must satisfy the same join discipline - its one
+    allowed shuffle join is the narrow (id, cell) index-build join."""
     plan = _plan(QUERIES["sim_topk_pq"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -528,6 +530,13 @@ def test_pq_adc_broadcast_only_no_cartesian(spark):
     # encode/assign argmins must stay min_by aggregations
     assert plan.count("Window [") == 1, plan.count("Window [")
     assert "min_by" in plan
+
+    ivfpq = _plan(QUERIES["sim_ann_ivfpq"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in ivfpq
+    assert "BroadcastNestedLoopJoin" not in ivfpq
+    assert "BroadcastHashJoin" in ivfpq
+    assert ivfpq.count("Window [") == 1
+    assert ivfpq.count("SortMergeJoin") <= 1  # the (id, cell) index join
 
 
 def test_snapshot_diff_exchange_free_on_bucketed_snapshots(spark, tmp_path):
