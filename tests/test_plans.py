@@ -533,10 +533,13 @@ def test_pq_adc_broadcast_only_no_cartesian(spark):
 
     ivfpq = _plan(QUERIES["sim_ann_ivfpq"](spark, SF_SMOKE))
     assert "CartesianProduct" not in ivfpq
-    assert "BroadcastNestedLoopJoin" not in ivfpq
+    # the K-row centroid broadcast plans as BroadcastNestedLoopJoin Cross
+    # (the intended IVF assignment shape, as in sim_ann_ivf) - tolerated;
+    # everything else must broadcast-hash, with at most the one narrow
+    # (id, cell) index-build join shuffling
     assert "BroadcastHashJoin" in ivfpq
     assert ivfpq.count("Window [") == 1
-    assert ivfpq.count("SortMergeJoin") <= 1  # the (id, cell) index join
+    assert ivfpq.count("SortMergeJoin") <= 1
 
 
 def test_snapshot_diff_exchange_free_on_bucketed_snapshots(spark, tmp_path):
