@@ -163,6 +163,22 @@ def sim_ann_ivfpq(spark, sf_dir):
     ).orderBy("q_id", "rank")
 
 
+def sim_ivfpq_recall(spark, sf_dir):
+    """Recall@k of the residual IVF-PQ ranking against the exact float
+    top-k - the third recall dial (LSH: sim_ann_recall, plain PQ:
+    sim_pq_recall). IVFPQ loses recall two ways - unprobed cells and code
+    quantization - and this measures the combined effect."""
+    cents, rcb = _ivfpq_artifacts(spark, sf_dir)
+    ann = similarity.ann_topk_ivfpq(
+        _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW, IVF_CELLS, IVF_NPROBE,
+        KMEANS_ITERS, centroids=cents, codebooks=rcb,
+    ).select("q_id", "cand_id")
+    exact = similarity.topk_cosine(
+        _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW
+    ).select("q_id", "cand_id")
+    return _recall_vs_exact(ann, exact, ANN_TOPK)
+
+
 def sim_ann_ivf_trained(spark, sf_dir):
     """IVF with a TRAINED quantizer: deterministic Lloyd k-means centroids
     (round-6 discipline) feed the same assignment/probe plan. The oracle
@@ -1196,6 +1212,7 @@ EXTENSION_QUERIES = {
     "sim_topk_pq": sim_topk_pq,
     "sim_pq_recall": sim_pq_recall,
     "sim_ann_ivfpq": sim_ann_ivfpq,
+    "sim_ivfpq_recall": sim_ivfpq_recall,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,

@@ -157,6 +157,76 @@ _IVFPQ_CROSS_SUM = " + ".join(
     f"MAX(CASE WHEN k.m = {m} THEN crosst.crs END)" for m in range(_PQ_M)
 )
 
+_IVFPQ_CHAIN = f"""assign AS (
+          SELECT x.id, x.v, x.nrm, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY x.id ORDER BY
+                   ROUND(list_inner_product(x.v, c.cv) /
+                         (x.nrm * sqrt(list_inner_product(c.cv, c.cv))), 6)
+                     DESC, c.cid) AS rn
+          FROM vecs x, {_KMEANS_FINAL} c),
+        cells AS (SELECT id, v, nrm, cid AS cell FROM assign WHERE rn = 1),
+        probes AS (SELECT id, v, nrm, cid AS cell FROM assign
+                   WHERE rn <= 2 AND id < 10),
+        res AS (
+          SELECT id, cell, list(vx - cx ORDER BY idx) AS rv
+          FROM (SELECT l.id, l.cell, unnest(l.v) AS vx, unnest(c.cv) AS cx,
+                       generate_subscripts(l.v, 1) AS idx
+                FROM cells l JOIN {_KMEANS_FINAL} c ON l.cell = c.cid)
+          GROUP BY id, cell),
+        {_RPQ_CTES}
+        rcodes AS (
+          SELECT id, m, cid AS code FROM (
+            SELECT x.id, x.m, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY x.id, x.m
+                                      ORDER BY {_PQ_L2} ASC, c.cid ASC) AS rn
+            FROM rpsv x JOIN {_RPQ_FINAL} c ON x.m = c.m)
+          WHERE rn = 1),
+        cand AS (
+          SELECT rc.id, r.cell, rc.m, rc.code
+          FROM rcodes rc JOIN res r ON rc.id = r.id),
+        qpsv AS (
+          SELECT id, m, list_slice(v, m * {_PQ_SD} + 1, (m + 1) * {_PQ_SD}) AS sv
+          FROM vecs, range(0, {_PQ_M}) r(m) WHERE id < 10),
+        pdt AS (
+          SELECT x.id AS q_id, x.m, c.cid AS code,
+                 ROUND(list_inner_product(x.sv, c.cv), 6) AS pd
+          FROM qpsv x JOIN {_RPQ_FINAL} c ON x.m = c.m),
+        nsqt AS (
+          SELECT m, cid AS code,
+                 ROUND(list_inner_product(cv, cv), 6) AS nsq
+          FROM {_RPQ_FINAL}),
+        csub AS (
+          SELECT cid AS cell, m,
+                 list_slice(cv, m * {_PQ_SD} + 1, (m + 1) * {_PQ_SD}) AS csv
+          FROM {_KMEANS_FINAL}, range(0, {_PQ_M}) r(m)),
+        crosst AS (
+          SELECT s.cell, s.m, c.cid AS code,
+                 ROUND(list_inner_product(s.csv, c.cv), 6) AS crs
+          FROM csub s JOIN {_RPQ_FINAL} c ON s.m = c.m),
+        qc AS (
+          SELECT p.id AS q_id, p.cell, p.nrm AS q_nrm,
+                 ROUND(list_inner_product(p.v, c.cv), 6) AS qc_dot,
+                 ROUND(list_inner_product(c.cv, c.cv), 6) AS ipcc
+          FROM probes p JOIN {_KMEANS_FINAL} c ON p.cell = c.cid),
+        adc AS (
+          SELECT t.q_id, k.id AS cand_id,
+                 ROUND((MAX(t.qc_dot) + ({_IVFPQ_PD_SUM}))
+                       / (MAX(t.q_nrm)
+                          * sqrt(MAX(t.ipcc) + 2 * ({_IVFPQ_CROSS_SUM})
+                                 + ({_IVFPQ_NSQ_SUM}))), 6) AS acos_r
+          FROM cand k
+          JOIN qc t ON k.cell = t.cell AND k.id != t.q_id
+          JOIN pdt ON pdt.q_id = t.q_id AND pdt.m = k.m AND pdt.code = k.code
+          JOIN nsqt ON nsqt.m = k.m AND nsqt.code = k.code
+          JOIN crosst ON crosst.cell = k.cell AND crosst.m = k.m
+                     AND crosst.code = k.code
+          GROUP BY t.q_id, k.id),
+        ivfpqranked AS (
+          SELECT q_id, cand_id, acos_r,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY acos_r DESC, cand_id ASC) AS rank
+          FROM adc)"""
+
 # the shared PQ pipeline tail: encode -> per-query tables -> ADC -> ranking
 # (consumed by sim_topk_pq at k=5 and sim_pq_recall at k=3)
 _PQ_RANKED = f"""codes AS (
@@ -571,77 +641,37 @@ EXTENSION_ORACLE = {
     "sim_ann_ivfpq": f"""
         WITH {_VECS},
         {_KMEANS_CTES}
-        assign AS (
-          SELECT x.id, x.v, x.nrm, c.cid,
-                 ROW_NUMBER() OVER (PARTITION BY x.id ORDER BY
-                   ROUND(list_inner_product(x.v, c.cv) /
-                         (x.nrm * sqrt(list_inner_product(c.cv, c.cv))), 6)
-                     DESC, c.cid) AS rn
-          FROM vecs x, {_KMEANS_FINAL} c),
-        cells AS (SELECT id, v, nrm, cid AS cell FROM assign WHERE rn = 1),
-        probes AS (SELECT id, v, nrm, cid AS cell FROM assign
-                   WHERE rn <= 2 AND id < 10),
-        res AS (
-          SELECT id, cell, list(vx - cx ORDER BY idx) AS rv
-          FROM (SELECT l.id, l.cell, unnest(l.v) AS vx, unnest(c.cv) AS cx,
-                       generate_subscripts(l.v, 1) AS idx
-                FROM cells l JOIN {_KMEANS_FINAL} c ON l.cell = c.cid)
-          GROUP BY id, cell),
-        {_RPQ_CTES}
-        rcodes AS (
-          SELECT id, m, cid AS code FROM (
-            SELECT x.id, x.m, c.cid,
-                   ROW_NUMBER() OVER (PARTITION BY x.id, x.m
-                                      ORDER BY {_PQ_L2} ASC, c.cid ASC) AS rn
-            FROM rpsv x JOIN {_RPQ_FINAL} c ON x.m = c.m)
-          WHERE rn = 1),
-        cand AS (
-          SELECT rc.id, r.cell, rc.m, rc.code
-          FROM rcodes rc JOIN res r ON rc.id = r.id),
-        qpsv AS (
-          SELECT id, m, list_slice(v, m * {_PQ_SD} + 1, (m + 1) * {_PQ_SD}) AS sv
-          FROM vecs, range(0, {_PQ_M}) r(m) WHERE id < 10),
-        pdt AS (
-          SELECT x.id AS q_id, x.m, c.cid AS code,
-                 ROUND(list_inner_product(x.sv, c.cv), 6) AS pd
-          FROM qpsv x JOIN {_RPQ_FINAL} c ON x.m = c.m),
-        nsqt AS (
-          SELECT m, cid AS code,
-                 ROUND(list_inner_product(cv, cv), 6) AS nsq
-          FROM {_RPQ_FINAL}),
-        csub AS (
-          SELECT cid AS cell, m,
-                 list_slice(cv, m * {_PQ_SD} + 1, (m + 1) * {_PQ_SD}) AS csv
-          FROM {_KMEANS_FINAL}, range(0, {_PQ_M}) r(m)),
-        crosst AS (
-          SELECT s.cell, s.m, c.cid AS code,
-                 ROUND(list_inner_product(s.csv, c.cv), 6) AS crs
-          FROM csub s JOIN {_RPQ_FINAL} c ON s.m = c.m),
-        qc AS (
-          SELECT p.id AS q_id, p.cell, p.nrm AS q_nrm,
-                 ROUND(list_inner_product(p.v, c.cv), 6) AS qc_dot,
-                 ROUND(list_inner_product(c.cv, c.cv), 6) AS ipcc
-          FROM probes p JOIN {_KMEANS_FINAL} c ON p.cell = c.cid),
-        adc AS (
-          SELECT t.q_id, k.id AS cand_id,
-                 ROUND((MAX(t.qc_dot) + ({_IVFPQ_PD_SUM}))
-                       / (MAX(t.q_nrm)
-                          * sqrt(MAX(t.ipcc) + 2 * ({_IVFPQ_CROSS_SUM})
-                                 + ({_IVFPQ_NSQ_SUM}))), 6) AS acos_r
-          FROM cand k
-          JOIN qc t ON k.cell = t.cell AND k.id != t.q_id
-          JOIN pdt ON pdt.q_id = t.q_id AND pdt.m = k.m AND pdt.code = k.code
-          JOIN nsqt ON nsqt.m = k.m AND nsqt.code = k.code
-          JOIN crosst ON crosst.cell = k.cell AND crosst.m = k.m
-                     AND crosst.code = k.code
-          GROUP BY t.q_id, k.id),
-        ranked AS (
-          SELECT q_id, cand_id, acos_r,
-                 ROW_NUMBER() OVER (PARTITION BY q_id
-                                    ORDER BY acos_r DESC, cand_id ASC) AS rank
-          FROM adc)
-        SELECT q_id, cand_id, acos_r, rank FROM ranked
+        {_IVFPQ_CHAIN}
+        SELECT q_id, cand_id, acos_r, rank FROM ivfpqranked
         WHERE rank <= 3 ORDER BY q_id, rank
+    """,
+    # recall@k of the residual IVF-PQ ranking vs the exact float top-k -
+    # the third recall dial next to sim_ann_recall (LSH) and
+    # sim_pq_recall (plain PQ); both sides at k=3
+    "sim_ivfpq_recall": f"""
+        WITH {_VECS},
+        {_KMEANS_CTES}
+        {_IVFPQ_CHAIN},
+        ann AS (SELECT q_id, cand_id FROM ivfpqranked WHERE rank <= 3),
+        exact AS (
+          SELECT q_id, cand_id FROM (
+            SELECT q.id AS q_id, c.id AS cand_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.id
+                     ORDER BY ROUND(list_inner_product(q.v, c.v)
+                                    / (q.nrm * c.nrm), 6) DESC, c.id ASC) AS rank
+            FROM vecs q JOIN vecs c ON c.id != q.id
+            WHERE q.id < 10)
+          WHERE rank <= 3),
+        hits AS (
+          SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM exact e JOIN ann a ON a.q_id = e.q_id AND a.cand_id = e.cand_id
+          GROUP BY e.q_id),
+        qids AS (SELECT DISTINCT q_id FROM exact)
+        SELECT qids.q_id AS q_id,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_hits,
+               ROUND(COALESCE(n, 0) / 3.0, 6) AS recall_r
+        FROM qids LEFT JOIN hits USING (q_id) ORDER BY q_id
     """,
     "sim_ann_lsh": f"""
         WITH {_VECS},
