@@ -1034,3 +1034,38 @@ def test_pq_assignment_and_adc_match_numpy_brute_force(spark):
             nsq_sum += round(float(cv @ cv), 6)
         expect = round(pd_sum / (float(np.sqrt(qv @ qv)) * float(np.sqrt(nsq_sum))), 6)
         assert abs(r["acos_r"] - expect) < 2e-6, (tuple(r), expect)
+
+
+def test_snapshot_diff_matches_dict_reference(spark):
+    """Randomized reference check for snapshot_diff: generated corpus
+    pairs with overlapping ids, shared texts, edits, adds and removes
+    must produce exactly the statuses a dict-based reference computes -
+    the id partition (every id in either side appears once) comes free."""
+    import random
+
+    from web_maxiv_hdbppviewer_spark.operators.delta import snapshot_diff
+
+    rng = random.Random(5)
+    for _ in range(3):
+        texts = ["x", "y", "zz", ""] + [f"t{j}" for j in range(6)]
+        old = {i: rng.choice(texts) for i in rng.sample(range(250), 120)}
+        new = {}
+        for i in rng.sample(range(250), 120):
+            if i in old and rng.random() < 0.5:
+                new[i] = old[i]  # unchanged
+            else:
+                new[i] = rng.choice(texts)
+        expected = {}
+        for i in set(old) | set(new):
+            if i not in old:
+                expected[i] = "added"
+            elif i not in new:
+                expected[i] = "removed"
+            elif old[i] == new[i]:
+                expected[i] = "unchanged"
+            else:
+                expected[i] = "changed"
+        o = spark.createDataFrame(list(old.items()), "doc_id long, text string")
+        n = spark.createDataFrame(list(new.items()), "doc_id long, text string")
+        got = {r["id"]: r["status"] for r in snapshot_diff(o, n).collect()}
+        assert got == expected
