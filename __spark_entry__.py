@@ -44,19 +44,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # vocabulary collect), pipe_delta (NULL fingerprint sentinel),
 # pipe_delta_apply / events_quantiles_approx / lifecycle_image /
 # stream_sessions / sim_topk_pq / sim_pq_recall / sim_ann_ivfpq /
-# sim_ivfpq_recall / pipe_funnel (new), dedup_incremental (manifest probe
-# form), and the 3 streaming queries (shared _stream_events now
-# self-applies session confs). Then the stale tail: core q23-q34 and the
-# 12 extensions whose newest driver rows are r6 (two rounds), then core
-# q1-q9 (r7 rows) to fill 50. Outside the window: q10-q22 and the
-# extensions with fresh r7 rows - all still parity-checked at sf0.001 by
-# tests/test_oracle_parity.py every run; rotate back next round.
+# sim_ivfpq_recall / pipe_funnel / text_lm_score (new),
+# dedup_incremental (manifest probe form), and the 3 streaming queries
+# (shared _stream_events now self-applies session confs). Then the stale
+# tail: core q23-q34 and the 12 extensions whose newest driver rows are
+# r6 (two rounds), then core q1-q8 (r7 rows) to fill 50. Outside the
+# window: q9-q22 and the extensions with fresh r7 rows - all still
+# parity-checked at sf0.001 by tests/test_oracle_parity.py every run;
+# rotate back next round.
 _CHANGED_THIS_ROUND = [
     "text_bpe_apply", "text_bpe_train", "text_bpe",
     "pipe_delta", "pipe_delta_apply",
     "events_quantiles_approx", "lifecycle_image", "stream_sessions",
     "sim_topk_pq", "sim_pq_recall", "sim_ann_ivfpq", "sim_ivfpq_recall",
-    "pipe_funnel", "dedup_incremental",
+    "pipe_funnel", "text_lm_score", "dedup_incremental",
     "stream_last_value", "stream_window", "stream_dedup",
 ]
 _WINDOW = (
@@ -69,7 +70,7 @@ _WINDOW = (
         "multimodal_frames",
         "sim_quantize", "dedup_embedding",
     ]
-    + [f"q{i}" for i in range(1, 10)]
+    + [f"q{i}" for i in range(1, 9)]
 )
 
 

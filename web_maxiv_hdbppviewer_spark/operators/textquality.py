@@ -336,3 +336,52 @@ def bm25_scores(
     return _tok_bound(df, F.col(id_col)).select(
         F.col(id_col), F.round(score, 6).alias("bm25")
     )
+
+
+def lm_bigram_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document surprisal under a corpus-trained add-one bigram LM -
+    the classic perplexity quality signal (CCNet-style: docs whose text
+    the corpus LM finds surprising are boilerplate, encoding noise, or
+    off-distribution): (id, n_bigrams, nll_r) with nll_r =
+    ROUND(-AVG(ln((c(w1,w2) + 1) / (c(w1) + V))), 6). Docs with fewer
+    than two tokens have no bigrams and emit no row (explode semantics).
+
+    Scale shape (100 TB): train and score in ONE pipeline over the same
+    exploded bigrams - a (w1, w2) count aggregation, a unigram count
+    aggregation, the V scalar as a broadcast 1-row cross join (no driver
+    collect), then two key-joins back and a per-doc mean. Everything is
+    corpus-linear; stopword bigram keys are skewed, which AQE skew-join
+    splitting absorbs (session.py). c(w1) is the TOTAL unigram count
+    (not the context count) - a documented simplification shared with
+    the oracle, irrelevant to ranking on real corpora."""
+    toks = df.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("l")
+    ).where(F.size("l") >= 2)
+    bg = toks.select(
+        "id",
+        F.posexplode(F.slice("l", 1, F.size("l") - 1)).alias("i", "w1"),
+        F.col("l"),
+    ).select(
+        "id", "w1",
+        # posexplode's i is 0-based; element_at is 1-based: successor = i+2
+        F.element_at(F.col("l"), F.col("i") + 2).alias("w2"),
+    )
+    allw = df.select(F.explode(words(F.col(text_col))).alias("w1"))
+    uni = allw.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    v = uni.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        bg.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "id",
+            F.log((F.col("cb") + 1) / (F.col("cu") + F.col("v"))).alias("lp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(-F.avg("lp"), 6).alias("nll_r"),
+    )

@@ -209,6 +209,14 @@ def text_langid(spark, sf_dir):
     return textquality.lang_id(_docs_sorted(spark, sf_dir))
 
 
+def text_lm_score(spark, sf_dir):
+    """Corpus-trained add-one bigram LM surprisal per document (the
+    CCNet-style perplexity quality filter). Train and score are one
+    pipeline; oracle replicates counts, smoothing and the mean log-prob
+    in SQL."""
+    return textquality.lm_bigram_scores(_docs(spark, sf_dir)).orderBy("id")
+
+
 #: learned merge tables per (sf_dir, n_merges): training is deterministic,
 #: so text_bpe_train and text_bpe_apply share one training run per session
 #: instead of each paying it again (merge lists are tiny driver values, no
@@ -1172,6 +1180,7 @@ EXTENSION_QUERIES = {
     "text_bpe_apply": text_bpe_apply,
     "text_bm25": text_bm25,
     "text_langid": text_langid,
+    "text_lm_score": text_lm_score,
     "text_tokens": text_tokens,
     "text_bpe": text_bpe,
     "text_quality": text_quality,

@@ -764,6 +764,28 @@ EXTENSION_ORACLE = {
                      / len(t), 6) AS mean_tok_len
         FROM toks ORDER BY doc_id
     """,
+    # add-one bigram LM surprisal (mirrors textquality.lm_bigram_scores):
+    # same whitespace tokens, total-unigram contexts, V from the distinct
+    # vocabulary, natural log (DuckDB ln - log() is base 10)
+    "text_lm_score": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+          FROM documents),
+        bg AS (
+          SELECT doc_id AS id, l[i] AS w1, l[i + 1] AS w2
+          FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+                FROM t WHERE len(l) >= 2)),
+        uni AS (
+          SELECT w1, COUNT(*) AS cu
+          FROM (SELECT unnest(l) AS w1 FROM t) GROUP BY w1),
+        bi AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+        v AS (SELECT COUNT(*) AS v FROM uni)
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(-AVG(ln((cb + 1) / (cu + v))), 6) AS nll_r
+        FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+        GROUP BY id ORDER BY id
+    """,
     "text_tokens": """
         SELECT doc_id,
                len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
