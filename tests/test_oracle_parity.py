@@ -18,6 +18,26 @@ QUERIES = entry_mod.queries()
 ORACLE = entry_mod.oracle_sql()
 
 
+def _check_lifecycle_image(sdf):
+    """Non-vacuous rows-only invariants (the full pinned-digest oracle
+    lives in tests/test_raster_png.py): one row per requested axis
+    (y_axis = u % 2 over 8 attrs -> 2 axes), the requested viewport, lit
+    pixels on every axis, well-formed sha256, finite padded y-range."""
+    assert len(sdf) == 2, f"expected one row per axis, got {len(sdf)}"
+    assert sorted(sdf["axis"]) == [0, 1]
+    assert (sdf["width"] == 200).all() and (sdf["height"] == 120).all()
+    assert (sdf["n_lit"] > 0).all()
+    assert sdf["pixel_sha256"].str.fullmatch(r"[0-9a-f]{64}").all()
+    assert (sdf["y0"] < sdf["y1"]).all()
+
+
+# every declared query WITHOUT an oracle twin must register a real
+# invariant here - an unregistered name fails instead of vacuously passing
+ROWS_ONLY_CHECKS = {
+    "lifecycle_image": _check_lifecycle_image,
+}
+
+
 def _canon(df):
     """pandas frame -> (sorted col names, sorted row tuples with canonical cells)."""
     cols = sorted(df.columns)
@@ -43,7 +63,11 @@ def _canon(df):
 def test_query_matches_oracle(name, spark, duck):
     sdf = QUERIES[name](spark, SF_SMOKE).toPandas()
     if name not in ORACLE:
-        assert len(sdf) >= 0  # rows-only check for non-SQL-expressible ops
+        check = ROWS_ONLY_CHECKS.get(name)
+        assert check is not None, (
+            f"{name} has no oracle twin and no registered rows-only invariant"
+        )
+        check(sdf)
         return
     ddf = duck.sql(ORACLE[name]).df()
     s_cols, s_rows = _canon(sdf)

@@ -165,8 +165,12 @@ def test_png_decode_round_trips_encode():
     img = rng.integers(0, 256, size=(13, 7, 4), dtype=np.uint8)
     assert (decode_png_rgba(encode_png_rgba(img)) == img).all()
 
-    with pytest.raises(AssertionError):
+    # explicit ValueError (not assert): the structural checks must
+    # survive python -O
+    with pytest.raises(ValueError):
         decode_png_rgba(b"\x89PNG\r\n\x1a\njunk")
+    with pytest.raises(ValueError):
+        decode_png_rgba(b"junkjunk")
 
 
 def test_compose_image_is_row_order_independent():

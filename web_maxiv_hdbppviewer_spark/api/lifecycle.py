@@ -260,6 +260,9 @@ class HdbppQueryEngine:
             ).collect()
             colors = {}
             widths = {}
+            # z-order follows the request's attribute listing (reference
+            # plot.py tf.stack over attributes.items()), not catalog id
+            order = [ids[spec["name"]] for spec in attributes if spec["name"] in ids]
             for spec in attributes:
                 if spec["name"] not in ids:
                     continue
@@ -273,7 +276,8 @@ class HdbppQueryEngine:
                     widths[ids[spec["name"]]] = int(spec["width"])
             images[axis] = {
                 "image": render_png_base64(
-                    pixel_rows, w, h, colors or None, widths=widths or None
+                    pixel_rows, w, h, colors or None, widths=widths or None,
+                    order=order,
                 ),
                 "y_range": [y0, y1],
                 "x_range": list(ax["x_range"]),

@@ -66,7 +66,8 @@ def decode_png_rgba(data: bytes) -> np.ndarray:
     uint8. Raises on anything else - this is a verification decoder for
     pixel-level witnesses (the PNG BYTES are not stable across zlib
     versions/levels; the decoded array is), not a general PNG reader."""
-    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
     pos, w = 8, None
     idat = b""
     while pos < len(data):
@@ -75,17 +76,20 @@ def decode_png_rgba(data: bytes) -> np.ndarray:
         payload = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
             w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
-            assert (depth, ctype) == (8, 6), "decoder handles 8-bit RGBA only"
+            if (depth, ctype) != (8, 6):
+                raise ValueError("decoder handles 8-bit RGBA only")
         elif tag == b"IDAT":
             idat += payload
         pos += 12 + length
-    assert w is not None, "missing IHDR chunk"
+    if w is None:
+        raise ValueError("missing IHDR chunk")
     raw = zlib.decompress(idat)
     stride = 1 + 4 * w
     rows = []
     for y in range(h):
         line = raw[y * stride : (y + 1) * stride]
-        assert line[0] == 0, f"unexpected filter {line[0]} on row {y}"
+        if line[0] != 0:
+            raise ValueError(f"unexpected filter {line[0]} on row {y}")
         rows.append(np.frombuffer(line[1:], dtype=np.uint8).reshape(w, 4))
     return np.stack(rows)
 
@@ -132,19 +136,27 @@ def compose_image(
     colors: dict | None = None,
     shading: str = "eqhist",
     widths: dict | None = None,
+    order: list | None = None,
 ) -> np.ndarray:
     """Shade + spread + stack per-series pixel rows (series, xb, yb, cnt)
     into one RGBA image. Data orientation yb=0 at bottom -> flipped to PNG
-    top-down; series composite in ASCENDING id order, later OVER earlier
-    (the reference stacks in attribute order, plot.py:206, and attribute
-    ids are catalog-ordered - crucially this is DETERMINISTIC, where
+    top-down; series composite later OVER earlier in REQUEST order when
+    ``order`` (series ids as the request listed them) is given — the
+    reference stacks in attributes.items() request order (plot.py:206) —
+    else in ascending id order. Either key is DETERMINISTIC, where
     first-appearance order of collected pixel rows depends on partition
     scheduling and would flip both the default palette assignment and the
-    stacking between runs). ``widths`` maps series -> spread px."""
+    stacking between runs. ``widths`` maps series -> spread px."""
     by_series: dict = {}
     for r in pixel_rows:
         by_series.setdefault(r["series"], []).append(r)
-    series_ids = sorted(by_series)
+    if order is not None:
+        # request order first (reference z-order), any series the request
+        # didn't name appended deterministically by ascending id
+        series_ids = [s for s in order if s in by_series]
+        series_ids += sorted(s for s in by_series if s not in set(order))
+    else:
+        series_ids = sorted(by_series)
     # user overrides layered OVER the default palette: a request that colors
     # only SOME series must not crash the uncolored ones (they fall back to
     # their palette slot, like the reference client's per-line defaults)
@@ -191,8 +203,11 @@ def render_png_base64(
     colors: dict | None = None,
     shading: str = "eqhist",
     widths: dict | None = None,
+    order: list | None = None,
 ) -> str:
     """The /image payload's image field (reference plot.py:64-71)."""
     return base64.b64encode(
-        encode_png_rgba(compose_image(pixel_rows, w, h, colors, shading, widths))
+        encode_png_rgba(
+            compose_image(pixel_rows, w, h, colors, shading, widths, order)
+        )
     ).decode()

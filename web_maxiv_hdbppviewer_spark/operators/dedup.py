@@ -512,9 +512,11 @@ def incremental_ngram_pairs(
     come from the full corpus, so prefix ordering is consistent on both
     sides and recall stays exact (any shared global order is).
     """
-    assert (is_new is None) != (new_ids is None), (
-        "pass exactly one of is_new (Column predicate) or new_ids (manifest)"
-    )
+    if (is_new is None) == (new_ids is None):
+        # explicit raise, not assert: the contract must survive python -O
+        raise ValueError(
+            "pass exactly one of is_new (Column predicate) or new_ids (manifest)"
+        )
     t = float(min_jaccard)
     docs = doc_shingle_arrays(df, id_col, text_col)
     plen = (F.floor((1.0 - t) * F.col("n") + _EPS) + F.lit(1)).cast("int")

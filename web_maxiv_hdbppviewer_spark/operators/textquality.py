@@ -364,7 +364,7 @@ def lm_bigram_scores(
         F.posexplode(F.slice("l", 1, F.size("l") - 1)).alias("i", "w1"),
         F.col("l"),
     ).select(
-        "id", "w1",
+        "id", "i", "w1",
         # posexplode's i is 0-based; element_at is 1-based: successor = i+2
         F.element_at(F.col("l"), F.col("i") + 2).alias("w2"),
     )
@@ -377,11 +377,26 @@ def lm_bigram_scores(
         .join(uni, "w1")
         .crossJoin(F.broadcast(v))
         .select(
-            "id",
+            "id", "i",
             F.log((F.col("cb") + 1) / (F.col("cu") + F.col("v"))).alias("lp"),
         )
     )
-    return scored.groupBy("id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.round(-F.avg("lp"), 6).alias("nll_r"),
+    # Deterministic per-doc mean: fold the log-probs in bigram-position
+    # order (sort_array on the unique position key) instead of F.avg,
+    # whose partial-aggregation order follows partitioning. Run-to-run
+    # the value is now bit-stable; vs the DuckDB oracle the usual
+    # round-6 ulp tolerance of avg-based queries still applies (the
+    # oracle's own summation order is unspecified).
+    per_doc = scored.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("i", "lp"))).alias("ps")
+    )
+    return per_doc.select(
+        "id",
+        F.size("ps").cast("long").alias("n_bigrams"),
+        F.round(
+            -F.aggregate(
+                "ps", F.lit(0.0), lambda acc, x: acc + x["lp"]
+            ) / F.size("ps"),
+            6,
+        ).alias("nll_r"),
     )

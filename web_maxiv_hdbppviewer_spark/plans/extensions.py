@@ -624,6 +624,22 @@ def window_sessions(spark, sf_dir):
 _STREAM_SEQ = itertools.count()
 
 
+def _drain(query, timeout_s=120):
+    """Block until an availableNow query drains, failing loudly on timeout.
+
+    ``awaitTermination`` returns False on timeout with the query STILL
+    RUNNING — reading the memory sink at that point races the drain and
+    silently returns a partial result. ``stop()`` in the finally block
+    also releases the stream when the query raised mid-drain."""
+    try:
+        if not query.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"streaming query did not drain within {timeout_s}s"
+            )
+    finally:
+        query.stop()
+
+
 def _stream_events(spark, sf_dir):
     """Schema-normalized streaming scan of the events table.
 
@@ -688,7 +704,7 @@ def stream_last_value(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _drain(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     final = spark.sql(
@@ -773,7 +789,7 @@ def stream_window(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _drain(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
@@ -824,7 +840,7 @@ def stream_sessions(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _drain(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
@@ -869,7 +885,7 @@ def stream_dedup(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _drain(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
