@@ -520,20 +520,32 @@ def incremental_ngram_pairs(
     t = float(min_jaccard)
     docs = doc_shingle_arrays(df, id_col, text_col)
     plen = (F.floor((1.0 - t) * F.col("n") + _EPS) + F.lit(1)).cast("int")
-    prefix = docs.select(
-        "id", "n", F.posexplode(F.slice("arr", F.lit(1), plen)).alias("pos", "e")
-    ).select(
-        "id", "n", (F.col("pos") + 1).alias("r"),
-        F.col("e.h").alias("h"), F.col("e.df").alias("df"),
-    )
-    if max_shingle_df is not None:
-        prefix = prefix.where(F.col("df") <= max_shingle_df)
+
+    def _explode_prefix(d):
+        p = d.select(
+            "id", "n", F.posexplode(F.slice("arr", F.lit(1), plen)).alias("pos", "e")
+        ).select(
+            "id", "n", (F.col("pos") + 1).alias("r"),
+            F.col("e.h").alias("h"), F.col("e.df").alias("df"),
+        )
+        if max_shingle_df is not None:
+            p = p.where(F.col("df") <= max_shingle_df)
+        return p
+
+    prefix = _explode_prefix(docs)
     a = prefix.select(F.col("id").alias("id_x"), "h", F.col("n").alias("na"), F.col("r").alias("ra"))
+    # Restrict the probe side BEFORE the prefix explode: the semi join (or
+    # slice predicate) runs on the one-row-per-document shingle table, so
+    # only batch documents are ever exploded. Catalyst pushes a plain
+    # filter below a Generate on its own, but NOT a semi join - done after
+    # the explode, the manifest form would explode the whole corpus first
+    # (plan-pinned in tests/test_plans.py).
     if new_ids is not None:
         manifest = new_ids.select(F.col(new_ids.columns[0]).alias("id"))
-        probe = prefix.join(manifest, "id", "left_semi")
+        probe_docs = docs.join(manifest, "id", "left_semi")
     else:
-        probe = prefix.where(is_new(F.col("id")))
+        probe_docs = docs.where(is_new(F.col("id")))
+    probe = _explode_prefix(probe_docs)
     b = probe.select(
         F.col("id").alias("id_y"), "h", F.col("n").alias("nb"), F.col("r").alias("rb")
     )
