@@ -39,38 +39,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # (text_bpe_apply rewritten but left unwitnessed) fails the suite instead
 # of relying on judge review.
 #
-# Round-8 changelist: text_bpe_apply (r7 rewrite, never driver-witnessed -
-# VERDICT r7 #1 - plus the NULL-text fix), text_bpe_train/text_bpe (bounded
-# vocabulary collect), pipe_delta (NULL fingerprint sentinel),
-# pipe_delta_apply / events_quantiles_approx / lifecycle_image /
-# stream_sessions / sim_topk_pq / sim_pq_recall / sim_ann_ivfpq /
-# sim_ivfpq_recall / pipe_funnel / text_lm_score (new),
-# dedup_incremental (manifest probe form), and the 3 streaming queries
-# (shared _stream_events now self-applies session confs). Then the stale
-# tail: core q23-q34 and the 12 extensions whose newest driver rows are
-# r6 (two rounds), then core q1-q8 (r7 rows) to fill 50. Outside the
-# window: q9-q22 and the extensions with fresh r7 rows - all still
-# parity-checked at sf0.001 by tests/test_oracle_parity.py every run;
-# rotate back next round.
+# Round-9 changelist: sim_ann_compare (NEW - replaces the three retired
+# per-method recall queries sim_ann_recall/sim_pq_recall/sim_ivfpq_recall,
+# VERDICT r8 #7), dedup_incremental + pipe_delta_apply (probe side now
+# pruned before the shingle explode), text_lm_score (deterministic
+# position-ordered log-prob fold), lifecycle_image (request-order z-order
+# in compose_image + independent digest oracle), and the 4 streaming
+# queries (shared _drain: loud timeout + stop()). Then the stale tail per
+# the standing rotation queue: core q9-q22 and the 22 extensions whose
+# newest driver rows are r7 (two rounds stale by r9), then r8-witnessed
+# core queries to fill 50. Outside the window: the rest of the r8 set -
+# all still parity-checked at sf0.001 by tests/test_oracle_parity.py
+# every run; rotate back next round.
 _CHANGED_THIS_ROUND = [
-    "text_bpe_apply", "text_bpe_train", "text_bpe",
-    "pipe_delta", "pipe_delta_apply",
-    "events_quantiles_approx", "lifecycle_image", "stream_sessions",
-    "sim_topk_pq", "sim_pq_recall", "sim_ann_ivfpq", "sim_ivfpq_recall",
-    "pipe_funnel", "text_lm_score", "dedup_incremental",
-    "stream_last_value", "stream_window", "stream_dedup",
+    "sim_ann_compare", "dedup_incremental", "pipe_delta_apply",
+    "text_lm_score", "lifecycle_image",
+    "stream_sessions", "stream_last_value", "stream_window", "stream_dedup",
 ]
 _WINDOW = (
     _CHANGED_THIS_ROUND
-    + [f"q{i}" for i in range(23, 35)]
+    + [f"q{i}" for i in range(9, 23)]
     + [
-        "text_tokens", "text_quality", "text_langid", "text_fingerprint",
-        "text_repetition", "text_bm25",
-        "multimodal_meta", "multimodal_extract", "multimodal_resize",
-        "multimodal_frames",
-        "sim_quantize", "dedup_embedding",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_clusters",
+        "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_trained",
+        "sim_topk_cosine", "sim_topk_quantized",
+        "pipe_split", "pipe_domain_mix", "pipe_curation", "pipe_pack",
+        "pipe_contamination", "pipe_shard_sink",
+        "window_sessions", "window_sliding",
+        "events_quantiles", "events_rollup", "events_pivot",
+        "lifecycle_aggregate",
     ]
-    + [f"q{i}" for i in range(1, 9)]
+    + [f"q{i}" for i in range(1, 6)]
 )
 
 

@@ -587,6 +587,42 @@ def sim_pq_recall(spark, sf_dir):
     return _recall_vs_exact(pq, exact, ANN_TOPK)
 
 
+def sim_ann_compare(spark, sf_dir):
+    """The recall-per-method table a 100 TB ANN deployment actually wants
+    (VERDICT r8 #7): ONE exact brute-force top-k baseline, computed once
+    and localCheckpoint-ed, joined against all three approximate rankings
+    (hyperplane LSH, plain-PQ ADC, residual IVF-PQ) -> (method, q_id,
+    n_hits, recall_r). Replaces the three per-method recall queries in
+    the battery, which each re-ran the same exact baseline (~2 s apiece
+    at sf0.1); their underlying operators are unchanged and still
+    individually exercised (sim_ann_lsh / sim_topk_pq / sim_ann_ivfpq)."""
+    emb = _emb(spark, sf_dir)
+    exact = (
+        similarity.topk_cosine(emb, ANN_TOPK, QUERY_IDS_BELOW)
+        .select("q_id", "cand_id")
+        .localCheckpoint()
+    )
+    cents, rcb = _ivfpq_artifacts(spark, sf_dir)
+    anns = {
+        "ivfpq": similarity.ann_topk_ivfpq(
+            emb, ANN_TOPK, QUERY_IDS_BELOW, IVF_CELLS, IVF_NPROBE,
+            KMEANS_ITERS, centroids=cents, codebooks=rcb,
+        ),
+        "lsh": similarity.ann_topk_lsh(emb, ANN_TOPK, QUERY_IDS_BELOW, ANN_NBITS),
+        "pq": similarity.topk_cosine_pq(
+            emb, ANN_TOPK, QUERY_IDS_BELOW,
+            codebooks=_pq_codebooks(spark, sf_dir),
+        ),
+    }
+    out = None
+    for name in sorted(anns):
+        rec = _recall_vs_exact(
+            anns[name].select("q_id", "cand_id"), exact, ANN_TOPK
+        ).select(F.lit(name).alias("method"), "q_id", "n_hits", "recall_r")
+        out = rec if out is None else out.unionAll(rec)
+    return out.orderBy("method", "q_id")
+
+
 def window_sessions(spark, sf_dir):
     """Gap-based sessionization (the session-window sibling of T3's
     tumbling windows): per-user sessions that close after 6h of
@@ -1226,7 +1262,10 @@ EXTENSION_QUERIES = {
     "pipe_contamination": pipe_contamination,
     "sim_topk_quantized": sim_topk_quantized,
     "window_sessions": window_sessions,
-    "sim_ann_recall": sim_ann_recall,
+    # sim_ann_recall / sim_pq_recall / sim_ivfpq_recall retired from the
+    # battery in r9 (VERDICT r8 #7): sim_ann_compare measures all three
+    # against ONE checkpointed exact baseline; the functions remain.
+    "sim_ann_compare": sim_ann_compare,
     "events_quantiles": events_quantiles,
     "events_quantiles_approx": events_quantiles_approx,
     "window_sliding": window_sliding,
@@ -1235,9 +1274,7 @@ EXTENSION_QUERIES = {
     "sim_ann_ivf": sim_ann_ivf,
     "sim_ann_ivf_trained": sim_ann_ivf_trained,
     "sim_topk_pq": sim_topk_pq,
-    "sim_pq_recall": sim_pq_recall,
     "sim_ann_ivfpq": sim_ann_ivfpq,
-    "sim_ivfpq_recall": sim_ivfpq_recall,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,

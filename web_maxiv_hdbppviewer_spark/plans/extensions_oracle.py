@@ -1323,3 +1323,70 @@ EXTENSION_ORACLE = {
 # the streaming sessionization must converge to EXACTLY the batch answer
 # (complete-mode drain), so its oracle is the same gaps-and-islands SQL
 EXTENSION_ORACLE["stream_sessions"] = EXTENSION_ORACLE["window_sessions"]
+
+# recall-per-method comparison (extensions.sim_ann_compare): ONE exact
+# top-k CTE shared by all three approximate rankings - the same LSH / PQ /
+# IVFPQ chains as the retired per-method recall oracles, combined. The
+# IVFPQ chain's internal `adc` CTE is word-renamed to avoid colliding with
+# the plain-PQ chain's `adc` in a single WITH clause.
+import re as _re  # noqa: E402
+
+_IVFPQ_CHAIN_RENAMED = _re.sub(r"\badc\b", "iadc", _IVFPQ_CHAIN)
+
+EXTENSION_ORACLE["sim_ann_compare"] = f"""
+        WITH {_VECS},
+        {_PQ_CTES}
+        {_PQ_RANKED},
+        {_KMEANS_CTES}
+        {_IVFPQ_CHAIN_RENAMED},
+        lshb AS (
+          SELECT id, v, nrm, {_hp_bucket_sql(4)} AS bkt
+          FROM vecs),
+        lshann AS (
+          SELECT q_id, cand_id FROM (
+            SELECT q.id AS q_id, c.id AS cand_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.id
+                     ORDER BY ROUND(list_inner_product(q.v, c.v)
+                                    / (q.nrm * c.nrm), 6) DESC, c.id ASC) AS rank
+            FROM lshb q JOIN lshb c ON q.bkt = c.bkt AND c.id != q.id
+            WHERE q.id < 10)
+          WHERE rank <= 3),
+        exact AS (
+          SELECT q_id, cand_id FROM (
+            SELECT q.id AS q_id, c.id AS cand_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.id
+                     ORDER BY ROUND(list_inner_product(q.v, c.v)
+                                    / (q.nrm * c.nrm), 6) DESC, c.id ASC) AS rank
+            FROM vecs q JOIN vecs c ON c.id != q.id
+            WHERE q.id < 10)
+          WHERE rank <= 3),
+        allann AS (
+          SELECT 'lsh' AS method, q_id, cand_id FROM lshann
+          UNION ALL
+          SELECT 'pq' AS method, q_id, cand_id FROM pqranked WHERE rank <= 3
+          UNION ALL
+          SELECT 'ivfpq' AS method, q_id, cand_id FROM ivfpqranked
+          WHERE rank <= 3),
+        hits AS (
+          SELECT a.method, e.q_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM exact e JOIN allann a ON a.q_id = e.q_id
+                                    AND a.cand_id = e.cand_id
+          GROUP BY a.method, e.q_id),
+        grid AS (
+          SELECT m.method, q.q_id
+          FROM (SELECT DISTINCT q_id FROM exact) q,
+               (VALUES ('ivfpq'), ('lsh'), ('pq')) m(method))
+        SELECT grid.method AS method, grid.q_id AS q_id,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_hits,
+               ROUND(COALESCE(n, 0) / 3.0, 6) AS recall_r
+        FROM grid LEFT JOIN hits ON hits.method = grid.method
+                                AND hits.q_id = grid.q_id
+        ORDER BY method, q_id
+    """
+
+# retired from the battery in r9 (VERDICT r8 #7) - sim_ann_compare covers
+# all three against one shared exact baseline
+for _retired in ("sim_ann_recall", "sim_pq_recall", "sim_ivfpq_recall"):
+    EXTENSION_ORACLE.pop(_retired, None)
