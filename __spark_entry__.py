@@ -52,7 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # all still parity-checked at sf0.001 by tests/test_oracle_parity.py
 # every run; rotate back next round.
 _CHANGED_THIS_ROUND = [
-    "sim_ann_compare", "dedup_incremental", "pipe_delta_apply",
+    "sim_ann_compare", "stream_sessions_evict",
+    "dedup_incremental", "pipe_delta_apply",
     "text_lm_score", "lifecycle_image",
     "stream_sessions", "stream_last_value", "stream_window", "stream_dedup",
 ]
@@ -70,7 +71,7 @@ _WINDOW = (
         "events_quantiles", "events_rollup", "events_pivot",
         "lifecycle_aggregate",
     ]
-    + [f"q{i}" for i in range(1, 6)]
+    + [f"q{i}" for i in range(1, 5)]
 )
 
 

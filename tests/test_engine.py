@@ -1069,3 +1069,74 @@ def test_snapshot_diff_matches_dict_reference(spark):
         n = spark.createDataFrame(list(new.items()), "doc_id long, text string")
         got = {r["id"]: r["status"] for r in snapshot_diff(o, n).collect()}
         assert got == expected
+
+
+def test_stream_sessions_evict_drops_state(spark):
+    """Append-mode sessionization must EVICT emitted sessions from the
+    state store (the bounded-state claim stream_sessions_evict makes):
+    after the drain, state rows must equal the open sessions (merged
+    session end past the final watermark), a strict subset of all
+    sessions - complete mode by contrast retains |sessions| rows."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from web_maxiv_hdbppviewer_spark.functions.time import epoch_us
+    from web_maxiv_hdbppviewer_spark.plans.extensions import (
+        SESSION_GAP,
+        _stream_events,
+    )
+    from web_maxiv_hdbppviewer_spark.sources.tables import load_tables
+
+    load_tables(spark, SF_SMOKE)
+    feed = _stream_events(spark, SF_SMOKE).select(
+        "user_id", F.col("ts").alias("tss"), "value"
+    )
+    q = (
+        feed.withWatermark("tss", "1 hour")
+        .groupBy("user_id", F.session_window(F.col("tss"), SESSION_GAP).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("evict_state_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+        progs = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        q.stop()
+    emitted = spark.table("evict_state_probe").count()
+
+    # ground truth from batch: all merged sessions + the final watermark
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    sessions = [
+        r["e"]
+        for r in (
+            ev.select("user_id", F.col("ts").alias("tss"))
+            .groupBy(
+                "user_id", F.session_window(F.col("tss"), SESSION_GAP).alias("w")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(epoch_us("w.end").alias("e"))
+            .collect()
+        )
+    ]
+    mx = ev.agg(F.max(epoch_us(F.col("ts"))).alias("m")).collect()[0]["m"]
+    wm = (mx // 1000) * 1000 - 3_600_000_000
+    open_sessions = sum(1 for e in sessions if e > wm)
+    assert emitted == len(sessions) - open_sessions
+
+    state_rows = [
+        s["numRowsTotal"]
+        for p in progs
+        for s in p.get("stateOperators", [])
+        if s.get("numRowsTotal") is not None
+    ]
+    assert state_rows, "no state operator metrics recorded"
+    # eviction happened: the store ends at exactly the open sessions,
+    # strictly below its pre-eviction peak
+    assert state_rows[-1] == open_sessions
+    assert state_rows[-1] < max(state_rows)

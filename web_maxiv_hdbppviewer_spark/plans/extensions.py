@@ -892,6 +892,67 @@ def stream_sessions(spark, sf_dir):
     )
 
 
+def stream_sessions_evict(spark, sf_dir):
+    """Sessionization in APPEND mode - the 100 TB streaming posture
+    (VERDICT r8 #6): complete mode re-emits every session forever and
+    never evicts, so ``stream_sessions``' state grows with |sessions|;
+    append mode emits a session exactly once, when the watermark passes
+    its end, and DROPS it from the state store. Only sessions still
+    mergeable with future on-time events (end > watermark) remain in
+    state - bounded by key cardinality x the watermark horizon, not by
+    history. Emission predicate pinned empirically and in the oracle:
+    merged session end <= final watermark, where the watermark is
+    millisecond-truncated max event time minus the 1 h delay (Spark
+    tracks watermarks in ms). State-row eviction itself is asserted in
+    tests/test_engine.py via the query's progress metrics.
+
+    The batch-side twin of this filter CANNOT be written as
+    ``.where(w.end <= wm)`` over the same session aggregation: Catalyst
+    pushes the predicate below the session merge and truncates sessions
+    (observed: a 6-event session losing its last event). The oracle
+    therefore filters the gaps-and-islands result, which has no such
+    rewrite."""
+    from ..functions.time import epoch_us
+
+    load_tables(spark, sf_dir)  # applies session confs (nanosAsLong)
+    sink = f"stream_sessions_evict_{next(_STREAM_SEQ)}"
+    feed = _stream_events(spark, sf_dir).select(
+        "user_id", F.col("ts").alias("tss"), "value"
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            feed.withWatermark("tss", "1 hour")
+            .groupBy(
+                "user_id", F.session_window(F.col("tss"), SESSION_GAP).alias("w")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_v"),
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        .select(
+            "user_id",
+            epoch_us(F.col("w.start")).alias("start_us"),
+            epoch_us(F.col("w.end")).alias("end_us"),
+            "n_events",
+            "sum_v",
+        )
+        .orderBy("user_id", "start_us")
+    )
+
+
 def stream_dedup(spark, sf_dir):
     """Streaming exactly-once dedup with BOUNDED state: the events stream
     unioned with itself (every row duplicated) must come out exactly once.
@@ -1258,6 +1319,7 @@ EXTENSION_QUERIES = {
     "stream_window": stream_window,
     "stream_dedup": stream_dedup,
     "stream_sessions": stream_sessions,
+    "stream_sessions_evict": stream_sessions_evict,
     "sim_ann_lsh": sim_ann_lsh,
     "pipe_contamination": pipe_contamination,
     "sim_topk_quantized": sim_topk_quantized,

@@ -1390,3 +1390,41 @@ EXTENSION_ORACLE["sim_ann_compare"] = f"""
 # all three against one shared exact baseline
 for _retired in ("sim_ann_recall", "sim_pq_recall", "sim_ivfpq_recall"):
     EXTENSION_ORACLE.pop(_retired, None)
+
+# append-mode sessionization (extensions.stream_sessions_evict): the same
+# gaps-and-islands sessions, restricted to those the final watermark has
+# closed - end <= ms-truncated max event time minus the 1 h delay (Spark
+# tracks watermarks in ms; emission predicate pinned empirically at two
+# scale factors). The filter wraps the SESSIONIZED result: filtering the
+# Spark session aggregation directly on w.end is unsound (Catalyst pushes
+# the predicate below the session merge), which is why the engine side
+# witnesses the filter through the streaming runtime instead.
+EXTENSION_ORACLE["stream_sessions_evict"] = """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+        wm AS (
+          SELECT CAST(FLOOR(MAX(t) / 1000) AS BIGINT) * 1000
+                 - 3600000000 AS w
+          FROM e),
+        m AS (
+          SELECT user_id, t, value,
+                 CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                        OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                           >= 21600000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM e),
+        i AS (
+          SELECT user_id, t, value,
+                 SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m),
+        s AS (
+          SELECT user_id,
+                 CAST(MIN(t) AS BIGINT) AS start_us,
+                 CAST(MAX(t) + 21600000000 AS BIGINT) AS end_us,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 ROUND(SUM(value), 6) AS sum_v
+          FROM i GROUP BY user_id, sid)
+        SELECT user_id, start_us, end_us, n_events, sum_v
+        FROM s WHERE end_us <= (SELECT w FROM wm)
+        ORDER BY user_id, start_us
+    """
