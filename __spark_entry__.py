@@ -41,7 +41,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Round-9 changelist: sim_ann_compare (NEW - replaces the three retired
 # per-method recall queries sim_ann_recall/sim_pq_recall/sim_ivfpq_recall,
-# VERDICT r8 #7), dedup_incremental + pipe_delta_apply (probe side now
+# VERDICT r8 #7), stream_sessions_evict (NEW - append-mode sessionization
+# with watermark state eviction, VERDICT r8 #6), scale_bucketed (NEW -
+# bucketed-layout + salted-agg witness with plan-derived n_exchanges,
+# VERDICT r8 #5), dedup_incremental + pipe_delta_apply (probe side now
 # pruned before the shingle explode), text_lm_score (deterministic
 # position-ordered log-prob fold), lifecycle_image (request-order z-order
 # in compose_image + independent digest oracle), and the 4 streaming
@@ -52,7 +55,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # all still parity-checked at sf0.001 by tests/test_oracle_parity.py
 # every run; rotate back next round.
 _CHANGED_THIS_ROUND = [
-    "sim_ann_compare", "stream_sessions_evict",
+    "sim_ann_compare", "stream_sessions_evict", "scale_bucketed",
     "dedup_incremental", "pipe_delta_apply",
     "text_lm_score", "lifecycle_image",
     "stream_sessions", "stream_last_value", "stream_window", "stream_dedup",
@@ -71,7 +74,7 @@ _WINDOW = (
         "events_quantiles", "events_rollup", "events_pivot",
         "lifecycle_aggregate",
     ]
-    + [f"q{i}" for i in range(1, 5)]
+    + [f"q{i}" for i in range(1, 4)]
 )
 
 

@@ -587,6 +587,82 @@ def sim_pq_recall(spark, sf_dir):
     return _recall_vs_exact(pq, exact, ANN_TOPK)
 
 
+def scale_bucketed(spark, sf_dir):
+    """Driver witness for the scale utilities (VERDICT r8 #5): write the
+    fixture datapoint stream in the 100 TB bucketed layout
+    (sources/hdbpp.write_datapoints_bucketed: partitionBy(data_type,
+    period) + bucketBy(att_conf_id) sorted), then run the canonical
+    bucketed pipeline over it - per-attribute aggregate, fact-to-agg
+    self-join on the bucket key, re-aggregate - and return the values
+    PLUS two self-certifying columns:
+
+      - ``n_exchanges``: count of hash-partition exchanges in the
+        pipeline's own executed plan (the write pre-shuffled once, so
+        the read-side plan must contain ZERO). The oracle hard-codes 0,
+        making the exchange-free claim part of the correctness hash on
+        the driver's own run, not just a local plan test.
+      - ``salted_mismatch``: rows where operators/skew.salted_agg
+        disagrees with the plain groupBy over the same bucketed scan
+        (count/max are order-exact, so equality is bit-for-bit). The
+        oracle hard-codes 0.
+
+    The one bounded driver value is the mismatch count (a 1-row count),
+    same discipline as the watermark scalar."""
+    import re as _re2
+
+    from ..operators.skew import salted_agg
+    from ..sources.fixtures import hdbpp_fixture
+    from ..sources.hdbpp import write_datapoints_bucketed
+
+    _catalog, datapoints = hdbpp_fixture(spark, sf_dir)
+    table = "dp_bucketed_" + _re2.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    write_datapoints_bucketed(datapoints, table, num_buckets=8)
+    b = spark.table(table)
+
+    per_attr = b.groupBy("att_conf_id").agg(
+        F.count("value_r").cast("long").alias("n_points"),
+        F.round(F.sum("value_r") / F.count("value_r"), 6).alias("mean_r"),
+    )
+    above = (
+        b.join(per_attr, "att_conf_id")
+        .where(F.col("value_r") > F.col("mean_r"))
+        .groupBy("att_conf_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_above_mean"))
+    )
+    pipeline = per_attr.join(above, "att_conf_id", "left").select(
+        "att_conf_id",
+        "n_points",
+        "mean_r",
+        F.coalesce("n_above_mean", F.lit(0)).cast("long").alias("n_above_mean"),
+    )
+    plan = pipeline._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+
+    cols = ["att_conf_id", "n", "mx"]
+    plain = b.groupBy("att_conf_id").agg(
+        F.count("value_r").alias("n"),
+        F.coalesce(F.max("value_r"), F.lit(-1.0)).alias("mx"),
+    )
+    salted = salted_agg(
+        b.select("att_conf_id", "value_r"),
+        ["att_conf_id"],
+        {"n": ("value_r", "count"), "mx": ("value_r", "max")},
+    ).select("att_conf_id", "n", F.coalesce("mx", F.lit(-1.0)).alias("mx"))
+    mismatch = (
+        plain.join(salted, cols, "left_anti").count()
+        + salted.join(plain, cols, "left_anti").count()
+    )
+
+    return pipeline.select(
+        "att_conf_id",
+        "n_points",
+        "mean_r",
+        "n_above_mean",
+        F.lit(int(n_exchanges)).alias("n_exchanges"),
+        F.lit(int(mismatch)).alias("salted_mismatch"),
+    ).orderBy("att_conf_id")
+
+
 def sim_ann_compare(spark, sf_dir):
     """The recall-per-method table a 100 TB ANN deployment actually wants
     (VERDICT r8 #7): ONE exact brute-force top-k baseline, computed once
@@ -1328,6 +1404,7 @@ EXTENSION_QUERIES = {
     # battery in r9 (VERDICT r8 #7): sim_ann_compare measures all three
     # against ONE checkpointed exact baseline; the functions remain.
     "sim_ann_compare": sim_ann_compare,
+    "scale_bucketed": scale_bucketed,
     "events_quantiles": events_quantiles,
     "events_quantiles_approx": events_quantiles_approx,
     "window_sliding": window_sliding,

@@ -1428,3 +1428,32 @@ EXTENSION_ORACLE["stream_sessions_evict"] = """
         FROM s WHERE end_us <= (SELECT w FROM wm)
         ORDER BY user_id, start_us
     """
+
+# bucketed-layout witness (extensions.scale_bucketed): values from first
+# principles over the events-derived datapoint stream; n_exchanges and
+# salted_mismatch are hard-coded 0 - the Spark side derives them from its
+# own executed plan / salted-vs-plain comparison, so a shuffle appearing
+# in the bucketed pipeline (or a salted-agg divergence) flips the value
+# hash on the driver's run.
+EXTENSION_ORACLE["scale_bucketed"] = """
+        WITH dp AS (
+          SELECT user_id AS att_conf_id,
+                 CASE WHEN event_type <> 'error' THEN value END AS value_r
+          FROM events),
+        pa AS (
+          SELECT att_conf_id,
+                 CAST(COUNT(value_r) AS BIGINT) AS n_points,
+                 ROUND(SUM(value_r) / COUNT(value_r), 6) AS mean_r
+          FROM dp GROUP BY att_conf_id),
+        ab AS (
+          SELECT d.att_conf_id, CAST(COUNT(*) AS BIGINT) AS n_above_mean
+          FROM dp d JOIN pa ON pa.att_conf_id = d.att_conf_id
+          WHERE d.value_r > pa.mean_r
+          GROUP BY d.att_conf_id)
+        SELECT pa.att_conf_id AS att_conf_id, n_points, mean_r,
+               CAST(COALESCE(n_above_mean, 0) AS BIGINT) AS n_above_mean,
+               CAST(0 AS INTEGER) AS n_exchanges,
+               CAST(0 AS INTEGER) AS salted_mismatch
+        FROM pa LEFT JOIN ab ON ab.att_conf_id = pa.att_conf_id
+        ORDER BY att_conf_id
+    """
