@@ -14,6 +14,8 @@ its oracle reconstructs the same feature in SQL from the source text.
 from __future__ import annotations
 
 import itertools
+import os
+import shutil
 
 from pyspark.sql import functions as F
 
@@ -616,6 +618,14 @@ def scale_bucketed(spark, sf_dir):
 
     _catalog, datapoints = hdbpp_fixture(spark, sf_dir)
     table = "dp_bucketed_" + _re2.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    # self-heal across sessions: the warehouse DIRECTORY outlives the
+    # in-memory catalog, and saveAsTable refuses a managed-table location
+    # that exists without a catalog entry (LOCATION_ALREADY_EXISTS)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
     write_datapoints_bucketed(datapoints, table, num_buckets=8)
     b = spark.table(table)
 
