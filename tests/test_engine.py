@@ -1140,3 +1140,46 @@ def test_stream_sessions_evict_drops_state(spark):
     # strictly below its pre-eviction peak
     assert state_rows[-1] == open_sessions
     assert state_rows[-1] < max(state_rows)
+
+
+def test_semantic_dedup_keep_lowest_id_within_cell(spark):
+    """semantic_dedup drops exactly the vectors with a lower-id cluster-mate
+    above the cosine threshold, points dup_of at the SMALLEST such mate, and
+    never pairs across cells (planted orthogonal clusters make membership
+    unambiguous)."""
+    from web_maxiv_hdbppviewer_spark.operators.similarity import semantic_dedup
+
+    # two orthogonal directions; ids 0/1/2 on e1 (1 and 2 near-dups of 0),
+    # ids 3/4 on e2 (4 a near-dup of 3), id 5 on e1 but anti-aligned (kept:
+    # cosine -1 < threshold even though it lands in a cell with 0/1/2)
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0]),
+        (2, [0.98, 0.02, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.97, 0.03]),
+        (5, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cid long, cvec array<double>",
+    )
+    out = {
+        r["id"]: (r["cell"], r["dup_of"], r["keep"])
+        for r in semantic_dedup(df, 0.9, cents).collect()
+    }
+    assert out[0] == (0, -1, True)
+    assert out[1] == (0, 0, False)
+    assert out[2] == (0, 0, False)  # smallest qualifying mate, not id 1
+    assert out[3] == (1, -1, True)
+    assert out[4] == (1, 3, False)
+    assert out[5][1:] == (-1, True)  # same cell as 0 but cos = -1: kept
+    # plan shape: centroid assignment broadcast, no cartesian pair join
+    plan = (
+        semantic_dedup(df, 0.9, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan

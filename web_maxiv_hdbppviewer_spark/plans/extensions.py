@@ -117,6 +117,18 @@ def dedup_clusters(spark, sf_dir):
     return graph.duplicate_clusters(docs, pairs).orderBy("doc_id")
 
 
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): the trained Lloyd k-means cells
+    (shared with sim_ann_ivf_trained - identical deterministic training)
+    bound the pairwise search; a vector with a lower-id cluster-mate at
+    round-6 cosine >= the near-dup threshold is dropped in favor of that
+    mate. The oracle unrolls the same training iterations, assignment and
+    in-cell pair rule in SQL - parity is bit-exact."""
+    emb = _emb(spark, sf_dir)
+    cents = similarity.train_ivf_centroids(emb, IVF_CELLS, KMEANS_ITERS)
+    return similarity.semantic_dedup(emb, EMBED_NEAR_DUP_COS, cents).orderBy("id")
+
+
 # --- similarity search ---------------------------------------------------
 
 
@@ -1430,6 +1442,7 @@ EXTENSION_QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_incremental": dedup_incremental,
     "dedup_clusters": dedup_clusters,
+    "dedup_semantic": dedup_semantic,
     "sim_topk_cosine": sim_topk_cosine,
 }
 

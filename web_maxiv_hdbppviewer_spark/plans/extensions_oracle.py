@@ -749,6 +749,32 @@ EXTENSION_ORACLE = {
         SELECT q_id, cand_id, cos_r, rank FROM ranked
         WHERE rank <= 3 ORDER BY q_id, rank
     """,
+    # SemDeDup (mirrors similarity.semantic_dedup + extensions.dedup_semantic):
+    # the SAME unrolled Lloyd training as sim_ann_ivf_trained, round-6
+    # max-cosine assignment (cid tiebreak), then the in-cell keep-lowest-id
+    # rule at the 0.4 near-dup threshold (extensions.EMBED_NEAR_DUP_COS)
+    "dedup_semantic": f"""
+        WITH {_VECS},
+        {_KMEANS_CTES}
+        sdassign AS (
+          SELECT x.id, x.v, x.nrm, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY x.id ORDER BY
+                   ROUND(list_inner_product(x.v, c.cv) /
+                         (x.nrm * sqrt(list_inner_product(c.cv, c.cv))), 6)
+                     DESC, c.cid) AS rn
+          FROM vecs x, {_KMEANS_FINAL} c),
+        sdcells AS (SELECT id, v, nrm, cid AS cell FROM sdassign WHERE rn = 1),
+        sddups AS (
+          SELECT b.id AS id, MIN(a.id) AS dup_of
+          FROM sdcells a JOIN sdcells b
+            ON a.cell = b.cell AND a.id < b.id
+          WHERE ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+          GROUP BY b.id)
+        SELECT c.id, c.cell, COALESCE(d.dup_of, -1) AS dup_of,
+               d.dup_of IS NULL AS keep
+        FROM sdcells c LEFT JOIN sddups d ON d.id = c.id
+        ORDER BY c.id
+    """,
     # BPE-ish pre-tokenizer: contractions | letter runs | digit runs |
     # punctuation runs over lower-cased text (textquality.BPE_PATTERN)
     "text_bpe": r"""
