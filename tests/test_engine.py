@@ -1183,3 +1183,25 @@ def test_semantic_dedup_keep_lowest_id_within_cell(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_compaction_range_clusters_and_detects_fragmentation(spark, tmp_path):
+    """compact() produces ceil(n/target) key-disjoint files; the overlap
+    probe is non-vacuous - it must FLAG the round-robin fragmented layout
+    (whose every file spans the key range) and clear the compacted one."""
+    from web_maxiv_hdbppviewer_spark.operators import compact as cp
+
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    frag, comp = str(tmp_path / "frag"), str(tmp_path / "comp")
+    cp.write_fragmented(df, frag, 16)
+    assert cp.count_part_files(frag) == 16
+    assert cp.n_range_overlaps(spark, frag, "k") > 0  # negative control
+
+    n_files = cp.compact(spark, frag, comp, "k", 300)
+    assert n_files == 4  # ceil(1000/300)
+    assert cp.count_part_files(comp) == 4
+    assert cp.n_range_overlaps(spark, comp, "k") == 0
+    # lossless: same keys, same checksum
+    back = spark.read.parquet(comp)
+    assert back.count() == 1000
+    assert back.agg(F.sum("k")).collect()[0][0] == 499500

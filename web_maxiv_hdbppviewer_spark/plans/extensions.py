@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import re
 import shutil
 
 from pyspark.sql import functions as F
@@ -36,6 +37,8 @@ RESIZE_FACTOR = 2
 FRAME_EVERY = 4
 SIMHASH_MAX_HAMMING = 3
 EMBED_NEAR_DUP_COS = 0.4
+COMPACT_FRAG_FILES = 64
+COMPACT_TARGET_ROWS = 4096
 TOPK = 5
 ANN_TOPK = 3
 ANN_NBITS = 4
@@ -683,6 +686,72 @@ def scale_bucketed(spark, sf_dir):
         F.lit(int(n_exchanges)).alias("n_exchanges"),
         F.lit(int(mismatch)).alias("salted_mismatch"),
     ).orderBy("att_conf_id")
+
+
+def scale_compact(spark, sf_dir):
+    """Driver witness for small-file compaction (operators/compact.py):
+    manufacture the ingest anti-layout (events round-robined into 64 tiny
+    files), compact to ceil(n / 4096) event_id-range-clustered files, and
+    return per-stage (stage, n_files, n_rows) with three self-certifying
+    booleans the oracle hard-codes true:
+
+      - ``files_ok``: n_files on DISK equals the arithmetic the oracle
+        computes from row counts alone (LEAST(64, n) fragmented,
+        CEIL(n/4096) compacted) - the write produced the planned layout.
+      - ``checksum_ok``: SUM(event_id) round-trips both rewrites.
+      - ``clustered_ok``: zero overlapping file pairs on event_id after
+        compaction (parquet min/max stats prune a point predicate to ONE
+        file) - trivially true pre-compaction is not claimed; the
+        fragmented row carries the compacted verdict too so the column
+        stays constant-per-query.
+
+    Bounded driver values: two file counts, one overlap count (n_files^2
+    over n_files rows), two 1-row checksums."""
+    from ..operators import compact as cp
+
+    ev = load_tables(spark, sf_dir)["events"]
+    base = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
+            "file:"
+        ),
+        "compact_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/")),
+    )
+    frag, comp = os.path.join(base, "frag"), os.path.join(base, "comp")
+    shutil.rmtree(base, ignore_errors=True)
+    cp.write_fragmented(ev, frag, COMPACT_FRAG_FILES)
+    cp.compact(spark, frag, comp, "event_id", COMPACT_TARGET_ROWS)
+
+    src_sum = ev.agg(F.sum("event_id").alias("s")).collect()[0]["s"]
+    stats = {}
+    for stage, path in (("fragmented", frag), ("compacted", comp)):
+        row = (
+            spark.read.parquet(path)
+            .agg(
+                F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+            )
+            .collect()[0]
+        )
+        stats[stage] = (cp.count_part_files(path), row["n"], row["s"])
+    n = stats["fragmented"][1]
+    files_ok = stats["fragmented"][0] == min(COMPACT_FRAG_FILES, n) and stats[
+        "compacted"
+    ][0] == -(-n // COMPACT_TARGET_ROWS)
+    checksum_ok = all(s == src_sum for _, _, s in stats.values())
+    clustered_ok = cp.n_range_overlaps(spark, comp, "event_id") == 0
+    return spark.createDataFrame(
+        [
+            (stage, stats[stage][0], stats[stage][1])
+            for stage in ("compacted", "fragmented")
+        ],
+        "stage string, n_files long, n_rows long",
+    ).select(
+        "stage",
+        "n_files",
+        "n_rows",
+        F.lit(bool(files_ok)).alias("files_ok"),
+        F.lit(bool(checksum_ok)).alias("checksum_ok"),
+        F.lit(bool(clustered_ok)).alias("clustered_ok"),
+    ).orderBy("stage")
 
 
 def sim_ann_compare(spark, sf_dir):
@@ -1427,6 +1496,7 @@ EXTENSION_QUERIES = {
     # against ONE checkpointed exact baseline; the functions remain.
     "sim_ann_compare": sim_ann_compare,
     "scale_bucketed": scale_bucketed,
+    "scale_compact": scale_compact,
     "events_quantiles": events_quantiles,
     "events_quantiles_approx": events_quantiles_approx,
     "window_sliding": window_sliding,

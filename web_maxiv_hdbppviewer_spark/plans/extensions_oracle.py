@@ -1483,3 +1483,25 @@ EXTENSION_ORACLE["scale_bucketed"] = """
         FROM pa LEFT JOIN ab ON ab.att_conf_id = pa.att_conf_id
         ORDER BY att_conf_id
     """
+
+# compaction witness (extensions.scale_compact): per-stage file counts
+# from row-count arithmetic alone - LEAST(64, n) round-robin fragments,
+# CEIL(n / 4096) range-compacted files - so the Spark side's ON-DISK
+# counts must equal the planned layout; the three booleans are hard-coded
+# true (disk-vs-arithmetic match, event_id checksum round-trip, zero
+# overlapping file ranges after compaction), each derived independently
+# on the Spark side so any layout/loss/clustering defect flips the hash.
+EXTENSION_ORACLE["scale_compact"] = """
+        WITH n AS (SELECT COUNT(*) AS c FROM events)
+        SELECT * FROM (
+          SELECT 'compacted' AS stage,
+                 CAST(CEIL(c / 4096.0) AS BIGINT) AS n_files,
+                 CAST(c AS BIGINT) AS n_rows,
+                 true AS files_ok, true AS checksum_ok, true AS clustered_ok
+          FROM n
+          UNION ALL
+          SELECT 'fragmented', CAST(LEAST(64, c) AS BIGINT), CAST(c AS BIGINT),
+                 true, true, true
+          FROM n)
+        ORDER BY stage
+    """
