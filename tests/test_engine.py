@@ -1205,3 +1205,30 @@ def test_compaction_range_clusters_and_detects_fragmentation(spark, tmp_path):
     back = spark.read.parquet(comp)
     assert back.count() == 1000
     assert back.agg(F.sum("k")).collect()[0][0] == 499500
+
+
+def test_hll_distinct_bound_and_merge_invariance(spark):
+    """At 10^4 distinct keys (well past HLL's sparse-exact regime) the
+    estimate is genuinely approximate yet inside the 3-sigma bound
+    events_distinct_approx checks, and the union of per-group partial
+    sketches estimates IDENTICALLY to the one-shot sketch."""
+    n_distinct = 9973
+    df = spark.range(0, 50000).select(
+        (F.col("id") % n_distinct).alias("u"), (F.col("id") % 7).alias("d")
+    )
+    one = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("u")).alias("e")
+    ).collect()[0]["e"]
+    assert abs(one - n_distinct) <= 3 * 1.04 / (2**12) ** 0.5 * n_distinct + 1
+    merged = (
+        df.groupBy("d")
+        .agg(F.hll_sketch_agg("u").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert merged == one
+    # sensitivity control: the sketch tracks the data, not a constant
+    half = df.where(F.col("u") < 5000).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("u")).alias("e")
+    ).collect()[0]["e"]
+    assert half < one * 0.6

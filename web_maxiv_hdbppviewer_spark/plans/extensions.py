@@ -527,6 +527,52 @@ def events_quantiles_approx(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def events_distinct_approx(spark, sf_dir):
+    """Sketch-based distinct counting, MEASURED (the events_quantiles_approx
+    pattern): exact COUNT(DISTINCT) shuffles every distinct key per group -
+    at 100 TB a high-cardinality group is an executor hashset blowup - while
+    the Datasketches HLL aggregate is a bounded-size, MERGEABLE sketch with
+    a published relative-error guarantee. Two claims verified in-engine:
+
+      - ``hll_ok``: |estimate - exact| <= 3 sigma (sigma ~ 1.04/sqrt(2^12)
+        at the default lgConfigK=12) + 1 for every group - the accuracy
+        contract.
+      - ``merge_ok``: the union of per-DAY partial sketches estimates the
+        group cardinality identically to the one-shot sketch - the
+        mergeability contract that makes HLL partial-aggregation-safe
+        (the map-side-combine property everything at scale relies on).
+
+    The oracle pins the exact per-group cardinalities and that both
+    contracts concluded true."""
+    from ..functions.time import epoch_us
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type", "user_id", epoch_us(F.col("ts")).alias("us")
+    )
+    one_shot = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+    )
+    merged = (
+        ev.select("event_type", "user_id", (F.col("us") / 86_400_000_000).cast("long").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_m"))
+    )
+    bound = F.lit(3 * 1.04) / F.lit(float(2**12) ** 0.5) * F.col("n_exact") + F.lit(1.0)
+    return (
+        one_shot.join(merged, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (F.abs(F.col("est") - F.col("n_exact")) <= bound).alias("hll_ok"),
+            (F.col("est_m") == F.col("est")).alias("merge_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def window_sliding(spark, sf_dir):
     """Sliding-window aggregation (1-day windows advancing every 6h):
     every event lands in 4 overlapping windows - F.window with a slide
@@ -1499,6 +1545,7 @@ EXTENSION_QUERIES = {
     "scale_compact": scale_compact,
     "events_quantiles": events_quantiles,
     "events_quantiles_approx": events_quantiles_approx,
+    "events_distinct_approx": events_distinct_approx,
     "window_sliding": window_sliding,
     "events_rollup": events_rollup,
     "events_pivot": events_pivot,

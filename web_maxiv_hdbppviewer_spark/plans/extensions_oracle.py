@@ -1505,3 +1505,15 @@ EXTENSION_ORACLE["scale_compact"] = """
           FROM n)
         ORDER BY stage
     """
+
+# sketch distinct-count witness (extensions.events_distinct_approx): exact
+# per-group cardinalities from first principles; hll_ok / merge_ok are
+# hard-coded true - the Spark side derives them from its own HLL estimates
+# (accuracy bound + partial-sketch union invariance), so a sketch outside
+# its error contract or a non-merge-invariant estimate flips the hash.
+EXTENSION_ORACLE["events_distinct_approx"] = """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+               true AS hll_ok, true AS merge_ok
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
