@@ -1232,3 +1232,28 @@ def test_hll_distinct_bound_and_merge_invariance(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("u")).alias("e")
     ).collect()[0]["e"]
     assert half < one * 0.6
+
+
+def test_json_parse_paths_agree_on_malformed_rows(spark):
+    """The paths_agree claim in events_props_parse is about DEGENERATE
+    inputs: schema'd from_json and get_json_object must yield the same
+    typed value - or the same NULL - for valid, missing-field, wrong-type,
+    malformed and NULL JSON."""
+    rows = [
+        (0, '{"k": 7}'),      # valid
+        (1, '{"x": 1}'),      # field missing
+        (2, '{"k": "abc"}'),  # wrong type
+        (3, '{k: broken'),    # malformed
+        (4, None),            # null document
+        (5, '{"k": null}'),   # explicit null
+    ]
+    df = spark.createDataFrame(rows, "event_id long, props string")
+    out = df.select(
+        "event_id",
+        F.from_json("props", "k INT")["k"].alias("ka"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("kb"),
+    ).collect()
+    got = {r["event_id"]: (r["ka"], r["kb"]) for r in out}
+    assert got[0] == (7, 7)
+    for i in (1, 2, 3, 4, 5):
+        assert got[i] == (None, None), (i, got[i])

@@ -527,6 +527,37 @@ def events_quantiles_approx(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def events_props_parse(spark, sf_dir):
+    """Schema'd JSON metadata extraction - the semi-structured column every
+    event/training-data pipeline carries. Two parser paths are run per row
+    and must null-safe agree: ``from_json`` with an explicit schema (the
+    scale path - one parse into a typed struct, codegen field access, no
+    per-path string re-scan) and ``get_json_object`` (the ad-hoc path).
+    Corrupt JSON degrades to NULL in both (PERMISSIVE parse, try_cast -
+    under ANSI mode a plain cast would FAIL the job on one bad row), so
+    ``paths_agree``
+    also certifies identical malformed-row semantics. The oracle extracts
+    the same field with DuckDB's JSON functions and pins paths_agree=true."""
+    ev = load_tables(spark, sf_dir)["events"]
+    j = F.from_json("props", "k INT")
+    k2 = F.get_json_object("props", "$.k").try_cast("int")
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            j.alias("j"),
+            k2.alias("k2"),
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.col("j.k").alias("k"),
+            F.col("j.k").eqNullSafe(F.col("k2")).alias("paths_agree"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def events_distinct_approx(spark, sf_dir):
     """Sketch-based distinct counting, MEASURED (the events_quantiles_approx
     pattern): exact COUNT(DISTINCT) shuffles every distinct key per group -
@@ -1546,6 +1577,7 @@ EXTENSION_QUERIES = {
     "events_quantiles": events_quantiles,
     "events_quantiles_approx": events_quantiles_approx,
     "events_distinct_approx": events_distinct_approx,
+    "events_props_parse": events_props_parse,
     "window_sliding": window_sliding,
     "events_rollup": events_rollup,
     "events_pivot": events_pivot,

@@ -1517,3 +1517,15 @@ EXTENSION_ORACLE["events_distinct_approx"] = """
                true AS hll_ok, true AS merge_ok
         FROM events GROUP BY event_type ORDER BY event_type
     """
+
+# JSON metadata extraction (extensions.events_props_parse): same field via
+# DuckDB's JSON path functions; paths_agree hard-coded true - the Spark
+# side derives it from its own from_json vs get_json_object null-safe
+# comparison, so a parser-path divergence (incl. malformed-row handling)
+# flips the hash.
+EXTENSION_ORACLE["events_props_parse"] = """
+        SELECT event_id, event_type,
+               TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               true AS paths_agree
+        FROM events ORDER BY event_id
+    """
