@@ -74,12 +74,19 @@ def bpe_token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
-def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Length / stopword / diversity quality features + a combined score.
 
     score = 0.4*stopword_ratio + 0.3*min(n_tokens/100, 1) + 0.3*distinct_ratio
     - a deterministic toy of the usual heuristic quality filters
-    (C4/Gopher-style rules), kept SQL-mirrorable.
+    (C4/Gopher-style rules), kept SQL-mirrorable. ``keep_cols`` carries
+    extra dimension columns through on the SAME scan (pipe_stats groups
+    the scores by them without re-joining the source).
     """
     # let-bind the token array behind a Generate barrier: CollapseProject
     # otherwise re-inlines the split into each of the ~6 uses per row
@@ -99,11 +106,13 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
     base = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.length(F.col(text_col)).cast("long").alias("n_chars_m"),
         F.explode(F.transform(F.array(words(F.col(text_col))), _feat)).alias("q"),
     )
     return base.select(
         id_col,
+        *keep_cols,
         "n_chars_m",
         F.col("q.n_tokens").alias("n_tokens"),
         F.col("q.stop_ratio").alias("stop_ratio"),

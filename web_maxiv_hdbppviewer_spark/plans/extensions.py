@@ -527,6 +527,31 @@ def events_quantiles_approx(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def pipe_stats(spark, sf_dir):
+    """Dataset card: the per-(lang, source) corpus summary a curation run
+    publishes - doc/char/token volumes, token-length extremes, mean quality
+    (the same C4/Gopher-style score text_quality emits per document,
+    mean'd ROUND(SUM/COUNT, 6) like scale_bucketed's mean_r). One scan
+    feeds the heavy tokenize; the (lang, source) dims ride alongside so
+    the rollup is a single map-side-combinable groupBy - no re-join
+    against the source at 100 TB."""
+    q = textquality.quality_scores(
+        _docs(spark, sf_dir), keep_cols=("lang", "source")
+    )
+    return (
+        q.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars_m").cast("long").alias("sum_chars"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.round(F.sum("quality") / F.count(F.lit(1)), 6).alias("mean_quality"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 def events_props_parse(spark, sf_dir):
     """Schema'd JSON metadata extraction - the semi-structured column every
     event/training-data pipeline carries. Two parser paths are run per row
@@ -1578,6 +1603,7 @@ EXTENSION_QUERIES = {
     "events_quantiles_approx": events_quantiles_approx,
     "events_distinct_approx": events_distinct_approx,
     "events_props_parse": events_props_parse,
+    "pipe_stats": pipe_stats,
     "window_sliding": window_sliding,
     "events_rollup": events_rollup,
     "events_pivot": events_pivot,

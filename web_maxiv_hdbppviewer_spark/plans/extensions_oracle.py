@@ -1529,3 +1529,32 @@ EXTENSION_ORACLE["events_props_parse"] = """
                true AS paths_agree
         FROM events ORDER BY event_id
     """
+
+# dataset card (extensions.pipe_stats): the text_quality per-doc score
+# re-derived, then rolled up per (lang, source); mean is ROUND(SUM/COUNT, 6)
+# - the scale_bucketed mean_r discipline
+EXTENSION_ORACLE["pipe_stats"] = """
+        WITH t AS (
+          SELECT doc_id, lang, source, length(text) AS n_chars,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id, lang, source, n_chars,
+                 len(toks) AS n,
+                 len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+                 len(list_distinct(toks)) AS n_dist
+          FROM t),
+        q AS (
+          SELECT lang, source, n_chars, n,
+                 ROUND(0.4 * (n_stop / n) + 0.3 * least(n / 100.0, 1.0)
+                       + 0.3 * (n_dist / n), 6) AS quality
+          FROM f)
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(n) AS BIGINT) AS sum_tokens,
+               CAST(MIN(n) AS BIGINT) AS min_tokens,
+               CAST(MAX(n) AS BIGINT) AS max_tokens,
+               ROUND(SUM(quality) / COUNT(*), 6) AS mean_quality
+        FROM q GROUP BY lang, source ORDER BY lang, source
+    """
