@@ -1257,3 +1257,41 @@ def test_json_parse_paths_agree_on_malformed_rows(spark):
     assert got[0] == (7, 7)
     for i in (1, 2, 3, 4, 5):
         assert got[i] == (None, None), (i, got[i])
+
+
+def test_collocations_pmi_matches_hand_computation(spark):
+    """Planted corpus: an exclusive rare pair must out-PMI a frequent
+    loosely-bound one, and every (count, pmi) must equal the from-scratch
+    Python computation of ln((c12/B)/((c1/N)(c2/N)))."""
+    import math
+    from collections import Counter
+
+    from web_maxiv_hdbppviewer_spark.operators.textquality import collocations
+
+    docs = ["san francisco"] * 6 + ["a b a b a b a"] * 8 + ["a c b"] * 5
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                               "doc_id long, text string")
+    out = [
+        (r["w1"], r["w2"], r["c12"], r["pmi_r"])
+        for r in collocations(df, min_count=5, k=10).collect()
+    ]
+
+    uni, bi = Counter(), Counter()
+    for d in docs:
+        toks = d.split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    n, b = sum(uni.values()), sum(bi.values())
+    expect = sorted(
+        (
+            (w1, w2, c12,
+             round((c12 / b) / ((uni[w1] / n) * (uni[w2] / n)), 10))
+            for (w1, w2), c12 in bi.items() if c12 >= 5
+        ),
+        key=lambda t: (-t[3], t[0], t[1]),
+    )
+    expect = [(w1, w2, c12, round(math.log(r), 6)) for w1, w2, c12, r in
+              [(w1, w2, c12, (c12 / b) / ((uni[w1] / n) * (uni[w2] / n)))
+               for w1, w2, c12, _ in expect]]
+    assert out == expect
+    assert out[0][:2] == ("san", "francisco")  # exclusive pair wins

@@ -409,3 +409,61 @@ def lm_bigram_scores(
             6,
         ).alias("nll_r"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """PMI collocation mining: the corpus-level phrase detector (the
+    word2vec-phrases / NLTK-collocations shape) - score every adjacent
+    word pair by pointwise mutual information
+    ``ln((c12/B) / ((c1/N) * (c2/N)))`` and keep the top-k with support
+    >= ``min_count``. Output (w1, w2, c12, pmi_r), pmi desc / pair asc.
+
+    Scale shape: two exploded count aggregations (unigrams, bigrams - both
+    map-side combinable), two key-joins of the bigram counts against the
+    unigram table (vocab-sized; AQE broadcasts when it fits), corpus
+    totals as 1-row broadcast crossJoins, and a TakeOrdered top-k - no
+    global sort materialization, no driver collection."""
+    from ..functions.texthash import word_bigrams
+
+    toks = words(F.col(text_col))
+    uni = df.select(F.explode(toks).alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_tot = uni.agg(F.count(F.lit(1)).alias("nt"))
+    bi = df.select(F.explode(word_bigrams(toks)).alias("bg"))
+    b_tot = bi.agg(F.count(F.lit(1)).alias("bt"))
+    bc = (
+        bi.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= min_count)
+        .select(
+            F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+            F.split(F.col("bg"), " ").getItem(1).alias("w2"),
+            "c12",
+        )
+    )
+    ua = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    ub = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12").cast("double") / F.col("bt"))
+            / (
+                (F.col("c1").cast("double") / F.col("nt"))
+                * (F.col("c2").cast("double") / F.col("nt"))
+            )
+        ),
+        6,
+    )
+    return (
+        bc.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(b_tot))
+        .select("w1", "w2", F.col("c12").cast("long").alias("c12"), pmi.alias("pmi_r"))
+        .orderBy(F.col("pmi_r").desc(), "w1", "w2")
+        .limit(k)
+    )

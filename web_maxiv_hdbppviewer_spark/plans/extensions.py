@@ -38,6 +38,8 @@ FRAME_EVERY = 4
 SIMHASH_MAX_HAMMING = 3
 EMBED_NEAR_DUP_COS = 0.4
 COMPACT_FRAG_FILES = 64
+COLLOC_MIN_COUNT = 5
+COLLOC_TOPK = 50
 COMPACT_TARGET_ROWS = 4096
 TOPK = 5
 ANN_TOPK = 3
@@ -224,6 +226,15 @@ def text_quality(spark, sf_dir):
 
 def text_langid(spark, sf_dir):
     return textquality.lang_id(_docs_sorted(spark, sf_dir))
+
+
+def text_collocations(spark, sf_dir):
+    """Corpus-level PMI collocation mining (the word2vec-phrases shape):
+    top-50 adjacent word pairs by pointwise mutual information with
+    support >= 5. Counts are exact integers; the only float is the final
+    ln(), round-6 like every scored ranking. Oracle replicates the counts
+    and the PMI algebra term-for-term."""
+    return textquality.collocations(_docs(spark, sf_dir), COLLOC_MIN_COUNT, COLLOC_TOPK)
 
 
 def text_lm_score(spark, sf_dir):
@@ -1563,6 +1574,7 @@ EXTENSION_QUERIES = {
     "text_bm25": text_bm25,
     "text_langid": text_langid,
     "text_lm_score": text_lm_score,
+    "text_collocations": text_collocations,
     "text_tokens": text_tokens,
     "text_bpe": text_bpe,
     "text_quality": text_quality,

@@ -1558,3 +1558,33 @@ EXTENSION_ORACLE["pipe_stats"] = """
                ROUND(SUM(quality) / COUNT(*), 6) AS mean_quality
         FROM q GROUP BY lang, source ORDER BY lang, source
     """
+
+# PMI collocations (extensions.text_collocations / textquality.collocations):
+# same tokenizer as text_quality, subscript-indexed adjacent pairs, exact
+# integer counts, and the PMI algebra in the same association order -
+# (c12/B) / ((c1/N) * (c2/N)) - so the round-6 ln agrees
+EXTENSION_ORACLE["text_collocations"] = """
+        WITH t AS (
+          SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents),
+        uni AS (SELECT unnest(toks) AS w FROM t),
+        n AS (SELECT COUNT(*) AS nt FROM uni),
+        uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+        bi AS (
+          SELECT toks[i] AS w1, toks[i + 1] AS w2
+          FROM (SELECT toks, generate_subscripts(toks, 1) AS i FROM t)
+          WHERE i < len(toks)),
+        b AS (SELECT COUNT(*) AS bt FROM bi),
+        bc AS (
+          SELECT w1, w2, COUNT(*) AS c12 FROM bi
+          GROUP BY w1, w2 HAVING COUNT(*) >= 5)
+        SELECT bc.w1, bc.w2, CAST(bc.c12 AS BIGINT) AS c12,
+               ROUND(ln((CAST(bc.c12 AS DOUBLE) / bt)
+                        / ((CAST(ua.c AS DOUBLE) / nt)
+                           * (CAST(ub.c AS DOUBLE) / nt))), 6) AS pmi_r
+        FROM bc
+        JOIN uc ua ON ua.w = bc.w1
+        JOIN uc ub ON ub.w = bc.w2
+        CROSS JOIN n CROSS JOIN b
+        ORDER BY pmi_r DESC, w1, w2 LIMIT 50
+    """
