@@ -44,18 +44,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # VERDICT r8 #7), stream_sessions_evict (NEW - append-mode sessionization
 # with watermark state eviction, VERDICT r8 #6), scale_bucketed (NEW -
 # bucketed-layout + salted-agg witness with plan-derived n_exchanges,
-# VERDICT r8 #5), dedup_incremental + pipe_delta_apply (probe side now
-# pruned before the shingle explode), text_lm_score (deterministic
-# position-ordered log-prob fold), lifecycle_image (request-order z-order
-# in compose_image + independent digest oracle), and the 4 streaming
-# queries (shared _drain: loud timeout + stop()). Then the stale tail per
-# the standing rotation queue: core q9-q22 and the 22 extensions whose
-# newest driver rows are r7 (two rounds stale by r9), then r8-witnessed
-# core queries to fill 50. Outside the window: the rest of the r8 set -
-# all still parity-checked at sf0.001 by tests/test_oracle_parity.py
-# every run; rotate back next round.
+# VERDICT r8 #5), dedup_semantic (NEW - SemDeDup over trained k-means
+# cells), scale_compact (NEW - small-file compaction layout witness),
+# events_distinct_approx (NEW - HLL accuracy + mergeability witness),
+# events_props_parse (NEW - schema'd JSON extraction, parser-path
+# agreement), pipe_stats (NEW - per-(lang,source) dataset card),
+# text_collocations (NEW - PMI phrase mining), dedup_incremental +
+# pipe_delta_apply (probe side now pruned before the shingle explode),
+# text_lm_score (deterministic position-ordered log-prob fold),
+# lifecycle_image (request-order z-order in compose_image + independent
+# digest oracle), and the 4 streaming queries (shared _drain: loud
+# timeout + stop()). Then the stale tail per the standing rotation queue:
+# core q9-q22 and the r7-row extensions (two rounds stale by r9). The 6
+# new queries displace 3 core + 3 extension rotation slots to r10:
+# q1-q3 (r8-witnessed, freshest), sim_topk_cosine (its exact ranking IS
+# the driver-witnessed sim_ann_compare baseline), sim_topk_quantized
+# (shares the quantized scoring with r8-witnessed sim_quantize), and
+# pipe_shard_sink (bounded FS walk, unit-tested) - all still
+# parity-checked at sf0.001 by tests/test_oracle_parity.py every run;
+# they lead the r10 rotation queue.
 _CHANGED_THIS_ROUND = [
     "sim_ann_compare", "stream_sessions_evict", "scale_bucketed",
+    "dedup_semantic", "scale_compact", "events_distinct_approx",
+    "events_props_parse", "pipe_stats", "text_collocations",
     "dedup_incremental", "pipe_delta_apply",
     "text_lm_score", "lifecycle_image",
     "stream_sessions", "stream_last_value", "stream_window", "stream_dedup",
@@ -67,14 +78,12 @@ _WINDOW = (
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_clusters",
         "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_trained",
-        "sim_topk_cosine", "sim_topk_quantized",
         "pipe_split", "pipe_domain_mix", "pipe_curation", "pipe_pack",
-        "pipe_contamination", "pipe_shard_sink",
+        "pipe_contamination",
         "window_sessions", "window_sliding",
         "events_quantiles", "events_rollup", "events_pivot",
         "lifecycle_aggregate",
     ]
-    + [f"q{i}" for i in range(1, 4)]
 )
 
 
