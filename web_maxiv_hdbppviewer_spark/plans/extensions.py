@@ -130,7 +130,7 @@ def dedup_semantic(spark, sf_dir):
     mate. The oracle unrolls the same training iterations, assignment and
     in-cell pair rule in SQL - parity is bit-exact."""
     emb = _emb(spark, sf_dir)
-    cents = similarity.train_ivf_centroids(emb, IVF_CELLS, KMEANS_ITERS)
+    cents = _coarse_centroids(spark, sf_dir)
     return similarity.semantic_dedup(emb, EMBED_NEAR_DUP_COS, cents).orderBy("id")
 
 
@@ -291,6 +291,28 @@ def _pq_codebooks(spark, sf_dir):
 #: sf_dir - same bounded-row memo discipline; sim_ann_ivf_trained shares
 #: the coarse centroids (identical deterministic training)
 _IVFPQ_MEMO: dict[str, tuple[list, list]] = {}
+
+
+#: coarse-centroid memo for queries that need ONLY the trained quantizer
+#: cells (dedup_semantic): identical deterministic training to the IVFPQ
+#: coarse stage, so reuse those artifacts when the session already has
+#: them; otherwise train just the coarse stage (bounded: K rows collected)
+_COARSE_MEMO: dict[str, list] = {}
+
+
+def _coarse_centroids(spark, sf_dir):
+    if sf_dir in _IVFPQ_MEMO:
+        rows = _IVFPQ_MEMO[sf_dir][0]
+    else:
+        if sf_dir not in _COARSE_MEMO:
+            cb = similarity.train_ivf_centroids(
+                _emb(spark, sf_dir), IVF_CELLS, KMEANS_ITERS
+            )
+            _COARSE_MEMO[sf_dir] = [
+                (int(r["cid"]), list(r["cvec"])) for r in cb.collect()
+            ]
+        rows = _COARSE_MEMO[sf_dir]
+    return spark.createDataFrame(rows, "cid long, cvec array<double>")
 
 
 def _ivfpq_artifacts(spark, sf_dir):
