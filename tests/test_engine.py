@@ -1295,3 +1295,47 @@ def test_collocations_pmi_matches_hand_computation(spark):
                for w1, w2, c12, _ in expect]]
     assert out == expect
     assert out[0][:2] == ("san", "francisco")  # exclusive pair wins
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    """Distributed range-partitioned ranking == the one-task global window
+    it replaces, for any partition count, including ties broken by the id
+    column (total order)."""
+    from pyspark.sql import Window
+
+    from web_maxiv_hdbppviewer_spark.operators.rank import global_rank
+
+    rows = [(i, (i * 37) % 11) for i in range(500)]  # many ties in v
+    df = spark.createDataFrame(rows, "id long, v long")
+    w = Window.orderBy("v", "id")
+    expect = {
+        r["id"]: r["r"]
+        for r in df.withColumn("r", F.row_number().over(w)).collect()
+    }
+    for n_parts in (1, 7, 32):
+        got = {
+            r["id"]: r["rank"]
+            for r in global_rank(df, ["v", "id"], n_partitions=n_parts).collect()
+        }
+        assert got == expect, n_parts
+
+
+def test_temperature_rebalance_flattens_the_head(spark):
+    """alpha=0.5: the rarest domain keeps 100%, keep fractions decrease
+    with domain size, and realized keeps track sqrt-flattened targets."""
+    from web_maxiv_hdbppviewer_spark.operators.sampling import temperature_rebalance
+
+    rows = [(i, "big") for i in range(900)] + \
+           [(900 + i, "mid") for i in range(300)] + \
+           [(1200 + i, "rare") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r for r in temperature_rebalance(df, 0.5).collect()}
+    assert out["rare"]["keep_bp"] == 10000
+    assert out["rare"]["n_kept"] == 100
+    assert out["mid"]["keep_bp"] == round(10000 * (100 / 300) ** 0.5)
+    assert out["big"]["keep_bp"] == round(10000 * (100 / 900) ** 0.5)
+    assert out["big"]["keep_bp"] < out["mid"]["keep_bp"] < 10000
+    # realized counts within hash-bucket noise of the target fraction
+    for s in ("big", "mid"):
+        target = out[s]["n_total"] * out[s]["keep_bp"] / 10000
+        assert abs(out[s]["n_kept"] - target) < 0.15 * out[s]["n_total"]

@@ -181,3 +181,55 @@ def write_training_shards(
         .sortWithinPartitions("split", "shard", "start_tok")
     )
     out.write.mode("overwrite").partitionBy("split", "shard").parquet(path)
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "temper",
+) -> DataFrame:
+    """Temperature-based domain rebalancing (the XLM-R / mC4 alpha-sampling
+    mix): target share q_d proportional to p_d^alpha flattens the domain
+    distribution; realized as DOWNSAMPLE-ONLY per-domain keep fractions
+    f_d = (n_min / n_d)^(1 - alpha) - the rarest domain keeps everything,
+    head domains shed mass. Keep decisions use the same md5 hash-bucket
+    rule as ``stratified_sample`` (pure filter, monotone, no RNG).
+
+    Returns the per-domain audit table (strata, n_total, keep_bp, n_kept).
+    For the default alpha = 0.5 the fraction is sqrt(n_min / n_d): every
+    step (divide, sqrt, scale, half-up round to integer basis points) is
+    IEEE correctly rounded, so any engine reproduces keep_bp bit-for-bit.
+    Scale shape: one count aggregation, a K-row broadcast of thresholds
+    back onto the corpus filter, one kept-count aggregation."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_total"))
+    n_min = counts.agg(F.min("n_total").alias("n_min"))
+    ratio = F.col("n_min").cast("double") / F.col("n_total")
+    frac = (
+        F.sqrt(ratio)
+        if alpha == 0.5
+        else F.pow(ratio, F.lit(1.0 - alpha))
+    )
+    th = (
+        counts.crossJoin(F.broadcast(n_min))
+        .select(
+            strata_col,
+            "n_total",
+            F.round(frac * BUCKETS).cast("int").alias("keep_bp"),
+        )
+    )
+    bucket = hash_bucket(F.col(id_col), seed)
+    kept = (
+        df.select(strata_col, bucket.alias("_b"))
+        .join(F.broadcast(th.select(strata_col, "keep_bp")), strata_col)
+        .where(F.col("_b") < F.col("keep_bp"))
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return th.join(kept, strata_col, "left").select(
+        strata_col,
+        F.col("n_total").cast("long").alias("n_total"),
+        "keep_bp",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )

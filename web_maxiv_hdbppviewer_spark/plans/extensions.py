@@ -39,6 +39,7 @@ SIMHASH_MAX_HAMMING = 3
 EMBED_NEAR_DUP_COS = 0.4
 COMPACT_FRAG_FILES = 64
 COLLOC_MIN_COUNT = 5
+CURRICULUM_TIERS = 4
 COLLOC_TOPK = 50
 COMPACT_TARGET_ROWS = 4096
 TOPK = 5
@@ -582,6 +583,36 @@ def pipe_stats(spark, sf_dir):
             F.round(F.sum("quality") / F.count(F.lit(1)), 6).alias("mean_quality"),
         )
         .orderBy("lang", "source")
+    )
+
+
+def pipe_temperature_mix(spark, sf_dir):
+    """Alpha = 0.5 temperature rebalancing of the (lang, source) domain mix
+    (sampling.temperature_rebalance): rarest domain keeps 100%, head
+    domains downsampled toward sqrt-flattened shares, decisions by the
+    session's md5 bucket rule. The whole keep_bp chain is IEEE correctly
+    rounded, so the oracle reproduces thresholds AND kept counts exactly."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "domain", F.concat_ws("/", "lang", "source")
+    )
+    return sampling.temperature_rebalance(
+        docs, 0.5, strata_col="domain", seed="temper"
+    ).orderBy("domain")
+
+
+def pipe_curriculum(spark, sf_dir):
+    """Quality-quantile curriculum tiers via DISTRIBUTED global ranking
+    (operators/rank.py): range-partition on (quality, doc_id), rank within
+    partitions, shift by the bounded per-partition count vector - never a
+    single-task global window. Tier = floor((rank-1)*4/n) + 1, pure
+    integer-exact arithmetic the oracle replicates from ROW_NUMBER."""
+    from ..operators.rank import quantile_tiers
+
+    q = textquality.quality_scores(_docs(spark, sf_dir)).select("doc_id", "quality")
+    return (
+        quantile_tiers(q, ["quality", "doc_id"], CURRICULUM_TIERS)
+        .select("doc_id", "quality", "rank", "tier")
+        .orderBy("doc_id")
     )
 
 
@@ -1638,6 +1669,8 @@ EXTENSION_QUERIES = {
     "events_distinct_approx": events_distinct_approx,
     "events_props_parse": events_props_parse,
     "pipe_stats": pipe_stats,
+    "pipe_temperature_mix": pipe_temperature_mix,
+    "pipe_curriculum": pipe_curriculum,
     "window_sliding": window_sliding,
     "events_rollup": events_rollup,
     "events_pivot": events_pivot,

@@ -1588,3 +1588,60 @@ EXTENSION_ORACLE["text_collocations"] = """
         CROSS JOIN n CROSS JOIN b
         ORDER BY pmi_r DESC, w1, w2 LIMIT 50
     """
+
+# temperature rebalancing (extensions.pipe_temperature_mix /
+# sampling.temperature_rebalance, alpha=0.5): keep_bp =
+# ROUND(10000 * sqrt(n_min / n_d)) - every step IEEE correctly rounded -
+# and kept counts from the same md5 bucket rule as pipe_domain_mix
+EXTENSION_ORACLE["pipe_temperature_mix"] = f"""
+        WITH d AS (
+          SELECT doc_id, lang || '/' || source AS domain FROM documents),
+        c AS (SELECT domain, COUNT(*) AS n_total FROM d GROUP BY domain),
+        m AS (SELECT MIN(n_total) AS n_min FROM c),
+        th AS (
+          SELECT domain, n_total,
+                 CAST(ROUND(10000 * sqrt(CAST(n_min AS DOUBLE) / n_total))
+                      AS INT) AS keep_bp
+          FROM c, m),
+        k AS (
+          SELECT d.domain, COUNT(*) AS n_kept
+          FROM d JOIN th ON th.domain = d.domain
+          WHERE {H.format(x="'temper:' || CAST(doc_id AS VARCHAR)")} % 10000
+                < th.keep_bp
+          GROUP BY d.domain)
+        SELECT th.domain, CAST(th.n_total AS BIGINT) AS n_total, th.keep_bp,
+               CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+        FROM th LEFT JOIN k ON k.domain = th.domain
+        ORDER BY th.domain
+    """
+
+# curriculum tiers (extensions.pipe_curriculum / rank.quantile_tiers):
+# the text_quality score, globally ranked by (quality, doc_id) - the
+# oracle's ROW_NUMBER equals the engine's distributed range-partitioned
+# rank because the order is total - then tier = floor((rank-1)*4/n) + 1
+EXTENSION_ORACLE["pipe_curriculum"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id, len(toks) AS n,
+                 len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+                 len(list_distinct(toks)) AS n_dist
+          FROM t),
+        q AS (
+          SELECT doc_id,
+                 ROUND(0.4 * (n_stop / n) + 0.3 * least(n / 100.0, 1.0)
+                       + 0.3 * (n_dist / n), 6) AS quality
+          FROM f),
+        r AS (
+          SELECT doc_id, quality,
+                 CAST(ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS BIGINT)
+                   AS rank,
+                 COUNT(*) OVER () AS n
+          FROM q)
+        SELECT doc_id, quality, rank,
+               CAST(FLOOR((rank - 1) * 4 / CAST(n AS DOUBLE)) + 1 AS BIGINT)
+                 AS tier
+        FROM r ORDER BY doc_id
+    """
