@@ -1339,3 +1339,52 @@ def test_temperature_rebalance_flattens_the_head(spark):
     for s in ("big", "mid"):
         target = out[s]["n_total"] * out[s]["keep_bp"] / 10000
         assert abs(out[s]["n_kept"] - target) < 0.15 * out[s]["n_total"]
+
+
+def test_semantic_dedup_matches_bruteforce_reference(spark):
+    """Seeded randomized cross-check: semantic_dedup against an independent
+    O(n^2) numpy reference implementing the same round-6 cosine discipline
+    (max-cosine/lowest-cid assignment, keep-lowest-id within cell)."""
+    import numpy as np
+
+    from web_maxiv_hdbppviewer_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    for _trial in range(3):
+        n, dim, k, thr = 60, 8, 4, 0.6
+
+        vecs = rng.normal(size=(n, dim))
+        cents = rng.normal(size=(k, dim))
+
+        def r6cos(a, b):
+            return round(
+                float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+            )
+
+        cell = [
+            max(range(k), key=lambda c: (r6cos(vecs[i], cents[c]), -c))
+            for i in range(n)
+        ]
+        dup_of = [
+            min(
+                (j for j in range(i)
+                 if cell[j] == cell[i] and r6cos(vecs[i], vecs[j]) >= thr),
+                default=-1,
+            )
+            for i in range(n)
+        ]
+
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        cdf = spark.createDataFrame(
+            [(c, [float(x) for x in cents[c]]) for c in range(k)],
+            "cid long, cvec array<double>",
+        )
+        got = {
+            r["id"]: (r["cell"], r["dup_of"], r["keep"])
+            for r in semantic_dedup(df, thr, cdf).collect()
+        }
+        for i in range(n):
+            assert got[i] == (cell[i], dup_of[i], dup_of[i] == -1), (_trial, i)
