@@ -1388,3 +1388,47 @@ def test_semantic_dedup_matches_bruteforce_reference(spark):
         }
         for i in range(n):
             assert got[i] == (cell[i], dup_of[i], dup_of[i] == -1), (_trial, i)
+
+
+def test_containment_catches_subset_that_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment 1.0, Jaccard
+    ~0.1 - the asymmetric pair must surface with cont_r = 1.0. Plus a
+    seeded randomized cross-check against a brute-force python reference
+    (exact recall of the smaller-side prefix index)."""
+    import random
+
+    from web_maxiv_hdbppviewer_spark.operators.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon"
+    host = quote + " " + " ".join(f"w{i} x{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(0, quote), (1, host), (2, "unrelated words only here")],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["cont_r"]
+           for r in containment_pairs(df, 0.9).collect()}
+    assert got == {(0, 1): 1.0}
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(30)]
+    docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(6, 30))))
+            for i in range(40)]
+    t = 0.5
+
+    def shingles(s):
+        w = s.split()
+        return set(zip(w, w[1:]))
+
+    expect = {}
+    for i, ta in docs:
+        for j, tb in docs:
+            if i < j:
+                sa, sb = shingles(ta), shingles(tb)
+                c = len(sa & sb)
+                cont = round(c / min(len(sa), len(sb)), 6)
+                if cont >= t:
+                    expect[(i, j)] = cont
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["cont_r"]
+           for r in containment_pairs(sdf, t).collect()}
+    assert got == expect

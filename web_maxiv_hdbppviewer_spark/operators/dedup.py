@@ -617,3 +617,72 @@ def contamination_overlap(
             ).alias("shared_frac"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    min_containment: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric near-dup pairs by max-containment
+    ``|A intersect B| / min(|A|, |B|) >= t`` - the quote/subset detector
+    Jaccard structurally misses (a short document fully embedded in a long
+    one has J ~ |A|/|B| but containment 1.0; the classic training-data
+    leak where an eval doc is quoted inside a web page).
+
+    Candidate generation with EXACT recall: the pigeonhole bound
+    ``o >= ceil(t * n_min)`` references only the SMALLER document, so the
+    smaller side of every pair indexes its ``floor((1-t)*n)+1`` rarest
+    shingles (the same rarity-ordered prefix slice as the Jaccard join)
+    and probes the FULL posting list of the larger side - containment
+    admits no size filter, the known extra cost of containment joins vs
+    Jaccard prefix joins. Verification is one array_intersect over the
+    memoized per-document hash arrays, candidate-proportional.
+    """
+    docs = doc_shingle_arrays(df, id_col, text_col)
+    t = float(min_containment)
+    plen = (F.floor((1.0 - t) * F.col("n") + _EPS) + F.lit(1)).cast("int")
+    small = docs.select(
+        F.col("id").alias("id_s"),
+        F.col("n").alias("n_s"),
+        F.explode(F.slice("arr", F.lit(1), plen)).alias("e"),
+    ).select("id_s", "n_s", F.col("e.h").alias("h"))
+    full = docs.select(
+        F.col("id").alias("id_f"),
+        F.col("n").alias("n_f"),
+        F.explode("arr").alias("e"),
+    ).select("id_f", "n_f", F.col("e.h").alias("h"))
+    cands = (
+        small.join(full, "h")
+        .where((F.col("id_s") != F.col("id_f")) & (F.col("n_s") <= F.col("n_f")))
+        .select(
+            F.least("id_s", "id_f").alias("id_a"),
+            F.greatest("id_s", "id_f").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = docs.select(
+        F.col("id").alias("id_a"),
+        F.transform("arr", lambda x: x["h"]).alias("ha"),
+        F.col("n").alias("na"),
+    )
+    b = docs.select(
+        F.col("id").alias("id_b"),
+        F.transform("arr", lambda x: x["h"]).alias("hb"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("ha", "hb"))
+                / F.least("na", "nb"),
+                6,
+            ).alias("cont_r"),
+        )
+        .where(F.col("cont_r") >= min_containment)
+    )

@@ -40,6 +40,7 @@ EMBED_NEAR_DUP_COS = 0.4
 COMPACT_FRAG_FILES = 64
 COLLOC_MIN_COUNT = 5
 CURRICULUM_TIERS = 4
+CONTAINMENT_THRESHOLD = 0.6
 COLLOC_TOPK = 50
 COMPACT_TARGET_ROWS = 4096
 TOPK = 5
@@ -121,6 +122,17 @@ def dedup_clusters(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     pairs = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select("id_a", "id_b")
     return graph.duplicate_clusters(docs, pairs).orderBy("doc_id")
+
+
+def dedup_containment(spark, sf_dir):
+    """Asymmetric (quote/subset) near-dup detection: max-containment
+    |A^B| / min(|A|,|B|) >= 0.6 over word-bigram shingles - catches the
+    short-doc-quoted-in-long-doc leak Jaccard misses. Smaller-side prefix
+    index, full posting probe, exact recall (dedup.containment_pairs);
+    oracle is the naive inverted-index formulation."""
+    return dedup.containment_pairs(
+        _docs(spark, sf_dir), CONTAINMENT_THRESHOLD
+    ).orderBy("id_a", "id_b")
 
 
 def dedup_semantic(spark, sf_dir):
@@ -1685,6 +1697,7 @@ EXTENSION_QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_clusters": dedup_clusters,
     "dedup_semantic": dedup_semantic,
+    "dedup_containment": dedup_containment,
     "sim_topk_cosine": sim_topk_cosine,
 }
 

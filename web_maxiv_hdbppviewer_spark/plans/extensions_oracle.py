@@ -1645,3 +1645,23 @@ EXTENSION_ORACLE["pipe_curriculum"] = """
                  AS tier
         FROM r ORDER BY doc_id
     """
+
+# asymmetric containment dedup (extensions.dedup_containment /
+# dedup.containment_pairs): naive inverted-index form - all pairs sharing
+# a shingle, containment = common / min(|A|, |B|) - so parity checks the
+# algorithm against the prefix-filtered engine plan
+EXTENSION_ORACLE["dedup_containment"] = f"""
+        WITH {_SHINGLES},
+        csz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+        ccommon AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(c / LEAST(sa.n, sb.n), 6) AS cont_r
+        FROM ccommon
+        JOIN csz sa ON sa.id = id_a
+        JOIN csz sb ON sb.id = id_b
+        WHERE ROUND(c / LEAST(sa.n, sb.n), 6) >= 0.6
+        ORDER BY id_a, id_b
+    """
