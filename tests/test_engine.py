@@ -1429,6 +1429,7 @@ def test_containment_catches_subset_that_jaccard_misses(spark):
                 if cont >= t:
                     expect[(i, j)] = cont
     sdf = spark.createDataFrame(docs, "doc_id long, text string")
-    got = {(r["id_a"], r["id_b"]): r["cont_r"]
-           for r in containment_pairs(sdf, t).collect()}
-    assert got == expect
+    for strategy in ("count", "prefix"):
+        got = {(r["id_a"], r["id_b"]): r["cont_r"]
+               for r in containment_pairs(sdf, t, strategy=strategy).collect()}
+        assert got == expect, strategy
