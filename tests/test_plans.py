@@ -626,3 +626,36 @@ def test_incremental_probe_pruned_before_explode(spark):
     assert len(
         [n for n in _walk_logical(root) if n.nodeName() == "Generate"]
     ) == 2
+
+
+def test_r9_new_queries_plan_shapes(spark):
+    """Plan pins for the round-9 additions: no cartesian anywhere; the
+    dataset card reads documents ONCE; the distributed curriculum rank
+    never collapses to a single-partition window; the temperature mix
+    broadcasts its K-row threshold table; containment's count form has
+    exactly one pair aggregation and no distinct."""
+    for name in (
+        "dedup_semantic", "pipe_stats", "text_collocations",
+        "pipe_temperature_mix", "pipe_curriculum", "dedup_containment",
+        "events_distinct_approx", "events_props_parse",
+    ):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+
+    stats_plan = _plan(QUERIES["pipe_stats"](spark, SF_SMOKE))
+    assert stats_plan.count("documents.parquet") == 1
+
+    cur_plan = _plan(QUERIES["pipe_curriculum"](spark, SF_SMOKE))
+    # every window spec must be partitioned by _pid (a partition-less spec
+    # is the one-task global window the operator exists to avoid; the only
+    # SinglePartition allowed is the 1-row total-count aggregate)
+    assert cur_plan.count("windowspecdefinition(") > 0
+    assert cur_plan.count("windowspecdefinition(") == cur_plan.count(
+        "windowspecdefinition(_pid"
+    ), "global rank fell back to a one-task window"
+
+    mix_plan = _plan(QUERIES["pipe_temperature_mix"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in mix_plan
+
+    cont_plan = _plan(QUERIES["dedup_containment"](spark, SF_SMOKE))
+    assert "HashAggregate" in cont_plan
