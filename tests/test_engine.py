@@ -1433,3 +1433,22 @@ def test_containment_catches_subset_that_jaccard_misses(spark):
         got = {(r["id_a"], r["id_b"]): r["cont_r"]
                for r in containment_pairs(sdf, t, strategy=strategy).collect()}
         assert got == expect, strategy
+
+
+def test_events_anomaly_flags_planted_spikes(spark):
+    """A tight cluster plus planted spikes: exactly the spikes exceed the
+    3-sigma band (computed from the round-6-pinned moments)."""
+    from web_maxiv_hdbppviewer_spark.operators.extrema import zscore_outliers
+
+    rows = [(0, 7, 100.0 + (i % 5) * 0.01) for i in range(200)]
+    rows += [(200, 7, 500.0), (201, 7, -300.0)]  # spikes
+    rows += [(300 + i, 8, float(i % 10)) for i in range(50)]  # calm user
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, value double"
+    )
+    out = {
+        r["user_id"]: r["n_outliers"]
+        for r in zscore_outliers(df.select("user_id", "value")).collect()
+    }
+    assert out[7] == 2  # both spikes, nothing from the tight cluster
+    assert out[8] == 0  # uniform spread has no 3-sigma points

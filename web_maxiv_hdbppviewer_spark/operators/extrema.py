@@ -65,3 +65,42 @@ def pad_range(vmin: float, vmax: float, log_scale: bool = False) -> tuple[float,
         return (vmin - 0.5, vmax + 0.5)
     pad = (vmax - vmin) * 0.05
     return (vmin - pad, vmax + pad)
+
+
+def zscore_outliers(df, key_col: str = "user_id", value_col: str = "value"):
+    """Per-key 3-sigma outlier audit: (key, n, mean_r, sd_r, n_outliers).
+
+    The sum and sum-of-squares are ROUNDED to 6 decimals at the
+    aggregation boundary, so every derived quantity (mean, sd, the flag
+    threshold) is identical deterministic double arithmetic in any
+    engine - the same discipline as the ranking round-6 rule. Two passes:
+    one map-side-combinable moment aggregation, then a K-row broadcast of
+    the stats back onto the stream for the flag count.
+    """
+    ev = df.select(F.col(key_col).alias("k"), F.col(value_col).alias("v"))
+    mom = ev.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("v"), 6).alias("s1"),
+        F.round(F.sum(F.col("v") * F.col("v")), 6).alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    stats = mom.select(
+        "k",
+        "n",
+        F.round(F.col("s1") / F.col("n"), 6).alias("mean_r"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("sd_r"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "k")
+        .groupBy("k")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("mean_r").alias("mean_r"),
+            F.first("sd_r").alias("sd_r"),
+            F.sum(
+                (F.abs(F.col("v") - F.col("mean_r")) > F.lit(3.0) * F.col("sd_r"))
+                .cast("long")
+            ).alias("n_outliers"),
+        )
+        .withColumnRenamed("k", key_col)
+    )

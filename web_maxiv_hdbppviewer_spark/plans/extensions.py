@@ -659,6 +659,24 @@ def events_props_parse(spark, sf_dir):
     )
 
 
+def events_anomaly(spark, sf_dir):
+    """Per-user 3-sigma outlier audit - the monitoring twin of the
+    quantile queries: two passes (moments, then flags), with the sum and
+    sum-of-squares ROUNDED to 6 decimals before any derived arithmetic so
+    mean/sd/flag thresholds are identical constants in both engines
+    (the only order-dependent floats are collapsed at the aggregation
+    boundary; everything after is deterministic double arithmetic) -
+    operators/extrema.zscore_outliers."""
+    from ..operators.extrema import zscore_outliers
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select("user_id", "value")
+    )
+    return zscore_outliers(ev).orderBy("user_id")
+
+
 def events_distinct_approx(spark, sf_dir):
     """Sketch-based distinct counting, MEASURED (the events_quantiles_approx
     pattern): exact COUNT(DISTINCT) shuffles every distinct key per group -
@@ -1679,6 +1697,7 @@ EXTENSION_QUERIES = {
     "events_quantiles": events_quantiles,
     "events_quantiles_approx": events_quantiles_approx,
     "events_distinct_approx": events_distinct_approx,
+    "events_anomaly": events_anomaly,
     "events_props_parse": events_props_parse,
     "pipe_stats": pipe_stats,
     "pipe_temperature_mix": pipe_temperature_mix,

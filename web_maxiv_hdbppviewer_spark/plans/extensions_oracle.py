@@ -1665,3 +1665,29 @@ EXTENSION_ORACLE["dedup_containment"] = f"""
         WHERE ROUND(c / LEAST(sa.n, sb.n), 6) >= 0.6
         ORDER BY id_a, id_b
     """
+
+# per-user 3-sigma outlier audit (extensions.events_anomaly): moments
+# rounded at the aggregation boundary, then identical double arithmetic
+# for mean/sd/flags in both engines
+EXTENSION_ORACLE["events_anomaly"] = """
+        WITH ev AS (
+          SELECT user_id, value FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)),
+        mom AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(SUM(value), 6) AS s1,
+                 ROUND(SUM(value * value), 6) AS s2
+          FROM ev GROUP BY user_id),
+        st AS (
+          SELECT user_id, n,
+                 ROUND(s1 / n, 6) AS mean_r,
+                 ROUND(sqrt(GREATEST((s2 - s1 * s1 / n) / (n - 1), 0.0)), 6)
+                   AS sd_r
+          FROM mom)
+        SELECT st.user_id, st.n, st.mean_r, st.sd_r,
+               CAST(SUM(CASE WHEN ABS(ev.value - st.mean_r) > 3.0 * st.sd_r
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM ev JOIN st ON st.user_id = ev.user_id
+        GROUP BY st.user_id, st.n, st.mean_r, st.sd_r
+        ORDER BY st.user_id
+    """
