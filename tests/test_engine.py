@@ -1452,3 +1452,24 @@ def test_events_anomaly_flags_planted_spikes(spark):
     }
     assert out[7] == 2  # both spikes, nothing from the tight cluster
     assert out[8] == 0  # uniform spread has no 3-sigma points
+
+
+def test_tfidf_keywords_rank_rare_terms_first(spark):
+    """A term unique to one doc must out-score that doc's common terms;
+    a term in every doc has idf ln(1) = 0 and can never rank."""
+    from web_maxiv_hdbppviewer_spark.operators.textquality import tfidf_keywords
+
+    docs = [
+        (0, "shared shared zebra shared"),
+        (1, "shared common common"),
+        (2, "shared common unique"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r["doc_id"], r["rk"]): (r["term"], r["score_r"])
+           for r in tfidf_keywords(df, 2).collect()}
+    import math
+    assert out[(0, 1)] == ("zebra", round(math.log(3.0), 6))
+    assert out[(2, 1)] == ("unique", round(math.log(3.0), 6))
+    assert out[(1, 1)] == ("common", round(2 * math.log(3.0 / 2), 6))
+    # 'shared' (df == N, idf 0) never beats a scoring term
+    assert all(t != "shared" or s == 0.0 for t, s in out.values())

@@ -467,3 +467,47 @@ def collocations(
         .orderBy(F.col("pmi_r").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k TF-IDF keywords - the metadata-extraction op
+    (tagging / indexing / dataset cards): score = tf * ln(N / df), round-6,
+    rank by (score desc, term asc) WITHIN each document.
+
+    Scale shape: one (doc, term) count aggregation (map-side combinable),
+    document frequencies from a vocab-sized rollup of that same table
+    (key-join back, AQE-broadcast when it fits), N as a 1-row broadcast,
+    and a per-document window - partitioned by doc_id, never global."""
+    toks = words(F.col(text_col))
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("w"))
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("nn"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id",
+            "w",
+            F.col("tf").cast("long").alias("tf"),
+            F.round(
+                F.col("tf") * F.log(F.col("nn").cast("double") / F.col("df")), 6
+            ).alias("score_r"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    win = _W.partitionBy("id").orderBy(F.col("score_r").desc(), F.col("w").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(win).cast("long"))
+        .where(F.col("rk") <= k)
+        .select(F.col("id").alias(id_col), F.col("w").alias("term"), "tf", "score_r", "rk")
+    )

@@ -41,6 +41,7 @@ COMPACT_FRAG_FILES = 64
 COLLOC_MIN_COUNT = 5
 CURRICULUM_TIERS = 4
 CONTAINMENT_THRESHOLD = 0.6
+KEYWORDS_TOPK = 3
 COLLOC_TOPK = 50
 COMPACT_TARGET_ROWS = 4096
 TOPK = 5
@@ -239,6 +240,15 @@ def text_quality(spark, sf_dir):
 
 def text_langid(spark, sf_dir):
     return textquality.lang_id(_docs_sorted(spark, sf_dir))
+
+
+def text_keywords(spark, sf_dir):
+    """Per-document top-3 TF-IDF keywords (textquality.tfidf_keywords):
+    integer counts, one round-6 ln, per-document window ranking. The
+    oracle replicates counts, the idf algebra and the tie rule."""
+    return textquality.tfidf_keywords(_docs(spark, sf_dir), KEYWORDS_TOPK).orderBy(
+        "doc_id", "rk"
+    )
 
 
 def text_collocations(spark, sf_dir):
@@ -1658,6 +1668,7 @@ EXTENSION_QUERIES = {
     "text_langid": text_langid,
     "text_lm_score": text_lm_score,
     "text_collocations": text_collocations,
+    "text_keywords": text_keywords,
     "text_tokens": text_tokens,
     "text_bpe": text_bpe,
     "text_quality": text_quality,

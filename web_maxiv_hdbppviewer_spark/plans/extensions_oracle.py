@@ -1691,3 +1691,31 @@ EXTENSION_ORACLE["events_anomaly"] = """
         GROUP BY st.user_id, st.n, st.mean_r, st.sd_r
         ORDER BY st.user_id
     """
+
+# per-document TF-IDF keywords (extensions.text_keywords /
+# textquality.tfidf_keywords): same tokenizer, integer tf/df counts,
+# score = tf * ln(N/df) round-6, (score desc, term asc) tie rule
+EXTENSION_ORACLE["text_keywords"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents),
+        tf AS (
+          SELECT doc_id, w, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+          GROUP BY doc_id, w),
+        dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        n AS (SELECT COUNT(*) AS nn FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.w,
+                 CAST(tf.tf AS BIGINT) AS tf,
+                 ROUND(tf.tf * ln(CAST(nn AS DOUBLE) / dfq.df), 6) AS score_r
+          FROM tf JOIN dfq ON dfq.w = tf.w CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, w, tf, score_r,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY score_r DESC, w ASC) AS BIGINT) AS rk
+          FROM scored)
+        SELECT doc_id, w AS term, tf, score_r, rk
+        FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+    """
