@@ -47,6 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # VERDICT r8 #5), dedup_semantic (NEW - SemDeDup over trained k-means
 # cells), scale_compact (NEW - small-file compaction layout witness),
 # events_distinct_approx (NEW - HLL accuracy + mergeability witness),
+# stream_sink_compact (NEW - exactly-once file-sink landing + compaction
+# maintenance, checksum-certified),
 # events_props_parse (NEW - schema'd JSON extraction, parser-path
 # agreement), pipe_stats (NEW - per-(lang,source) dataset card),
 # text_collocations (NEW - PMI phrase mining), text_keywords (NEW -
@@ -61,15 +63,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # lifecycle_image (request-order z-order in compose_image + independent
 # digest oracle), and the 4 streaming queries (shared _drain: loud
 # timeout + stop()). Then the stale tail per the standing rotation queue:
-# core q9-q22 and the r7-row extensions (two rounds stale by r9). The 11
-# new queries displace 3 core + 8 extension rotation slots to r10:
+# core q9-q22 and the r7-row extensions (two rounds stale by r9). The 12
+# new queries displace 3 core + 9 extension rotation slots to r10:
 # q1-q3 (r8-witnessed, freshest), sim_topk_cosine (its exact ranking IS
 # the driver-witnessed sim_ann_compare baseline), sim_topk_quantized
 # (shares the quantized scoring with r8-witnessed sim_quantize),
 # pipe_shard_sink (bounded FS walk, unit-tested), window_sliding and
 # events_pivot (single-pass Expand plans, plan-pinned in the suite), and
 # dedup_exact (a stable hash-groupBy, r7 row + local parity every run)
-# events_rollup (single-pass Expand, plan-pinned) and pipe_split
+# events_rollup (single-pass Expand, plan-pinned), sim_ann_ivf (the
+# trained variant in-window exercises the identical assignment/probe
+# plan) and pipe_split
 # (partition-invariance unit-tested; pipe_domain_mix witnesses the same
 # md5-bucket machinery) -
 # all still parity-checked at sf0.001 by tests/test_oracle_parity.py
@@ -79,7 +83,7 @@ _CHANGED_THIS_ROUND = [
     "dedup_semantic", "scale_compact", "events_distinct_approx",
     "events_props_parse", "pipe_stats", "text_collocations",
     "pipe_temperature_mix", "pipe_curriculum", "dedup_containment",
-    "events_anomaly", "text_keywords",
+    "events_anomaly", "text_keywords", "stream_sink_compact",
     "dedup_incremental", "pipe_delta_apply",
     "text_lm_score", "lifecycle_image",
     "stream_sessions", "stream_last_value", "stream_window", "stream_dedup",
@@ -90,7 +94,7 @@ _WINDOW = (
     + [
         "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_clusters",
-        "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_trained",
+        "sim_ann_lsh", "sim_ann_ivf_trained",
         "pipe_domain_mix", "pipe_curation", "pipe_pack",
         "pipe_contamination",
         "window_sessions",

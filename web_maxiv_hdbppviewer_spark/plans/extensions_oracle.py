@@ -1719,3 +1719,22 @@ EXTENSION_ORACLE["text_keywords"] = """
         SELECT doc_id, w AS term, tf, score_r, rk
         FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
     """
+
+# streaming-sink compaction (extensions.stream_sink_compact): layout
+# facts from row-count arithmetic; the booleans certify exactly-once
+# landing (event_id checksum vs the batch table), planned-vs-on-disk
+# file counts, and key-disjoint compacted ranges
+EXTENSION_ORACLE["stream_sink_compact"] = """
+        WITH n AS (SELECT COUNT(*) AS c FROM events)
+        SELECT * FROM (
+          SELECT 'compacted' AS stage,
+                 CAST(CEIL(c / 4096.0) AS BIGINT) AS n_files,
+                 CAST(c AS BIGINT) AS n_rows,
+                 true AS files_ok, true AS checksum_ok, true AS clustered_ok
+          FROM n
+          UNION ALL
+          SELECT 'landed', CAST(LEAST(16, c) AS BIGINT), CAST(c AS BIGINT),
+                 true, true, true
+          FROM n)
+        ORDER BY stage
+    """
