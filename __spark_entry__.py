@@ -55,6 +55,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # per-document TF-IDF top-k), dedup_containment (NEW -
 # asymmetric quote/subset containment join), events_anomaly (NEW -
 # per-user 3-sigma outlier audit on round-6-pinned moments),
+# events_funnel_seq (NEW - strict-order conversion funnel) and
+# events_retention (NEW - cohort retention matrix),
 # pipe_temperature_mix
 # (NEW - alpha-sampling domain rebalance), pipe_curriculum (NEW -
 # quality tiers over the distributed global rank), dedup_incremental +
@@ -63,8 +65,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # lifecycle_image (request-order z-order in compose_image + independent
 # digest oracle), and the 4 streaming queries (shared _drain: loud
 # timeout + stop()). Then the stale tail per the standing rotation queue:
-# core q9-q22 and the r7-row extensions (two rounds stale by r9). The 12
-# new queries displace 3 core + 9 extension rotation slots to r10:
+# core q9-q22 and the r7-row extensions (two rounds stale by r9). The 14
+# new queries displace 3 core + 11 extension rotation slots to r10
+# (every displaced entry was replayed green at the driver's own sf0.01
+# scale this session via SPARK_GRAFT_TEST_SF parity):
 # q1-q3 (r8-witnessed, freshest), sim_topk_cosine (its exact ranking IS
 # the driver-witnessed sim_ann_compare baseline), sim_topk_quantized
 # (shares the quantized scoring with r8-witnessed sim_quantize),
@@ -73,7 +77,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # dedup_exact (a stable hash-groupBy, r7 row + local parity every run)
 # events_rollup (single-pass Expand, plan-pinned), sim_ann_ivf (the
 # trained variant in-window exercises the identical assignment/probe
-# plan) and pipe_split
+# plan), dedup_simhash (hamming-band property-tested), sim_ann_lsh (the
+# LSH recall dial is driver-witnessed inside sim_ann_compare) and
+# pipe_split
 # (partition-invariance unit-tested; pipe_domain_mix witnesses the same
 # md5-bucket machinery) -
 # all still parity-checked at sf0.001 by tests/test_oracle_parity.py
@@ -84,6 +90,7 @@ _CHANGED_THIS_ROUND = [
     "events_props_parse", "pipe_stats", "text_collocations",
     "pipe_temperature_mix", "pipe_curriculum", "dedup_containment",
     "events_anomaly", "text_keywords", "stream_sink_compact",
+    "events_funnel_seq", "events_retention",
     "dedup_incremental", "pipe_delta_apply",
     "text_lm_score", "lifecycle_image",
     "stream_sessions", "stream_last_value", "stream_window", "stream_dedup",
@@ -92,9 +99,8 @@ _WINDOW = (
     _CHANGED_THIS_ROUND
     + [f"q{i}" for i in range(9, 23)]
     + [
-        "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "dedup_simhash", "dedup_clusters",
-        "sim_ann_lsh", "sim_ann_ivf_trained",
+        "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters",
+        "sim_ann_ivf_trained",
         "pipe_domain_mix", "pipe_curation", "pipe_pack",
         "pipe_contamination",
         "window_sessions",

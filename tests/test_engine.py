@@ -1473,3 +1473,51 @@ def test_tfidf_keywords_rank_rare_terms_first(spark):
     assert out[(1, 1)] == ("common", round(2 * math.log(3.0 / 2), 6))
     # 'shared' (df == N, idf 0) never beats a scoring term
     assert all(t != "shared" or s == 0.0 for t, s in out.values())
+
+
+def test_funnel_seq_requires_strict_order(spark, tmp_path):
+    """Planted journeys: only the user whose signup < view < purchase chain
+    holds in strict time order reaches stage 3; out-of-order or skipped
+    steps stall at the last satisfied stage."""
+    import datetime as dt
+
+    from web_maxiv_hdbppviewer_spark.plans import extensions as ext
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # A: full ordered chain
+        (1, ts(1), 10, "signup", 1.0, "{}"),
+        (2, ts(2), 10, "view", 1.0, "{}"),
+        (3, ts(3), 10, "purchase", 1.0, "{}"),
+        # B: view BEFORE signup, purchase after - stalls at stage 1
+        (4, ts(1), 11, "view", 1.0, "{}"),
+        (5, ts(2), 11, "signup", 1.0, "{}"),
+        (6, ts(3), 11, "purchase", 1.0, "{}"),
+        # C: signup then purchase, no view - stalls at stage 1
+        (7, ts(1), 12, "signup", 1.0, "{}"),
+        (8, ts(2), 12, "purchase", 1.0, "{}"),
+        # D: never signs up - not in the funnel at all
+        (9, ts(1), 13, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    # load_tables eagerly opens every testdata table name: give the other
+    # nine a placeholder frame (only events is read by the funnel)
+    from web_maxiv_hdbppviewer_spark.sources.tables import TESTDATA_TABLES
+
+    for name in TESTDATA_TABLES:
+        if name != "events":
+            df.limit(1).write.parquet(str(tmp_path / f"{name}.parquet"))
+    out = {
+        r["stage"]: r["n_users"]
+        for r in ext.events_funnel_seq(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: 3, 2: 1, 3: 1}

@@ -670,6 +670,79 @@ def events_props_parse(spark, sf_dir):
     )
 
 
+def events_funnel_seq(spark, sf_dir):
+    """Ordered conversion funnel (signup -> view -> purchase, strictly
+    increasing event times per user): stage k counts users whose earliest
+    qualifying chain reaches step k. Pure conditional MIN aggregation -
+    one grouped pass computes min(ts_signup), then min(ts_view AFTER that),
+    then min(ts_purchase AFTER that) via two tiny self-joins on the K-row
+    per-user stage table (broadcast); the corpus is scanned once.
+    Deterministic: integer microsecond comparisons only."""
+    from ..functions.time import epoch_us
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", epoch_us(F.col("ts")).alias("us")
+    )
+    s1 = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("us").alias("t1")
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "view")
+        .join(F.broadcast(s1), "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .where(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    rows = [
+        s1.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(1).alias("stage"), F.lit("signup").alias("step"), "n"
+        ),
+        s2.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(2).alias("stage"), F.lit("view_after_signup").alias("step"), "n"
+        ),
+        s3.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(3).alias("stage"), F.lit("purchase_after_view").alias("step"), "n"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.select("stage", "step", F.col("n").cast("long").alias("n_users")).orderBy(
+        "stage"
+    )
+
+
+def events_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day (cohort),
+    counted by distinct activity-day offset - the canonical product-
+    analytics rollup. Two grouped passes over day-truncated integer
+    epochs (first-seen via min, then distinct (user, day) pairs joined
+    back to the K-row cohort table); all integer arithmetic."""
+    from ..functions.time import epoch_us
+
+    day = (epoch_us(F.col("ts")) / 86_400_000_000).cast("long")
+    ev = load_tables(spark, sf_dir)["events"].select("user_id", day.alias("day"))
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.distinct()
+    return (
+        active.join(F.broadcast(cohort), "user_id")
+        .select(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 def events_anomaly(spark, sf_dir):
     """Per-user 3-sigma outlier audit - the monitoring twin of the
     quantile queries: two passes (moments, then flags), with the sum and
@@ -1780,6 +1853,8 @@ EXTENSION_QUERIES = {
     "events_quantiles_approx": events_quantiles_approx,
     "events_distinct_approx": events_distinct_approx,
     "events_anomaly": events_anomaly,
+    "events_funnel_seq": events_funnel_seq,
+    "events_retention": events_retention,
     "events_props_parse": events_props_parse,
     "pipe_stats": pipe_stats,
     "pipe_temperature_mix": pipe_temperature_mix,

@@ -1738,3 +1738,46 @@ EXTENSION_ORACLE["stream_sink_compact"] = """
           FROM n)
         ORDER BY stage
     """
+
+# ordered conversion funnel (extensions.events_funnel_seq): conditional
+# MIN chaining on integer microsecond epochs
+EXTENSION_ORACLE["events_funnel_seq"] = """
+        WITH ev AS (
+          SELECT user_id, event_type,
+                 CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+          FROM events),
+        s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+               WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT ev.user_id, MIN(us) AS t2
+               FROM ev JOIN s1 ON s1.user_id = ev.user_id
+               WHERE event_type = 'view' AND us > t1 GROUP BY ev.user_id),
+        s3 AS (SELECT ev.user_id, MIN(us) AS t3
+               FROM ev JOIN s2 ON s2.user_id = ev.user_id
+               WHERE event_type = 'purchase' AND us > t2 GROUP BY ev.user_id)
+        SELECT * FROM (
+          SELECT 1 AS stage, 'signup' AS step,
+                 CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+          UNION ALL
+          SELECT 2, 'view_after_signup', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+          UNION ALL
+          SELECT 3, 'purchase_after_view', CAST((SELECT COUNT(*) FROM s3) AS BIGINT))
+        ORDER BY stage
+    """
+
+# cohort retention matrix (extensions.events_retention): integer
+# day-truncated epochs, first-seen cohort, distinct active users per
+# (cohort, offset)
+EXTENSION_ORACLE["events_retention"] = """
+        WITH ev AS (
+          SELECT DISTINCT user_id,
+                 CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000.0)
+                      AS BIGINT) AS day
+          FROM events),
+        cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM ev
+                   GROUP BY user_id)
+        SELECT c.cohort_day, ev.day - c.cohort_day AS day_offset,
+               CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users
+        FROM ev JOIN cohort c ON c.user_id = ev.user_id
+        GROUP BY c.cohort_day, day_offset
+        ORDER BY c.cohort_day, day_offset
+    """
