@@ -1521,3 +1521,15 @@ def test_funnel_seq_requires_strict_order(spark, tmp_path):
         for r in ext.events_funnel_seq(spark, str(tmp_path)).collect()
     }
     assert out == {1: 3, 2: 1, 3: 1}
+
+
+def test_zscore_outliers_drops_singleton_groups(spark):
+    """n == 1 groups have no sample variance (0/0 -> NaN in Spark, NULL in
+    SQL engines); the operator drops them instead of diverging."""
+    from web_maxiv_hdbppviewer_spark.operators.extrema import zscore_outliers
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 1.0), (2, 2.0), (2, 3.0)], "user_id long, value double"
+    )
+    out = {r["user_id"]: r["n"] for r in zscore_outliers(df).collect()}
+    assert out == {2: 3}

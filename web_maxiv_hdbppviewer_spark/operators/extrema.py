@@ -78,11 +78,14 @@ def zscore_outliers(df, key_col: str = "user_id", value_col: str = "value"):
     the stats back onto the stream for the flag count.
     """
     ev = df.select(F.col(key_col).alias("k"), F.col(value_col).alias("v"))
+    # n == 1 groups have no sample variance: (s2 - s1^2/n)/(n-1) is 0/0,
+    # which Spark propagates as NaN and SQL engines as NULL - drop them
+    # rather than diverge on the degenerate case
     mom = ev.groupBy("k").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.sum("v"), 6).alias("s1"),
         F.round(F.sum(F.col("v") * F.col("v")), 6).alias("s2"),
-    )
+    ).where(F.col("n") >= 2)
     var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
     stats = mom.select(
         "k",

@@ -1677,7 +1677,8 @@ EXTENSION_ORACLE["events_anomaly"] = """
           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
                  ROUND(SUM(value), 6) AS s1,
                  ROUND(SUM(value * value), 6) AS s2
-          FROM ev GROUP BY user_id),
+          FROM ev GROUP BY user_id
+          HAVING COUNT(*) >= 2),
         st AS (
           SELECT user_id, n,
                  ROUND(s1 / n, 6) AS mean_r,
