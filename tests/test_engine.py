@@ -1533,3 +1533,43 @@ def test_zscore_outliers_drops_singleton_groups(spark):
     )
     out = {r["user_id"]: r["n"] for r in zscore_outliers(df).collect()}
     assert out == {2: 3}
+
+
+def test_new_operator_edges(spark, tmp_path):
+    """Degenerate-input contracts of the round-9 operators: single-domain
+    temperature mix keeps everything; alpha=1 disables rebalancing; tiers
+    split 4x125 exactly at n=500; fragmentation with fewer rows than
+    writers yields one file per row."""
+    from web_maxiv_hdbppviewer_spark.operators import compact as cp
+    from web_maxiv_hdbppviewer_spark.operators.rank import quantile_tiers
+    from web_maxiv_hdbppviewer_spark.operators.sampling import temperature_rebalance
+
+    one = spark.createDataFrame(
+        [(i, "only") for i in range(40)], "doc_id long, source string"
+    )
+    r = temperature_rebalance(one, 0.5).collect()[0]
+    assert (r["keep_bp"], r["n_kept"]) == (10000, 40)
+
+    two = spark.createDataFrame(
+        [(i, "big" if i < 30 else "rare") for i in range(40)],
+        "doc_id long, source string",
+    )
+    flat = {r["source"]: r["keep_bp"] for r in temperature_rebalance(two, 1.0).collect()}
+    assert flat == {"big": 10000, "rare": 10000}
+
+    q = spark.range(0, 500).select(F.col("id").alias("doc_id"),
+                                   (F.col("id") % 97).cast("double").alias("quality"))
+    tiers = quantile_tiers(q, ["quality", "doc_id"], 4)
+    sizes = {r["tier"]: r["c"] for r in
+             tiers.groupBy("tier").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert sizes == {1: 125, 2: 125, 3: 125, 4: 125}
+
+    tiny = spark.range(0, 5).select(F.col("id").alias("k"))
+    frag = str(tmp_path / "tinyfrag")
+    cp.write_fragmented(tiny, frag, 16)
+    # rows < writers: one file per non-empty partition, plus possibly the
+    # schema-only file Spark always emits for an empty partition 0 - the
+    # witness queries run in the n >= writers regime where the count is
+    # exactly the writer count
+    assert 5 <= cp.count_part_files(frag) <= 6
+    assert spark.read.parquet(frag).count() == 5
