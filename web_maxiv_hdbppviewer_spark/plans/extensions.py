@@ -1037,12 +1037,14 @@ def scale_compact(spark, sf_dir):
 def sim_ann_compare(spark, sf_dir):
     """The recall-per-method table a 100 TB ANN deployment actually wants
     (VERDICT r8 #7): ONE exact brute-force top-k baseline, computed once
-    and localCheckpoint-ed, joined against all three approximate rankings
-    (hyperplane LSH, plain-PQ ADC, residual IVF-PQ) -> (method, q_id,
-    n_hits, recall_r). Replaces the three per-method recall queries in
-    the battery, which each re-ran the same exact baseline (~2 s apiece
-    at sf0.1); their underlying operators are unchanged and still
-    individually exercised (sim_ann_lsh / sim_topk_pq / sim_ann_ivfpq)."""
+    and localCheckpoint-ed, joined against all four approximate rankings
+    (hyperplane LSH, seed-centroid IVF-flat, plain-PQ ADC, residual
+    IVF-PQ) -> (method, q_id, n_hits, recall_r). Replaces the three
+    per-method recall queries in the battery, which each re-ran the same
+    exact baseline (~2 s apiece at sf0.1); the underlying operators are
+    unchanged and still individually exercised (sim_ann_lsh /
+    sim_topk_pq / sim_ann_ivfpq; plain sim_ann_ivf's recall is witnessed
+    HERE since its solo query rotated out in r9)."""
     emb = _emb(spark, sf_dir)
     exact = (
         similarity.topk_cosine(emb, ANN_TOPK, QUERY_IDS_BELOW)
@@ -1054,6 +1056,9 @@ def sim_ann_compare(spark, sf_dir):
         "ivfpq": similarity.ann_topk_ivfpq(
             emb, ANN_TOPK, QUERY_IDS_BELOW, IVF_CELLS, IVF_NPROBE,
             KMEANS_ITERS, centroids=cents, codebooks=rcb,
+        ),
+        "ivf": similarity.ann_topk_ivf(
+            emb, ANN_TOPK, QUERY_IDS_BELOW, IVF_CELLS, IVF_NPROBE
         ),
         "lsh": similarity.ann_topk_lsh(emb, ANN_TOPK, QUERY_IDS_BELOW, ANN_NBITS),
         "pq": similarity.topk_cosine_pq(

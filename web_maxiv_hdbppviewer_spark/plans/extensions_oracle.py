@@ -1365,6 +1365,27 @@ EXTENSION_ORACLE["sim_ann_compare"] = f"""
         {_PQ_RANKED},
         {_KMEANS_CTES}
         {_IVFPQ_CHAIN_RENAMED},
+        fcents AS (SELECT id AS cid, v AS cv, nrm AS cnrm FROM vecs
+                   WHERE id < 8),
+        fassign AS (
+          SELECT id, v, nrm, cid,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY id
+                   ORDER BY ROUND(list_inner_product(v, cv) / (nrm * cnrm), 6)
+                              DESC, cid ASC) AS rn
+          FROM vecs, fcents),
+        fcells AS (SELECT id, v, nrm, cid AS cell FROM fassign WHERE rn = 1),
+        fprobes AS (SELECT id, v, nrm, cid AS cell FROM fassign
+                    WHERE rn <= 2 AND id < 10),
+        fivfann AS (
+          SELECT q_id, cand_id FROM (
+            SELECT q.id AS q_id, c.id AS cand_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.id
+                     ORDER BY ROUND(list_inner_product(q.v, c.v)
+                                    / (q.nrm * c.nrm), 6) DESC, c.id ASC) AS rank
+            FROM fprobes q JOIN fcells c ON q.cell = c.cell AND c.id != q.id)
+          WHERE rank <= 3),
         lshb AS (
           SELECT id, v, nrm, {_hp_bucket_sql(4)} AS bkt
           FROM vecs),
@@ -1389,6 +1410,8 @@ EXTENSION_ORACLE["sim_ann_compare"] = f"""
             WHERE q.id < 10)
           WHERE rank <= 3),
         allann AS (
+          SELECT 'ivf' AS method, q_id, cand_id FROM fivfann
+          UNION ALL
           SELECT 'lsh' AS method, q_id, cand_id FROM lshann
           UNION ALL
           SELECT 'pq' AS method, q_id, cand_id FROM pqranked WHERE rank <= 3
@@ -1403,7 +1426,7 @@ EXTENSION_ORACLE["sim_ann_compare"] = f"""
         grid AS (
           SELECT m.method, q.q_id
           FROM (SELECT DISTINCT q_id FROM exact) q,
-               (VALUES ('ivfpq'), ('lsh'), ('pq')) m(method))
+               (VALUES ('ivf'), ('ivfpq'), ('lsh'), ('pq')) m(method))
         SELECT grid.method AS method, grid.q_id AS q_id,
                CAST(COALESCE(n, 0) AS BIGINT) AS n_hits,
                ROUND(COALESCE(n, 0) / 3.0, 6) AS recall_r
