@@ -51,6 +51,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # maintenance, checksum-certified),
 # events_props_parse (NEW - schema'd JSON extraction, parser-path
 # agreement), pipe_stats (NEW - per-(lang,source) dataset card),
+# pipe_pack_bpe (NEW - packing budgeted by BPE pre-tokenizer counts;
+# displaces pipe_pack, whose identical cumsum machinery it witnesses
+# with a different length unit),
 # text_collocations (NEW - PMI phrase mining), text_keywords (NEW -
 # per-document TF-IDF top-k), dedup_containment (NEW -
 # asymmetric quote/subset containment join), events_anomaly (NEW -
@@ -65,8 +68,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # lifecycle_image (request-order z-order in compose_image + independent
 # digest oracle), and the 4 streaming queries (shared _drain: loud
 # timeout + stop()). Then the stale tail per the standing rotation queue:
-# core q9-q22 and the r7-row extensions (two rounds stale by r9). The 14
-# new queries displace 3 core + 11 extension rotation slots to r10
+# core q9-q22 and the r7-row extensions (two rounds stale by r9). The 15
+# new queries displace 3 core + 12 extension rotation slots to r10
 # (every displaced entry was replayed green at the driver's own sf0.01
 # scale this session via SPARK_GRAFT_TEST_SF parity):
 # q1-q3 (r8-witnessed, freshest), sim_topk_cosine (its exact ranking IS
@@ -90,7 +93,7 @@ _CHANGED_THIS_ROUND = [
     "events_props_parse", "pipe_stats", "text_collocations",
     "pipe_temperature_mix", "pipe_curriculum", "dedup_containment",
     "events_anomaly", "text_keywords", "stream_sink_compact",
-    "events_funnel_seq", "events_retention",
+    "events_funnel_seq", "events_retention", "pipe_pack_bpe",
     "dedup_incremental", "pipe_delta_apply",
     "text_lm_score", "lifecycle_image",
     "stream_sessions", "stream_last_value", "stream_window", "stream_dedup",
@@ -101,7 +104,7 @@ _WINDOW = (
     + [
         "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters",
         "sim_ann_ivf_trained",
-        "pipe_domain_mix", "pipe_curation", "pipe_pack",
+        "pipe_domain_mix", "pipe_curation",
         "pipe_contamination",
         "window_sessions",
         "events_quantiles",

@@ -99,6 +99,7 @@ def pack_sequences(
     text_col: str = "text",
     seed: str = "pack",
     by: list[str] | None = None,
+    length: Column | None = None,
 ) -> DataFrame:
     """Assign every document a contiguous token span inside a packed
     training shard (GPT-style packing: concatenate documents in a
@@ -120,7 +121,9 @@ def pack_sequences(
     ``by`` adds grouping columns (e.g. the ``split`` from ``hash_split``)
     so token streams tile each (*by, shard) independently - pack WITHIN a
     split, or removing another split's documents would leave holes in the
-    stream.
+    stream. ``length`` overrides the per-document token count expression
+    (default: whitespace tokens) - pipe_pack_bpe passes the BPE
+    pre-tokenizer count, the unit LLM training actually budgets by.
     """
     from pyspark.sql import Window
 
@@ -133,7 +136,9 @@ def pack_sequences(
         *by,
         b.alias("_b"),
         (b % n_shards).alias("shard"),
-        F.size(words(F.col(text_col))).cast("long").alias("_n"),
+        (
+            length if length is not None else F.size(words(F.col(text_col)))
+        ).cast("long").alias("_n"),
     )
     w = (
         Window.partitionBy(*by, "shard")

@@ -1636,6 +1636,24 @@ def pipe_pack(spark, sf_dir):
     )
 
 
+def pipe_pack_bpe(spark, sf_dir):
+    """Sequence packing budgeted by BPE pre-tokenizer counts - the unit
+    LLM training actually packs by (whitespace counts undercount code /
+    punctuation-heavy text). Same deterministic cumsum layout as
+    pipe_pack with the length expression swapped."""
+    bpe_len = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(textquality.BPE_PATTERN), 0
+        )
+    )
+    return (
+        sampling.pack_sequences(
+            _docs(spark, sf_dir), PACK_SEQ_LEN, PACK_SHARDS, length=bpe_len
+        )
+        .orderBy("doc_id")
+    )
+
+
 def pipe_delta(spark, sf_dir):
     """Incremental snapshot reconciliation: two deterministic corpus
     versions derived from ``documents`` (v1 lacks the doc_id%10==0 slice =
@@ -1862,6 +1880,7 @@ EXTENSION_QUERIES = {
     "events_retention": events_retention,
     "events_props_parse": events_props_parse,
     "pipe_stats": pipe_stats,
+    "pipe_pack_bpe": pipe_pack_bpe,
     "pipe_temperature_mix": pipe_temperature_mix,
     "pipe_curriculum": pipe_curriculum,
     "window_sliding": window_sliding,

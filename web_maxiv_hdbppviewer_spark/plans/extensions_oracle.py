@@ -1805,3 +1805,25 @@ EXTENSION_ORACLE["events_retention"] = """
         GROUP BY c.cohort_day, day_offset
         ORDER BY c.cohort_day, day_offset
     """
+
+# BPE-budgeted packing (extensions.pipe_pack_bpe): the pipe_pack cumsum
+# with the BPE pre-tokenizer count as the length unit
+EXTENSION_ORACLE["pipe_pack_bpe"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(lower(text),
+                   '''[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS n_tok,
+                 ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 10000 AS b
+          FROM documents),
+        c AS (
+          SELECT doc_id, b % 16 AS shard, n_tok,
+                 CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY b % 16 ORDER BY b, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_tok
+          FROM t)
+        SELECT doc_id, shard, start_tok, start_tok + n_tok AS end_tok,
+               CAST(FLOOR(start_tok / 2048.0) AS BIGINT) AS seq_id
+        FROM c ORDER BY doc_id
+    """
