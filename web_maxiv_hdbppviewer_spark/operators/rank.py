@@ -29,6 +29,15 @@ def global_rank(
     part = df.repartitionByRange(
         n_partitions, *[F.col(c) if isinstance(c, str) else c for c in order_cols]
     ).withColumn("_pid", F.spark_partition_id())
+    # MATERIALIZE the range partitioning before anything reads it twice:
+    # the counts job and the rank job would otherwise each re-execute the
+    # exchange, and RangePartitioner re-SAMPLES boundaries per execution
+    # (seeded by rdd id) - under real sampling the two runs can split ties
+    # differently, silently misaligning the offsets against the partitions
+    # they are applied to. After the checkpoint both jobs read the same
+    # frozen blocks (the doc_shingle_arrays discipline); correctness no
+    # longer depends on boundary reproducibility, only on the total order.
+    part = part.localCheckpoint()
     counts = {
         r["_pid"]: r["c"]
         for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
