@@ -1573,3 +1573,17 @@ def test_new_operator_edges(spark, tmp_path):
     # exactly the writer count
     assert 5 <= cp.count_part_files(frag) <= 6
     assert spark.read.parquet(frag).count() == 5
+
+
+def test_r9_float_queries_are_run_deterministic(spark):
+    """The float-bearing round-9 queries must return identical rows across
+    repeated executions in one session - the round-6-at-the-aggregation-
+    boundary discipline means partial-sum order may not leak into output."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for name in ("pipe_stats", "events_anomaly", "text_collocations",
+                 "text_keywords", "pipe_temperature_mix"):
+        a = [tuple(r) for r in qs[name](spark, SF_SMOKE).collect()]
+        b = [tuple(r) for r in qs[name](spark, SF_SMOKE).collect()]
+        assert a == b, name
