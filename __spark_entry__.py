@@ -45,7 +45,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # with watermark state eviction, VERDICT r8 #6), scale_bucketed (NEW -
 # bucketed-layout + salted-agg witness with plan-derived n_exchanges,
 # VERDICT r8 #5), dedup_semantic (NEW - SemDeDup over trained k-means
-# cells), scale_compact (NEW - small-file compaction layout witness),
+# cells), dedup_clusters_semantic (NEW - the same CC operator over the
+# semantic pair source; displaces dedup_clusters, whose identical graph
+# machinery it witnesses with new edges), scale_compact (NEW - small-file compaction layout witness),
 # events_distinct_approx (NEW - HLL accuracy + mergeability witness),
 # stream_sink_compact (NEW - exactly-once file-sink landing + compaction
 # maintenance, checksum-certified),
@@ -68,8 +70,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # lifecycle_image (request-order z-order in compose_image + independent
 # digest oracle), and the 4 streaming queries (shared _drain: loud
 # timeout + stop()). Then the stale tail per the standing rotation queue:
-# core q9-q22 and the r7-row extensions (two rounds stale by r9). The 15
-# new queries displace 3 core + 12 extension rotation slots to r10
+# core q9-q22 and the r7-row extensions (two rounds stale by r9). The 16
+# new queries displace 3 core + 13 extension rotation slots to r10
 # (every displaced entry was replayed green at the driver's own sf0.01
 # scale this session via SPARK_GRAFT_TEST_SF parity):
 # q1-q3 (r8-witnessed, freshest), sim_topk_cosine (its exact ranking IS
@@ -94,6 +96,7 @@ _CHANGED_THIS_ROUND = [
     "pipe_temperature_mix", "pipe_curriculum", "dedup_containment",
     "events_anomaly", "text_keywords", "stream_sink_compact",
     "events_funnel_seq", "events_retention", "pipe_pack_bpe",
+    "dedup_clusters_semantic",
     "dedup_incremental", "pipe_delta_apply",
     "text_lm_score", "lifecycle_image",
     "stream_sessions", "stream_last_value", "stream_window", "stream_dedup",
@@ -102,7 +105,7 @@ _WINDOW = (
     _CHANGED_THIS_ROUND
     + [f"q{i}" for i in range(9, 23)]
     + [
-        "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters",
+        "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "sim_ann_ivf_trained",
         "pipe_domain_mix", "pipe_curation",
         "pipe_contamination",

@@ -137,6 +137,24 @@ def dedup_containment(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def dedup_clusters_semantic(spark, sf_dir):
+    """Embedding near-dup pairs -> duplicate clusters: the same iterative
+    connected-components operator as dedup_clusters (min-label propagation
+    + pointer jumping) over the SEMANTIC pair source (banded sign-LSH +
+    exact cosine), labeling every vector with its component
+    representative - the cluster-TRANSITIVE keep policy next to
+    dedup_semantic's pair-local one. Oracle: recursive-CTE closure over
+    the naive banded pair SQL."""
+    from ..operators import graph
+
+    emb = _emb(spark, sf_dir)
+    pairs = similarity.near_dup_pairs(emb, EMBED_NEAR_DUP_COS).select(
+        "id_a", "id_b"
+    )
+    ids = emb.select(F.col("vec_id").alias("id"))
+    return graph.duplicate_clusters(ids, pairs, id_col="id").orderBy("id")
+
+
 def dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): the trained Lloyd k-means cells
     (shared with sim_ann_ivf_trained - identical deterministic training)
@@ -1897,6 +1915,7 @@ EXTENSION_QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_clusters": dedup_clusters,
     "dedup_semantic": dedup_semantic,
+    "dedup_clusters_semantic": dedup_clusters_semantic,
     "dedup_containment": dedup_containment,
     "sim_topk_cosine": sim_topk_cosine,
 }

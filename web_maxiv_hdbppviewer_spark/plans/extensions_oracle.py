@@ -1827,3 +1827,34 @@ EXTENSION_ORACLE["pipe_pack_bpe"] = r"""
                CAST(FLOOR(start_tok / 2048.0) AS BIGINT) AS seq_id
         FROM c ORDER BY doc_id
     """
+
+# semantic duplicate clusters (extensions.dedup_clusters_semantic):
+# transitive closure over the SAME naive banded-LSH pair SQL as
+# dedup_embedding, mirrored from the dedup_clusters recursive CTE
+EXTENSION_ORACLE["dedup_clusters_semantic"] = f"""
+        WITH RECURSIVE {_VECS},
+        sbanded AS (
+          SELECT id, v, nrm,
+               {_EMB_BAND_COLS}
+          FROM vecs),
+        spairs AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM sbanded a JOIN sbanded b
+            ON a.id < b.id AND ({_EMB_BAND_OR})
+          WHERE ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+                  >= 0.4),
+        sedges AS (
+          SELECT id_a AS u, id_b AS v FROM spairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM spairs),
+        sreach(u, v) AS (
+          SELECT u, v FROM sedges
+          UNION
+          SELECT r.u, e.v FROM sreach r JOIN sedges e ON r.v = e.u),
+        slbl AS (SELECT u AS id, MIN(v) AS mn FROM sreach GROUP BY u)
+        SELECT emb.vec_id AS id,
+               CAST(LEAST(emb.vec_id, COALESCE(l.mn, emb.vec_id)) AS BIGINT)
+                 AS cluster_id
+        FROM embeddings emb LEFT JOIN slbl l ON l.id = emb.vec_id
+        ORDER BY id
+    """
