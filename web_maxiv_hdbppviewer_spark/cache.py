@@ -136,4 +136,7 @@ class TtlDimension:
         return self._df
 
     def invalidate(self) -> None:
-        self._loaded_at = 0.0
+        # -inf, not 0.0: time.monotonic() is seconds since an arbitrary
+        # origin (often boot), so early in a host's life `now - 0.0` can
+        # still be under the TTL and a 0.0 sentinel silently no-ops.
+        self._loaded_at = float("-inf")
