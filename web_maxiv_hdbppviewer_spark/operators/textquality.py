@@ -386,27 +386,31 @@ def lm_bigram_scores(
         .join(uni, "w1")
         .crossJoin(F.broadcast(v))
         .select(
-            "id", "i",
+            "id",
             F.log((F.col("cb") + 1) / (F.col("cu") + F.col("v"))).alias("lp"),
         )
     )
-    # Deterministic per-doc mean: fold the log-probs in bigram-position
-    # order (sort_array on the unique position key) instead of F.avg,
-    # whose partial-aggregation order follows partitioning. Run-to-run
-    # the value is now bit-stable; vs the DuckDB oracle the usual
-    # round-6 ulp tolerance of avg-based queries still applies (the
-    # oracle's own summation order is unspecified).
+    # Deterministic per-doc mean WITHOUT giving up map-side combine:
+    # sum the log-probs as DECIMAL(38,18). Decimal addition is exact, so
+    # the partial-aggregation order (which follows partitioning) cannot
+    # change the result - bit-stable run to run, unlike a double F.avg.
+    # (An earlier form collect_list'd (pos, lp) structs and folded them
+    # in position order; that was equally deterministic but shuffled
+    # every per-bigram struct and cost ~15x. The decimal sum keeps the
+    # aggregation a plain hash agg with partial combine.) The final
+    # double division + ROUND(6) is a single operation on identical
+    # inputs; vs the DuckDB oracle the usual round-6 ulp tolerance of
+    # avg-based queries still applies (the oracle's own summation order
+    # is unspecified).
     per_doc = scored.groupBy("id").agg(
-        F.sort_array(F.collect_list(F.struct("i", "lp"))).alias("ps")
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.col("lp").cast("decimal(38,18)")).alias("slp"),
     )
     return per_doc.select(
         "id",
-        F.size("ps").cast("long").alias("n_bigrams"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
         F.round(
-            -F.aggregate(
-                "ps", F.lit(0.0), lambda acc, x: acc + x["lp"]
-            ) / F.size("ps"),
-            6,
+            (-F.col("slp").cast("double")) / F.col("n_bigrams"), 6
         ).alias("nll_r"),
     )
 
