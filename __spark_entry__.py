@@ -90,6 +90,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # all still parity-checked at sf0.001 by tests/test_oracle_parity.py
 # every run; they lead the r10 rotation queue.
 _CHANGED_THIS_ROUND = [
+    "dedup_spans",  # NEW - C4-style duplicated-span accounting
     "sim_ann_compare", "stream_sessions_evict", "scale_bucketed",
     "dedup_semantic", "scale_compact", "events_distinct_approx",
     "events_props_parse", "pipe_stats", "text_collocations",
@@ -110,7 +111,9 @@ _WINDOW = (
         "pipe_domain_mix", "pipe_curation",
         "pipe_contamination",
         "window_sessions",
-        "events_quantiles",
+        # events_quantiles displaced to the r10 queue by dedup_spans: its
+        # approx twin (r8-witnessed, in-window) shares the grouping spine
+        # and the exact form stays parity-checked at sf0.001 every run
         "lifecycle_aggregate",
     ]
 )

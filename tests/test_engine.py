@@ -1587,3 +1587,51 @@ def test_r9_float_queries_are_run_deterministic(spark):
         a = [tuple(r) for r in qs[name](spark, SF_SMOKE).collect()]
         b = [tuple(r) for r in qs[name](spark, SF_SMOKE).collect()]
         assert a == b, name
+
+
+def test_span_dedup_first_occurrence_and_within_doc_repeats(spark):
+    """Hand-built corpus over k=2 windows: cross-doc repeats are charged
+    to the later (doc_id, window), a within-doc repeat counts as a dup,
+    docs shorter than k emit no row, and the trailing partial window is
+    ignored. Plus a seeded randomized cross-check against a brute-force
+    python reference."""
+    import random
+
+    from web_maxiv_hdbppviewer_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),          # spans: "a b", "c d"
+            (1, "c d a b x"),        # both spans already in doc 0; "x" trails
+            (2, "e f e f"),          # within-doc repeat: second "e f" dups
+            (3, "z"),                # shorter than k -> no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_spans"], r["n_dup"], r["dup_frac_r"])
+           for r in span_dedup(df, k=2).collect()}
+    assert got == {0: (2, 0, 0.0), 1: (2, 2, 1.0), 2: (2, 1, 0.5)}
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(6)]  # tiny vocab -> many span collisions
+    docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(1, 17))))
+            for i in range(40)]
+    k = 3
+
+    seen, expect = set(), {}
+    for i, text in docs:
+        toks = text.split()
+        n_spans = n_dup = 0
+        for w in range(len(toks) // k):
+            span = tuple(toks[w * k:(w + 1) * k])
+            n_spans += 1
+            if span in seen:
+                n_dup += 1
+            seen.add(span)
+        if n_spans:
+            expect[i] = (n_spans, n_dup, round(n_dup / n_spans, 6))
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_spans"], r["n_dup"], r["dup_frac_r"])
+           for r in span_dedup(sdf, k=k).collect()}
+    assert got == expect

@@ -659,3 +659,20 @@ def test_r9_new_queries_plan_shapes(spark):
 
     cont_plan = _plan(QUERIES["dedup_containment"](spark, SF_SMOKE))
     assert "HashAggregate" in cont_plan
+
+
+def test_span_dedup_single_window_shuffle(spark):
+    """span_dedup claims ONE data shuffle (the row_number window on the
+    span hash) before the per-doc aggregation - pin it: exactly one
+    hashpartitioning Exchange on the hash, one on the doc id (the agg),
+    one Window, no Join (the join-back formulation would add a third
+    exchange and re-evaluate the explode), and a 2-column pruned read."""
+    from web_maxiv_hdbppviewer_spark.operators.dedup import span_dedup
+    from web_maxiv_hdbppviewer_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    plan = _plan(span_dedup(docs, 8))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan

@@ -727,3 +727,73 @@ def containment_pairs(
         )
         .where(F.col("cont_r") >= min_containment)
     )
+
+
+def span_dedup(
+    df: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cross-corpus duplicated-span accounting - the C4 / MassiveText
+    "repeated span" filter (Raffel '20 SS2.2 discards any three-sentence
+    span seen before; Rae '21 A.1.2 the same over n-gram windows): split
+    every document into NON-OVERLAPPING k-token windows, declare the
+    globally first occurrence (min (doc_id, window_idx)) of each distinct
+    window the keeper, and report per document how much survives. One row
+    per document holding at least one full window:
+
+        (doc_id, n_spans, n_dup, dup_frac_r)
+
+    where n_dup counts windows whose content already occurred earlier in
+    the corpus order (including earlier in the SAME document - a
+    within-doc repeat is a duplicate span too, exactly C4's behavior).
+
+    Scale shape (100 TB): the span text never shuffles - each window is
+    reduced to its 60-bit portable hash at the map side, so the explode
+    emits (hash, doc, window) triples ~24 bytes wide. A single
+    row_number window partitioned on the uniform span hash (tiny groups,
+    no skew key) marks every occurrence after the first; ONE shuffle
+    total, and the explode subtree is evaluated once. (A
+    groupBy(first-owner) + join-back formulation costs two shuffles and
+    evaluates the explode subtree twice - at sf0.1 fixed overheads hide
+    most of the difference, but at corpus scale it doubles the scan.)
+    Everything is corpus-linear; contrast with the shingle near-dup
+    family above, which needs candidate GENERATION - span dedup is pure
+    equality, no similarity, which is why one window suffices.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("l"))
+    n_full = F.floor(F.size("l") / k).cast("int")
+    spans = (
+        toks.where(F.size("l") >= k)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_full - 1),
+                    lambda i: F.array_join(F.slice("l", i * k + 1, k), " "),
+                )
+            ).alias("w", "span"),
+        )
+        .select("id", "w", md5_int60(F.col("span")).alias("h"))
+    )
+    flagged = spans.select(
+        "id",
+        (
+            F.row_number().over(
+                Window.partitionBy("h").orderBy("id", "w")
+            ) > 1
+        ).cast("long").alias("dup"),
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("dup").alias("n_dup"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_spans",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_spans"), 6).alias("dup_frac_r"),
+        )
+    )

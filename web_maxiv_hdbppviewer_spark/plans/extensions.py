@@ -41,6 +41,7 @@ COMPACT_FRAG_FILES = 64
 COLLOC_MIN_COUNT = 5
 CURRICULUM_TIERS = 4
 CONTAINMENT_THRESHOLD = 0.6
+SPAN_K = 8
 KEYWORDS_TOPK = 3
 STREAM_SINK_FILES = 16
 COLLOC_TOPK = 50
@@ -135,6 +136,17 @@ def dedup_containment(spark, sf_dir):
     return dedup.containment_pairs(
         _docs(spark, sf_dir), CONTAINMENT_THRESHOLD
     ).orderBy("id_a", "id_b")
+
+
+def dedup_spans(spark, sf_dir):
+    """Cross-corpus duplicated-SPAN accounting (C4's repeated-span
+    filter re-expressed over fixed k-token windows): non-overlapping
+    8-token windows, global first-occurrence wins, per-document survival
+    stats. Complements the document-level families above: those decide
+    which DOCS to drop, this measures which SLICES of a kept doc are
+    boilerplate already seen elsewhere. Oracle: window-function
+    first-occurrence over the same spans."""
+    return dedup.span_dedup(_docs(spark, sf_dir), SPAN_K).orderBy("doc_id")
 
 
 def dedup_clusters_semantic(spark, sf_dir):
@@ -1917,6 +1929,7 @@ EXTENSION_QUERIES = {
     "dedup_semantic": dedup_semantic,
     "dedup_clusters_semantic": dedup_clusters_semantic,
     "dedup_containment": dedup_containment,
+    "dedup_spans": dedup_spans,
     "sim_topk_cosine": sim_topk_cosine,
 }
 

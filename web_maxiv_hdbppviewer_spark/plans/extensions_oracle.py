@@ -1669,6 +1669,32 @@ EXTENSION_ORACLE["pipe_curriculum"] = """
         FROM r ORDER BY doc_id
     """
 
+# duplicated-span accounting (extensions.dedup_spans / dedup.span_dedup):
+# same non-overlapping 8-token windows; first occurrence by (doc_id,
+# window index) via ROW_NUMBER, within-doc repeats count as duplicates
+EXTENSION_ORACLE["dedup_spans"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+          FROM documents),
+        s AS (
+          SELECT doc_id, i AS w,
+                 array_to_string(list_slice(l, i * 8 + 1, i * 8 + 8), ' ') AS span
+          FROM (SELECT doc_id, l,
+                       unnest(generate_series(0, CAST(len(l) // 8 AS INT) - 1)) AS i
+                FROM t WHERE len(l) >= 8)),
+        r AS (
+          SELECT doc_id, w,
+                 ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, w) AS rk
+          FROM s)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               ROUND(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END)
+                     / COUNT(*), 6) AS dup_frac_r
+        FROM r GROUP BY doc_id ORDER BY doc_id
+    """
+
 # asymmetric containment dedup (extensions.dedup_containment /
 # dedup.containment_pairs): naive inverted-index form - all pairs sharing
 # a shingle, containment = common / min(|A|, |B|) - so parity checks the
