@@ -91,6 +91,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # every run; they lead the r10 rotation queue.
 _CHANGED_THIS_ROUND = [
     "dedup_spans",  # NEW - C4-style duplicated-span accounting
+    "events_heavy_hitters",  # NEW - CMS point-frequency witness
     "sim_ann_compare", "stream_sessions_evict", "scale_bucketed",
     "dedup_semantic", "scale_compact", "events_distinct_approx",
     "events_props_parse", "pipe_stats", "text_collocations",
@@ -110,7 +111,11 @@ _WINDOW = (
         "sim_ann_ivf_trained",
         "pipe_domain_mix", "pipe_curation",
         "pipe_contamination",
-        "window_sessions",
+        # window_sessions displaced to the r10 queue by
+        # events_heavy_hitters: the r9-witnessed streaming session pair
+        # (stream_sessions / stream_sessions_evict) exercises the same
+        # gaps-and-islands semantics, and the batch form stays
+        # parity-checked at sf0.001 every run
         # events_quantiles displaced to the r10 queue by dedup_spans: its
         # approx twin (r8-witnessed, in-window) shares the grouping spine
         # and the exact form stays parity-checked at sf0.001 every run

@@ -1635,3 +1635,37 @@ def test_span_dedup_first_occurrence_and_within_doc_repeats(spark):
     got = {r["doc_id"]: (r["n_spans"], r["n_dup"], r["dup_frac_r"])
            for r in span_dedup(sdf, k=k).collect()}
     assert got == expect
+
+
+def test_heavy_hitters_cms_contracts_on_planted_skew(spark):
+    """A planted 40% heavy key among 400 light keys: the declared CMS
+    query must rank it first with its exact count, every sketch contract
+    must hold, and the merged-halves sketch must agree with the one-shot
+    sketch under the fixed seed (counter addition is exact)."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.plans import extensions
+
+    n = 4000
+    ev = spark.range(0, n).select(
+        F.col("id").alias("event_id"),
+        (F.timestamp_seconds(1_704_067_200 + F.col("id") * 60)).alias("ts"),
+        F.when(F.col("id") % 5 < 2, F.lit(7)).otherwise(F.col("id") % 400).alias("user_id"),
+        F.when(F.col("id") % 5 < 2, F.lit("click")).otherwise(F.lit("view")).alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    import web_maxiv_hdbppviewer_spark.sources.tables as tables
+
+    orig = tables.load_tables
+    try:
+        tables.load_tables = lambda s, d: {"events": ev}
+        extensions.load_tables = lambda s, d: {"events": ev}
+        rows = extensions.events_heavy_hitters(spark, "ignored").collect()
+    finally:
+        tables.load_tables = orig
+        extensions.load_tables = orig
+    assert rows[0]["key"] == "7:click" and rows[0]["n_exact"] == 1600
+    assert len(rows) == extensions.HH_TOPK
+    for r in rows:
+        assert r["cms_ge_exact"] and r["cms_within_eps"] and r["merge_exact"], tuple(r)

@@ -1541,6 +1541,25 @@ EXTENSION_ORACLE["events_distinct_approx"] = """
         FROM events GROUP BY event_type ORDER BY event_type
     """
 
+# CMS heavy hitters (extensions.events_heavy_hitters): exact top-10
+# (user:event) keys with deterministic (n desc, key asc) ties; the three
+# sketch contracts hard-coded true - the Spark side derives them from
+# its own CountMinSketch probes, so an accuracy or mergeability
+# violation flips the hash
+EXTENSION_ORACLE["events_heavy_hitters"] = """
+        WITH c AS (
+          SELECT user_id || ':' || event_type AS key, COUNT(*) AS n
+          FROM events GROUP BY 1),
+        r AS (
+          SELECT key, n,
+                 CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key) AS BIGINT) AS rk
+          FROM c)
+        SELECT rk, key, CAST(n AS BIGINT) AS n_exact,
+               true AS cms_ge_exact, true AS cms_within_eps,
+               true AS merge_exact
+        FROM r WHERE rk <= 10 ORDER BY rk
+    """
+
 # JSON metadata extraction (extensions.events_props_parse): same field via
 # DuckDB's JSON path functions; paths_agree hard-coded true - the Spark
 # side derives it from its own from_json vs get_json_object null-safe
