@@ -92,6 +92,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHANGED_THIS_ROUND = [
     "dedup_spans",  # NEW - C4-style duplicated-span accounting
     "events_heavy_hitters",  # NEW - CMS point-frequency witness
+    "stream_join",  # NEW - watermarked stream-stream interval join
     "sim_ann_compare", "stream_sessions_evict", "scale_bucketed",
     "dedup_semantic", "scale_compact", "events_distinct_approx",
     "events_props_parse", "pipe_stats", "text_collocations",
@@ -108,7 +109,10 @@ _WINDOW = (
     + [f"q{i}" for i in range(9, 23)]
     + [
         "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "sim_ann_ivf_trained",
+        # sim_ann_ivf_trained displaced to the r10 queue by stream_join:
+        # the in-window sim_ann_compare's ivfpq method routes through the
+        # same Lloyd-trained coarse-centroid assignment/probe, and the
+        # solo query stays parity-checked at sf0.001 every run
         "pipe_domain_mix", "pipe_curation",
         "pipe_contamination",
         # window_sessions displaced to the r10 queue by

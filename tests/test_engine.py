@@ -1669,3 +1669,57 @@ def test_heavy_hitters_cms_contracts_on_planted_skew(spark):
     assert len(rows) == extensions.HH_TOPK
     for r in rows:
         assert r["cms_ge_exact"] and r["cms_within_eps"] and r["merge_exact"], tuple(r)
+
+
+def test_stream_join_carries_state_across_micro_batches(spark, tmp_path):
+    """The interval join must match view-side state buffered in an EARLIER
+    micro-batch against clicks arriving in a LATER one: two part files +
+    maxFilesPerTrigger=1 force the cross-batch path (the declared
+    stream_join drains one file, which exercises only within-batch
+    matching). Pairs: u1's click 30m after its view matches; u2's click
+    2h after misses the window; u3 clicks with no view."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    t0 = 1_704_067_200
+    views = spark.createDataFrame(
+        [(1, t0), (2, t0)], "user_id long, sec long"
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"),
+             F.lit("view").alias("event_type"))
+    clicks = spark.createDataFrame(
+        [(1, t0 + 1800), (2, t0 + 7200), (3, t0 + 60)],
+        "user_id long, sec long",
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"),
+             F.lit("click").alias("event_type"))
+    src = str(tmp_path / "ev")
+    views.coalesce(1).write.parquet(src)
+    clicks.coalesce(1).write.mode("append").parquet(src)
+
+    raw = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    v = raw.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    ).withWatermark("view_ts", "2 hours")
+    c = raw.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
+    ).withWatermark("click_ts", "2 hours")
+    sink = f"sj_unit_{int(_time.time() * 1000) % 10_000_000}"
+    q = (
+        v.join(c, F.expr(
+            "user_id = c_user_id AND click_ts >= view_ts "
+            "AND click_ts <= view_ts + INTERVAL 1 HOUR"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        assert q.awaitTermination(120)
+        assert q.lastProgress["batchId"] >= 1, "expected multiple micro-batches"
+    finally:
+        q.stop()
+    got = [(r["user_id"], (r["click_ts"] - r["view_ts"]).total_seconds())
+           for r in spark.table(sink).collect()]
+    assert got == [(1, 1800.0)]

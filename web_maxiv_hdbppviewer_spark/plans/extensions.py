@@ -1623,6 +1623,73 @@ def stream_dedup(spark, sf_dir):
     )
 
 
+def stream_join(spark, sf_dir):
+    """Watermarked STREAM-STREAM interval join - the one Structured
+    Streaming join shape with two-sided state: every 'click' is
+    attributed to the same user's 'view' events in the preceding hour.
+    Both sides carry an event-time watermark and the join condition
+    carries the time-range bound, which together let the engine EVICT
+    view-side state older than (watermark - 1 hour) and click-side state
+    older than the watermark - the bounded-state contract that makes
+    stream-stream joins runnable forever at 100 TB (an unbounded join
+    would buffer both streams whole). Inner join + append mode emits
+    exactly the matched pairs, so the final sink equals the batch
+    interval join and the DuckDB range-join oracle checks it exactly -
+    the strongest check a streaming query can get.
+
+    Scale notes: the equality key (user_id) routes both streams through
+    one exchange each; the range predicate prunes within the keyed state
+    store, not via a cartesian. At sf the pair table is hundreds of rows;
+    the memory sink is a test harness stand-in for a real append sink."""
+    from ..functions.time import epoch_us
+
+    load_tables(spark, sf_dir)  # applies session confs (nanosAsLong)
+    sink = f"stream_join_{next(_STREAM_SEQ)}"
+
+    def typed(kind, alias_ts):
+        return _stream_events(spark, sf_dir).where(
+            F.col("event_type") == kind
+        ).select(F.col("user_id"), F.col("ts").alias(alias_ts))
+
+    views = typed("view", "view_ts").withWatermark("view_ts", "2 hours")
+    clicks = (
+        typed("click", "click_ts")
+        .withColumnRenamed("user_id", "c_user_id")
+        .withWatermark("click_ts", "2 hours")
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            views.join(
+                clicks,
+                F.expr(
+                    "user_id = c_user_id AND "
+                    "click_ts >= view_ts AND "
+                    "click_ts <= view_ts + INTERVAL 1 HOUR"
+                ),
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        .select(
+            "user_id",
+            epoch_us("view_ts").alias("view_us"),
+            epoch_us("click_ts").alias("click_us"),
+            (epoch_us("click_ts") - epoch_us("view_ts")).alias("lag_us"),
+        )
+        .orderBy("user_id", "view_us", "click_us")
+    )
+
+
 # --- pipeline: sampling / splitting / curation ---------------------------
 
 
@@ -1969,6 +2036,7 @@ EXTENSION_QUERIES = {
     "stream_last_value": stream_last_value,
     "stream_window": stream_window,
     "stream_dedup": stream_dedup,
+    "stream_join": stream_join,
     "stream_sessions": stream_sessions,
     "stream_sessions_evict": stream_sessions_evict,
     "sim_ann_lsh": sim_ann_lsh,

@@ -1191,6 +1191,19 @@ EXTENSION_ORACLE = {
         SELECT event_id, epoch_us(ts) AS t_us, user_id
         FROM events ORDER BY event_id
     """,
+    # the watermarked stream-stream interval join (append mode,
+    # availableNow drain) must emit exactly the batch range-join pairs
+    "stream_join": """
+        SELECT v.user_id,
+               epoch_us(v.ts) AS view_us,
+               epoch_us(c.ts) AS click_us,
+               epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+        FROM events v JOIN events c
+          ON v.user_id = c.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+        ORDER BY v.user_id, view_us, click_us
+    """,
     # the streamed tumbling windows (complete mode, availableNow drain)
     # must equal plain batch windowed SQL; streaming windows FLOOR edges
     "stream_window": """
