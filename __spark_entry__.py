@@ -93,6 +93,7 @@ _CHANGED_THIS_ROUND = [
     "dedup_spans",  # NEW - C4-style duplicated-span accounting
     "events_heavy_hitters",  # NEW - CMS point-frequency witness
     "stream_join",  # NEW - watermarked stream-stream interval join
+    "scale_zorder",  # NEW - Morton-layout data-skipping witness
     "sim_ann_compare", "stream_sessions_evict", "scale_bucketed",
     "dedup_semantic", "scale_compact", "events_distinct_approx",
     "events_props_parse", "pipe_stats", "text_collocations",
@@ -108,7 +109,11 @@ _WINDOW = (
     _CHANGED_THIS_ROUND
     + [f"q{i}" for i in range(9, 23)]
     + [
-        "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        # dedup_minhash_lsh displaced to the r10 queue by scale_zorder:
+        # dedup_ngram_jaccard (in-window) consumes the same session
+        # shingle-array materialization, and the banded-LSH form stays
+        # parity-checked at sf0.001 every run
+        "dedup_ngram_jaccard",
         # sim_ann_ivf_trained displaced to the r10 queue by stream_join:
         # the in-window sim_ann_compare's ivfpq method routes through the
         # same Lloyd-trained coarse-centroid assignment/probe, and the

@@ -1623,6 +1623,100 @@ def stream_dedup(spark, sf_dir):
     )
 
 
+ZORDER_BUCKETS_LOG2 = 6
+ZORDER_BUCKETS = 1 << ZORDER_BUCKETS_LOG2
+
+
+def scale_zorder(spark, sf_dir):
+    """Z-order layout witness (operators/zorder.py): cluster events on
+    the Morton interleave of (user_id, day), write the layout for real
+    (one parquet directory per z-bucket), and measure DATA SKIPPING on
+    the read-back files: how many bucket envelopes a point predicate
+    must touch on EITHER dimension, next to the single-key range layout
+    where the non-sort dimension touches everything. The numbers are the
+    whole argument for Z-ORDER BY at 100 TB: a bucket's envelope is an
+    axis-aligned rectangle, so both dims prune to ~sqrt fractions, while
+    the range-sorted baseline prunes user_id to one bucket but day to
+    all of them.
+
+    Bit algebra is deterministic integer arithmetic (no RangePartitioner
+    sampling), so the DuckDB oracle replays the identical interleave and
+    pins every count; two hard-coded-true booleans certify the physical
+    side the oracle cannot see (on-disk bucket-dir count == logical
+    buckets; SUM(event_id) round-trips the write). Bounded driver
+    values: one stats row, four 1-row prune counts, two checksums, one
+    directory listing."""
+    from ..functions.time import epoch_us
+    from ..operators import zorder as zo
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id",
+        "user_id",
+        (epoch_us(F.col("ts")) / 86_400_000_000).cast("long").alias("day"),
+    )
+    stats = ev.agg(
+        F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
+        F.min("day").alias("dmin"), F.max("day").alias("dmax"),
+    )
+    sc = ev.crossJoin(F.broadcast(stats)).select(
+        "event_id", "user_id", "day",
+        zo.scale_to_bits(F.col("user_id"), F.col("umin"), F.col("umax")).alias("au"),
+        zo.scale_to_bits(F.col("day"), F.col("dmin"), F.col("dmax")).alias("ad"),
+    )
+    laid = sc.select(
+        "event_id", "user_id", "day",
+        zo.z_bucket(
+            zo.interleave_bits(F.col("au"), F.col("ad")), ZORDER_BUCKETS_LOG2
+        ).alias("zb"),
+        F.shiftrightunsigned("au", zo.ZBITS - ZORDER_BUCKETS_LOG2).alias("sb"),
+    )
+    base = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
+            "file:"
+        ),
+        "zorder_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/")),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    (
+        laid.select("event_id", "user_id", "day", "zb")
+        .repartition("zb")
+        .write.partitionBy("zb")
+        .parquet(base)
+    )
+    rb = spark.read.parquet(base)
+
+    st = stats.collect()[0]
+    probes = {
+        "user_id": st["umin"] + (st["umax"] - st["umin"]) // 2,
+        "day": st["dmin"] + (st["dmax"] - st["dmin"]) // 2,
+    }
+    # each envelope is <= ZORDER_BUCKETS rows - collect ONCE and count
+    # driver-side rather than re-running the groupBy per probe (bounded
+    # by construction; 6 redundant jobs otherwise)
+    env = {
+        "zorder": zo.bucket_envelopes(rb, "zb", ["user_id", "day"]).collect(),
+        "rangesort": zo.bucket_envelopes(laid, "sb", ["user_id", "day"]).collect(),
+    }
+    n_dirs = sum(1 for e in os.scandir(base) if e.name.startswith("zb="))
+    files_ok = n_dirs == len(env["zorder"])
+    checksum_ok = (
+        rb.agg(F.sum("event_id")).collect()[0][0]
+        == ev.agg(F.sum("event_id")).collect()[0][0]
+    )
+    out = []
+    for layout, rows in env.items():
+        for dim, probe in probes.items():
+            nt = sum(
+                1 for r in rows if r[f"min_{dim}"] <= probe <= r[f"max_{dim}"]
+            )
+            out.append((layout, dim, len(rows), nt, files_ok, checksum_ok))
+    return spark.createDataFrame(
+        out,
+        "layout string, probe_dim string, n_buckets long, n_touched long, "
+        "files_ok boolean, checksum_ok boolean",
+    ).orderBy("layout", "probe_dim")
+
+
 def stream_join(spark, sf_dir):
     """Watermarked STREAM-STREAM interval join - the one Structured
     Streaming join shape with two-sided state: every 'click' is
@@ -2049,6 +2143,7 @@ EXTENSION_QUERIES = {
     "sim_ann_compare": sim_ann_compare,
     "scale_bucketed": scale_bucketed,
     "scale_compact": scale_compact,
+    "scale_zorder": scale_zorder,
     "stream_sink_compact": stream_sink_compact,
     "events_quantiles": events_quantiles,
     "events_quantiles_approx": events_quantiles_approx,

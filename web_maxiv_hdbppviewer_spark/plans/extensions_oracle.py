@@ -1527,6 +1527,66 @@ EXTENSION_ORACLE["scale_bucketed"] = """
 # true (disk-vs-arithmetic match, event_id checksum round-trip, zero
 # overlapping file ranges after compaction), each derived independently
 # on the Spark side so any layout/loss/clustering defect flips the hash.
+# Z-order layout witness (extensions.scale_zorder / operators/zorder.py):
+# the oracle replays the identical deterministic bit algebra - floor
+# scaling to 8-bit grids, the unrolled Morton interleave below, top-6-bit
+# buckets - and pins every envelope prune count for both layouts and both
+# probe dims; files_ok / checksum_ok certify the physical write the
+# oracle cannot see and are hard-coded true.
+def _morton_sql(a: str, b: str, bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+EXTENSION_ORACLE["scale_zorder"] = f"""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        st AS (
+          SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+                 MIN(day) AS dmin, MAX(day) AS dmax FROM ev),
+        sc AS (
+          SELECT user_id, day,
+                 CAST(FLOOR((user_id - umin) * 256.0 / (umax - umin + 1)) AS BIGINT) AS au,
+                 CAST(FLOOR((day - dmin) * 256.0 / (dmax - dmin + 1)) AS BIGINT) AS ad
+          FROM ev CROSS JOIN st),
+        laid AS (
+          SELECT user_id, day,
+                 ({_morton_sql('au', 'ad')}) >> 10 AS zb,
+                 au >> 2 AS sb
+          FROM sc),
+        pe AS (
+          SELECT umin + (umax - umin) // 2 AS up,
+                 dmin + (dmax - dmin) // 2 AS dp FROM st),
+        ez AS (
+          SELECT zb, MIN(user_id) AS mu, MAX(user_id) AS xu,
+                 MIN(day) AS md, MAX(day) AS xd FROM laid GROUP BY zb),
+        es AS (
+          SELECT sb, MIN(user_id) AS mu, MAX(user_id) AS xu,
+                 MIN(day) AS md, MAX(day) AS xd FROM laid GROUP BY sb)
+        SELECT * FROM (
+          SELECT 'zorder' AS layout, 'user_id' AS probe_dim,
+                 (SELECT COUNT(*) FROM ez) AS n_buckets,
+                 (SELECT COUNT(*) FROM ez, pe WHERE mu <= up AND up <= xu)
+                   AS n_touched,
+                 true AS files_ok, true AS checksum_ok
+          UNION ALL
+          SELECT 'zorder', 'day', (SELECT COUNT(*) FROM ez),
+                 (SELECT COUNT(*) FROM ez, pe WHERE md <= dp AND dp <= xd),
+                 true, true
+          UNION ALL
+          SELECT 'rangesort', 'user_id', (SELECT COUNT(*) FROM es),
+                 (SELECT COUNT(*) FROM es, pe WHERE mu <= up AND up <= xu),
+                 true, true
+          UNION ALL
+          SELECT 'rangesort', 'day', (SELECT COUNT(*) FROM es),
+                 (SELECT COUNT(*) FROM es, pe WHERE md <= dp AND dp <= xd),
+                 true, true)
+        ORDER BY layout, probe_dim
+    """
+
 EXTENSION_ORACLE["scale_compact"] = """
         WITH n AS (SELECT COUNT(*) AS c FROM events)
         SELECT * FROM (
