@@ -94,6 +94,7 @@ _CHANGED_THIS_ROUND = [
     "events_heavy_hitters",  # NEW - CMS point-frequency witness
     "stream_join",  # NEW - watermarked stream-stream interval join
     "scale_zorder",  # NEW - Morton-layout data-skipping witness
+    "pipe_contamination_bloom",  # NEW - broadcast-bitmap decontamination
     "sim_ann_compare", "stream_sessions_evict", "scale_bucketed",
     "dedup_semantic", "scale_compact", "events_distinct_approx",
     "events_props_parse", "pipe_stats", "text_collocations",
@@ -119,7 +120,11 @@ _WINDOW = (
         # same Lloyd-trained coarse-centroid assignment/probe, and the
         # solo query stays parity-checked at sf0.001 every run
         "pipe_domain_mix", "pipe_curation",
-        "pipe_contamination",
+        # pipe_contamination displaced to the r10 queue by its NEW bloom
+        # twin: pipe_contamination_bloom's oracle computes the identical
+        # exact overlap (same splits, same 5-grams), so the exact
+        # semantics are driver-witnessed through the twin; the plain
+        # query stays parity-checked at sf0.001 every run
         # window_sessions displaced to the r10 queue by
         # events_heavy_hitters: the r9-witnessed streaming session pair
         # (stream_sessions / stream_sessions_evict) exercises the same

@@ -1763,3 +1763,39 @@ def test_morton_interleave_matches_python_reference(spark):
         for dim in (0, 1):
             vals = [p[dim] for p in pts]
             assert max(vals) - min(vals) < 32, (bk, dim, min(vals), max(vals))
+
+
+def test_bloom_contamination_exact_and_pruning(spark):
+    """The bloom pre-filter must lose NO true overlaps (n_shared equals a
+    brute-force python count on every eval doc) while pruning the exact
+    join's input (candidates strictly fewer than shingles for docs with
+    little overlap). Seeded random corpora."""
+    import random
+
+    from web_maxiv_hdbppviewer_spark.operators.dedup import bloom_contamination
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(60)]
+    train = [(i, " ".join(rng.choices(vocab, k=30))) for i in range(30)]
+    evald = [(100 + i, " ".join(rng.choices(vocab, k=30))) for i in range(10)]
+    # plant one fully-contained eval doc
+    evald.append((200, train[0][1]))
+
+    k = 5
+
+    def grams(text):
+        w = text.split()
+        return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+
+    train_set = set().union(*(grams(t) for _, t in train))
+    expect = {i: (len(grams(t)), len(grams(t) & train_set)) for i, t in evald}
+
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    edf = spark.createDataFrame(evald, "doc_id long, text string")
+    got = {r["id"]: r for r in bloom_contamination(edf, tdf, k).collect()}
+    assert set(got) == set(expect)
+    for i, (n_sh, n_shared) in expect.items():
+        r = got[i]
+        assert (r["n_shingles"], r["n_shared"]) == (n_sh, n_shared), i
+        assert r["n_shared"] <= r["n_candidates"] <= r["n_shingles"]
+    assert got[200]["shared_frac"] == 1.0

@@ -128,11 +128,15 @@ _SHINGLE_CACHE: list[tuple[int, DataFrame, DataFrame]] = []
 #: cluster query consumes exactly the pair table the pair query declares,
 #: so one session computes the prefix-join + verification once.
 _PAIR_CACHE: list[tuple[int, DataFrame, DataFrame]] = []
+#: Bloom decontamination's train-shingle table (bloom_contamination) -
+#: separate list so it cannot evict the shingle-array entries above.
+_BLOOM_CACHE: list[tuple[int, DataFrame, DataFrame]] = []
 _MEMO_MAX = 4
 
 
 def clear_dedup_caches() -> None:
     _SHINGLE_CACHE.clear()
+    _BLOOM_CACHE.clear()
     _PAIR_CACHE.clear()
 
 
@@ -795,5 +799,124 @@ def span_dedup(
             "n_spans",
             "n_dup",
             F.round(F.col("n_dup") / F.col("n_spans"), 6).alias("dup_frac_r"),
+        )
+    )
+
+
+BLOOM_M_LOG2 = 22  # 4 Mi bits = 512 KiB bitmap
+BLOOM_H = 2        # hash functions (salted portable md5)
+
+
+def bloom_contamination(
+    eval_docs: DataFrame,
+    train_docs: DataFrame,
+    k: int = 5,
+    m_log2: int = BLOOM_M_LOG2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """contamination_overlap with the production Bloom pre-filter its
+    docstring names: a bitmap of the train shingle set is broadcast and
+    probed MAP-SIDE on the eval stream, so the (only) shuffle - the
+    exact shingle semi-join - sees just the candidates that pass the
+    bloom, not every eval shingle. No false negatives by construction
+    (every train position is set), so the exact pass over candidates
+    returns exactly the true overlap counts; false positives only cost
+    candidate volume (fpr ~ (1 - e^(-2n/m))^2).
+
+    Output (id, n_shingles, n_candidates, n_shared, shared_frac) - one
+    row per eval doc, zeros when nothing passes.
+
+    Scale shape (100 TB): positions are computed JVM-side (salted
+    portable md5 - the same engine-replayable hash family as the rest of
+    dedup, so an external SQL engine can replay even the bloom
+    membership); per-partition numpy bitmaps are OR-merged on the driver
+    (bounded: partitions x m/8 bytes - the treeAggregate shape, never a
+    collect of positions); the probe is one Arrow-vectorized pandas_udf
+    doing two bitmap loads per shingle. At a train corpus too large for
+    an exact broadcast semi-join, this 512 KiB bitmap replaces
+    shuffling the full eval shingle stream."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    m = 1 << m_log2
+    ev_grams = eval_docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_kgrams(words(F.col(text_col)), k)).alias("g"),
+    )
+    sizes = ev_grams.select("id", F.size("g").cast("long").alias("n_shingles"))
+    ev = ev_grams.select("id", F.explode("g").alias("s"))
+    # the train shingle table feeds BOTH the bitmap build and the exact
+    # semi-join; checkpoint the (narrow, corpus-linear) table once instead
+    # of re-running the explode+distinct per reference. Its OWN memo list:
+    # sharing _SHINGLE_CACHE (max 4 entries) evicted the session
+    # shingle-array materialization and sent dedup_incremental from 2 s to
+    # 34 s in the same battery - the memo lists are per-plan-family on
+    # purpose.
+    tr = _memoized_checkpoint(
+        _BLOOM_CACHE,
+        train_docs.select(
+            F.explode(
+                F.array_distinct(word_kgrams(words(F.col(text_col)), k))
+            ).alias("s")
+        ).distinct(),
+    )
+    pos_cols = [
+        (md5_int60(F.col("s"), salt=f"bm{j}") % m).alias(f"p{j}")
+        for j in range(BLOOM_H)
+    ]
+
+    def part_bitmap(batches):
+        bm = np.zeros(m // 8, dtype=np.uint8)
+        for pdf in batches:
+            for j in range(BLOOM_H):
+                p = pdf[f"p{j}"].to_numpy()
+                np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    blobs = tr.select(*pos_cols).mapInPandas(part_bitmap, "bm binary").collect()
+    bitmap = np.zeros(m // 8, dtype=np.uint8)
+    for row in blobs:
+        bitmap |= np.frombuffer(row["bm"], dtype=np.uint8)
+    spark = SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast(bitmap.tobytes())
+
+    def _probe_kernel(p0, p1):
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+
+        def hit(p):
+            idx = p.to_numpy()
+            return (bm[idx >> 3] >> (idx & 7)) & 1
+
+        return pd.Series((hit(p0) & hit(p1)).astype(bool))
+
+    in_bloom = pandas_udf(_probe_kernel, "boolean")
+
+    cand = ev.select("id", "s", *pos_cols).where(
+        in_bloom(F.col("p0"), F.col("p1"))
+    )
+    n_cand = cand.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    shared = (
+        cand.join(tr, "s", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        sizes.join(n_cand, "id", "left")
+        .join(shared, "id", "left")
+        .select(
+            "id",
+            "n_shingles",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0))
+                / F.greatest(F.col("n_shingles"), F.lit(1)),
+                6,
+            ).alias("shared_frac"),
         )
     )

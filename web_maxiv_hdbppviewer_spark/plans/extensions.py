@@ -457,6 +457,20 @@ def pipe_contamination(spark, sf_dir):
     return dedup.contamination_overlap(ev, tr, CONTAMINATION_K).orderBy("id")
 
 
+def pipe_contamination_bloom(spark, sf_dir):
+    """pipe_contamination with the production Bloom pre-filter
+    (dedup.bloom_contamination): the train shingle set becomes a 512 KiB
+    broadcast bitmap probed map-side, so the exact semi-join only sees
+    candidates. Hash-green soundness proof: the oracle computes the
+    TRUE overlap counts with a plain semi-join, so any bloom false
+    negative flips the hash; even n_candidates is replayed in SQL
+    because the bloom positions use the portable salted-md5 family."""
+    split = sampling.hash_split(_docs(spark, sf_dir), SPLIT_FRACTIONS)
+    ev = split.where(F.col("split") == "test")
+    tr = split.where(F.col("split") == "train")
+    return dedup.bloom_contamination(ev, tr, CONTAMINATION_K).orderBy("id")
+
+
 def text_bpe_train(spark, sf_dir):
     """REAL BPE merge training (word-frequency BPE, Sennrich'16): the merge
     table (step, lhs, rhs, n_pairs) learned distributively - one corpus
@@ -2174,6 +2188,7 @@ EXTENSION_QUERIES = {
     "dedup_clusters_semantic": dedup_clusters_semantic,
     "dedup_containment": dedup_containment,
     "dedup_spans": dedup_spans,
+    "pipe_contamination_bloom": pipe_contamination_bloom,
     "sim_topk_cosine": sim_topk_cosine,
 }
 

@@ -486,6 +486,46 @@ EXTENSION_ORACLE = {
         LEFT JOIN shared ON shared.id = t.doc_id
         ORDER BY id
     """,
+    # bloom-prefiltered decontamination (extensions.pipe_contamination_bloom
+    # / dedup.bloom_contamination): n_shared is the plain exact semi-join
+    # (a bloom false negative flips the hash); n_candidates replays the
+    # bitmap itself - an eval shingle passes iff BOTH its salted positions
+    # appear among the train position set (m = 2^22, salts bm0/bm1)
+    "pipe_contamination_bloom": f"""
+        WITH sp AS (
+          SELECT doc_id, text,
+                 CASE WHEN b < 8000 THEN 'train'
+                      WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT doc_id, text,
+                       {H.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 10000 AS b
+                FROM documents)),
+        evg AS (SELECT DISTINCT id, s FROM ({_kgram_rows_sql(5, "(SELECT doc_id, text FROM sp WHERE split = 'test')")})),
+        trg AS (SELECT DISTINCT s FROM ({_kgram_rows_sql(5, "(SELECT doc_id, text FROM sp WHERE split = 'train')")})),
+        bits AS (
+          SELECT {H.format(x="'bm0:' || s")} % 4194304 AS p FROM trg
+          UNION
+          SELECT {H.format(x="'bm1:' || s")} % 4194304 AS p FROM trg),
+        cand AS (
+          SELECT id, s FROM evg
+          WHERE {H.format(x="'bm0:' || s")} % 4194304 IN (SELECT p FROM bits)
+            AND {H.format(x="'bm1:' || s")} % 4194304 IN (SELECT p FROM bits)),
+        sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM evg GROUP BY id),
+        ncand AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand GROUP BY id),
+        shared AS (
+          SELECT id, CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM evg JOIN trg USING (s) GROUP BY id)
+        SELECT t.doc_id AS id,
+               CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates,
+               CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+               ROUND(COALESCE(n_shared, 0)
+                     / GREATEST(COALESCE(n_shingles, 0), 1), 6) AS shared_frac
+        FROM (SELECT doc_id FROM sp WHERE split = 'test') t
+        LEFT JOIN sizes ON sizes.id = t.doc_id
+        LEFT JOIN ncand ON ncand.id = t.doc_id
+        LEFT JOIN shared ON shared.id = t.doc_id
+        ORDER BY id
+    """,
     "dedup_exact": """
         SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         FROM documents GROUP BY md5(LOWER(text)) ORDER BY keep_id
