@@ -95,6 +95,8 @@ _CHANGED_THIS_ROUND = [
     "stream_join",  # NEW - watermarked stream-stream interval join
     "scale_zorder",  # NEW - Morton-layout data-skipping witness
     "pipe_contamination_bloom",  # NEW - broadcast-bitmap decontamination
+    "sim_pca_gram",  # NEW - integer-moment covariance, 2080 hashed cells
+    "sim_pca",  # NEW - driver-bounded eigensolve with in-engine contracts
     "sim_ann_compare", "stream_sessions_evict", "scale_bucketed",
     "dedup_semantic", "scale_compact", "events_distinct_approx",
     "events_props_parse", "pipe_stats", "text_collocations",
@@ -111,15 +113,22 @@ _WINDOW = (
     + [f"q{i}" for i in range(9, 23)]
     + [
         # dedup_minhash_lsh displaced to the r10 queue by scale_zorder:
-        # dedup_ngram_jaccard (in-window) consumes the same session
+        # dedup_ngram_jaccard's machinery consumes the same session
         # shingle-array materialization, and the banded-LSH form stays
         # parity-checked at sf0.001 every run
-        "dedup_ngram_jaccard",
+        # dedup_ngram_jaccard displaced to the r10 queue by sim_pca_gram:
+        # the identical prefix-join + verify machinery is exercised
+        # in-window through dedup_incremental (incremental_ngram_pairs)
+        # and pipe_funnel's near-dup stage; parity-checked every run
         # sim_ann_ivf_trained displaced to the r10 queue by stream_join:
         # the in-window sim_ann_compare's ivfpq method routes through the
         # same Lloyd-trained coarse-centroid assignment/probe, and the
         # solo query stays parity-checked at sf0.001 every run
-        "pipe_domain_mix", "pipe_curation",
+        # pipe_curation displaced to the r10 queue by sim_pca: its
+        # stage chain is composed verbatim inside the in-window
+        # pipe_funnel (stage survivor accounting); parity-checked every
+        # run
+        "pipe_domain_mix",
         # pipe_contamination displaced to the r10 queue by its NEW bloom
         # twin: pipe_contamination_bloom's oracle computes the identical
         # exact overlap (same splits, same 5-grams), so the exact

@@ -1799,3 +1799,40 @@ def test_bloom_contamination_exact_and_pruning(spark):
         assert (r["n_shingles"], r["n_shared"]) == (n_sh, n_shared), i
         assert r["n_shared"] <= r["n_candidates"] <= r["n_shingles"]
     assert got[200]["shared_frac"] == 1.0
+
+
+def test_pca_recovers_planted_axis(spark):
+    """Covariance from integer moments must match numpy's covariance on
+    a random corpus (round-6), and on data stretched along a planted
+    direction the top eigenvector must align with it while every
+    declared contract holds."""
+    import numpy as np
+
+    from web_maxiv_hdbppviewer_spark.operators import pca
+
+    rng = np.random.default_rng(5)
+    dim, n = 8, 400
+    axis = np.zeros(dim)
+    axis[2] = 0.8
+    axis[5] = 0.6
+    data = rng.normal(0, 0.05, (n, dim)) + np.outer(rng.normal(0, 1.0, n), axis)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    # float32 storage: compare against numpy on the same float32 values
+    d32 = data.astype(np.float32).astype(np.float64)
+    expect = np.cov(d32, rowvar=False, bias=True)
+    got = np.zeros((dim, dim))
+    for r in pca.covariance_df(df).collect():
+        got[r["i"], r["j"]] = got[r["j"], r["i"]] = r["cov_r"]
+    assert np.abs(got - expect).max() < 2e-6
+
+    rows = pca.pca_summary(spark, df, dim=dim, n_comp=2).collect()
+    assert [r["comp"] for r in rows] == [1, 2]
+    for r in rows:
+        assert r["resid_ok"] and r["var_ok"] and r["ortho_ok"] and r["ordered_ok"]
+        assert r["n_vectors"] == n
+    vals, vecs = pca.eigensolve(pca.covariance_df(df).collect(), dim)
+    cos = abs(float(vecs[:, 0] @ axis))
+    assert cos > 0.999, cos

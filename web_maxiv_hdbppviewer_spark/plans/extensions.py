@@ -457,6 +457,40 @@ def pipe_contamination(spark, sf_dir):
     return dedup.contamination_overlap(ev, tr, CONTAMINATION_K).orderBy("id")
 
 
+PCA_DIM = 64
+PCA_COMP = 3
+
+
+def sim_pca_gram(spark, sf_dir):
+    """Distributed covariance matrix of the embedding corpus
+    (operators/pca.py): coordinates quantized to int64 (round(v*1e9) -
+    the sim_quantize discipline at higher precision), second moments as
+    exact DECIMAL(38,0) integer sums (map-side combinable; a
+    double->decimal cast is NOT cross-engine-stable, integer sums are),
+    covariance out of the moments in double arithmetic on identical
+    inputs. 2080 upper-triangle cells, every one hash-checked."""
+    from ..operators import pca
+
+    return pca.covariance_df(_emb(spark, sf_dir)).orderBy("i", "j")
+
+
+def sim_pca(spark, sf_dir):
+    """PCA eigen facts over the same covariance: the d x d eigensolve is
+    bounded DRIVER work (the only data collected is the 2080-cell upper
+    triangle + 64 first moments); everything corpus-sized stays in the
+    engine. Contracts verified in-engine per component: Rayleigh
+    residual ~ 0, ORTHONORMALITY, descending order, and - the
+    independent distributed check - the biased variance of the corpus
+    projected onto eigenvector k (computed by a broadcast map-side dot
+    product + decimal-stable aggregation) equals lambda_k to 1e-6
+    relative. trace_r is replayed exactly by the oracle from the integer
+    moments; the booleans are hard-coded true there, so an eigensolve or
+    projection defect flips the hash."""
+    from ..operators import pca
+
+    return pca.pca_summary(spark, _emb(spark, sf_dir), PCA_DIM, PCA_COMP)
+
+
 def pipe_contamination_bloom(spark, sf_dir):
     """pipe_contamination with the production Bloom pre-filter
     (dedup.bloom_contamination): the train shingle set becomes a 512 KiB
@@ -2189,6 +2223,8 @@ EXTENSION_QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_spans": dedup_spans,
     "pipe_contamination_bloom": pipe_contamination_bloom,
+    "sim_pca_gram": sim_pca_gram,
+    "sim_pca": sim_pca,
     "sim_topk_cosine": sim_topk_cosine,
 }
 

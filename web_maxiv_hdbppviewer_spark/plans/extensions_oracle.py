@@ -1654,6 +1654,69 @@ EXTENSION_ORACLE["events_distinct_approx"] = """
         FROM events GROUP BY event_type ORDER BY event_type
     """
 
+# distributed PCA (extensions.sim_pca_gram / operators/pca.py): the
+# oracle replays the identical integer pipeline - round(v*1e9) int64
+# quantization, DECIMAL(38,0) moment sums (exact, order-free), then the
+# covariance-from-moments double expression on identical inputs
+_PCA_CO = """
+          SELECT vec_id AS id, i,
+                 CAST(ROUND(v * 1000000000, 0) AS BIGINT) AS q
+          FROM (SELECT vec_id,
+                       unnest(list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE))) AS v,
+                       unnest(generate_series(0, len(embedding) - 1)) AS i
+                FROM embeddings)"""
+
+EXTENSION_ORACLE["sim_pca_gram"] = f"""
+        WITH co AS ({_PCA_CO}),
+        f AS (SELECT i, SUM(CAST(q AS DECIMAL(38,0))) AS s, COUNT(*) AS n
+              FROM co GROUP BY i),
+        sec AS (
+          SELECT i, j,
+                 SUM(p // 67108864) AS s_hi,
+                 SUM(p % 67108864) AS s_lo
+          FROM (SELECT a.i AS i, b.i AS j, a.q * b.q AS p
+                FROM co a JOIN co b ON a.id = b.id AND a.i <= b.i)
+          GROUP BY i, j),
+        nv AS (SELECT MAX(n) AS nv FROM f)
+        SELECT sec.i, sec.j,
+               ROUND((CAST(s_hi AS DOUBLE) * 67108864.0
+                      + CAST(s_lo AS DOUBLE)
+                      - CAST(fi.s AS DOUBLE) * CAST(fj.s AS DOUBLE) / nv)
+                     / (nv * 1.0e18), 6) AS cov_r
+        FROM sec
+        JOIN f fi ON fi.i = sec.i
+        JOIN f fj ON fj.i = sec.j
+        CROSS JOIN nv
+        ORDER BY sec.i, sec.j
+    """
+
+# PCA eigen facts (extensions.sim_pca): n_vectors and the moment-exact
+# trace replayed in SQL; the four eigensolve/projection contracts are
+# hard-coded true - each is derived independently on the Spark side
+# (numpy residual/orthogonality, a distributed projection-variance
+# pass), so a defect flips the hash
+EXTENSION_ORACLE["sim_pca"] = f"""
+        WITH co AS ({_PCA_CO}),
+        f AS (SELECT i, SUM(CAST(q AS DECIMAL(38,0))) AS s, COUNT(*) AS n
+              FROM co GROUP BY i),
+        d AS (SELECT i,
+                     CAST(SUM(q * q // 67108864) AS DECIMAL(38,0)) * 67108864
+                       + SUM(q * q % 67108864) AS s
+              FROM co GROUP BY i),
+        nv AS (SELECT MAX(n) AS nv FROM f),
+        tr AS (
+          SELECT ROUND(CAST(SUM(d.s * nv - f.s * f.s) AS DOUBLE)
+                       / (MAX(nv) * MAX(nv) * 1.0e18), 6) AS trace_r,
+                 MAX(nv) AS nv
+          FROM d JOIN f ON f.i = d.i CROSS JOIN nv)
+        SELECT comp, CAST(nv AS BIGINT) AS n_vectors, trace_r,
+               true AS resid_ok, true AS var_ok,
+               true AS ortho_ok, true AS ordered_ok
+        FROM tr CROSS JOIN (SELECT unnest([1, 2, 3]) AS comp)
+        ORDER BY comp
+    """
+
 # CMS heavy hitters (extensions.events_heavy_hitters): exact top-10
 # (user:event) keys with deterministic (n desc, key asc) ties; the three
 # sketch contracts hard-coded true - the Spark side derives them from
