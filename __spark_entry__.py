@@ -97,6 +97,7 @@ _CHANGED_THIS_ROUND = [
     "pipe_contamination_bloom",  # NEW - broadcast-bitmap decontamination
     "sim_pca_gram",  # NEW - integer-moment covariance, 2080 hashed cells
     "sim_pca",  # NEW - driver-bounded eigensolve with in-engine contracts
+    "pipe_stats_delta",  # NEW - materialized-view maintenance vs recompute
     "sim_ann_compare", "stream_sessions_evict", "scale_bucketed",
     "dedup_semantic", "scale_compact", "events_distinct_approx",
     "events_props_parse", "pipe_stats", "text_collocations",
@@ -128,7 +129,6 @@ _WINDOW = (
         # stage chain is composed verbatim inside the in-window
         # pipe_funnel (stage survivor accounting); parity-checked every
         # run
-        "pipe_domain_mix",
         # pipe_contamination displaced to the r10 queue by its NEW bloom
         # twin: pipe_contamination_bloom's oracle computes the identical
         # exact overlap (same splits, same 5-grams), so the exact
@@ -142,6 +142,10 @@ _WINDOW = (
         # events_quantiles displaced to the r10 queue by dedup_spans: its
         # approx twin (r8-witnessed, in-window) shares the grouping spine
         # and the exact form stays parity-checked at sf0.001 every run
+        # pipe_domain_mix displaced to the r10 queue by pipe_stats_delta:
+        # the md5-bucket keep rule it shares with pipe_split/pipe_curation
+        # is exercised in-window via pipe_contamination_bloom's
+        # hash_split; parity-checked at sf0.001 every run
         "lifecycle_aggregate",
     ]
 )

@@ -1836,3 +1836,49 @@ def test_pca_recovers_planted_axis(spark):
     vals, vecs = pca.eigensolve(pca.covariance_df(df).collect(), dim)
     cos = abs(float(vecs[:, 0] @ axis))
     assert cos > 0.999, cos
+
+
+def test_incremental_group_stats_matches_recompute(spark):
+    """Maintenance algebra vs full recompute on a corpus engineered to
+    exercise every case: a group that disappears (all docs removed), a
+    group new in v2, changed docs moving token counts, and unchanged
+    docs that must contribute nothing to the delta subtrees (plan check:
+    both contribution branches are LEFT SEMI restricted)."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.operators.delta import (
+        incremental_group_stats,
+        snapshot_diff,
+    )
+
+    v1 = spark.createDataFrame(
+        [
+            (0, "en", "a", "one two three"),
+            (1, "en", "a", "four five"),
+            (2, "de", "b", "sechs"),          # whole group removed in v2
+            (3, "en", "c", "seven eight"),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    v2 = spark.createDataFrame(
+        [
+            (0, "en", "a", "one two three"),          # unchanged
+            (1, "en", "a", "four five six seven"),    # changed (+2 tokens)
+            (3, "en", "c", "seven eight"),            # unchanged
+            (4, "fr", "d", "neuf dix"),               # new group
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    diff = snapshot_diff(v1, v2)
+    got = {(r["lang"], r["source"]): (r["n_docs"], r["tok_sum"], r["char_sum"])
+           for r in incremental_group_stats(v1, v2, diff).collect()}
+    expect = {}
+    for r in v2.collect():
+        k = (r["lang"], r["source"])
+        n, t, c = expect.get(k, (0, 0, 0))
+        expect[k] = (n + 1, t + len(r["text"].split()), c + len(r["text"]))
+    assert got == expect
+    assert ("de", "b") not in got and ("fr", "d") in got
+
+    plan = incremental_group_stats(v1, v2, diff)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LeftSemi") == 2, plan

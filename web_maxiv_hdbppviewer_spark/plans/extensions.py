@@ -1994,6 +1994,29 @@ def pipe_delta(spark, sf_dir):
     return delta.snapshot_diff(v1, v2).orderBy("id")
 
 
+def pipe_stats_delta(spark, sf_dir):
+    """Materialized-view maintenance driven by the snapshot diff
+    (delta.incremental_group_stats): the per-(lang, source) dataset card
+    updated as S(v1) - contrib(outgoing) + contrib(incoming) where both
+    contribution subtrees are semi-joined to the diff ids - maintenance
+    work O(|delta|), never a corpus re-tokenization. The oracle IS the
+    full recompute over v2, so the hash match is the proof that the
+    incremental algebra reproduces it exactly."""
+    from ..operators import delta
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    v1 = docs.where(d % 10 != 0).select("doc_id", "lang", "source", "text")
+    v2 = docs.where(d % 10 != 1).select(
+        "doc_id", "lang", "source",
+        F.when(d % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    diff = delta.snapshot_diff(v1, v2)
+    return delta.incremental_group_stats(v1, v2, diff).orderBy("lang", "source")
+
+
 def pipe_delta_apply(spark, sf_dir):
     """The diff DRIVING the incremental pipeline (what a 100 TB daily run
     actually executes): snapshot_diff's 'added' slice becomes the probe
@@ -2169,6 +2192,7 @@ EXTENSION_QUERIES = {
     # -- stable, driver-witnessed in round 4 (green CORRECTNESS_r04 rows),
     #    code-unchanged in round 5 --
     "pipe_delta": pipe_delta,
+    "pipe_stats_delta": pipe_stats_delta,
     "pipe_delta_apply": pipe_delta_apply,
     "pipe_split": pipe_split,
     "pipe_domain_mix": pipe_domain_mix,

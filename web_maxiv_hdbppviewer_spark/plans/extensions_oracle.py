@@ -978,6 +978,22 @@ EXTENSION_ORACLE = {
         FROM o FULL OUTER JOIN n USING (id)
         ORDER BY id
     """,
+    # incremental aggregate maintenance (extensions.pipe_stats_delta):
+    # the oracle is the FULL RECOMPUTE over v2 - the Spark side maintains
+    # S(v1) +- diff contributions, so the hash match proves the
+    # materialized-view algebra exactly reproduces recomputation
+    "pipe_stats_delta": """
+        WITH v2 AS (
+          SELECT doc_id, lang, source,
+                 CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+          FROM documents WHERE doc_id % 10 <> 1)
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> ''))) AS BIGINT) AS tok_sum,
+               CAST(SUM(length(text)) AS BIGINT) AS char_sum
+        FROM v2 GROUP BY lang, source ORDER BY lang, source
+    """,
     # the diff driving incremental work, composed from first principles:
     # statuses from the fingerprint FULL OUTER join; 'added' docs get an
     # ALL-PAIRS jaccard count over the v2 corpus (the naive form of the
