@@ -98,6 +98,7 @@ _CHANGED_THIS_ROUND = [
     "sim_pca_gram",  # NEW - integer-moment covariance, 2080 hashed cells
     "sim_pca",  # NEW - driver-bounded eigensolve with in-engine contracts
     "pipe_stats_delta",  # NEW - materialized-view maintenance vs recompute
+    "pipe_bootstrap",  # NEW - Poisson-bootstrap CIs, integer-portable
     "sim_ann_compare", "stream_sessions_evict", "scale_bucketed",
     "dedup_semantic", "scale_compact", "events_distinct_approx",
     "events_props_parse", "pipe_stats", "text_collocations",
@@ -146,7 +147,11 @@ _WINDOW = (
         # the md5-bucket keep rule it shares with pipe_split/pipe_curation
         # is exercised in-window via pipe_contamination_bloom's
         # hash_split; parity-checked at sf0.001 every run
-        "lifecycle_aggregate",
+        # lifecycle_aggregate displaced to the r10 queue by
+        # pipe_bootstrap: the in-window lifecycle_image witness drives
+        # the same catalog-resolve -> extrema -> raster pre-render path
+        # through to pixels; the aggregate form stays parity-checked at
+        # sf0.001 every run
     ]
 )
 

@@ -1882,3 +1882,49 @@ def test_incremental_group_stats_matches_recompute(spark):
 
     plan = incremental_group_stats(v1, v2, diff)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LeftSemi") == 2, plan
+
+
+def test_bootstrap_weights_and_degenerate_ci(spark):
+    """The integer-threshold draw must follow Poisson(1) (mean weight ~ 1,
+    P(w=0) ~ 1/e over the doc x replicate grid), and a source whose docs
+    all share one token count must collapse to a zero-width CI equal to
+    the mean - the bootstrap cannot invent variance."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.plans import extensions as E
+    import web_maxiv_hdbppviewer_spark.sources.tables as tables
+
+    docs = spark.createDataFrame(
+        [(i, "flat", "a b c d e") for i in range(40)]
+        + [(100 + i, "vary", "tok " * (1 + i % 9)) for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    orig = tables.load_tables
+    try:
+        tables.load_tables = lambda s, d: {"documents": docs}
+        E.load_tables = lambda s, d: {"documents": docs}
+        rows = {r["source"]: r for r in E.pipe_bootstrap(spark, "x").collect()}
+    finally:
+        tables.load_tables = orig
+        E.load_tables = orig
+    flat = rows["flat"]
+    assert flat["mean_r"] == 5.0
+    assert flat["ci_lo_r"] == flat["ci_hi_r"] == 5.0
+    vary = rows["vary"]
+    assert vary["ci_lo_r"] < vary["mean_r"] < vary["ci_hi_r"]
+
+    from web_maxiv_hdbppviewer_spark.functions.texthash import md5_int60
+
+    grid = spark.range(0, 20000).select(
+        (md5_int60(F.concat_ws(":", F.col("id") % 500, F.col("id") % 64),
+                   salt="boot") % E.BOOT_U_MOD).alias("u")
+    )
+    w = None
+    for t in E.BOOT_THRESHOLDS:
+        term = (F.col("u") >= t).cast("long")
+        w = term if w is None else w + term
+    stats = grid.select(w.alias("w")).agg(
+        F.avg("w").alias("m"), F.avg((F.col("w") == 0).cast("double")).alias("p0")
+    ).collect()[0]
+    assert abs(stats["m"] - 1.0) < 0.03, stats["m"]
+    assert abs(stats["p0"] - 0.3679) < 0.02, stats["p0"]

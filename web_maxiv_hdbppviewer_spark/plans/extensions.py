@@ -1994,6 +1994,101 @@ def pipe_delta(spark, sf_dir):
     return delta.snapshot_diff(v1, v2).orderBy("id")
 
 
+#: Poisson(1) inverse-CDF thresholds scaled to integers in [0, 1e6):
+#: weight = #{k : u >= c_k} for u uniform - P(w = k) matches Poisson(1)
+#: to 1e-6. Integer literals, so the draw is exact in any engine.
+BOOT_THRESHOLDS = (
+    367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999,
+)
+BOOT_B = 64
+BOOT_U_MOD = 1_000_000
+#: 1-based ranks of the 2.5% / 97.5% bootstrap percentiles among B sorted
+#: replicate means: floor(q * (B - 1)) + 1
+BOOT_LO_RANK = int(0.025 * (BOOT_B - 1)) + 1
+BOOT_HI_RANK = int(0.975 * (BOOT_B - 1)) + 1
+
+
+def pipe_bootstrap(spark, sf_dir):
+    """Poisson-bootstrap confidence intervals for the per-source mean
+    token count - THE distributed bootstrap (Chamandy et al., 'Estimating
+    uncertainty for massive data streams', Google TR 2012): classical
+    resampling-with-replacement cannot be distributed (a replicate needs
+    global coordination), but giving every row an independent
+    Poisson(1) weight per replicate approximates the multinomial draw
+    and is embarrassingly parallel - one map-side weight expression, one
+    combinable aggregation per (group, replicate).
+
+    Everything is engine-portable by construction: the uniform draw is a
+    salted portable md5 folded to an integer in [0, 1e6), the Poisson
+    inverse CDF is a chain of INTEGER threshold comparisons
+    (BOOT_THRESHOLDS), replicate means divide two exact long sums, and
+    the CI bounds select fixed ranks of the sorted replicate means - so
+    the DuckDB oracle replays every value and the driver hash-checks the
+    entire uncertainty computation. Output one row per source:
+    (source, n_docs, mean_r, ci_lo_r, ci_hi_r).
+
+    Scale shape: the replicate dimension multiplies the corpus by B=64
+    BEFORE the first aggregation, but each exploded row is (source, b,
+    w, w*tok) wide and the per-(source, b) partial aggregation combines
+    map-side, so the shuffle carries |sources| x B rows. The rank
+    selection runs on |sources| x B rows - negligible."""
+    from ..functions.texthash import md5_int60, words
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(words(F.col("text"))).cast("long").alias("tok")
+    )
+    u = md5_int60(
+        F.concat_ws(":", F.col("doc_id"), F.col("b")), salt="boot"
+    ) % BOOT_U_MOD
+    w = None
+    for t in BOOT_THRESHOLDS:
+        term = (F.col("u") >= t).cast("long")
+        w = term if w is None else w + term
+    rep = (
+        docs.select(
+            "doc_id", "source", "tok",
+            F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        )
+        .withColumn("u", u)
+        .withColumn("w", w)
+        .groupBy("source", "b")
+        .agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("tok")).alias("swt"),
+        )
+        .where(F.col("sw") > 0)
+        .select(
+            "source", "b",
+            (F.col("swt") / F.col("sw")).alias("mean_b"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    ranked = rep.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("mean_b", "b")
+        ),
+    )
+    ci = (
+        ranked.where(F.col("rn").isin(BOOT_LO_RANK, BOOT_HI_RANK))
+        .groupBy("source")
+        .agg(
+            F.round(F.min("mean_b"), 6).alias("ci_lo_r"),
+            F.round(F.max("mean_b"), 6).alias("ci_hi_r"),
+        )
+    )
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("tok") / F.count(F.lit(1)), 6).alias("mean_r"),
+    )
+    return (
+        base.join(ci, "source")
+        .select("source", "n_docs", "mean_r", "ci_lo_r", "ci_hi_r")
+        .orderBy("source")
+    )
+
+
 def pipe_stats_delta(spark, sf_dir):
     """Materialized-view maintenance driven by the snapshot diff
     (delta.incremental_group_stats): the per-(lang, source) dataset card
@@ -2193,6 +2288,7 @@ EXTENSION_QUERIES = {
     #    code-unchanged in round 5 --
     "pipe_delta": pipe_delta,
     "pipe_stats_delta": pipe_stats_delta,
+    "pipe_bootstrap": pipe_bootstrap,
     "pipe_delta_apply": pipe_delta_apply,
     "pipe_split": pipe_split,
     "pipe_domain_mix": pipe_domain_mix,

@@ -15,6 +15,12 @@ Portability invariants shared with the Spark side:
 
 H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
+# bootstrap CI ranks - mirror extensions.BOOT_LO_RANK / BOOT_HI_RANK
+# (floor(q * (B - 1)) + 1 over B = 64 replicates; literals here because
+# extensions.py imports this module, not the other way around)
+BOOT_LO_RANK_SQL = 2
+BOOT_HI_RANK_SQL = 62
+
 # minhash affine-permutation constants - the SAME literals the Spark side
 # applies (operators/dedup.MINHASH_AB), so signatures agree bit-for-bit
 from ..operators.dedup import MINHASH_AB, MINHASH_P  # noqa: E402
@@ -977,6 +983,52 @@ EXTENSION_ORACLE = {
                     ELSE 'changed' END AS status
         FROM o FULL OUTER JOIN n USING (id)
         ORDER BY id
+    """,
+    # Poisson bootstrap (extensions.pipe_bootstrap): the identical
+    # integer pipeline - salted md5 uniform in [0, 1e6), Poisson(1)
+    # weights from the integer threshold chain, replicate means from two
+    # exact long sums, CI = fixed ranks of the sorted replicate means
+    "pipe_bootstrap": f"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 len(list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '')) AS tok
+          FROM documents),
+        rep AS (
+          SELECT source, b,
+                 {H.format(x="'boot:' || CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")}
+                   % 1000000 AS u,
+                 tok
+          FROM d CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)),
+        wtd AS (
+          SELECT source, b,
+                 ((u >= 367879)::INT + (u >= 735759)::INT + (u >= 919699)::INT
+                  + (u >= 981012)::INT + (u >= 996340)::INT
+                  + (u >= 999406)::INT + (u >= 999917)::INT
+                  + (u >= 999990)::INT + (u >= 999999)::INT) AS w,
+                 tok
+          FROM rep),
+        means AS (
+          SELECT source, b,
+                 CAST(SUM(w * tok) AS DOUBLE) / SUM(w) AS mean_b
+          FROM wtd GROUP BY source, b HAVING SUM(w) > 0),
+        ranked AS (
+          SELECT source, mean_b,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY mean_b, b) AS rn
+          FROM means),
+        ci AS (
+          SELECT source, ROUND(MIN(mean_b), 6) AS ci_lo_r,
+                 ROUND(MAX(mean_b), 6) AS ci_hi_r
+          FROM ranked WHERE rn IN ({BOOT_LO_RANK_SQL}, {BOOT_HI_RANK_SQL})
+          GROUP BY source),
+        base AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 ROUND(CAST(SUM(tok) AS DOUBLE) / COUNT(*), 6) AS mean_r
+          FROM d GROUP BY source)
+        SELECT base.source, n_docs, mean_r, ci_lo_r, ci_hi_r
+        FROM base JOIN ci ON ci.source = base.source
+        ORDER BY base.source
     """,
     # incremental aggregate maintenance (extensions.pipe_stats_delta):
     # the oracle is the FULL RECOMPUTE over v2 - the Spark side maintains
