@@ -99,6 +99,7 @@ _CHANGED_THIS_ROUND = [
     "sim_pca",  # NEW - driver-bounded eigensolve with in-engine contracts
     "pipe_stats_delta",  # NEW - materialized-view maintenance vs recompute
     "pipe_bootstrap",  # NEW - Poisson-bootstrap CIs, integer-portable
+    "graph_pagerank",  # NEW - integer PageRank, 8 supersteps SQL-unrolled
     "sim_ann_compare", "stream_sessions_evict", "scale_bucketed",
     "dedup_semantic", "scale_compact", "events_distinct_approx",
     "events_props_parse", "pipe_stats", "text_collocations",
@@ -112,7 +113,10 @@ _CHANGED_THIS_ROUND = [
 ]
 _WINDOW = (
     _CHANGED_THIS_ROUND
-    + [f"q{i}" for i in range(9, 23)]
+    # q20 displaced to the r10 queue by graph_pagerank: q20 IS the
+    # entry() flagship - the driver smoke-executes it at sf0.001 on
+    # every round independently of the witness window
+    + [f"q{i}" for i in range(9, 23) if i != 20]
     + [
         # dedup_minhash_lsh displaced to the r10 queue by scale_zorder:
         # dedup_ngram_jaccard's machinery consumes the same session

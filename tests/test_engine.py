@@ -1928,3 +1928,33 @@ def test_bootstrap_weights_and_degenerate_ci(spark):
     ).collect()[0]
     assert abs(stats["m"] - 1.0) < 0.03, stats["m"]
     assert abs(stats["p0"] - 0.3679) < 0.02, stats["p0"]
+
+
+def test_pagerank_integer_recipe_and_hub_ranking(spark):
+    """graph.pagerank must reproduce a python reference of the identical
+    truncating-integer recipe on a star-plus-path graph, and rank the
+    star hub first (degree-normalized centrality, not degree count)."""
+    from web_maxiv_hdbppviewer_spark.operators.graph import pagerank
+
+    edges = [(0, i) for i in range(1, 6)] + [(6, 7), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["pr"] for r in pagerank(df, iterations=8).collect()}
+
+    nbrs, deg = {}, {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    for v in nbrs:
+        deg[v] = len(nbrs[v])
+    n = len(nbrs)
+    scale = 10**12
+    pr = {v: scale // n for v in nbrs}
+    base = (15 * (scale // n)) // 100
+    for _ in range(8):
+        pr = {
+            v: base + (85 * sum(pr[u] // deg[u] for u in nbrs[v])) // 100
+            for v in nbrs
+        }
+    assert got == pr
+    ranked = sorted(got, key=lambda v: (-got[v], v))
+    assert ranked[0] == 0, ranked

@@ -96,3 +96,65 @@ def duplicate_clusters(
         docs.select(id_col), pairs, id_col=id_col, src_col="id_a", dst_col="id_b"
     )
     return cc.select(F.col("id").alias(id_col), "cluster_id")
+
+
+PAGERANK_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 8,
+    scale: int = PAGERANK_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Integer-arithmetic PageRank over an undirected pair graph - the
+    second iterative graph operator next to connected_components, in the
+    same Pregel superstep shape: one join (edges x state) + one
+    groupBy(dst) per iteration, state localCheckpoint-ed between rounds,
+    nothing corpus-sized ever collected (the only driver scalar is N).
+
+    The recipe is ALL truncating integer arithmetic so any SQL engine
+    replays it bit-for-bit (the portability discipline of the minhash /
+    bootstrap / PCA families - float damping sums would drift at ulp
+    scale across engines):
+
+        pr_0(v)   = SCALE DIV N
+        base      = (15 * (SCALE DIV N)) DIV 100          # (1-d), d=0.85
+        pr_t+1(v) = base + (85 * sum_{u ~ v} (pr_t(u) DIV deg(u))) DIV 100
+
+    Truncation leaks a few units of mass per step; the RECIPE is the
+    contract (identical everywhere), and rankings are unaffected. Nodes
+    are the edge endpoints (every node of an undirected pair graph has
+    degree >= 1, so there are no dangling nodes). Returns (id, pr)."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.localCheckpoint()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    if n == 0:
+        return deg.select(F.col("src").alias("id"), F.lit(0).cast("long").alias("pr"))
+    pr0 = scale // n
+    base = (15 * pr0) // 100
+    state = deg.select(
+        F.col("src").alias("id"), "deg", F.lit(pr0).cast("long").alias("pr")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            e.join(state, e["src"] == state["id"])
+            .select(F.col("dst"), F.expr("pr DIV deg").alias("sh"))
+            .groupBy("dst")
+            .agg(F.sum("sh").alias("s"))
+        )
+        state = (
+            state.join(contrib, state["id"] == contrib["dst"], "left")
+            .select(
+                "id", "deg",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr("85 * coalesce(s, 0L) DIV 100")
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return state.select("id", "pr")

@@ -138,6 +138,38 @@ def dedup_containment(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+PAGERANK_ITERS = 8
+PAGERANK_TOPK = 20
+
+
+def graph_pagerank(spark, sf_dir):
+    """Integer PageRank over the verified near-dup pair graph
+    (operators/graph.pagerank): duplication-hub centrality - documents
+    whose content radiates through many near-dup neighborhoods score
+    highest, the signal a curation pipeline uses to pick which cluster
+    representative to KEEP (most-central) or to audit (template hubs).
+    Same Pregel superstep shape as connected_components; all truncating
+    integer arithmetic, so the oracle unrolls the identical 8 iterations
+    in SQL and every pr value hash-checks. Top-20 by (pr desc, id)."""
+    from ..operators import graph
+
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), JACCARD_THRESHOLD
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    pr = graph.pagerank(pairs, PAGERANK_ITERS)
+    from pyspark.sql.window import Window
+
+    return (
+        pr.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("pr"), F.asc("id"))),
+        )
+        .where(F.col("rk") <= PAGERANK_TOPK)
+        .select(F.col("rk").cast("long").alias("rk"), "id", "pr")
+        .orderBy("rk")
+    )
+
+
 def dedup_spans(spark, sf_dir):
     """Cross-corpus duplicated-SPAN accounting (C4's repeated-span
     filter re-expressed over fixed k-token windows): non-overlapping
@@ -2342,6 +2374,7 @@ EXTENSION_QUERIES = {
     "dedup_clusters_semantic": dedup_clusters_semantic,
     "dedup_containment": dedup_containment,
     "dedup_spans": dedup_spans,
+    "graph_pagerank": graph_pagerank,
     "pipe_contamination_bloom": pipe_contamination_bloom,
     "sim_pca_gram": sim_pca_gram,
     "sim_pca": sim_pca,

@@ -594,6 +594,12 @@ EXTENSION_ORACLE = {
         FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
         ORDER BY d.doc_id
     """,
+    # integer PageRank (extensions.graph_pagerank / graph.pagerank): the
+    # 8 supersteps unrolled as chained CTEs over the thresholded pair
+    # graph; every step is truncating integer arithmetic (// here, DIV in
+    # Spark - verified identical on negatives), so pr values match
+    # bit-for-bit
+    "graph_pagerank": None,  # filled in below (generated SQL)
     "dedup_simhash": f"""
         WITH {_SHINGLES},
         hx AS (SELECT id, {H.format(x="s")} AS h FROM sh),
@@ -2147,3 +2153,46 @@ EXTENSION_ORACLE["dedup_clusters_semantic"] = f"""
         FROM embeddings emb LEFT JOIN slbl l ON l.id = emb.vec_id
         ORDER BY id
     """
+
+
+def _pagerank_sql(iters: int = 8, scale: int = 10**12, topk: int = 20) -> str:
+    """Unroll graph.pagerank's integer supersteps as chained CTEs."""
+    # MATERIALIZED is load-bearing: DuckDB inlines CTEs by default, and
+    # every step references its predecessor twice - inlined, the chain
+    # re-evaluates the whole prefix 2^t times (observed as a hang)
+    steps = []
+    prev = "p0"
+    for t in range(1, iters + 1):
+        steps.append(f"""
+        p{t} AS MATERIALIZED (
+          SELECT p.id, p.deg,
+                 (15 * ({scale} // nn.n)) // 100
+                   + (85 * COALESCE(c.s, 0)) // 100 AS pr
+          FROM {prev} p
+          LEFT JOIN (
+            SELECT e.dst AS id, SUM(q.pr // q.deg) AS s
+            FROM e JOIN {prev} q ON q.id = e.src GROUP BY e.dst) c
+            ON c.id = p.id
+          CROSS JOIN nn)""")
+        prev = f"p{t}"
+    return f"""
+        WITH {_SHINGLES}, {_JACCARD},
+        pairs AS MATERIALIZED (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+        e AS MATERIALIZED (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+        deg AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY src),
+        nn AS (SELECT COUNT(*) AS n FROM deg),
+        p0 AS MATERIALIZED (
+          SELECT id, deg, {scale} // nn.n AS pr FROM deg CROSS JOIN nn),
+        {",".join(steps)},
+        ranked AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY pr DESC, id) AS rk, id, pr
+          FROM {prev})
+        SELECT CAST(rk AS BIGINT) AS rk, id, CAST(pr AS BIGINT) AS pr
+        FROM ranked WHERE rk <= {topk} ORDER BY rk
+    """
+
+
+EXTENSION_ORACLE["graph_pagerank"] = _pagerank_sql()
