@@ -100,6 +100,7 @@ _CHANGED_THIS_ROUND = [
     "pipe_stats_delta",  # NEW - materialized-view maintenance vs recompute
     "pipe_bootstrap",  # NEW - Poisson-bootstrap CIs, integer-portable
     "graph_pagerank",  # NEW - integer PageRank, 8 supersteps SQL-unrolled
+    "events_attribution",  # NEW - bucketized interval join, last-touch
     "sim_ann_compare", "stream_sessions_evict", "scale_bucketed",
     "dedup_semantic", "scale_compact", "events_distinct_approx",
     "events_props_parse", "pipe_stats", "text_collocations",
@@ -115,8 +116,12 @@ _WINDOW = (
     _CHANGED_THIS_ROUND
     # q20 displaced to the r10 queue by graph_pagerank: q20 IS the
     # entry() flagship - the driver smoke-executes it at sf0.001 on
-    # every round independently of the witness window
-    + [f"q{i}" for i in range(9, 23) if i != 20]
+    # every round independently of the witness window.
+    # q21 displaced by events_attribution: its per-x-column hover stats
+    # ride the lifecycle_aggregate/lifecycle_image pre-render artifact
+    # (q21's operator is A8, composed in the in-window lifecycle_image
+    # witness); parity-checked at sf0.001 every run
+    + [f"q{i}" for i in range(9, 23) if i not in (20, 21)]
     + [
         # dedup_minhash_lsh displaced to the r10 queue by scale_zorder:
         # dedup_ngram_jaccard's machinery consumes the same session

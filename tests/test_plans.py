@@ -676,3 +676,20 @@ def test_span_dedup_single_window_shuffle(spark):
     assert plan.count("Window") == 1, plan
     assert "Join" not in plan, plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_attribution_join_is_bucketized(spark):
+    """events_attribution's interval join must run on the composite
+    (user, hour-bucket) equi key - never a BroadcastNestedLoop/Cartesian
+    (the no-equi-key fate of naive range joins) and never a bare user_id
+    key (quadratic per hot user): the physical join keys must include
+    the bucket column."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["events_attribution"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    m = re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*", plan)
+    assert m and "vb" in m.group(0), m.group(0) if m else plan

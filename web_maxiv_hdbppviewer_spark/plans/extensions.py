@@ -1797,6 +1797,65 @@ def scale_zorder(spark, sf_dir):
     ).orderBy("layout", "probe_dim")
 
 
+def events_attribution(spark, sf_dir):
+    """Last-touch attribution as a BUCKETIZED interval join - the batch
+    twin of stream_join with the plan a 100 TB range join needs: every
+    click joins candidate views through the composite equi key
+    (user_id, hour_bucket) - clicks exploded to their two candidate
+    buckets (b-1, b), views keyed by their own bucket - then the exact
+    [0, 1h] predicate filters and a per-click window keeps the latest
+    view. With only the user_id equi key, a sort-merge join runs an
+    n_views x n_clicks inner loop PER USER - quadratic on hot keys (the
+    one-power-user problem); the hour bucket in the key caps the blowup
+    at one hour of history per probe regardless of how hot the user is.
+    The plan is asserted free of BroadcastNestedLoop/Cartesian and the
+    join key is pinned to include the bucket. Tie-breaks (equal view
+    timestamps) resolve by view event_id, so output is deterministic:
+    (click_id, user_id, click_us, view_us, lag_us), one row per
+    attributed click."""
+    from ..functions.time import epoch_us
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    hour = 3_600_000_000
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        epoch_us(F.col("ts")).alias("vus"),
+    ).withColumn("vb", (F.col("vus") / hour).cast("long"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        epoch_us(F.col("ts")).alias("cus"),
+    ).withColumn(
+        "vb",
+        F.explode(
+            F.array(
+                (F.col("cus") / hour).cast("long") - 1,
+                (F.col("cus") / hour).cast("long"),
+            )
+        ),
+    )
+    pairs = clicks.join(
+        views,
+        (clicks["user_id"] == views["v_user"]) & (clicks["vb"] == views["vb"]),
+    ).where(
+        (F.col("cus") >= F.col("vus")) & (F.col("cus") - F.col("vus") <= hour)
+    )
+    best = pairs.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("click_id").orderBy(
+                F.desc("vus"), F.asc("view_id")
+            )
+        ),
+    ).where(F.col("rk") == 1)
+    return best.select(
+        "click_id", "user_id", "cus", F.col("vus").alias("view_us"),
+        (F.col("cus") - F.col("vus")).alias("lag_us"),
+    ).withColumnRenamed("cus", "click_us").orderBy("user_id", "click_us", "click_id")
+
+
 def stream_join(spark, sf_dir):
     """Watermarked STREAM-STREAM interval join - the one Structured
     Streaming join shape with two-sided state: every 'click' is
@@ -2331,6 +2390,7 @@ EXTENSION_QUERIES = {
     "stream_window": stream_window,
     "stream_dedup": stream_dedup,
     "stream_join": stream_join,
+    "events_attribution": events_attribution,
     "stream_sessions": stream_sessions,
     "stream_sessions_evict": stream_sessions_evict,
     "sim_ann_lsh": sim_ann_lsh,

@@ -1305,6 +1305,28 @@ EXTENSION_ORACLE = {
         SELECT event_id, epoch_us(ts) AS t_us, user_id
         FROM events ORDER BY event_id
     """,
+    # last-touch attribution (extensions.events_attribution): the naive
+    # range-join form - the bucketized engine plan must produce exactly
+    # these pairs; view-timestamp ties resolve by view event_id
+    "events_attribution": """
+        WITH v AS (
+          SELECT user_id, event_id AS view_id, epoch_us(ts) AS vus
+          FROM events WHERE event_type = 'view'),
+        c AS (
+          SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+          FROM events WHERE event_type = 'click'),
+        pairs AS (
+          SELECT c.click_id, c.user_id, c.cus, v.vus,
+                 ROW_NUMBER() OVER (PARTITION BY c.click_id
+                                    ORDER BY v.vus DESC, v.view_id) AS rk
+          FROM c JOIN v
+            ON v.user_id = c.user_id
+           AND c.cus >= v.vus AND c.cus - v.vus <= 3600000000)
+        SELECT click_id, user_id, cus AS click_us, vus AS view_us,
+               cus - vus AS lag_us
+        FROM pairs WHERE rk = 1
+        ORDER BY user_id, click_us, click_id
+    """,
     # the watermarked stream-stream interval join (append mode,
     # availableNow drain) must emit exactly the batch range-join pairs
     "stream_join": """
