@@ -101,6 +101,7 @@ _CHANGED_THIS_ROUND = [
     "pipe_bootstrap",  # NEW - Poisson-bootstrap CIs, integer-portable
     "graph_pagerank",  # NEW - integer PageRank, 8 supersteps SQL-unrolled
     "events_attribution",  # NEW - bucketized interval join, last-touch
+    "text_chunk",  # NEW - overlapping token windows, RAG/packing prep
     "sim_ann_compare", "stream_sessions_evict", "scale_bucketed",
     "dedup_semantic", "scale_compact", "events_distinct_approx",
     "events_props_parse", "pipe_stats", "text_collocations",
@@ -120,8 +121,12 @@ _WINDOW = (
     # q21 displaced by events_attribution: its per-x-column hover stats
     # ride the lifecycle_aggregate/lifecycle_image pre-render artifact
     # (q21's operator is A8, composed in the in-window lifecycle_image
-    # witness); parity-checked at sf0.001 every run
-    + [f"q{i}" for i in range(9, 23) if i not in (20, 21)]
+    # witness); parity-checked at sf0.001 every run.
+    # q18 displaced by text_chunk: its round-to-NEAREST resample
+    # (operator A1) is witnessed in-window through stream_window's
+    # streaming_resample drain, which shares the bucket arithmetic;
+    # parity-checked at sf0.001 every run
+    + [f"q{i}" for i in range(9, 23) if i not in (18, 20, 21)]
     + [
         # dedup_minhash_lsh displaced to the r10 queue by scale_zorder:
         # dedup_ngram_jaccard's machinery consumes the same session

@@ -1958,3 +1958,44 @@ def test_pagerank_integer_recipe_and_hub_ranking(spark):
     assert got == pr
     ranked = sorted(got, key=lambda v: (-got[v], v))
     assert ranked[0] == 0, ranked
+
+
+def test_text_chunk_covers_every_token_with_overlap(spark):
+    """Chunk arithmetic invariants on crafted lengths (1, 64, 65, 112,
+    113, 200 tokens): first chunk starts at 0, consecutive starts differ
+    by the stride, the final chunk reaches the document tail (every
+    token covered), interior chunks are full windows, and the clamped
+    tail length is n - (n_chunks-1)*stride."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.plans import extensions as E
+    import web_maxiv_hdbppviewer_spark.sources.tables as tables
+
+    W, S = E.CHUNK_WINDOW, E.CHUNK_STRIDE
+    lengths = [1, 64, 65, 112, 113, 200]
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{k}" for k in range(n))) for i, n in enumerate(lengths)],
+        "doc_id long, text string",
+    )
+    orig = tables.load_tables
+    try:
+        tables.load_tables = lambda s, d: {"documents": docs}
+        E.load_tables = lambda s, d: {"documents": docs}
+        rows = E.text_chunk(spark, "x").collect()
+    finally:
+        tables.load_tables = orig
+        E.load_tables = orig
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_tok"]))
+    for i, n in enumerate(lengths):
+        chunks = sorted(by_doc[i])
+        n_chunks = 1 if n <= W else (n - W + S - 1) // S + 1
+        assert len(chunks) == n_chunks, (n, chunks)
+        for idx, ntok in chunks[:-1]:
+            assert ntok == W, (n, idx, ntok)
+        last_idx, last_n = chunks[-1]
+        assert last_idx == n_chunks - 1
+        assert last_n == (n - last_idx * S if n > W else n)
+        # coverage: the last chunk's end reaches the tail
+        assert last_idx * S + last_n >= n

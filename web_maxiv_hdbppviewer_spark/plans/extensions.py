@@ -523,6 +523,48 @@ def sim_pca(spark, sf_dir):
     return pca.pca_summary(spark, _emb(spark, sf_dir), PCA_DIM, PCA_COMP)
 
 
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+
+
+def text_chunk(spark, sf_dir):
+    """Overlapping token-window chunking - the context-preparation
+    operator every RAG / pretraining pipeline runs before embedding or
+    packing: windows of 64 tokens advancing by 48 (16-token overlap so
+    no boundary context is lost), the final window clamped to the
+    document tail, every token covered. One row per chunk:
+    (doc_id, chunk_idx, n_tok, chunk_hash) with the 60-bit portable
+    hash ready for downstream chunk-level dedup.
+
+    Scale shape: a pure narrow explode - chunk starts from an arithmetic
+    sequence, chunk text from array slices, zero shuffles before the
+    presentation sort; corpus-linear output (~n/stride rows per doc)."""
+    from ..functions.texthash import md5_int60, words
+
+    n = F.size("l")
+    n_chunks = F.when(n <= CHUNK_WINDOW, F.lit(1)).otherwise(
+        F.floor((n - CHUNK_WINDOW + CHUNK_STRIDE - 1) / CHUNK_STRIDE).cast("int")
+        + 1
+    )
+    toks = _docs_sorted(spark, sf_dir).select(
+        "doc_id", words(F.col("text")).alias("l")
+    ).where(n > 0)
+    return toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda c: F.slice(F.col("l"), c * CHUNK_STRIDE + 1, CHUNK_WINDOW),
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("chunk").cast("long").alias("n_tok"),
+        md5_int60(F.array_join("chunk", " ")).alias("chunk_hash"),
+    )
+
+
 def pipe_contamination_bloom(spark, sf_dir):
     """pipe_contamination with the production Bloom pre-filter
     (dedup.bloom_contamination): the train shingle set becomes a 512 KiB
@@ -2380,6 +2422,7 @@ EXTENSION_QUERIES = {
     "pipe_delta": pipe_delta,
     "pipe_stats_delta": pipe_stats_delta,
     "pipe_bootstrap": pipe_bootstrap,
+    "text_chunk": text_chunk,
     "pipe_delta_apply": pipe_delta_apply,
     "pipe_split": pipe_split,
     "pipe_domain_mix": pipe_domain_mix,

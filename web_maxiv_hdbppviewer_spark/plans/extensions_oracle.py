@@ -990,6 +990,28 @@ EXTENSION_ORACLE = {
         FROM o FULL OUTER JOIN n USING (id)
         ORDER BY id
     """,
+    # overlapping chunking (extensions.text_chunk): same 64/48
+    # window/stride arithmetic, final window clamped by list_slice,
+    # chunk hash = the portable 60-bit md5 of the space-joined tokens
+    "text_chunk": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+          FROM documents),
+        ch AS (
+          SELECT doc_id, c AS chunk_idx,
+                 list_slice(l, c * 48 + 1, c * 48 + 64) AS chunk
+          FROM (SELECT doc_id, l,
+                       unnest(generate_series(0,
+                         CASE WHEN len(l) <= 64 THEN 0
+                              ELSE CAST(FLOOR((len(l) - 64 + 47) / 48.0) AS INT)
+                         END)) AS c
+                FROM t WHERE len(l) > 0))
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(len(chunk) AS BIGINT) AS n_tok,
+               {H.format(x="array_to_string(chunk, ' ')")} AS chunk_hash
+        FROM ch ORDER BY doc_id, chunk_idx
+    """,
     # Poisson bootstrap (extensions.pipe_bootstrap): the identical
     # integer pipeline - salted md5 uniform in [0, 1e6), Poisson(1)
     # weights from the integer threshold chain, replicate means from two
