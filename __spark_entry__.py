@@ -102,6 +102,7 @@ _CHANGED_THIS_ROUND = [
     "graph_pagerank",  # NEW - integer PageRank, 8 supersteps SQL-unrolled
     "events_attribution",  # NEW - bucketized interval join, last-touch
     "text_chunk",  # NEW - overlapping token windows, RAG/packing prep
+    "stream_restart",  # NEW - exactly-once across a checkpoint restart
     "sim_ann_compare", "stream_sessions_evict", "scale_bucketed",
     "dedup_semantic", "scale_compact", "events_distinct_approx",
     "events_props_parse", "pipe_stats", "text_collocations",
@@ -125,8 +126,12 @@ _WINDOW = (
     # q18 displaced by text_chunk: its round-to-NEAREST resample
     # (operator A1) is witnessed in-window through stream_window's
     # streaming_resample drain, which shares the bucket arithmetic;
-    # parity-checked at sf0.001 every run
-    + [f"q{i}" for i in range(9, 23) if i not in (18, 20, 21)]
+    # parity-checked at sf0.001 every run.
+    # q19 displaced by stream_restart: its cross-series axis extrema
+    # (operator A3) ride the in-window lifecycle_image witness (the
+    # y-range padding over the same extrema path); parity-checked at
+    # sf0.001 every run
+    + [f"q{i}" for i in range(9, 23) if i not in (18, 19, 20, 21)]
     + [
         # dedup_minhash_lsh displaced to the r10 queue by scale_zorder:
         # dedup_ngram_jaccard's machinery consumes the same session

@@ -1999,3 +1999,31 @@ def test_text_chunk_covers_every_token_with_overlap(spark):
         assert last_n == (n - last_idx * S if n > W else n)
         # coverage: the last chunk's end reaches the tail
         assert last_idx * S + last_n >= n
+
+
+def test_stream_restart_is_idempotent_with_no_new_files(spark, tmp_path):
+    """A new query instance on a fully-drained checkpoint must read the
+    offset log and process NOTHING - the exactly-once idempotence the
+    stream_restart witness relies on."""
+    from pyspark.sql import functions as F
+
+    src, land, ckpt = (str(tmp_path / d) for d in ("src", "land", "ckpt"))
+    spark.range(0, 100).select(F.col("id").alias("event_id")).repartition(
+        2
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def phase():
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.format("parquet")
+            .option("path", land).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    assert phase() == 100
+    assert phase() == 0
+    assert spark.read.parquet(land).count() == 100

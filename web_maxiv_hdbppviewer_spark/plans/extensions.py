@@ -1576,6 +1576,85 @@ def stream_sessions(spark, sf_dir):
     )
 
 
+def stream_restart(spark, sf_dir):
+    """Exactly-once ACROSS A RESTART - the streaming durability claim
+    the other stream queries don't witness: phase 1 lands half the
+    corpus (even event_ids) through a checkpointed parquet file sink and
+    STOPS; the other half arrives in the source directory; phase 2 is a
+    brand-new query instance on the SAME checkpoint and sink, which must
+    resume from the offset log - re-reading nothing it already
+    committed, picking up exactly the late files. Self-certifying row:
+
+      - ``checksum_ok`` / ``no_dupes``: the landed union equals the
+        batch table exactly (sum + distinct-count) - a re-processed or
+        dropped file flips either.
+      - ``resumed_only_delta``: phase 2's numInputRows equals the late
+        half's row count - the restart read the offset log, not the
+        directory.
+
+    The oracle pins (n_rows, checksum) from the batch table and
+    hard-codes the contracts true. Deterministic by construction: the
+    phases split on event_id parity, never on timing."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "user_id", "value"
+    )
+    base = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
+            "file:"
+        ),
+        "stream_restart_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/")),
+    )
+    src, land, ckpt = (os.path.join(base, d) for d in ("src", "land", "ckpt"))
+    shutil.rmtree(base, ignore_errors=True)
+    ev.where(F.col("event_id") % 2 == 0).repartition(4).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+
+    def run_phase():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", land)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        return q
+
+    run_phase()
+    ev.where(F.col("event_id") % 2 == 1).repartition(4).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = run_phase()
+    phase2_rows = sum(
+        p["numInputRows"] for p in q2.recentProgress
+    )
+    odd_rows = ev.where(F.col("event_id") % 2 == 1).count()
+    landed = spark.read.parquet(land).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("event_id").alias("nd"),
+        F.sum("event_id").alias("s"),
+    ).collect()[0]
+    src_row = ev.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(
+            landed["n"],
+            landed["s"],
+            landed["s"] == src_row["s"] and landed["n"] == src_row["n"],
+            landed["nd"] == landed["n"],
+            phase2_rows == odd_rows,
+        )],
+        "n_rows long, checksum long, checksum_ok boolean, "
+        "no_dupes boolean, resumed_only_delta boolean",
+    )
+
+
 def stream_sink_compact(spark, sf_dir):
     """The end-to-end ingest shape that CREATES and then FIXES the
     small-file problem: the events stream lands through an exactly-once
@@ -2434,6 +2513,7 @@ EXTENSION_QUERIES = {
     "stream_dedup": stream_dedup,
     "stream_join": stream_join,
     "events_attribution": events_attribution,
+    "stream_restart": stream_restart,
     "stream_sessions": stream_sessions,
     "stream_sessions_evict": stream_sessions_evict,
     "sim_ann_lsh": sim_ann_lsh,

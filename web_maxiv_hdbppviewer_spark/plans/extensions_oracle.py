@@ -1327,6 +1327,17 @@ EXTENSION_ORACLE = {
         SELECT event_id, epoch_us(ts) AS t_us, user_id
         FROM events ORDER BY event_id
     """,
+    # exactly-once-across-restart (extensions.stream_restart): the
+    # oracle pins the batch count/checksum; the three contracts are
+    # hard-coded true - each derived independently on the Spark side
+    # (landed-vs-batch sums, distinct-count, phase-2 progress rows)
+    "stream_restart": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS checksum,
+               true AS checksum_ok, true AS no_dupes,
+               true AS resumed_only_delta
+        FROM events
+    """,
     # last-touch attribution (extensions.events_attribution): the naive
     # range-join form - the bucketized engine plan must produce exactly
     # these pairs; view-timestamp ties resolve by view event_id
