@@ -39,6 +39,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # (text_bpe_apply rewritten but left unwitnessed) fails the suite instead
 # of relying on judge review.
 #
+# Round-9 CONTINUATION additions (second session of the round): 13 new
+# queries - dedup_spans (C4 repeated-span filter, one-window shuffle),
+# events_heavy_hitters (Count-Min point-frequency contracts),
+# stream_join (watermarked stream-stream interval join),
+# scale_zorder (Morton layout + measured data skipping),
+# pipe_contamination_bloom (broadcast-bitmap decontamination,
+# SQL-replayed bloom), sim_pca_gram + sim_pca (integer-moment
+# covariance, driver-bounded eigensolve with in-engine contracts),
+# pipe_stats_delta (materialized-view maintenance vs recompute),
+# pipe_bootstrap (Poisson-bootstrap CIs), graph_pagerank (integer
+# supersteps, SQL-unrolled), events_attribution (bucketized interval
+# join), text_chunk (overlapping context windows), stream_restart
+# (exactly-once across a checkpoint restart) - plus the
+# text_lm_score decimal-sum determinism/perf fix (15x) and the
+# TtlDimension.invalidate monotonic-clock fix. Each addition displaced
+# one rotation-tail entry with an inline justification below; the
+# displaced set (events_quantiles, window_sessions,
+# sim_ann_ivf_trained, dedup_ngram_jaccard, dedup_minhash_lsh,
+# pipe_curation, pipe_contamination, pipe_domain_mix,
+# lifecycle_aggregate, q18-q21) leads the r10 rotation queue together
+# with the earlier tail; ALL of them stayed parity-green in this
+# session's full sf0.01 sweep (116/116, the driver's own scale).
+#
 # Round-9 changelist: sim_ann_compare (NEW - replaces the three retired
 # per-method recall queries sim_ann_recall/sim_pq_recall/sim_ivfpq_recall,
 # VERDICT r8 #7), stream_sessions_evict (NEW - append-mode sessionization
