@@ -126,6 +126,7 @@ _CHANGED_THIS_ROUND = [
     "events_attribution",  # NEW - bucketized interval join, last-touch
     "text_chunk",  # NEW - overlapping token windows, RAG/packing prep
     "stream_restart",  # NEW - exactly-once across a checkpoint restart
+    "events_scaffold",  # NEW - date-spine densification + forward fill
     "sim_ann_compare", "stream_sessions_evict", "scale_bucketed",
     "dedup_semantic", "scale_compact", "events_distinct_approx",
     "events_props_parse", "pipe_stats", "text_collocations",
@@ -153,8 +154,12 @@ _WINDOW = (
     # q19 displaced by stream_restart: its cross-series axis extrema
     # (operator A3) ride the in-window lifecycle_image witness (the
     # y-range padding over the same extrema path); parity-checked at
-    # sf0.001 every run
-    + [f"q{i}" for i in range(9, 23) if i not in (18, 19, 20, 21)]
+    # sf0.001 every run.
+    # q17 displaced by events_scaffold: its equi-keyed range join is
+    # the same shape events_attribution (in-window, NEW) witnesses with
+    # the stronger bucketized key, and stream_join's oracle exercises
+    # the identical range predicate; parity-checked at sf0.001 every run
+    + [f"q{i}" for i in range(9, 23) if i not in (17, 18, 19, 20, 21)]
     + [
         # dedup_minhash_lsh displaced to the r10 queue by scale_zorder:
         # dedup_ngram_jaccard's machinery consumes the same session

@@ -2027,3 +2027,47 @@ def test_stream_restart_is_idempotent_with_no_new_files(spark, tmp_path):
     assert phase() == 100
     assert phase() == 0
     assert spark.read.parquet(land).count() == 100
+
+
+def test_scaffold_dense_grid_and_forward_fill(spark):
+    """Hand corpus: the grid must span (users x full date range), gap
+    days carry n_events = 0 with the carried-forward value, days before
+    a user's first event carry NULL, and same-timestamp ties resolve to
+    the higher event_id."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.plans import extensions as E
+    import web_maxiv_hdbppviewer_spark.sources.tables as tables
+
+    day0 = 1_704_067_200  # 2024-01-01, day 19723
+    rows = [
+        # user 1: day 0 (two events, same ts - id 11 wins), day 2
+        (10, day0 + 100, 1, 5.0),
+        (11, day0 + 100, 1, 7.0),
+        (12, day0 + 2 * 86400, 1, 9.0),
+        # user 2: only day 1
+        (20, day0 + 86400 + 5, 2, 3.5),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "view", v, "{}") for i, ts, u, v in rows],
+        "event_id long, sec long, user_id long, event_type string, value double, props string",
+    ).select("event_id", F.timestamp_seconds("sec").alias("ts"),
+             "user_id", "event_type", "value", "props")
+    orig = tables.load_tables
+    try:
+        tables.load_tables = lambda s, d: {"events": ev}
+        E.load_tables = lambda s, d: {"events": ev}
+        got = {(r["user_id"], r["day"]): (r["n_events"], r["ffill_r"])
+               for r in E.events_scaffold(spark, "x").collect()}
+    finally:
+        tables.load_tables = orig
+        E.load_tables = orig
+    d = 19723
+    assert got == {
+        (1, d): (2, 7.0),        # tie -> event_id 11
+        (1, d + 1): (0, 7.0),    # gap day carries forward
+        (1, d + 2): (1, 9.0),
+        (2, d): (0, None),       # before first observation
+        (2, d + 1): (1, 3.5),
+        (2, d + 2): (0, 3.5),
+    }

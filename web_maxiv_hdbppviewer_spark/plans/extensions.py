@@ -1918,6 +1918,63 @@ def scale_zorder(spark, sf_dir):
     ).orderBy("layout", "probe_dim")
 
 
+def events_scaffold(spark, sf_dir):
+    """Date-spine densification with forward fill - the warehouse
+    scaffold every per-entity daily rollup needs: the sparse event
+    stream becomes a DENSE (user x day) grid over the corpus date range,
+    missing days carry n_events = 0 and the user's
+    last-observation-carried-forward value (NULL before the first
+    observation). Per-day 'last' is deterministic: max_by over the
+    (epoch, event_id) struct breaks timestamp ties by event id.
+
+    Scale shape: the spine is |users| x |days| - generated by one
+    explode of an arithmetic sequence against the (broadcast) 1-row
+    date range, never a cartesian of two scans; the daily aggregate
+    combines map-side; the forward fill is one window per user ordered
+    by day (a rows-frame last(ignorenulls), O(1) state per row). At
+    100 TB the spine is the SMALL side - entities x days, not events."""
+    from ..functions.time import epoch_us
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    day = (epoch_us(F.col("ts")) / 86_400_000_000).cast("long")
+    evd = ev.select(
+        "user_id", day.alias("day"), "value",
+        epoch_us(F.col("ts")).alias("us"), "event_id",
+    )
+    rng = evd.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = (
+        evd.select("user_id").distinct()
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    daily = evd.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max_by("value", F.struct("us", "event_id")).alias("day_last"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id", "day",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.round(
+                F.last("day_last", ignorenulls=True).over(w), 6
+            ).alias("ffill_r"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
 def events_attribution(spark, sf_dir):
     """Last-touch attribution as a BUCKETIZED interval join - the batch
     twin of stream_join with the plan a 100 TB range join needs: every
@@ -2514,6 +2571,7 @@ EXTENSION_QUERIES = {
     "stream_join": stream_join,
     "events_attribution": events_attribution,
     "stream_restart": stream_restart,
+    "events_scaffold": events_scaffold,
     "stream_sessions": stream_sessions,
     "stream_sessions_evict": stream_sessions_evict,
     "sim_ann_lsh": sim_ann_lsh,

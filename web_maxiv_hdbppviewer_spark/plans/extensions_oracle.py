@@ -1327,6 +1327,44 @@ EXTENSION_ORACLE = {
         SELECT event_id, epoch_us(ts) AS t_us, user_id
         FROM events ORDER BY event_id
     """,
+    # date-spine densification (extensions.events_scaffold): same dense
+    # (user x day) grid via generate_series, per-day last by
+    # arg_max over the (epoch, event_id) pair, forward fill via
+    # last_value IGNORE NULLS over the same rows frame
+    "events_scaffold": """
+        WITH evd AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day, value,
+                 epoch_us(ts) AS us, event_id
+          FROM events),
+        rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM evd),
+        spine AS (
+          SELECT u.user_id, d.day
+          FROM (SELECT DISTINCT user_id FROM evd) u
+          CROSS JOIN (SELECT unnest(generate_series(
+                        (SELECT d0 FROM rng), (SELECT d1 FROM rng))) AS day) d),
+        ranked AS (
+          SELECT user_id, day, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                    ORDER BY us DESC, event_id DESC) AS rn
+          FROM evd),
+        counts AS (
+          SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM evd GROUP BY user_id, day),
+        daily AS (
+          SELECT c.user_id, c.day, c.n_events, r.value AS day_last
+          FROM counts c
+          JOIN ranked r ON r.user_id = c.user_id AND r.day = c.day
+                       AND r.rn = 1)
+        SELECT s.user_id, s.day,
+               COALESCE(n_events, 0) AS n_events,
+               ROUND(last_value(day_last IGNORE NULLS) OVER (
+                 PARTITION BY s.user_id ORDER BY s.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                 AS ffill_r
+        FROM spine s
+        LEFT JOIN daily ON daily.user_id = s.user_id AND daily.day = s.day
+        ORDER BY s.user_id, s.day
+    """,
     # exactly-once-across-restart (extensions.stream_restart): the
     # oracle pins the batch count/checksum; the three contracts are
     # hard-coded true - each derived independently on the Spark side
