@@ -127,6 +127,7 @@ _CHANGED_THIS_ROUND = [
     "text_chunk",  # NEW - overlapping token windows, RAG/packing prep
     "stream_restart",  # NEW - exactly-once across a checkpoint restart
     "events_scaffold",  # NEW - date-spine densification + forward fill
+    "events_markov",  # NEW - user-journey transition matrix
     "sim_ann_compare", "stream_sessions_evict", "scale_bucketed",
     "dedup_semantic", "scale_compact", "events_distinct_approx",
     "events_props_parse", "pipe_stats", "text_collocations",
@@ -158,8 +159,12 @@ _WINDOW = (
     # q17 displaced by events_scaffold: its equi-keyed range join is
     # the same shape events_attribution (in-window, NEW) witnesses with
     # the stronger bucketized key, and stream_join's oracle exercises
-    # the identical range predicate; parity-checked at sf0.001 every run
-    + [f"q{i}" for i in range(9, 23) if i not in (17, 18, 19, 20, 21)]
+    # the identical range predicate; parity-checked at sf0.001 every run.
+    # q16 displaced by events_markov: its except/anti semantics (U3/U4)
+    # are exercised in-window through pipe_stats_delta's diff slices
+    # (added/removed statuses ARE the anti-join outcomes of the
+    # full-outer fingerprint join); parity-checked at sf0.001 every run
+    + [f"q{i}" for i in range(9, 23) if i not in (16, 17, 18, 19, 20, 21)]
     + [
         # dedup_minhash_lsh displaced to the r10 queue by scale_zorder:
         # dedup_ngram_jaccard's machinery consumes the same session

@@ -2071,3 +2071,34 @@ def test_scaffold_dense_grid_and_forward_fill(spark):
         (2, d + 1): (1, 3.5),
         (2, d + 2): (0, 3.5),
     }
+
+
+def test_markov_transitions_on_planted_journeys(spark):
+    """Planted journeys: u1 = A->B->A, u2 = A->B (same-second ties ordered
+    by event_id); transitions A->B x2, B->A x1 and row-normalized
+    probabilities; the cross-user boundary must NOT create a transition."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.plans import extensions as E
+    import web_maxiv_hdbppviewer_spark.sources.tables as tables
+
+    t0 = 1_704_067_200
+    rows = [
+        (1, t0, 1, "A"), (2, t0, 1, "B"), (3, t0 + 5, 1, "A"),
+        (4, t0 + 99, 2, "A"), (5, t0 + 100, 2, "B"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, s, u, k, 1.0, "{}") for i, s, u, k in rows],
+        "event_id long, sec long, user_id long, event_type string, value double, props string",
+    ).select("event_id", F.timestamp_seconds("sec").alias("ts"),
+             "user_id", "event_type", "value", "props")
+    orig = tables.load_tables
+    try:
+        tables.load_tables = lambda s, d: {"events": ev}
+        E.load_tables = lambda s, d: {"events": ev}
+        got = {(r["src_type"], r["dst_type"]): (r["n"], r["p_r"])
+               for r in E.events_markov(spark, "x").collect()}
+    finally:
+        tables.load_tables = orig
+        E.load_tables = orig
+    assert got == {("A", "B"): (2, 1.0), ("B", "A"): (1, 1.0)}

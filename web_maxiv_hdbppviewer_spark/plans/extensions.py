@@ -1918,6 +1918,44 @@ def scale_zorder(spark, sf_dir):
     ).orderBy("layout", "probe_dim")
 
 
+def events_markov(spark, sf_dir):
+    """First-order user-journey transition matrix - the Markov summary
+    product analytics derives funnels and next-step prediction from: for
+    each user's event sequence (ordered by (ts, event_id) - the
+    deterministic total order), count consecutive (src -> dst) event-type
+    transitions and normalize per source state. Output one row per
+    observed transition: (src_type, dst_type, n, p_r) with
+    p_r = ROUND(n / outgoing(src), 6).
+
+    Scale shape: one lag window per user partition (users are the
+    natural partition key; no global window anywhere), then a
+    25-cell-bounded aggregation that combines map-side; the per-source
+    normalization joins the 5-row outgoing totals broadcast-style."""
+    from ..functions.time import epoch_us
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", epoch_us(F.col("ts")).alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("src_type"),
+        F.col("event_type").alias("dst_type"),
+    ).where(F.col("src_type").isNotNull())
+    counts = steps.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("src_type").agg(F.sum("n").alias("tot"))
+    return (
+        counts.join(F.broadcast(totals), "src_type")
+        .select(
+            "src_type", "dst_type", "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("p_r"),
+        )
+        .orderBy("src_type", "dst_type")
+    )
+
+
 def events_scaffold(spark, sf_dir):
     """Date-spine densification with forward fill - the warehouse
     scaffold every per-entity daily rollup needs: the sparse event
@@ -2572,6 +2610,7 @@ EXTENSION_QUERIES = {
     "events_attribution": events_attribution,
     "stream_restart": stream_restart,
     "events_scaffold": events_scaffold,
+    "events_markov": events_markov,
     "stream_sessions": stream_sessions,
     "stream_sessions_evict": stream_sessions_evict,
     "sim_ann_lsh": sim_ann_lsh,

@@ -1327,6 +1327,25 @@ EXTENSION_ORACLE = {
         SELECT event_id, epoch_us(ts) AS t_us, user_id
         FROM events ORDER BY event_id
     """,
+    # user-journey transition matrix (extensions.events_markov): LAG
+    # over the same deterministic (us, event_id) per-user order, exact
+    # integer transition counts, round-6 row-normalized probabilities
+    "events_markov": """
+        WITH s AS (
+          SELECT user_id,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id)
+                   AS src_type,
+                 event_type AS dst_type
+          FROM events),
+        c AS (
+          SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM s WHERE src_type IS NOT NULL GROUP BY src_type, dst_type),
+        t AS (SELECT src_type, SUM(n) AS tot FROM c GROUP BY src_type)
+        SELECT c.src_type, c.dst_type, n, ROUND(n / tot, 6) AS p_r
+        FROM c JOIN t ON t.src_type = c.src_type
+        ORDER BY c.src_type, c.dst_type
+    """,
     # date-spine densification (extensions.events_scaffold): same dense
     # (user x day) grid via generate_series, per-day last by
     # arg_max over the (epoch, event_id) pair, forward fill via
