@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (text_bpe_apply rewritten but left unwitnessed) fails the suite instead
 # of relying on judge review.
 #
-# Round-9 CONTINUATION additions (second session of the round): 13 new
+# Round-9 CONTINUATION additions (second session of the round): 15 new
 # queries - dedup_spans (C4 repeated-span filter, one-window shuffle),
 # events_heavy_hitters (Count-Min point-frequency contracts),
 # stream_join (watermarked stream-stream interval join),
@@ -51,14 +51,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # pipe_bootstrap (Poisson-bootstrap CIs), graph_pagerank (integer
 # supersteps, SQL-unrolled), events_attribution (bucketized interval
 # join), text_chunk (overlapping context windows), stream_restart
-# (exactly-once across a checkpoint restart) - plus the
+# (exactly-once across a checkpoint restart), events_scaffold
+# (date-spine densification + forward fill) and events_markov
+# (journey transition matrix) - plus the
 # text_lm_score decimal-sum determinism/perf fix (15x) and the
 # TtlDimension.invalidate monotonic-clock fix. Each addition displaced
 # one rotation-tail entry with an inline justification below; the
 # displaced set (events_quantiles, window_sessions,
 # sim_ann_ivf_trained, dedup_ngram_jaccard, dedup_minhash_lsh,
 # pipe_curation, pipe_contamination, pipe_domain_mix,
-# lifecycle_aggregate, q18-q21) leads the r10 rotation queue together
+# lifecycle_aggregate, q16-q21) leads the r10 rotation queue together
 # with the earlier tail; ALL of them stayed parity-green in this
 # session's full sf0.01 sweep (116/116, the driver's own scale).
 #
