@@ -1583,7 +1583,10 @@ def test_r9_float_queries_are_run_deterministic(spark):
 
     qs = entry_mod.queries()
     for name in ("pipe_stats", "events_anomaly", "text_collocations",
-                 "text_keywords", "pipe_temperature_mix"):
+                 "text_keywords", "pipe_temperature_mix",
+                 # continuation additions with float-bearing outputs
+                 "pipe_bootstrap", "events_scaffold", "events_markov",
+                 "sim_pca_gram", "text_lm_score", "dedup_spans"):
         a = [tuple(r) for r in qs[name](spark, SF_SMOKE).collect()]
         b = [tuple(r) for r in qs[name](spark, SF_SMOKE).collect()]
         assert a == b, name
