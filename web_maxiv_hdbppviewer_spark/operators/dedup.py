@@ -920,3 +920,72 @@ def bloom_contamination(
             ).alias("shared_frac"),
         )
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    max_lev: int = 8,
+    len_band: int = 16,
+    gram_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Edit-distance record linkage (fuzzy join): pairs whose full texts
+    are within ``max_lev`` Levenshtein edits, found WITHOUT an all-pairs
+    scan. The classic blocked-linkage shape:
+
+      1. blocking: candidates = pairs sharing >= 1 distinct word
+         ``gram_k``-gram (an inverted-index self-join - rare k-grams make
+         the posting lists short; a character edit perturbs at most
+         ``gram_k`` of the grams, so pairs within ``max_lev`` edits of a
+         doc with more than ``gram_k * max_lev`` grams provably share one);
+      2. length filter: ``|len_a - len_b| <= len_band`` (edit distance is
+         >= the length difference, so any band >= max_lev is exact-recall
+         and prunes before the quadratic step);
+      3. verify: one JVM ``levenshtein()`` per surviving candidate -
+         the O(n*m) DP runs only on blocked, banded pairs.
+
+    Scale shape: the join keys on k-gram strings (shuffle join, key
+    cardinality grows with the corpus - never broadcast-assumed), the
+    verify cost is candidate-proportional, and no Python executes per
+    row. Returns (id_a, id_b, lev) for verified pairs, lev ascending
+    ties by ids.
+    """
+    if len_band < max_lev:
+        raise ValueError(
+            f"len_band ({len_band}) must be >= max_lev ({max_lev}) "
+            "or length banding breaks exact recall"
+        )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.length(F.col(text_col)).alias("len"),
+        F.col(text_col).alias("t"),
+    )
+    grams = base.select(
+        "id",
+        F.explode(
+            F.array_distinct(word_kgrams(words(F.col("t")), gram_k))
+        ).alias("s"),
+    )
+    cand = (
+        grams.alias("a")
+        .join(grams.alias("b"), "s")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    banded = (
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("len").alias("la"),
+                              F.col("t").alias("ta")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("len").alias("lb"),
+                          F.col("t").alias("tb")), "id_b")
+        .where(F.abs(F.col("la") - F.col("lb")) <= len_band)
+    )
+    return (
+        banded.select(
+            "id_a",
+            "id_b",
+            F.levenshtein("ta", "tb").cast("long").alias("lev"),
+        )
+        .where(F.col("lev") <= max_lev)
+    )

@@ -238,3 +238,39 @@ def temperature_rebalance(
         "keep_bp",
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-Spirakis
+    exponential-key trick (Efraimidis & Spirakis 2006): each row draws a
+    deterministic uniform u = (h + 1) / 2^60 from the seeded portable
+    hash, and the k rows with the largest u^(1/w) win. Ranking by
+    ln(u)/w is the same order (ln and ^(1/w) are monotone), avoids the
+    pow() call, and keeps the only float a single round-6'd ln-ratio any
+    SQL engine reproduces.
+
+    This is THE primitive for importance-weighted corpus subsampling
+    (sample documents proportional to token count / quality / domain
+    weight) with no RNG state: re-running on any cluster layout returns
+    the identical sample, and adding documents never evicts a kept one
+    unless it out-keys it (the top-k is a pure function of the ids).
+
+    Scale shape: a pure projection followed by a global top-k -
+    TakeOrderedAndProject, partial per-partition heaps of k rows, never
+    a global sort. Ties on the rounded key break by id ascending.
+    """
+    u = (
+        md5_int60(F.col(id_col).cast("string"), salt=seed) + 1
+    ) / F.lit(float(1 << 60))
+    key = F.round(F.log(u) / F.col(weight_col), 6)
+    return (
+        df.withColumn("w_key_r", key)
+        .orderBy(F.desc("w_key_r"), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -515,3 +515,124 @@ def tfidf_keywords(
         .where(F.col("rk") <= k)
         .select(F.col("id").alias(id_col), F.col("w").alias("term"), "tf", "score_r", "rk")
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    topk: int = 20,
+    gram_k: int = 3,
+    df_cap: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse-vector cosine similarity join over TF-IDF weighted word
+    k-grams, computed through an INVERTED INDEX (posting-list self-join
+    keyed by term) - the document-pair similarity engine for corpora with
+    no dense embeddings, and the TF-IDF twin of the Jaccard dedup family
+    (weighted overlap instead of set overlap).
+
+    Algebra, engine-portable by construction:
+      w(d,t)  = ROUND(tf * ln(N / df), 6) as DECIMAL(18,6)  - one round-6
+                ln like every scored ranking in the battery;
+      dot     = SUM(w_a * w_b) over shared terms   - DECIMAL products and
+                sums are EXACT, so the only order-dependent float sum in
+                the operator is eliminated (the lm_score decimal-sum
+                discipline);
+      cos_r   = ROUND(dot / (norm_a * norm_b), 6)  - norms are sqrt of
+                exact decimal sums of squares.
+
+    ``df_cap`` drops terms whose document frequency exceeds the cap from
+    BOTH weights and postings (their idf ~ 0, and their posting lists are
+    the quadratic skew hazard at 100 TB - the DISCO/stop-term bound); on
+    this corpus every k-gram is far below the cap, so results are exact
+    while the dial stays exercised. Global top-k by (cos_r desc, ids) is
+    a TakeOrderedAndProject, never a full sort.
+    """
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_kgrams(words(F.col(text_col)), gram_k)).alias("s"),
+        )
+        .groupBy("id", "s")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("nn"))
+    wts = (
+        tf.join(dfreq, "s")
+        .where(F.col("df") <= df_cap)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id",
+            "s",
+            F.round(
+                F.col("tf") * F.log(F.col("nn").cast("double") / F.col("df")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    nrm = wts.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nr")
+    )
+    dots = (
+        wts.alias("a")
+        .join(wts.alias("b"), "s")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("double").alias("dot"))
+    )
+    return (
+        dots.join(nrm.select(F.col("id").alias("id_a"), F.col("nr").alias("na")), "id_a")
+        .join(nrm.select(F.col("id").alias("id_b"), F.col("nr").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos_r"),
+        )
+        .orderBy(F.desc("cos_r"), "id_a", "id_b")
+        .limit(topk)
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document vocabulary coverage / OOV-rate audit against the
+    corpus top-``vocab_k`` word vocabulary - the tokenizer-fit signal a
+    curation pipeline reads before committing to a vocab (documents with
+    high OOV mass are mis-tokenized garbage, code, or out-of-domain).
+
+    Two bounded passes: global word counts roll up to a top-k vocab
+    (count desc, word asc - a TakeOrderedAndProject, k rows), which
+    broadcast-joins back onto the per-document token explode; coverage =
+    in-vocab tokens / tokens, round-6. Output (doc_id, n_tokens,
+    n_in_vocab, oov_r)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(words(F.col(text_col))).alias("w"),
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(vocab_k)
+        .select("w", F.lit(1).alias("in_v"))
+    )
+    per_tok = toks.join(F.broadcast(vocab), "w", "left")
+    return (
+        per_tok.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce("in_v", F.lit(0))).cast("long").alias("n_in_vocab"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "n_in_vocab",
+            F.round(1.0 - F.col("n_in_vocab") / F.col("n_tokens"), 6).alias("oov_r"),
+        )
+    )

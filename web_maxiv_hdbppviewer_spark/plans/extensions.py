@@ -2567,6 +2567,236 @@ def pipe_shard_sink(spark, sf_dir):
     )
 
 
+# --- round 10: weighted sampling / fuzzy linkage / sparse cosine /
+# --- manifests / vocab audit / rolling features / SCD2 intervals --------
+
+WSAMPLE_K = 100
+SPARSE_TOPK = 20
+SPARSE_DF_CAP = 100
+FUZZY_MAX_LEV = 8
+FUZZY_LEN_BAND = 16
+VOCAB_TOPK = 20
+ROLL_WINDOW_S = 7 * 86_400
+KEEPBEST_MIN = 1  # emit every cluster (singletons are the kept corpus)
+
+
+def pipe_sample_weighted(spark, sf_dir):
+    """Importance-weighted corpus subsample: top-100 documents by the
+    Efraimidis-Spirakis exponential key with weight = n_chars (longer
+    documents proportionally likelier), deterministic via the seeded
+    portable hash (operators/sampling.weighted_sample). The oracle
+    replays the key algebra; the plan is a projection + global top-k
+    (TakeOrderedAndProject - per-partition heaps, no global sort)."""
+    return sampling.weighted_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars"),
+        WSAMPLE_K,
+    ).orderBy(F.desc("w_key_r"), "doc_id")
+
+
+def dedup_fuzzy(spark, sf_dir):
+    """Blocked edit-distance linkage (operators/dedup.fuzzy_pairs):
+    word-5-gram inverted-index blocking, +-16-char length banding, then
+    one JVM levenshtein() per surviving candidate - catches small-edit
+    clones by the metric OCR/boilerplate variation actually moves
+    (measured here: planted near-dups sit at lev = 4, background pairs
+    at >= ~150). Oracle replays the same blocked formulation."""
+    return dedup.fuzzy_pairs(
+        _docs(spark, sf_dir), FUZZY_MAX_LEV, FUZZY_LEN_BAND
+    ).orderBy("id_a", "id_b")
+
+
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware cluster representative selection - the KEEP policy
+    composed end-to-end: near-dup pairs -> connected components -> one
+    row per cluster carrying the member that maximizes the heuristic
+    quality score (ties: lowest doc_id), with the member count. This is
+    the policy production dedup actually ships (keep the BEST copy, not
+    the lowest-id copy). Scale: the per-cluster argmax is a window
+    partitioned by cluster_id - never global."""
+    from pyspark.sql.window import Window
+
+    from ..operators import graph
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select("id_a", "id_b")
+    clusters = graph.duplicate_clusters(docs, pairs)
+    quality = textquality.quality_scores(docs).select("doc_id", "quality")
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_id"),
+            F.col("quality").alias("rep_quality_r"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def sim_sparse_topk(spark, sf_dir):
+    """Global top-20 most-similar document pairs by TF-IDF word-trigram
+    cosine through an inverted term index
+    (operators/textquality.tfidf_cosine_pairs) - the sparse-vector
+    similarity join (no embeddings needed), with decimal-exact dots and
+    a df-capped posting list as the 100 TB skew dial."""
+    return textquality.tfidf_cosine_pairs(
+        _docs(spark, sf_dir), SPARSE_TOPK, 3, SPARSE_DF_CAP
+    ).orderBy(F.desc("cos_r"), "id_a", "id_b")
+
+
+def text_vocab(spark, sf_dir):
+    """Vocabulary-coverage / OOV-rate audit per document against the
+    corpus top-20 word vocabulary (operators/textquality.vocab_coverage):
+    bounded top-k vocab broadcast back over one token explode."""
+    return textquality.vocab_coverage(_docs(spark, sf_dir), VOCAB_TOPK).orderBy(
+        "doc_id"
+    )
+
+
+def pipe_manifest(spark, sf_dir):
+    """Order-invariant dataset manifest - the reproducibility artifact a
+    100 TB corpus release ships per (split, source) shard group: document
+    count, an XOR-combined 60-bit content checksum (bit_xor is
+    commutative/associative, so the checksum is independent of row order,
+    partitioning, and cluster size - unlike any positional hash), total
+    characters, and the id range. Re-running after any engine/layout
+    change must reproduce these rows bit-for-bit; a single changed or
+    dropped document flips xor_h. Pure two-level aggregation,
+    map-side combinable, 60-row output."""
+    docs = sampling.hash_split(_docs(spark, sf_dir), SPLIT_FRACTIONS)
+    h = md5_int60_text()
+    return (
+        docs.select("split", "source", "n_chars", "doc_id", h.alias("h"))
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("bit_xor(h)").alias("xor_h"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+def md5_int60_text():
+    """Content hash for manifests: h(doc_id ':' text) - includes the id so
+    two identical texts under different ids don't XOR-cancel."""
+    from ..functions.texthash import md5_int60
+
+    return md5_int60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+    )
+
+
+def events_rolling(spark, sf_dir):
+    """Per-event trailing-7-day user features via a RANGE window frame
+    (RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW over integer epoch
+    seconds) - the point-in-time-correct rolling feature that feeds
+    training sets without leakage (frame ends AT the event, never after).
+    Count/max/min only - order-free aggregates, so the result is exact
+    and engine-portable with no float-sum caveat. Scale: one window
+    partitioned by user_id; no global ordering anywhere."""
+    from pyspark.sql.window import Window
+
+    from ..functions.time import epoch_us
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(
+            "event_id",
+            "user_id",
+            (epoch_us(F.col("ts")) / 1_000_000).cast("long").alias("sec"),
+            "value",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-ROLL_WINDOW_S, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "sec",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
+            F.round(F.max("value").over(w), 6).alias("max_7d"),
+            F.round(F.min("value").over(w), 6).alias("min_7d"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def events_scd2(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) interval build: compress each
+    user's event-type stream (ordered by the deterministic (ts, event_id)
+    total order) into consecutive runs with [valid_from, valid_to)
+    microsecond intervals - valid_to = next run's start, NULL while
+    current. The gaps-and-islands run assignment (lag + conditional
+    cumsum) is the standard CDC->dimension compaction; all integer
+    arithmetic. Scale: two windows partitioned by user_id and one
+    grouped aggregation - nothing global."""
+    from pyspark.sql.window import Window
+
+    from ..functions.time import epoch_us
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_type",
+        epoch_us(F.col("ts")).alias("us"),
+        "event_id",
+    )
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    runs = (
+        ev.withColumn(
+            "chg",
+            F.when(
+                F.lag("event_type").over(wo).isNull()
+                | (F.lag("event_type").over(wo) != F.col("event_type")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("chg").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "run_id")
+        .agg(
+            # event_type is constant within a run by construction; MIN is
+            # the deterministic way to carry it through the aggregation
+            F.min("event_type").alias("event_type"),
+            F.min("us").alias("valid_from_us"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy("run_id")
+    return (
+        runs.withColumn("valid_to_us", F.lead("valid_from_us").over(wr))
+        .select(
+            "user_id",
+            F.col("run_id").cast("long").alias("run_id"),
+            "event_type",
+            "valid_from_us",
+            "valid_to_us",
+            "n_events",
+        )
+        .orderBy("user_id", "run_id")
+    )
+
+
 # Dict order here is NOT the witness window anymore: since round 7 the
 # 50-entry driver window is the explicit _WINDOW list in __spark_entry__.py
 # (rotated every round toward the least-recently-witnessed queries); this
@@ -2659,6 +2889,15 @@ EXTENSION_QUERIES = {
     "sim_pca_gram": sim_pca_gram,
     "sim_pca": sim_pca,
     "sim_topk_cosine": sim_topk_cosine,
+    # -- round 10 --
+    "pipe_sample_weighted": pipe_sample_weighted,
+    "dedup_fuzzy": dedup_fuzzy,
+    "dedup_keep_best": dedup_keep_best,
+    "sim_sparse_topk": sim_sparse_topk,
+    "text_vocab": text_vocab,
+    "pipe_manifest": pipe_manifest,
+    "events_rolling": events_rolling,
+    "events_scd2": events_scd2,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

@@ -2308,3 +2308,222 @@ def _pagerank_sql(iters: int = 8, scale: int = 10**12, topk: int = 20) -> str:
 
 
 EXTENSION_ORACLE["graph_pagerank"] = _pagerank_sql()
+
+
+# ---- round 10 ----------------------------------------------------------
+
+# Efraimidis-Spirakis weighted sample (extensions.pipe_sample_weighted /
+# sampling.weighted_sample): the same key algebra - seeded 60-bit uniform,
+# round-6 ln(u)/w ranking, id tiebreak, top-100
+EXTENSION_ORACLE["pipe_sample_weighted"] = f"""
+        WITH k AS (
+          SELECT doc_id, lang, source, n_chars,
+                 ROUND(ln(({H.format(x="'wsample:' || CAST(doc_id AS VARCHAR)")} + 1)
+                          / 1152921504606846976.0) / n_chars, 6) AS w_key_r
+          FROM documents)
+        SELECT * FROM k ORDER BY w_key_r DESC, doc_id LIMIT 100
+    """
+
+# blocked edit-distance linkage (extensions.dedup_fuzzy /
+# dedup.fuzzy_pairs): the same blocked formulation - shared distinct
+# word-5-gram, +-16-char band, levenshtein <= 8 (DuckDB's levenshtein is
+# the identical unit-cost DP)
+EXTENSION_ORACLE["dedup_fuzzy"] = """
+        WITH raw_toks AS (
+          SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+          FROM (SELECT doc_id,
+                       list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+                FROM documents)),
+        g5 AS (
+          SELECT DISTINCT doc_id AS id,
+                 w || ' ' || w2 || ' ' || w3 || ' ' || w4 || ' ' || w5 AS s
+          FROM (SELECT doc_id, w, i,
+                       lead(w)    OVER (PARTITION BY doc_id ORDER BY i) AS w2,
+                       lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w3,
+                       lead(w, 3) OVER (PARTITION BY doc_id ORDER BY i) AS w4,
+                       lead(w, 4) OVER (PARTITION BY doc_id ORDER BY i) AS w5
+                FROM raw_toks)
+          WHERE w5 IS NOT NULL),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM g5 a JOIN g5 b ON a.s = b.s AND a.id < b.id)
+        SELECT c.id_a, c.id_b,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev
+        FROM cand c
+        JOIN documents da ON da.doc_id = c.id_a
+        JOIN documents db ON db.doc_id = c.id_b
+        WHERE abs(length(da.text) - length(db.text)) <= 16
+          AND levenshtein(da.text, db.text) <= 8
+        ORDER BY id_a, id_b
+    """
+
+# quality-aware cluster representative (extensions.dedup_keep_best):
+# recursive-CTE closure (the dedup_clusters oracle) + the text_quality
+# score algebra + per-cluster (quality desc, id) argmax
+EXTENSION_ORACLE["dedup_keep_best"] = f"""
+        WITH RECURSIVE {_SHINGLES}, {_JACCARD},
+        pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM pairs),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        lbl AS (SELECT u AS id, MIN(v) AS mn FROM reach GROUP BY u),
+        clus AS (
+          SELECT d.doc_id,
+                 CAST(LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS BIGINT)
+                   AS cluster_id
+          FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id),
+        qt AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents),
+        qf AS (
+          SELECT doc_id, len(toks) AS n,
+                 len(list_filter(toks,
+                     x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+                 len(list_distinct(toks)) AS n_dist
+          FROM qt),
+        q AS (
+          SELECT doc_id,
+                 ROUND(0.4 * (n_stop / n) + 0.3 * least(n / 100.0, 1.0)
+                       + 0.3 * (n_dist / n), 6) AS quality
+          FROM qf),
+        ranked AS (
+          SELECT c.cluster_id, c.doc_id, q.quality,
+                 ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY q.quality DESC, c.doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+          FROM clus c JOIN q USING (doc_id))
+        SELECT cluster_id, doc_id AS rep_id, quality AS rep_quality_r,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE rk = 1 ORDER BY cluster_id
+    """
+
+# sparse TF-IDF trigram cosine (extensions.sim_sparse_topk /
+# textquality.tfidf_cosine_pairs): identical weight algebra - round-6
+# tf*ln(N/df) as DECIMAL(18,6), exact decimal dots/norms, round-6 cosine,
+# df cap 100, global top-20
+EXTENSION_ORACLE["sim_sparse_topk"] = """
+        WITH raw_toks AS (
+          SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+          FROM (SELECT doc_id,
+                       list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+                FROM documents)),
+        tg AS (
+          SELECT doc_id AS id, w || ' ' || w2 || ' ' || w3 AS s
+          FROM (SELECT doc_id, w, i,
+                       lead(w)    OVER (PARTITION BY doc_id ORDER BY i) AS w2,
+                       lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w3
+                FROM raw_toks)
+          WHERE w3 IS NOT NULL),
+        tf AS (SELECT id, s, COUNT(*) AS tf FROM tg GROUP BY id, s),
+        dfq AS (SELECT s, COUNT(*) AS df FROM tf GROUP BY s),
+        n AS (SELECT COUNT(*) AS nn FROM documents),
+        wts AS (
+          SELECT id, s,
+                 CAST(ROUND(tf * ln(CAST(nn AS DOUBLE) / df), 6)
+                      AS DECIMAL(18,6)) AS w
+          FROM tf JOIN dfq USING (s) CROSS JOIN n
+          WHERE df <= 100),
+        nrm AS (SELECT id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nr
+                FROM wts GROUP BY id),
+        dots AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(SUM(a.w * b.w) AS DOUBLE) AS dot
+          FROM wts a JOIN wts b ON a.s = b.s AND a.id < b.id
+          GROUP BY 1, 2),
+        cos AS (
+          SELECT id_a, id_b, ROUND(dot / (na.nr * nb.nr), 6) AS cos_r
+          FROM dots
+          JOIN nrm na ON na.id = id_a
+          JOIN nrm nb ON nb.id = id_b)
+        SELECT id_a, id_b, cos_r FROM cos
+        ORDER BY cos_r DESC, id_a, id_b LIMIT 20
+    """
+
+# vocabulary coverage (extensions.text_vocab / textquality.vocab_coverage):
+# top-20 vocab by (count desc, word asc), per-doc in-vocab ratio
+EXTENSION_ORACLE["text_vocab"] = """
+        WITH toks AS (
+          SELECT doc_id AS id, unnest(
+                 list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+          FROM documents),
+        vocab AS (
+          SELECT w FROM (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w)
+          ORDER BY cnt DESC, w ASC LIMIT 20)
+        SELECT id AS doc_id,
+               COUNT(*)::BIGINT AS n_tokens,
+               SUM(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0 END)::BIGINT
+                 AS n_in_vocab,
+               ROUND(1.0 - SUM(CASE WHEN w IN (SELECT w FROM vocab)
+                                    THEN 1 ELSE 0 END) / COUNT(*), 6) AS oov_r
+        FROM toks GROUP BY id ORDER BY doc_id
+    """
+
+# order-invariant dataset manifest (extensions.pipe_manifest): the split
+# bucket rule of pipe_split + per-(split, source) XOR'd content hashes
+EXTENSION_ORACLE["pipe_manifest"] = f"""
+        WITH d AS (
+          SELECT doc_id, source, n_chars, text,
+                 CASE WHEN b < 8000 THEN 'train'
+                      WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT *,
+                       {H.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 10000 AS b
+                FROM documents))
+        SELECT split, source, COUNT(*)::BIGINT AS n_docs,
+               bit_xor({H.format(x="CAST(doc_id AS VARCHAR) || ':' || text")})
+                 AS xor_h,
+               SUM(n_chars)::BIGINT AS total_chars,
+               MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM d GROUP BY split, source ORDER BY split, source
+    """
+
+# trailing-7-day RANGE-frame features (extensions.events_rolling): the
+# identical integer-second frame; count/max/min are order-free aggregates
+EXTENSION_ORACLE["events_rolling"] = """
+        WITH ev AS (
+          SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec, value
+          FROM events WHERE value IS NOT NULL AND NOT isnan(value))
+        SELECT event_id, user_id, sec,
+               COUNT(*) OVER w AS n_7d,
+               ROUND(MAX(value) OVER w, 6) AS max_7d,
+               ROUND(MIN(value) OVER w, 6) AS min_7d
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """
+
+# SCD2 interval build (extensions.events_scd2): identical gaps-and-islands
+# run assignment over (us, event_id), intervals via lead of run starts
+EXTENSION_ORACLE["events_scd2"] = """
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+          FROM events),
+        lagged AS (
+          SELECT user_id, event_type, us, event_id,
+                 lag(event_type) OVER w AS prev_t
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        runs AS (
+          SELECT user_id, event_type, us,
+                 SUM(CASE WHEN prev_t IS NULL OR prev_t <> event_type
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_id
+          FROM lagged),
+        agg AS (
+          SELECT user_id, run_id, MIN(event_type) AS event_type,
+                 MIN(us) AS valid_from_us,
+                 COUNT(*)::BIGINT AS n_events
+          FROM runs GROUP BY user_id, run_id)
+        SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+               valid_from_us,
+               lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id)
+                 AS valid_to_us,
+               n_events
+        FROM agg ORDER BY user_id, run_id
+    """
