@@ -517,6 +517,53 @@ def tfidf_keywords(
     )
 
 
+def tfidf_term_weights(
+    df: DataFrame,
+    gram_k: int = 3,
+    df_cap: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The weighted posting list (id, term, w) behind the sparse cosine
+    join: w = ROUND(tf * ln(N / df), 6) as DECIMAL(18,6) - decimal so
+    every downstream dot/norm SUM is exact and order-free (the lm_score
+    decimal-sum discipline). Terms with document frequency above
+    ``df_cap`` are dropped (idf ~ 0 and their posting lists are the
+    quadratic skew hazard - the DISCO/stop-term bound).
+
+    Materialized on first use (localCheckpoint): the posting list feeds
+    three consumers in the cosine join (both sides of the term self-join
+    and the norm rollup); without materialization each consumer replays
+    the tokenize+count+df pipeline - measured 4 redundant corpus passes.
+    Same idiom as the memoized dedup shingle index; at cluster scale this
+    is the posting list you'd persist/bucket once anyway."""
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_kgrams(words(F.col(text_col)), gram_k)).alias("s"),
+        )
+        .groupBy("id", "s")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("nn"))
+    return (
+        tf.join(dfreq, "s")
+        .where(F.col("df") <= df_cap)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id",
+            "s",
+            F.round(
+                F.col("tf") * F.log(F.col("nn").cast("double") / F.col("df")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+        .localCheckpoint()
+    )
+
+
 def tfidf_cosine_pairs(
     df: DataFrame,
     topk: int = 20,
@@ -548,30 +595,7 @@ def tfidf_cosine_pairs(
     while the dial stays exercised. Global top-k by (cos_r desc, ids) is
     a TakeOrderedAndProject, never a full sort.
     """
-    tf = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_kgrams(words(F.col(text_col)), gram_k)).alias("s"),
-        )
-        .groupBy("id", "s")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    n = df.agg(F.count(F.lit(1)).alias("nn"))
-    wts = (
-        tf.join(dfreq, "s")
-        .where(F.col("df") <= df_cap)
-        .crossJoin(F.broadcast(n))
-        .select(
-            "id",
-            "s",
-            F.round(
-                F.col("tf") * F.log(F.col("nn").cast("double") / F.col("df")), 6
-            )
-            .cast("decimal(18,6)")
-            .alias("w"),
-        )
-    )
+    wts = tfidf_term_weights(df, gram_k, df_cap, id_col, text_col)
     nrm = wts.groupBy("id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nr")
     )
