@@ -2797,6 +2797,233 @@ def events_scd2(spark, sf_dir):
     )
 
 
+# --- round 10, batch 2: kNN graph / stats card / domain shift /
+# --- soft-dedup weights / threshold sweep ------------------------------
+
+KNN_K = 3
+SWEEP_THRESHOLDS = [0.6, 0.7, 0.8, 0.9, 0.95]
+
+
+def sim_knn_graph(spark, sf_dir):
+    """k-nearest-neighbor graph construction over the embedding corpus -
+    the substrate for SemDeDup-style pruning, graph clustering, and
+    diversity sampling: per vector, its top-3 neighbors by exact cosine
+    among banded sign-LSH candidates (every pair agreeing on at least one
+    of 8 disjoint 8-bit hyperplane-sign bands). Reuses the near-dup
+    candidate machinery with the threshold OPEN (min_cos = -1): the graph
+    keeps the strongest edges per node instead of edges above a global
+    bar - so sparse neighborhoods still get their k edges. Candidate
+    recall < 1 for weak edges by LSH design (the oracle replays the same
+    banding); near-identical vectors collide in every band.
+
+    Scale shape: band equi-joins (never cross), one symmetric union of
+    the candidate pairs, then a window partitioned by source node -
+    never global. Edges per node bounded by k."""
+    from pyspark.sql.window import Window
+
+    pairs = similarity.near_dup_pairs(_emb(spark, sf_dir), -1.0)
+    edges = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nbr"), "cos_r"
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("id"), F.col("id_a").alias("nbr"), "cos_r"
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos_r"), F.asc("nbr"))
+    return (
+        edges.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= KNN_K)
+        .select("id", "rk", "nbr", "cos_r")
+        .orderBy("id", "rk")
+    )
+
+
+def scale_colstats(spark, sf_dir):
+    """ANALYZE-style per-column statistics card for the events table -
+    the optimizer/data-quality manifest a 100 TB lakehouse maintains per
+    partition: null count, NaN count, exact NDV, numeric min/max (epoch
+    microseconds for timestamps, round-6 and NaN-excluded for doubles)
+    and lexicographic min/max for strings - ONE scan producing one row
+    per column (the multi-distinct aggregation plans as a single
+    Expand).
+
+    Floats never sum: every statistic is a count, a distinct count, or
+    an order statistic, so the card is exact and engine-portable."""
+    from ..functions.time import epoch_us
+
+    ev = load_tables(spark, sf_dir)["events"]
+    us = epoch_us(F.col("ts"))
+    val_ok = F.when(~F.isnan("value"), F.col("value"))
+    row = ev.agg(
+        # event_id
+        F.sum(F.col("event_id").isNull().cast("long")).alias("id_nulls"),
+        F.countDistinct("event_id").alias("id_ndv"),
+        F.min("event_id").alias("id_min"),
+        F.max("event_id").alias("id_max"),
+        # ts (epoch us)
+        F.sum(F.col("ts").isNull().cast("long")).alias("ts_nulls"),
+        F.countDistinct(us).alias("ts_ndv"),
+        F.min(us).alias("ts_min"),
+        F.max(us).alias("ts_max"),
+        # user_id
+        F.sum(F.col("user_id").isNull().cast("long")).alias("u_nulls"),
+        F.countDistinct("user_id").alias("u_ndv"),
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        # value (NaN counted apart, excluded from ndv/min/max)
+        F.sum(F.col("value").isNull().cast("long")).alias("v_nulls"),
+        F.sum(F.isnan("value").cast("long")).alias("v_nan"),
+        F.countDistinct(val_ok).alias("v_ndv"),
+        F.round(F.min(val_ok), 6).alias("v_min"),
+        F.round(F.max(val_ok), 6).alias("v_max"),
+        # event_type
+        F.sum(F.col("event_type").isNull().cast("long")).alias("t_nulls"),
+        F.countDistinct("event_type").alias("t_ndv"),
+        F.min("event_type").alias("t_min"),
+        F.max("event_type").alias("t_max"),
+        # props
+        F.sum(F.col("props").isNull().cast("long")).alias("p_nulls"),
+        F.countDistinct("props").alias("p_ndv"),
+        F.min("props").alias("p_min"),
+        F.max("props").alias("p_max"),
+    )
+
+    def _stat(name, nulls, nan, ndv, mn, mx, ms, xs):
+        return F.struct(
+            F.lit(name).alias("col_name"),
+            F.col(nulls).cast("long").alias("n_nulls"),
+            (F.col(nan).cast("long") if nan else F.lit(0).cast("long")).alias(
+                "n_nan"
+            ),
+            F.col(ndv).cast("long").alias("ndv"),
+            (F.col(mn).cast("double") if mn else F.lit(None).cast("double")).alias(
+                "min_num"
+            ),
+            (F.col(mx).cast("double") if mx else F.lit(None).cast("double")).alias(
+                "max_num"
+            ),
+            (F.col(ms) if ms else F.lit(None).cast("string")).alias("min_str"),
+            (F.col(xs) if xs else F.lit(None).cast("string")).alias("max_str"),
+        )
+
+    return (
+        row.select(
+            F.explode(
+                F.array(
+                    _stat("event_id", "id_nulls", None, "id_ndv", "id_min", "id_max", None, None),
+                    _stat("event_type", "t_nulls", None, "t_ndv", None, None, "t_min", "t_max"),
+                    _stat("props", "p_nulls", None, "p_ndv", None, None, "p_min", "p_max"),
+                    _stat("ts_us", "ts_nulls", None, "ts_ndv", "ts_min", "ts_max", None, None),
+                    _stat("user_id", "u_nulls", None, "u_ndv", "u_min", "u_max", None, None),
+                    _stat("value", "v_nulls", "v_nan", "v_ndv", "v_min", "v_max", None, None),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .orderBy("col_name")
+    )
+
+
+def text_domain_shift(spark, sf_dir):
+    """Per-source domain-shift audit: KL(P_source || P_corpus) over word
+    unigram distributions - the drift signal a curation pipeline watches
+    when a new crawl/source lands (high KL = out-of-domain mass).
+    Portable arithmetic: every KL term (p * ln(p/q)) is computed from
+    integer counts, rounded to 6 decimals, and summed as DECIMAL - the
+    decimal-sum discipline, so per-source KL is exact given the terms
+    and identical in any engine.
+
+    Scale shape: two map-side-combinable count aggregations (per-(source,
+    word) and the vocab rollup), a vocab-keyed join back, a 20-row
+    broadcast of source totals, a 1-row broadcast of the corpus total."""
+    from ..functions.texthash import words
+
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(words(F.col("text"))).alias("w")
+    )
+    cnt_ws = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw"))
+    n_s = cnt_ws.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    cnt_w = cnt_ws.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    n_tot = cnt_w.agg(F.sum("c_w").alias("n_tot"))
+    term = (
+        cnt_ws.join(cnt_w, "w")
+        .join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "source",
+            "n_s",
+            F.round(
+                (F.col("c_sw") / F.col("n_s"))
+                * F.log(
+                    (F.col("c_sw") * F.col("n_tot")).cast("double")
+                    / (F.col("c_w") * F.col("n_s"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("term"),
+        )
+    )
+    return (
+        term.groupBy("source")
+        .agg(
+            F.first("n_s").cast("long").alias("n_tokens"),
+            F.sum("term").cast("double").alias("kl_r"),
+        )
+        .orderBy("source")
+    )
+
+
+def pipe_reweight(spark, sf_dir):
+    """Soft deduplication: instead of DROPPING near-duplicates, weight
+    every document by 1/|cluster| so each duplicate cluster contributes
+    one document's worth of training mass (the down-weighting alternative
+    the recent dedup literature prefers when borderline clusters carry
+    signal). Output per document: cluster, member count, round-6 weight.
+    Composes the connected components with a cluster-partitioned count
+    window - no global operation."""
+    from pyspark.sql.window import Window
+
+    from ..operators import graph
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select("id_a", "id_b")
+    clusters = graph.duplicate_clusters(docs, pairs)
+    w = Window.partitionBy("cluster_id")
+    return (
+        clusters.withColumn("n_members", F.count(F.lit(1)).over(w).cast("long"))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_members",
+            F.round(1.0 / F.col("n_members"), 6).alias("w_r"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def pipe_dedup_sweep(spark, sf_dir):
+    """Dedup threshold sensitivity in one candidate pass: pair counts and
+    affected-document counts at five Jaccard thresholds, computed from
+    ONE prefix-filtered pair generation at the loosest threshold (0.6)
+    and an explode over the threshold list - the tuning table an operator
+    reads before committing a dedup bar, without five corpus passes."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), SWEEP_THRESHOLDS[0])
+    swept = pairs.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.explode(F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])).alias("t"),
+    ).where(F.col("jaccard") >= F.col("t"))
+    n_pairs = swept.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    n_docs = (
+        swept.select("t", F.explode(F.array("id_a", "id_b")).alias("id"))
+        .groupBy("t")
+        .agg(F.countDistinct("id").cast("long").alias("n_docs"))
+    )
+    return n_pairs.join(n_docs, "t").orderBy("t")
+
+
 # Dict order here is NOT the witness window anymore: since round 7 the
 # 50-entry driver window is the explicit _WINDOW list in __spark_entry__.py
 # (rotated every round toward the least-recently-witnessed queries); this
@@ -2898,6 +3125,11 @@ EXTENSION_QUERIES = {
     "pipe_manifest": pipe_manifest,
     "events_rolling": events_rolling,
     "events_scd2": events_scd2,
+    "sim_knn_graph": sim_knn_graph,
+    "scale_colstats": scale_colstats,
+    "text_domain_shift": text_domain_shift,
+    "pipe_reweight": pipe_reweight,
+    "pipe_dedup_sweep": pipe_dedup_sweep,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

@@ -2527,3 +2527,152 @@ EXTENSION_ORACLE["events_scd2"] = """
                n_events
         FROM agg ORDER BY user_id, run_id
     """
+
+
+# kNN graph (extensions.sim_knn_graph): the near_dup banding replayed as
+# one OR-join with the threshold open, symmetric directed edges, top-3
+# per source node by (cos desc, nbr)
+EXTENSION_ORACLE["sim_knn_graph"] = f"""
+        WITH {_VECS},
+        banded AS (
+          SELECT id, v, nrm,
+               {_EMB_BAND_COLS}
+          FROM vecs),
+        cand AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+                   AS cos_r
+          FROM banded a JOIN banded b
+            ON a.id < b.id AND ({_EMB_BAND_OR})),
+        edges AS (
+          SELECT id_a AS id, id_b AS nbr, cos_r FROM cand
+          UNION ALL
+          SELECT id_b AS id, id_a AS nbr, cos_r FROM cand),
+        ranked AS (
+          SELECT id, nbr, cos_r,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY id
+                        ORDER BY cos_r DESC, nbr ASC) AS BIGINT) AS rk
+          FROM edges)
+        SELECT id, rk, nbr, cos_r FROM ranked WHERE rk <= 3
+        ORDER BY id, rk
+    """
+
+# per-column stats card (extensions.scale_colstats): naive per-column
+# SELECTs unioned - every statistic a count, distinct count, or order
+# statistic (NaN excluded from value's ndv/min/max, counted apart)
+EXTENSION_ORACLE["scale_colstats"] = """
+        SELECT * FROM (
+          SELECT 'event_id' AS col_name,
+                 SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+                 0::BIGINT AS n_nan,
+                 COUNT(DISTINCT event_id)::BIGINT AS ndv,
+                 CAST(MIN(event_id) AS DOUBLE) AS min_num,
+                 CAST(MAX(event_id) AS DOUBLE) AS max_num,
+                 CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+          FROM events
+          UNION ALL
+          SELECT 'ts_us',
+                 SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)::BIGINT, 0::BIGINT,
+                 COUNT(DISTINCT epoch_us(ts))::BIGINT,
+                 CAST(MIN(epoch_us(ts)) AS DOUBLE), CAST(MAX(epoch_us(ts)) AS DOUBLE),
+                 NULL, NULL
+          FROM events
+          UNION ALL
+          SELECT 'user_id',
+                 SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT, 0::BIGINT,
+                 COUNT(DISTINCT user_id)::BIGINT,
+                 CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE),
+                 NULL, NULL
+          FROM events
+          UNION ALL
+          SELECT 'value',
+                 SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                 SUM(CASE WHEN isnan(value) THEN 1 ELSE 0 END)::BIGINT,
+                 COUNT(DISTINCT CASE WHEN NOT isnan(value) THEN value END)::BIGINT,
+                 ROUND(MIN(CASE WHEN NOT isnan(value) THEN value END), 6),
+                 ROUND(MAX(CASE WHEN NOT isnan(value) THEN value END), 6),
+                 NULL, NULL
+          FROM events
+          UNION ALL
+          SELECT 'event_type',
+                 SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT, 0::BIGINT,
+                 COUNT(DISTINCT event_type)::BIGINT,
+                 NULL, NULL, MIN(event_type), MAX(event_type)
+          FROM events
+          UNION ALL
+          SELECT 'props',
+                 SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT, 0::BIGINT,
+                 COUNT(DISTINCT props)::BIGINT,
+                 NULL, NULL, MIN(props), MAX(props)
+          FROM events)
+        ORDER BY col_name
+    """
+
+# per-source KL drift (extensions.text_domain_shift): identical count
+# algebra, round-6 terms summed as DECIMAL then cast once to DOUBLE
+EXTENSION_ORACLE["text_domain_shift"] = """
+        WITH toks AS (
+          SELECT source, unnest(
+                 list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+          FROM documents),
+        cnt_ws AS (SELECT source, w, COUNT(*) AS c_sw FROM toks GROUP BY source, w),
+        n_s AS (SELECT source, SUM(c_sw) AS n_s FROM cnt_ws GROUP BY source),
+        cnt_w AS (SELECT w, SUM(c_sw) AS c_w FROM cnt_ws GROUP BY w),
+        n_tot AS (SELECT SUM(c_w) AS n_tot FROM cnt_w),
+        term AS (
+          SELECT cnt_ws.source, n_s.n_s,
+                 CAST(ROUND((c_sw / n_s.n_s)
+                       * ln(CAST(c_sw * n_tot AS DOUBLE) / (c_w * n_s.n_s)), 6)
+                      AS DECIMAL(18,6)) AS term
+          FROM cnt_ws
+          JOIN cnt_w USING (w)
+          JOIN n_s ON n_s.source = cnt_ws.source
+          CROSS JOIN n_tot)
+        SELECT source, CAST(MIN(n_s) AS BIGINT) AS n_tokens,
+               CAST(SUM(term) AS DOUBLE) AS kl_r
+        FROM term GROUP BY source ORDER BY source
+    """
+
+# soft-dedup weights (extensions.pipe_reweight): recursive-CTE clusters +
+# per-cluster member counts, weight = round(1/n, 6)
+EXTENSION_ORACLE["pipe_reweight"] = f"""
+        WITH RECURSIVE {_SHINGLES}, {_JACCARD},
+        pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM pairs),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        lbl AS (SELECT u AS id, MIN(v) AS mn FROM reach GROUP BY u),
+        clus AS (
+          SELECT d.doc_id,
+                 CAST(LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS BIGINT)
+                   AS cluster_id
+          FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id)
+        SELECT doc_id, cluster_id,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                 AS n_members,
+               ROUND(1.0 / COUNT(*) OVER (PARTITION BY cluster_id), 6) AS w_r
+        FROM clus ORDER BY doc_id
+    """
+
+# dedup threshold sweep (extensions.pipe_dedup_sweep): exact jaccard
+# pairs once at the loosest bar, counts per threshold
+EXTENSION_ORACLE["pipe_dedup_sweep"] = f"""
+        WITH {_SHINGLES}, {_JACCARD},
+        base AS (SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.6),
+        swept AS (
+          SELECT id_a, id_b, jaccard, t
+          FROM base, unnest([0.6, 0.7, 0.8, 0.9, 0.95]) AS u(t)
+          WHERE jaccard >= t),
+        np AS (SELECT t, COUNT(*)::BIGINT AS n_pairs FROM swept GROUP BY t),
+        nd AS (
+          SELECT t, COUNT(DISTINCT id)::BIGINT AS n_docs
+          FROM (SELECT t, id_a AS id FROM swept
+                UNION ALL SELECT t, id_b FROM swept)
+          GROUP BY t)
+        SELECT np.t, n_pairs, n_docs FROM np JOIN nd USING (t) ORDER BY t
+    """
