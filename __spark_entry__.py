@@ -152,6 +152,7 @@ _CHANGED_THIS_ROUND = [
     "text_domain_shift",  # NEW - per-source KL drift, decimal-exact
     "pipe_reweight",  # NEW - soft-dedup 1/cluster-size weights
     "pipe_dedup_sweep",  # NEW - threshold sensitivity, one pair pass
+    "sim_index_persist",  # NEW - PQ index parquet round-trip, served
 ]
 # round-9 changelist, never driver-witnessed (no r9 artifacts): retains
 # window priority immediately behind the round-10 additions
@@ -175,7 +176,12 @@ _PENDING_R9 = [
     "dedup_semantic", "scale_compact", "events_distinct_approx",
     "events_props_parse", "pipe_stats", "text_collocations",
     "pipe_temperature_mix", "pipe_curriculum", "dedup_containment",
-    "events_anomaly", "text_keywords", "stream_sink_compact",
+    # text_keywords displaced to the r11 queue by sim_index_persist: its
+    # tf*ln(N/df) weighting + ranking algebra is exercised in-window by
+    # sim_sparse_topk (r10, the same TF-IDF construction via
+    # tfidf_term_weights), and the per-doc form stays parity-checked at
+    # sf0.001 every suite run
+    "events_anomaly", "stream_sink_compact",
     "events_funnel_seq", "events_retention", "pipe_pack_bpe",
     "dedup_incremental", "pipe_delta_apply",
     "text_lm_score", "lifecycle_image",

@@ -3002,6 +3002,35 @@ def pipe_reweight(spark, sf_dir):
     )
 
 
+def sim_index_persist(spark, sf_dir):
+    """ANN index shipping witness: the PQ index ARTIFACTS (per-subspace
+    codebooks + the (id, m, code) code table - at a deployment, the
+    entire stored index at ~4 tinyints/vector) are written to parquet,
+    reloaded into fresh frames, and ADC top-k is served from the
+    RELOADED artifacts. The oracle is sim_topk_pq's unrolled SQL
+    verbatim: the storage round-trip must be bit-lossless (ints and
+    IEEE doubles are exact in parquet), so any serialization loss,
+    schema drift, or code/codebook mismatch flips the hash. This is the
+    index-build-once / serve-many lifecycle a 100 TB corpus requires -
+    encoding is one pass, every later query touches only the tiny
+    reloaded index."""
+    cb = _pq_codebooks(spark, sf_dir)
+    codes = similarity.pq_assign(_emb(spark, sf_dir), cb)
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
+        "file:"
+    )
+    base = os.path.join(
+        wh, "pq_index_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    )
+    codes.write.mode("overwrite").parquet(os.path.join(base, "codes"))
+    cb.write.mode("overwrite").parquet(os.path.join(base, "codebooks"))
+    codes_r = spark.read.parquet(os.path.join(base, "codes"))
+    cb_r = spark.read.parquet(os.path.join(base, "codebooks"))
+    return similarity.topk_cosine_pq(
+        _emb(spark, sf_dir), TOPK, QUERY_IDS_BELOW, codebooks=cb_r, codes=codes_r
+    ).orderBy("q_id", "rank")
+
+
 def pipe_dedup_sweep(spark, sf_dir):
     """Dedup threshold sensitivity in one candidate pass: pair counts and
     affected-document counts at five Jaccard thresholds, computed from
@@ -3130,6 +3159,7 @@ EXTENSION_QUERIES = {
     "text_domain_shift": text_domain_shift,
     "pipe_reweight": pipe_reweight,
     "pipe_dedup_sweep": pipe_dedup_sweep,
+    "sim_index_persist": sim_index_persist,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

@@ -2676,3 +2676,10 @@ EXTENSION_ORACLE["pipe_dedup_sweep"] = f"""
           GROUP BY t)
         SELECT np.t, n_pairs, n_docs FROM np JOIN nd USING (t) ORDER BY t
     """
+
+
+# persisted-index round trip (extensions.sim_index_persist): serving from
+# the reloaded parquet artifacts must equal the in-memory PQ path, so the
+# oracle is sim_topk_pq's unrolled SQL verbatim - any storage loss or
+# artifact mismatch flips the hash
+EXTENSION_ORACLE["sim_index_persist"] = EXTENSION_ORACLE["sim_topk_pq"]
