@@ -1586,7 +1586,11 @@ def test_r9_float_queries_are_run_deterministic(spark):
                  "text_keywords", "pipe_temperature_mix",
                  # continuation additions with float-bearing outputs
                  "pipe_bootstrap", "events_scaffold", "events_markov",
-                 "sim_pca_gram", "text_lm_score", "dedup_spans"):
+                 "sim_pca_gram", "text_lm_score", "dedup_spans",
+                 # round-10 additions with float-bearing outputs
+                 "pipe_sample_weighted", "sim_sparse_topk",
+                 "sim_knn_graph", "text_domain_shift", "dedup_keep_best",
+                 "pipe_reweight", "events_rolling", "sim_index_persist"):
         a = [tuple(r) for r in qs[name](spark, SF_SMOKE).collect()]
         b = [tuple(r) for r in qs[name](spark, SF_SMOKE).collect()]
         assert a == b, name
