@@ -942,8 +942,10 @@ def fuzzy_pairs(
       2. length filter: ``|len_a - len_b| <= len_band`` (edit distance is
          >= the length difference, so any band >= max_lev is exact-recall
          and prunes before the quadratic step);
-      3. verify: one JVM ``levenshtein()`` per surviving candidate -
-         the O(n*m) DP runs only on blocked, banded pairs.
+      3. verify: one JVM THRESHOLD-BOUNDED ``levenshtein(a, b, k)`` per
+         surviving candidate - the banded DP costs O(n*k) instead of
+         O(n*m) and exits early, returning -1 above the bound (exact
+         distances for every kept pair).
 
     Scale shape: the join keys on k-gram strings (shuffle join, key
     cardinality grows with the corpus - never broadcast-assumed), the
@@ -985,7 +987,9 @@ def fuzzy_pairs(
         banded.select(
             "id_a",
             "id_b",
-            F.levenshtein("ta", "tb").cast("long").alias("lev"),
+            F.levenshtein("ta", "tb", max_lev).cast("long").alias("lev"),
         )
-        .where(F.col("lev") <= max_lev)
+        # the bounded DP returns -1 above the threshold; >= 0 keeps every
+        # pair within max_lev (including exact matches at 0)
+        .where(F.col("lev") >= 0)
     )
