@@ -59,8 +59,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # (NEW - top-k vocabulary OOV audit), pipe_manifest (NEW -
 # order-invariant bit_xor content checksums per (split, source)),
 # events_rolling (NEW - trailing-7-day RANGE-frame point-in-time
-# features) and events_scd2 (NEW - gaps-and-islands SCD2 interval
-# build).
+# features), events_scd2 (NEW - gaps-and-islands SCD2 interval
+# build); batch 2: sim_knn_graph (NEW - LSH-bucketed kNN graph),
+# scale_colstats (NEW - one-scan multi-distinct column stats card),
+# text_domain_shift (NEW - per-source KL drift, decimal-exact terms),
+# pipe_reweight (NEW - 1/cluster-size soft-dedup weights),
+# pipe_dedup_sweep (NEW - five-threshold sensitivity from one pair
+# pass); batch 3: sim_index_persist (NEW - PQ index parquet round-trip
+# served from reloaded artifacts, oracle = sim_topk_pq verbatim).
 #
 # Round-9 CONTINUATION additions (second session of the round): 15 new
 # queries - dedup_spans (C4 repeated-span filter, one-window shuffle),

@@ -2848,7 +2848,11 @@ def scale_colstats(spark, sf_dir):
     Expand).
 
     Floats never sum: every statistic is a count, a distinct count, or
-    an order statistic, so the card is exact and engine-portable."""
+    an order statistic, so the card is exact and engine-portable. At
+    100 TB swap the exact NDVs for approx_count_distinct (HLL, one
+    bounded sketch per column, no Expand) - the accuracy/mergeability
+    contract for that swap is witnessed by events_distinct_approx;
+    exact NDV is the oracle-checkable choice here."""
     from ..functions.time import epoch_us
 
     ev = load_tables(spark, sf_dir)["events"]
