@@ -963,15 +963,23 @@ def fuzzy_pairs(
         F.length(F.col(text_col)).alias("len"),
         F.col(text_col).alias("t"),
     )
+    # block on the 60-bit hash of the gram, not the raw string (the
+    # family-wide posting-key discipline: ~4x smaller shuffle keys; a
+    # 60-bit collision can only ADD a candidate, which the levenshtein
+    # verification then rejects - recall and results are unaffected)
     grams = base.select(
         "id",
         F.explode(
-            F.array_distinct(word_kgrams(words(F.col("t")), gram_k))
-        ).alias("s"),
+            F.array_distinct(
+                F.transform(
+                    word_kgrams(words(F.col("t")), gram_k), md5_int60
+                )
+            )
+        ).alias("h"),
     )
     cand = (
         grams.alias("a")
-        .join(grams.alias("b"), "s")
+        .join(grams.alias("b"), "h")
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

@@ -2344,9 +2344,11 @@ EXTENSION_ORACLE["dedup_fuzzy"] = """
                        lead(w, 4) OVER (PARTITION BY doc_id ORDER BY i) AS w5
                 FROM raw_toks)
           WHERE w5 IS NOT NULL),
+        g5h AS (SELECT DISTINCT id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+                FROM g5),
         cand AS (
           SELECT DISTINCT a.id AS id_a, b.id AS id_b
-          FROM g5 a JOIN g5 b ON a.s = b.s AND a.id < b.id)
+          FROM g5h a JOIN g5h b ON a.h = b.h AND a.id < b.id)
         SELECT c.id_a, c.id_b,
                CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev
         FROM cand c
