@@ -264,7 +264,13 @@ def weighted_sample(
     Scale shape: a pure projection followed by a global top-k -
     TakeOrderedAndProject, partial per-partition heaps of k rows, never
     a global sort. Ties on the rounded key break by id ascending.
+
+    Weights must be strictly positive (E-S is undefined at w <= 0); a
+    zero/negative weight row would get a NULL/inf key, so reject k
+    upfront and leave weight hygiene to the caller's filter.
     """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
     u = (
         md5_int60(F.col(id_col).cast("string"), salt=seed) + 1
     ) / F.lit(float(1 << 60))
