@@ -2577,7 +2577,6 @@ FUZZY_MAX_LEV = 8
 FUZZY_LEN_BAND = 16
 VOCAB_TOPK = 20
 ROLL_WINDOW_S = 7 * 86_400
-KEEPBEST_MIN = 1  # emit every cluster (singletons are the kept corpus)
 
 
 def pipe_sample_weighted(spark, sf_dir):
@@ -2595,8 +2594,9 @@ def pipe_sample_weighted(spark, sf_dir):
 
 def dedup_fuzzy(spark, sf_dir):
     """Blocked edit-distance linkage (operators/dedup.fuzzy_pairs):
-    word-5-gram inverted-index blocking, +-16-char length banding, then
-    one JVM levenshtein() per surviving candidate - catches small-edit
+    word-5-gram inverted-index blocking (hashed posting keys), +-16-char
+    length banding, then one threshold-bounded JVM levenshtein(a, b, k)
+    per surviving candidate - catches small-edit
     clones by the metric OCR/boilerplate variation actually moves
     (measured here: planted near-dups sit at lev = 4, background pairs
     at >= ~150). Oracle replays the same blocked formulation."""
