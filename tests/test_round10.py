@@ -362,3 +362,67 @@ def test_domain_shift_nonnegative_and_partition_invariant(spark):
         .collect()
     }
     assert {r.source: r.kl_r for r in rows} == again
+
+
+def test_fuzzy_pairs_matches_python_spec_on_random_corpora(spark):
+    """Randomized spec check: on seeded corpora containing exact
+    duplicates (lev 0), small edits, short docs below the pigeonhole
+    bound, and unrelated noise, the operator must equal an independent
+    python implementation of the full blocked semantics (shared distinct
+    5-gram AND length band AND bounded levenshtein)."""
+    import itertools
+    import random
+
+    def py_lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def spec(texts, max_lev, band):
+        g5 = {}
+        for i, t in texts.items():
+            toks = [w for w in t.lower().split(" ") if w]
+            g5[i] = {" ".join(toks[j : j + 5]) for j in range(len(toks) - 4)}
+        want = {}
+        for ia, ib in itertools.combinations(sorted(texts), 2):
+            if not (g5[ia] & g5[ib]):
+                continue
+            a, b = texts[ia], texts[ib]
+            if abs(len(a) - len(b)) > band:
+                continue
+            d = py_lev(a, b)
+            if d <= max_lev:
+                want[(ia, ib)] = d
+        return want
+
+    from web_maxiv_hdbppviewer_spark.operators.dedup import fuzzy_pairs
+
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        vocab = [f"w{k}" for k in range(30)]
+        texts = {}
+        i = 0
+        for _ in range(6):  # base docs
+            n = rng.randint(3, 40)  # includes short docs below pigeonhole
+            texts[i] = " ".join(rng.choice(vocab) for _ in range(n))
+            i += 1
+        for b in range(4):  # near-dup clones of base docs: 0-2 word edits
+            t = texts[b].split()
+            for _ in range(rng.randint(0, 2)):
+                t[rng.randrange(len(t))] = rng.choice(vocab)
+            texts[i] = " ".join(t)
+            i += 1
+        texts[i] = texts[0]  # exact duplicate -> lev 0
+        i += 1
+        df = spark.createDataFrame(
+            [Row(doc_id=k, text=t) for k, t in texts.items()]
+        )
+        got = {
+            (r.id_a, r.id_b): r.lev
+            for r in fuzzy_pairs(df, max_lev=8, len_band=16).collect()
+        }
+        assert got == spec(texts, 8, 16), f"seed {seed}"
