@@ -426,3 +426,21 @@ def test_fuzzy_pairs_matches_python_spec_on_random_corpora(spark):
             for r in fuzzy_pairs(df, max_lev=8, len_band=16).collect()
         }
         assert got == spec(texts, 8, 16), f"seed {seed}"
+
+
+def test_index_persist_earlier_frame_survives_later_call(spark):
+    """Each persist call writes a fresh generation directory, so a frame
+    returned by an earlier call must still collect after a later call
+    (an in-place overwrite would delete its files underneath it); and
+    serving pre-encoded codes without their codebooks must be rejected."""
+    df1 = QUERIES["sim_index_persist"](spark, SF_SMOKE)
+    df2 = QUERIES["sim_index_persist"](spark, SF_SMOKE)
+    b = df2.collect()
+    a = df1.collect()  # would raise FileNotFound under in-place overwrite
+    assert a == b
+    from web_maxiv_hdbppviewer_spark.operators.similarity import topk_cosine_pq
+    from web_maxiv_hdbppviewer_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    with pytest.raises(ValueError, match="codebooks"):
+        topk_cosine_pq(emb, 5, codes=emb.selectExpr("vec_id as id", "1 as m", "1 as code"))

@@ -950,8 +950,8 @@ def fuzzy_pairs(
     Scale shape: the join keys on k-gram strings (shuffle join, key
     cardinality grows with the corpus - never broadcast-assumed), the
     verify cost is candidate-proportional, and no Python executes per
-    row. Returns (id_a, id_b, lev) for verified pairs, lev ascending
-    ties by ids.
+    row. Returns (id_a, id_b, lev) for verified pairs, unordered - the
+    caller applies its own presentation sort.
     """
     if len_band < max_lev:
         raise ValueError(

@@ -517,6 +517,10 @@ def tfidf_keywords(
     )
 
 
+#: session memo of materialized TF-IDF posting lists (semantic-hash keyed)
+_TFIDF_CACHE: list = []
+
+
 def tfidf_term_weights(
     df: DataFrame,
     gram_k: int = 3,
@@ -531,12 +535,17 @@ def tfidf_term_weights(
     ``df_cap`` are dropped (idf ~ 0 and their posting lists are the
     quadratic skew hazard - the DISCO/stop-term bound).
 
-    Materialized on first use (localCheckpoint): the posting list feeds
-    three consumers in the cosine join (both sides of the term self-join
-    and the norm rollup); without materialization each consumer replays
-    the tokenize+count+df pipeline - measured 4 redundant corpus passes.
-    Same idiom as the memoized dedup shingle index; at cluster scale this
-    is the posting list you'd persist/bucket once anyway."""
+    Materialized once per session per semantic plan (the memoized dedup
+    shingle-index idiom, shared via dedup._memoized_checkpoint): the
+    posting list feeds three consumers in the cosine join (both sides of
+    the term self-join and the norm rollup); without materialization
+    each consumer replays the tokenize+count+df pipeline - measured 4
+    redundant corpus passes - and without the memo every CALL re-ran the
+    corpus job and leaked another checkpoint for the session lifetime.
+    At cluster scale this is the posting list you'd persist/bucket once
+    anyway."""
+    from .dedup import _memoized_checkpoint
+
     tf = (
         df.select(
             F.col(id_col).alias("id"),
@@ -547,7 +556,7 @@ def tfidf_term_weights(
     )
     dfreq = tf.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).alias("nn"))
-    return (
+    plan = (
         tf.join(dfreq, "s")
         .where(F.col("df") <= df_cap)
         .crossJoin(F.broadcast(n))
@@ -560,8 +569,8 @@ def tfidf_term_weights(
             .cast("decimal(18,6)")
             .alias("w"),
         )
-        .localCheckpoint()
     )
+    return _memoized_checkpoint(_TFIDF_CACHE, plan)
 
 
 def tfidf_cosine_pairs(

@@ -2956,11 +2956,15 @@ def text_domain_shift(spark, sf_dir):
         .select(
             "source",
             "n_s",
+            # each factor casts to double BEFORE the multiply: counts are
+            # < 2^53 so the double product is the correctly-rounded exact
+            # product (bit-equal to an exact-integer product cast once),
+            # while an int64 product would silently wrap at corpus scale
             F.round(
                 (F.col("c_sw") / F.col("n_s"))
                 * F.log(
-                    (F.col("c_sw") * F.col("n_tot")).cast("double")
-                    / (F.col("c_w") * F.col("n_s"))
+                    (F.col("c_sw").cast("double") * F.col("n_tot"))
+                    / (F.col("c_w").cast("double") * F.col("n_s"))
                 ),
                 6,
             )
@@ -3006,6 +3010,10 @@ def pipe_reweight(spark, sf_dir):
     )
 
 
+#: per-call generation counter for the persisted PQ index directories
+_PQ_INDEX_GEN = 0
+
+
 def sim_index_persist(spark, sf_dir):
     """ANN index shipping witness: the PQ index ARTIFACTS (per-subspace
     codebooks + the (id, m, code) code table - at a deployment, the
@@ -3023,8 +3031,17 @@ def sim_index_persist(spark, sf_dir):
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
         "file:"
     )
+    # fresh per-call generation directory: an in-place overwrite would
+    # delete the part files underneath any frame a PREVIOUS call returned
+    # (Spark captures the file listing at read time), and two processes
+    # sharing the warehouse would race; pid+counter isolates both. The
+    # query's RESULT is path-independent, so determinism is unaffected.
+    global _PQ_INDEX_GEN
+    _PQ_INDEX_GEN += 1
     base = os.path.join(
-        wh, "pq_index_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+        wh,
+        "pq_index_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/")),
+        f"gen_{os.getpid()}_{_PQ_INDEX_GEN}",
     )
     codes.write.mode("overwrite").parquet(os.path.join(base, "codes"))
     cb.write.mode("overwrite").parquet(os.path.join(base, "codebooks"))

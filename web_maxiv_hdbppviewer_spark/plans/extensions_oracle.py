@@ -2624,7 +2624,8 @@ EXTENSION_ORACLE["text_domain_shift"] = """
         term AS (
           SELECT cnt_ws.source, n_s.n_s,
                  CAST(ROUND((c_sw / n_s.n_s)
-                       * ln(CAST(c_sw * n_tot AS DOUBLE) / (c_w * n_s.n_s)), 6)
+                       * ln((CAST(c_sw AS DOUBLE) * n_tot)
+                            / (CAST(c_w AS DOUBLE) * n_s.n_s)), 6)
                       AS DECIMAL(18,6)) AS term
           FROM cnt_ws
           JOIN cnt_w USING (w)
