@@ -444,3 +444,16 @@ def test_index_persist_earlier_frame_survives_later_call(spark):
     emb = load_tables(spark, SF_SMOKE)["embeddings"]
     with pytest.raises(ValueError, match="codebooks"):
         topk_cosine_pq(emb, 5, codes=emb.selectExpr("vec_id as id", "1 as m", "1 as code"))
+
+
+def test_scd2_and_keep_best_windows_never_global(spark):
+    """The SCD2 windows must partition by user_id and the keep-best
+    argmax by cluster_id - a single-partition window (no PARTITION BY)
+    would serialize the whole table through one task at scale."""
+    for name in ("events_scd2", "dedup_keep_best"):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        for line in plan.splitlines():
+            if "Window [" in line:
+                assert "[user_id" in line or "[cluster_id" in line, (
+                    f"{name}: global window: {line.strip()[:120]}"
+                )
