@@ -98,6 +98,12 @@ def main() -> None:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # stream each timing as its own line: the driver keeps only a
+        # bounded tail of stdout, so per-query detail must not depend on
+        # surviving inside one giant final line (BENCH_r10.json lost
+        # 60/132 timings to a 2000-char tail truncation)
+        print(json.dumps({"q": name, "s": timings[name]}, separators=(",", ":")),
+              flush=True)
 
     # end-to-end /image lifecycle (BASELINE.md: "end-to-end query latency
     # for the §3 lifecycles"): catalog resolve -> extrema/pad -> 2-D binned
@@ -122,17 +128,47 @@ def main() -> None:
     assert out["images"], "lifecycle produced no axis images"
     timings["lifecycle_image"] = round(time.perf_counter() - t0, 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "declared_queries_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    # Full per-query record -> committed file. The driver's BENCH_r{N}.json
+    # keeps only a ~2000-char tail of stdout; a 132-query dict is ~2.9 kB
+    # even compact, so r10's artifact came back parsed:null with 60 timings
+    # lost. The durable copy lives in-repo (the driver commits the
+    # worktree at round end); the stdout line carries a summary that FITS.
+    detail = {
+        "metric": "declared_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    core_names = [f"q{i}" for i in range(1, 35)] + [
+        "lifecycle_aggregate", "lifecycle_image",
+    ]
+    core = {n: round(timings[n], 2) for n in core_names if n in timings}
+    summary = {
+        "metric": "declared_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        # the full 132-query dict does not fit the driver's stdout tail;
+        # core timings inline, the rest in BENCH_LOCAL.json (committed)
+        "queries": core,
+        "sf": sf,
+        "n_queries": len(timings),
+        "core_total_sec": round(sum(core.values()), 3),
+        "ext_total_sec": round(
+            sum(v for k, v in timings.items() if k not in core), 3
+        ),
+        "detail": "BENCH_LOCAL.json",
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) < 1500, f"summary line too long for driver tail: {len(line)}"
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

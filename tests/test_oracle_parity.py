@@ -48,10 +48,17 @@ def _canon(df):
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 canon_row.append(None)
             elif isinstance(v, float):
-                canon_row.append(float(v))
+                # repr, not float: python's == equates -0.0 with +0.0 but
+                # the driver's value-hash does not (r10: sim_pca_gram cell
+                # (5,9) was -0.0 in DuckDB vs +0.0 in Spark and flipped
+                # the hash while being ==-equal). repr('-0.0') != '0.0'
+                # makes the local gate exactly as strict as the driver's.
+                canon_row.append(repr(float(v)))
             elif hasattr(v, "item"):  # numpy scalar
                 item = v.item()
-                canon_row.append(None if isinstance(item, float) and math.isnan(item) else item)
+                if isinstance(item, float):
+                    item = None if math.isnan(item) else repr(item)
+                canon_row.append(item)
             else:
                 canon_row.append(v)
         out.append(tuple(canon_row))

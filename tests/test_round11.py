@@ -1,0 +1,191 @@
+"""Round-11 operator properties: the dedup_fuzzy posting-list df-cap
+(skew bound) with its R x R guarantee-restoring fallback, signed-zero
+canonicalization, and the PQ index append lifecycle."""
+
+import itertools
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_SMOKE
+
+QUERIES = entry_mod.queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+# ---------------------------------------------------------------- fuzzy cap
+
+
+def test_fuzzy_df_cap_is_in_the_plan_and_contract_enforced(spark):
+    """The posting-list frequency bound must actually reach the plan (a
+    HAVING df <= cap over the gram index - without it one boilerplate
+    gram shared by a million docs yields ~10^12 candidate rows), and a
+    cap that cannot admit a pair must be rejected loudly."""
+    from web_maxiv_hdbppviewer_spark.operators.dedup import fuzzy_pairs
+    from web_maxiv_hdbppviewer_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    opt = _optimized(fuzzy_pairs(docs, df_cap=64))
+    assert "<= 64" in opt, "df-cap filter missing from optimized plan"
+    plan = _plan(QUERIES["dedup_fuzzy"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    with pytest.raises(ValueError, match="df_cap"):
+        fuzzy_pairs(docs, df_cap=1)
+
+
+def _py_lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _capped_spec(texts, max_lev, band, cap, gram_k=5):
+    """Independent python model of the CAPPED blocked semantics: pairs
+    sharing an uncapped distinct word-5-gram, plus the R x R fallback
+    (R = docs whose raw gram count clears the pigeonhole bound
+    D = (gram_k+1)*max_lev but whose uncapped count does not), then the
+    length band and the bounded levenshtein."""
+    d_bound = (gram_k + 1) * max_lev
+    grams = {}
+    for i, t in texts.items():
+        toks = [w for w in t.lower().split(" ") if w]
+        grams[i] = {
+            " ".join(toks[j : j + gram_k])
+            for j in range(len(toks) - gram_k + 1)
+        }
+    df = {}
+    for gs in grams.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    unc = {i: {g for g in gs if df[g] <= cap} for i, gs in grams.items()}
+    r_set = {
+        i for i, gs in grams.items()
+        if len(gs) > d_bound and len(unc[i]) <= d_bound
+    }
+    want = {}
+    for ia, ib in itertools.combinations(sorted(texts), 2):
+        blocked = bool(unc[ia] & unc[ib]) or (ia in r_set and ib in r_set)
+        if not blocked:
+            continue
+        a, b = texts[ia], texts[ib]
+        if abs(len(a) - len(b)) > band:
+            continue
+        d = _py_lev(a, b)
+        if d <= max_lev:
+            want[(ia, ib)] = d
+    return want
+
+
+def test_fuzzy_df_cap_fallback_restores_recall(spark):
+    """Adversarial corpus for the cap: four near-identical 60-word docs
+    whose every shared gram is boilerplate (df above the cap). The pair
+    whose only common grams are capped is findable ONLY through the
+    R x R fallback - the operator must still return every true pair,
+    equal to both the capped python spec and plain brute force."""
+    base_words = [f"w{k}" for k in range(60)]
+    base = " ".join(base_words)
+    texts = {
+        0: base,
+        1: base.replace("w30 ", "w30x ", 1),  # lev 1 from doc 0
+        2: base,
+        3: base,
+        4: " ".join(f"u{k}" for k in range(60)),  # unrelated, same length
+        5: "short doc below the pigeonhole bound",
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+    from web_maxiv_hdbppviewer_spark.operators.dedup import fuzzy_pairs
+
+    cap = 3
+    got = {
+        (r.id_a, r.id_b): r.lev
+        for r in fuzzy_pairs(df, max_lev=8, len_band=16, df_cap=cap).collect()
+    }
+    spec = _capped_spec(texts, 8, 16, cap)
+    assert got == spec
+
+    # brute-force recall: every true pair among the de-guaranteed docs
+    # must be present (this is exactly what the fallback restores)
+    brute = {
+        (ia, ib): _py_lev(texts[ia], texts[ib])
+        for ia, ib in itertools.combinations(sorted(texts), 2)
+        if _py_lev(texts[ia], texts[ib]) <= 8
+        and abs(len(texts[ia]) - len(texts[ib])) <= 16
+    }
+    assert got == brute
+
+    # the test's own power: without the fallback, pair (0, 1) would be
+    # missed (their only shared grams are capped boilerplate)
+    no_fallback = _capped_spec(texts, 8, 16, cap)
+    d_bound = 48
+    grams0 = {
+        " ".join(base_words[j : j + 5]) for j in range(len(base_words) - 4)
+    }
+    assert len(grams0) > d_bound  # docs clear the raw pigeonhole bound
+    spec_no_r = {}
+    for (ia, ib), lev in no_fallback.items():
+        toks_a = [w for w in texts[ia].lower().split() if w]
+        toks_b = [w for w in texts[ib].lower().split() if w]
+        ga = {" ".join(toks_a[j : j + 5]) for j in range(len(toks_a) - 4)}
+        gb = {" ".join(toks_b[j : j + 5]) for j in range(len(toks_b) - 4)}
+        dfreq = {}
+        for i, t in texts.items():
+            toks = [w for w in t.lower().split() if w]
+            for g in {" ".join(toks[j : j + 5]) for j in range(len(toks) - 4)}:
+                dfreq[g] = dfreq.get(g, 0) + 1
+        if {g for g in ga & gb if dfreq[g] <= cap}:
+            spec_no_r[(ia, ib)] = lev
+    assert (0, 1) in got and (0, 1) not in spec_no_r
+
+
+def test_fuzzy_capped_still_matches_uncapped_when_cap_is_loose(spark):
+    """With a cap no posting list reaches, results must be IDENTICAL to
+    the uncapped formulation (the fallback set is empty and the cap is
+    a no-op) - pins that adding the dial changed nothing for ordinary
+    corpora, including the r10 driver-witnessed output."""
+    from web_maxiv_hdbppviewer_spark.operators.dedup import fuzzy_pairs
+    from web_maxiv_hdbppviewer_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    capped = sorted(
+        (r.id_a, r.id_b, r.lev)
+        for r in fuzzy_pairs(docs, df_cap=64).collect()
+    )
+    loose = sorted(
+        (r.id_a, r.id_b, r.lev)
+        for r in fuzzy_pairs(docs, df_cap=1 << 30).collect()
+    )
+    assert capped == loose and capped
+
+
+# ------------------------------------------------------------ signed zero
+
+
+def test_covariance_never_emits_negative_zero(spark):
+    """IEEE signed zero: a covariance in (-0.5e-6, 0] rounds to a zero
+    whose sign bit differs across engines (the r10 sim_pca_gram driver
+    hash-FAIL: cell (5,9) was -0.0 in DuckDB, +0.0 in Spark). The
+    engine must canonicalize every zero to +0.0."""
+    import math
+
+    rows = QUERIES["sim_pca_gram"](spark, SF_SMOKE).collect()
+    zeros = [r.cov_r for r in rows if r.cov_r == 0.0]
+    assert all(math.copysign(1.0, z) > 0 for z in zeros)
+    # the canonicalization term must survive into the physical plan
+    plan = _plan(QUERIES["sim_pca_gram"](spark, SF_SMOKE))
+    assert "+ 0.0" in plan

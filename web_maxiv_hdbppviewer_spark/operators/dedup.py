@@ -929,35 +929,55 @@ def fuzzy_pairs(
     gram_k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    df_cap: int = 64,
 ) -> DataFrame:
     """Edit-distance record linkage (fuzzy join): pairs whose full texts
     are within ``max_lev`` Levenshtein edits, found WITHOUT an all-pairs
     scan. The classic blocked-linkage shape:
 
       1. blocking: candidates = pairs sharing >= 1 distinct word
-         ``gram_k``-gram (an inverted-index self-join - rare k-grams make
-         the posting lists short; a character edit perturbs at most
-         ``gram_k`` of the grams, so pairs within ``max_lev`` edits of a
-         doc with more than ``gram_k * max_lev`` grams provably share one);
-      2. length filter: ``|len_a - len_b| <= len_band`` (edit distance is
-         >= the length difference, so any band >= max_lev is exact-recall
-         and prunes before the quadratic step);
-      3. verify: one JVM THRESHOLD-BOUNDED ``levenshtein(a, b, k)`` per
+         ``gram_k``-gram with document frequency <= ``df_cap`` (an
+         inverted-index self-join - rare k-grams make the posting lists
+         short, and the df cap bounds the worst one: without it a single
+         boilerplate gram shared by a million docs contributes ~10^12
+         candidate rows. A char edit inside a word perturbs at most
+         ``gram_k`` gram windows, and a space edit that merges/splits
+         words up to ``gram_k + 1``, so two docs within ``max_lev``
+         edits share all but D = (gram_k+1)*max_lev of either one's
+         grams - any doc retaining MORE than D uncapped grams provably
+         shares an uncapped gram with every true partner);
+      2. guarantee-restoring fallback: docs whose raw gram count exceeds
+         D but whose UNCAPPED count fell to <= D (all-boilerplate docs -
+         the only docs whose pigeonhole guarantee the cap removed) are
+         paired against each other directly via a length-bucketized
+         self-join (a missed pair needs BOTH endpoints guarantee-less,
+         so the fallback is R x R within the length band, never
+         R x corpus). Docs with <= D raw grams never had the guarantee,
+         cap or no cap - identical contract to the uncapped operator;
+      3. length filter: ``|len_a - len_b| <= len_band`` (edit distance is
+         >= the length difference, so any band >= max_lev is exact-recall)
+         - applied to the gram rows BEFORE the candidate-pair distinct,
+         so over-frequent-but-uncapped grams prune ahead of the shuffle;
+      4. verify: one JVM THRESHOLD-BOUNDED ``levenshtein(a, b, k)`` per
          surviving candidate - the banded DP costs O(n*k) instead of
          O(n*m) and exits early, returning -1 above the bound (exact
          distances for every kept pair).
 
-    Scale shape: the join keys on k-gram strings (shuffle join, key
+    Scale shape: the join keys on k-gram hashes (shuffle join, key
     cardinality grows with the corpus - never broadcast-assumed), the
-    verify cost is candidate-proportional, and no Python executes per
-    row. Returns (id_a, id_b, lev) for verified pairs, unordered - the
-    caller applies its own presentation sort.
+    largest posting list is df_cap docs, the verify cost is
+    candidate-proportional, and no Python executes per row. Returns
+    (id_a, id_b, lev) for verified pairs, unordered - the caller applies
+    its own presentation sort.
     """
     if len_band < max_lev:
         raise ValueError(
             f"len_band ({len_band}) must be >= max_lev ({max_lev}) "
             "or length banding breaks exact recall"
         )
+    if df_cap < 2:
+        raise ValueError(f"df_cap must allow a pair (>= 2), got {df_cap}")
+    guarantee_grams = (gram_k + 1) * max_lev
     base = df.select(
         F.col(id_col).alias("id"),
         F.length(F.col(text_col)).alias("len"),
@@ -966,9 +986,11 @@ def fuzzy_pairs(
     # block on the 60-bit hash of the gram, not the raw string (the
     # family-wide posting-key discipline: ~4x smaller shuffle keys; a
     # 60-bit collision can only ADD a candidate, which the levenshtein
-    # verification then rejects - recall and results are unaffected)
+    # verification then rejects, or in the worst case inflate a gram's
+    # df toward the cap - which the R x R fallback then absorbs)
     grams = base.select(
         "id",
+        "len",
         F.explode(
             F.array_distinct(
                 F.transform(
@@ -977,19 +999,65 @@ def fuzzy_pairs(
             )
         ).alias("h"),
     )
-    cand = (
-        grams.alias("a")
-        .join(grams.alias("b"), "h")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    rare = grams.join(
+        grams.groupBy("h").agg(F.count(F.lit(1)).alias("gdf"))
+        .where(F.col("gdf") <= df_cap)
+        .select("h"),
+        "h",
+        "left_semi",
     )
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "h")
+        .where(
+            (F.col("a.id") < F.col("b.id"))
+            # band on the gram rows: prunes before the distinct's shuffle
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= len_band)
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    # fallback set R: guarantee held pre-cap (raw > D) but not post-cap
+    n_raw = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_raw"))
+    n_unc = rare.groupBy("id").agg(F.count(F.lit(1)).alias("n_unc"))
+    r_ids = (
+        n_raw.join(n_unc, "id", "left")
+        .where(
+            (F.col("n_raw") > guarantee_grams)
+            & (F.coalesce("n_unc", F.lit(0)) <= guarantee_grams)
+        )
+        .select("id")
+    )
+    rbase = base.join(r_ids, "id", "left_semi").select(
+        "id", "len", F.floor(F.col("len") / len_band).cast("long").alias("bkt")
+    )
+    # bucketized R x R: a |la-lb| <= len_band pair has bucket indices
+    # within +-1 of each other, so exploding side a to (bkt-1, bkt, bkt+1)
+    # meets side b's single bucket exactly once per pair - an equi-join,
+    # never a cross join, and no duplicate candidate rows
+    ra = rbase.select(
+        F.col("id").alias("id_a"),
+        F.col("len").alias("la"),
+        F.explode(
+            F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
+        ).alias("bkt"),
+    )
+    rb = rbase.select(
+        F.col("id").alias("id_b"), F.col("len").alias("lb"), "bkt"
+    )
+    rcand = (
+        ra.join(rb, "bkt")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= len_band)
+        )
+        .select("id_a", "id_b")
+    )
+    pairs = cand.unionAll(rcand).distinct()
     banded = (
-        cand.join(base.select(F.col("id").alias("id_a"), F.col("len").alias("la"),
-                              F.col("t").alias("ta")), "id_a")
-        .join(base.select(F.col("id").alias("id_b"), F.col("len").alias("lb"),
+        pairs.join(base.select(F.col("id").alias("id_a"),
+                               F.col("t").alias("ta")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"),
                           F.col("t").alias("tb")), "id_b")
-        .where(F.abs(F.col("la") - F.col("lb")) <= len_band)
     )
     return (
         banded.select(

@@ -113,16 +113,22 @@ def covariance_df(df: DataFrame, id_col: str = "vec_id",
         .crossJoin(F.broadcast(n))
         .select(
             "i", "j",
-            F.round(
-                (
-                    F.col("s_hi").cast("double") * F.lit(float(SPLIT_RADIX))
-                    + F.col("s_lo").cast("double")
-                    - F.col("si").cast("double")
-                    * F.col("sj").cast("double")
-                    / F.col("nv")
+            (
+                F.round(
+                    (
+                        F.col("s_hi").cast("double") * F.lit(float(SPLIT_RADIX))
+                        + F.col("s_lo").cast("double")
+                        - F.col("si").cast("double")
+                        * F.col("sj").cast("double")
+                        / F.col("nv")
+                    )
+                    / (F.col("nv") * F.lit(float(QSCALE) * QSCALE)),
+                    6,
                 )
-                / (F.col("nv") * F.lit(float(QSCALE) * QSCALE)),
-                6,
+                # + 0.0 canonicalizes IEEE signed zero (-0.0 + 0.0 = +0.0):
+                # a covariance in (-0.5e-6, 0] rounds to a zero whose SIGN
+                # differs between engines (r10 driver hash-FAIL, cell (5,9))
+                + F.lit(0.0)
             ).alias("cov_r"),
         )
     )

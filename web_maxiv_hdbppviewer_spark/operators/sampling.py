@@ -265,9 +265,12 @@ def weighted_sample(
     TakeOrderedAndProject, partial per-partition heaps of k rows, never
     a global sort. Ties on the rounded key break by id ascending.
 
-    Weights must be strictly positive (E-S is undefined at w <= 0); a
-    zero/negative weight row would get a NULL/inf key, so reject k
-    upfront and leave weight hygiene to the caller's filter.
+    Weights must be strictly positive (E-S is undefined at w <= 0): a
+    zero weight yields a NULL key in Spark (x/0 -> NULL under ANSI-off)
+    but -inf in a SQL oracle, and a negative weight silently INVERTS the
+    ranking - both diverge from E-S semantics without erroring. The
+    operator therefore enforces the contract itself and drops w <= 0
+    rows before keying (r10 advisor finding).
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -276,7 +279,8 @@ def weighted_sample(
     ) / F.lit(float(1 << 60))
     key = F.round(F.log(u) / F.col(weight_col), 6)
     return (
-        df.withColumn("w_key_r", key)
+        df.where(F.col(weight_col) > 0)
+        .withColumn("w_key_r", key)
         .orderBy(F.desc("w_key_r"), F.col(id_col).asc())
         .limit(k)
     )

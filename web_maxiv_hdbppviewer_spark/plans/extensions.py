@@ -2716,7 +2716,10 @@ def events_rolling(spark, sf_dir):
         .select(
             "event_id",
             "user_id",
-            (epoch_us(F.col("ts")) / 1_000_000).cast("long").alias("sec"),
+            # floor division, not double-divide + cast: cast('long')
+            # truncates toward zero while the oracle's `//` floors, and
+            # the two diverge on negative (pre-1970) epochs
+            F.floor(epoch_us(F.col("ts")) / 1_000_000).cast("long").alias("sec"),
             "value",
         )
     )
@@ -2759,11 +2762,20 @@ def events_scd2(spark, sf_dir):
     )
     wo = Window.partitionBy("user_id").orderBy("us", "event_id")
     runs = (
+        # null-safe inequality: with a plain !=, a NULL event_type row
+        # compares NULL against its predecessor, chg falls to the
+        # otherwise(0) branch, and the row silently merges into the
+        # previous run (where MIN() would then mislabel it). eqNullSafe
+        # keeps the 'event_type constant within a run' invariant even if
+        # the column is ever nullable. Partition-start detection anchors
+        # on lag(us) - us is never null, so "no previous row" stays
+        # distinguishable from "previous event_type is NULL" and the
+        # first run is numbered 1 even for a NULL-typed first event.
         ev.withColumn(
             "chg",
             F.when(
-                F.lag("event_type").over(wo).isNull()
-                | (F.lag("event_type").over(wo) != F.col("event_type")),
+                F.lag("us").over(wo).isNull()
+                | ~F.lag("event_type").over(wo).eqNullSafe(F.col("event_type")),
                 1,
             ).otherwise(0),
         )

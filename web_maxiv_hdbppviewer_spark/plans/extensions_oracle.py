@@ -1866,10 +1866,12 @@ EXTENSION_ORACLE["sim_pca_gram"] = f"""
           GROUP BY i, j),
         nv AS (SELECT MAX(n) AS nv FROM f)
         SELECT sec.i, sec.j,
+               -- + 0.0 canonicalizes signed zero to +0.0 (IEEE), matching
+               -- the engine side; see operators/pca.py covariance_df
                ROUND((CAST(s_hi AS DOUBLE) * 67108864.0
                       + CAST(s_lo AS DOUBLE)
                       - CAST(fi.s AS DOUBLE) * CAST(fj.s AS DOUBLE) / nv)
-                     / (nv * 1.0e18), 6) AS cov_r
+                     / (nv * 1.0e18), 6) + 0.0 AS cov_r
         FROM sec
         JOIN f fi ON fi.i = sec.i
         JOIN f fj ON fj.i = sec.j
@@ -2320,14 +2322,17 @@ EXTENSION_ORACLE["pipe_sample_weighted"] = f"""
           SELECT doc_id, lang, source, n_chars,
                  ROUND(ln(({H.format(x="'wsample:' || CAST(doc_id AS VARCHAR)")} + 1)
                           / 1152921504606846976.0) / n_chars, 6) AS w_key_r
-          FROM documents)
+          FROM documents
+          WHERE n_chars > 0)  -- mirror the operator's w>0 contract guard
         SELECT * FROM k ORDER BY w_key_r DESC, doc_id LIMIT 100
     """
 
 # blocked edit-distance linkage (extensions.dedup_fuzzy /
 # dedup.fuzzy_pairs): the same blocked formulation - shared distinct
-# word-5-gram, +-16-char band, levenshtein <= 8 (DuckDB's levenshtein is
-# the identical unit-cost DP)
+# word-5-gram with df <= 64 (the posting-list cap), +-16-char band, the
+# R x R guarantee-restoring fallback for docs the cap de-guaranteed
+# (raw grams > 48 but uncapped <= 48), levenshtein <= 8 (DuckDB's
+# levenshtein is the identical unit-cost DP)
 EXTENSION_ORACLE["dedup_fuzzy"] = """
         WITH raw_toks AS (
           SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
@@ -2346,12 +2351,26 @@ EXTENSION_ORACLE["dedup_fuzzy"] = """
           WHERE w5 IS NOT NULL),
         g5h AS (SELECT DISTINCT id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
                 FROM g5),
+        rare AS (
+          SELECT id, h FROM g5h
+          WHERE h IN (SELECT h FROM g5h GROUP BY h HAVING COUNT(*) <= 64)),
         cand AS (
           SELECT DISTINCT a.id AS id_a, b.id AS id_b
-          FROM g5h a JOIN g5h b ON a.h = b.h AND a.id < b.id)
+          FROM rare a JOIN rare b ON a.h = b.h AND a.id < b.id),
+        r_ids AS (
+          SELECT nr.id
+          FROM (SELECT id, COUNT(*) AS n FROM g5h GROUP BY id) nr
+          LEFT JOIN (SELECT id, COUNT(*) AS n FROM rare GROUP BY id) nu
+            ON nu.id = nr.id
+          WHERE nr.n > 48 AND COALESCE(nu.n, 0) <= 48),
+        rcand AS (
+          SELECT ra.id AS id_a, rb.id AS id_b
+          FROM r_ids ra JOIN r_ids rb ON ra.id < rb.id),
+        pairs AS (SELECT id_a, id_b FROM cand
+                  UNION SELECT id_a, id_b FROM rcand)
         SELECT c.id_a, c.id_b,
                CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev
-        FROM cand c
+        FROM pairs c
         JOIN documents da ON da.doc_id = c.id_a
         JOIN documents db ON db.doc_id = c.id_b
         WHERE abs(length(da.text) - length(db.text)) <= 16
@@ -2507,11 +2526,16 @@ EXTENSION_ORACLE["events_scd2"] = """
           FROM events),
         lagged AS (
           SELECT user_id, event_type, us, event_id,
-                 lag(event_type) OVER w AS prev_t
+                 lag(event_type) OVER w AS prev_t,
+                 lag(us) OVER w AS prev_us
           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         runs AS (
+          -- null-safe run break, mirroring the engine's eqNullSafe: a
+          -- NULL event_type must open its own run, and partition start
+          -- is detected on the never-null prev_us
           SELECT user_id, event_type, us,
-                 SUM(CASE WHEN prev_t IS NULL OR prev_t <> event_type
+                 SUM(CASE WHEN prev_us IS NULL
+                            OR prev_t IS DISTINCT FROM event_type
                           THEN 1 ELSE 0 END)
                    OVER (PARTITION BY user_id ORDER BY us, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
