@@ -39,183 +39,59 @@ def entry(spark: SparkSession) -> DataFrame:
 # (text_bpe_apply rewritten but left unwitnessed) fails the suite instead
 # of relying on judge review.
 #
-# ROUND-10 WINDOW. No round-9 driver artifacts landed in-repo
-# (CORRECTNESS_r09.json / BENCH_r09.json absent), so the entire round-9
-# changelist below has never received a driver correctness row; it keeps
-# window priority behind the round-10 additions until one exists. The 8
-# round-10 additions therefore displace the only non-r9 entries of the
-# previous window - core q9-q15 and q22 - to the r11 rotation queue:
-# all eight are r7-driver-witnessed, code-unchanged since, and
-# parity-checked against their oracles at sf0.001 by every suite run
-# (they were also replayed green at the driver's own sf0.01 scale in the
-# r9 closing sweep and again this session).
+# ROUND-11 WINDOW. CORRECTNESS_r10.json landed: the entire r9 backlog +
+# all 14 r10 additions are driver-witnessed green (sole red row
+# sim_pca_gram, fixed this round - see changelist). The window therefore
+# finally rotates back to the DISPLACED CORE, stale since r7/r8: the
+# r11 changelist leads, then q9-q15+q22, q1-q8, q16-q21 (the raster
+# path q20/q21 per VERDICT r10 #6), the four r8-row streaming queries,
+# dedup_clusters_semantic + text_keywords (the recorded r11 queue), and
+# the remaining slots go to the r7-row extensions displaced at r9
+# (events_quantiles/window_sessions also happen to be two of the r10
+# bench-spike queries - their value semantics get re-witnessed here
+# alongside the isolated re-probes recorded in BASELINE.md).
+# (Prior-round window rationales: git history, commits b154ccb/82f29f9.)
 #
-# Round-10 changelist: pipe_sample_weighted (NEW - Efraimidis-Spirakis
-# weighted sampling without replacement, deterministic exponential keys),
-# dedup_fuzzy (NEW - 5-gram-blocked + length-banded Levenshtein record
-# linkage), dedup_keep_best (NEW - quality-argmax cluster representative
-# selection), sim_sparse_topk (NEW - inverted-index TF-IDF trigram
-# cosine join, decimal-exact dots, df-capped postings), text_vocab
-# (NEW - top-k vocabulary OOV audit), pipe_manifest (NEW -
-# order-invariant bit_xor content checksums per (split, source)),
-# events_rolling (NEW - trailing-7-day RANGE-frame point-in-time
-# features), events_scd2 (NEW - gaps-and-islands SCD2 interval
-# build); batch 2: sim_knn_graph (NEW - LSH-bucketed kNN graph),
-# scale_colstats (NEW - one-scan multi-distinct column stats card),
-# text_domain_shift (NEW - per-source KL drift, decimal-exact terms),
-# pipe_reweight (NEW - 1/cluster-size soft-dedup weights),
-# pipe_dedup_sweep (NEW - five-threshold sensitivity from one pair
-# pass); batch 3: sim_index_persist (NEW - PQ index parquet round-trip
-# served from reloaded artifacts, oracle = sim_topk_pq verbatim).
-#
-# Round-9 CONTINUATION additions (second session of the round): 15 new
-# queries - dedup_spans (C4 repeated-span filter, one-window shuffle),
-# events_heavy_hitters (Count-Min point-frequency contracts),
-# stream_join (watermarked stream-stream interval join),
-# scale_zorder (Morton layout + measured data skipping),
-# pipe_contamination_bloom (broadcast-bitmap decontamination,
-# SQL-replayed bloom), sim_pca_gram + sim_pca (integer-moment
-# covariance, driver-bounded eigensolve with in-engine contracts),
-# pipe_stats_delta (materialized-view maintenance vs recompute),
-# pipe_bootstrap (Poisson-bootstrap CIs), graph_pagerank (integer
-# supersteps, SQL-unrolled), events_attribution (bucketized interval
-# join), text_chunk (overlapping context windows), stream_restart
-# (exactly-once across a checkpoint restart), events_scaffold
-# (date-spine densification + forward fill) and events_markov
-# (journey transition matrix) - plus the
-# text_lm_score decimal-sum determinism/perf fix (15x) and the
-# TtlDimension.invalidate monotonic-clock fix. Each addition displaced
-# one rotation-tail entry with an inline justification below; the
-# displaced set (events_quantiles, window_sessions,
-# sim_ann_ivf_trained, dedup_ngram_jaccard, dedup_minhash_lsh,
-# pipe_curation, pipe_contamination, pipe_domain_mix,
-# lifecycle_aggregate, q16-q21) leads the r10 rotation queue together
-# with the earlier tail; ALL of them stayed parity-green in this
-# session's full sf0.01 sweep (116/116, the driver's own scale).
-#
-# Round-9 changelist: sim_ann_compare (NEW - replaces the three retired
-# per-method recall queries sim_ann_recall/sim_pq_recall/sim_ivfpq_recall,
-# VERDICT r8 #7), stream_sessions_evict (NEW - append-mode sessionization
-# with watermark state eviction, VERDICT r8 #6), scale_bucketed (NEW -
-# bucketed-layout + salted-agg witness with plan-derived n_exchanges,
-# VERDICT r8 #5), dedup_semantic (NEW - SemDeDup over trained k-means
-# cells), dedup_clusters_semantic (NEW - the same CC operator over the
-# semantic pair source; displaces dedup_clusters, whose identical graph
-# machinery it witnesses with new edges), scale_compact (NEW - small-file compaction layout witness),
-# events_distinct_approx (NEW - HLL accuracy + mergeability witness),
-# stream_sink_compact (NEW - exactly-once file-sink landing + compaction
-# maintenance, checksum-certified),
-# events_props_parse (NEW - schema'd JSON extraction, parser-path
-# agreement), pipe_stats (NEW - per-(lang,source) dataset card),
-# pipe_pack_bpe (NEW - packing budgeted by BPE pre-tokenizer counts;
-# displaces pipe_pack, whose identical cumsum machinery it witnesses
-# with a different length unit),
-# text_collocations (NEW - PMI phrase mining), text_keywords (NEW -
-# per-document TF-IDF top-k), dedup_containment (NEW -
-# asymmetric quote/subset containment join), events_anomaly (NEW -
-# per-user 3-sigma outlier audit on round-6-pinned moments),
-# events_funnel_seq (NEW - strict-order conversion funnel) and
-# events_retention (NEW - cohort retention matrix),
-# pipe_temperature_mix
-# (NEW - alpha-sampling domain rebalance), pipe_curriculum (NEW -
-# quality tiers over the distributed global rank), dedup_incremental +
-# pipe_delta_apply (probe side now pruned before the shingle explode),
-# text_lm_score (deterministic position-ordered log-prob fold),
-# lifecycle_image (request-order z-order in compose_image + independent
-# digest oracle), and the 4 streaming queries (shared _drain: loud
-# timeout + stop()). Then the stale tail per the standing rotation queue:
-# core q9-q22 and the r7-row extensions (two rounds stale by r9). The 16
-# new queries displace 3 core + 13 extension rotation slots to r10
-# (every displaced entry was replayed green at the driver's own sf0.01
-# scale this session via SPARK_GRAFT_TEST_SF parity):
-# q1-q3 (r8-witnessed, freshest), sim_topk_cosine (its exact ranking IS
-# the driver-witnessed sim_ann_compare baseline), sim_topk_quantized
-# (shares the quantized scoring with r8-witnessed sim_quantize),
-# pipe_shard_sink (bounded FS walk, unit-tested), window_sliding and
-# events_pivot (single-pass Expand plans, plan-pinned in the suite), and
-# dedup_exact (a stable hash-groupBy, r7 row + local parity every run)
-# events_rollup (single-pass Expand, plan-pinned), sim_ann_ivf (the
-# trained variant in-window exercises the identical assignment/probe
-# plan), dedup_simhash (hamming-band property-tested), sim_ann_lsh (the
-# LSH recall dial is driver-witnessed inside sim_ann_compare) and
-# pipe_split
-# (partition-invariance unit-tested; pipe_domain_mix witnesses the same
-# md5-bucket machinery) -
-# all still parity-checked at sf0.001 by tests/test_oracle_parity.py
-# every run; they lead the r10 rotation queue.
+# Round-11 changelist: sim_index_append (NEW - incremental PQ index
+# maintenance: base-trained frozen codebooks, O(batch) append encode,
+# parquet-append, re-serve; oracle re-encodes the whole corpus against
+# the base-trained codebooks), sim_index_persist (generation-dir
+# retention cleanup, shared _pq_index_gen_dir), sim_pca_gram
+# (signed-zero canonicalization after the round-6 on BOTH sides - the
+# r10 red row), dedup_fuzzy (posting-list df_cap=64 + R x R
+# guarantee-restoring fallback + band-before-distinct), 
+# pipe_sample_weighted (w > 0 contract guard, both sides),
+# events_rolling (floor division for negative-epoch portability),
+# events_scd2 (null-safe run breaks anchored on the never-null ts).
 _CHANGED_THIS_ROUND = [
-    # -- round 10 --
-    "pipe_sample_weighted",  # NEW - E-S weighted sample, hash-keyed
-    "dedup_fuzzy",  # NEW - blocked+banded Levenshtein linkage
-    "dedup_keep_best",  # NEW - quality-argmax cluster representative
-    "sim_sparse_topk",  # NEW - inverted-index TF-IDF cosine join
-    "text_vocab",  # NEW - top-k vocab OOV audit
-    "pipe_manifest",  # NEW - order-invariant xor content manifest
-    "events_rolling",  # NEW - trailing-7-day RANGE-frame features
-    "events_scd2",  # NEW - SCD2 interval build
-    "sim_knn_graph",  # NEW - LSH-bucketed kNN graph construction
-    "scale_colstats",  # NEW - one-scan ANALYZE-style column stats card
-    "text_domain_shift",  # NEW - per-source KL drift, decimal-exact
-    "pipe_reweight",  # NEW - soft-dedup 1/cluster-size weights
-    "pipe_dedup_sweep",  # NEW - threshold sensitivity, one pair pass
-    "sim_index_persist",  # NEW - PQ index parquet round-trip, served
+    # -- round 11 --
+    "sim_index_append",  # NEW - incremental PQ index append lifecycle
+    "sim_index_persist",  # generation retention cleanup (shared helper)
+    "sim_pca_gram",  # -0.0 canonicalization - the r10 red driver row
+    "dedup_fuzzy",  # df-capped postings + R x R fallback
+    "pipe_sample_weighted",  # w > 0 guard (engine + oracle)
+    "events_rolling",  # floor-division epoch seconds
+    "events_scd2",  # null-safe gaps-and-islands run breaks
 ]
-# round-9 changelist, never driver-witnessed (no r9 artifacts): retains
-# window priority immediately behind the round-10 additions
-_PENDING_R9 = [
-    "dedup_spans",  # NEW - C4-style duplicated-span accounting
-    "events_heavy_hitters",  # NEW - CMS point-frequency witness
-    "stream_join",  # NEW - watermarked stream-stream interval join
-    "scale_zorder",  # NEW - Morton-layout data-skipping witness
-    "pipe_contamination_bloom",  # NEW - broadcast-bitmap decontamination
-    "sim_pca_gram",  # NEW - integer-moment covariance, 2080 hashed cells
-    "sim_pca",  # NEW - driver-bounded eigensolve with in-engine contracts
-    "pipe_stats_delta",  # NEW - materialized-view maintenance vs recompute
-    "pipe_bootstrap",  # NEW - Poisson-bootstrap CIs, integer-portable
-    "graph_pagerank",  # NEW - integer PageRank, 8 supersteps SQL-unrolled
-    "events_attribution",  # NEW - bucketized interval join, last-touch
-    "text_chunk",  # NEW - overlapping token windows, RAG/packing prep
-    "stream_restart",  # NEW - exactly-once across a checkpoint restart
-    "events_scaffold",  # NEW - date-spine densification + forward fill
-    "events_markov",  # NEW - user-journey transition matrix
-    "sim_ann_compare", "stream_sessions_evict", "scale_bucketed",
-    "dedup_semantic", "scale_compact", "events_distinct_approx",
-    "events_props_parse", "pipe_stats", "text_collocations",
-    "pipe_temperature_mix", "pipe_curriculum", "dedup_containment",
-    # text_keywords displaced to the r11 queue by sim_index_persist: its
-    # tf*ln(N/df) weighting + ranking algebra is exercised in-window by
-    # sim_sparse_topk (r10, the same TF-IDF construction via
-    # tfidf_term_weights), and the per-doc form stays parity-checked at
-    # sf0.001 every suite run
-    "events_anomaly", "stream_sink_compact",
-    "events_funnel_seq", "events_retention", "pipe_pack_bpe",
-    "dedup_incremental", "pipe_delta_apply",
-    "text_lm_score", "lifecycle_image",
-    # Displaced to the r11 queue by the 5 batch-2 round-10 additions
-    # (every displaced entry remains sf0.001-parity-checked each suite
-    # run and was replayed green at sf0.01 this session):
-    #  - stream_last_value / stream_window / stream_dedup /
-    #    stream_sessions: their only r9 delta was the SHARED _drain fix
-    #    (loud timeout + stop()), which the four in-window NEW streaming
-    #    queries (stream_join, stream_restart, stream_sessions_evict,
-    #    stream_sink_compact) exercise through the identical helper;
-    #    their own semantics have r8 driver rows on file.
-    #  - dedup_clusters_semantic: its CC operator runs in-window through
-    #    dedup_keep_best (r10, composes duplicate_clusters) and
-    #    graph_pagerank (same superstep machinery); its semantic pair
-    #    source is in-window as dedup_semantic.
-]
-_WINDOW = (
-    _CHANGED_THIS_ROUND
-    + _PENDING_R9
-    # core q9-q15 + q22 displaced to the r11 queue by the 8 round-10
-    # additions: r7-driver-witnessed, code-unchanged since, sf0.001
-    # parity-checked every suite run, and replayed green at sf0.01 in
-    # the r9 closing sweep - unlike the r9 changelist above, they HAVE
-    # driver rows on file
-    # (the per-entry r9 displacement rationales previously recorded
-    # here are preserved in git history at commit b154ccb)
+# the displaced core, least-recently-witnessed first (q9-q15 + q22 were
+# displaced in r10; every entry is r7/r8-row-witnessed, code-unchanged,
+# and sf0.001-parity-checked each suite run)
+_STALE_CORE = (
+    [f"q{i}" for i in (9, 10, 11, 12, 13, 14, 15, 22)]
+    + [f"q{i}" for i in range(1, 9)]
+    + [f"q{i}" for i in range(16, 22)]
 )
+_STALE_TAIL = [
+    "stream_last_value", "stream_window", "stream_dedup", "stream_sessions",
+    "dedup_clusters_semantic", "text_keywords",
+    # r7-row extensions displaced at r9, never re-witnessed since
+    "events_quantiles", "window_sessions", "sim_ann_ivf_trained",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "pipe_curation",
+    "pipe_contamination", "pipe_domain_mix", "lifecycle_aggregate",
+    "sim_topk_cosine", "sim_topk_quantized", "pipe_shard_sink",
+    "window_sliding", "events_pivot", "dedup_exact",
+]
+_WINDOW = _CHANGED_THIS_ROUND + _STALE_CORE + _STALE_TAIL
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -176,6 +176,47 @@ def test_fuzzy_capped_still_matches_uncapped_when_cap_is_loose(spark):
 # ------------------------------------------------------------ signed zero
 
 
+def test_pq_index_generation_retention(spark):
+    """Generation directories must not accumulate for the process
+    lifetime (r10 advisor finding): after N persist/append calls at the
+    same sf, at most _PQ_GEN_RETAIN generation dirs may remain on disk -
+    while the immediately-preceding generation always survives, so a
+    frame returned by the previous call still collects."""
+    import glob
+    import os
+
+    from web_maxiv_hdbppviewer_spark.plans import extensions as ext
+
+    prev = QUERIES["sim_index_persist"](spark, SF_SMOKE)
+    QUERIES["sim_index_append"](spark, SF_SMOKE).collect()
+    assert prev.count() > 0  # the immediately-preceding generation survives
+    QUERIES["sim_index_persist"](spark, SF_SMOKE).collect()
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file:")
+    dirs = glob.glob(os.path.join(wh, "pq_index_*", "gen_*"))
+    live = [d for d in dirs if f"gen_{os.getpid()}_" in d]
+    assert len(live) <= ext._PQ_GEN_RETAIN, live
+
+
+def test_index_append_serves_batch_rows(spark):
+    """The appended batch must actually be SERVED: batch ids
+    (vec_id % 10 == 3) appear among returned candidates, every query id
+    gets exactly 5 ranked rows, and the result is call-stable."""
+    from web_maxiv_hdbppviewer_spark.plans.extensions import (
+        APPEND_MOD,
+        APPEND_RESIDUE,
+    )
+
+    rows = QUERIES["sim_index_append"](spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert all(len(v) == 5 for v in by_q.values())
+    assert any(
+        r.cand_id % APPEND_MOD == APPEND_RESIDUE for r in rows
+    ), "no appended-batch vector was ever served"
+
+
 def test_covariance_never_emits_negative_zero(spark):
     """IEEE signed zero: a covariance in (-0.5e-6, 0] rounds to a zero
     whose sign bit differs across engines (the r10 sim_pca_gram driver

@@ -2710,3 +2710,24 @@ EXTENSION_ORACLE["pipe_dedup_sweep"] = f"""
 # oracle is sim_topk_pq's unrolled SQL verbatim - any storage loss or
 # artifact mismatch flips the hash
 EXTENSION_ORACLE["sim_index_persist"] = EXTENSION_ORACLE["sim_topk_pq"]
+
+# incremental index append (extensions.sim_index_append): the oracle
+# trains the codebooks on the BASE corpus only (id % 10 != 3), then
+# re-encodes the WHOLE corpus against them in one shot - PQ encoding is
+# per-row, so the engine's append path (persist base codes, encode the
+# batch against the reloaded frozen codebooks, parquet-append, re-serve)
+# must land on the identical code table; any codebook drift across the
+# reload, lost append file, or batch/base skew flips the hash
+_APQ_CTES, _APQ_FINAL = _pq_ctes(_PQ_ITERS, src="basev", p="b")
+EXTENSION_ORACLE["sim_index_append"] = f"""
+        WITH {_VECS},
+        basev AS (SELECT id, v, nrm FROM vecs WHERE id % 10 != 3),
+        {_APQ_CTES}
+        psv AS (
+          SELECT id, nrm, m,
+                 list_slice(v, m * {_PQ_SD} + 1, (m + 1) * {_PQ_SD}) AS sv
+          FROM vecs, range(0, {_PQ_M}) r(m)),
+        {_PQ_RANKED.replace(_PQ_FINAL, _APQ_FINAL)}
+        SELECT q_id, cand_id, acos_r, rank FROM pqranked
+        WHERE rank <= 5 ORDER BY q_id, rank
+    """
