@@ -52,7 +52,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # alongside the isolated re-probes recorded in BASELINE.md).
 # (Prior-round window rationales: git history, commits b154ccb/82f29f9.)
 #
-# Round-11 changelist: sim_index_append (NEW - incremental PQ index
+# Round-11 changelist: dedup_substr (NEW - exact substring-level dedup,
+# Lee et al. ExactSubstr as overlapping-window hashes + island merging,
+# VERDICT r10 #8), sim_index_append (NEW - incremental PQ index
 # maintenance: base-trained frozen codebooks, O(batch) append encode,
 # parquet-append, re-serve; oracle re-encodes the whole corpus against
 # the base-trained codebooks), sim_index_persist (generation-dir
@@ -65,6 +67,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # events_scd2 (null-safe run breaks anchored on the never-null ts).
 _CHANGED_THIS_ROUND = [
     # -- round 11 --
+    "dedup_substr",  # NEW - ExactSubstr substring-level dedup accounting
     "sim_index_append",  # NEW - incremental PQ index append lifecycle
     "sim_index_persist",  # generation retention cleanup (shared helper)
     "sim_pca_gram",  # -0.0 canonicalization - the r10 red driver row
@@ -89,7 +92,9 @@ _STALE_TAIL = [
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "pipe_curation",
     "pipe_contamination", "pipe_domain_mix", "lifecycle_aggregate",
     "sim_topk_cosine", "sim_topk_quantized", "pipe_shard_sink",
-    "window_sliding", "events_pivot", "dedup_exact",
+    "window_sliding", "events_pivot",
+    # dedup_exact yields its slot to the new dedup_substr (r7 row + a
+    # stable hash-groupBy, parity-checked every run; next in the queue)
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_CORE + _STALE_TAIL
 

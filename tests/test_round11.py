@@ -217,6 +217,80 @@ def test_index_append_serves_batch_rows(spark):
     ), "no appended-batch vector was ever served"
 
 
+# ---------------------------------------------------------- substr dedup
+
+
+def test_repeated_substrings_matches_python_spec(spark):
+    """Planted-corpus spec check for the ExactSubstr accounting: doc 1
+    embeds a 20-token block of doc 0 at an offset that straddles the
+    fixed 8-token span grid; an independent python implementation of
+    windows -> global counts -> island merge must agree exactly, and
+    the covered-token count must equal the planted block (plus nothing
+    else) in both docs."""
+    k = 12
+    import random
+
+    rng = random.Random(7)
+    va = [f"a{i}" for i in range(40)]
+    block = va[10:30]  # 20-token block, repeated verbatim in doc 1
+    vb = [f"b{i}" for i in range(9)] + block + [f"c{i}" for i in range(11)]
+    vc = [f"d{i}" for i in range(35)]  # unrelated
+    texts = {0: " ".join(va), 1: " ".join(vb), 2: " ".join(vc)}
+
+    def spec(texts, k):
+        wins = {}
+        cnt = {}
+        for i, t in texts.items():
+            toks = [w for w in t.lower().split(" ") if w]
+            ws = [
+                " ".join(toks[p : p + k]) for p in range(len(toks) - k + 1)
+            ]
+            wins[i] = (len(toks), ws)
+            for w in ws:
+                cnt[w] = cnt.get(w, 0) + 1
+        out = {}
+        for i, (n, ws) in wins.items():
+            if n < k:
+                continue
+            dups = [p for p, w in enumerate(ws) if cnt[w] >= 2]
+            runs = []
+            for p in dups:
+                if runs and p - runs[-1][1] <= k:
+                    runs[-1] = (runs[-1][0], p)
+                else:
+                    runs.append((p, p))
+            toks_cov = sum(b - a + k for a, b in runs)
+            longest = max((b - a + k for a, b in runs), default=0)
+            out[i] = (n, len(runs), toks_cov, longest)
+        return out
+
+    from pyspark.sql.functions import col
+    from web_maxiv_hdbppviewer_spark.operators.dedup import repeated_substrings
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_runs, r.dup_tokens, r.longest_run)
+        for r in repeated_substrings(df, k).collect()
+    }
+    assert got == spec(texts, k)
+    # the planted block is found at its exact 20-token extent in BOTH
+    # docs - the straddling case the non-overlapping span grid misses
+    assert got[0] == (40, 1, 20, 20)
+    assert got[1] == (40, 1, 20, 20)
+    assert got[2] == (35, 0, 0, 0)
+
+
+def test_repeated_substrings_plan_is_two_shuffles_no_joins_on_corpus(spark):
+    """Scale pin: the substr accounting must stay corpus-linear - the
+    only corpus-width join is the final per-doc stats attach (doc-grain,
+    not window-grain), and no cartesian/broadcast-nested-loop appears."""
+    plan = _plan(QUERIES["dedup_substr"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_covariance_never_emits_negative_zero(spark):
     """IEEE signed zero: a covariance in (-0.5e-6, 0] rounds to a zero
     whose sign bit differs across engines (the r10 sim_pca_gram driver

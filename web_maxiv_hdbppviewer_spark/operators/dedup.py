@@ -803,6 +803,110 @@ def span_dedup(
     )
 
 
+def repeated_substrings(
+    df: DataFrame,
+    k: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact SUBSTRING-level dedup accounting (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better',
+    ExactSubstr): find every maximal region of a document whose k-token
+    substrings also occur elsewhere in the corpus, the cross-document
+    repeated-text modality the fixed-window ``span_dedup`` cannot see
+    (its non-overlapping grid misses repeats that straddle window
+    boundaries). The suffix-array formulation is re-expressed
+    Spark-first as overlapping windows + run merging:
+
+      1. every OVERLAPPING k-token window (stride 1 - ``word_kgrams``),
+         reduced map-side to its 60-bit portable hash: (h, id, pos);
+      2. a window is duplicated iff its hash occurs >= 2 times anywhere
+         in the corpus (cross-document or within-document, exactly the
+         ExactSubstr criterion) - a count over the hash partition, no
+         join-back;
+      3. per document, duplicated positions merge into maximal token
+         intervals (gaps-and-islands: [p, p+k-1] intervals of equal
+         length merge while the position step is <= k), so a repeated
+         region of length L >= k is reported once with its full token
+         coverage, not as L-k+1 window hits.
+
+    EXACT for the threshold: a repeated substring of >= k tokens implies
+    every one of its k-windows repeats, and a repeated k-window IS a
+    repeated k-token substring - so dup_tokens covers precisely the
+    tokens inside some >= k-token repeat. (It is the SUFFIX-ARRAY
+    result for threshold k; unlike the suffix array it cannot report
+    the exact length of repeats longer than a merged island when
+    distinct repeats abut, which is why longest_run is a lower bound.)
+
+    Output, one row per doc with >= k tokens:
+        (doc_id, n_tokens, n_runs, dup_tokens, longest_run, dup_frac_r)
+
+    Scale shape (100 TB): corpus-linear - n_tokens window rows per doc,
+    each ~24 bytes after the map-side hash; shuffle #1 is the hash
+    partition count (uniform 60-bit keys; a boilerplate substring
+    repeated a million times is ONE partition's count, never a row
+    explosion), shuffle #2 the per-doc island window. No candidate
+    generation, no joins against the corpus, no driver collect."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("l")
+    ).where(F.size("l") >= k)
+    base = toks.select("id", F.size("l").cast("long").alias("n_tokens"))
+    wins = toks.select(
+        "id",
+        F.posexplode(
+            F.transform(word_kgrams(F.col("l"), k), md5_int60)
+        ).alias("p", "h"),
+    )
+    dup = wins.select(
+        "id",
+        "p",
+        (F.count(F.lit(1)).over(Window.partitionBy("h")) >= 2).alias("d"),
+    ).where(F.col("d"))
+    wo = Window.partitionBy("id").orderBy("p")
+    runs = (
+        dup.withColumn(
+            "brk",
+            F.when(
+                F.coalesce(
+                    F.col("p") - F.lag("p").over(wo), F.lit(k + 1)
+                ) > k,
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("brk").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("id", "run_id")
+        .agg(
+            F.min("p").alias("p0"),
+            (F.max("p") - F.min("p") + k).cast("long").alias("run_tokens"),
+        )
+    )
+    per_doc = runs.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.sum("run_tokens").cast("long").alias("dup_tokens"),
+        F.max("run_tokens").cast("long").alias("longest_run"),
+    )
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            F.coalesce("n_runs", F.lit(0)).cast("long").alias("n_runs"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.coalesce("longest_run", F.lit(0)).cast("long").alias("longest_run"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_frac_r"),
+        )
+    )
+
+
 BLOOM_M_LOG2 = 22  # 4 Mi bits = 512 KiB bitmap
 BLOOM_H = 2        # hash functions (salted portable md5)
 

@@ -181,6 +181,27 @@ def dedup_spans(spark, sf_dir):
     return dedup.span_dedup(_docs(spark, sf_dir), SPAN_K).orderBy("doc_id")
 
 
+#: minimum repeated-substring length (tokens) for dedup_substr - the
+#: ExactSubstr threshold (Lee et al. use 50 BPE tokens on web-scale text;
+#: 12 words keeps the modality non-trivial on this corpus's ~56-word docs)
+SUBSTR_K = 12
+
+
+def dedup_substr(spark, sf_dir):
+    """Exact substring-level dedup accounting (operators/
+    dedup.repeated_substrings): per-document maximal regions whose
+    12-token substrings occur >= 2 times anywhere in the corpus - the
+    Lee et al. ExactSubstr suffix-array dedup re-expressed as
+    overlapping-window hashes + gaps-and-islands run merging. The
+    missing modality between span_dedup (fixed non-overlapping grid)
+    and the document-level near-dup families: it catches repeats that
+    straddle window boundaries at their exact token extent. Oracle:
+    the identical windows/count/island algebra unrolled in SQL."""
+    return dedup.repeated_substrings(_docs(spark, sf_dir), SUBSTR_K).orderBy(
+        "doc_id"
+    )
+
+
 def dedup_clusters_semantic(spark, sf_dir):
     """Embedding near-dup pairs -> duplicate clusters: the same iterative
     connected-components operator as dedup_clusters (min-label propagation
@@ -3246,6 +3267,7 @@ EXTENSION_QUERIES = {
     "dedup_clusters_semantic": dedup_clusters_semantic,
     "dedup_containment": dedup_containment,
     "dedup_spans": dedup_spans,
+    "dedup_substr": dedup_substr,
     "graph_pagerank": graph_pagerank,
     "pipe_contamination_bloom": pipe_contamination_bloom,
     "sim_pca_gram": sim_pca_gram,

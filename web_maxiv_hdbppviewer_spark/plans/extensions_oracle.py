@@ -2078,6 +2078,56 @@ EXTENSION_ORACLE["dedup_spans"] = """
         FROM r GROUP BY doc_id ORDER BY doc_id
     """
 
+# exact substring-level dedup (extensions.dedup_substr /
+# dedup.repeated_substrings): identical overlapping 12-token windows
+# (stride 1), duplicated iff the window text occurs >= 2 times anywhere,
+# gaps-and-islands merge of positions within step <= 12, per-doc
+# coverage stats; DISTINCT-free - every occurrence row participates in
+# the count, exactly like the engine's count-over-hash-partition
+EXTENSION_ORACLE["dedup_substr"] = """
+        WITH t AS (
+          SELECT doc_id AS id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+          FROM documents),
+        tt AS (SELECT id, l, len(l) AS n FROM t WHERE len(l) >= 12),
+        wins AS (
+          SELECT id, i - 1 AS p,
+                 array_to_string(list_slice(l, i, i + 11), ' ') AS span
+          FROM (SELECT id, l, unnest(generate_series(1, n - 11)) AS i
+                FROM tt)),
+        cnt AS (SELECT span, COUNT(*) AS c FROM wins GROUP BY span),
+        dup AS (
+          SELECT w.id, w.p FROM wins w
+          JOIN cnt ON cnt.span = w.span AND cnt.c >= 2),
+        lagged AS (
+          SELECT id, p, lag(p) OVER (PARTITION BY id ORDER BY p) AS pp
+          FROM dup),
+        isl AS (
+          SELECT id, p,
+                 SUM(CASE WHEN p - COALESCE(pp, p - 13) > 12
+                     THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY id ORDER BY p
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_id
+          FROM lagged),
+        runs AS (
+          SELECT id, run_id, MAX(p) - MIN(p) + 12 AS run_tokens
+          FROM isl GROUP BY id, run_id),
+        per AS (
+          SELECT id, COUNT(*) AS n_runs, SUM(run_tokens) AS dup_tokens,
+                 MAX(run_tokens) AS longest_run
+          FROM runs GROUP BY id)
+        SELECT tt.id AS doc_id,
+               CAST(tt.n AS BIGINT) AS n_tokens,
+               CAST(COALESCE(n_runs, 0) AS BIGINT) AS n_runs,
+               CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               CAST(COALESCE(longest_run, 0) AS BIGINT) AS longest_run,
+               ROUND(COALESCE(dup_tokens, 0) / CAST(tt.n AS DOUBLE), 6)
+                 AS dup_frac_r
+        FROM tt LEFT JOIN per ON per.id = tt.id
+        ORDER BY doc_id
+    """
+
 # asymmetric containment dedup (extensions.dedup_containment /
 # dedup.containment_pairs): naive inverted-index form - all pairs sharing
 # a shingle, containment = common / min(|A|, |B|) - so parity checks the
