@@ -55,6 +55,7 @@ def main() -> None:
     # likewise the PQ codebooks (sim_topk_pq / sim_pq_recall share the memo)
     # and the IVFPQ artifacts (coarse centroids + residual codebooks)
     extensions._pq_codebooks(spark, sf_dir)
+    extensions._pq_base_codebooks(spark, sf_dir)
     extensions._ivfpq_artifacts(spark, sf_dir)
     # pre-materialize the session shingle-array index and verified pair
     # table (operators/dedup._SHINGLE_CACHE/_PAIR_CACHE): every

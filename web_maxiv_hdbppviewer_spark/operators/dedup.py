@@ -128,6 +128,11 @@ _SHINGLE_CACHE: list[tuple[int, DataFrame, DataFrame]] = []
 #: cluster query consumes exactly the pair table the pair query declares,
 #: so one session computes the prefix-join + verification once.
 _PAIR_CACHE: list[tuple[int, DataFrame, DataFrame]] = []
+
+#: fuzzy-linkage 5-gram posting index + its df-capped projection
+#: (fuzzy_pairs) - five consumers share each per session
+_FUZZY_GRAM_CACHE: list[tuple[int, DataFrame, DataFrame]] = []
+_FUZZY_RARE_CACHE: list[tuple[int, DataFrame, DataFrame]] = []
 #: Bloom decontamination's train-shingle table (bloom_contamination) -
 #: separate list so it cannot evict the shingle-array entries above.
 _BLOOM_CACHE: list[tuple[int, DataFrame, DataFrame]] = []
@@ -1092,23 +1097,33 @@ def fuzzy_pairs(
     # 60-bit collision can only ADD a candidate, which the levenshtein
     # verification then rejects, or in the worst case inflate a gram's
     # df toward the cap - which the R x R fallback then absorbs)
-    grams = base.select(
-        "id",
-        "len",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    word_kgrams(words(F.col("t")), gram_k), md5_int60
+    # the gram index and its df-capped projection are consumed by FIVE
+    # subtrees (df count, both posting-join sides, n_raw, n_unc), so both
+    # are session-memoized localCheckpoints (the shingle-index idiom) -
+    # without this the explode and the df aggregation replay per consumer
+    grams = _memoized_checkpoint(
+        _FUZZY_GRAM_CACHE,
+        base.select(
+            "id",
+            "len",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        word_kgrams(words(F.col("t")), gram_k), md5_int60
+                    )
                 )
-            )
-        ).alias("h"),
+            ).alias("h"),
+        ),
     )
-    rare = grams.join(
-        grams.groupBy("h").agg(F.count(F.lit(1)).alias("gdf"))
-        .where(F.col("gdf") <= df_cap)
-        .select("h"),
-        "h",
-        "left_semi",
+    rare = _memoized_checkpoint(
+        _FUZZY_RARE_CACHE,
+        grams.join(
+            grams.groupBy("h").agg(F.count(F.lit(1)).alias("gdf"))
+            .where(F.col("gdf") <= df_cap)
+            .select("h"),
+            "h",
+            "left_semi",
+        ),
     )
     cand = (
         rare.alias("a")

@@ -240,6 +240,78 @@ def temperature_rebalance(
     )
 
 
+def mixture_schedule(
+    df: DataFrame,
+    total_slots: int = 100_000,
+    strata_col: str = "source",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a training-slot
+    budget across domains: given per-domain corpus counts n_d, allocate
+    ``total_slots`` training examples so that every domain receives
+    floor(T * n_d / N) slots plus at most one extra, extras going to the
+    largest fractional remainders - the slots sum to EXACTLY T (the
+    defining property of the method) and the whole computation is
+    integer, so any engine reproduces it bit-for-bit. This is the
+    schedule a data-mixing loader consumes: ``pipe_temperature_mix``
+    decides the mixture WEIGHTS, this turns weights into an exact
+    integer batch composition (no accumulated rounding drift over a
+    training run, unlike per-step independent sampling).
+
+        quota_d = T * n_d / N          (exact rational)
+        base_d  = (T * n_d) div N      (integer division)
+        rem_d   = (T * n_d) mod N      (integer remainder)
+        extras: the T - sum(base_d) domains with the largest rem_d
+                (ties: strata ascending) get +1
+
+    Output: (strata, n_docs, base_slots, rem, extra, slots), one row per
+    domain. Scale shape: one corpus-linear count aggregation; everything
+    after runs on K = #domains rows (the ranking window is a
+    single-partition sort of K rows - bounded by the domain vocabulary,
+    never the corpus, the same boundedness argument as the codebook
+    collects)."""
+    from pyspark.sql.window import Window
+
+    if total_slots <= 0:
+        raise ValueError(f"total_slots must be positive, got {total_slots}")
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = counts.agg(F.sum("n_docs").alias("nn"))
+    q = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            strata_col,
+            "n_docs",
+            F.expr(f"({total_slots} * n_docs) div nn").alias("base_slots"),
+            F.expr(f"({total_slots} * n_docs) % nn").alias("rem"),
+        )
+    )
+    leftover = q.agg(
+        (F.lit(total_slots) - F.sum("base_slots")).alias("leftover")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc(strata_col))  # K rows, bounded
+    return (
+        q.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            strata_col,
+            "n_docs",
+            "base_slots",
+            "rem",
+            F.when(F.col("rk") <= F.col("leftover"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("extra"),
+            (
+                F.col("base_slots")
+                + F.when(F.col("rk") <= F.col("leftover"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long").alias("slots"),
+        )
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,
