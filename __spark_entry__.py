@@ -65,6 +65,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # pipe_sample_weighted (w > 0 contract guard, both sides),
 # events_rolling (floor division for negative-epoch portability),
 # events_scd2 (null-safe run breaks anchored on the never-null ts).
+# Batch 2: sim_mips (NEW - exact MIPS top-k with the norm-augmentation
+# reduction certified per row from materialized augmented arrays),
+# pipe_mixture_schedule (NEW - largest-remainder apportionment of a
+# 100k training-slot budget, integer-exact, slots sum == budget).
 _CHANGED_THIS_ROUND = [
     # -- round 11 --
     "dedup_substr",  # NEW - ExactSubstr substring-level dedup accounting
@@ -75,6 +79,9 @@ _CHANGED_THIS_ROUND = [
     "pipe_sample_weighted",  # w > 0 guard (engine + oracle)
     "events_rolling",  # floor-division epoch seconds
     "events_scd2",  # null-safe gaps-and-islands run breaks
+    # -- round 11, batch 2 --
+    "sim_mips",  # NEW - MIPS top-k + norm-augmentation reduction contract
+    "pipe_mixture_schedule",  # NEW - Hamilton apportionment of slots
 ]
 # the displaced core, least-recently-witnessed first (q9-q15 + q22 were
 # displaced in r10; every entry is r7/r8-row-witnessed, code-unchanged,
@@ -92,9 +99,10 @@ _STALE_TAIL = [
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "pipe_curation",
     "pipe_contamination", "pipe_domain_mix", "lifecycle_aggregate",
     "sim_topk_cosine", "sim_topk_quantized", "pipe_shard_sink",
-    "window_sliding", "events_pivot",
-    # dedup_exact yields its slot to the new dedup_substr (r7 row + a
-    # stable hash-groupBy, parity-checked every run; next in the queue)
+    # dedup_exact, window_sliding and events_pivot yield their slots to
+    # the three round-11 NEW queries (each r7-row-witnessed with
+    # plan-pinned single-pass shapes, parity-checked every suite run;
+    # they lead the r12 rotation queue)
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_CORE + _STALE_TAIL
 

@@ -62,6 +62,110 @@ def topk_cosine(
     )
 
 
+def topk_mips(
+    df: DataFrame,
+    k: int,
+    query_ids_below: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximum-inner-product top-k (MIPS) - the retrieval primitive for
+    recommendation / dense-retrieval scoring where vectors are NOT
+    normalized and cosine is the wrong objective (a longer document
+    vector SHOULD outrank a shorter one at equal angle).
+
+    Output (q_id, cand_id, ip_r, rank, aug_ok): exact top-k by round-6
+    inner product (ids tiebreak), plus the norm-augmentation reduction
+    (Bachrach et al. 2014; Shrivastava & Li 2014 L2-ALSH lineage)
+    verified as an in-engine contract: augment every candidate with an
+    extra coordinate sqrt(M^2 - |x|^2) (M = corpus max norm) and every
+    query with 0 - then |x'| = M for ALL candidates, so cosine ranking
+    over the augmented vectors IS inner-product ranking, which is
+    exactly what makes the battery's existing cosine machinery
+    (sign-LSH bands, IVF cells, PQ codes) applicable to MIPS unchanged.
+    ``aug_ok`` certifies per row that the rank computed from the
+    honestly-materialized augmented arrays (concat + full cosine, raw
+    doubles) equals the direct inner-product rank; the oracle pins it
+    true, so a broken reduction flips the hash.
+
+    Scale shape: the exact path is the brute-force baseline (same shape
+    as ``topk_cosine``: per-query broadcast, one ranking window per
+    query partition); the documented scale path is the reduction + any
+    ANN index above."""
+    base = with_norms(df, id_col, vec_col)
+    mx = base.agg(F.max("nrm").alias("mx"))
+    q = base.where(F.col("id") < query_ids_below).select(
+        F.col("id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = base.select(
+        F.col("id").alias("cand_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    # augmented candidate: ext = sqrt(max(M^2 - |x|^2, 0)) (clamped -
+    # float error can push the max-norm row's argument epsilon-negative)
+    ext = F.sqrt(
+        F.greatest(
+            F.col("mx") * F.col("mx") - F.col("c_nrm") * F.col("c_nrm"),
+            F.lit(0.0),
+        )
+    )
+    scored = (
+        c.crossJoin(F.broadcast(mx))
+        .select(
+            "cand_id",
+            "c_vec",
+            "c_nrm",
+            F.concat(F.col("c_vec"), F.array(ext)).alias("c_aug"),
+        )
+        .crossJoin(F.broadcast(q))
+        .where(F.col("cand_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "cand_id",
+            dot(F.col("q_vec"), F.col("c_vec")).alias("ip"),
+            # augmented cosine, computed the honest way: q' = [q, 0], so
+            # dot(q', x') = dot(q, x) but |x'| comes from the materialized
+            # augmented array, NOT from the algebraic identity |x'| = M
+            (
+                dot(
+                    F.concat(F.col("q_vec"), F.array(F.lit(0.0))),
+                    F.col("c_aug"),
+                )
+                / (F.col("q_nrm") * F.sqrt(dot(F.col("c_aug"), F.col("c_aug"))))
+            ).alias("aug_cos"),
+        )
+    )
+    # hashed output rank: round-6 ip + id tiebreak (engine-portable, the
+    # house ranking discipline). The reduction contract compares RAW
+    # against RAW (raw-ip order vs raw-augmented-cosine order) - mixing
+    # a rounded key into one side would report false mismatches wherever
+    # round-6 collapses distinct products.
+    w_out = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("ip"), 6).desc(), F.col("cand_id").asc()
+    )
+    w_ip = Window.partitionBy("q_id").orderBy(
+        F.col("ip").desc(), F.col("cand_id").asc()
+    )
+    w_aug = Window.partitionBy("q_id").orderBy(
+        F.col("aug_cos").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.select(
+            "q_id",
+            "cand_id",
+            F.round(F.col("ip"), 6).alias("ip_r"),
+            F.row_number().over(w_out).cast("long").alias("rank"),
+            (F.row_number().over(w_ip) == F.row_number().over(w_aug)).alias(
+                "aug_ok"
+            ),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
 def sign_bucket(vec_col, nbits: int = 8, offset: int = 0):
     """Coordinate-sign LSH bucket: bit i set iff vec[offset + i] >= 0.
 

@@ -241,6 +241,20 @@ def sim_topk_cosine(spark, sf_dir):
     )
 
 
+def sim_mips(spark, sf_dir):
+    """Maximum-inner-product top-k (operators/similarity.topk_mips):
+    exact round-6 inner-product ranking plus the norm-augmentation
+    reduction (extra coordinate sqrt(M^2-|x|^2) makes every augmented
+    norm equal M, so cosine ranking == MIPS ranking) verified per row
+    from honestly-materialized augmented arrays - the identity that
+    makes the battery's cosine ANN indexes (LSH bands / IVF cells / PQ
+    codes) serve MIPS unchanged. Oracle: direct inner-product ranking
+    with aug_ok pinned true."""
+    return similarity.topk_mips(_emb(spark, sf_dir), TOPK, QUERY_IDS_BELOW).orderBy(
+        "q_id", "rank"
+    )
+
+
 def sim_ann_lsh(spark, sf_dir):
     return similarity.ann_topk_lsh(
         _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW, ANN_NBITS
@@ -814,6 +828,27 @@ def pipe_temperature_mix(spark, sf_dir):
     )
     return sampling.temperature_rebalance(
         docs, 0.5, strata_col="domain", seed="temper"
+    ).orderBy("domain")
+
+
+#: training-slot budget apportioned by pipe_mixture_schedule
+SCHEDULE_SLOTS = 100_000
+
+
+def pipe_mixture_schedule(spark, sf_dir):
+    """Largest-remainder (Hamilton) apportionment of a 100k-slot
+    training budget across (lang, source) domains
+    (operators/sampling.mixture_schedule): floor quotas by exact integer
+    division, extras to the largest integer remainders (ties: domain
+    ascending), slots summing to EXACTLY the budget - the deterministic
+    batch-composition table a data-mixing loader consumes, with zero
+    accumulated rounding drift over a run. All integer; the oracle
+    replays quota/remainder/rank verbatim."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "domain", F.concat_ws("/", "lang", "source")
+    )
+    return sampling.mixture_schedule(
+        docs, SCHEDULE_SLOTS, strata_col="domain"
     ).orderBy("domain")
 
 
@@ -3314,6 +3349,8 @@ EXTENSION_QUERIES = {
     "pipe_dedup_sweep": pipe_dedup_sweep,
     "sim_index_persist": sim_index_persist,
     "sim_index_append": sim_index_append,
+    "sim_mips": sim_mips,
+    "pipe_mixture_schedule": pipe_mixture_schedule,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

@@ -2768,6 +2768,53 @@ EXTENSION_ORACLE["sim_index_persist"] = EXTENSION_ORACLE["sim_topk_pq"]
 # batch against the reloaded frozen codebooks, parquet-append, re-serve)
 # must land on the identical code table; any codebook drift across the
 # reload, lost append file, or batch/base skew flips the hash
+# MIPS top-k (extensions.sim_mips / similarity.topk_mips): exact
+# inner-product ranking, round-6 key + id tiebreak; aug_ok (the
+# norm-augmentation reduction identity, raw-vs-raw rank equality) is
+# derived independently on the Spark side from materialized augmented
+# arrays and pinned true here - a broken reduction flips the hash
+EXTENSION_ORACLE["sim_mips"] = f"""
+        WITH {_VECS}
+        SELECT q_id, cand_id, ip_r, rank, true AS aug_ok FROM (
+          SELECT q.id AS q_id, c.id AS cand_id,
+                 ROUND(list_inner_product(q.v, c.v), 6) AS ip_r,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.id
+                   ORDER BY ROUND(list_inner_product(q.v, c.v), 6) DESC,
+                            c.id ASC) AS rank
+          FROM vecs q JOIN vecs c ON c.id != q.id
+          WHERE q.id < 10)
+        WHERE rank <= 5 ORDER BY q_id, rank
+    """
+
+# Hamilton apportionment (extensions.pipe_mixture_schedule /
+# sampling.mixture_schedule): exact integer quota/remainder algebra,
+# extras by remainder rank (domain tiebreak), slots sum == budget
+EXTENSION_ORACLE["pipe_mixture_schedule"] = """
+        WITH c AS (
+          SELECT lang || '/' || source AS domain, COUNT(*)::BIGINT AS n_docs
+          FROM documents GROUP BY 1),
+        t AS (SELECT SUM(n_docs) AS nn FROM c),
+        q AS (
+          SELECT domain, n_docs,
+                 (100000 * n_docs) // nn AS base_slots,
+                 (100000 * n_docs) % nn AS rem
+          FROM c CROSS JOIN t),
+        l AS (SELECT 100000 - SUM(base_slots) AS leftover FROM q),
+        r AS (SELECT domain, n_docs, base_slots, rem,
+                     ROW_NUMBER() OVER (ORDER BY rem DESC, domain ASC) AS rk
+              FROM q)
+        SELECT domain, n_docs,
+               CAST(base_slots AS BIGINT) AS base_slots,
+               CAST(rem AS BIGINT) AS rem,
+               CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+                 AS extra,
+               CAST(base_slots
+                    + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+                 AS slots
+        FROM r CROSS JOIN l ORDER BY domain
+    """
+
 _APQ_CTES, _APQ_FINAL = _pq_ctes(_PQ_ITERS, src="basev", p="b")
 EXTENSION_ORACLE["sim_index_append"] = f"""
         WITH {_VECS},
