@@ -181,6 +181,128 @@ def test_fuzzy_capped_still_matches_uncapped_when_cap_is_loose(spark):
     assert capped == loose and capped
 
 
+def test_repeated_substrings_matches_python_spec_on_random_corpora(spark):
+    """Randomized spec check: on seeded corpora with planted block
+    copies at random offsets, within-doc repeats, and noise, the
+    operator must equal an independent python implementation of the
+    windows -> global counts -> island-merge semantics."""
+    import random
+
+    def spec(texts, k):
+        wins, cnt = {}, {}
+        for i, t in texts.items():
+            toks = [w for w in t.lower().split(" ") if w]
+            ws = [" ".join(toks[p : p + k]) for p in range(len(toks) - k + 1)]
+            wins[i] = (len(toks), ws)
+            for w in ws:
+                cnt[w] = cnt.get(w, 0) + 1
+        out = {}
+        for i, (n, ws) in wins.items():
+            if n < k:
+                continue
+            runs = []
+            for p in [p for p, w in enumerate(ws) if cnt[w] >= 2]:
+                if runs and p - runs[-1][1] <= k:
+                    runs[-1] = (runs[-1][0], p)
+                else:
+                    runs.append((p, p))
+            out[i] = (
+                n,
+                len(runs),
+                sum(b - a + k for a, b in runs),
+                max((b - a + k for a, b in runs), default=0),
+            )
+        return out
+
+    from web_maxiv_hdbppviewer_spark.operators.dedup import repeated_substrings
+
+    k = 6
+    for seed in (3, 41):
+        rng = random.Random(seed)
+        vocab = [f"w{j}" for j in range(25)]
+        texts = {}
+        for i in range(8):  # noise docs, some below k tokens
+            texts[i] = " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(3, 30))
+            )
+        donor = [rng.choice(vocab) for _ in range(24)]
+        texts[8] = " ".join(donor)
+        # planted copies: a block of the donor at a random offset
+        for i in (9, 10):
+            blk = donor[rng.randint(0, 6) : rng.randint(14, 24)]
+            pre = [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+            post = [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+            texts[i] = " ".join(pre + blk + post)
+        texts[11] = texts[8] + " " + texts[8]  # within-doc repeat
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in texts.items()]
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.n_runs, r.dup_tokens, r.longest_run)
+            for r in repeated_substrings(df, k).collect()
+        }
+        assert got == spec(texts, k), f"seed {seed}"
+
+
+def test_index_append_codes_equal_full_reencode(spark):
+    """The in-engine half of the append contract (the oracle proves it
+    against SQL; this proves it against the engine's own bulk path):
+    the served combined code table must equal pq_assign of the WHOLE
+    corpus against the same frozen codebooks."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.operators import similarity
+    from web_maxiv_hdbppviewer_spark.plans.extensions import (
+        _emb,
+        _pq_base_codebooks,
+    )
+
+    emb = _emb(spark, SF_SMOKE)
+    cb = _pq_base_codebooks(spark, SF_SMOKE)
+    full = {
+        (r.id, r.m): r.code
+        for r in similarity.pq_assign(emb, cb).collect()
+    }
+    batch = emb.where(F.col("vec_id") % 10 == 3)
+    base = emb.where(~(F.col("vec_id") % 10 == 3))
+    pieces = {
+        (r.id, r.m): r.code
+        for part in (base, batch)
+        for r in similarity.pq_assign(part, cb).collect()
+    }
+    assert pieces == full and full
+
+
+def test_mixture_schedule_random_counts_property(spark):
+    """Apportionment property on random synthetic domain tables: for
+    random counts and budgets, slots sum exactly to the budget and each
+    domain receives floor(quota) or floor(quota)+1."""
+    import random
+
+    from web_maxiv_hdbppviewer_spark.operators.sampling import mixture_schedule
+
+    rng = random.Random(17)
+    for trial in range(3):
+        doms = {f"d{j}": rng.randint(1, 500) for j in range(rng.randint(2, 12))}
+        rows = [
+            Row(doc_id=i, source=s)
+            for i, s in enumerate(
+                [s for s, n in doms.items() for _ in range(n)]
+            )
+        ]
+        df = spark.createDataFrame(rows)
+        total = rng.randint(1, 5000)
+        got = {
+            r.source: r.slots
+            for r in mixture_schedule(df, total, strata_col="source").collect()
+        }
+        n_all = sum(doms.values())
+        assert sum(got.values()) == total, (trial, total)
+        for s, n in doms.items():
+            lo = total * n // n_all
+            assert got[s] in (lo, lo + 1), (trial, s)
+
+
 # ------------------------------------------------- apportionment + MIPS
 
 
