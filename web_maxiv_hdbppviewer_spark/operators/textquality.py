@@ -669,3 +669,100 @@ def vocab_coverage(
             F.round(1.0 - F.col("n_in_vocab") / F.col("n_tokens"), 6).alias("oov_r"),
         )
     )
+
+
+#: winnowing parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03): token
+#: k-gram size and window width. The guarantee: every run of WINNOW_W
+#: consecutive gram positions contributes >= 1 selected fingerprint, so
+#: any shared substring of k + w - 1 tokens is caught by fingerprint
+#: intersection - the local, position-robust dedup/plagiarism primitive
+#: (MOSS), complementary to the global rolling hash in fingerprints().
+WINNOW_K = 4
+WINNOW_W = 5
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Robust-winnowing fingerprint selection, per document.
+
+    For each document: hash the token k-grams (md5_int60, portable), then
+    select, from every window of ``w`` consecutive gram hashes, the
+    minimum - rightmost position on ties (ROBUST winnowing, so repeated
+    hash runs don't over-select); de-duplicate selections across
+    overlapping windows. Output one row per document with >= w grams:
+    gram count, selected-fingerprint count, selection density over the
+    n-w+1 windows, and a position-weighted checksum of the selected
+    (position, hash) set - the checksum pins the exact selection, so an
+    off-by-one in tie-breaking fails parity.
+
+    Selection is evaluated WITHOUT materializing windows: position p is a
+    rightmost window minimum iff, with pl = distance to the nearest
+    STRICTLY smaller hash on the left and nl = distance to the nearest
+    smaller-OR-EQUAL hash on the right (both capped at w),
+
+        max(0, p - pl + 1) <= min(n - w, p + nl - w)
+
+    i.e. some valid window start s keeps every left neighbor >= h_p and
+    every right neighbor > h_p. Both distances only matter up to w, so
+    the scan is O(n * w) pure array arithmetic per row - corpus-linear,
+    zero shuffle, embarrassingly parallel (the fingerprints() discipline;
+    the oracle replays the criterion as a bounded +-(w-1) self-join, a
+    genuinely different formulation). Reference analogue: none - the
+    reference has no content-fingerprint machinery; this extends its
+    engine for training-data curation (SURVEY §7.1 M6).
+    """
+    toks = words(F.col(text_col))
+    hs_expr = F.transform(word_kgrams(toks, k), lambda g: md5_int60(g))
+    base = df.select(F.col(id_col), hs_expr.alias("hs")).where(F.size("hs") >= w)
+    n = F.size("hs")
+
+    def h_at(i):  # zero-based position -> hash (element_at is 1-based)
+        return F.element_at(F.col("hs"), (i + F.lit(1)).cast("int"))
+
+    def nearest(p, hp, sign, strict):
+        """Min distance d in [1, w-1] to a smaller (strict) / <= (not
+        strict) hash at p + sign*d, else w. aggregate scans d ascending;
+        the acc == w guard freezes the first (nearest) hit."""
+        cmp = (lambda x: x < hp) if strict else (lambda x: x <= hp)
+        probe = lambda d: p + d if sign > 0 else p - d
+        inb = (
+            (lambda d: probe(d) < n) if sign > 0 else (lambda d: probe(d) >= 0)
+        )
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(w - 1)),
+            F.lit(w).cast("int"),
+            lambda acc, d: F.when(
+                (acc == F.lit(w)) & inb(d) & cmp(h_at(probe(d))),
+                d.cast("int"),
+            ).otherwise(acc),
+        )
+
+    def mark(p):
+        hp = h_at(p)
+        pl = nearest(p, hp, -1, strict=True)
+        nl = nearest(p, hp, +1, strict=False)
+        lo = F.greatest(F.lit(0), p - pl + 1)
+        hi = F.least(n - w, p + nl - w)
+        return F.struct(p.alias("p"), hp.alias("h"), (lo <= hi).alias("sel"))
+
+    marks = F.filter(
+        F.transform(F.sequence(F.lit(0), n - 1), mark), lambda s: s["sel"]
+    )
+    checksum = F.aggregate(
+        marks,
+        F.lit(0).cast("long"),
+        lambda acc, s: (acc + (s["h"] % FP_PRIME) * (s["p"] + 1))
+        % F.lit(MERSENNE_31),
+    )
+    return base.select(
+        F.col(id_col),
+        n.cast("long").alias("n_grams"),
+        F.size(marks).cast("long").alias("n_fp"),
+        F.round(F.size(marks) / (n - w + 1), 6).alias("density_r"),
+        checksum.alias("fp_checksum"),
+    )

@@ -3240,6 +3240,229 @@ def pipe_dedup_sweep(spark, sf_dir):
     return n_pairs.join(n_docs, "t").orderBy("t")
 
 
+# --- round 11, batch 3: winnowing / gap fill / PII scrub / epoch shuffle --
+
+
+def text_winnow(spark, sf_dir):
+    """Robust-winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 - the MOSS primitive) over token 4-grams with window w=5
+    (operators/textquality.winnow_fingerprints): from every window of 5
+    consecutive gram hashes select the minimum, rightmost on ties, dedup
+    across windows. Guarantees any shared 8-token substring is caught by
+    fingerprint intersection while selecting ~2/(w+1) of positions - the
+    local fingerprinting complement to the global rolling hash of
+    text_fingerprint. Per-row O(n*w) array arithmetic, zero shuffle; the
+    position-weighted checksum pins the exact selected (position, hash)
+    set. Oracle: the rightmost-window-minimum criterion replayed as a
+    bounded +-(w-1) neighbor self-join - a different formulation, so
+    parity checks the algorithm, not the transliteration."""
+    return textquality.winnow_fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def events_gap_fill(spark, sf_dir):
+    """Regular-grid forward fill: collapse each user's event stream to
+    day grain (last reading per day; (user_id, epoch_us) is unique in
+    this corpus - the stream_last_value determinism invariant), explode
+    the per-user [first_day, last_day] span into a dense day grid, and
+    carry the last observation forward across gap days (the
+    time-series-regularization step that turns irregular telemetry into
+    the fixed-step tensor a trainer consumes; reference analogue: the
+    last-value-resample the viewer applies before plotting,
+    plot.py:74-130, generalized to explicit gap accounting). Output one
+    bounded row per user: span length, observed/filled day counts, and
+    integer checksums of the observed values (floor-micro quantized -
+    cross-engine-exact, never a float sum) and of the filled series
+    (day-weighted, so a fill carried from the wrong day fails parity).
+    Scale: day-grain pre-aggregation before the grid join; sequence()
+    explode bounded by span days per user; ONE user-partitioned window -
+    never global; all joins on (user_id, day)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.time import epoch_us
+
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    us = epoch_us(F.col("ts"))
+    daily = (
+        ev.select(
+            "user_id",
+            F.floor(us / 86_400_000_000).cast("long").alias("day"),
+            us.alias("us"),
+            "value",
+        )
+        .groupBy("user_id", "day")
+        .agg(F.max_by("value", "us").alias("v"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("fv"),
+    )
+    q = lambda c: F.floor(c * 1e6).cast("long")  # noqa: E731
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.count("v").cast("long").alias("n_obs"),
+            (F.count(F.lit(1)) - F.count("v")).cast("long").alias("n_filled"),
+            F.sum(q(F.col("v"))).cast("long").alias("obs_micro"),
+            F.sum(q(F.col("fv")) * (F.col("day") % 97 + 1))
+            .cast("long")
+            .alias("fill_ck"),
+        )
+        .orderBy("user_id")
+    )
+
+
+#: PII regexes - deliberately basic character classes so Java (Spark) and
+#: RE2 (DuckDB) agree: ASCII classes, bounded repeats, \b word boundaries
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def text_pii_scrub(spark, sf_dir):
+    """PII detection + redaction accounting - the scrub pass every
+    public-corpus pipeline runs before training. The corpus itself is
+    synthetic word salad, so PII is INJECTED deterministically first
+    (doc_id % 4 selects email / phone / IPv4 / clean, values derived from
+    doc_id - the mixed_type_datapoints fixture discipline: both engines
+    rebuild the identical dirty corpus), then scrubbed by three
+    Java/RE2-portable regexes applied email -> ip -> phone. Output per
+    doc: per-category match counts, redacted length, and md5 of the
+    scrubbed text - the hash witnesses every replacement byte-for-byte.
+    Scale: corpus-linear regexp_replace/extract_all inside codegen, zero
+    shuffle, no UDF."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    tail = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com for access"),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 10_000).cast("string"), 4, "0"),
+                F.lit(" now"),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit(" host 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                ((did * 7) % 256).cast("string"),
+                F.lit(" responds"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    dirty = F.concat(F.col("text"), tail)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(dirty, PII_EMAIL, "<EMAIL>"), PII_IP, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    count = lambda pat: F.size(  # noqa: E731
+        F.regexp_extract_all(dirty, F.lit(pat), F.lit(0))
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        count(PII_EMAIL).alias("n_email"),
+        count(PII_IP).alias("n_ip"),
+        count(PII_PHONE).alias("n_phone"),
+        F.length(scrubbed).cast("long").alias("n_chars_clean"),
+        F.md5(scrubbed).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+#: training epochs materialized by pipe_epoch_shuffle
+SHUFFLE_EPOCHS = 4
+
+
+def pipe_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch global shuffle - the epoch-reshuffle
+    contract of a training loader: each epoch e orders the corpus by the
+    portable hash md5_int60(e ':' doc_id), giving E decorrelated,
+    reproducible permutations with no RNG state to checkpoint. Positions
+    come from the DISTRIBUTED rank operator (operators/rank.py:
+    range-partition on (epoch, key, doc_id), rank within partitions,
+    bounded offset shift - never a single-task global window; per-epoch
+    position = global rank minus the epoch's broadcast min). Output one
+    row per epoch: cardinalities, a distinct-position permutation
+    witness, first/last docs under the ordering, and a position-weighted
+    checksum pinning the ENTIRE permutation. Oracle: plain
+    ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY hash) - the naive
+    form the distributed rank must reproduce exactly."""
+    from ..functions.texthash import MERSENNE_31, md5_int60
+    from ..operators.rank import global_rank
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SHUFFLE_EPOCHS - 1))).alias(
+            "epoch"
+        ),
+    )
+    keyed = docs.select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "doc_id",
+        md5_int60(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("key"),
+    )
+    ranked = global_rank(keyed, ["epoch", "key", "doc_id"], out_col="grank")
+    base = ranked.groupBy("epoch").agg(F.min("grank").alias("g0"))
+    pos = (
+        ranked.join(F.broadcast(base), "epoch")
+        .select(
+            "epoch",
+            "doc_id",
+            "key",
+            (F.col("grank") - F.col("g0") + 1).alias("pos"),
+        )
+    )
+    m = F.lit(MERSENNE_31)
+    return (
+        pos.groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_distinct("pos").cast("long").alias("n_pos"),
+            F.min_by("doc_id", "pos").cast("long").alias("first_doc"),
+            F.max_by("doc_id", "pos").cast("long").alias("last_doc"),
+            (F.sum((F.col("pos") % m) * ((F.col("doc_id") + 1) % m) % m) % m)
+            .cast("long")
+            .alias("perm_ck"),
+        )
+        .orderBy("epoch")
+    )
+
+
 # Dict order here is NOT the witness window anymore: since round 7 the
 # 50-entry driver window is the explicit _WINDOW list in __spark_entry__.py
 # (rotated every round toward the least-recently-witnessed queries); this
@@ -3351,6 +3574,11 @@ EXTENSION_QUERIES = {
     "sim_index_append": sim_index_append,
     "sim_mips": sim_mips,
     "pipe_mixture_schedule": pipe_mixture_schedule,
+    # -- round 11, batch 3 --
+    "text_winnow": text_winnow,
+    "events_gap_fill": events_gap_fill,
+    "text_pii_scrub": text_pii_scrub,
+    "pipe_epoch_shuffle": pipe_epoch_shuffle,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

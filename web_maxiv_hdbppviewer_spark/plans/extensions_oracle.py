@@ -2828,3 +2828,150 @@ EXTENSION_ORACLE["sim_index_append"] = f"""
         SELECT q_id, cand_id, acos_r, rank FROM pqranked
         WHERE rank <= 5 ORDER BY q_id, rank
     """
+
+# robust winnowing (extensions.text_winnow / textquality.winnow_fingerprints):
+# the engine evaluates the rightmost-window-minimum criterion per row with
+# nearest-smaller distances over arrays; the oracle replays it as a bounded
+# +-(w-1) neighbor self-join - p is selected iff some valid window start s
+# keeps all left neighbors >= h_p and all right neighbors > h_p, i.e.
+# greatest(0, p - pl + 1) <= least(n - w, p + nl - w) with pl = nearest
+# strictly-smaller distance left, nl = nearest <= distance right, capped at w
+_WINNOW_H = H.format(x="array_to_string(list_slice(l, i, i + 3), ' ')")
+EXTENSION_ORACLE["text_winnow"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+          FROM documents),
+        tt AS (SELECT doc_id, l, len(l) - 3 AS n FROM t WHERE len(l) >= 8),
+        g AS (
+          SELECT doc_id, i - 1 AS p, n, {_WINNOW_H} AS h
+          FROM (SELECT doc_id, l, n, unnest(generate_series(1, n)) AS i
+                FROM tt)),
+        nb AS (
+          SELECT a.doc_id, a.p, a.h, a.n,
+                 COALESCE(MIN(CASE WHEN b.p < a.p AND b.h < a.h
+                                   THEN a.p - b.p END), 5) AS pl,
+                 COALESCE(MIN(CASE WHEN b.p > a.p AND b.h <= a.h
+                                   THEN b.p - a.p END), 5) AS nl
+          FROM g a JOIN g b
+            ON b.doc_id = a.doc_id
+           AND b.p BETWEEN a.p - 4 AND a.p + 4 AND b.p <> a.p
+          GROUP BY a.doc_id, a.p, a.h, a.n),
+        sel AS (
+          SELECT doc_id, p, h FROM nb
+          WHERE greatest(0, p - pl + 1) <= least(n - 5, p + nl - 5)),
+        per AS (
+          SELECT doc_id, COUNT(*) AS n_fp,
+                 CAST(SUM((h % 1000003) * (p + 1)) % 2147483647 AS BIGINT)
+                   AS ck
+          FROM sel GROUP BY doc_id)
+        SELECT tt.doc_id,
+               CAST(tt.n AS BIGINT) AS n_grams,
+               CAST(per.n_fp AS BIGINT) AS n_fp,
+               ROUND(per.n_fp / CAST(tt.n - 4 AS DOUBLE), 6) AS density_r,
+               per.ck AS fp_checksum
+        FROM tt JOIN per USING (doc_id) ORDER BY doc_id
+    """
+
+# day-grid forward fill (extensions.events_gap_fill): day grain via
+# arg_max over the unique (user_id, epoch_us) order, dense grid from
+# generate_series, IGNORE NULLS window carry; checksums are integer
+# (floor-micro quantized) - never a cross-engine float sum
+EXTENSION_ORACLE["events_gap_fill"] = """
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+                 value
+          FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        daily AS (
+          SELECT user_id, day, arg_max(value, us) AS v
+          FROM ev GROUP BY user_id, day),
+        span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+                 FROM daily GROUP BY user_id),
+        grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+                 FROM span),
+        f AS (
+          SELECT g.user_id, g.day, d.v,
+                 last_value(d.v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+          FROM grid g LEFT JOIN daily d
+            ON d.user_id = g.user_id AND d.day = g.day)
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(COUNT(v) AS BIGINT) AS n_obs,
+               CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_filled,
+               CAST(SUM(CAST(floor(v * 1e6) AS BIGINT)) AS BIGINT)
+                 AS obs_micro,
+               CAST(SUM(CAST(floor(fv * 1e6) AS BIGINT) * (day % 97 + 1))
+                    AS BIGINT) AS fill_ck
+        FROM f GROUP BY user_id ORDER BY user_id
+    """
+
+# PII scrub (extensions.text_pii_scrub): identical deterministic dirty
+# corpus rebuilt from doc_id, same three RE2/Java-portable regexes applied
+# email -> ip -> phone with the 'g' flag; md5 of the scrubbed text pins
+# every replacement byte
+EXTENSION_ORACLE["text_pii_scrub"] = """
+        WITH dirty AS (
+          SELECT doc_id,
+                 text || CASE doc_id % 4
+                   WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com for access'
+                   WHEN 1 THEN ' call 555-'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                               || ' now'
+                   WHEN 2 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                               || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                               || ' responds'
+                   ELSE '' END AS d
+          FROM documents),
+        scrub AS (
+          SELECT doc_id, d,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(d,
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>',
+                       'g'),
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                     '<IP>', 'g'),
+                   '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS clean
+          FROM dirty)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(d,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT)
+                 AS n_email,
+               CAST(len(regexp_extract_all(d,
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+                 AS n_ip,
+               CAST(len(regexp_extract_all(d,
+                 '\\b\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone,
+               CAST(strlen(clean) AS BIGINT) AS n_chars_clean,
+               md5(clean) AS clean_md5
+        FROM scrub ORDER BY doc_id
+    """
+
+# deterministic epoch shuffle (extensions.pipe_epoch_shuffle): the naive
+# PARTITION BY epoch ROW_NUMBER the distributed rank must reproduce
+_SHUF_H = H.format(
+    x="CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)"
+)
+EXTENSION_ORACLE["pipe_epoch_shuffle"] = f"""
+        WITH e AS (
+          SELECT doc_id, unnest(generate_series(0, 3)) AS epoch
+          FROM documents),
+        k AS (SELECT epoch, doc_id, {_SHUF_H} AS key FROM e),
+        p AS (
+          SELECT epoch, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY epoch
+                                    ORDER BY key, doc_id) AS pos
+          FROM k)
+        SELECT CAST(epoch AS BIGINT) AS epoch,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_pos,
+               CAST(arg_min(doc_id, pos) AS BIGINT) AS first_doc,
+               CAST(arg_max(doc_id, pos) AS BIGINT) AS last_doc,
+               CAST(SUM((pos % 2147483647) * ((doc_id + 1) % 2147483647)
+                        % 2147483647) % 2147483647 AS BIGINT) AS perm_ck
+        FROM p GROUP BY epoch ORDER BY epoch
+    """
