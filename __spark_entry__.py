@@ -96,6 +96,9 @@ _CHANGED_THIS_ROUND = [
     "events_gap_fill",  # NEW - day-grid forward fill, integer checksums
     "text_pii_scrub",  # NEW - PII injection + redaction accounting
     "pipe_epoch_shuffle",  # NEW - deterministic epoch permutations
+    # -- round 11, batch 4 --
+    "sim_kcenter",  # NEW - greedy farthest-first coreset selection
+    "events_lttb",  # NEW - parallel-anchor LTTB plot downsampling
 ]
 # the displaced core, least-recently-witnessed first (q9-q15 + q22 were
 # displaced in r10; every entry is r7/r8-row-witnessed, code-unchanged,
@@ -110,11 +113,11 @@ _STALE_TAIL = [
     "dedup_clusters_semantic", "text_keywords",
     # r7-row extensions displaced at r9, never re-witnessed since
     "events_quantiles", "window_sessions", "sim_ann_ivf_trained",
-    "dedup_ngram_jaccard", "pipe_curation",
     "pipe_contamination", "lifecycle_aggregate",
-    # dedup_exact, window_sliding, events_pivot (batch 1/2) and
+    # dedup_exact, window_sliding, events_pivot (batch 1/2),
     # dedup_minhash_lsh, pipe_domain_mix, sim_topk_cosine,
-    # sim_topk_quantized, pipe_shard_sink (batch 3) yield their slots to
+    # sim_topk_quantized, pipe_shard_sink (batch 3), and
+    # dedup_ngram_jaccard, pipe_curation (batch 4) yield their slots to
     # the round-11 NEW/changed queries (each r7-row-witnessed,
     # parity-checked every suite run; they lead the r12 rotation queue)
 ]

@@ -258,3 +258,109 @@ def test_epoch_shuffle_plan_has_no_global_window(spark):
     plan = _plan(QUERIES["pipe_epoch_shuffle"](spark, SF_SMOKE))
     assert "SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------- kcenter
+
+
+def test_kcenter_matches_python_greedy_spec(spark):
+    """Seeded random vectors: the operator's greedy trace must equal an
+    independent python farthest-first (round-6 cosine, id ties)."""
+    import math as _m
+
+    from pyspark.sql import Row
+
+    from web_maxiv_hdbppviewer_spark.operators.similarity import kcenter_select
+
+    rng = random.Random(31)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(40)}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = _m.sqrt(sum(x * x for x in a))
+        nb = _m.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    def spec(k):
+        chosen = [(1, 0, 1.0)]
+        pool = {i: cos(vecs[i], vecs[0]) for i in vecs if i != 0}
+        for r in range(2, k + 1):
+            far = min(pool.items(), key=lambda kv: (kv[1], kv[0]))
+            chosen.append((r, far[0], far[1]))
+            del pool[far[0]]
+            for i in pool:
+                pool[i] = max(pool[i], cos(vecs[i], vecs[far[0]]))
+        return chosen
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in vecs.items()]
+    )
+    got = [(r.rank, r.vec_id, r.far_s) for r in kcenter_select(df, 5).collect()]
+    want = spec(5)
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for (_, _, gs), (_, _, ws) in zip(got, want):
+        assert abs(gs - ws) < 2e-6  # python round is banker's; spark HALF_UP
+
+
+def test_kcenter_trace_is_monotone_and_covers(spark):
+    """Farthest-first invariants on the real corpus: far_s nondecreasing
+    from rank 2 on (the pool only gets better covered), and every
+    selected id unique."""
+    rows = QUERIES["sim_kcenter"](spark, SF_SMOKE).collect()
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r.vec_id for r in rows}) == 5
+    fs = [r.far_s for r in rows[1:]]
+    assert all(a <= b + 1e-12 for a, b in zip(fs, fs[1:]))
+    assert rows[0].far_s == 1.0
+
+
+# ---------------------------------------------------------------- lttb
+
+
+def test_lttb_edge_buckets_and_membership(spark):
+    """First/last present buckets keep the series' earliest/latest
+    event; every pick belongs to its claimed (user, bucket); at most
+    one pick per bucket."""
+    from collections import defaultdict
+
+    from web_maxiv_hdbppviewer_spark.plans.extensions import LTTB_BUCKETS
+    from web_maxiv_hdbppviewer_spark.sources.tables import load_tables
+    from web_maxiv_hdbppviewer_spark.functions.time import epoch_us
+
+    ev = (
+        load_tables(spark, SF_SMOKE)["events"]
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select("user_id", "event_id", epoch_us(F.col("ts")).alias("us"))
+        .collect()
+    )
+    raw = defaultdict(list)
+    for r in ev:
+        raw[r.user_id].append((r.us, r.event_id))
+    got = QUERIES["events_lttb"](spark, SF_SMOKE).collect()
+    per_user = defaultdict(list)
+    for r in got:
+        per_user[r.user_id].append(r)
+    for uid, picks in per_user.items():
+        series = sorted(raw[uid])
+        u0, u1 = series[0][0], series[-1][0]
+        sp = u1 - u0 + 1
+        buckets = [r.bucket for r in picks]
+        assert len(buckets) == len(set(buckets))
+        # first/last present bucket -> earliest/latest event
+        assert picks[0].event_id == series[0][1]
+        assert picks[-1].event_id == series[-1][1]
+        by_id = {e: us for us, e in series}
+        for r in picks:
+            us = by_id[r.event_id]
+            b = min((us - u0) * LTTB_BUCKETS // sp, LTTB_BUCKETS - 1)
+            assert b == r.bucket, (uid, r.event_id)
+
+
+def test_lttb_plan_single_anchor_window_and_mapside_pick(spark):
+    """The ONLY window runs over the bounded anchor table (users x 24
+    rows); point selection is a hash max_by aggregation, never a
+    per-point ranking window."""
+    plan = _plan(QUERIES["events_lttb"](spark, SF_SMOKE))
+    assert plan.count("Window [") == 1
+    assert "max_by" in plan
+    assert "SinglePartition" not in plan

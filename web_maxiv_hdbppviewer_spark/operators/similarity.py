@@ -1203,3 +1203,64 @@ def semantic_dedup(
             F.col("dup_of").isNull().alias("keep"),
         )
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-first traversal,
+    Gonzalez'85 - the 2-approximation for metric k-center): seed with the
+    smallest id, then k-1 times pick the point LEAST similar to its best
+    already-chosen center (round-6 cosine, ties -> smaller id). The
+    selection trace is the standard diversity-coreset / coverage
+    certificate a curation pipeline uses to pick maximally-spread
+    exemplars before labeling or eval-set construction.
+
+    Scale shape: k bounded supersteps. Each superstep is one
+    embarrassingly-parallel corpus pass (update the running
+    best-similarity with ONE new center, broadcast as a 64-double
+    literal) ending in a 1-row TakeOrderedAndProject - the ONLY
+    driver-side values are the k chosen (id, vector) rows, the
+    train_ivf_centroids discipline. The running frame is
+    localCheckpoint'd each step so step i+1 reads materialized
+    best-similarities instead of replaying i corpus passes (the rank.py
+    discipline). Never a global sort, never an n x n distance matrix.
+
+    Output (rank 1..k, vec_id, far_s = the point's best-center cosine at
+    selection time; the seed reports 1.0 - it is its own center, and a
+    non-NULL cell keeps the driver's all-column row sort total). far_s
+    is NOT guaranteed monotone over ranks, but every remaining point's
+    final coverage similarity is >= min(far_s) - the textbook 2-approx
+    argument.
+    """
+    base = with_norms(df, id_col, vec_col)
+    seed = base.orderBy("id").limit(1).collect()[0]
+    chosen = [(1, int(seed["id"]), 1.0)]
+    center_vec, center_nrm = seed["vec"], float(seed["nrm"])
+
+    cur = base.where(F.col("id") != int(seed["id"]))
+    for step in range(2, k + 1):
+        cv = F.array(*[F.lit(float(x)) for x in center_vec])
+        cur = cur.withColumn(
+            "best_s",
+            F.round(cosine(F.col("vec"), cv, F.col("nrm"), F.lit(center_nrm)), 6)
+            if step == 2
+            else F.greatest(
+                F.col("best_s"),
+                F.round(
+                    cosine(F.col("vec"), cv, F.col("nrm"), F.lit(center_nrm)), 6
+                ),
+            ),
+        ).localCheckpoint()
+        far = cur.orderBy(F.asc("best_s"), F.asc("id")).limit(1).collect()[0]
+        chosen.append((step, int(far["id"]), float(far["best_s"])))
+        center_vec, center_nrm = far["vec"], float(far["nrm"])
+        cur = cur.where(F.col("id") != int(far["id"]))
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        chosen, "rank long, vec_id long, far_s double"
+    ).orderBy("rank")

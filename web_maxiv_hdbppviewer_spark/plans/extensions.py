@@ -3463,6 +3463,141 @@ def pipe_epoch_shuffle(spark, sf_dir):
     )
 
 
+#: k-center coreset size
+KCENTER_K = 5
+
+
+def sim_kcenter(spark, sf_dir):
+    """Greedy k-center coreset over the embedding corpus
+    (operators/similarity.kcenter_select): farthest-first traversal,
+    k = 5 bounded supersteps, each one corpus pass + a 1-row
+    TakeOrdered - the diversity-selection primitive for exemplar
+    picking / eval-set spread. round-6 cosine, id tie-breaks; the
+    oracle unrolls the same greedy trace as k-1 chained
+    ORDER-BY-LIMIT-1 CTEs - a different (quadratic re-scoring)
+    formulation, so parity checks the greedy semantics."""
+    from ..operators.similarity import kcenter_select
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return kcenter_select(emb, KCENTER_K)
+
+
+#: LTTB bucket count per user series
+LTTB_BUCKETS = 24
+
+
+def events_lttb(spark, sf_dir):
+    """Per-series LTTB-style plot downsampling (Steinarsson'13's
+    largest-triangle-three-buckets, PARALLELIZED): each user's stream is
+    cut into 24 equal-time buckets; interior buckets keep the point with
+    the largest triangle area against the PREVIOUS and NEXT present
+    buckets' mean anchors (the sequential previous-SELECTED-point
+    dependency is replaced by the fixed mean anchor so every bucket
+    decides independently - the documented scale trade; first/last
+    present buckets keep their earliest/latest point, as in the
+    original). This is the reference viewer's visual-downsampling
+    concern (plot.py raster pre-reduction) expressed as a point
+    SELECTION, so downstream tools get real events, not pixels.
+
+    Determinism across engines: anchors are exact-integer sums
+    (micro-quantized values, offset microseconds) divided once; the
+    area expression is the same IEEE double arithmetic on both sides,
+    rounded to 6 before the argmax; ties -> earliest event. Selection
+    is a map-side max_by over (user, bucket) - one hash aggregation,
+    no per-point window; the oracle uses the naive ROW_NUMBER form.
+
+    Scale: anchors are a (users x 24)-row aggregate joined back on
+    (user_id, bucket) - co-partitioned with the points; everything else
+    is per-row arithmetic + one aggregation."""
+    from pyspark.sql.window import Window
+
+    from ..functions.time import epoch_us
+
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    us = epoch_us(F.col("ts"))
+    pts = ev.select(
+        "user_id", "event_id", us.alias("us"), F.col("value").alias("v")
+    )
+    span = pts.groupBy("user_id").agg(
+        F.min("us").alias("u0"), (F.max("us") - F.min("us") + 1).alias("sp")
+    )
+    b = F.least(
+        F.floor((F.col("us") - F.col("u0")) * LTTB_BUCKETS / F.col("sp")),
+        F.lit(LTTB_BUCKETS - 1),
+    ).cast("long")
+    pb = (
+        pts.join(F.broadcast(span), "user_id")
+        .select(
+            "user_id",
+            "event_id",
+            "us",
+            "v",
+            b.alias("b"),
+            (F.col("us") - F.col("u0")).alias("tq"),
+            ((F.col("us") - F.col("u0")) / 1e6).alias("tp"),
+        )
+    )
+    anchors = pb.groupBy("user_id", "b").agg(
+        (F.sum("tq") / F.count(F.lit(1)) / 1e6).alias("tbar"),
+        (
+            F.sum(F.floor(F.col("v") * 1e6).cast("long"))
+            / F.count(F.lit(1))
+            / 1e6
+        ).alias("vbar"),
+    )
+    wb = Window.partitionBy("user_id").orderBy("b")
+    nb = anchors.select(
+        "user_id",
+        "b",
+        F.lag("tbar").over(wb).alias("t_prev"),
+        F.lag("vbar").over(wb).alias("v_prev"),
+        F.lead("tbar").over(wb).alias("t_next"),
+        F.lead("vbar").over(wb).alias("v_next"),
+    )
+    j = pb.join(nb, ["user_id", "b"])
+    area = F.round(
+        F.abs(
+            (F.col("t_prev") - F.col("t_next")) * (F.col("v") - F.col("v_prev"))
+            - (F.col("t_prev") - F.col("tp"))
+            * (F.col("v_next") - F.col("v_prev"))
+        ),
+        6,
+    )
+    key = (
+        F.when(
+            F.col("t_prev").isNull(),
+            F.struct(F.lit(0.0).alias("o1"), (-F.col("us")).alias("o2")),
+        )
+        .when(
+            F.col("t_next").isNull(),
+            F.struct(F.lit(0.0).alias("o1"), F.col("us").alias("o2")),
+        )
+        .otherwise(F.struct(area.alias("o1"), (-F.col("us")).alias("o2")))
+    )
+    pick = F.max_by(
+        F.struct(
+            F.col("event_id"),
+            F.round(F.col("tp"), 6).alias("t_r"),
+            F.round(F.col("v"), 6).alias("v_r"),
+        ),
+        key,
+    )
+    return (
+        j.groupBy("user_id", "b")
+        .agg(pick.alias("p"))
+        .select(
+            "user_id",
+            F.col("b").alias("bucket"),
+            F.col("p.event_id").alias("event_id"),
+            F.col("p.t_r").alias("t_r"),
+            F.col("p.v_r").alias("v_r"),
+        )
+        .orderBy("user_id", "bucket")
+    )
+
+
 # Dict order here is NOT the witness window anymore: since round 7 the
 # 50-entry driver window is the explicit _WINDOW list in __spark_entry__.py
 # (rotated every round toward the least-recently-witnessed queries); this
@@ -3579,6 +3714,9 @@ EXTENSION_QUERIES = {
     "events_gap_fill": events_gap_fill,
     "text_pii_scrub": text_pii_scrub,
     "pipe_epoch_shuffle": pipe_epoch_shuffle,
+    # -- round 11, batch 4 --
+    "sim_kcenter": sim_kcenter,
+    "events_lttb": events_lttb,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

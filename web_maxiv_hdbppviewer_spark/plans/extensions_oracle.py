@@ -2975,3 +2975,91 @@ EXTENSION_ORACLE["pipe_epoch_shuffle"] = f"""
                         % 2147483647) % 2147483647 AS BIGINT) AS perm_ck
         FROM p GROUP BY epoch ORDER BY epoch
     """
+
+
+def _kcenter_ctes(k: int) -> str:
+    """Unrolled greedy farthest-first trace: c1 = min id; d_i carries the
+    running best-center similarity; c_{i+1} = the ORDER BY s, id LIMIT 1
+    pick. Quadratic re-scoring per step - the naive form the engine's
+    superstep/broadcast construction must reproduce."""
+    parts = [
+        "c1 AS (SELECT id, v, nrm FROM vecs ORDER BY id LIMIT 1)",
+        """d1 AS (
+          SELECT x.id, x.v, x.nrm,
+                 ROUND(list_inner_product(x.v, c.v) / (x.nrm * c.nrm), 6) AS s
+          FROM vecs x, c1 c WHERE x.id <> c.id)""",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"c{i} AS (SELECT id, v, nrm, s FROM d{i-1} "
+            f"ORDER BY s ASC, id ASC LIMIT 1)"
+        )
+        if i < k:
+            parts.append(f"""d{i} AS (
+          SELECT x.id, x.v, x.nrm,
+                 greatest(x.s,
+                   ROUND(list_inner_product(x.v, c.v) / (x.nrm * c.nrm), 6))
+                   AS s
+          FROM d{i-1} x, c{i} c WHERE x.id <> c.id)""")
+    return ",\n        ".join(parts)
+
+
+_KCENTER_SEL = "\n        UNION ALL ".join(
+    ["SELECT 1 AS rank, id AS vec_id, 1.0 AS far_s FROM c1"]
+    + [f"SELECT {i}, id, s FROM c{i}" for i in range(2, 6)]
+)
+EXTENSION_ORACLE["sim_kcenter"] = f"""
+        WITH {_VECS},
+        {_kcenter_ctes(5)}
+        SELECT rank, vec_id, far_s FROM (
+        {_KCENTER_SEL}
+        ) ORDER BY rank
+    """
+
+# parallel-anchor LTTB (extensions.events_lttb): same exact-integer
+# anchors and IEEE area expression; selection via the naive ROW_NUMBER
+# (the engine uses a map-side max_by - different formulation)
+EXTENSION_ORACLE["events_lttb"] = """
+        WITH pts AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us, value AS v
+          FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        span AS (
+          SELECT user_id, MIN(us) AS u0, MAX(us) - MIN(us) + 1 AS sp
+          FROM pts GROUP BY user_id),
+        pb AS (
+          SELECT p.user_id, p.event_id, p.us, p.v,
+                 least(CAST(floor((p.us - s.u0) * 24 / s.sp) AS BIGINT), 23)
+                   AS b,
+                 p.us - s.u0 AS tq,
+                 (p.us - s.u0) / 1e6 AS tp
+          FROM pts p JOIN span s ON s.user_id = p.user_id),
+        anchors AS (
+          SELECT user_id, b,
+                 SUM(tq) / COUNT(*) / 1e6 AS tbar,
+                 SUM(CAST(floor(v * 1e6) AS BIGINT)) / COUNT(*) / 1e6 AS vbar
+          FROM pb GROUP BY user_id, b),
+        nb AS (
+          SELECT user_id, b,
+                 lag(tbar) OVER w AS t_prev, lag(vbar) OVER w AS v_prev,
+                 lead(tbar) OVER w AS t_next, lead(vbar) OVER w AS v_next
+          FROM anchors WINDOW w AS (PARTITION BY user_id ORDER BY b)),
+        scored AS (
+          SELECT p.user_id, p.b, p.event_id, p.us, p.tp, p.v,
+                 n.t_prev, n.t_next,
+                 ROUND(abs((n.t_prev - n.t_next) * (p.v - n.v_prev)
+                           - (n.t_prev - p.tp) * (n.v_next - n.v_prev)), 6)
+                   AS area
+          FROM pb p JOIN nb n ON n.user_id = p.user_id AND n.b = p.b),
+        ranked AS (
+          SELECT user_id, b, event_id, tp, v,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id, b
+                   ORDER BY CASE WHEN t_prev IS NULL OR t_next IS NULL
+                                 THEN 0.0 ELSE area END DESC,
+                            CASE WHEN t_prev IS NULL OR t_next IS NOT NULL
+                                 THEN us ELSE -us END ASC) AS rn
+          FROM scored)
+        SELECT user_id, b AS bucket, event_id,
+               ROUND(tp, 6) AS t_r, ROUND(v, 6) AS v_r
+        FROM ranked WHERE rn = 1 ORDER BY user_id, bucket
+    """
