@@ -99,6 +99,7 @@ _CHANGED_THIS_ROUND = [
     # -- round 11, batch 4 --
     "sim_kcenter",  # NEW - greedy farthest-first coreset selection
     "events_lttb",  # NEW - parallel-anchor LTTB plot downsampling
+    "events_changepoint",  # NEW - integer-exact CUSUM drift detection
 ]
 # the displaced core, least-recently-witnessed first (q9-q15 + q22 were
 # displaced in r10; every entry is r7/r8-row-witnessed, code-unchanged,
@@ -113,11 +114,12 @@ _STALE_TAIL = [
     "dedup_clusters_semantic", "text_keywords",
     # r7-row extensions displaced at r9, never re-witnessed since
     "events_quantiles", "window_sessions", "sim_ann_ivf_trained",
-    "pipe_contamination", "lifecycle_aggregate",
+    "lifecycle_aggregate",
     # dedup_exact, window_sliding, events_pivot (batch 1/2),
     # dedup_minhash_lsh, pipe_domain_mix, sim_topk_cosine,
     # sim_topk_quantized, pipe_shard_sink (batch 3), and
-    # dedup_ngram_jaccard, pipe_curation (batch 4) yield their slots to
+    # dedup_ngram_jaccard, pipe_curation, pipe_contamination (batch 4)
+    # yield their slots to
     # the round-11 NEW/changed queries (each r7-row-witnessed,
     # parity-checked every suite run; they lead the r12 rotation queue)
 ]

@@ -364,3 +364,59 @@ def test_lttb_plan_single_anchor_window_and_mapside_pick(spark):
     assert plan.count("Window [") == 1
     assert "max_by" in plan
     assert "SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------- cusum
+
+
+def test_changepoint_detects_planted_step(spark):
+    """A series with a clean level shift must locate the changepoint at
+    the step boundary with the exact scaled drift: 6 days at 1.0 then 6
+    days at 9.0 -> argmax |S_k| at k=6, S_6 = n*6q - 6*T."""
+    import os
+    import tempfile
+
+    from web_maxiv_hdbppviewer_spark.plans.extensions import (
+        events_changepoint,
+    )
+
+    rows = []
+    for i in range(12):
+        v = 1.0 if i < 6 else 9.0
+        rows.append(
+            Row(event_id=i + 1, ts=f"1970-01-{i+1:02d} 00:00:00", user_id=1,
+                event_type="x", value=v, props=None)
+        )
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        for f in os.listdir(SF_SMOKE):
+            if f != "events.parquet":
+                os.symlink(os.path.join(SF_SMOKE, f), os.path.join(d, f))
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        ).write.parquet(f"{d}/events.parquet")
+        got = events_changepoint(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    n, t = 12, 6 * 1_000_000 + 6 * 9_000_000
+    s6 = abs(n * 6 * 1_000_000 - 6 * t)
+    assert (r.n, r.cp_k, r.drift) == (n, 6, s6)
+    # drift_r = |S|/(n^2 * 1e6) = mean-shift scale: (9-1)*6*6/144 = 2.0
+    assert abs(r.drift_r - 2.0) < 1e-9
+
+
+def test_changepoint_plan_is_one_window_plus_hash_reductions(spark):
+    """The cumsum/rank window executes ONCE (the cum frame is
+    localCheckpoint'd, so the three consumers scan frozen blocks - the
+    final plan reads ExistingRDD, no Window re-execution); the
+    argmax/tie resolution is hash aggregation + broadcast joins - no
+    struct-keyed sort aggregate, no single-partition exchange."""
+    plan = _plan(QUERIES["events_changepoint"](spark, SF_SMOKE))
+    assert plan.count("Window [") == 0  # behind the checkpoint
+    assert "ExistingRDD" in plan
+    assert "SortAggregate" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2

@@ -3598,6 +3598,97 @@ def events_lttb(spark, sf_dir):
     )
 
 
+def events_changepoint(spark, sf_dir):
+    """Offline CUSUM changepoint detection per user series - the drift
+    detector a monitoring/data-quality pipeline runs over telemetry
+    (Page'54 cumulative sums, offline single-changepoint variant). The
+    statistic is computed INTEGER-EXACT by scaling: with micro-quantized
+    values q_i and series totals (n, T = sum q_i), the centered cumsum
+
+        S_k = n * sum_{i<=k} q_i  -  k * T
+
+    equals n^2 * (running mean drift) with zero float error; the
+    changepoint is argmax |S_k| (ties -> earliest k), its location and
+    magnitude exact BIGINTs on both engines. Overflow bound documented:
+    |S_k| <= n^2 * max|q| needs n <= ~128k events/series at the 560.0
+    value ceiling; beyond that the same expression lifts to
+    decimal(38,0) (the sim_pca integer-moment discipline).
+
+    Scale: ONE user-partitioned ordered window for the running sum
+    (never global), then hash-only reduction - max + conditional min +
+    two broadcast-grain joins back at user grain; no struct-keyed
+    aggregation, no per-point ranking window. Output one row per user:
+    n, the 1-based changepoint index, its microsecond timestamp, the
+    exact drift numerator and the normalized drift_r =
+    round(|S|/(n*n*1e6), 6) (mean-shift in value units)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.time import epoch_us
+
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    pts = ev.select(
+        "user_id",
+        epoch_us(F.col("ts")).alias("us"),
+        F.floor(F.col("value") * 1e6).cast("long").alias("q"),
+    )
+    tot = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("t"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("us")
+    cum = (
+        pts.join(F.broadcast(tot), "user_id")
+        .select(
+            "user_id",
+            "us",
+            "n",
+            F.row_number().over(wo).cast("long").alias("k"),
+            F.sum("q").over(
+                Window.partitionBy("user_id")
+                .orderBy("us")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("cq"),
+            F.col("t"),
+        )
+        .select(
+            "user_id",
+            "us",
+            "n",
+            "k",
+            F.abs(F.col("n") * F.col("cq") - F.col("k") * F.col("t")).alias(
+                "s_abs"
+            ),
+        )
+        # materialize ONCE: three consumers (peak, tie-break, final pick)
+        # would otherwise each re-execute the corpus window (the rank.py
+        # localCheckpoint discipline); after this the reductions scan
+        # frozen blocks
+        .localCheckpoint()
+    )
+    peak = cum.groupBy("user_id").agg(F.max("s_abs").alias("drift"))
+    at_peak = cum.join(F.broadcast(peak), "user_id").where(
+        F.col("s_abs") == F.col("drift")
+    )
+    first = at_peak.groupBy("user_id").agg(F.min("k").alias("cp_k"))
+    return (
+        at_peak.join(F.broadcast(first), "user_id")
+        .where(F.col("k") == F.col("cp_k"))
+        .select(
+            "user_id",
+            F.col("n"),
+            F.col("cp_k"),
+            F.col("us").alias("cp_us"),
+            F.col("drift"),
+            F.round(
+                F.col("drift") / (F.col("n") * F.col("n") * 1e6), 6
+            ).alias("drift_r"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # Dict order here is NOT the witness window anymore: since round 7 the
 # 50-entry driver window is the explicit _WINDOW list in __spark_entry__.py
 # (rotated every round toward the least-recently-witnessed queries); this
@@ -3717,6 +3808,7 @@ EXTENSION_QUERIES = {
     # -- round 11, batch 4 --
     "sim_kcenter": sim_kcenter,
     "events_lttb": events_lttb,
+    "events_changepoint": events_changepoint,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

@@ -3063,3 +3063,38 @@ EXTENSION_ORACLE["events_lttb"] = """
                ROUND(tp, 6) AS t_r, ROUND(v, 6) AS v_r
         FROM ranked WHERE rn = 1 ORDER BY user_id, bucket
     """
+
+# integer-exact CUSUM (extensions.events_changepoint): same scaled
+# statistic S_k = n*cumsum(q) - k*T; the oracle uses QUALIFY-style
+# window ranking instead of the engine's max/min reductions
+EXTENSION_ORACLE["events_changepoint"] = """
+        WITH pts AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 CAST(floor(value * 1e6) AS BIGINT) AS q
+          FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        tot AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(q) AS BIGINT) AS t
+          FROM pts GROUP BY user_id),
+        cum AS (
+          SELECT p.user_id, p.us, o.n, o.t,
+                 ROW_NUMBER() OVER w AS k,
+                 CAST(SUM(p.q) OVER (PARTITION BY p.user_id ORDER BY p.us
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cq
+          FROM pts p JOIN tot o ON o.user_id = p.user_id
+          WINDOW w AS (PARTITION BY p.user_id ORDER BY p.us)),
+        s AS (
+          SELECT user_id, us, n, k,
+                 abs(n * cq - k * t) AS s_abs
+          FROM cum),
+        r AS (
+          SELECT user_id, us, n, k, s_abs,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY s_abs DESC, k ASC) AS rn
+          FROM s)
+        SELECT user_id, n, CAST(k AS BIGINT) AS cp_k, us AS cp_us,
+               CAST(s_abs AS BIGINT) AS drift,
+               ROUND(s_abs / (n * n * 1e6), 6) AS drift_r
+        FROM r WHERE rn = 1 ORDER BY user_id
+    """
