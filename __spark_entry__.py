@@ -100,6 +100,7 @@ _CHANGED_THIS_ROUND = [
     "sim_kcenter",  # NEW - greedy farthest-first coreset selection
     "events_lttb",  # NEW - parallel-anchor LTTB plot downsampling
     "events_changepoint",  # NEW - integer-exact CUSUM drift detection
+    "sim_mmr",  # NEW - maximal-marginal-relevance diversified top-k
 ]
 # the displaced core, least-recently-witnessed first (q9-q15 + q22 were
 # displaced in r10; every entry is r7/r8-row-witnessed, code-unchanged,
@@ -113,13 +114,13 @@ _STALE_TAIL = [
     "stream_last_value", "stream_window", "stream_dedup", "stream_sessions",
     "dedup_clusters_semantic", "text_keywords",
     # r7-row extensions displaced at r9, never re-witnessed since
-    "events_quantiles", "window_sessions", "sim_ann_ivf_trained",
+    "events_quantiles", "window_sessions",
     "lifecycle_aggregate",
     # dedup_exact, window_sliding, events_pivot (batch 1/2),
     # dedup_minhash_lsh, pipe_domain_mix, sim_topk_cosine,
     # sim_topk_quantized, pipe_shard_sink (batch 3), and
-    # dedup_ngram_jaccard, pipe_curation, pipe_contamination (batch 4)
-    # yield their slots to
+    # dedup_ngram_jaccard, pipe_curation, pipe_contamination,
+    # sim_ann_ivf_trained (batch 4) yield their slots to
     # the round-11 NEW/changed queries (each r7-row-witnessed,
     # parity-checked every suite run; they lead the r12 rotation queue)
 ]

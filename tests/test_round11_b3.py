@@ -420,3 +420,77 @@ def test_changepoint_plan_is_one_window_plus_hash_reductions(spark):
     assert "SortAggregate" not in plan
     assert "SinglePartition" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+# ---------------------------------------------------------------- mmr
+
+
+def test_mmr_matches_python_greedy_spec(spark):
+    """Seeded random vectors incl. planted near-duplicates of the most
+    relevant result: the trace must equal an independent python greedy,
+    and MMR must SKIP the redundant copies plain relevance would keep."""
+    import math as _m
+
+    from pyspark.sql import Row
+
+    from web_maxiv_hdbppviewer_spark.operators.similarity import mmr_select
+
+    rng = random.Random(47)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(30)}
+    # two near-copies of vector 1 (clones shifted by epsilon)
+    vecs[28] = [x + 0.001 for x in vecs[1]]
+    vecs[29] = [x - 0.001 for x in vecs[1]]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d
+            / (
+                _m.sqrt(sum(x * x for x in a))
+                * _m.sqrt(sum(x * x for x in b))
+            ),
+            6,
+        )
+
+    def spec(k, lam=0.7, mu=0.3):
+        rel = {i: cos(v, vecs[0]) for i, v in vecs.items() if i != 0}
+        first = max(rel, key=lambda i: (rel[i], -i))
+        out = [(1, first, rel[first], rel[first])]
+        ms = {i: cos(vecs[i], vecs[first]) for i in rel if i != first}
+        for r in range(2, k + 1):
+            sc = {i: round(lam * rel[i] - mu * ms[i], 6) for i in ms}
+            pick = max(sc, key=lambda i: (sc[i], -i))
+            out.append((r, pick, rel[pick], sc[pick]))
+            del ms[pick]
+            for i in ms:
+                ms[i] = max(ms[i], cos(vecs[i], vecs[pick]))
+        return out
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in vecs.items()]
+    )
+    got = [
+        (r.rank, r.vec_id, r.rel_r, r.score_r)
+        for r in mmr_select(df, 5).collect()
+    ]
+    want = spec(5)
+    assert [g[:2] for g in got] == [w[:2] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[2] - w[2]) < 2e-6 and abs(g[3] - w[3]) < 2e-6
+    # diversity: relevance alone would rank the two clones right next to
+    # vector 1; MMR keeps at most one of the clone set {1, 28, 29}
+    picked = {g[1] for g in got}
+    assert len(picked & {1, 28, 29}) <= 1
+
+
+def test_mmr_trace_invariants_on_testdata(spark):
+    """rel_r of the first pick is the pool max (score == rel); later
+    scores never exceed lam*rel; picks unique; deterministic reruns."""
+    a = QUERIES["sim_mmr"](spark, SF_SMOKE).collect()
+    b = QUERIES["sim_mmr"](spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len({r.vec_id for r in a}) == 5
+    assert a[0].score_r == a[0].rel_r
+    for r in a[1:]:
+        # score = 0.7*rel - 0.3*max_sim with max_sim in [-1, 1]
+        assert 0.7 * r.rel_r - 0.3 - 1e-9 <= r.score_r <= 0.7 * r.rel_r + 0.3 + 1e-9

@@ -1264,3 +1264,83 @@ def kcenter_select(
     return spark.createDataFrame(
         chosen, "rank long, vec_id long, far_s double"
     ).orderBy("rank")
+
+
+def mmr_select(
+    df: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell-Goldstein'98):
+    greedily pick k results trading query relevance against redundancy,
+
+        score_i = round6(lam * rel_i - mu * max_sim_to_selected_i)
+
+    (mu passed as its own literal, NOT computed as 1 - lam: python's
+    1.0 - 0.7 is 0.30000000000000004 while a SQL oracle's 0.3 literal is
+    a different double - the usual cross-engine literal discipline)
+
+    with rel = round-6 cosine to the query vector and ties -> smaller id
+    - the diversified top-k a retrieval pipeline runs between ANN
+    candidate generation and the consumer. First pick maximizes rel
+    alone (no selected set yet).
+
+    Scale shape: identical to kcenter_select's supersteps - the ONLY
+    per-step state is one new center's 64-double literal broadcast into
+    a running max-similarity column (localCheckpoint'd), each step one
+    corpus pass ending in a 1-row TakeOrderedAndProject; rel is computed
+    once in the first pass. Driver-side: the k chosen rows. The naive
+    oracle re-scores the whole pool per step with chained
+    ORDER-BY-LIMIT-1 CTEs.
+
+    Output (rank 1..k, vec_id, rel_r, score_r); score_r of the first
+    pick is its rel_r.
+    """
+    base = with_norms(df, id_col, vec_col)
+    q = base.where(F.col("id") == query_id).collect()[0]
+    qv = F.array(*[F.lit(float(x)) for x in q["vec"]])
+    pool = base.where(F.col("id") != query_id).select(
+        "id",
+        "vec",
+        "nrm",
+        F.round(cosine(F.col("vec"), qv, F.col("nrm"), F.lit(float(q["nrm"]))), 6).alias(
+            "rel"
+        ),
+    )
+    first = pool.orderBy(F.desc("rel"), F.asc("id")).limit(1).collect()[0]
+    chosen = [(1, int(first["id"]), float(first["rel"]), float(first["rel"]))]
+    center_vec, center_nrm = first["vec"], float(first["nrm"])
+    cur = pool.where(F.col("id") != int(first["id"]))
+    for step in range(2, k + 1):
+        cv = F.array(*[F.lit(float(x)) for x in center_vec])
+        sim = F.round(
+            cosine(F.col("vec"), cv, F.col("nrm"), F.lit(center_nrm)), 6
+        )
+        cur = cur.withColumn(
+            "max_sim",
+            sim if step == 2 else F.greatest(F.col("max_sim"), sim),
+        ).localCheckpoint()
+        scored = cur.select(
+            "id",
+            "vec",
+            "nrm",
+            "rel",
+            "max_sim",
+            F.round(
+                F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("max_sim"),
+                6,
+            ).alias("score"),
+        )
+        top = scored.orderBy(F.desc("score"), F.asc("id")).limit(1).collect()[0]
+        chosen.append(
+            (step, int(top["id"]), float(top["rel"]), float(top["score"]))
+        )
+        center_vec, center_nrm = top["vec"], float(top["nrm"])
+        cur = cur.where(F.col("id") != int(top["id"]))
+    return df.sparkSession.createDataFrame(
+        chosen, "rank long, vec_id long, rel_r double, score_r double"
+    ).orderBy("rank")

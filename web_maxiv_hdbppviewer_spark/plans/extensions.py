@@ -3689,6 +3689,28 @@ def events_changepoint(spark, sf_dir):
     )
 
 
+#: MMR selection size and relevance/diversity literals (mu is its own
+#: literal, never 1 - lambda: cross-engine double discipline)
+MMR_K = 5
+MMR_LAMBDA = 0.7
+MMR_MU = 0.3
+
+
+def sim_mmr(spark, sf_dir):
+    """Maximal-marginal-relevance diversified top-k
+    (operators/similarity.mmr_select, Carbonell-Goldstein'98): greedy
+    k = 5 picks maximizing lam*relevance - (1-lam)*redundancy against
+    the already-picked set, query = vector 0 - the re-ranking step
+    between ANN candidate generation and a RAG consumer. Same bounded
+    superstep scale shape as sim_kcenter; round-6 arithmetic, id
+    tie-breaks; the oracle replays the greedy as chained
+    ORDER-BY-LIMIT-1 CTEs with full-pool re-scoring."""
+    from ..operators.similarity import mmr_select
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return mmr_select(emb, MMR_K, MMR_LAMBDA, MMR_MU)
+
+
 # Dict order here is NOT the witness window anymore: since round 7 the
 # 50-entry driver window is the explicit _WINDOW list in __spark_entry__.py
 # (rotated every round toward the least-recently-witnessed queries); this
@@ -3809,6 +3831,7 @@ EXTENSION_QUERIES = {
     "sim_kcenter": sim_kcenter,
     "events_lttb": events_lttb,
     "events_changepoint": events_changepoint,
+    "sim_mmr": sim_mmr,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

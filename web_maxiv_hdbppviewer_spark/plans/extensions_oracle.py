@@ -3098,3 +3098,53 @@ EXTENSION_ORACLE["events_changepoint"] = """
                ROUND(s_abs / (n * n * 1e6), 6) AS drift_r
         FROM r WHERE rn = 1 ORDER BY user_id
     """
+
+
+def _mmr_ctes(k: int) -> str:
+    """Chained greedy MMR trace: rel once, then per step the full-pool
+    max-sim-to-selected update and the ORDER BY score LIMIT 1 pick."""
+    parts = [
+        """qv AS (SELECT v, nrm FROM vecs WHERE id = 0),
+        pool AS (
+          SELECT x.id, x.v, x.nrm,
+                 ROUND(list_inner_product(x.v, q.v) / (x.nrm * q.nrm), 6)
+                   AS rel
+          FROM vecs x, qv q WHERE x.id <> 0)""",
+        "m1 AS (SELECT id, v, nrm, rel, rel AS score FROM pool "
+        "ORDER BY rel DESC, id ASC LIMIT 1)",
+        """p1 AS (
+          SELECT x.id, x.v, x.nrm, x.rel,
+                 ROUND(list_inner_product(x.v, c.v) / (x.nrm * c.nrm), 6)
+                   AS ms
+          FROM pool x, m1 c WHERE x.id <> c.id)""",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""m{i} AS (
+          SELECT id, v, nrm, rel,
+                 ROUND(0.7 * rel - 0.3 * ms, 6) AS score
+          FROM p{i-1} ORDER BY score DESC, id ASC LIMIT 1)"""
+        )
+        if i < k:
+            parts.append(
+                f"""p{i} AS (
+          SELECT x.id, x.v, x.nrm, x.rel,
+                 greatest(x.ms,
+                   ROUND(list_inner_product(x.v, c.v) / (x.nrm * c.nrm), 6))
+                   AS ms
+          FROM p{i-1} x, m{i} c WHERE x.id <> c.id)"""
+            )
+    return ",\n        ".join(parts)
+
+
+_MMR_SEL = "\n        UNION ALL ".join(
+    [f"SELECT {i} AS rank, id AS vec_id, rel AS rel_r, score AS score_r "
+     f"FROM m{i}" for i in range(1, 6)]
+)
+EXTENSION_ORACLE["sim_mmr"] = f"""
+        WITH {_VECS},
+        {_mmr_ctes(5)}
+        SELECT rank, vec_id, rel_r, score_r FROM (
+        {_MMR_SEL}
+        ) ORDER BY rank
+    """
