@@ -494,3 +494,173 @@ def test_mmr_trace_invariants_on_testdata(spark):
     for r in a[1:]:
         # score = 0.7*rel - 0.3*max_sim with max_sim in [-1, 1]
         assert 0.7 * r.rel_r - 0.3 - 1e-9 <= r.score_r <= 0.7 * r.rel_r + 0.3 + 1e-9
+
+
+# ------------------------------------------------- randomized spec checks
+
+
+def test_gap_fill_matches_python_spec_on_random_streams(spark):
+    """Seeded sparse random streams (gaps, duplicate days, multi-user)
+    vs an independent python forward-fill spec."""
+    import os
+    import tempfile
+
+    from web_maxiv_hdbppviewer_spark.plans.extensions import events_gap_fill
+
+    for seed in (11, 53):
+        rng = random.Random(seed)
+        rows, eid = [], 0
+        series = {}
+        for uid in range(1, 6):
+            days = sorted(rng.sample(range(0, 40), rng.randint(1, 12)))
+            obs = {}
+            for d in days:
+                for _ in range(rng.randint(1, 3)):
+                    eid += 1
+                    hh, mm = rng.randint(0, 23), rng.randint(0, 59)
+                    v = round(rng.uniform(0, 100), 3)
+                    rows.append(
+                        Row(event_id=eid,
+                            ts=f"1970-01-01 00:00:00",
+                            us=d * 86_400_000_000
+                            + hh * 3_600_000_000
+                            + mm * 60_000_000,
+                            user_id=uid, value=v)
+                    )
+                    # last (us, event_id) wins within the day
+                    obs.setdefault(d, []).append(
+                        (rows[-1].us, eid, v)
+                    )
+            series[uid] = {d: max(v)[2] for d, v in obs.items()}
+
+        def spec(uid):
+            s = series[uid]
+            d0, d1 = min(s), max(s)
+            n_days = d1 - d0 + 1
+            obs_micro, fill_ck, last = 0, 0, None
+            n_obs = 0
+            for d in range(d0, d1 + 1):
+                if d in s:
+                    last = s[d]
+                    n_obs += 1
+                    obs_micro += int(last * 1e6 // 1)  # floor
+                fill_ck += int(last * 1e6 // 1) * (d % 97 + 1)
+            return (n_days, n_obs, n_days - n_obs, obs_micro, fill_ck)
+
+        schema = "event_id long, ts string, us long, user_id long, value double"
+        with tempfile.TemporaryDirectory() as d:
+            for f in os.listdir(SF_SMOKE):
+                if f != "events.parquet":
+                    os.symlink(os.path.join(SF_SMOKE, f), os.path.join(d, f))
+            (
+                spark.createDataFrame(rows, schema)
+                .select(
+                    "event_id",
+                    F.timestamp_micros(F.col("us")).alias("ts"),
+                    "user_id",
+                    F.lit("x").alias("event_type"),
+                    "value",
+                    F.lit(None).cast("string").alias("props"),
+                )
+                .write.parquet(f"{d}/events.parquet")
+            )
+            got = {
+                r.user_id: (r.n_days, r.n_obs, r.n_filled, r.obs_micro, r.fill_ck)
+                for r in events_gap_fill(spark, d).collect()
+            }
+        want = {uid: spec(uid) for uid in series}
+        assert got == want, f"seed {seed}"
+
+
+def test_lttb_matches_python_spec_on_random_series(spark):
+    """Seeded random series vs an independent python implementation of
+    the parallel-anchor LTTB (exact integer anchors, IEEE area)."""
+    import math
+    import os
+    import tempfile
+
+    from web_maxiv_hdbppviewer_spark.plans.extensions import (
+        LTTB_BUCKETS,
+        events_lttb,
+    )
+
+    rng = random.Random(67)
+    rows, eid = [], 0
+    data = {}
+    for uid in (1, 2, 3):
+        n = rng.randint(5, 200)
+        pts = []
+        used = set()
+        for _ in range(n):
+            us = rng.randint(0, 3_000_000_000_000)
+            if us in used:
+                continue
+            used.add(us)
+            eid += 1
+            v = round(rng.uniform(0, 500), 4)
+            pts.append((us, eid, v))
+            rows.append(Row(event_id=eid, us=us, user_id=uid, value=v))
+        data[uid] = sorted(pts)
+
+    def spec(uid):
+        pts = data[uid]
+        u0, u1 = pts[0][0], pts[-1][0]
+        sp = u1 - u0 + 1
+        B = LTTB_BUCKETS
+        byb = {}
+        for us, e, v in pts:
+            b = min((us - u0) * B // sp, B - 1)
+            byb.setdefault(b, []).append((us, e, v))
+        anchors = {}
+        for b, ps in byb.items():
+            anchors[b] = (
+                sum(us - u0 for us, _, _ in ps) / len(ps) / 1e6,
+                sum(int(v * 1e6 // 1) for _, _, v in ps) / len(ps) / 1e6,
+            )
+        bs = sorted(byb)
+        out = {}
+        for i, b in enumerate(bs):
+            ps = byb[b]
+            if i == 0:
+                us, e, v = min(ps)
+            elif i == len(bs) - 1:
+                us, e, v = max(ps)
+            else:
+                tp_, vp_ = anchors[bs[i - 1]]
+                tn_, vn_ = anchors[bs[i + 1]]
+                best = None
+                for us_, e_, v_ in ps:
+                    tp = (us_ - u0) / 1e6
+                    area = round(
+                        abs((tp_ - tn_) * (v_ - vp_) - (tp_ - tp) * (vn_ - vp_)),
+                        6,
+                    )
+                    k = (area, -us_)
+                    if best is None or k > best[0]:
+                        best = (k, (us_, e_, v_))
+                us, e, v = best[1]
+            out[b] = e
+        return out
+
+    schema = "event_id long, us long, user_id long, value double"
+    with tempfile.TemporaryDirectory() as d:
+        for f in os.listdir(SF_SMOKE):
+            if f != "events.parquet":
+                os.symlink(os.path.join(SF_SMOKE, f), os.path.join(d, f))
+        (
+            spark.createDataFrame(rows, schema)
+            .select(
+                "event_id",
+                F.timestamp_micros(F.col("us")).alias("ts"),
+                "user_id",
+                F.lit("x").alias("event_type"),
+                "value",
+                F.lit(None).cast("string").alias("props"),
+            )
+            .write.parquet(f"{d}/events.parquet")
+        )
+        got = {}
+        for r in events_lttb(spark, d).collect():
+            got.setdefault(r.user_id, {})[r.bucket] = r.event_id
+    want = {uid: spec(uid) for uid in data}
+    assert got == want
