@@ -664,3 +664,74 @@ def test_lttb_matches_python_spec_on_random_series(spark):
             got.setdefault(r.user_id, {})[r.bucket] = r.event_id
     want = {uid: spec(uid) for uid in data}
     assert got == want
+
+
+# ---------------------------------------------------------------- winnow match
+
+
+def test_winnow_matches_python_pair_spec_and_plants(spark):
+    """Random corpora with planted shared substrings: pair counts must
+    equal an independent python spec (selection + distinct-hash join,
+    df cap, min_shared), and every planted pair must be detected (the
+    coverage guarantee: the shared block is >= k+w-1 tokens)."""
+    from itertools import combinations
+
+    from web_maxiv_hdbppviewer_spark.operators.textquality import (
+        WINNOW_DF_CAP,
+        WINNOW_K,
+        WINNOW_MIN_SHARED,
+        WINNOW_W,
+        winnow_matches,
+    )
+
+    for seed in (13, 71):
+        rng = random.Random(seed)
+        vocab = [f"w{j}" for j in range(30)]
+        texts = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 35)))
+            for i in range(10)
+        }
+        # planted: a long shared block across docs 10, 11, 12
+        block = " ".join(rng.choice(vocab) for _ in range(16))
+        for i in (10, 11, 12):
+            pre = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 6)))
+            texts[i] = (pre + " " + block).strip()
+
+        def spec():
+            sels = {}
+            for i, t in texts.items():
+                s = _winnow_spec(t, WINNOW_K, WINNOW_W)
+                if s is not None:
+                    sels[i] = {h for _, h in s[3]}
+            df_count = {}
+            for hs in sels.values():
+                for h in hs:
+                    df_count[h] = df_count.get(h, 0) + 1
+            ok = {h for h, c in df_count.items() if c <= WINNOW_DF_CAP}
+            out = {}
+            for a, b in combinations(sorted(sels), 2):
+                c = len(sels[a] & sels[b] & ok)
+                if c >= WINNOW_MIN_SHARED:
+                    out[(a, b)] = c
+            return out
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in texts.items()]
+        )
+        got = {
+            (r.id_a, r.id_b): r.n_shared for r in winnow_matches(df).collect()
+        }
+        want = spec()
+        assert got == want, f"seed {seed}"
+        for pair in [(10, 11), (10, 12), (11, 12)]:
+            assert pair in got, f"planted pair {pair} missed (seed {seed})"
+
+
+def test_winnow_match_plan_is_posting_join_no_cartesian(spark):
+    """Candidates come from the hash equi-join over df-capped postings:
+    no cartesian/broadcast-nested-loop anywhere, and the cap is a
+    semi-join (no posting ids through an aggregation buffer)."""
+    plan = _plan(QUERIES["dedup_winnow"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "LeftSemi" in plan

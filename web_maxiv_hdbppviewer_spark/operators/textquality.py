@@ -681,6 +681,83 @@ WINNOW_K = 4
 WINNOW_W = 5
 
 
+def _winnow_base(df, id_col, text_col, k, w):
+    """(id, hs = k-gram 60-bit hash array), docs with >= w grams only."""
+    toks = words(F.col(text_col))
+    hs_expr = F.transform(word_kgrams(toks, k), lambda g: md5_int60(g))
+    return df.select(F.col(id_col), hs_expr.alias("hs")).where(
+        F.size("hs") >= w
+    )
+
+
+def _winnow_marks(w):
+    """Array column of struct(p, h) - the robust-winnowing selections
+    over the row's ``hs`` array (see winnow_fingerprints for the
+    nearest-smaller-distance criterion)."""
+    n = F.size("hs")
+
+    def h_at(i):  # zero-based position -> hash (element_at is 1-based)
+        return F.element_at(F.col("hs"), (i + F.lit(1)).cast("int"))
+
+    def nearest(p, hp, sign, strict):
+        """Min distance d in [1, w-1] to a smaller (strict) / <= (not
+        strict) hash at p + sign*d, else w. aggregate scans d ascending;
+        the acc == w guard freezes the first (nearest) hit."""
+        cmp = (lambda x: x < hp) if strict else (lambda x: x <= hp)
+        probe = lambda d: p + d if sign > 0 else p - d
+        inb = (
+            (lambda d: probe(d) < n) if sign > 0 else (lambda d: probe(d) >= 0)
+        )
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(w - 1)),
+            F.lit(w).cast("int"),
+            lambda acc, d: F.when(
+                (acc == F.lit(w)) & inb(d) & cmp(h_at(probe(d))),
+                d.cast("int"),
+            ).otherwise(acc),
+        )
+
+    def mark(p):
+        hp = h_at(p)
+        pl = nearest(p, hp, -1, strict=True)
+        nl = nearest(p, hp, +1, strict=False)
+        lo = F.greatest(F.lit(0), p - pl + 1)
+        hi = F.least(n - w, p + nl - w)
+        return F.struct(p.alias("p"), hp.alias("h"), (lo <= hi).alias("sel"))
+
+    return F.filter(
+        F.transform(F.sequence(F.lit(0), n - 1), mark), lambda s: s["sel"]
+    )
+
+
+#: session cache for the winnowed-marks materialization (keyed by
+#: Catalyst semantic hash via dedup._memoized_checkpoint): text_winnow
+#: and dedup_winnow share ONE selection pass per corpus per session
+_WINNOW_MARKS_CACHE: list = []
+
+
+def winnow_marked(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """(id_col, n_grams, marks = array<struct(p, h, sel)>): the
+    robust-winnowing selections, localCheckpoint-memoized per session
+    (the doc_shingle_arrays discipline) so the O(n*w) selection pass
+    runs once however many consumers read it."""
+    from .dedup import _memoized_checkpoint
+
+    base = _winnow_base(df, id_col, text_col, k, w)
+    plan = base.select(
+        F.col(id_col),
+        F.size("hs").cast("long").alias("n_grams"),
+        _winnow_marks(w).alias("marks"),
+    )
+    return _memoized_checkpoint(_WINNOW_MARKS_CACHE, plan)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -716,53 +793,81 @@ def winnow_fingerprints(
     reference has no content-fingerprint machinery; this extends its
     engine for training-data curation (SURVEY §7.1 M6).
     """
-    toks = words(F.col(text_col))
-    hs_expr = F.transform(word_kgrams(toks, k), lambda g: md5_int60(g))
-    base = df.select(F.col(id_col), hs_expr.alias("hs")).where(F.size("hs") >= w)
-    n = F.size("hs")
-
-    def h_at(i):  # zero-based position -> hash (element_at is 1-based)
-        return F.element_at(F.col("hs"), (i + F.lit(1)).cast("int"))
-
-    def nearest(p, hp, sign, strict):
-        """Min distance d in [1, w-1] to a smaller (strict) / <= (not
-        strict) hash at p + sign*d, else w. aggregate scans d ascending;
-        the acc == w guard freezes the first (nearest) hit."""
-        cmp = (lambda x: x < hp) if strict else (lambda x: x <= hp)
-        probe = lambda d: p + d if sign > 0 else p - d
-        inb = (
-            (lambda d: probe(d) < n) if sign > 0 else (lambda d: probe(d) >= 0)
-        )
-        return F.aggregate(
-            F.sequence(F.lit(1), F.lit(w - 1)),
-            F.lit(w).cast("int"),
-            lambda acc, d: F.when(
-                (acc == F.lit(w)) & inb(d) & cmp(h_at(probe(d))),
-                d.cast("int"),
-            ).otherwise(acc),
-        )
-
-    def mark(p):
-        hp = h_at(p)
-        pl = nearest(p, hp, -1, strict=True)
-        nl = nearest(p, hp, +1, strict=False)
-        lo = F.greatest(F.lit(0), p - pl + 1)
-        hi = F.least(n - w, p + nl - w)
-        return F.struct(p.alias("p"), hp.alias("h"), (lo <= hi).alias("sel"))
-
-    marks = F.filter(
-        F.transform(F.sequence(F.lit(0), n - 1), mark), lambda s: s["sel"]
-    )
+    marked = winnow_marked(df, id_col, text_col, k, w)
+    marks = F.col("marks")
     checksum = F.aggregate(
         marks,
         F.lit(0).cast("long"),
         lambda acc, s: (acc + (s["h"] % FP_PRIME) * (s["p"] + 1))
         % F.lit(MERSENNE_31),
     )
-    return base.select(
+    return marked.select(
         F.col(id_col),
-        n.cast("long").alias("n_grams"),
+        "n_grams",
         F.size(marks).cast("long").alias("n_fp"),
-        F.round(F.size(marks) / (n - w + 1), 6).alias("density_r"),
+        F.round(F.size(marks) / (F.col("n_grams") - w + 1), 6).alias(
+            "density_r"
+        ),
         checksum.alias("fp_checksum"),
+    )
+
+
+#: cross-doc winnow matching: min shared fingerprints for a pair, and the
+#: posting-list frequency cap (the family's skew dial - a fingerprint
+#: selected in > df_cap documents is boilerplate and generates O(df^2)
+#: pair rows; dropping it loses only pairs whose ONLY evidence is
+#: corpus-wide boilerplate, cf. dedup.fuzzy_pairs df_cap)
+WINNOW_MIN_SHARED = 2
+WINNOW_DF_CAP = 64
+
+
+def winnow_matches(
+    df: DataFrame,
+    min_shared: int = WINNOW_MIN_SHARED,
+    df_cap: int = WINNOW_DF_CAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Cross-document winnowing match (the MOSS detector): pairs of
+    documents sharing >= ``min_shared`` DISTINCT selected fingerprint
+    hashes, with the shared count. By the coverage guarantee any common
+    substring of k + w - 1 tokens contributes a shared fingerprint, so
+    local plagiarism/quotation is caught position-robustly - the
+    asymmetric complement to whole-doc Jaccard (dedup_ngram_jaccard)
+    and fixed-grid spans (dedup_spans).
+
+    Scale: per-doc selection is the zero-shuffle winnow pass; matching
+    is ONE posting-list equi-join on the 60-bit hash feeding a map-side
+    count aggregation (the containment_pairs 'count' strategy - no
+    candidate materialization), with posting lists df-capped ahead of
+    the join. Output (id_a, id_b, n_shared).
+    """
+    marked = winnow_marked(df, id_col, text_col, k, w)
+    post = marked.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(F.col("marks"), lambda s: s["h"])
+            )
+        ).alias("h"),
+    )
+    ok_h = (
+        post.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= df_cap)
+        .select("h")
+    )
+    # semi join rides the groupBy's hash partitioning on h - no second
+    # shuffle of the posting rows' ids through an aggregation buffer
+    capped = post.join(ok_h, "h", "left_semi")
+    a = capped.select(F.col("id").alias("id_a"), "h")
+    b = capped.select(F.col("id").alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )

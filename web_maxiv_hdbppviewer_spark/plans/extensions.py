@@ -3711,6 +3711,19 @@ def sim_mmr(spark, sf_dir):
     return mmr_select(emb, MMR_K, MMR_LAMBDA, MMR_MU)
 
 
+def dedup_winnow(spark, sf_dir):
+    """Cross-document winnowing match (the MOSS detector;
+    operators/textquality.winnow_matches): pairs sharing >= 2 distinct
+    winnow-selected fingerprint hashes, df-capped postings (64), shared
+    count per pair - position-robust LOCAL substring detection, the
+    complement to whole-doc Jaccard and fixed-grid spans. One posting
+    equi-join + map-side count aggregation; oracle replays selection +
+    the naive posting join over the shared winnow CTEs."""
+    return textquality.winnow_matches(_docs(spark, sf_dir)).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # Dict order here is NOT the witness window anymore: since round 7 the
 # 50-entry driver window is the explicit _WINDOW list in __spark_entry__.py
 # (rotated every round toward the least-recently-witnessed queries); this
@@ -3832,6 +3845,7 @@ EXTENSION_QUERIES = {
     "events_lttb": events_lttb,
     "events_changepoint": events_changepoint,
     "sim_mmr": sim_mmr,
+    "dedup_winnow": dedup_winnow,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

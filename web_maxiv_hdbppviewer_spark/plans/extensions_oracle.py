@@ -2837,8 +2837,10 @@ EXTENSION_ORACLE["sim_index_append"] = f"""
 # greatest(0, p - pl + 1) <= least(n - w, p + nl - w) with pl = nearest
 # strictly-smaller distance left, nl = nearest <= distance right, capped at w
 _WINNOW_H = H.format(x="array_to_string(list_slice(l, i, i + 3), ' ')")
-EXTENSION_ORACLE["text_winnow"] = f"""
-        WITH t AS (
+# shared winnow selection CTEs: sel = (doc_id, p, h), the robust
+# rightmost-window-minimum selections (used by text_winnow AND
+# dedup_winnow)
+_WINNOW_CTES = f"""t AS (
           SELECT doc_id,
                  list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
           FROM documents),
@@ -2859,7 +2861,10 @@ EXTENSION_ORACLE["text_winnow"] = f"""
           GROUP BY a.doc_id, a.p, a.h, a.n),
         sel AS (
           SELECT doc_id, p, h FROM nb
-          WHERE greatest(0, p - pl + 1) <= least(n - 5, p + nl - 5)),
+          WHERE greatest(0, p - pl + 1) <= least(n - 5, p + nl - 5))"""
+
+EXTENSION_ORACLE["text_winnow"] = f"""
+        WITH {_WINNOW_CTES},
         per AS (
           SELECT doc_id, COUNT(*) AS n_fp,
                  CAST(SUM((h % 1000003) * (p + 1)) % 2147483647 AS BIGINT)
@@ -3147,4 +3152,20 @@ EXTENSION_ORACLE["sim_mmr"] = f"""
         SELECT rank, vec_id, rel_r, score_r FROM (
         {_MMR_SEL}
         ) ORDER BY rank
+    """
+
+# cross-doc winnow matching (extensions.dedup_winnow): distinct selected
+# hashes per doc, df-capped postings, pair counts - same CTEs as
+# text_winnow plus the naive posting join
+EXTENSION_ORACLE["dedup_winnow"] = f"""
+        WITH {_WINNOW_CTES},
+        post AS (SELECT DISTINCT doc_id AS id, h FROM sel),
+        okh AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM post GROUP BY h)
+                WHERE c <= 64),
+        cp AS (SELECT p.id, p.h FROM post p JOIN okh USING (h))
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM cp a JOIN cp b ON a.h = b.h AND a.id < b.id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ORDER BY id_a, id_b
     """
