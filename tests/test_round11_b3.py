@@ -735,3 +735,17 @@ def test_winnow_match_plan_is_posting_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "LeftSemi" in plan
+
+
+def test_dedup_compare_invariants(spark):
+    """minhash is verified so precision is exactly 1; every method's
+    hits bound by both sides; reruns deterministic."""
+    a = QUERIES["dedup_compare"](spark, SF_SMOKE).collect()
+    b = QUERIES["dedup_compare"](spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert [r.method for r in a] == ["minhash_lsh", "simhash", "winnow"]
+    for r in a:
+        assert r.n_hit <= min(r.n_out, r.n_exact)
+        assert 0.0 <= r.recall_r <= 1.0 and 0.0 <= r.precision_r <= 1.0
+    mh = a[0]
+    assert mh.precision_r == 1.0 and mh.recall_r == 1.0

@@ -3724,6 +3724,62 @@ def dedup_winnow(spark, sf_dir):
     )
 
 
+def dedup_compare(spark, sf_dir):
+    """The recall/precision-per-method table a dedup deployment reads
+    before committing to a candidate generator (the sim_ann_compare
+    pattern applied to the dedup family): ONE exact word-bigram Jaccard
+    reference (>= 0.8, the session-memoized pair cache), joined against
+    each approximate method's emitted pairs - MinHash+LSH band
+    candidates (verified, so precision is 1 by construction and the row
+    witnesses pure CANDIDATE recall), SimHash hamming <= 12, and
+    winnowing shared-fingerprint matches. Per method: emitted pairs,
+    hits, recall and precision against the reference. Bounded driver
+    values only (per-method pair counts); every constituent reuses its
+    session-memoized materialization (shingle arrays, pair cache,
+    winnow marks). Oracle: each method's full oracle query as a
+    subquery, counted the naive way."""
+    from ..operators import textquality as tq
+
+    docs = _docs(spark, sf_dir)
+    exact = (
+        dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    n_exact = exact.count()
+    methods = {
+        "minhash_lsh": dedup.minhash_dedup_pairs(
+            docs, JACCARD_THRESHOLD
+        ).select("id_a", "id_b"),
+        "simhash": dedup.simhash_pairs(docs, SIMHASH_MAX_HAMMING).select(
+            "id_a", "id_b"
+        ),
+        "winnow": tq.winnow_matches(docs).select("id_a", "id_b"),
+    }
+    rows = []
+    for name in sorted(methods):
+        mdf = methods[name].localCheckpoint()
+        n_out = mdf.count()
+        n_hit = mdf.join(exact, ["id_a", "id_b"], "left_semi").count()
+        rows.append((name, n_out, n_hit, n_exact))
+    # ratios rounded IN-ENGINE: python's round() is banker's (1/128 ->
+    # 0.007812) while Spark/DuckDB round half away (-> 0.007813)
+    return (
+        spark.createDataFrame(
+            rows, "method string, n_out long, n_hit long, n_exact long"
+        )
+        .select(
+            "method",
+            "n_out",
+            "n_hit",
+            "n_exact",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall_r"),
+            F.round(F.col("n_hit") / F.col("n_out"), 6).alias("precision_r"),
+        )
+        .orderBy("method")
+    )
+
+
 # Dict order here is NOT the witness window anymore: since round 7 the
 # 50-entry driver window is the explicit _WINDOW list in __spark_entry__.py
 # (rotated every round toward the least-recently-witnessed queries); this
@@ -3846,6 +3902,7 @@ EXTENSION_QUERIES = {
     "events_changepoint": events_changepoint,
     "sim_mmr": sim_mmr,
     "dedup_winnow": dedup_winnow,
+    "dedup_compare": dedup_compare,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

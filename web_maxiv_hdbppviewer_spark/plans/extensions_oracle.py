@@ -3169,3 +3169,42 @@ EXTENSION_ORACLE["dedup_winnow"] = f"""
         GROUP BY 1, 2 HAVING COUNT(*) >= 2
         ORDER BY id_a, id_b
     """
+
+# dedup-method recall/precision harness (extensions.dedup_compare): each
+# constituent method's FULL oracle query runs as a subquery (DuckDB
+# allows WITH inside derived tables), counted the naive way against the
+# exact-Jaccard reference
+EXTENSION_ORACLE["dedup_compare"] = f"""
+        WITH exact AS (
+          SELECT id_a, id_b FROM ({EXTENSION_ORACLE["dedup_ngram_jaccard"]})),
+        m_minhash AS (
+          SELECT id_a, id_b FROM ({EXTENSION_ORACLE["dedup_minhash_lsh"]})),
+        m_simhash AS (
+          SELECT id_a, id_b FROM ({EXTENSION_ORACLE["dedup_simhash"]})),
+        m_winnow AS (
+          SELECT id_a, id_b FROM ({EXTENSION_ORACLE["dedup_winnow"]})),
+        ne AS (SELECT COUNT(*) AS n_exact FROM exact),
+        stats AS (
+          SELECT 'minhash_lsh' AS method,
+                 (SELECT COUNT(*) FROM m_minhash) AS n_out,
+                 (SELECT COUNT(*) FROM m_minhash m
+                   JOIN exact e ON e.id_a = m.id_a AND e.id_b = m.id_b)
+                   AS n_hit
+          UNION ALL
+          SELECT 'simhash',
+                 (SELECT COUNT(*) FROM m_simhash),
+                 (SELECT COUNT(*) FROM m_simhash m
+                   JOIN exact e ON e.id_a = m.id_a AND e.id_b = m.id_b)
+          UNION ALL
+          SELECT 'winnow',
+                 (SELECT COUNT(*) FROM m_winnow),
+                 (SELECT COUNT(*) FROM m_winnow m
+                   JOIN exact e ON e.id_a = m.id_a AND e.id_b = m.id_b))
+        SELECT method,
+               CAST(n_out AS BIGINT) AS n_out,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               CAST(ne.n_exact AS BIGINT) AS n_exact,
+               ROUND(n_hit / CAST(ne.n_exact AS DOUBLE), 6) AS recall_r,
+               ROUND(n_hit / CAST(n_out AS DOUBLE), 6) AS precision_r
+        FROM stats CROSS JOIN ne ORDER BY method
+    """
