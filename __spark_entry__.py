@@ -103,6 +103,7 @@ _CHANGED_THIS_ROUND = [
     "sim_mmr",  # NEW - maximal-marginal-relevance diversified top-k
     "dedup_winnow",  # NEW - cross-doc winnow-fingerprint matching (MOSS)
     "dedup_compare",  # NEW - dedup-method recall/precision harness
+    "stream_cusum",  # NEW - streaming online-CUSUM drift monitor
 ]
 # the displaced core, least-recently-witnessed first (q9-q15 + q22 were
 # displaced in r10; every entry is r7/r8-row-witnessed, code-unchanged,
@@ -114,14 +115,15 @@ _STALE_CORE = (
 )
 _STALE_TAIL = [
     "stream_last_value", "stream_window", "stream_dedup", "stream_sessions",
-    "dedup_clusters_semantic", "text_keywords",
+    "dedup_clusters_semantic",
     # r7-row extensions displaced at r9, never re-witnessed since
     "lifecycle_aggregate",
     # dedup_exact, window_sliding, events_pivot (batch 1/2),
     # dedup_minhash_lsh, pipe_domain_mix, sim_topk_cosine,
     # sim_topk_quantized, pipe_shard_sink (batch 3), and
     # dedup_ngram_jaccard, pipe_curation, pipe_contamination,
-    # sim_ann_ivf_trained, window_sessions, events_quantiles (batch 4;
+    # sim_ann_ivf_trained, window_sessions, events_quantiles,
+    # text_keywords (batch 4;
     # lifecycle_aggregate stays - VERDICT r10 #6 names the raster path)
     # yield their slots to
     # the round-11 NEW/changed queries (each r7-row-witnessed,

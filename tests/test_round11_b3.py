@@ -749,3 +749,71 @@ def test_dedup_compare_invariants(spark):
         assert 0.0 <= r.recall_r <= 1.0 and 0.0 <= r.precision_r <= 1.0
     mh = a[0]
     assert mh.precision_r == 1.0 and mh.recall_r == 1.0
+
+
+# ---------------------------------------------------------------- stream cusum
+
+
+def test_cusum_state_is_batch_split_invariant():
+    """The (P, minP) carry makes the vectorized update independent of
+    how rows are chopped into micro-batches: one batch vs row-at-a-time
+    vs random splits must produce identical final state (pure-python
+    harness over the stateful update, no Spark)."""
+    import pandas as pd
+
+    from web_maxiv_hdbppviewer_spark.streaming.stateful import (
+        CUSUM_REF_MICRO,
+        _update_cusum,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    rng = random.Random(83)
+    rows = [
+        {
+            "user_id": 1,
+            "us": i * 1000 + rng.randint(0, 999),
+            "event_id": i,
+            "q": rng.randint(0, 120_000_000),
+        }
+        for i in range(200)
+    ]
+    rows.sort(key=lambda r: (r["us"], r["event_id"]))
+
+    def run(splits):
+        st = FakeState()
+        for chunk in splits:
+            if not chunk:
+                continue
+            list(_update_cusum((1,), iter([pd.DataFrame(chunk)]), st))
+        return st.get
+
+    whole = run([rows])
+    per_row = run([[r] for r in rows])
+    cuts = sorted(rng.sample(range(1, 200), 7))
+    ragged = run(
+        [rows[a:b] for a, b in zip([0] + cuts, cuts + [200])]
+    )
+    assert whole == per_row == ragged
+    # spot-check against the direct recurrence S = max(0, S + x)
+    s = p = 0
+    maxs = nal = 0
+    for r in rows:
+        x = r["q"] - CUSUM_REF_MICRO
+        p += x
+        s = max(0, s + x)
+        maxs = max(maxs, s)
+        if s > 500_000_000:
+            nal += 1
+    assert whole[0] == p and whole[2] == maxs and whole[3] == nal

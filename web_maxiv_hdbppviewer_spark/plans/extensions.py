@@ -3780,6 +3780,55 @@ def dedup_compare(spark, sf_dir):
     )
 
 
+def stream_cusum(spark, sf_dir):
+    """Streaming drift monitor (streaming/stateful.streaming_cusum):
+    Page's online CUSUM maintained as O(1) per-key state via the closed
+    form S_k = P_k - min(0, prefix-min P) - prefix sums and accumulated
+    minima vectorize per Arrow batch, so the stateful op carries just
+    (P, minP, max drift, alarm count, n). Drained with availableNow the
+    final state must equal the batch closed form EXACTLY (integer
+    arithmetic end to end) - the oracle is two window functions over
+    the event-ordered batch table. The batch events_changepoint is the
+    offline retrospective twin (argmax |centered cumsum|); this is the
+    monitor a pipeline runs forward."""
+    from ..functions.time import epoch_us
+    from ..streaming.stateful import streaming_cusum
+
+    load_tables(spark, sf_dir)  # applies session confs (nanosAsLong)
+    sink = f"stream_cusum_{next(_STREAM_SEQ)}"
+    feed = (
+        _stream_events(spark, sf_dir)
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            epoch_us(F.col("ts")).alias("us"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.floor(F.col("value") * 1e6).cast("long").alias("q"),
+        )
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            streaming_cusum(feed)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    final = spark.sql(
+        f"SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+        f"ORDER BY n DESC) AS rn FROM {sink}) WHERE rn = 1"
+    )
+    return final.select(
+        "user_id", "n", "p_final", "max_drift", "n_alarms"
+    ).orderBy("user_id")
+
+
 # Dict order here is NOT the witness window anymore: since round 7 the
 # 50-entry driver window is the explicit _WINDOW list in __spark_entry__.py
 # (rotated every round toward the least-recently-witnessed queries); this
@@ -3903,6 +3952,7 @@ EXTENSION_QUERIES = {
     "sim_mmr": sim_mmr,
     "dedup_winnow": dedup_winnow,
     "dedup_compare": dedup_compare,
+    "stream_cusum": stream_cusum,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

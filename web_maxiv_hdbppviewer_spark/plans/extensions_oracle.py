@@ -3208,3 +3208,35 @@ EXTENSION_ORACLE["dedup_compare"] = f"""
                ROUND(n_hit / CAST(n_out AS DOUBLE), 6) AS precision_r
         FROM stats CROSS JOIN ne ORDER BY method
     """
+
+# streaming online CUSUM (extensions.stream_cusum): batch closed form -
+# P = prefix sum of centered micro values in (us, event_id) order,
+# S_k = P_k - least(0, prefix-min P); the drained stream state must
+# equal this exactly (integer arithmetic both sides)
+EXTENSION_ORACLE["stream_cusum"] = """
+        WITH pts AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id,
+                 CAST(floor(value * 1e6) AS BIGINT) - 50000000 AS x
+          FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        c AS (
+          SELECT user_id, us, event_id,
+                 CAST(SUM(x) OVER w AS BIGINT) AS p
+          FROM pts
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        s AS (
+          SELECT user_id, us, event_id, p,
+                 p - least(CAST(0 AS BIGINT),
+                           CAST(MIN(p) OVER w AS BIGINT)) AS drift
+          FROM c
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               -- (user_id, us) is unique, so us alone is the total order
+               CAST(arg_max(p, us) AS BIGINT) AS p_final,
+               CAST(MAX(drift) AS BIGINT) AS max_drift,
+               CAST(SUM(CASE WHEN drift > 500000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_alarms
+        FROM s GROUP BY user_id ORDER BY user_id
+    """
