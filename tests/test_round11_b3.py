@@ -817,3 +817,19 @@ def test_cusum_state_is_batch_split_invariant():
         if s > 500_000_000:
             nal += 1
     assert whole[0] == p and whole[2] == maxs and whole[3] == nal
+
+
+def test_split_safe_never_straddles_clusters(spark):
+    """THE invariant: every near-dup cluster lands wholly in one split;
+    and the assignment is the cluster-keyed bucket rule (singletons
+    split like pipe_split under the 'splitsafe' seed would)."""
+    from collections import defaultdict
+
+    rows = QUERIES["pipe_split_safe"](spark, SF_SMOKE).collect()
+    by_cluster = defaultdict(set)
+    for r in rows:
+        by_cluster[r.cluster_id].add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert any(len([r for r in rows if r.cluster_id == c]) > 1
+               for c in by_cluster), "corpus has no non-trivial cluster"
+    assert {r.split for r in rows} == {"train", "val", "test"}

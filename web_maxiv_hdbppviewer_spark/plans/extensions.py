@@ -3829,6 +3829,34 @@ def stream_cusum(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def pipe_split_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split: the hash-bucket assignment is
+    keyed on the near-dup CLUSTER representative, not the document, so a
+    duplicate pair can never straddle the train/eval boundary - the
+    group-aware split every curation pipeline needs once it deduplicates
+    softly (reweighting keeps both copies; a doc-keyed split would then
+    leak val content into train verbatim). Composes the session-memoized
+    pair cache -> connected components -> the md5-bucket split rule with
+    a 'splitsafe' seed at cluster grain. Output (doc_id, cluster_id,
+    split); singleton docs are their own cluster, so their assignment
+    differs from pipe_split only by the seed. Oracle: the dedup_clusters
+    recursive-CTE closure as a subquery + the same bucket CASE."""
+    from ..operators import graph
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    clusters = graph.duplicate_clusters(docs, pairs)
+    return (
+        sampling.hash_split(
+            clusters, SPLIT_FRACTIONS, id_col="cluster_id", seed="splitsafe"
+        )
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    )
+
+
 # Dict order here is NOT the witness window anymore: since round 7 the
 # 50-entry driver window is the explicit _WINDOW list in __spark_entry__.py
 # (rotated every round toward the least-recently-witnessed queries); this
@@ -3953,6 +3981,7 @@ EXTENSION_QUERIES = {
     "dedup_winnow": dedup_winnow,
     "dedup_compare": dedup_compare,
     "stream_cusum": stream_cusum,
+    "pipe_split_safe": pipe_split_safe,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

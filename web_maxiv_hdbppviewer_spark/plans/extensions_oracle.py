@@ -3240,3 +3240,21 @@ EXTENSION_ORACLE["stream_cusum"] = """
                     AS BIGINT) AS n_alarms
         FROM s GROUP BY user_id ORDER BY user_id
     """
+
+# leakage-safe split (extensions.pipe_split_safe): the dedup_clusters
+# transitive-closure oracle as a subquery, bucket rule keyed on the
+# cluster representative with the 'splitsafe' seed
+EXTENSION_ORACLE["pipe_split_safe"] = f"""
+        WITH cl AS (
+          SELECT doc_id, cluster_id
+          FROM ({EXTENSION_ORACLE["dedup_clusters"]}))
+        SELECT doc_id, cluster_id,
+               CASE WHEN b < 8000 THEN 'train'
+                    WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id, cluster_id,
+                     ('0x' || substr(md5('splitsafe:'
+                        || CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 10000 AS b
+              FROM cl)
+        ORDER BY doc_id
+    """
