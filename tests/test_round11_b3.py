@@ -833,3 +833,17 @@ def test_split_safe_never_straddles_clusters(spark):
     assert any(len([r for r in rows if r.cluster_id == c]) > 1
                for c in by_cluster), "corpus has no non-trivial cluster"
     assert {r.split for r in rows} == {"train", "val", "test"}
+
+
+def test_ivf_probe_sweep_monotone(spark):
+    """More probes can only add candidates: n_hit and recall are
+    nondecreasing in nprobe, and nprobe=4 of 8 cells keeps recall
+    strictly above nprobe=1 on this corpus (the curve the sweep
+    exists to show); hits bounded by both sides."""
+    rows = QUERIES["sim_ivf_probe_sweep"](spark, SF_SMOKE).collect()
+    assert [r.nprobe for r in rows] == [1, 2, 4]
+    hits = [r.n_hit for r in rows]
+    assert hits == sorted(hits)
+    assert rows[-1].n_hit > rows[0].n_hit or rows[0].recall_r == 1.0
+    for r in rows:
+        assert r.n_hit <= min(r.n_out, r.n_exact)

@@ -3857,6 +3857,53 @@ def pipe_split_safe(spark, sf_dir):
     )
 
 
+#: probe counts swept by sim_ivf_probe_sweep
+IVF_SWEEP_PROBES = (1, 2, 4)
+
+
+def sim_ivf_probe_sweep(spark, sf_dir):
+    """Recall-vs-nprobe tuning curve for IVF-flat - the dial a 100 TB
+    ANN deployment turns (probe more cells -> more candidates -> higher
+    recall, linearly more work); the pipe_dedup_sweep pattern applied to
+    the ANN family. ONE exact top-k baseline (localCheckpoint'd) joined
+    by the IVF ranking at nprobe = 1, 2, 4; per probe count: emitted
+    pairs, hits, recall. Bounded driver values (counts). The oracle
+    re-derives each setting's full IVF query (the sim_ann_ivf SQL with
+    its probe bound rewritten) as a subquery."""
+    emb = _emb(spark, sf_dir)
+    exact = (
+        similarity.topk_cosine(emb, ANN_TOPK, QUERY_IDS_BELOW)
+        .select("q_id", "cand_id")
+        .localCheckpoint()
+    )
+    n_exact = exact.count()
+    rows = []
+    for np_ in IVF_SWEEP_PROBES:
+        ivf = (
+            similarity.ann_topk_ivf(
+                emb, ANN_TOPK, QUERY_IDS_BELOW, IVF_CELLS, np_
+            )
+            .select("q_id", "cand_id")
+            .localCheckpoint()
+        )
+        n_out = ivf.count()
+        n_hit = ivf.join(exact, ["q_id", "cand_id"], "left_semi").count()
+        rows.append((np_, n_out, n_hit, n_exact))
+    return (
+        spark.createDataFrame(
+            rows, "nprobe long, n_out long, n_hit long, n_exact long"
+        )
+        .select(
+            "nprobe",
+            "n_out",
+            "n_hit",
+            "n_exact",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall_r"),
+        )
+        .orderBy("nprobe")
+    )
+
+
 # Dict order here is NOT the witness window anymore: since round 7 the
 # 50-entry driver window is the explicit _WINDOW list in __spark_entry__.py
 # (rotated every round toward the least-recently-witnessed queries); this
@@ -3982,6 +4029,7 @@ EXTENSION_QUERIES = {
     "dedup_compare": dedup_compare,
     "stream_cusum": stream_cusum,
     "pipe_split_safe": pipe_split_safe,
+    "sim_ivf_probe_sweep": sim_ivf_probe_sweep,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

@@ -3258,3 +3258,46 @@ EXTENSION_ORACLE["pipe_split_safe"] = f"""
               FROM cl)
         ORDER BY doc_id
     """
+
+# IVF nprobe recall sweep (extensions.sim_ivf_probe_sweep): each probe
+# setting's full IVF query is the sim_ann_ivf SQL with its probe bound
+# rewritten, run as a subquery against the exact-top-k reference
+def _ivf_at_nprobe(np_: int) -> str:
+    sql = EXTENSION_ORACLE["sim_ann_ivf"]
+    assert sql.count("rn <= 2") == 1
+    return sql.replace("rn <= 2", f"rn <= {np_}")
+
+
+_IVF_SWEEP_STATS = "\n          UNION ALL\n".join(
+    f"""          SELECT {np_} AS nprobe,
+                 (SELECT COUNT(*) FROM m{np_}) AS n_out,
+                 (SELECT COUNT(*) FROM m{np_} m
+                   JOIN exact e ON e.q_id = m.q_id
+                    AND e.cand_id = m.cand_id) AS n_hit"""
+    for np_ in (1, 2, 4)
+)
+_IVF_SWEEP_SUBQ = ",\n".join(
+    f"""        m{np_} AS (
+          SELECT q_id, cand_id FROM ({_ivf_at_nprobe(np_)}))"""
+    for np_ in (1, 2, 4)
+)
+# exact reference at the IVF top-k (3), not sim_topk_cosine's 5
+_EXACT_AT_ANN_TOPK = EXTENSION_ORACLE["sim_topk_cosine"]
+assert _EXACT_AT_ANN_TOPK.count("rank <= 5") == 1
+_EXACT_AT_ANN_TOPK = _EXACT_AT_ANN_TOPK.replace("rank <= 5", "rank <= 3")
+
+EXTENSION_ORACLE["sim_ivf_probe_sweep"] = f"""
+        WITH exact AS (
+          SELECT q_id, cand_id
+          FROM ({_EXACT_AT_ANN_TOPK})),
+{_IVF_SWEEP_SUBQ},
+        ne AS (SELECT COUNT(*) AS n_exact FROM exact),
+        stats AS (
+{_IVF_SWEEP_STATS})
+        SELECT CAST(nprobe AS BIGINT) AS nprobe,
+               CAST(n_out AS BIGINT) AS n_out,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               CAST(ne.n_exact AS BIGINT) AS n_exact,
+               ROUND(n_hit / CAST(ne.n_exact AS DOUBLE), 6) AS recall_r
+        FROM stats CROSS JOIN ne ORDER BY nprobe
+    """
