@@ -106,6 +106,7 @@ _CHANGED_THIS_ROUND = [
     "stream_cusum",  # NEW - streaming online-CUSUM drift monitor
     "pipe_split_safe",  # NEW - cluster-keyed leakage-safe split
     "sim_ivf_probe_sweep",  # NEW - recall-vs-nprobe tuning curve
+    "multimodal_phash",  # NEW - block-mean binary content signature
 ]
 # the displaced core, least-recently-witnessed first (q9-q15 + q22 were
 # displaced in r10; every entry is r7/r8-row-witnessed, code-unchanged,
@@ -116,7 +117,7 @@ _STALE_CORE = (
     + [f"q{i}" for i in range(16, 22)]
 )
 _STALE_TAIL = [
-    "stream_last_value", "stream_window", "stream_dedup",
+    "stream_last_value", "stream_window",
     # r7-row extensions displaced at r9, never re-witnessed since
     "lifecycle_aggregate",
     # dedup_exact, window_sliding, events_pivot (batch 1/2),
@@ -124,7 +125,8 @@ _STALE_TAIL = [
     # sim_topk_quantized, pipe_shard_sink (batch 3), and
     # dedup_ngram_jaccard, pipe_curation, pipe_contamination,
     # sim_ann_ivf_trained, window_sessions, events_quantiles,
-    # text_keywords, dedup_clusters_semantic, stream_sessions (batch 4/5;
+    # text_keywords, dedup_clusters_semantic, stream_sessions,
+    # stream_dedup (batch 4/5;
     # lifecycle_aggregate stays - VERDICT r10 #6 names the raster path)
     # yield their slots to
     # the round-11 NEW/changed queries (each r7-row-witnessed,

@@ -212,3 +212,57 @@ def sample_frames(df: DataFrame, every: int = 4) -> DataFrame:
             )
 
     return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+#: blocks in the content signature (min corpus doc is 44 bytes > 32, so
+#: every block is non-empty; 32 bits keeps the signature far inside int64)
+PHASH_BLOCKS = 32
+
+PHASH_SCHEMA = "doc_id long, n_bytes long, sig long, n_ones long"
+
+
+def content_signature(df: DataFrame) -> DataFrame:
+    """Block-mean perceptual signature over the binary payload - the
+    aHash family (block mean vs global mean) applied to the opaque blob:
+    bit i is set iff block i's byte mean exceeds the whole payload's
+    mean. The comparison is INTEGER cross-multiplied
+    (sum_i * n > total * count_i), so the signature is exact on any
+    engine - no float means anywhere. Byte p belongs to block
+    p * B // n (the same closed form the SQL oracle applies per
+    character; ASCII corpus, so char == byte - the multimodal_extract
+    note). A real image pHash swaps the byte stream for decoded,
+    DCT'd pixels behind the same mapInPandas shape.
+
+    Input: attach_payload output. Arrow-batched; per payload two
+    np.bincount passes - no per-byte Python. Rows shorter than B bytes
+    are dropped (none in this corpus; guard matches the oracle)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B = PHASH_BLOCKS
+        for pdf in it:
+            out = {"doc_id": [], "n_bytes": [], "sig": [], "n_ones": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(blob, dtype=np.uint8)
+                n = len(b)
+                if n < B:
+                    continue
+                idx = (np.arange(n, dtype=np.int64) * B) // n
+                sums = np.bincount(idx, weights=b, minlength=B).astype(
+                    np.int64
+                )
+                cnts = np.bincount(idx, minlength=B).astype(np.int64)
+                total = int(sums.sum())
+                bits = (sums * n) > (total * cnts)
+                sig = int((bits.astype(np.int64) << np.arange(B)).sum())
+                out["doc_id"].append(int(doc_id))
+                out["n_bytes"].append(n)
+                out["sig"].append(sig)
+                out["n_ones"].append(int(bits.sum()))
+            yield pd.DataFrame(
+                {
+                    k: pd.array(v, dtype="int64")
+                    for k, v in out.items()
+                }
+            )
+
+    return df.mapInPandas(batches, PHASH_SCHEMA)

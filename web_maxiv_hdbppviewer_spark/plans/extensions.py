@@ -3904,6 +3904,19 @@ def sim_ivf_probe_sweep(spark, sf_dir):
     )
 
 
+def multimodal_phash(spark, sf_dir):
+    """Block-mean perceptual content signature over the opaque binary
+    payload (operators/multimodal.content_signature): 32 bits, bit i =
+    block-i byte mean above the payload mean, compared INTEGER
+    cross-multiplied so the signature hash-matches any engine. The
+    multimodal dedup/fingerprint primitive - a real deployment swaps
+    decoded pixels in behind the same Arrow mapInPandas shape. Oracle:
+    per-character ascii() replay of the identical block rule (ASCII
+    corpus, char == byte)."""
+    with_blob = multimodal.attach_payload(_docs_sorted(spark, sf_dir))
+    return multimodal.content_signature(with_blob).orderBy("doc_id")
+
+
 # Dict order here is NOT the witness window anymore: since round 7 the
 # 50-entry driver window is the explicit _WINDOW list in __spark_entry__.py
 # (rotated every round toward the least-recently-witnessed queries); this
@@ -4030,6 +4043,7 @@ EXTENSION_QUERIES = {
     "stream_cusum": stream_cusum,
     "pipe_split_safe": pipe_split_safe,
     "sim_ivf_probe_sweep": sim_ivf_probe_sweep,
+    "multimodal_phash": multimodal_phash,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

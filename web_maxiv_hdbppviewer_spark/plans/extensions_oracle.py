@@ -3301,3 +3301,31 @@ EXTENSION_ORACLE["sim_ivf_probe_sweep"] = f"""
                ROUND(n_hit / CAST(ne.n_exact AS DOUBLE), 6) AS recall_r
         FROM stats CROSS JOIN ne ORDER BY nprobe
     """
+
+# block-mean content signature (extensions.multimodal_phash): identical
+# p * B // n block rule per character, integer cross-multiplied bit test
+EXTENSION_ORACLE["multimodal_phash"] = """
+        WITH ch AS (
+          SELECT doc_id, strlen(text) AS n,
+                 unnest(string_split(text, '')) AS c,
+                 generate_subscripts(string_split(text, ''), 1) - 1 AS p
+          FROM documents WHERE strlen(text) >= 32),
+        bl AS (
+          SELECT doc_id, n, CAST(p * 32 // n AS BIGINT) AS i,
+                 ascii(c) AS b
+          FROM ch),
+        agg AS (
+          SELECT doc_id, n, i, SUM(b) AS s, COUNT(*) AS cnt
+          FROM bl GROUP BY doc_id, n, i),
+        tot AS (SELECT doc_id, SUM(s) AS total FROM agg GROUP BY doc_id),
+        bits AS (
+          SELECT a.doc_id, a.n, a.i,
+                 CASE WHEN a.s * a.n > t.total * a.cnt
+                      THEN 1 ELSE 0 END AS bit
+          FROM agg a JOIN tot t ON t.doc_id = a.doc_id)
+        SELECT doc_id,
+               CAST(MAX(n) AS BIGINT) AS n_bytes,
+               CAST(SUM(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS sig,
+               CAST(SUM(bit) AS BIGINT) AS n_ones
+        FROM bits GROUP BY doc_id ORDER BY doc_id
+    """
