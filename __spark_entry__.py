@@ -77,6 +77,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # series checksums), text_pii_scrub (NEW - deterministic PII injection +
 # regex redaction accounting), pipe_epoch_shuffle (NEW - per-epoch
 # deterministic global permutations via the distributed rank).
+# Batches 4-5 (see inline comments + PLANS.md/SURVEY round-11 notes):
+# diversity selection (kcenter/mmr), LTTB downsampling, CUSUM twice
+# (batch argmax + streaming O(1)-state monitor), winnow matching, the
+# dedup and IVF method/tuning tables, cluster-keyed leakage-safe
+# splitting, and the binary content signature.
 _CHANGED_THIS_ROUND = [
     # -- round 11 --
     "dedup_substr",  # NEW - ExactSubstr substring-level dedup accounting
