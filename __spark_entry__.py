@@ -112,18 +112,29 @@ _CHANGED_THIS_ROUND = [
     "pipe_split_safe",  # NEW - cluster-keyed leakage-safe split
     "sim_ivf_probe_sweep",  # NEW - recall-vs-nprobe tuning curve
     "multimodal_phash",  # NEW - block-mean binary content signature
+    # -- round 11, batch 6 --
+    "pipe_token_budget",  # NEW - per-source greedy token-budget fill
+    "dedup_cross_source",  # NEW - cross-source near-dup matrix
+    "sim_nearest_centroid",  # NEW - fixed-point Rocchio confusion matrix
+    "sim_cluster_stats",  # NEW - per-label centroid dispersion report
+    "text_boilerplate",  # NEW - high-df 8-gram boilerplate exposure
 ]
 # the displaced core, least-recently-witnessed first (q9-q15 + q22 were
 # displaced in r10; every entry is r7/r8-row-witnessed, code-unchanged,
 # and sf0.001-parity-checked each suite run)
 _STALE_CORE = (
+    # batch 6 (5 new queries) claims 5 more slots: the r7-row core keeps
+    # priority (q9-q15+q22, q16-q21), lifecycle_aggregate stays (VERDICT
+    # r10 #6 names the raster path), and the FRESHEST-witnessed members
+    # of the previous window - q6-q8 and the r8-row streaming pair - rotate
+    # out to lead the r12 queue alongside the batch-1-5 displacements
+    # listed below
     [f"q{i}" for i in (9, 10, 11, 12, 13, 14, 15, 22)]
-    + [f"q{i}" for i in range(1, 9)]
     + [f"q{i}" for i in range(16, 22)]
+    + [f"q{i}" for i in range(1, 6)]
 )
 _STALE_TAIL = [
-    "stream_last_value", "stream_window",
-    # r7-row extensions displaced at r9, never re-witnessed since
+    # r7-row extension displaced at r9, never re-witnessed since
     "lifecycle_aggregate",
     # dedup_exact, window_sliding, events_pivot (batch 1/2),
     # dedup_minhash_lsh, pipe_domain_mix, sim_topk_cosine,
@@ -131,10 +142,11 @@ _STALE_TAIL = [
     # dedup_ngram_jaccard, pipe_curation, pipe_contamination,
     # sim_ann_ivf_trained, window_sessions, events_quantiles,
     # text_keywords, dedup_clusters_semantic, stream_sessions,
-    # stream_dedup (batch 4/5;
+    # stream_dedup (batch 4/5), q6, q7, q8, stream_last_value,
+    # stream_window (batch 6;
     # lifecycle_aggregate stays - VERDICT r10 #6 names the raster path)
     # yield their slots to
-    # the round-11 NEW/changed queries (each r7-row-witnessed,
+    # the round-11 NEW/changed queries (each r7/r8-row-witnessed,
     # parity-checked every suite run; they lead the r12 rotation queue)
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_CORE + _STALE_TAIL

@@ -1,0 +1,268 @@
+"""Round-11 batch-6 operator properties: per-source token-budget fill
+(python replay + budget monotonicity + per-group window plan), the
+cross-source near-dup matrix (consistency with the pair query), the
+fixed-point nearest-centroid classifier (python replay + separable
+synthetic recovery), per-label cluster stats (python replay), and
+boilerplate gram exposure (hand-built corpus + df threshold)."""
+
+import hashlib
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_SMOKE
+from web_maxiv_hdbppviewer_spark.operators import sampling, similarity, textquality
+
+QUERIES = entry_mod.queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _md5_int60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# --- pipe_token_budget ---------------------------------------------------
+
+
+def test_token_budget_matches_python_replay(spark):
+    docs = [
+        ("s0", 1, "a b c"),          # 3 tokens
+        ("s0", 2, "d e"),            # 2
+        ("s0", 3, "f g h i"),        # 4
+        ("s1", 4, "j"),              # 1
+        ("s1", 5, "k l m"),          # 3
+    ]
+    df = spark.createDataFrame(docs, "source string, doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in sampling.token_budget_fill(df, budget=5).collect()
+    }
+    # python replay: hash order within source, greedy prefix <= 5
+    for src in ("s0", "s1"):
+        grp = [d for d in docs if d[0] == src]
+        grp.sort(key=lambda d: (_md5_int60(f"budget:{d[1]}"), d[1]))
+        cum = 0
+        for (_, did, text) in grp:
+            n = len(text.split())
+            cum += n
+            row = out[did]
+            assert row["n_tokens"] == n
+            assert row["cum_tokens"] == cum
+            assert row["selected"] == (cum <= 5)
+
+
+def test_token_budget_is_monotone_in_the_budget(spark):
+    q = QUERIES["pipe_token_budget"]
+    df = q(spark, SF_SMOKE)
+    small = sampling.token_budget_fill(
+        df.sparkSession.read.parquet(f"{SF_SMOKE}/documents.parquet"), 400
+    )
+    sel_small = {
+        r["doc_id"] for r in small.where("selected").select("doc_id").collect()
+    }
+    sel_big = {
+        r["doc_id"] for r in df.where("selected").select("doc_id").collect()
+    }
+    # raising the budget only ever ADDS documents (walk order is
+    # budget-independent)
+    assert sel_small <= sel_big
+    assert len(sel_big) > 0
+
+
+def test_token_budget_rejects_nonpositive_budget_and_plan_is_grouped(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    with pytest.raises(ValueError):
+        sampling.token_budget_fill(df, 0)
+    plan = _plan(sampling.token_budget_fill(df, 800))
+    # the window must be per-SOURCE (partitioned), never a global
+    # single-partition window
+    assert "Window" in plan
+    assert "partitionspec=[]" not in plan.lower().replace(" ", "")
+
+
+# --- dedup_cross_source --------------------------------------------------
+
+
+def test_cross_source_matrix_is_consistent_with_the_pair_query(spark):
+    pairs = QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+    docs = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    expect = {}
+    for p in pairs:
+        a, b = sorted((docs[p["id_a"]], docs[p["id_b"]]))
+        expect[(a, b)] = expect.get((a, b), 0) + 1
+    got = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in QUERIES["dedup_cross_source"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert sum(got.values()) == len(pairs)
+
+
+# --- sim_nearest_centroid / sim_cluster_stats ----------------------------
+
+
+def _python_centroid_spec(rows, scale=1000):
+    """Independent replay of the fixed-point centroid pipeline."""
+    from collections import defaultdict
+
+    by_label = defaultdict(list)
+    for vid, label, vec in rows:
+        q = [round(x * scale) for x in vec]
+        by_label[label].append((vid, q))
+    import math
+
+    cents = {}
+    for label, vs in by_label.items():
+        n = len(vs)
+        dims = len(vs[0][1])
+        cents[label] = [
+            math.floor(sum(q[d] for _, q in vs) * 1000.0 / n)
+            for d in range(dims)
+        ]
+    pred = {}
+    dists = defaultdict(int)
+    for vid, label, vec in rows:
+        q = [round(x * scale) for x in vec]
+        best = min(
+            (
+                sum((qi * 1000 - c) ** 2 for qi, c in zip(q, cents[cl])) * 1024
+                + cl
+            )
+            for cl in cents
+        )
+        pred[vid] = best % 1024
+        own = sum((qi * 1000 - c) ** 2 for qi, c in zip(q, cents[label]))
+        dists[label] += own
+    return cents, pred, dists, by_label
+
+
+def test_nearest_centroid_matches_python_spec_on_synthetic(spark):
+    # two tight clusters + one vector planted nearer the wrong centroid
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.9, 0.1]),
+        (3, 0, [1.1, -0.1]),
+        (4, 1, [-1.0, 0.2]),
+        (5, 1, [-0.8, 0.0]),
+        (6, 1, [0.95, 0.05]),  # labeled 1, sits in cluster 0
+    ]
+    df = spark.createDataFrame(
+        [Row(vec_id=v, label=l, embedding=e) for v, l, e in rows]
+    )
+    cents, pred, _, _ = _python_centroid_spec(rows)
+    conf = {
+        (r["label_true"], r["label_pred"]): r["n_vecs"]
+        for r in similarity.nearest_centroid_confusion(df).collect()
+    }
+    from collections import Counter
+
+    want = Counter()
+    for vid, label, _ in rows:
+        want[(label, pred[vid])] += 1
+    assert conf == dict(want)
+    # the planted mislabel shows up off-diagonal
+    assert conf.get((1, 0)) == 1
+
+
+def test_centroid_queries_match_python_spec_on_testdata(spark):
+    rows = [
+        (r["vec_id"], r["label"], list(r["embedding"]))
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    ]
+    cents, pred, dists, by_label = _python_centroid_spec(rows)
+    conf = {
+        (r["label_true"], r["label_pred"]): r["n_vecs"]
+        for r in QUERIES["sim_nearest_centroid"](spark, SF_SMOKE).collect()
+    }
+    from collections import Counter
+
+    want = Counter()
+    for vid, label, _ in rows:
+        want[(label, pred[vid])] += 1
+    assert conf == dict(want)
+
+    stats = {
+        r["label"]: r for r in QUERIES["sim_cluster_stats"](spark, SF_SMOKE).collect()
+    }
+    for label, vs in by_label.items():
+        r = stats[label]
+        assert r["n_vecs"] == len(vs)
+        assert r["centroid_norm_sq"] == sum(c * c for c in cents[label])
+        want_mean = round(dists[label] / 1e12 / len(vs), 6)
+        assert abs(r["mean_dist_r"] - want_mean) < 1e-9
+
+
+def test_centroid_confusion_plan_broadcasts_the_codebook(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = _plan(similarity.nearest_centroid_confusion(df))
+    # the corpus-side classification must be a broadcast nested-loop over
+    # the labels x dim codebook, not a shuffled cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+# --- text_boilerplate ----------------------------------------------------
+
+
+def test_boilerplate_hand_built_corpus(spark):
+    header = "this document is provided under the common license header"  # 9 words
+    docs = [
+        (1, header + " alpha beta gamma"),
+        (2, header + " delta epsilon"),
+        (3, "entirely unique words with no shared gram content here at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in textquality.boilerplate_stats(df, k=8, min_df=2).collect()
+    }
+    # doc 3 shares nothing
+    assert out[3]["n_boiler"] == 0 and out[3]["boiler_frac"] == 0.0
+    # docs 1/2 share exactly the 8-grams inside the 9-word header: 2 each
+    for did in (1, 2):
+        toks = docs[did - 1][1].split()
+        assert out[did]["n_grams"] == len(toks) - 7
+        assert out[did]["n_boiler"] == 2
+        assert out[did]["boiler_frac"] == round(2 / (len(toks) - 7), 6)
+
+
+def test_boilerplate_short_docs_yield_zero_grams(spark):
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "a b c d e f g h i")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r for r in textquality.boilerplate_stats(df, k=8).collect()
+    }
+    assert out[1]["n_grams"] == 0 and out[1]["boiler_frac"] == 0.0
+    assert out[2]["n_grams"] == 2
+
+
+def test_boilerplate_testdata_flags_only_near_dup_docs(spark):
+    out = QUERIES["text_boilerplate"](spark, SF_SMOKE)
+    rows = out.collect()
+    assert len(rows) == 500
+    flagged = [r for r in rows if r["n_boiler"] > 0]
+    # measured structure of the testdata at this SF: word 8-grams recur
+    # across documents ONLY inside planted near-dup pairs, so the flagged
+    # set is exactly the pair membership (both directions checked)
+    pair_ids = set()
+    for p in QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE).collect():
+        pair_ids.add(p["id_a"])
+        pair_ids.add(p["id_b"])
+    assert {r["id"] for r in flagged} == pair_ids
+    assert len(flagged) > 0
+    for r in rows:
+        assert 0.0 <= r["boiler_frac"] <= 1.0
+        assert r["n_boiler"] <= r["n_grams"]

@@ -19,10 +19,10 @@ a silent reproducibility hazard in any multi-run training pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.texthash import md5_int60
+from ..functions.texthash import md5_int60, words
 
 #: bucket resolution: fractions are exact multiples of 1/10000
 BUCKETS = 10_000
@@ -355,4 +355,64 @@ def weighted_sample(
         .withColumn("w_key_r", key)
         .orderBy(F.desc("w_key_r"), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def token_budget_fill(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "budget",
+) -> DataFrame:
+    """Greedy per-group corpus fill under a token budget: walk each
+    group's documents in a seeded-hash order (a deterministic uniform
+    shuffle - no RNG state, engine-replayable) and keep documents while
+    the running token total stays within ``budget``.
+
+    This is the "give me ~N tokens per domain" selection every training
+    mix needs once domain budgets are set in TOKENS rather than document
+    counts (documents vary 10x in length, so a doc-count quota skews the
+    realized token mix). The hash order makes the kept set a uniform
+    sample of the group, stable across runs, partitionings, and engines;
+    re-running with a larger budget only ever ADDS documents (the walk
+    order is budget-independent), so budget sweeps are monotone the same
+    way ``stratified_sample`` fractions are.
+
+    Output: (id, group, n_tokens, cum_tokens, selected) - one row per
+    document; ``selected`` is the greedy-prefix rule ``cum_tokens <=
+    budget`` (a document that would cross the budget line is dropped,
+    and so is everything after it in hash order).
+
+    Scale shape (100 TB): token counts are a JVM-side projection; the
+    only shuffle is the per-GROUP window (partitionBy group, never a
+    global window), and with ~1k domains the window state per partition
+    is one running long. Skewed domains spill to disk in the sort, not
+    in memory - the same shape as pipe_pack's within-split cumsum.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    n_tokens = F.size(words(F.col(text_col))).cast("long")
+    order = md5_int60(F.col(id_col).cast("string"), salt=seed)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("budget_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            id_col,
+            group_col,
+            n_tokens.alias("n_tokens"),
+            order.alias("budget_h"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            "cum_tokens",
+            (F.col("cum_tokens") <= budget).alias("selected"),
+        )
     )

@@ -1344,3 +1344,180 @@ def mmr_select(
     return df.sparkSession.createDataFrame(
         chosen, "rank long, vec_id long, rel_r double, score_r double"
     ).orderBy("rank")
+
+
+#: fixed-point grid for class-centroid arithmetic: embeddings are snapped
+#: to round(x * 1000) BEFORE any accumulation, so every centroid, distance,
+#: and argmin below is exact 64-bit integer arithmetic - engine-order-free
+#: (float sums depend on aggregation order; integer sums do not), which is
+#: what lets a SQL oracle replay the classifier bit-for-bit
+CENTROID_Q_SCALE = 1000
+
+#: argmin key packing: key = dist * CENTROID_LABEL_SPAN + label, so one
+#: integer MIN() yields (nearest distance, smallest label) with the tie
+#: broken deterministically; labels must lie in [0, CENTROID_LABEL_SPAN)
+CENTROID_LABEL_SPAN = 1024
+
+
+def _quantized_vec(vec_col: str):
+    """round(x * 1000) as long, then re-scaled by 1000 to the centroid's
+    fixed-point grid (centroids carry 3 extra fractional digits)."""
+    return F.transform(
+        as_double_array(vec_col),
+        lambda x: (F.round(x * CENTROID_Q_SCALE, 0).cast("long") * 1000),
+    )
+
+
+def class_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact fixed-point per-class mean vectors: (label, n_vecs, cvec).
+
+    cvec[d] = floor(1000 * sum_class(round(x_d * 1000)) / n) - the class
+    mean on a 1e-6 grid of the original coordinates, defined with an
+    explicit floor so any engine lands on the identical integer (floats
+    would make the mean depend on summation order; DuckDB and Spark
+    disagree on double->int casts, but not on floor).
+
+    Scale shape (100 TB): posexplode to (label, dim) rows, ONE partial
+    aggregation - the shuffle carries n_labels x dim rows per map task
+    (640 longs for 10 classes x 64 dims), not the corpus; the ordered
+    array re-assembly sorts n_labels tiny structs. The output is
+    codebook-sized (labels x dim) - broadcastable by construction.
+    """
+    dims = df.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                as_double_array(vec_col),
+                lambda x: F.round(x * CENTROID_Q_SCALE, 0).cast("long"),
+            )
+        ).alias("d", "qd"),
+    )
+    per_dim = dims.groupBy("label", "d").agg(
+        F.sum("qd").alias("s"), F.count("*").alias("n")
+    )
+    c = F.floor(F.col("s") * 1000.0 / F.col("n")).cast("long")
+    return (
+        per_dim.select("label", "d", F.col("n").alias("n_vecs"), c.alias("c"))
+        .groupBy("label", "n_vecs")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec")
+        )
+    )
+
+
+def _sq_dist(qvec, cvec):
+    """Exact integer squared L2 between two fixed-point arrays."""
+    return F.aggregate(
+        F.zip_with(qvec, cvec, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def nearest_centroid_confusion(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-class-mean classification of every vector against the
+    ``class_centroids`` codebook, reported as a confusion matrix
+    (label_true, label_pred, n_vecs) - the Rocchio / nearest-centroid
+    readout that tells a curation pipeline how separable its label space
+    is in embedding space (diagonal mass = centroid-classifiable).
+
+    Every arithmetic step is exact integers (see CENTROID_Q_SCALE), and
+    the argmin is MIN(dist * 1024 + label) - nearest centroid, ties to
+    the smallest label, one integer aggregate, no window.
+
+    Scale shape (100 TB): the centroid table is labels x dim - broadcast
+    (hinted) under a crossJoin, so classification is a map-side
+    projection over the corpus; the only shuffles are the centroid
+    build's (label, dim) partial aggregation and the final per-vector /
+    confusion-cell aggregates (both key-bounded: n_vecs, then
+    n_labels^2 rows).
+    """
+    cents = class_centroids(df, id_col, vec_col, label_col).select(
+        F.col("label").alias("c_label"), "cvec"
+    )
+    d = _sq_dist(F.col("qs"), F.col("cvec"))
+    key = d * CENTROID_LABEL_SPAN + F.col("c_label")
+    assigned = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("label_true"),
+            _quantized_vec(vec_col).alias("qs"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .groupBy("id", "label_true")
+        .agg((F.min(key) % CENTROID_LABEL_SPAN).cast("long").alias("label_pred"))
+    )
+    return assigned.groupBy("label_true", "label_pred").agg(
+        F.count("*").alias("n_vecs")
+    )
+
+
+def centroid_cluster_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-class dispersion report over the ``class_centroids`` grid:
+    (label, n_vecs, centroid_norm_sq, mean_dist_r) where centroid_norm_sq
+    = ||cvec||^2 (exact long on the 1e-6 fixed-point grid) and
+    mean_dist_r = ROUND(sum ||x - c_label(x)||^2 / 1e12 / n, 6) - the
+    intra-class spread in ORIGINAL embedding units (the 1e12 divisor
+    undoes the squared 1e6 grid), the signal a curation pipeline watches
+    to spot collapsed or polluted label clusters.
+
+    The distance sum is accumulated as DECIMAL(38,0) (a per-vector
+    squared distance is < 2^60 on this grid; a 10^12-vector class would
+    overflow a long sum), then cast to double once and RESCALED to O(1)
+    magnitude BEFORE the 6-decimal round - rounding the raw grid value
+    (~1e12) would ask for precision below double ulp, where Spark's
+    BigDecimal HALF_UP and a SQL engine's multiply-round-divide disagree
+    in the last digit; at O(1) the round is 10 orders above ulp and both
+    engines agree bit-for-bit.
+
+    Scale shape: identical to ``nearest_centroid_confusion`` minus the
+    crossJoin - each vector joins ONLY its own class centroid (broadcast
+    equi-join), one map-side projection, one n_labels-row aggregate.
+    """
+    cents = class_centroids(df, id_col, vec_col, label_col)
+    norm_sq = F.aggregate(
+        F.col("cvec"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    d = _sq_dist(F.col("qs"), F.col("cvec"))
+    return (
+        df.select(
+            F.col(label_col).alias("label"),
+            _quantized_vec(vec_col).alias("qs"),
+        )
+        .join(F.broadcast(cents), "label")
+        .groupBy("label", "n_vecs")
+        .agg(
+            F.sum(d.cast("decimal(38,0)")).alias("sum_d"),
+            F.first(norm_sq).alias("centroid_norm_sq"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "centroid_norm_sq",
+            F.round(
+                F.col("sum_d").cast("double")
+                / F.lit(1.0e12)
+                / F.col("n_vecs"),
+                6,
+            ).alias("mean_dist_r"),
+        )
+    )

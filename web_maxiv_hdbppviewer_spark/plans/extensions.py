@@ -3917,6 +3917,97 @@ def multimodal_phash(spark, sf_dir):
     return multimodal.content_signature(with_blob).orderBy("doc_id")
 
 
+#: per-source token budget for pipe_token_budget (sources carry ~1.3-1.5k
+#: tokens at sf0.01, so ~half of each source is selected - nontrivial at
+#: every SF)
+TOKEN_BUDGET = 800
+#: boilerplate gram length / distinct-doc frequency floor: word 8-grams
+#: recur across documents only when text is templated or near-duplicated
+BOILER_K = 8
+BOILER_MIN_DF = 2
+
+
+def pipe_token_budget(spark, sf_dir):
+    """Per-source greedy token-budget fill (sampling.token_budget_fill):
+    walk each source in seeded-hash order, keep documents while the
+    running token total stays <= TOKEN_BUDGET - the "N tokens per
+    domain" selection a training mix executes once domain budgets are
+    set in tokens, not document counts. Deterministic (md5 walk order,
+    no RNG), monotone in the budget, one per-SOURCE window. Oracle:
+    identical md5 ordering + windowed SUM in SQL."""
+    return sampling.token_budget_fill(
+        _docs(spark, sf_dir), TOKEN_BUDGET
+    ).orderBy("doc_id")
+
+
+def dedup_cross_source(spark, sf_dir):
+    """Cross-source near-duplicate contamination matrix: the verified
+    ngram-Jaccard pairs (memoized shingle machinery) joined back to each
+    side's source and rolled up to (source_a, source_b, n_pairs) with
+    least/greatest normalization - the dataset-vs-dataset overlap grid a
+    curation team reads before blending corpora (which pairs of sources
+    share content, and how much). Pair generation is the bucketed
+    prefix-filtered candidate join (never all-pairs); the rollup is two
+    equi-joins on doc id + an n_sources^2-bounded aggregate. Oracle: the
+    dedup_ngram_jaccard SQL as a subquery + the same rollup."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    src = docs.select("doc_id", "source")
+    j = pairs.join(
+        src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")),
+        "id_a",
+    ).join(
+        src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")),
+        "id_b",
+    )
+    return (
+        j.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def sim_nearest_centroid(spark, sf_dir):
+    """Nearest-class-mean (Rocchio) classification of the embedding
+    corpus against its own label centroids, reported as a confusion
+    matrix (similarity.nearest_centroid_confusion) - the label-space
+    separability readout. All arithmetic on the 1e-6 fixed-point grid:
+    exact integer centroids, distances, and argmin, so the SQL oracle
+    replays the classifier bit-for-bit with no float-order hazard."""
+    return similarity.nearest_centroid_confusion(_emb(spark, sf_dir)).orderBy(
+        "label_true", "label_pred"
+    )
+
+
+def sim_cluster_stats(spark, sf_dir):
+    """Per-label cluster dispersion (similarity.centroid_cluster_stats):
+    n, exact fixed-point centroid norm, rounded mean squared distance to
+    the own-class centroid - the collapsed/polluted-cluster monitor for
+    labeled embedding stores. Broadcast equi-join against the
+    codebook-sized centroid table; DECIMAL(38,0) distance accumulation."""
+    return similarity.centroid_cluster_stats(_emb(spark, sf_dir)).orderBy(
+        "label"
+    )
+
+
+def text_boilerplate(spark, sf_dir):
+    """Boilerplate exposure per document (textquality.boilerplate_stats):
+    share of word-8-gram positions covered by grams recurring in >=
+    BOILER_MIN_DF distinct documents - the gram-level CCNet-style
+    boilerplate signal. Two corpus-linear gram passes (df aggregate +
+    semi-join), no all-pairs. Oracle: the shared k-gram row CTE + the
+    same df filter and rollup."""
+    return textquality.boilerplate_stats(
+        _docs(spark, sf_dir), BOILER_K, BOILER_MIN_DF
+    ).orderBy("id")
+
+
 # Dict order here is NOT the witness window anymore: since round 7 the
 # 50-entry driver window is the explicit _WINDOW list in __spark_entry__.py
 # (rotated every round toward the least-recently-witnessed queries); this
@@ -4044,6 +4135,12 @@ EXTENSION_QUERIES = {
     "pipe_split_safe": pipe_split_safe,
     "sim_ivf_probe_sweep": sim_ivf_probe_sweep,
     "multimodal_phash": multimodal_phash,
+    # -- round 11, batch 6 --
+    "pipe_token_budget": pipe_token_budget,
+    "dedup_cross_source": dedup_cross_source,
+    "sim_nearest_centroid": sim_nearest_centroid,
+    "sim_cluster_stats": sim_cluster_stats,
+    "text_boilerplate": text_boilerplate,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

@@ -3329,3 +3329,129 @@ EXTENSION_ORACLE["multimodal_phash"] = """
                CAST(SUM(bit) AS BIGINT) AS n_ones
         FROM bits GROUP BY doc_id ORDER BY doc_id
     """
+
+
+# --- round 11, batch 6 ---------------------------------------------------
+
+# per-source token-budget fill (extensions.pipe_token_budget): identical
+# md5 walk order + windowed running sum; 800 mirrors extensions.TOKEN_BUDGET
+EXTENSION_ORACLE["pipe_token_budget"] = f"""
+        SELECT doc_id, source, n_tokens, cum_tokens,
+               cum_tokens <= 800 AS selected
+        FROM (SELECT doc_id, source, n_tokens,
+                     CAST(SUM(n_tokens) OVER (
+                         PARTITION BY source ORDER BY h, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM (SELECT doc_id, source,
+                           CAST(len(list_filter(string_split(lower(text), ' '),
+                                                x -> x <> '')) AS BIGINT)
+                               AS n_tokens,
+                           {H.format(x="'budget:' || CAST(doc_id AS VARCHAR)")}
+                               AS h
+                    FROM documents))
+        ORDER BY doc_id
+    """
+
+# cross-source near-dup matrix (extensions.dedup_cross_source): the
+# ngram-Jaccard oracle as a subquery, rolled up by normalized source pair
+EXTENSION_ORACLE["dedup_cross_source"] = f"""
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM ({EXTENSION_ORACLE["dedup_ngram_jaccard"]}) pr
+        JOIN documents da ON pr.id_a = da.doc_id
+        JOIN documents db ON pr.id_b = db.doc_id
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+# fixed-point quantized (id, label, dim, qd) rows + exact integer class
+# centroids on the 1e-6 grid - shared by the two centroid queries; the
+# FLOOR(double) is safe because numerator < 2^53 (exact) and quotient
+# granularity 1/n dwarfs double rounding error
+_CENTROID_Q = """
+  q AS (
+    SELECT vec_id AS id, label, i - 1 AS d,
+           CAST(ROUND(x * 1000, 0) AS BIGINT) AS qd
+    FROM (SELECT vec_id, label,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)),
+  cent AS (
+    SELECT label AS c_label, d,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(FLOOR(CAST(SUM(qd) AS DOUBLE) * 1000 / COUNT(*)) AS BIGINT)
+               AS c
+    FROM q GROUP BY 1, 2)
+"""
+
+# nearest-class-mean confusion matrix (extensions.sim_nearest_centroid):
+# exact integer distances, argmin = MIN(dist * 1024 + label)
+EXTENSION_ORACLE["sim_nearest_centroid"] = f"""
+        WITH {_CENTROID_Q},
+        dist AS (
+          SELECT q.id, q.label, c.c_label,
+                 CAST(SUM((q.qd * 1000 - c.c) * (q.qd * 1000 - c.c))
+                      AS BIGINT) AS dd
+          FROM q JOIN cent c ON q.d = c.d
+          GROUP BY 1, 2, 3),
+        pred AS (
+          SELECT id, label,
+                 CAST(MIN(dd * 1024 + c_label) % 1024 AS BIGINT) AS label_pred
+          FROM dist GROUP BY 1, 2)
+        SELECT label AS label_true, label_pred,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+# per-label dispersion (extensions.sim_cluster_stats): own-centroid
+# distances only; HUGEINT-exact sum cast to double once, rescaled to
+# original embedding units (/ 1e12) BEFORE the 6-decimal round (rounding
+# at the raw ~1e12 grid magnitude is sub-ulp and engine-divergent)
+EXTENSION_ORACLE["sim_cluster_stats"] = f"""
+        WITH {_CENTROID_Q},
+        norms AS (
+          SELECT c_label, MAX(n_vecs) AS n_vecs,
+                 CAST(SUM(c * c) AS BIGINT) AS centroid_norm_sq
+          FROM cent GROUP BY 1),
+        dist AS (
+          SELECT q.id, q.label,
+                 CAST(SUM((q.qd * 1000 - c.c) * (q.qd * 1000 - c.c))
+                      AS BIGINT) AS dd
+          FROM q JOIN cent c ON q.d = c.d AND q.label = c.c_label
+          GROUP BY 1, 2),
+        agg AS (SELECT label, SUM(dd) AS sum_d FROM dist GROUP BY 1)
+        SELECT n.c_label AS label, n.n_vecs, n.centroid_norm_sq,
+               ROUND(CAST(a.sum_d AS DOUBLE) / 1e12 / n.n_vecs, 6)
+                   AS mean_dist_r
+        FROM norms n JOIN agg a ON a.label = n.c_label
+        ORDER BY label
+    """
+
+# boilerplate gram exposure (extensions.text_boilerplate): shared k-gram
+# rows, df >= 2 survivors, per-doc position counts; 8/2 mirror
+# extensions.BOILER_K / BOILER_MIN_DF
+EXTENSION_ORACLE["text_boilerplate"] = f"""
+        WITH g AS ({_kgram_rows_sql(8)}),
+        bl AS (
+          SELECT s FROM (SELECT s, COUNT(DISTINCT id) AS df_docs
+                         FROM g GROUP BY 1)
+          WHERE df_docs >= 2),
+        nb AS (
+          SELECT id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+          FROM g JOIN bl USING (s) GROUP BY 1),
+        base AS (
+          SELECT doc_id AS id,
+                 CAST(GREATEST(0,
+                      len(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) - 7) AS BIGINT)
+                     AS n_grams
+          FROM documents)
+        SELECT base.id, n_grams,
+               COALESCE(n_boiler, 0) AS n_boiler,
+               CASE WHEN n_grams > 0
+                    THEN ROUND(COALESCE(n_boiler, 0) / n_grams, 6)
+                    ELSE 0.0 END AS boiler_frac
+        FROM base LEFT JOIN nb ON nb.id = base.id
+        ORDER BY base.id
+    """
