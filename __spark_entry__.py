@@ -118,6 +118,9 @@ _CHANGED_THIS_ROUND = [
     "sim_nearest_centroid",  # NEW - fixed-point Rocchio confusion matrix
     "sim_cluster_stats",  # NEW - per-label centroid dispersion report
     "text_boilerplate",  # NEW - high-df 8-gram boilerplate exposure
+    # -- round 11, batch 7 --
+    "text_entropy",  # NEW - zero-shuffle unigram Shannon entropy
+    "sim_dim_stats",  # NEW - per-dimension embedding health card
 ]
 # the displaced core, least-recently-witnessed first (q9-q15 + q22 were
 # displaced in r10; every entry is r7/r8-row-witnessed, code-unchanged,
@@ -130,7 +133,10 @@ _STALE_CORE = (
     # out to lead the r12 queue alongside the batch-1-5 displacements
     # listed below
     [f"q{i}" for i in (9, 10, 11, 12, 13, 14, 15, 22)]
-    + [f"q{i}" for i in range(16, 22)]
+    # batch 7 (+2) displaces q18, q19 - drawn from q16-q21, the segment
+    # VERDICT r10's rotation order lists LAST (q20/q21 kept: the raster
+    # path r10 #6 names; q16/q17 kept: the set-op family)
+    + [f"q{i}" for i in (16, 17, 20, 21)]
     + [f"q{i}" for i in range(1, 6)]
 )
 _STALE_TAIL = [

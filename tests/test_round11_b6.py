@@ -266,3 +266,108 @@ def test_boilerplate_testdata_flags_only_near_dup_docs(spark):
     for r in rows:
         assert 0.0 <= r["boiler_frac"] <= 1.0
         assert r["n_boiler"] <= r["n_grams"]
+
+
+# --- text_entropy (batch 7) ----------------------------------------------
+
+
+def _entropy_spec(text: str):
+    """Nanonat-exact python replay of the engine's entropy rule."""
+    import math
+    from collections import Counter
+
+    toks = [t for t in text.lower().split(" ") if t]
+    n = len(toks)
+    cnt = Counter(toks)
+    nanonats = sum(
+        int(round_half((c / n) * math.log(c / n) * 1e9)) for c in cnt.values()
+    )
+    return n, len(cnt), round(-(nanonats / 1e9) + 0.0, 6)
+
+
+def round_half(x: float) -> float:
+    """Round-half-away-from-zero (what Spark/DuckDB ROUND(x, 0) does;
+    python's round() is banker's and would diverge on exact .5)."""
+    import math
+
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def test_entropy_matches_python_spec_and_edge_cases(spark):
+    docs = [
+        (1, "a a a a"),                  # degenerate: entropy exactly 0
+        (2, "a b c d"),                  # uniform: ln(4)
+        (3, "a a b"),                    # mixed
+        (4, "x"),                        # single token
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["id"]: r for r in textquality.unigram_entropy(df).collect()}
+    for did, text in docs:
+        n, nd, ent = _entropy_spec(text)
+        r = out[did]
+        assert (r["n_tokens"], r["n_distinct"]) == (n, nd)
+        assert abs(r["entropy_r"] - ent) < 1e-9, (did, r["entropy_r"], ent)
+    # signed zero is canonicalized: the degenerate doc must be +0.0
+    assert repr(float(out[1]["entropy_r"])) == "0.0"
+    import math
+
+    assert abs(out[2]["entropy_r"] - round(math.log(4), 6)) < 2e-6
+
+
+def test_entropy_matches_python_spec_on_testdata(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = {r["id"]: r for r in QUERIES["text_entropy"](spark, SF_SMOKE).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        n, nd, ent = _entropy_spec(row["text"])
+        r = out[row["doc_id"]]
+        assert (r["n_tokens"], r["n_distinct"]) == (n, nd)
+        assert abs(r["entropy_r"] - ent) < 1e-9
+
+
+def test_entropy_operator_plan_is_shuffle_free(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(textquality.unigram_entropy(docs))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+
+
+# --- sim_dim_stats (batch 7) ---------------------------------------------
+
+
+def test_dim_stats_matches_python_moments(spark):
+    rows = [
+        Row(vec_id=1, embedding=[0.1, 0.0, -0.25]),
+        Row(vec_id=2, embedding=[0.3, 0.0, 0.25]),
+        Row(vec_id=3, embedding=[0.2, 0.0004, -0.25]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["d"]: r for r in similarity.dimension_stats(df).collect()}
+    import math
+
+    for d in range(3):
+        qs = [int(round_half(r.embedding[d] * 1000)) for r in rows]
+        n = len(qs)
+        mean = round((sum(qs) / n) / 1e3 + 0.0, 6)
+        var = round(
+            (sum(q * q for q in qs) / n - (sum(qs) / n) ** 2) / 1e6 + 0.0, 6
+        )
+        r = out[d]
+        assert r["n"] == n
+        assert abs(r["mean_r"] - mean) < 1e-9
+        assert abs(r["var_r"] - var) < 1e-9
+        assert r["n_zero"] == sum(1 for q in qs if q == 0)
+    # dimension 1 is a dead band: 0.0004 quantizes to 0 on the 1e-3 grid
+    assert out[1]["n_zero"] == 3
+    assert out[1]["var_r"] == 0.0 and repr(float(out[1]["var_r"])) == "0.0"
+    assert repr(float(out[1]["mean_r"])) == "0.0"
+
+
+def test_dim_stats_testdata_shape_and_bounds(spark):
+    rows = QUERIES["sim_dim_stats"](spark, SF_SMOKE).collect()
+    assert [r["d"] for r in rows] == list(range(64))
+    n_vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    for r in rows:
+        assert r["n"] == n_vecs
+        assert 0 <= r["n_zero"] <= n_vecs
+        assert r["var_r"] >= 0.0
+        assert -1.0 < r["mean_r"] < 1.0

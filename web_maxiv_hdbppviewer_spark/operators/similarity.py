@@ -1521,3 +1521,55 @@ def centroid_cluster_stats(
             ).alias("mean_dist_r"),
         )
     )
+
+
+def dimension_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension health card for an embedding store: (d, n, mean_r,
+    var_r, n_zero) - the monitoring sweep that catches dead dimensions
+    (n_zero ~ n), scale drift between ingest batches (mean/var moving),
+    and collapsed encoders (var ~ 0 everywhere) before they poison
+    downstream ANN/dedup quality.
+
+    Exactness discipline: coordinates are snapped to the CENTROID_Q_SCALE
+    integer grid first, so the per-dimension sum and sum-of-squares are
+    exact longs (order-free); mean and variance are then computed in
+    double from those exact integers with the textbook E[x^2] - E[x]^2
+    form, rescaled back to original units BEFORE the 6-decimal round
+    (the sub-ulp rule). n_zero counts coordinates that quantize to 0 -
+    |x| < 0.5/scale, an explicit dead-band.
+
+    Scale shape (100 TB): posexplode -> ONE partial-aggregated
+    HashAggregate keyed by dimension - every map task emits at most
+    ``dim`` rows, the shuffle is dim-bounded, and the result is
+    dashboard-sized. No windows, no driver state.
+    """
+    dims = df.select(
+        F.posexplode(
+            F.transform(
+                as_double_array(vec_col),
+                lambda x: F.round(x * CENTROID_Q_SCALE, 0).cast("long"),
+            )
+        ).alias("d", "qd")
+    )
+    agg = dims.groupBy("d").agg(
+        F.count("*").alias("n"),
+        F.sum("qd").alias("s"),
+        F.sum(F.col("qd") * F.col("qd")).alias("s2"),
+        F.sum((F.col("qd") == 0).cast("long")).alias("n_zero"),
+    )
+    mean_grid = F.col("s").cast("double") / F.col("n")
+    var_grid = (
+        F.col("s2").cast("double") / F.col("n") - mean_grid * mean_grid
+    )
+    sc = float(CENTROID_Q_SCALE)
+    return agg.select(
+        "d",
+        "n",
+        F.round(mean_grid / sc + F.lit(0.0), 6).alias("mean_r"),
+        F.round(var_grid / F.lit(sc * sc) + F.lit(0.0), 6).alias("var_r"),
+        "n_zero",
+    )

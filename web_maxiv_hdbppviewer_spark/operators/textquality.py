@@ -937,3 +937,72 @@ def boilerplate_stats(
         .otherwise(F.lit(0.0))
         .alias("boiler_frac"),
     )
+
+
+def unigram_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon entropy of the unigram (word) distribution:
+    (id, n_tokens, n_distinct, entropy_r) with entropy in nats - the
+    classic diversity/quality signal (low entropy = repetitive or
+    templated text; degenerate spam sits near 0, natural prose near
+    ln(vocab)). Complements ``repetition_scores`` (which looks at
+    k-gram repeats) with a distribution-level statistic.
+
+    Cross-engine float discipline (the lm_bigram/tfidf lineage): each
+    term (c/n)*ln(c/n) is snapped to INTEGER NANONATS -
+    round(term * 1e9) as a long - and the per-document sum is exact
+    integer addition, so the fold order cannot flip a bit the way a
+    float sum can. One cast back to double per document; the final
+    negation adds +0.0 to canonicalize the signed zero a one-word
+    document would otherwise produce (the sim_pca_gram r10 lesson).
+
+    Scale shape (100 TB): ZERO shuffles - the whole statistic is a
+    row-local higher-order array expression (distinct words x count
+    via filter, O(distinct * n_tokens) per row, whole-stage codegen),
+    the quality_scores/lang_id pattern. The oracle deliberately takes
+    the OTHER road - explode to (doc, word) rows + GROUP BY - so
+    parity is an algorithmic check, not a transliteration.
+    """
+
+    def _stats(toks):
+        n = F.size(toks)
+        # chained transforms bind the O(n) per-word count ONCE as an
+        # element variable before the term uses it twice
+        counts = F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda x: x == w)),
+        )
+        terms = F.transform(
+            counts,
+            lambda c: F.round(
+                (c / n) * F.log(c / n) * F.lit(1.0e9), 0
+            ).cast("long"),
+        )
+        nanonats = F.aggregate(
+            terms, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+            F.round(
+                -(nanonats.cast("double") / F.lit(1.0e9)) + F.lit(0.0), 6
+            ).alias("entropy_r"),
+        )
+
+    # let-bind the token array behind a Generate barrier (quality_scores
+    # pattern): the distinct/filter/fold chain uses it O(n_distinct) times
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(F.array(words(F.col(text_col))), _stats)
+        ).alias("e"),
+    )
+    return base.select(
+        "id",
+        F.col("e.n_tokens").alias("n_tokens"),
+        F.col("e.n_distinct").alias("n_distinct"),
+        F.col("e.entropy_r").alias("entropy_r"),
+    )

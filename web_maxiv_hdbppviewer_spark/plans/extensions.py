@@ -3996,6 +3996,25 @@ def sim_cluster_stats(spark, sf_dir):
     )
 
 
+def text_entropy(spark, sf_dir):
+    """Per-document unigram Shannon entropy (textquality.unigram_entropy)
+    - the distribution-level diversity/quality signal (templated or
+    degenerate text sits low, natural prose near ln(vocab)). Zero
+    shuffles: a row-local higher-order array expression with integer
+    NANONAT term accumulation, so the SQL oracle (which goes the naive
+    explode + GROUP BY road) is a genuine algorithmic check."""
+    return textquality.unigram_entropy(_docs_sorted(spark, sf_dir))
+
+
+def sim_dim_stats(spark, sf_dir):
+    """Per-dimension embedding-store health card
+    (similarity.dimension_stats): n, mean, variance, dead-band zero
+    count for every coordinate - the drift/collapse monitor run before
+    trusting ANN or dedup results. Exact integer moments on the 1e-3
+    grid; one dim-bounded partial aggregation."""
+    return similarity.dimension_stats(_emb(spark, sf_dir)).orderBy("d")
+
+
 def text_boilerplate(spark, sf_dir):
     """Boilerplate exposure per document (textquality.boilerplate_stats):
     share of word-8-gram positions covered by grams recurring in >=
@@ -4141,6 +4160,9 @@ EXTENSION_QUERIES = {
     "sim_nearest_centroid": sim_nearest_centroid,
     "sim_cluster_stats": sim_cluster_stats,
     "text_boilerplate": text_boilerplate,
+    # -- round 11, batch 7 --
+    "text_entropy": text_entropy,
+    "sim_dim_stats": sim_dim_stats,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

@@ -3455,3 +3455,57 @@ EXTENSION_ORACLE["text_boilerplate"] = f"""
         FROM base LEFT JOIN nb ON nb.id = base.id
         ORDER BY base.id
     """
+
+
+# --- round 11, batch 7 ---------------------------------------------------
+
+# per-doc unigram entropy (extensions.text_entropy): the NAIVE road -
+# explode to (doc, word) rows + two GROUP BYs - vs the engine's row-local
+# array fold; terms snapped to integer nanonats exactly as the engine does
+EXTENSION_ORACLE["text_entropy"] = """
+        WITH tok AS (
+          SELECT doc_id AS id,
+                 unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS w
+          FROM documents),
+        n AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+              FROM tok GROUP BY 1),
+        c AS (SELECT id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        t AS (
+          SELECT c.id,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 CAST(SUM(CAST(ROUND((c.c / n.n_tokens)
+                                     * ln(c.c / n.n_tokens) * 1e9, 0)
+                               AS BIGINT)) AS BIGINT) AS nanonats
+          FROM c JOIN n USING (id) GROUP BY c.id)
+        SELECT t.id, n.n_tokens, t.n_distinct,
+               ROUND(-(CAST(t.nanonats AS DOUBLE) / 1e9) + 0.0, 6)
+                   AS entropy_r
+        FROM t JOIN n USING (id)
+        ORDER BY t.id
+    """
+
+# per-dimension embedding moments (extensions.sim_dim_stats): exact
+# integer sums on the 1e-3 grid, double moments rescaled to original
+# units before the round, +0.0 signed-zero canonicalization
+EXTENSION_ORACLE["sim_dim_stats"] = """
+        WITH dims AS (
+          SELECT i - 1 AS d, CAST(ROUND(x * 1000, 0) AS BIGINT) AS qd
+          FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings)),
+        agg AS (
+          SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(qd) AS BIGINT) AS s,
+                 CAST(SUM(qd * qd) AS BIGINT) AS s2,
+                 CAST(SUM(CASE WHEN qd = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_zero
+          FROM dims GROUP BY 1)
+        SELECT d, n,
+               ROUND((CAST(s AS DOUBLE) / n) / 1e3 + 0.0, 6) AS mean_r,
+               ROUND((CAST(s2 AS DOUBLE) / n
+                      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                     / 1e6 + 0.0, 6) AS var_r,
+               n_zero
+        FROM agg ORDER BY d
+    """
