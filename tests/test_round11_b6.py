@@ -371,3 +371,22 @@ def test_dim_stats_testdata_shape_and_bounds(spark):
         assert 0 <= r["n_zero"] <= n_vecs
         assert r["var_r"] >= 0.0
         assert -1.0 < r["mean_r"] < 1.0
+
+
+def test_cluster_stats_plan_is_broadcast_equijoin_single_agg(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = _plan(similarity.centroid_cluster_stats(df))
+    # each vector meets ONLY its own centroid: broadcast hash equi-join
+    # on label, never a nested-loop over the full codebook
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dim_stats_plan_partial_aggregates_before_one_exchange(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = _plan(similarity.dimension_stats(df))
+    # the dim-keyed aggregate must map-side combine (partial_sum), so the
+    # only corpus-scale data movement is dim-bounded partial rows
+    assert "partial_sum" in plan
+    assert plan.count("Exchange hashpartitioning") == 1

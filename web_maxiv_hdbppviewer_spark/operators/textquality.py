@@ -900,17 +900,20 @@ def boilerplate_stats(
     dictionary-width shuffle - with the string join kept here for exact
     SQL-oracle replay). No all-pairs, no windows, no driver state.
 
-    The gram stream feeds BOTH passes, so it is localCheckpoint'd once
-    instead of re-running the k-way zip_with explode per consumer
-    (measured ~20% end-to-end at sf0.1): executor-local blocks, spill-
-    backed, ~k x token-count rows - 16 bytes/row once the key is the
-    production 64-bit hash rather than the oracle-replayable string.
+    The gram stream feeds both passes and is deliberately RECOMPUTED
+    per consumer rather than localCheckpoint'd: a checkpoint won the
+    isolated A/B (3.2 vs 3.97 s at sf0.1) but lost catastrophically
+    in-battery (25 s) once the session's other memoized stores (shingle
+    arrays, winnow marks, PQ codebooks) held the storage memory and the
+    gram blocks thrashed to disk. Stateless recompute is two extra
+    codegen scans - predictable under any memory pressure, which is the
+    property that survives a shared 1000-executor cluster.
     """
     toks = words(F.col(text_col))
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_kgrams(toks, k)).alias("g"),
-    ).localCheckpoint()
+    )
     boiler = (
         grams.groupBy("g")
         .agg(F.count_distinct("id").alias("df_docs"))
