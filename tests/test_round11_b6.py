@@ -390,3 +390,80 @@ def test_dim_stats_plan_partial_aggregates_before_one_exchange(spark):
     # only corpus-scale data movement is dim-bounded partial rows
     assert "partial_sum" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- randomized spec checks (seeded corpora, batch 6-7) ------------------
+
+
+def test_entropy_and_budget_match_python_spec_on_random_corpora(spark):
+    """Seeded random corpora with skewed word distributions (many
+    repeats, singleton docs, single-word docs) vs the independent python
+    replays - the testdata's vocabulary is tame, this is not."""
+    import random
+
+    for seed in (13, 71):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(rng.randint(2, 12))]
+        docs = []
+        for did in range(40):
+            n = rng.randint(1, 30)
+            # skew: some docs draw from a single word, some uniform
+            if rng.random() < 0.2:
+                toks = [rng.choice(vocab)] * n
+            else:
+                toks = [rng.choice(vocab) for _ in range(n)]
+            docs.append((did, f"s{did % 3}", " ".join(toks)))
+        df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+
+        ent = {r["id"]: r for r in textquality.unigram_entropy(df).collect()}
+        for did, _, text in docs:
+            n, nd, e = _entropy_spec(text)
+            r = ent[did]
+            assert (r["n_tokens"], r["n_distinct"]) == (n, nd)
+            assert abs(r["entropy_r"] - e) < 1e-9
+
+        budget = rng.randint(5, 60)
+        out = {
+            r["doc_id"]: r
+            for r in sampling.token_budget_fill(df, budget).collect()
+        }
+        for src in {d[1] for d in docs}:
+            grp = [d for d in docs if d[1] == src]
+            grp.sort(key=lambda d: (_md5_int60(f"budget:{d[0]}"), d[0]))
+            cum = 0
+            for did, _, text in grp:
+                cum += len(text.split())
+                r = out[did]
+                assert r["cum_tokens"] == cum
+                assert r["selected"] == (cum <= budget)
+
+
+def test_dim_stats_matches_python_spec_on_random_vectors(spark):
+    import random
+
+    rng = random.Random(97)
+    dims = 7
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[
+                # mix magnitudes: dead-band values, negatives, larger
+                rng.choice([0.0, 0.0003, -0.0004, rng.uniform(-2, 2)])
+                for _ in range(dims)
+            ],
+        )
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["d"]: r for r in similarity.dimension_stats(df).collect()}
+    for d in range(dims):
+        qs = [int(round_half(r.embedding[d] * 1000)) for r in rows]
+        n = len(qs)
+        mean = round((sum(qs) / n) / 1e3 + 0.0, 6)
+        var = round(
+            (sum(q * q for q in qs) / n - (sum(qs) / n) ** 2) / 1e6 + 0.0, 6
+        )
+        r = out[d]
+        assert r["n"] == n and r["n_zero"] == sum(1 for q in qs if q == 0)
+        assert abs(r["mean_r"] - mean) < 1e-9
+        assert abs(r["var_r"] - var) < 1e-9
