@@ -1525,7 +1525,6 @@ def centroid_cluster_stats(
 
 def dimension_stats(
     df: DataFrame,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Per-dimension health card for an embedding store: (d, n, mean_r,
