@@ -121,6 +121,7 @@ _CHANGED_THIS_ROUND = [
     # -- round 11, batch 7 --
     "text_entropy",  # NEW - zero-shuffle unigram Shannon entropy
     "sim_dim_stats",  # NEW - per-dimension embedding health card
+    "pipe_interleave",  # NEW - domain-interleaved stream order
 ]
 # the displaced core, least-recently-witnessed first (q9-q15 + q22 were
 # displaced in r10; every entry is r7/r8-row-witnessed, code-unchanged,
@@ -137,7 +138,8 @@ _STALE_CORE = (
     # VERDICT r10's rotation order lists LAST (q20/q21 kept: the raster
     # path r10 #6 names; q16/q17 kept: the set-op family)
     + [f"q{i}" for i in (16, 17, 20, 21)]
-    + [f"q{i}" for i in range(1, 6)]
+    # pipe_interleave (+1) displaces q5 (r8 row) to the r12 queue
+    + [f"q{i}" for i in range(1, 5)]
 )
 _STALE_TAIL = [
     # r7-row extension displaced at r9, never re-witnessed since

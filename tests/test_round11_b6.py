@@ -467,3 +467,47 @@ def test_dim_stats_matches_python_spec_on_random_vectors(spark):
         assert r["n"] == n and r["n_zero"] == sum(1 for q in qs if q == 0)
         assert abs(r["mean_r"] - mean) < 1e-9
         assert abs(r["var_r"] - var) < 1e-9
+
+
+# --- pipe_interleave (batch 7b) ------------------------------------------
+
+
+def test_interleave_round_robins_and_matches_python_replay(spark):
+    rows = QUERIES["pipe_interleave"](spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "source"
+    ).collect()
+    # python replay: per-source md5 walk, then (within_rank, source, id)
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    want_within = {}
+    for src, ids in by_src.items():
+        ids.sort(key=lambda d: (_md5_int60(f"interleave:{d}"), d))
+        for i, d in enumerate(ids, 1):
+            want_within[d] = i
+    order = sorted(docs, key=lambda r: (want_within[r["doc_id"]], r["source"], r["doc_id"]))
+    want_pos = {r["doc_id"]: i for i, r in enumerate(order, 1)}
+    for r in rows:
+        assert r["within_rank"] == want_within[r["doc_id"]]
+        assert r["stream_pos"] == want_pos[r["doc_id"]]
+    # the anti-clumping property: the first n_sources stream positions
+    # are each from a DISTINCT source (every source's first pick)
+    n_src = len(by_src)
+    first = sorted(rows, key=lambda r: r["stream_pos"])[:n_src]
+    assert len({r["source"] for r in first}) == n_src
+    # and any window of n_sources consecutive positions within the full
+    # rounds region contains each source at most twice
+    full_rounds = min(len(v) for v in by_src.values()) * n_src
+    seq = [r["source"] for r in sorted(rows, key=lambda r: r["stream_pos"])]
+    for s in range(0, full_rounds - n_src):
+        win = seq[s : s + n_src]
+        assert max(win.count(x) for x in set(win)) <= 2
+
+
+def test_interleave_plan_has_no_global_window(spark):
+    df = QUERIES["pipe_interleave"](spark, SF_SMOKE)
+    plan = _plan(df)
+    # every window is partitioned (by source, or by the range-partition
+    # pid inside global_rank) - never an Exchange SinglePartition feed
+    assert "SinglePartition" not in plan

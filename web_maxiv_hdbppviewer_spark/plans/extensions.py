@@ -3996,6 +3996,43 @@ def sim_cluster_stats(spark, sf_dir):
     )
 
 
+def pipe_interleave(spark, sf_dir):
+    """Deterministic domain-interleaved training-stream order: every
+    document gets a global stream position that ROUND-ROBINS across
+    sources - position 1..n_sources are each source's first (hash-order)
+    document, then each source's second, and so on - the anti-clumping
+    stream layout a training mix wants AFTER per-domain budgets are set
+    (a plain shuffle leaves domain runs; interleaving bounds any window's
+    domain skew by construction). Composes the per-SOURCE md5-walk rank
+    (partitioned window, never global) with operators/rank.global_rank
+    over the total order (within_rank, source, doc_id) - the distributed
+    row_number, no single-partition window (the pipe_curriculum shape).
+    Oracle: the same two window functions in SQL."""
+    from pyspark.sql import Window
+
+    from ..functions.texthash import md5_int60
+    from ..operators import rank as rankop
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    within = docs.select(
+        "doc_id",
+        "source",
+        md5_int60(F.col("doc_id").cast("string"), salt="interleave").alias("h"),
+    ).select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("long").alias("within_rank"),
+    )
+    return (
+        rankop.global_rank(
+            within, ["within_rank", "source", "doc_id"], out_col="stream_pos"
+        )
+        .select("doc_id", "source", "within_rank", "stream_pos")
+        .orderBy("doc_id")
+    )
+
+
 def text_entropy(spark, sf_dir):
     """Per-document unigram Shannon entropy (textquality.unigram_entropy)
     - the distribution-level diversity/quality signal (templated or
@@ -4163,6 +4200,7 @@ EXTENSION_QUERIES = {
     # -- round 11, batch 7 --
     "text_entropy": text_entropy,
     "sim_dim_stats": sim_dim_stats,
+    "pipe_interleave": pipe_interleave,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

@@ -3509,3 +3509,23 @@ EXTENSION_ORACLE["sim_dim_stats"] = """
                n_zero
         FROM agg ORDER BY d
     """
+
+
+# domain-interleaved stream order (extensions.pipe_interleave): per-source
+# md5-walk rank, then a global row_number over (within_rank, source, id)
+EXTENSION_ORACLE["pipe_interleave"] = f"""
+        SELECT doc_id, source, within_rank,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY within_rank, source, doc_id) AS BIGINT)
+                   AS stream_pos
+        FROM (SELECT doc_id, source,
+                     CAST(ROW_NUMBER() OVER (
+                         PARTITION BY source ORDER BY h, doc_id) AS BIGINT)
+                         AS within_rank
+              FROM (SELECT doc_id, source,
+                           {H.format(
+                               x="'interleave:' || CAST(doc_id AS VARCHAR)")}
+                               AS h
+                    FROM documents))
+        ORDER BY doc_id
+    """
