@@ -118,7 +118,7 @@ def _python_centroid_spec(rows, scale=1000):
 
     by_label = defaultdict(list)
     for vid, label, vec in rows:
-        q = [round(x * scale) for x in vec]
+        q = [int(round_half(x * scale)) for x in vec]
         by_label[label].append((vid, q))
     import math
 
@@ -133,7 +133,7 @@ def _python_centroid_spec(rows, scale=1000):
     pred = {}
     dists = defaultdict(int)
     for vid, label, vec in rows:
-        q = [round(x * scale) for x in vec]
+        q = [int(round_half(x * scale)) for x in vec]
         best = min(
             (
                 sum((qi * 1000 - c) ** 2 for qi, c in zip(q, cents[cl])) * 1024
@@ -511,3 +511,28 @@ def test_interleave_plan_has_no_global_window(spark):
     # every window is partitioned (by source, or by the range-partition
     # pid inside global_rank) - never an Exchange SinglePartition feed
     assert "SinglePartition" not in plan
+
+
+def test_centroid_label_guard_raises_out_of_range(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [Row(vec_id=1, label=0, embedding=[0.1]),
+         Row(vec_id=2, label=2048, embedding=[0.2])]
+    )
+    with pytest.raises(SparkRuntimeException):
+        similarity.class_centroids(df).collect()
+
+
+def test_entropy_zero_token_doc_is_emitted_with_zeros(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b a")], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in textquality.unigram_entropy(df).collect()}
+    # the engine emits zero-token docs as (0, 0, +0.0); the oracle's
+    # documents-spine LEFT JOIN mirrors this (unnest alone would drop them)
+    for did in (1, 2):
+        r = out[did]
+        assert (r["n_tokens"], r["n_distinct"]) == (0, 0)
+        assert repr(float(r["entropy_r"])) == "0.0"
+    assert out[3]["n_tokens"] == 3

@@ -1368,9 +1368,15 @@ def _quantized_vec(vec_col: str):
     )
 
 
+#: session memo for the (codebook-sized) class-centroid table - BOTH
+#: centroid queries consume the identical build, and the checkpointed
+#: frame is labels x dim longs (the safe, tiny shape - NOT the wide
+#: gram-stream shape that regressed text_boilerplate in-battery)
+_CENTROID_CACHE: list = []
+
+
 def class_centroids(
     df: DataFrame,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
 ) -> DataFrame:
@@ -1382,15 +1388,37 @@ def class_centroids(
     would make the mean depend on summation order; DuckDB and Spark
     disagree on double->int casts, but not on floor).
 
+    Labels are runtime-guarded into [0, CENTROID_LABEL_SPAN): an
+    out-of-range (or NULL) label would silently corrupt the packed
+    argmin in ``nearest_centroid_confusion``, so it raises instead.
+    Vectors are assumed fixed-width with no NULL elements (the
+    embedding-store contract); per-dimension counts use count(qd) so a
+    stray NULL element degrades to a consistent non-null mean rather
+    than a sum/count mismatch.
+
     Scale shape (100 TB): posexplode to (label, dim) rows, ONE partial
     aggregation - the shuffle carries n_labels x dim rows per map task
     (640 longs for 10 classes x 64 dims), not the corpus; the ordered
     array re-assembly sorts n_labels tiny structs. The output is
-    codebook-sized (labels x dim) - broadcastable by construction.
+    codebook-sized (labels x dim), broadcastable by construction, and
+    session-memoized (localCheckpoint) because the confusion and
+    dispersion queries both consume the identical build.
     """
+    from .dedup import _memoized_checkpoint
+
+    lbl = F.col(label_col)
+    guarded = F.when(
+        lbl.between(0, CENTROID_LABEL_SPAN - 1), lbl
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "class_centroids: label outside [0, "
+                f"{CENTROID_LABEL_SPAN}) corrupts the packed argmin"
+            )
+        )
+    )
     dims = df.select(
-        F.col(label_col).alias("label"),
-        F.col(id_col).alias("id"),
+        guarded.alias("label"),
         F.posexplode(
             F.transform(
                 as_double_array(vec_col),
@@ -1399,10 +1427,10 @@ def class_centroids(
         ).alias("d", "qd"),
     )
     per_dim = dims.groupBy("label", "d").agg(
-        F.sum("qd").alias("s"), F.count("*").alias("n")
+        F.sum("qd").alias("s"), F.count("qd").alias("n")
     )
     c = F.floor(F.col("s") * 1000.0 / F.col("n")).cast("long")
-    return (
+    cents = (
         per_dim.select("label", "d", F.col("n").alias("n_vecs"), c.alias("c"))
         .groupBy("label", "n_vecs")
         .agg(
@@ -1412,6 +1440,7 @@ def class_centroids(
             ).alias("cvec")
         )
     )
+    return _memoized_checkpoint(_CENTROID_CACHE, cents)
 
 
 def _sq_dist(qvec, cvec):
@@ -1446,7 +1475,7 @@ def nearest_centroid_confusion(
     confusion-cell aggregates (both key-bounded: n_vecs, then
     n_labels^2 rows).
     """
-    cents = class_centroids(df, id_col, vec_col, label_col).select(
+    cents = class_centroids(df, vec_col, label_col).select(
         F.col("label").alias("c_label"), "cvec"
     )
     d = _sq_dist(F.col("qs"), F.col("cvec"))
@@ -1468,7 +1497,6 @@ def nearest_centroid_confusion(
 
 def centroid_cluster_stats(
     df: DataFrame,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
 ) -> DataFrame:
@@ -1493,7 +1521,7 @@ def centroid_cluster_stats(
     crossJoin - each vector joins ONLY its own class centroid (broadcast
     equi-join), one map-side projection, one n_labels-row aggregate.
     """
-    cents = class_centroids(df, id_col, vec_col, label_col)
+    cents = class_centroids(df, vec_col, label_col)
     norm_sq = F.aggregate(
         F.col("cvec"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
     )
@@ -1534,12 +1562,16 @@ def dimension_stats(
     downstream ANN/dedup quality.
 
     Exactness discipline: coordinates are snapped to the CENTROID_Q_SCALE
-    integer grid first, so the per-dimension sum and sum-of-squares are
-    exact longs (order-free); mean and variance are then computed in
-    double from those exact integers with the textbook E[x^2] - E[x]^2
-    form, rescaled back to original units BEFORE the 6-decimal round
-    (the sub-ulp rule). n_zero counts coordinates that quantize to 0 -
-    |x| < 0.5/scale, an explicit dead-band.
+    integer grid first, so the per-dimension sums are exact and
+    order-free; the sum of squares accumulates as DECIMAL(38,0) (qd^2
+    reaches ~4e6 at |x|=2, so a long sum would wrap silently near
+    n ~ 2e12 rows while a SQL oracle's int128 would not - the
+    centroid_cluster_stats overflow rule applied to the corpus-grain
+    aggregate). Mean and variance are then computed in double from the
+    exact integers with the textbook E[x^2] - E[x]^2 form, rescaled
+    back to original units BEFORE the 6-decimal round (the sub-ulp
+    rule). n_zero counts coordinates that quantize to 0 - |x| <
+    0.5/scale, an explicit dead-band.
 
     Scale shape (100 TB): posexplode -> ONE partial-aggregated
     HashAggregate keyed by dimension - every map task emits at most
@@ -1557,7 +1589,7 @@ def dimension_stats(
     agg = dims.groupBy("d").agg(
         F.count("*").alias("n"),
         F.sum("qd").alias("s"),
-        F.sum(F.col("qd") * F.col("qd")).alias("s2"),
+        F.sum((F.col("qd") * F.col("qd")).cast("decimal(38,0)")).alias("s2"),
         F.sum((F.col("qd") == 0).cast("long")).alias("n_zero"),
     )
     mean_grid = F.col("s").cast("double") / F.col("n")

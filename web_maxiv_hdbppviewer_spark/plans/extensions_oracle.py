@@ -3461,7 +3461,9 @@ EXTENSION_ORACLE["text_boilerplate"] = f"""
 
 # per-doc unigram entropy (extensions.text_entropy): the NAIVE road -
 # explode to (doc, word) rows + two GROUP BYs - vs the engine's row-local
-# array fold; terms snapped to integer nanonats exactly as the engine does
+# array fold; terms snapped to integer nanonats exactly as the engine
+# does; the documents-spine LEFT JOIN keeps zero-token docs (which the
+# engine emits as (id, 0, 0, 0.0) but unnest would silently drop)
 EXTENSION_ORACLE["text_entropy"] = """
         WITH tok AS (
           SELECT doc_id AS id,
@@ -3478,11 +3480,15 @@ EXTENSION_ORACLE["text_entropy"] = """
                                      * ln(c.c / n.n_tokens) * 1e9, 0)
                                AS BIGINT)) AS BIGINT) AS nanonats
           FROM c JOIN n USING (id) GROUP BY c.id)
-        SELECT t.id, n.n_tokens, t.n_distinct,
-               ROUND(-(CAST(t.nanonats AS DOUBLE) / 1e9) + 0.0, 6)
-                   AS entropy_r
-        FROM t JOIN n USING (id)
-        ORDER BY t.id
+        SELECT d.doc_id AS id,
+               COALESCE(n.n_tokens, 0) AS n_tokens,
+               COALESCE(t.n_distinct, 0) AS n_distinct,
+               COALESCE(ROUND(-(CAST(t.nanonats AS DOUBLE) / 1e9) + 0.0, 6),
+                        0.0) AS entropy_r
+        FROM documents d
+        LEFT JOIN n ON n.id = d.doc_id
+        LEFT JOIN t ON t.id = d.doc_id
+        ORDER BY d.doc_id
     """
 
 # per-dimension embedding moments (extensions.sim_dim_stats): exact
