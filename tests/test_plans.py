@@ -702,3 +702,19 @@ def test_attribution_join_is_bucketized(spark):
     assert "Cartesian" not in plan, plan
     m = re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*", plan)
     assert m and "vb" in m.group(0), m.group(0) if m else plan
+
+
+def test_pagerank_topk_is_take_ordered(spark):
+    """graph_pagerank's global top-20 must plan as TakeOrderedAndProject
+    (per-partition heaps + k-row merge) - VERDICT r11's one scale-killer
+    was a partition-less row_number Window here, funneling every node row
+    through a single task. The only Window allowed in the plan is the one
+    ranking the already-bounded 20-row result."""
+    df = QUERIES["graph_pagerank"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # the surviving rank window must sit ABOVE the TakeOrdered (bounded
+    # input), i.e. appear earlier in the top-down plan string
+    w = plan.find("Window")
+    t = plan.find("TakeOrderedAndProject")
+    assert w == -1 or w < t, plan

@@ -149,8 +149,24 @@ def topk_mips(
     w_ip = Window.partitionBy("q_id").orderBy(
         F.col("ip").desc(), F.col("cand_id").asc()
     )
+    # Snap exact-ip ties before the augmented ranking: rows with
+    # bitwise-equal raw ip are order-indifferent under MIPS, but the
+    # materialized |x'| only APPROXIMATES M per candidate, so their
+    # aug_cos values can differ by float noise and flip the w_aug order
+    # against w_ip's cand_id tiebreak - a data-dependent false
+    # aug_ok=false. Sharing one representative aug_cos across each
+    # exact-ip peer group (RANGE CURRENT ROW..CURRENT ROW = all peers of
+    # the ip sort key; reuses the q_id exchange, no extra shuffle) makes
+    # both rankings fall to the cand_id tiebreak on ties; distinct-ip
+    # rows are singleton peer groups, so the contract binds unchanged.
+    w_peer = (
+        Window.partitionBy("q_id")
+        .orderBy(F.col("ip").desc())
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
+    scored = scored.withColumn("aug_snap", F.max("aug_cos").over(w_peer))
     w_aug = Window.partitionBy("q_id").orderBy(
-        F.col("aug_cos").desc(), F.col("cand_id").asc()
+        F.col("aug_snap").desc(), F.col("cand_id").asc()
     )
     return (
         scored.select(
@@ -1597,10 +1613,14 @@ def dimension_stats(
         F.col("s2").cast("double") / F.col("n") - mean_grid * mean_grid
     )
     sc = float(CENTROID_Q_SCALE)
+    # +0.0 goes OUTSIDE the round (the sim_pca_gram lesson): for a true
+    # value in (-0.5e-6, 0), Spark's BigDecimal round yields +0.0 while
+    # DuckDB's yields -0.0 - canonicalizing before the round would bake
+    # that divergence in; after the round, both snap to +0.0.
     return agg.select(
         "d",
         "n",
-        F.round(mean_grid / sc + F.lit(0.0), 6).alias("mean_r"),
-        F.round(var_grid / F.lit(sc * sc) + F.lit(0.0), 6).alias("var_r"),
+        (F.round(mean_grid / sc, 6) + F.lit(0.0)).alias("mean_r"),
+        (F.round(var_grid / F.lit(sc * sc), 6) + F.lit(0.0)).alias("var_r"),
         "n_zero",
     )

@@ -159,12 +159,18 @@ def graph_pagerank(spark, sf_dir):
     pr = graph.pagerank(pairs, PAGERANK_ITERS)
     from pyspark.sql.window import Window
 
+    # Top-k via orderBy().limit() = TakeOrderedAndProject (per-partition
+    # heaps + a k-row driver merge), NOT a global partition-less
+    # row_number window - that shape funnels every node row through ONE
+    # task and was the last scale-killer VERDICT r11 found. The rank is
+    # then a window over the already-bounded 20 rows (same pattern as
+    # pipe_sample_weighted, PLANS.md:206).
+    top = pr.orderBy(F.desc("pr"), F.asc("id")).limit(PAGERANK_TOPK)
     return (
-        pr.withColumn(
+        top.withColumn(
             "rk",
             F.row_number().over(Window.orderBy(F.desc("pr"), F.asc("id"))),
         )
-        .where(F.col("rk") <= PAGERANK_TOPK)
         .select(F.col("rk").cast("long").alias("rk"), "id", "pr")
         .orderBy("rk")
     )

@@ -2080,11 +2080,14 @@ EXTENSION_ORACLE["dedup_spans"] = """
 
 # exact substring-level dedup (extensions.dedup_substr /
 # dedup.repeated_substrings): identical overlapping 12-token windows
-# (stride 1), duplicated iff the window text occurs >= 2 times anywhere,
+# (stride 1), duplicated iff the window's 60-bit md5 hash occurs >= 2
+# times anywhere (the SAME hash the engine counts - hashing both sides
+# keeps the two engines on the identical criterion, so a 60-bit
+# collision marks the same window duplicated in both rather than
+# flipping parity; the dedup_winnow oracle already follows this rule),
 # gaps-and-islands merge of positions within step <= 12, per-doc
-# coverage stats; DISTINCT-free - every occurrence row participates in
-# the count, exactly like the engine's count-over-hash-partition
-EXTENSION_ORACLE["dedup_substr"] = """
+# coverage stats; DISTINCT-free - every occurrence row participates
+EXTENSION_ORACLE["dedup_substr"] = f"""
         WITH t AS (
           SELECT doc_id AS id,
                  list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
@@ -2092,13 +2095,14 @@ EXTENSION_ORACLE["dedup_substr"] = """
         tt AS (SELECT id, l, len(l) AS n FROM t WHERE len(l) >= 12),
         wins AS (
           SELECT id, i - 1 AS p,
-                 array_to_string(list_slice(l, i, i + 11), ' ') AS span
+                 {H.format(x="array_to_string(list_slice(l, i, i + 11), ' ')")}
+                   AS h
           FROM (SELECT id, l, unnest(generate_series(1, n - 11)) AS i
                 FROM tt)),
-        cnt AS (SELECT span, COUNT(*) AS c FROM wins GROUP BY span),
+        cnt AS (SELECT h, COUNT(*) AS c FROM wins GROUP BY h),
         dup AS (
           SELECT w.id, w.p FROM wins w
-          JOIN cnt ON cnt.span = w.span AND cnt.c >= 2),
+          JOIN cnt ON cnt.h = w.h AND cnt.c >= 2),
         lagged AS (
           SELECT id, p, lag(p) OVER (PARTITION BY id ORDER BY p) AS pp
           FROM dup),
@@ -3493,7 +3497,9 @@ EXTENSION_ORACLE["text_entropy"] = """
 
 # per-dimension embedding moments (extensions.sim_dim_stats): exact
 # integer sums on the 1e-3 grid, double moments rescaled to original
-# units before the round, +0.0 signed-zero canonicalization
+# units before the round; +0.0 signed-zero canonicalization AFTER the
+# round (the sim_pca_gram rule - inside the round it preserves the
+# engines' -0.0-vs-+0.0 disagreement for true values in (-0.5e-6, 0))
 EXTENSION_ORACLE["sim_dim_stats"] = """
         WITH dims AS (
           SELECT i - 1 AS d, CAST(ROUND(x * 1000, 0) AS BIGINT) AS qd
@@ -3508,10 +3514,10 @@ EXTENSION_ORACLE["sim_dim_stats"] = """
                      AS n_zero
           FROM dims GROUP BY 1)
         SELECT d, n,
-               ROUND((CAST(s AS DOUBLE) / n) / 1e3 + 0.0, 6) AS mean_r,
+               ROUND((CAST(s AS DOUBLE) / n) / 1e3, 6) + 0.0 AS mean_r,
                ROUND((CAST(s2 AS DOUBLE) / n
                       - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
-                     / 1e6 + 0.0, 6) AS var_r,
+                     / 1e6, 6) + 0.0 AS var_r,
                n_zero
         FROM agg ORDER BY d
     """

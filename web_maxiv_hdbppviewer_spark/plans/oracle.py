@@ -325,4 +325,33 @@ CORE_ORACLE = {
         FROM (SELECT * FROM raster UNION ALL SELECT * FROM hover), rng
         ORDER BY kind, att_conf_id, xb, yb
     """,
+    # /query lifecycle from first principles (§3.2 twin of
+    # lifecycle_aggregate): fixture name synthesis + error-row nulling,
+    # inclusive BETWEEN trim, raw epoch-us series UNION the 12h
+    # round-to-NEAREST resample (bucket = floor(t/w + 0.5), t = bucket*w),
+    # means rounded at the output boundary like q18.
+    "lifecycle_query": """
+        WITH dp AS (
+          SELECT 'cs1/dom' || CAST(user_id % 5 AS VARCHAR)
+                 || '/fam' || CAST(user_id % 10 AS VARCHAR)
+                 || '/mem' || CAST(user_id % 3 AS VARCHAR)
+                 || '/attr' || CAST(user_id AS VARCHAR) AS name,
+                 epoch_us(ts) AS t_us,
+                 CASE WHEN event_type <> 'error' THEN value END AS value_r
+          FROM events
+          WHERE user_id < 6
+            AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+                       AND TIMESTAMP '2024-01-20 00:00:00'),
+        res AS (
+          SELECT name,
+                 CAST(FLOOR(t_us / 43200000000.0 + 0.5) AS BIGINT)
+                   * 43200000000 AS t,
+                 ROUND(AVG(value_r), 6) AS value_r
+          FROM dp
+          GROUP BY name, CAST(FLOOR(t_us / 43200000000.0 + 0.5) AS BIGINT))
+        SELECT 'raw' AS kind, name, t_us AS t, value_r FROM dp
+        UNION ALL
+        SELECT 'resampled' AS kind, name, t, value_r FROM res
+        ORDER BY kind, name, t
+    """,
 }

@@ -507,6 +507,38 @@ def lifecycle_aggregate(spark, sf_dir):
     )
 
 
+def lifecycle_query(spark, sf_dir):
+    """End-to-end /query lifecycle witness (reference server.py:151-165 ->
+    get_att_data, data.py:17-75), the §3.2 twin of lifecycle_aggregate:
+    fixture catalog -> name resolution (J1 broadcast routing) -> ONE
+    combined query_raw_df plan -> exact time trim (F1) -> the raw series
+    UNION the interval-resampled series (A1 round-to-NEAREST, 12h
+    buckets), as one hashable frame (kind, name, t, value_r). A green row
+    proves resolution, routing, trimming, epoch synthesis, bucket
+    arithmetic and the broadcast name join agree with first-principles
+    SQL through the public API surface - not just that the resample
+    operator matches in isolation (q18 already witnesses that).
+    Resampled means carry the house ROUND(.,6) portability discipline;
+    raw values are untouched parquet doubles (bit-equal by design)."""
+    from ..api.lifecycle import HdbppQueryEngine
+    from ..sources.fixtures import hdbpp_fixture
+
+    catalog, datapoints = hdbpp_fixture(spark, sf_dir)
+    engine = HdbppQueryEngine(catalog, datapoints)
+    names = [f"cs1/dom{u % 5}/fam{u % 10}/mem{u % 3}/attr{u}" for u in range(6)]
+    t0, t1 = datetime(2024, 1, 5), datetime(2024, 1, 20)
+    raw = engine.query_raw_df(names, t0, t1).select(
+        F.lit("raw").alias("kind"), "name", "t", "value_r"
+    )
+    res = engine.query_raw_df(names, t0, t1, interval="12h").select(
+        F.lit("resampled").alias("kind"),
+        "name",
+        "t",
+        F.round("value_r", 6).alias("value_r"),
+    )
+    return raw.unionAll(res).orderBy("kind", "name", "t")
+
+
 def lifecycle_image(spark, sf_dir):
     """The PNG path witnessed end-to-end (reference server.py:92-148 +
     plot.py render): fixture catalog -> render_image -> base64 PNG per
@@ -559,4 +591,5 @@ def lifecycle_image(spark, sf_dir):
 
 CORE_QUERIES = {f"q{i}": globals()[f"q{i}"] for i in range(1, 35)}
 CORE_QUERIES["lifecycle_aggregate"] = lifecycle_aggregate
+CORE_QUERIES["lifecycle_query"] = lifecycle_query
 CORE_QUERIES["lifecycle_image"] = lifecycle_image
