@@ -109,6 +109,23 @@ def test_render_csv_shape(engine, events):
     assert first_t >= T0.timestamp() * 1e6
 
 
+def test_render_csv_rw_write_values(spark):
+    """A frame carrying the value_w sidecar (rw attribute) renders a third
+    CSV column; NULL write values stay empty cells, exactly like value_r
+    (the reference's server.py:21 missing write-value surface)."""
+    df = spark.createDataFrame(
+        [(1, 1.5, 2.0), (2, None, 3.5), (3, 4.25, None)],
+        "t long, value_r double, value_w double",
+    )
+    text = render_csv({"cs1/a/b/c/rw0": df}).decode()
+    lines = text.splitlines()
+    assert lines[0] == "cs1/a/b/c/rw0"
+    assert lines[1] == "t[us],value_r,value_w"
+    assert lines[2] == "1,1.5,2.0"
+    assert lines[3] == "2,,3.5"
+    assert lines[4] == "3,4.25,"
+
+
 def test_render_grafana_json_nan_to_null(engine, events):
     uid = (
         events.where(F.col("event_type") == "error")
@@ -909,21 +926,24 @@ def test_datapoints_text_formats_round_trip(spark, tmp_path):
 
     rows = [
         (1, "scalar_devdouble_ro", "2024-01-05",
-         datetime(2024, 1, 5, 12, 0, 0, 123456), 1.5, None, None, 0, None),
+         datetime(2024, 1, 5, 12, 0, 0, 123456), 1.5, None, None, None, 0, None),
         (1, "scalar_devstring_ro", "2024-01-05",
-         datetime(2024, 1, 5, 12, 0, 1, 999999), None, "", None, 0, None),
+         datetime(2024, 1, 5, 12, 0, 1, 999999), None, None, "", None, 0, None),
         (2, "scalar_devstring_ro", "2024-01-06",
-         datetime(2024, 1, 6, 0, 0, 0, 1), None, "hello world", None, 1, "err"),
-        (2, "scalar_devdouble_ro", "2024-01-06",
-         datetime(2024, 1, 6, 23, 59, 59, 500000), -0.25, None,
+         datetime(2024, 1, 6, 0, 0, 0, 1), None, None, "hello world", None,
+         1, "err"),
+        # an rw reading: value_w sidecar must survive every wire format
+        (2, "scalar_devdouble_rw", "2024-01-06",
+         datetime(2024, 1, 6, 23, 59, 59, 500000), -0.25, 12.625, None,
          [1.0, -2.5, 0.1234567890123], None, None),
         # the three CSV corner contracts: a reading whose TEXT is literally
         # the \N null marker (and one with bare backslashes), an EMPTY
         # spectrum distinct from a NULL one
         (3, "scalar_devstring_ro", "2024-01-07",
-         datetime(2024, 1, 7, 1, 2, 3, 4), None, "\\N", None, 0, "a\\b\\\\N"),
+         datetime(2024, 1, 7, 1, 2, 3, 4), None, None, "\\N", None,
+         0, "a\\b\\\\N"),
         (3, "array_devdouble_ro", "2024-01-07",
-         datetime(2024, 1, 7, 2, 3, 4, 5), None, None, [], 0, None),
+         datetime(2024, 1, 7, 2, 3, 4, 5), None, None, None, [], 0, None),
     ]
     df = spark.createDataFrame(rows, DATAPOINTS_SCHEMA)
     want = sorted(map(tuple, df.collect()))
@@ -957,7 +977,7 @@ def test_csv_export_refuses_nonfinite_spectra(spark, tmp_path):
     for bad in ([float("nan")], [float("inf"), 1.0], [1.0, None]):
         df = spark.createDataFrame(
             [(1, "array_devdouble_ro", "2024-01-05",
-              datetime(2024, 1, 5), None, None, bad, 0, None)],
+              datetime(2024, 1, 5), None, None, None, bad, 0, None)],
             DATAPOINTS_SCHEMA,
         )
         with _pytest.raises(Exception, match="finite|round-trip"):
@@ -975,8 +995,8 @@ def test_csv_ingest_failfast_on_malformed_rows(spark, tmp_path):
     d = tmp_path / "bad" / "period=2024-01-05"
     d.mkdir(parents=True)
     (d / "part-000.csv").write_text(
-        "att_conf_id,data_type,ts,value_r,value_str,value_arr_csv,quality,error_desc\n"
-        "not_a_number,scalar_devdouble_ro,2024-01-05T12:00:00.000000Z,1.5,\\N,\\N,0,\\N\n"
+        "att_conf_id,data_type,ts,value_r,value_w,value_str,value_arr_csv,quality,error_desc\n"
+        "not_a_number,scalar_devdouble_ro,2024-01-05T12:00:00.000000Z,1.5,\\N,\\N,\\N,0,\\N\n"
     )
     with _pytest.raises(Exception, match="Malformed|FAILFAST|BadRecord"):
         formats.read_datapoints_csv(spark, str(tmp_path / "bad")).collect()

@@ -32,7 +32,11 @@ def _check_lifecycle_image(sdf):
 
 
 # every declared query WITHOUT an oracle twin must register a real
-# invariant here - an unregistered name fails instead of vacuously passing
+# invariant here - an unregistered name fails instead of vacuously passing.
+# (As of r12 every query is oracle-twinned - lifecycle_image got a
+# pinned-digest oracle - so this path is currently dormant; the
+# lifecycle_image invariant stays registered as the fallback if the pin
+# is ever dropped.)
 ROWS_ONLY_CHECKS = {
     "lifecycle_image": _check_lifecycle_image,
 }

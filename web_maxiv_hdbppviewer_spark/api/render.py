@@ -24,14 +24,26 @@ def _rows(df: DataFrame, value_col: str = "value_r", t_col: str = "t"):
         yield row[0], row[1]
 
 
+def _cell(v) -> str:
+    return "" if v is None or (isinstance(v, float) and math.isnan(v)) else repr(v)
+
+
 def render_csv(data: dict[str, DataFrame]) -> bytes:
-    """Per-attribute CSV blocks, header 't[us],value_r' (data.py:50-55)."""
+    """Per-attribute CSV blocks, header 't[us],value_r' (data.py:50-55).
+
+    Frames carrying the ``value_w`` sidecar (rw attributes,
+    DATAPOINTS_SCHEMA) get a third column 'value_w' - the write-value
+    surface the reference lists as missing (server.py:21)."""
     blocks = []
     for name, df in data.items():
-        lines = [name, "t[us],value_r"]
-        for t, v in _rows(df):
-            vtxt = "" if v is None or (isinstance(v, float) and math.isnan(v)) else repr(v)
-            lines.append(f"{t},{vtxt}")
+        if "value_w" in df.columns:
+            lines = [name, "t[us],value_r,value_w"]
+            for row in df.select("t", "value_r", "value_w").collect():
+                lines.append(f"{row[0]},{_cell(row[1])},{_cell(row[2])}")
+        else:
+            lines = [name, "t[us],value_r"]
+            for t, v in _rows(df):
+                lines.append(f"{t},{_cell(v)}")
         blocks.append("\n".join(lines) + "\n")
     return "\n".join(blocks).encode()
 
@@ -66,8 +78,7 @@ def render_csv_combined(combined: DataFrame, names: list[str]) -> bytes:
     for name, rows in _split_combined(combined, names).items():
         lines = [name, "t[us],value_r"]
         for t, v in rows:
-            vtxt = "" if v is None or (isinstance(v, float) and math.isnan(v)) else repr(v)
-            lines.append(f"{t},{vtxt}")
+            lines.append(f"{t},{_cell(v)}")
         blocks.append("\n".join(lines) + "\n")
     return "\n".join(blocks).encode()
 

@@ -133,15 +133,11 @@ _PAIR_CACHE: list[tuple[int, DataFrame, DataFrame]] = []
 #: (fuzzy_pairs) - five consumers share each per session
 _FUZZY_GRAM_CACHE: list[tuple[int, DataFrame, DataFrame]] = []
 _FUZZY_RARE_CACHE: list[tuple[int, DataFrame, DataFrame]] = []
-#: Bloom decontamination's train-shingle table (bloom_contamination) -
-#: separate list so it cannot evict the shingle-array entries above.
-_BLOOM_CACHE: list[tuple[int, DataFrame, DataFrame]] = []
 _MEMO_MAX = 4
 
 
 def clear_dedup_caches() -> None:
     _SHINGLE_CACHE.clear()
-    _BLOOM_CACHE.clear()
     _PAIR_CACHE.clear()
 
 
@@ -936,56 +932,64 @@ def bloom_contamination(
     Output (id, n_shingles, n_candidates, n_shared, shared_frac) - one
     row per eval doc, zeros when nothing passes.
 
-    Scale shape (100 TB): positions are computed JVM-side (salted
-    portable md5 - the same engine-replayable hash family as the rest of
-    dedup, so an external SQL engine can replay even the bloom
-    membership); per-partition numpy bitmaps are OR-merged on the driver
-    (bounded: partitions x m/8 bytes - the treeAggregate shape, never a
-    collect of positions); the probe is one Arrow-vectorized pandas_udf
-    doing two bitmap loads per shingle. At a train corpus too large for
-    an exact broadcast semi-join, this 512 KiB bitmap replaces
-    shuffling the full eval shingle stream."""
+    Scale shape (100 TB): ONE md5 per shingle, bit-sliced JVM-side into
+    the 60-bit exact-join key (hex chars 1-15) and both bloom positions
+    (chars 16-21 / 22-27 mod m) - portable slices an external SQL engine
+    replays verbatim, and no string ever reaches an exchange: the only
+    shuffle is the candidate semi-join moving int64 keys. Per-partition
+    numpy bitmaps are OR-merged on the driver (bounded: partitions x m/8
+    bytes - the treeAggregate shape, never a collect of positions); the
+    probe is one Arrow-vectorized pandas_udf doing two bitmap loads per
+    shingle. No distinct and no checkpoint on the train stream: bitmap
+    OR-ing is idempotent and the semi-join hash relation dedups its
+    build keys, so the narrow explode+md5 plan is simply re-evaluated by
+    each of the two jobs - the r11/r12 batteries showed the former
+    localCheckpoint being evicted under the session memo stores' storage
+    pressure and silently recomputed (driver 10.2 s / in-battery 14.3 s
+    vs a ~3 s isolated line; the 'checkpoint only what several queries
+    share' lesson, BASELINE.md). At a train corpus too large for an
+    exact broadcast semi-join, the 512 KiB bitmap replaces shuffling the
+    full eval shingle stream."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
     m = 1 << m_log2
+
+    def _sliced(df_s):
+        hx = F.md5(F.col("s"))
+        return df_s.withColumn(
+            "h", F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+        ).withColumn(
+            "p0", F.conv(F.substring(hx, 16, 6), 16, 10).cast("long") % m
+        ).withColumn(
+            "p1", F.conv(F.substring(hx, 22, 6), 16, 10).cast("long") % m
+        ).drop("s")
+
     ev_grams = eval_docs.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_kgrams(words(F.col(text_col)), k)).alias("g"),
     )
     sizes = ev_grams.select("id", F.size("g").cast("long").alias("n_shingles"))
-    ev = ev_grams.select("id", F.explode("g").alias("s"))
-    # the train shingle table feeds BOTH the bitmap build and the exact
-    # semi-join; checkpoint the (narrow, corpus-linear) table once instead
-    # of re-running the explode+distinct per reference. Its OWN memo list:
-    # sharing _SHINGLE_CACHE (max 4 entries) evicted the session
-    # shingle-array materialization and sent dedup_incremental from 2 s to
-    # 34 s in the same battery - the memo lists are per-plan-family on
-    # purpose.
-    tr = _memoized_checkpoint(
-        _BLOOM_CACHE,
+    ev = _sliced(ev_grams.select("id", F.explode("g").alias("s")))
+    tr = _sliced(
         train_docs.select(
             F.explode(
                 F.array_distinct(word_kgrams(words(F.col(text_col)), k))
             ).alias("s")
-        ).distinct(),
+        )
     )
-    pos_cols = [
-        (md5_int60(F.col("s"), salt=f"bm{j}") % m).alias(f"p{j}")
-        for j in range(BLOOM_H)
-    ]
 
     def part_bitmap(batches):
         bm = np.zeros(m // 8, dtype=np.uint8)
         for pdf in batches:
-            for j in range(BLOOM_H):
-                p = pdf[f"p{j}"].to_numpy()
+            for c in ("p0", "p1"):
+                p = pdf[c].to_numpy()
                 np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))
         yield pd.DataFrame({"bm": [bm.tobytes()]})
 
-    blobs = tr.select(*pos_cols).mapInPandas(part_bitmap, "bm binary").collect()
+    blobs = tr.select("p0", "p1").mapInPandas(part_bitmap, "bm binary").collect()
     bitmap = np.zeros(m // 8, dtype=np.uint8)
     for row in blobs:
         bitmap |= np.frombuffer(row["bm"], dtype=np.uint8)
@@ -1003,14 +1007,15 @@ def bloom_contamination(
 
     in_bloom = pandas_udf(_probe_kernel, "boolean")
 
-    cand = ev.select("id", "s", *pos_cols).where(
-        in_bloom(F.col("p0"), F.col("p1"))
-    )
+    cand = ev.where(in_bloom(F.col("p0"), F.col("p1")))
     n_cand = cand.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates")
     )
+    # exact pass joins on the 60-bit key; the oracle computes the TRUE
+    # string-set overlap over ALL eval shingles, so a green hash proves
+    # both no-bloom-false-negative AND no key-collision inflation
     shared = (
-        cand.join(tr, "s", "left_semi")
+        cand.join(tr.select("h"), "h", "left_semi")
         .groupBy("id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )

@@ -49,7 +49,7 @@ def type_kind(data_type: Column) -> Column:
     )
 
 
-def typed_summary(dp: DataFrame) -> DataFrame:
+def typed_summary(dp: DataFrame, write_values: bool = False) -> DataFrame:
     """Per-attribute summary with kind-dispatched aggregates.
 
     Output: (att_conf_id, data_type, kind, n, n_err, vmin, vmax, vmean,
@@ -57,6 +57,15 @@ def typed_summary(dp: DataFrame) -> DataFrame:
     don't apply to a kind are NULL (or 0 for counts), never garbage: a
     string attribute can NEVER produce a numeric mean here even if a
     malformed row carries value_r.
+
+    ``write_values=True`` appends the rw-attribute surface over the
+    ``value_w`` sidecar (the reference's server.py:21 documented gap):
+    n_w, wmin, wmax, wmean, and trk_err_r = ROUND(AVG(value_r -
+    value_w), 6) - the setpoint tracking error, THE health number an
+    operator reads off a rw attribute. All five are primitive-buffer
+    aggregates guarded to numeric *_rw rows, so they ride the same ONE
+    map-side-combining HashAggregate; non-rw attributes report NULLs
+    (n_w = 0), never garbage.
 
     Shape (round-11 rewrite, measured ~25% faster at sf0.1 and the right
     100 TB trade): the original single aggregation carried
@@ -79,11 +88,12 @@ def typed_summary(dp: DataFrame) -> DataFrame:
     """
     kind = type_kind(F.col("data_type"))
     ok = F.col("error_desc").isNull()
-    pre = dp.select(
-        "att_conf_id",
-        "data_type",
+    rw = (kind == "numeric") & F.col("data_type").endswith("_rw")
+    pre_cols = [
+        F.col("att_conf_id"),
+        F.col("data_type"),
         kind.alias("kind"),
-        "ts",
+        F.col("ts"),
         ok.alias("ok"),
         F.when((kind == "numeric") & ok, F.col("value_r")).alias("num_v"),
         F.when(
@@ -94,8 +104,11 @@ def typed_summary(dp: DataFrame) -> DataFrame:
             (kind == "spectrum") & ok & F.col("value_arr").isNotNull(),
             F.col("value_arr"),
         ).alias("spec_v"),
-    )
-    main = pre.groupBy("att_conf_id", "data_type", "kind").agg(
+    ]
+    if write_values:
+        pre_cols.append(F.when(rw & ok, F.col("value_w")).alias("w_v"))
+    pre = dp.select(*pre_cols)
+    aggs = [
         F.count(F.when(F.col("ok"), F.lit(1))).alias("n"),
         F.count(F.when(~F.col("ok"), F.lit(1))).alias("n_err"),
         F.min("num_v").alias("vmin"),
@@ -104,7 +117,24 @@ def typed_summary(dp: DataFrame) -> DataFrame:
         F.round(F.avg(F.size("spec_v")), 6).alias("mean_len"),
         F.min(F.array_min("spec_v")).alias("el_min"),
         F.max(F.array_max("spec_v")).alias("el_max"),
-    )
+    ]
+    if write_values:
+        aggs += [
+            F.count("w_v").cast("long").alias("n_w"),
+            F.min("w_v").alias("wmin"),
+            F.max("w_v").alias("wmax"),
+            F.round(F.avg("w_v"), 6).alias("wmean"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("num_v").isNotNull(),
+                        F.col("num_v") - F.col("w_v"),
+                    )
+                ),
+                6,
+            ).alias("trk_err_r"),
+        ]
+    main = pre.groupBy("att_conf_id", "data_type", "kind").agg(*aggs)
     disc = (
         pre.where(F.col("disc_v").isNotNull())
         .groupBy("att_conf_id", "data_type", "kind")
@@ -130,6 +160,11 @@ def typed_summary(dp: DataFrame) -> DataFrame:
             "mean_len",
             "el_min",
             "el_max",
+            *(
+                ["n_w", "wmin", "wmax", "wmean", "trk_err_r"]
+                if write_values
+                else []
+            ),
         )
         .orderBy("att_conf_id")
     )

@@ -1606,6 +1606,41 @@ def stream_window(spark, sf_dir):
     )
 
 
+def stream_raster(spark, sf_dir):
+    """The /image rasterization kernel (A6, the flagship q20) as a STREAM
+    (VERDICT r11 #8): the SAME bin_2d expression - 100x80 (time x value)
+    pixel binning with count/mean/min/max - run under Structured
+    Streaming over the watermark-free events stream, drained availableNow
+    into a complete-mode memory sink. This is the live-dashboard twin of
+    the /image hot path: a deployment would keep the panel's raster
+    up to date incrementally (state bounded at w*h groups per series -
+    screen-resolution-bounded, the reference's own response-size
+    property) instead of re-scanning history per refresh. The oracle IS
+    q20's oracle (aliased, never drifts), so the value hash proves
+    streaming and batch rasterize identically."""
+    from ..operators.raster import bin_2d
+    from .queries import X0_US, X_SPAN_US
+
+    load_tables(spark, sf_dir)  # applies session confs (nanosAsLong)
+    sink = f"stream_raster_{next(_STREAM_SEQ)}"
+    feed = _stream_events(spark, sf_dir).select("ts", "value")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            bin_2d(feed, X0_US, X_SPAN_US, 100, 0.0, 500.0, 80)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink).orderBy("xb", "yb")
+
+
 def stream_sessions(spark, sf_dir):
     """Gap-based sessionization as a STREAM - the exact claim
     ``window_sessions`` makes ("the identical expression runs under
@@ -4194,6 +4229,7 @@ EXTENSION_QUERIES = {
     "dedup_winnow": dedup_winnow,
     "dedup_compare": dedup_compare,
     "stream_cusum": stream_cusum,
+    "stream_raster": stream_raster,
     "pipe_split_safe": pipe_split_safe,
     "sim_ivf_probe_sweep": sim_ivf_probe_sweep,
     "multimodal_phash": multimodal_phash,

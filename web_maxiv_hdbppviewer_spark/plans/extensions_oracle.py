@@ -493,10 +493,14 @@ EXTENSION_ORACLE = {
         ORDER BY id
     """,
     # bloom-prefiltered decontamination (extensions.pipe_contamination_bloom
-    # / dedup.bloom_contamination): n_shared is the plain exact semi-join
-    # (a bloom false negative flips the hash); n_candidates replays the
-    # bitmap itself - an eval shingle passes iff BOTH its salted positions
-    # appear among the train position set (m = 2^22, salts bm0/bm1)
+    # / dedup.bloom_contamination): n_shared is the plain exact STRING
+    # semi-join over ALL eval shingles, so a green hash proves both that
+    # the bloom admitted every true overlap (no false negatives) and that
+    # the engine's 60-bit join key added none (no collision inflation);
+    # n_candidates replays the bitmap itself - an eval shingle passes iff
+    # BOTH its md5-slice positions (hex chars 16-21 / 22-27, the same ONE
+    # md5 whose chars 1-15 are the engine's join key) appear among the
+    # train position set (m = 2^22)
     "pipe_contamination_bloom": f"""
         WITH sp AS (
           SELECT doc_id, text,
@@ -508,13 +512,17 @@ EXTENSION_ORACLE = {
         evg AS (SELECT DISTINCT id, s FROM ({_kgram_rows_sql(5, "(SELECT doc_id, text FROM sp WHERE split = 'test')")})),
         trg AS (SELECT DISTINCT s FROM ({_kgram_rows_sql(5, "(SELECT doc_id, text FROM sp WHERE split = 'train')")})),
         bits AS (
-          SELECT {H.format(x="'bm0:' || s")} % 4194304 AS p FROM trg
+          SELECT ('0x' || substr(md5(s), 16, 6))::BIGINT % 4194304 AS p
+          FROM trg
           UNION
-          SELECT {H.format(x="'bm1:' || s")} % 4194304 AS p FROM trg),
+          SELECT ('0x' || substr(md5(s), 22, 6))::BIGINT % 4194304 AS p
+          FROM trg),
         cand AS (
           SELECT id, s FROM evg
-          WHERE {H.format(x="'bm0:' || s")} % 4194304 IN (SELECT p FROM bits)
-            AND {H.format(x="'bm1:' || s")} % 4194304 IN (SELECT p FROM bits)),
+          WHERE ('0x' || substr(md5(s), 16, 6))::BIGINT % 4194304
+                  IN (SELECT p FROM bits)
+            AND ('0x' || substr(md5(s), 22, 6))::BIGINT % 4194304
+                  IN (SELECT p FROM bits)),
         sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM evg GROUP BY id),
         ncand AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand GROUP BY id),
         shared AS (
@@ -3541,3 +3549,11 @@ EXTENSION_ORACLE["pipe_interleave"] = f"""
                     FROM documents))
         ORDER BY doc_id
     """
+
+
+# streaming raster (extensions.stream_raster): the oracle IS q20's - the
+# streaming drain must equal the batch 2-D binned aggregate bit-for-bit,
+# so aliasing (not copying) guarantees the two checks can never drift
+from .oracle import CORE_ORACLE as _CORE_ORACLE  # noqa: E402
+
+EXTENSION_ORACLE["stream_raster"] = _CORE_ORACLE["q20"]

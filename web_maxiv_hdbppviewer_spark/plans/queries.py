@@ -460,6 +460,24 @@ def q34(spark, sf_dir):
     )
 
 
+def q35(spark, sf_dir):
+    """Write-value (rw attribute) surface - the reference's own documented
+    gap (server.py:21 "showing write values" missing) closed end-to-end:
+    the numeric class of the mixed-type fixture carries a deterministic
+    setpoint sidecar (value_w = value * 0.75 + 10.0, DATAPOINTS_SCHEMA
+    value_w), and typed_summary(write_values=True) reports the rw surface
+    per attribute: n_w, wmin/wmax/wmean, and trk_err_r - the mean
+    read-minus-setpoint tracking error. Same single-HashAggregate shape
+    as q29; non-rw attribute classes report NULL write aggregates."""
+    from ..operators.typed import typed_summary
+    from ..sources.fixtures import mixed_type_datapoints
+
+    return typed_summary(
+        mixed_type_datapoints(spark, sf_dir, write_values=True),
+        write_values=True,
+    )
+
+
 def lifecycle_aggregate(spark, sf_dir):
     """End-to-end /image lifecycle witness (reference server.py:92-148):
     fixture catalog -> HdbppQueryEngine.image_aggregates -> the complete
@@ -589,7 +607,7 @@ def lifecycle_image(spark, sf_dir):
     )
 
 
-CORE_QUERIES = {f"q{i}": globals()[f"q{i}"] for i in range(1, 35)}
+CORE_QUERIES = {f"q{i}": globals()[f"q{i}"] for i in range(1, 36)}
 CORE_QUERIES["lifecycle_aggregate"] = lifecycle_aggregate
 CORE_QUERIES["lifecycle_query"] = lifecycle_query
 CORE_QUERIES["lifecycle_image"] = lifecycle_image

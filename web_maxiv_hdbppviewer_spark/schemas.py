@@ -109,6 +109,10 @@ DATAPOINTS_SCHEMA = StructType(
         StructField("period", StringType(), False),  # local-date partition key
         StructField("ts", TimestampType(), False),  # microsecond event time
         StructField("value_r", DoubleType(), True),  # numeric reading
+        # numeric write/setpoint sidecar, non-null only for *_rw attributes
+        # (closes the reference's own documented gap: server.py:21 lists
+        # "showing write values" as missing)
+        StructField("value_w", DoubleType(), True),
         StructField("value_str", StringType(), True),  # string/state/bool sidecar
         StructField("value_arr", ArrayType(DoubleType()), True),  # spectrum types
         StructField("quality", IntegerType(), True),

@@ -99,6 +99,13 @@ def read_cassandra_datapoints(
             F.unix_micros(F.col("data_time")) + F.col("data_time_us").cast("long")
         ).alias("ts"),
         F.col("value_r").cast("double").alias("value_r"),
+        # rw tables carry value_w (the att_scalar_dev<type>_rw CQL column
+        # set); ro tables surface it as NULL under the unified schema
+        (
+            F.col("value_w").cast("double")
+            if data_type.endswith("_rw")
+            else F.lit(None).cast("double")
+        ).alias("value_w"),
         F.col("quality").cast("int").alias("quality"),
         F.col("error_desc"),
     )

@@ -59,6 +59,9 @@ def hdbpp_fixture(spark: SparkSession, sf_dir: str) -> tuple[HdbppCatalog, DataF
         derive_period(F.col("ts")).alias("period"),
         F.col("ts"),
         F.when(~is_err, F.col("value")).alias("value_r"),
+        # ro attributes genuinely have no write value (DATAPOINTS_SCHEMA
+        # value_w sidecar; the rw carrier is mixed_type_datapoints)
+        F.lit(None).cast("double").alias("value_w"),
         F.lit(None).cast("string").alias("value_str"),
         F.lit(None).cast("array<double>").alias("value_arr"),
         F.lit(0).alias("quality"),
@@ -101,7 +104,9 @@ def parameter_history_fixture(
     return params, history
 
 
-def mixed_type_datapoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mixed_type_datapoints(
+    spark: SparkSession, sf_dir: str, write_values: bool = False
+) -> DataFrame:
     """Mixed-type datapoints: every dispatch class of the Tango type matrix.
 
     Deterministically derived from ``events`` so a SQL oracle can rebuild it
@@ -110,16 +115,30 @@ def mixed_type_datapoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (value_r / value_str / value_arr), error rows carry error_desc with all
     sidecars NULL - the reference's value-OR-error row shape
     (hdbpp.py:199-208).
+
+    ``write_values=True`` makes the numeric class read-WRITE: its
+    data_type becomes ``scalar_devdouble_rw`` and every ok reading also
+    carries the setpoint ``value_w = value * 0.75 + 10.0`` (deterministic
+    IEEE ops a SQL oracle replays bit-exactly) - the reference's own
+    documented gap (server.py:21 "showing write values") made first-class.
     """
     events = load_tables(spark, sf_dir)["events"]
     uid = F.col("user_id")
     tmod = (uid % 4).cast("int")
     is_err = F.col("event_type") == "error"
     data_type = (
-        F.when(tmod == 0, "scalar_devdouble_ro")
+        F.when(
+            tmod == 0,
+            "scalar_devdouble_rw" if write_values else "scalar_devdouble_ro",
+        )
         .when(tmod == 1, "scalar_devstring_ro")
         .when(tmod == 2, "scalar_devstate_ro")
         .otherwise("array_devdouble_ro")
+    )
+    value_w = (
+        F.when((tmod == 0) & ~is_err, F.col("value") * 0.75 + 10.0)
+        if write_values
+        else F.lit(None).cast("double")
     )
     state = F.when(F.col("value") >= 50, "ON").otherwise("FAULT")
     return events.select(
@@ -128,6 +147,7 @@ def mixed_type_datapoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         derive_period(F.col("ts")).alias("period"),
         F.col("ts"),
         F.when((tmod == 0) & ~is_err, F.col("value")).alias("value_r"),
+        value_w.alias("value_w"),
         F.when((tmod == 1) & ~is_err, F.col("event_type"))
         .when((tmod == 2) & ~is_err, state)
         .alias("value_str"),

@@ -52,6 +52,7 @@ _CSV_SCHEMA = ", ".join(
         "period string",
         "ts timestamp",
         "value_r double",
+        "value_w double",
         "value_str string",
         "value_arr_csv string",
         "quality int",
@@ -101,6 +102,7 @@ def write_datapoints_csv(df: DataFrame, path: str) -> None:
         "period",
         "ts",
         "value_r",
+        "value_w",
         _escape_free_text(F.col("value_str")).alias("value_str"),
         F.when(F.size(arr) == 0, F.lit(_EMPTY_ARR))
         .otherwise(F.array_join(F.transform(arr, _fmt_finite), ";"))
@@ -132,6 +134,7 @@ def read_datapoints_csv(spark: SparkSession, path: str) -> DataFrame:
         "period",
         "ts",
         "value_r",
+        "value_w",
         _unescape_free_text(F.col("value_str")).alias("value_str"),
         F.when(wire == _EMPTY_ARR, F.array().cast("array<double>"))
         .when(
