@@ -718,3 +718,17 @@ def test_pagerank_topk_is_take_ordered(spark):
     w = plan.find("Window")
     t = plan.find("TakeOrderedAndProject")
     assert w == -1 or w < t, plan
+
+
+def test_q35_write_value_surface_rides_the_hash_aggregate(spark):
+    """The rw write-value aggregates (n_w, wmin/wmax/wmean, trk_err_r)
+    are primitive buffers guarded into q29's existing split shape: the
+    full-corpus main pass must stay a map-side-combining HashAggregate
+    (sort aggregation only under the discrete filter) and the K-row
+    discrete summary must rejoin by broadcast - the value_w surface
+    costs zero extra shuffles."""
+    plan = _plan(QUERIES["q35"](spark, SF_SMOKE))
+    n_hash = plan.count("HashAggregate")
+    assert 2 <= n_hash <= 4, f"main pass must hash-aggregate, got {n_hash}"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,170 @@
+"""Round-12 regression pins: the MIPS exact-ip tie snap, post-round
+signed-zero canonicalization in dimension_stats, the bloom md5
+bit-slice family, and the value_w write-value surface."""
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_SMOKE
+
+QUERIES = entry_mod.queries()
+
+
+# ------------------------------------------------------------- mips ties
+
+
+def test_mips_aug_ok_robust_to_exact_ip_ties(spark):
+    """Two candidates with BITWISE-equal inner product but different
+    norms (hence different augmented coordinates and potentially
+    different float noise in the materialized |x'|) must still certify
+    aug_ok: the exact-ip peer snap makes both rankings fall to the
+    cand_id tiebreak instead of racing last-ulp aug_cos noise (the
+    ADVICE r11 data-dependent hash-flip scenario, constructed)."""
+    from web_maxiv_hdbppviewer_spark.operators.similarity import topk_mips
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # the query (id < query_ids_below)
+        (10, [2.0, 1.0, 0.0]),       # ip = 2.0, |c| = sqrt(5)
+        (11, [2.0, 0.0, 3.0]),       # ip = 2.0, |c| = sqrt(13)
+        (12, [2.0, -1.0, 0.0]),      # ip = 2.0, |c| = sqrt(5)
+        (13, [0.5, 4.0, 0.0]),       # ip = 0.5 (distinct, sanity row)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = topk_mips(df, k=4, query_ids_below=1).collect()
+    assert len(out) == 4
+    assert all(r["aug_ok"] for r in out), out
+    # ties broken by cand_id within the equal-ip group
+    ranked = [r["cand_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [10, 11, 12, 13]
+
+
+# ---------------------------------------------------- signed-zero rounding
+
+
+def test_dimension_stats_negative_subulp_mean_rounds_to_positive_zero(spark):
+    """A dimension whose true mean lies in (-0.5e-6, 0) must report
+    mean_r as +0.0, not -0.0: the +0.0 canonicalization sits OUTSIDE the
+    round (inside it, Spark's BigDecimal round keeps +0.0 while DuckDB
+    keeps -0.0 and the driver hash flips - the sim_pca_gram class)."""
+    from web_maxiv_hdbppviewer_spark.operators.similarity import (
+        dimension_stats,
+    )
+
+    # dim 0: values quantize (grid 1e-3) to -1 and 0 over 4096 rows ->
+    # mean_grid = -1/4096 -> mean = -2.4e-7: inside the negative sub-round
+    # band. dim 1: exactly zero.
+    rows = [([-0.001 if i == 0 else 0.0, 0.0],) for i in range(4096)]
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    got = {r["d"]: r for r in dimension_stats(df).collect()}
+    assert repr(got[0]["mean_r"]) == "0.0", got[0]
+    assert repr(got[0]["var_r"]) != "-0.0"
+    assert repr(got[1]["mean_r"]) == "0.0"
+
+
+# ------------------------------------------------------- bloom md5 slices
+
+
+def test_bloom_positions_and_key_are_md5_slices(spark):
+    """The bloom family's portability contract: join key = md5 hex chars
+    1-15 as int60, positions = chars 16-21 / 22-27 mod 2^22 - replayed
+    here from Python's hashlib on the same shingle strings, so the
+    engine's JVM conv/substring arithmetic is pinned to the documented
+    slices an external SQL engine uses."""
+    from web_maxiv_hdbppviewer_spark.operators.dedup import (
+        bloom_contamination,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [(2, "a b c d e f g h"), (3, "x y z w v u t s")],
+        "doc_id long, text string",
+    )
+    out = bloom_contamination(ev, tr, k=5).collect()
+    assert len(out) == 1
+    row = out[0]
+    # 8 tokens -> 4 overlapping 5-grams, all shared with train doc 2:
+    # every one passes the bloom and the exact join
+    assert row["n_shingles"] == 4
+    assert row["n_candidates"] == 4
+    assert row["n_shared"] == 4
+    assert row["shared_frac"] == 1.0
+
+
+def test_bloom_admits_no_false_negatives_on_testdata(spark):
+    """Soundness on real data: every exactly-shared shingle must pass the
+    bloom (n_candidates >= n_shared per doc) - a false negative would
+    undercount n_shared vs the oracle's true string-set overlap."""
+    from web_maxiv_hdbppviewer_spark.operators.dedup import (
+        bloom_contamination,
+    )
+    from web_maxiv_hdbppviewer_spark.operators import sampling
+    from web_maxiv_hdbppviewer_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    split = sampling.hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    ev = split.where(F.col("split") == "test")
+    tr = split.where(F.col("split") == "train")
+    out = bloom_contamination(ev, tr, 5).collect()
+    assert out, "no eval docs"
+    for r in out:
+        assert r["n_candidates"] >= r["n_shared"], r
+        assert r["n_shingles"] >= r["n_candidates"], r
+
+
+# ------------------------------------------------------------- value_w
+
+
+def test_value_w_flows_ingest_to_summary(spark):
+    """The rw surface end-to-end on a constructed frame: value_w
+    aggregates land only on the rw numeric attribute; ro numeric and
+    discrete attributes report n_w = 0 with NULL write stats; the
+    tracking error is the mean over rows where BOTH sides exist."""
+    from datetime import datetime
+
+    from web_maxiv_hdbppviewer_spark.operators.typed import typed_summary
+
+    t = datetime(2024, 1, 5)
+    rows = [
+        # rw numeric: reads 10/20, writes 8/24 -> trk_err = (2 - 4)/2 = -1
+        (1, "scalar_devdouble_rw", "2024-01-05", t, 10.0, 8.0, None, None, 0, None),
+        (1, "scalar_devdouble_rw", "2024-01-05", t, 20.0, 24.0, None, None, 0, None),
+        # rw numeric row with a read but no write: excluded from trk_err
+        (1, "scalar_devdouble_rw", "2024-01-05", t, 99.0, None, None, None, 0, None),
+        # ro numeric: value_w never set
+        (2, "scalar_devdouble_ro", "2024-01-05", t, 5.0, None, None, None, 0, None),
+        # discrete
+        (3, "scalar_devstring_ro", "2024-01-05", t, None, None, "ON", None, 0, None),
+    ]
+    schema = (
+        "att_conf_id long, data_type string, period string, ts timestamp,"
+        " value_r double, value_w double, value_str string,"
+        " value_arr array<double>, quality int, error_desc string"
+    )
+    dp = spark.createDataFrame(rows, schema)
+    got = {r["att_conf_id"]: r for r in typed_summary(dp, write_values=True).collect()}
+    assert got[1]["n_w"] == 2
+    assert got[1]["wmin"] == 8.0 and got[1]["wmax"] == 24.0
+    assert got[1]["wmean"] == 16.0
+    assert got[1]["trk_err_r"] == -1.0
+    assert got[2]["n_w"] == 0 and got[2]["wmean"] is None
+    assert got[3]["n_w"] == 0 and got[3]["trk_err_r"] is None
+    # default call keeps q29's schema: no write columns
+    assert "n_w" not in typed_summary(dp).columns
+
+
+# ------------------------------------------------- lifecycle_image pin
+
+
+def test_lifecycle_image_matches_its_pinned_oracle_rows(spark, duck):
+    """The pinned-digest oracle is literal rows keyed on corpus size; the
+    suite's independent compositor (test_raster_png) derives the digest
+    from first principles - this test closes the triangle by asserting
+    the PIN ITSELF matches the live render at sf0.001, so an engine
+    change that drifts the pixels fails here before the driver sees it."""
+    sdf = QUERIES["lifecycle_image"](spark, SF_SMOKE).collect()
+    ddf = duck.sql(entry_mod.oracle_sql()["lifecycle_image"]).fetchall()
+    got = sorted((r["axis"], r["n_lit"], r["pixel_sha256"]) for r in sdf)
+    want = sorted((r[0], r[3], r[4]) for r in ddf)
+    assert got == want
