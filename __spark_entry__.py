@@ -85,6 +85,11 @@ _CHANGED_THIS_ROUND = [
     "lifecycle_query",  # NEW - /query lifecycle end-to-end witness
     "q35",  # NEW - value_w write-value surface (rw attributes)
     "stream_raster",  # NEW - streaming twin of the raster kernel
+    # found by the builder's own sweep for the dedup_substr ADVICE class:
+    # dedup_spans' oracle partitioned by the span STRING while the engine
+    # partitions by its 60-bit hash - oracle now hashes too (identical
+    # criterion; a collision marks the same span duplicated in both)
+    "dedup_spans",
 ]
 # never driver-witnessed (VERDICT r11 #1 mandates these lead the fill)
 _NEVER_WITNESSED = [
@@ -104,12 +109,12 @@ _STALE_R7 = [
     "events_rollup", "events_pivot", "events_quantiles",
 ]
 # ...then the r8-row core (q5-q8, q23-q28, q30-q34 - named in VERDICT
-# r11 #1) + stream_last_value; the other r8 rows lead the r13 queue
+# r11 #1); stream_last_value yielded its slot to the dedup_spans oracle
+# fix and leads the r13 queue with the other r8 rows
 _STALE_R8 = (
     [f"q{i}" for i in (5, 6, 7, 8)]
     + [f"q{i}" for i in range(23, 29)]
     + [f"q{i}" for i in range(30, 35)]
-    + ["stream_last_value"]
 )
 _WINDOW = _CHANGED_THIS_ROUND + _NEVER_WITNESSED + _STALE_R7 + _STALE_R8
 

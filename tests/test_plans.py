@@ -732,3 +732,18 @@ def test_q35_write_value_surface_rides_the_hash_aggregate(spark):
     assert 2 <= n_hash <= 4, f"main pass must hash-aggregate, got {n_hash}"
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lifecycle_query_broadcast_routing_and_pruned_scan(spark):
+    """The /query lifecycle's combined plan (r12): both branches' name
+    reassembly joins must be broadcasts (J1 - the name dim is K rows),
+    never shuffles, and the events scan must be column-pruned with the
+    attribute and time restrictions at the scan (F1/S2)."""
+    plan = _plan(QUERIES["lifecycle_query"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    scan = next(
+        line for line in plan.splitlines() if "FileScan parquet" in line
+    )
+    assert "user_id" in scan.split("DataFilters")[-1]
+    assert "ts" in scan.split("DataFilters")[-1]

@@ -2062,21 +2062,27 @@ EXTENSION_ORACLE["pipe_curriculum"] = """
 
 # duplicated-span accounting (extensions.dedup_spans / dedup.span_dedup):
 # same non-overlapping 8-token windows; first occurrence by (doc_id,
-# window index) via ROW_NUMBER, within-doc repeats count as duplicates
-EXTENSION_ORACLE["dedup_spans"] = """
+# window index) via ROW_NUMBER over the window's 60-BIT MD5 HASH - the
+# SAME key the engine partitions on (the dedup_substr/dedup_winnow rule:
+# hashing both sides keeps the engines on the identical criterion, so a
+# 60-bit collision marks the same span duplicated in both rather than
+# flipping parity); within-doc repeats count as duplicates
+EXTENSION_ORACLE["dedup_spans"] = f"""
         WITH t AS (
           SELECT doc_id,
                  list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
           FROM documents),
         s AS (
           SELECT doc_id, i AS w,
-                 array_to_string(list_slice(l, i * 8 + 1, i * 8 + 8), ' ') AS span
+                 {H.format(
+                     x="array_to_string(list_slice(l, i * 8 + 1, i * 8 + 8), ' ')"
+                 )} AS h
           FROM (SELECT doc_id, l,
                        unnest(generate_series(0, CAST(len(l) // 8 AS INT) - 1)) AS i
                 FROM t WHERE len(l) >= 8)),
         r AS (
           SELECT doc_id, w,
-                 ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, w) AS rk
+                 ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, w) AS rk
           FROM s)
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_spans,
