@@ -438,7 +438,9 @@ CORE_ORACLE = {
     # check to a full value-hash gate: any regression anywhere in the
     # raster -> compose -> encode stack now hash-fails at the driver.
     # NOT a first-principles derivation - the independent derivation
-    # lives in the suite; this pin makes it driver-visible.
+    # lives in the suite; this pin makes it driver-visible. Regenerate
+    # the literals after any legitimate render/fixture change with
+    # `python -m web_maxiv_hdbppviewer_spark.plans.pin_lifecycle_image`.
     "lifecycle_image": """
         WITH pinned(n_events, axis, width, height, n_lit,
                     pixel_sha256, y0, y1) AS (
