@@ -168,3 +168,23 @@ def test_lifecycle_image_matches_its_pinned_oracle_rows(spark, duck):
     got = sorted((r["axis"], r["n_lit"], r["pixel_sha256"]) for r in sdf)
     want = sorted((r[0], r[3], r[4]) for r in ddf)
     assert got == want
+
+
+def test_bloom_empty_train_corpus_yields_zero_rows_not_errors(spark):
+    """An empty train side must produce an all-zero bitmap and zero
+    candidates/shared for every eval doc - not a crash in the bitmap
+    OR-merge or a null row."""
+    from web_maxiv_hdbppviewer_spark.operators.dedup import (
+        bloom_contamination,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame([], "doc_id long, text string")
+    out = bloom_contamination(ev, tr, k=5).collect()
+    assert len(out) == 1
+    assert out[0]["n_shingles"] == 4
+    assert out[0]["n_candidates"] == 0
+    assert out[0]["n_shared"] == 0
+    assert out[0]["shared_frac"] == 0.0
