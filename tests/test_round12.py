@@ -188,3 +188,59 @@ def test_bloom_empty_train_corpus_yields_zero_rows_not_errors(spark):
     assert out[0]["n_candidates"] == 0
     assert out[0]["n_shared"] == 0
     assert out[0]["shared_frac"] == 0.0
+
+
+def test_bloom_matches_pure_python_brute_force(spark):
+    """INDEPENDENT check (no shared expression code, the
+    pq-vs-numpy-brute-force pattern): a seeded random corpus with a tiny
+    vocabulary (forcing heavy cross-doc shingle sharing), the engine's
+    (n_shingles, n_candidates, n_shared) vs a from-scratch Python
+    replication - hashlib md5 slices for the bloom bits, plain string
+    sets for the true overlap. Catches any shared misconception between
+    the engine and its SQL oracle."""
+    import hashlib
+    import random
+
+    from web_maxiv_hdbppviewer_spark.operators.dedup import (
+        BLOOM_M_LOG2,
+        bloom_contamination,
+    )
+
+    rng = random.Random(12)
+    vocab = ["w%d" % i for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for i in range(30)
+    ]
+    k, m = 3, 1 << BLOOM_M_LOG2
+    ev_docs, tr_docs = docs[:10], docs[10:]
+
+    def grams(text):
+        toks = [t for t in text.lower().split(" ") if t]
+        return {
+            " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)
+        }
+
+    def positions(s):
+        hx = hashlib.md5(s.encode()).hexdigest()
+        return int(hx[15:21], 16) % m, int(hx[21:27], 16) % m
+
+    train = set()
+    for _, t in tr_docs:
+        train |= grams(t)
+    bits = set()
+    for s in train:
+        bits.update(positions(s))
+    want = {}
+    for i, t in ev_docs:
+        g = grams(t)
+        cand = {s for s in g if set(positions(s)) <= bits}
+        want[i] = (len(g), len(cand), len(g & train))
+
+    ev = spark.createDataFrame(ev_docs, "doc_id long, text string")
+    tr = spark.createDataFrame(tr_docs, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_shingles"], r["n_candidates"], r["n_shared"])
+        for r in bloom_contamination(ev, tr, k).collect()
+    }
+    assert got == want
