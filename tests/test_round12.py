@@ -244,3 +244,58 @@ def test_bloom_matches_pure_python_brute_force(spark):
         for r in bloom_contamination(ev, tr, k).collect()
     }
     assert got == want
+
+
+# -------------------------------------------- append-mode streaming raster
+
+
+def test_streaming_raster_append_equals_batch_finalized_columns(spark):
+    """The production live-dashboard path: append-mode watermarked raster
+    must emit exactly the batch bin_2d cells of every FINALIZED pixel
+    column (window end at or before the final watermark = max event time
+    minus the lateness bound) - emitted once, bit-equal, with later
+    columns still held in state."""
+    import tempfile
+
+    from web_maxiv_hdbppviewer_spark.functions.time import epoch_us
+    from web_maxiv_hdbppviewer_spark.operators.raster import bin_2d
+    from web_maxiv_hdbppviewer_spark.plans import extensions
+    from web_maxiv_hdbppviewer_spark.plans.queries import X0_US, X_SPAN_US
+    from web_maxiv_hdbppviewer_spark.sources.tables import load_tables
+    from web_maxiv_hdbppviewer_spark.streaming.incremental import (
+        streaming_raster_windowed,
+    )
+
+    events = load_tables(spark, SF_SMOKE)["events"]
+    feed = extensions._stream_events(spark, SF_SMOKE).select("ts", "value")
+    sink = "stream_raster_append_t12"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            streaming_raster_windowed(
+                feed, X0_US, X_SPAN_US, 100, 0.0, 500.0, 80
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        extensions._drain(q)
+    got = {
+        (r["xb"], r["yb"], r["cnt"], r["vmean"], r["vmin"], r["vmax"])
+        for r in spark.table(sink).collect()
+    }
+    col_us = int(X_SPAN_US / 100)
+    max_us = events.select(epoch_us(F.max("ts")).alias("m")).collect()[0]["m"]
+    wm_us = max_us - 3_600_000_000  # the 1h lateness bound
+    batch = bin_2d(events, X0_US, X_SPAN_US, 100, 0.0, 500.0, 80).collect()
+    want = {
+        (r["xb"], r["yb"], r["cnt"], r["vmean"], r["vmin"], r["vmax"])
+        for r in batch
+        if X0_US + (r["xb"] + 1) * col_us <= wm_us
+    }
+    assert want, "watermark left no finalized columns - fixture too small"
+    assert got == want
+    # later columns exist in batch but are (correctly) still unemitted
+    assert len(batch) > len(want)

@@ -78,3 +78,72 @@ def streaming_resample(
             "n",
         )
     )
+
+
+def streaming_raster_windowed(
+    stream: DataFrame,
+    x0_us: int,
+    span_us: float,
+    nx: int,
+    ymin: float,
+    ymax: float,
+    ny: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    late_threshold: str = "1 hour",
+) -> DataFrame:
+    """APPEND-MODE twin of the A6 raster kernel - the production shape of
+    a live /image dashboard (the complete-mode ``stream_raster`` witness
+    re-emits the whole raster per trigger; a deployment instead wants
+    each pixel COLUMN emitted exactly once, when the event-time watermark
+    passes it, and its state evicted).
+
+    The pixel column is an event-time tumbling window whose duration is
+    the column width (span / nx) and whose ``startTime`` offset aligns
+    the window grid to ``x0`` - so the emitted (xb, yb) cells carry
+    exactly the batch ``bin_2d`` bin arithmetic: xb recovered as the
+    integer column index of ``window.start``. Requires an integral-
+    microsecond column width (true for any resolution the /image API
+    serves; asserted).
+
+    Output (append per finalized column): (xb, yb, cnt, vmean, vmin,
+    vmax) - bit-compatible with ``operators.raster.bin_2d``. State is
+    bounded by (open windows x ny) cells and evicted at the watermark:
+    the screen-resolution-bounded property, now also TIME-bounded.
+    """
+    from ..functions.time import epoch_us
+    from ..operators.raster import ybin
+
+    col_us = span_us / nx
+    assert col_us == int(col_us), (
+        f"pixel column width must be integral microseconds, got {col_us}"
+    )
+    col_us = int(col_us)
+    dur = f"{col_us} microseconds"
+    off = f"{x0_us % col_us} microseconds"
+    v = F.col(value_col)
+    return (
+        stream.where((v >= ymin) & (v < ymax))
+        .withWatermark(ts_col, late_threshold)
+        .groupBy(
+            F.window(F.col(ts_col), dur, dur, off).alias("win"),
+            ybin(v, ymin, ymax, ny).alias("yb"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg(value_col), 6).alias("vmean"),
+            F.round(F.min(value_col), 6).alias("vmin"),
+            F.round(F.max(value_col), 6).alias("vmax"),
+        )
+        .select(
+            F.floor(
+                (epoch_us(F.col("win.start")) - F.lit(x0_us))
+                / F.lit(float(col_us))
+            ).cast("int").alias("xb"),
+            "yb",
+            "cnt",
+            "vmean",
+            "vmin",
+            "vmax",
+        )
+    )
