@@ -93,10 +93,14 @@ def main() -> None:
     # tell a steady-state cost from a query that happened to BUILD one of
     # the session's memoized artifacts (shingle/pair indexes, codebooks,
     # centroid tables, ...) on first touch. Snapshot every memo store's
-    # size around each timed query and mark the lines where one grew, so
-    # the artifact is self-attributing and the judge can gate on
-    # steady-state numbers.
-    def _memo_sizes() -> dict[str, int]:
+    # ENTRY IDENTITIES around each timed query and mark the lines where a
+    # new entry appeared, so the artifact is self-attributing and the
+    # judge can gate on steady-state numbers. Identities, not lengths:
+    # the list stores are LRU-capped at 4 entries, so a rebuild (or an
+    # eviction-forced rebuild - the exact pipe_contamination_bloom r11
+    # spike class) keeps len()==4 while swapping an entry; id()-set
+    # difference still catches it.
+    def _memo_sizes() -> dict[str, frozenset]:
         from web_maxiv_hdbppviewer_spark.operators import (
             dedup, similarity, textquality,
         )
@@ -116,7 +120,11 @@ def main() -> None:
             "ivfpq_artifacts": extensions._IVFPQ_MEMO,
             "coarse_centroids": extensions._COARSE_MEMO,
         }
-        return {k: len(v) for k, v in stores.items()}
+        def ids(v):
+            vals = v.values() if isinstance(v, dict) else v
+            return frozenset(id(x) for x in vals)
+
+        return {k: ids(v) for k, v in stores.items()}
 
     timings: dict[str, float] = {}
     first_touch: dict[str, list[str]] = {}
@@ -130,7 +138,7 @@ def main() -> None:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        grew = [k for k, n_after in _memo_sizes().items() if n_after > before[k]]
+        grew = [k for k, after in _memo_sizes().items() if after - before[k]]
         if grew:
             first_touch[name] = grew
         # stream each timing as its own line: the driver keeps only a

@@ -742,8 +742,22 @@ def test_lifecycle_query_broadcast_routing_and_pruned_scan(spark):
     plan = _plan(QUERIES["lifecycle_query"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    scan = next(
-        line for line in plan.splitlines() if "FileScan parquet" in line
-    )
-    assert "user_id" in scan.split("DataFilters")[-1]
-    assert "ts" in scan.split("DataFilters")[-1]
+    # the raw and resampled branches each scan events.parquet; EVERY one
+    # of those scans must carry the attribute + time restrictions in its
+    # PushedFilters section (not merely mention the columns somewhere -
+    # 'ts' also appears in ReadSchema, which made a naive substring check
+    # vacuous) and read only the 4 datapoint columns
+    scans = [
+        line
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and "events.parquet" in line
+    ]
+    assert scans, plan
+    for scan in scans:
+        assert "PushedFilters: [" in scan, scan
+        pushed = scan.split("PushedFilters: [", 1)[1]
+        assert "In(user_id" in pushed or "EqualTo(user_id" in pushed, scan
+        assert "GreaterThanOrEqual(ts" in pushed, scan
+        assert ", ReadSchema: " in scan, scan
+        schema = scan.split(", ReadSchema: ", 1)[1]
+        assert schema.count(":") == 4, schema  # struct< + 4 pruned columns

@@ -2,6 +2,8 @@
 signed-zero canonicalization in dimension_stats, the bloom md5
 bit-slice family, and the value_w write-value surface."""
 
+import math
+
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
@@ -288,7 +290,10 @@ def test_streaming_raster_append_equals_batch_finalized_columns(spark):
     }
     col_us = int(X_SPAN_US / 100)
     max_us = events.select(epoch_us(F.max("ts")).alias("m")).collect()[0]["m"]
-    wm_us = max_us - 3_600_000_000  # the 1h lateness bound
+    # the watermark rides the SYNTHETIC event time (the column start of
+    # the latest event, by the batch float binning), minus the 1h bound
+    max_synth_us = X0_US + math.floor((max_us - X0_US) / X_SPAN_US * 100) * col_us
+    wm_us = max_synth_us - 3_600_000_000
     batch = bin_2d(events, X0_US, X_SPAN_US, 100, 0.0, 500.0, 80).collect()
     want = {
         (r["xb"], r["yb"], r["cnt"], r["vmean"], r["vmin"], r["vmax"])
@@ -299,3 +304,109 @@ def test_streaming_raster_append_equals_batch_finalized_columns(spark):
     assert got == want
     # later columns exist in batch but are (correctly) still unemitted
     assert len(batch) > len(want)
+
+
+def test_streaming_raster_boundary_events_match_batch_float_binning(spark):
+    """CONSTRUCTED HAZARD: events bitwise-exactly on pixel-column
+    boundaries. The batch xbin float expression floor((t-x0)/span*nx)
+    rounds the quotient one ulp LOW for columns {29, 57, 58} at the
+    production 30-day/nx=100 grid, binning those boundary events one
+    column left of the exact integer grid. The append-mode streaming
+    raster windows on a synthetic event time derived from the same
+    float expression, so it must agree with bin_2d on every one of
+    these cells (it disagreed before the synthetic-ts fix)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from web_maxiv_hdbppviewer_spark.operators.raster import bin_2d
+    from web_maxiv_hdbppviewer_spark.plans import extensions
+    from web_maxiv_hdbppviewer_spark.plans.queries import X0_US, X_SPAN_US
+    from web_maxiv_hdbppviewer_spark.streaming.incremental import (
+        streaming_raster_windowed,
+    )
+
+    nx, col_us = 100, int(X_SPAN_US / 100)
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    # every column boundary (the hazard set {29,57,58} included), plus
+    # one far-future row so the watermark finalizes all of them
+    rows = [
+        (F.lit(X0_US + k * col_us), float(k % 7) + 0.25)
+        for k in range(nx)
+    ]
+    batch_df = spark.createDataFrame(
+        [(k, v) for k, (_, v) in zip(range(nx), rows)], "k long, value double"
+    ).select(
+        F.timestamp_micros(F.lit(X0_US) + F.col("k") * F.lit(col_us)).alias(
+            "ts"
+        ),
+        "value",
+    )
+    closer = spark.createDataFrame(
+        [(X0_US + (nx + 100) * col_us, 1.0)], "us long, value double"
+    ).select(F.timestamp_micros("us").alias("ts"), "value")
+    full = batch_df.unionByName(closer)
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/src", f"{d}/ckpt"
+        full.coalesce(1).write.parquet(src)
+        feed = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_raster_windowed(
+                feed, X0_US, X_SPAN_US, nx, 0.0, 500.0, 80
+            )
+            .writeStream.format("memory")
+            .queryName("stream_raster_boundary_t12")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        extensions._drain(q)
+
+    got = {
+        tuple(r)
+        for r in spark.table("stream_raster_boundary_t12").collect()
+    }
+    want = {
+        tuple(r)
+        for r in bin_2d(full, X0_US, X_SPAN_US, nx, 0.0, 500.0, 80).collect()
+        # streaming holds back columns past the watermark; the +100
+        # closer row leaves every constructed column finalized
+        if r["xb"] <= nx
+    }
+    assert got == want
+    # the hazard is real on this grid: boundary events 29/57/58 bin LEFT
+    xbs = {r[0] for r in want}
+    for k in (29, 57, 58):
+        assert k - 1 in xbs
+
+
+def test_clear_dedup_caches_clears_every_memo_store():
+    """The corpus-rewrite escape hatch must cover ALL four session memo
+    stores - the fuzzy gram/rare indexes were added after the function
+    and silently survived a clear, returning stale checkpointed indexes
+    after an in-place corpus rewrite (same logical plan, same semantic
+    hash, old blocks)."""
+    from web_maxiv_hdbppviewer_spark.operators import dedup
+
+    stores = (
+        dedup._SHINGLE_CACHE,
+        dedup._PAIR_CACHE,
+        dedup._FUZZY_GRAM_CACHE,
+        dedup._FUZZY_RARE_CACHE,
+    )
+    saved = [list(s) for s in stores]
+    try:
+        for s in stores:
+            s.append((0, None, None))
+        dedup.clear_dedup_caches()
+        assert all(not s for s in stores)
+    finally:
+        for s, old in zip(stores, saved):
+            s[:] = old

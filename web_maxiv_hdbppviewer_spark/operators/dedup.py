@@ -139,6 +139,8 @@ _MEMO_MAX = 4
 def clear_dedup_caches() -> None:
     _SHINGLE_CACHE.clear()
     _PAIR_CACHE.clear()
+    _FUZZY_GRAM_CACHE.clear()
+    _FUZZY_RARE_CACHE.clear()
 
 
 def _memoized_checkpoint(cache: list, plan: DataFrame) -> DataFrame:
@@ -909,7 +911,9 @@ def repeated_substrings(
 
 
 BLOOM_M_LOG2 = 22  # 4 Mi bits = 512 KiB bitmap
-BLOOM_H = 2        # hash functions (salted portable md5)
+BLOOM_H = 2        # probe positions per shingle: md5 hex slices 16-21 / 22-27
+                   # (one unsalted md5 per shingle, bit-sliced - the fpr
+                   # exponent in bloom_contamination's docstring)
 
 
 def bloom_contamination(

@@ -159,12 +159,27 @@ def topk_mips(
     # the ip sort key; reuses the q_id exchange, no extra shuffle) makes
     # both rankings fall to the cand_id tiebreak on ties; distinct-ip
     # rows are singleton peer groups, so the contract binds unchanged.
+    # The snap is GATED on the group's spread staying inside a float-
+    # noise bound: an unconditional max would also absorb a genuine
+    # per-row aug_cos corruption inside a tie group (e.g. a broken ext
+    # clamp on the max-norm candidate), certifying a row whose raw value
+    # disagrees with the reduction. Noise from the materialized |x'| is
+    # a handful of ulps; corruption is not - outside the bound every row
+    # keeps its raw aug_cos and a corrupted row surfaces as aug_ok=false.
     w_peer = (
         Window.partitionBy("q_id")
         .orderBy(F.col("ip").desc())
         .rangeBetween(Window.currentRow, Window.currentRow)
     )
-    scored = scored.withColumn("aug_snap", F.max("aug_cos").over(w_peer))
+    spread_ok = (
+        F.max("aug_cos").over(w_peer) - F.min("aug_cos").over(w_peer)
+    ) <= F.lit(1e-9) * F.greatest(F.abs(F.max("aug_cos").over(w_peer)), F.lit(1.0))
+    scored = scored.withColumn(
+        "aug_snap",
+        F.when(spread_ok, F.max("aug_cos").over(w_peer)).otherwise(
+            F.col("aug_cos")
+        ),
+    )
     w_aug = Window.partitionBy("q_id").orderBy(
         F.col("aug_snap").desc(), F.col("cand_id").asc()
     )

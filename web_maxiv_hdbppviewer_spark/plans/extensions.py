@@ -634,7 +634,8 @@ def pipe_contamination_bloom(spark, sf_dir):
     candidates. Hash-green soundness proof: the oracle computes the
     TRUE overlap counts with a plain semi-join, so any bloom false
     negative flips the hash; even n_candidates is replayed in SQL
-    because the bloom positions use the portable salted-md5 family."""
+    because the bloom positions are portable md5 hex slices (chars
+    16-21 / 22-27 mod 2^22 of the one per-shingle md5)."""
     split = sampling.hash_split(_docs(spark, sf_dir), SPLIT_FRACTIONS)
     ev = split.where(F.col("split") == "test")
     tr = split.where(F.col("split") == "train")

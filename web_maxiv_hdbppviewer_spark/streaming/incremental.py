@@ -99,20 +99,29 @@ def streaming_raster_windowed(
     passes it, and its state evicted).
 
     The pixel column is an event-time tumbling window whose duration is
-    the column width (span / nx) and whose ``startTime`` offset aligns
-    the window grid to ``x0`` - so the emitted (xb, yb) cells carry
-    exactly the batch ``bin_2d`` bin arithmetic: xb recovered as the
-    integer column index of ``window.start``. Requires an integral-
-    microsecond column width (true for any resolution the /image API
-    serves; asserted).
+    the column width (span / nx). Windowing on the raw ``ts`` would bin
+    by EXACT integer grid arithmetic, which disagrees with the batch
+    ``xbin`` float expression ``floor((t-x0)/span*nx)`` for events
+    bitwise-exactly on a column boundary (two float roundings can pull
+    the quotient one ulp below the integer; with the production 30-day
+    span and nx=100, columns 29/57/58 bin boundary events one column
+    left of the exact grid). So each event is instead windowed on a
+    SYNTHETIC event time - the start of the column the batch expression
+    assigns it to, ``x0 + xbin(ts)*col_us`` - making the streaming grid
+    carry the batch bin arithmetic bit-for-bit, boundary events
+    included. Requires an integral-microsecond column width (true for
+    any resolution the /image API serves; asserted).
 
     Output (append per finalized column): (xb, yb, cnt, vmean, vmin,
     vmax) - bit-compatible with ``operators.raster.bin_2d``. State is
     bounded by (open windows x ny) cells and evicted at the watermark:
-    the screen-resolution-bounded property, now also TIME-bounded.
+    the screen-resolution-bounded property, now also TIME-bounded. The
+    watermark rides the synthetic time, which trails the real event
+    time by less than one column width - so the effective lateness
+    bound is ``late_threshold`` plus at most one pixel column.
     """
     from ..functions.time import epoch_us
-    from ..operators.raster import ybin
+    from ..operators.raster import xbin, ybin
 
     col_us = span_us / nx
     assert col_us == int(col_us), (
@@ -122,11 +131,17 @@ def streaming_raster_windowed(
     dur = f"{col_us} microseconds"
     off = f"{x0_us % col_us} microseconds"
     v = F.col(value_col)
+    col_start = F.timestamp_micros(
+        F.lit(x0_us)
+        + xbin(epoch_us(F.col(ts_col)), x0_us, span_us, nx).cast("long")
+        * F.lit(col_us)
+    )
     return (
         stream.where((v >= ymin) & (v < ymax))
-        .withWatermark(ts_col, late_threshold)
+        .withColumn("_col_ts", col_start)
+        .withWatermark("_col_ts", late_threshold)
         .groupBy(
-            F.window(F.col(ts_col), dur, dur, off).alias("win"),
+            F.window(F.col("_col_ts"), dur, dur, off).alias("win"),
             ybin(v, ymin, ymax, ny).alias("yb"),
         )
         .agg(
