@@ -67,3 +67,34 @@ def test_incremental_trainer_matches_recount_trainer(wf, n_merges):
         return merges
 
     assert train_merges_local(wordfreqs, n_merges) == recount(wordfreqs, n_merges)
+
+
+@given(
+    st.integers(min_value=0, max_value=2_592_000_000_000 * 3),
+    st.sampled_from([100, 200, 400, 800, 1000]),
+)
+@settings(max_examples=300, deadline=None)
+def test_streaming_raster_synthetic_ts_reconstruction_is_exact(off_us, nx):
+    """The append-mode raster's contract (streaming/incremental.py):
+    windowing on the synthetic time x0 + xbin(ts)*col_us and recovering
+    xb as floor((win.start - x0)/col_us) must reproduce the batch float
+    xbin value EXACTLY for every event time - including the boundary
+    events where float xbin disagrees with exact integer gridding. Pure
+    arithmetic twin of both expressions (k*col_us stays below 2^53, so
+    the division round-trips)."""
+    import math
+
+    x0 = 1_704_067_200_000_000
+    span = 2_592_000_000_000.0  # 30 days
+    if span / nx != int(span / nx):
+        return
+    col = int(span / nx)
+    t = x0 + off_us
+    xb_batch = math.floor((t - x0) / span * nx)
+    synth = x0 + xb_batch * col
+    xb_recovered = math.floor((synth - x0) / float(col))
+    assert xb_recovered == xb_batch
+    # the synthetic time stays within one column width of the real event
+    # time in either direction (float binning can round a boundary down
+    # or a near-boundary up), bounding the watermark-lateness slack
+    assert -col <= t - synth < 2 * col

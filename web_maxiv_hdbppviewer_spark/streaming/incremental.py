@@ -116,9 +116,11 @@ def streaming_raster_windowed(
     vmax) - bit-compatible with ``operators.raster.bin_2d``. State is
     bounded by (open windows x ny) cells and evicted at the watermark:
     the screen-resolution-bounded property, now also TIME-bounded. The
-    watermark rides the synthetic time, which trails the real event
-    time by less than one column width - so the effective lateness
-    bound is ``late_threshold`` plus at most one pixel column.
+    watermark rides the synthetic time, which differs from the real
+    event time by less than one column width in either direction (the
+    float quotient can round an exact boundary down OR a near-boundary
+    value up) - so the effective lateness bound is ``late_threshold``
+    plus at most one pixel column.
     """
     from ..functions.time import epoch_us
     from ..operators.raster import xbin, ybin
