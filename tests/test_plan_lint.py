@@ -7,31 +7,33 @@ WHOLE battery, so a new or edited query that introduces a cartesian
 product, a partition-less window, or a single-partition exchange fails
 here until its boundedness argument is written down in the allowlist.
 (The allowlists are not exemptions from scrutiny: each entry carries the
-reason the shape is bounded at 100 TB.)
+reason the shape is bounded at 100 TB, and the allowance is an exact
+OCCURRENCE COUNT - an allowlisted query that grows a second instance of
+the same pattern fails again.)
 
 Signals and why they matter at scale:
   - CartesianProduct: |A| x |B| work; never acceptable over corpus-sized
     inputs. (Broadcast 1-row/K-row crossJoins plan as
     BroadcastNestedLoopJoin, which is fine and not linted.)
   - Partition-less Window (windowspecdefinition with no partition
-    columns): funnels every input row through ONE task - the
-    graph_pagerank top-k defect VERDICT r11 found. Acceptable only over
-    provably bounded inputs.
+    columns - ordered or not): funnels every input row through ONE
+    task - the graph_pagerank top-k defect VERDICT r11 found.
+    Acceptable only over provably bounded inputs.
   - Exchange SinglePartition: fine below a partial aggregate (the merge
     sees one row per map partition) or over bounded frames, which is
     every current occurrence; the allowlist pins exactly where.
 """
 
-import re
-
 import pytest
 
 import __spark_entry__ as entry_mod
 from tests.conftest import SF_SMOKE
+from tests.test_plans import _plan
 
 QUERIES = entry_mod.queries()
 
-# Partition-less windows, each over a bounded frame:
+# name -> allowed count of partition-less windowspecdefinitions, each
+# over a bounded frame:
 #   graph_pagerank       - rank over the 20-row TakeOrderedAndProject
 #                          result (test_plans pins the Window sits above
 #                          the TakeOrdered)
@@ -39,67 +41,113 @@ QUERIES = entry_mod.queries()
 #                          rows (bounded by the domain vocabulary, never
 #                          the corpus - same argument as the codebook
 #                          collects)
-GLOBAL_WINDOW_OK = {"graph_pagerank", "pipe_mixture_schedule"}
+GLOBAL_WINDOW_OK = {"graph_pagerank": 1, "pipe_mixture_schedule": 1}
 
-# Exchange SinglePartition sites, all one of:
+# name -> allowed count of Exchange SinglePartition sites, all one of:
 #   (a) the merge step of a partially-aggregated global aggregate (input
 #       = one row per map partition): q8, q19, scale_colstats, sim_mips
 #       (global max-norm), sim_pca_gram, text_domain_shift, text_lm_score,
-#       text_keywords, text_collocations (corpus-level totals),
-#       pipe_temperature_mix, pipe_funnel, events_funnel_seq,
-#       events_scaffold (stage-total scalars)
-#   (b) a bounded-frame sort: pipe_mixture_schedule (K domain rows),
-#       pipe_curriculum (per-partition count vector, bounded by
-#       #partitions - operators/rank.py)
+#       text_keywords, text_collocations (two corpus-total scalars),
+#       pipe_temperature_mix (corpus total + weight normalizer),
+#       pipe_funnel (one survivor-count scalar per funnel stage, 6),
+#       events_funnel_seq (one scalar per funnel step, 3),
+#       events_scaffold (stage-total scalar)
+#   (b) a bounded-frame sort or its feeding scalar: pipe_mixture_schedule
+#       (corpus total + leftover scalar + the K-domain-row remainder
+#       ranking, K bounded by the domain vocabulary), pipe_curriculum
+#       (per-partition count vector, bounded by #partitions -
+#       operators/rank.py)
 SINGLE_PARTITION_OK = {
-    "events_funnel_seq",
-    "events_scaffold",
-    "pipe_curriculum",
-    "pipe_funnel",
-    "pipe_mixture_schedule",
-    "pipe_temperature_mix",
-    "q8",
-    "q19",
-    "scale_colstats",
-    "sim_mips",
-    "sim_pca_gram",
-    "text_collocations",
-    "text_domain_shift",
-    "text_keywords",
-    "text_lm_score",
+    "events_funnel_seq": 3,
+    "events_scaffold": 1,
+    "pipe_curriculum": 1,
+    "pipe_funnel": 6,
+    "pipe_mixture_schedule": 4,
+    "pipe_temperature_mix": 2,
+    "q8": 1,
+    "q19": 1,
+    "scale_colstats": 1,
+    "sim_mips": 1,
+    "sim_pca_gram": 1,
+    "text_collocations": 2,
+    "text_domain_shift": 1,
+    "text_keywords": 1,
+    "text_lm_score": 1,
 }
 
 # No declared query may plan a CartesianProduct, ever. (The bounded
 # n_files^2 certificate in operators/compact.py rides a broadcast
 # nested-loop join, not a cartesian.)
-CARTESIAN_OK: set = set()
+CARTESIAN_OK: dict = {}
 
 
-def _global_window(plan: str) -> bool:
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-        first = m.group(1).split(",")[0].strip()
-        if " ASC" in first or " DESC" in first:
-            return True
-    return False
+def _split_top_level(args: str) -> list[str]:
+    """Split a windowspecdefinition argument string on top-level commas
+    (order/partition expressions may themselves contain commas, e.g.
+    coalesce(a, b) ASC NULLS FIRST)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(args):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(args[start:i].strip())
+            start = i + 1
+    tail = args[start:].strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _n_global_windows(plan: str) -> int:
+    """Count windowspecdefinitions with NO partition columns.
+
+    Balanced-paren extraction (the naive regex stops at the first ')',
+    which lets parenthesized order expressions escape). A spec's args
+    are [partition cols...], [order specs... (suffix ASC/DESC ...)],
+    specifiedwindowframe(...). Global = the first non-frame arg is an
+    order spec, or there are no non-frame args at all (an unordered
+    partition-less window - still a single-task funnel)."""
+    n = 0
+    marker = "windowspecdefinition("
+    i = plan.find(marker)
+    while i != -1:
+        j, depth = i + len(marker), 1
+        while j < len(plan) and depth:
+            if plan[j] == "(":
+                depth += 1
+            elif plan[j] == ")":
+                depth -= 1
+            j += 1
+        args = [
+            a
+            for a in _split_top_level(plan[i + len(marker) : j - 1])
+            if not a.startswith("specifiedwindowframe(")
+        ]
+        if not args or " ASC" in args[0] or " DESC" in args[0]:
+            n += 1
+        i = plan.find(marker, j)
+    return n
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES, key=lambda n: (len(n), n)))
 def test_plan_has_no_unexplained_scale_antipattern(name, spark):
-    plan = (
-        QUERIES[name](spark, SF_SMOKE)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    if "CartesianProduct" in plan and name not in CARTESIAN_OK:
-        pytest.fail(f"{name}: CartesianProduct in plan")
-    if _global_window(plan) and name not in GLOBAL_WINDOW_OK:
+    plan = _plan(QUERIES[name](spark, SF_SMOKE))
+    n_cart = plan.count("CartesianProduct")
+    if n_cart > CARTESIAN_OK.get(name, 0):
+        pytest.fail(f"{name}: {n_cart} CartesianProduct(s) in plan")
+    n_gw = _n_global_windows(plan)
+    if n_gw > GLOBAL_WINDOW_OK.get(name, 0):
         pytest.fail(
-            f"{name}: partition-less Window over un-allowlisted input "
-            "(add to GLOBAL_WINDOW_OK only with a boundedness argument)"
+            f"{name}: {n_gw} partition-less Window(s), allowed "
+            f"{GLOBAL_WINDOW_OK.get(name, 0)} (raise GLOBAL_WINDOW_OK only "
+            "with a boundedness argument)"
         )
-    if "Exchange SinglePartition" in plan and name not in SINGLE_PARTITION_OK:
+    n_sp = plan.count("Exchange SinglePartition")
+    if n_sp > SINGLE_PARTITION_OK.get(name, 0):
         pytest.fail(
-            f"{name}: Exchange SinglePartition outside the allowlist "
-            "(fine below a partial agg or over a bounded frame - say which)"
+            f"{name}: {n_sp} Exchange SinglePartition(s), allowed "
+            f"{SINGLE_PARTITION_OK.get(name, 0)} (fine below a partial agg "
+            "or over a bounded frame - say which)"
         )

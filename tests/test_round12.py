@@ -289,9 +289,17 @@ def test_streaming_raster_append_equals_batch_finalized_columns(spark):
         for r in spark.table(sink).collect()
     }
     col_us = int(X_SPAN_US / 100)
-    max_us = events.select(epoch_us(F.max("ts")).alias("m")).collect()[0]["m"]
+    # the stream filters on value BEFORE the watermark column, so the
+    # twin must take max(ts) over the SAME filtered rows - an out-of-
+    # range value on the globally-latest event would otherwise put the
+    # twin's watermark ahead of the stream's
+    max_us = (
+        events.where((F.col("value") >= 0.0) & (F.col("value") < 500.0))
+        .select(epoch_us(F.max("ts")).alias("m"))
+        .collect()[0]["m"]
+    )
     # the watermark rides the SYNTHETIC event time (the column start of
-    # the latest event, by the batch float binning), minus the 1h bound
+    # the latest surviving event, by the batch float binning), minus 1h
     max_synth_us = X0_US + math.floor((max_us - X0_US) / X_SPAN_US * 100) * col_us
     wm_us = max_synth_us - 3_600_000_000
     batch = bin_2d(events, X0_US, X_SPAN_US, 100, 0.0, 500.0, 80).collect()
@@ -333,14 +341,10 @@ def test_streaming_raster_boundary_events_match_batch_float_binning(spark):
             T.StructField("value", T.DoubleType()),
         ]
     )
-    # every column boundary (the hazard set {29,57,58} included), plus
+    # every column boundary (the hazard set {29,58} included), plus
     # one far-future row so the watermark finalizes all of them
-    rows = [
-        (F.lit(X0_US + k * col_us), float(k % 7) + 0.25)
-        for k in range(nx)
-    ]
     batch_df = spark.createDataFrame(
-        [(k, v) for k, (_, v) in zip(range(nx), rows)], "k long, value double"
+        [(k, float(k % 7) + 0.25) for k in range(nx)], "k long, value double"
     ).select(
         F.timestamp_micros(F.lit(X0_US) + F.col("k") * F.lit(col_us)).alias(
             "ts"
@@ -381,10 +385,13 @@ def test_streaming_raster_boundary_events_match_batch_float_binning(spark):
         if r["xb"] <= nx
     }
     assert got == want
-    # the hazard is real on this grid: boundary events 29/57/58 bin LEFT
+    # the hazard is real on this grid: the boundary events of columns 29
+    # and 58 bin LEFT, so those columns are EMPTY (57's event also shifts
+    # left, but 58's backfills it) - the discriminating assertion, not
+    # merely "k-1 is present" (true under exact binning too)
     xbs = {r[0] for r in want}
-    for k in (29, 57, 58):
-        assert k - 1 in xbs
+    assert 29 not in xbs and 58 not in xbs, sorted(xbs)
+    assert 28 in xbs and 57 in xbs
 
 
 def test_clear_dedup_caches_clears_every_memo_store():

@@ -117,10 +117,11 @@ def streaming_raster_windowed(
     bounded by (open windows x ny) cells and evicted at the watermark:
     the screen-resolution-bounded property, now also TIME-bounded. The
     watermark rides the synthetic time, which differs from the real
-    event time by less than one column width in either direction (the
-    float quotient can round an exact boundary down OR a near-boundary
-    value up) - so the effective lateness bound is ``late_threshold``
-    plus at most one pixel column.
+    event time by AT MOST one column width in either direction (a
+    hazard-boundary event lands exactly one column away; the float
+    quotient can also round a near-boundary value up) - so the
+    effective lateness bound is ``late_threshold`` plus at most one
+    pixel column.
     """
     from ..functions.time import epoch_us
     from ..operators.raster import xbin, ybin
