@@ -309,10 +309,32 @@ def test_write_read_datapoints_roundtrip(spark, tmp_path):
     back = read_datapoints(spark, path, t0=t0, t1=t1)
     expected = datapoints.where(F.col("ts").between(F.lit(t0), F.lit(t1))).count()
     assert back.count() == expected
-    # partition pruning: the physical plan must carry a partition filter
+    # partition pruning is THE 100 TB lever for the day-partitioned scan
+    # (S1/T2): the FileScan must carry a NON-EMPTY PartitionFilters
+    # section naming period ('period' alone appears in any plan of this
+    # scan - ReadSchema/output - so that substring proves nothing) ...
     plan = back._jdf.queryExecution().executedPlan().toString()
-    assert "period" in plan
-    assert day_partitions(t0, t1) == ["2024-01-10", "2024-01-11", "2024-01-12"]
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PartitionFilters: [" in scan_line, scan_line
+    pf = scan_line.split("PartitionFilters: [", 1)[1]
+    assert pf.split("]")[0].strip(), f"empty PartitionFilters: {scan_line}"
+    assert "period" in pf, scan_line
+    # ... and the scan must TOUCH only the three matched day directories
+    days = day_partitions(t0, t1)
+    assert days == ["2024-01-10", "2024-01-11", "2024-01-12"]
+    # input_file_name() reflects the files the executed scan actually
+    # read (DataFrame.inputFiles would list the unpruned index)
+    touched = {
+        seg.split("=", 1)[1]
+        for (f,) in back.select(F.input_file_name()).distinct().collect()
+        for seg in f.split("/")
+        if seg.startswith("period=")
+    }
+    assert touched and touched <= set(days), touched
+    n_all_periods = (
+        spark.read.parquet(path).select("period").distinct().count()
+    )
+    assert n_all_periods > len(days), "fixture spans too few days to prove pruning"
 
 
 # --- structured streaming ------------------------------------------------
