@@ -417,3 +417,42 @@ def test_clear_dedup_caches_clears_every_memo_store():
     finally:
         for s, old in zip(stores, saved):
             s[:] = old
+
+
+def test_nearest_bucket_rounds_half_ties_to_even_like_the_reference(spark, duck):
+    """CONSTRUCTED HAZARD: events bitwise-exactly on half-bucket
+    instants. The reference resamples with PYTHON round
+    (data.py:12-14), which is half-to-EVEN - floor(t/w + 0.5) would
+    send t/w = 2.5 to bucket 3 where the reference says 2. The engine
+    (F.bround) and the oracle twin (DuckDB round_even) must both
+    reproduce the reference's tie rule on the same constructed
+    instants."""
+    from web_maxiv_hdbppviewer_spark.functions.time import (
+        epoch_us,
+        nearest_bucket,
+    )
+
+    w = 600_000_000  # 10-minute buckets
+    halves = [1, 3, 4, 5, 6, 2_000_001]  # t/w = 0.5, 1.5, 2.0, 2.5, 3.0, ...
+    df = spark.createDataFrame(
+        [(h * (w // 2),) for h in halves], "t_us long"
+    ).select(F.timestamp_micros("t_us").alias("ts"))
+    got = [
+        r["b"]
+        for r in df.select(
+            nearest_bucket(epoch_us(F.col("ts")), w).alias("b")
+        ).orderBy("b").collect()
+    ]
+    want = [round(h / 2) for h in sorted(halves)]  # python round = reference
+    assert got == want, (got, want)
+    oracle = [
+        r[0]
+        for r in duck.sql(
+            "SELECT CAST(round_even(t / 600000000.0, 0) AS BIGINT) AS b "
+            "FROM (SELECT unnest([300000000, 900000000, 1200000000, "
+            "1500000000, 1800000000, 600000300000000]) AS t) ORDER BY b"
+        ).fetchall()
+    ]
+    assert oracle == want, (oracle, want)
+    # the discriminating instants: 0.5 -> 0 and 2.5 -> 2 (half-up says 1, 3)
+    assert want[0] == 0 and round(2.5) == 2

@@ -98,12 +98,20 @@ def push_time_filter(
 
 
 def nearest_bucket(t_us: Column, width_us: float) -> Column:
-    """Round-to-NEAREST time bucket index.
+    """Round-to-NEAREST time bucket index, ties to EVEN.
 
-    The reference's resample rounds timestamps to the nearest bucket
-    (``round(t / freq) * freq``, reference data.py:12-14) while Spark's
-    ``window()`` and DuckDB's ``time_bucket`` floor; this explicit
-    ``floor(t/w + 0.5)`` replicates the reference semantics exactly and is
-    identical arithmetic in any engine (SURVEY §7.3 hard-part #1).
+    The reference's resample rounds timestamps to the nearest bucket with
+    PYTHON round (``round(t.value/freq.delta.value)``, reference
+    data.py:12-14) - which is round-half-to-EVEN at an exactly-halfway
+    instant, not half-up. Spark's ``window()`` and DuckDB's
+    ``time_bucket`` floor; a ``floor(t/w + 0.5)`` would round half UP and
+    silently diverge from the reference for events landing bitwise on a
+    half-bucket boundary with an even quotient floor (entirely plausible
+    for regularly-sampled archiver data). ``bround`` is BigDecimal
+    HALF_EVEN over the same IEEE quotient python round sees, so the tie
+    rule matches exactly; DuckDB twins use ``round_even``. (Remaining
+    deliberate difference: the reference divides NANOsecond int64s as
+    doubles, losing integer precision above 2^53 ns ~ 1985 - our
+    microsecond quotient is the same index computed without that loss.)
     """
-    return F.floor(t_us / float(width_us) + 0.5).cast("long")
+    return F.bround(t_us / float(width_us)).cast("long")

@@ -95,7 +95,7 @@ CORE_ORACLE = {
         GROUP BY o_orderkey ORDER BY o_orderkey
     """,
     "q18": """
-        SELECT CAST(FLOOR(epoch_us(ts) / 86400000000.0 + 0.5) AS BIGINT) AS bucket,
+        SELECT CAST(round_even(epoch_us(ts) / 86400000000.0, 0) AS BIGINT) AS bucket,
                ROUND(AVG(value), 6) AS mean_v, COUNT(*) AS n
         FROM events GROUP BY bucket ORDER BY bucket
     """,
@@ -329,7 +329,7 @@ CORE_ORACLE = {
           WHERE user_id % 4 = 3 AND event_type != 'error'),
         el AS (
           SELECT att_conf_id,
-                 CAST(FLOOR(epoch_us(ts) / 86400000000.0 + 0.5) AS BIGINT)
+                 CAST(round_even(epoch_us(ts) / 86400000000.0, 0) AS BIGINT)
                    AS bucket,
                  CAST(generate_subscripts(arr, 1) - 1 AS INT) AS idx,
                  unnest(arr) AS v
@@ -400,7 +400,8 @@ CORE_ORACLE = {
     # /query lifecycle from first principles (§3.2 twin of
     # lifecycle_aggregate): fixture name synthesis + error-row nulling,
     # inclusive BETWEEN trim, raw epoch-us series UNION the 12h
-    # round-to-NEAREST resample (bucket = floor(t/w + 0.5), t = bucket*w),
+    # round-to-NEAREST resample (bucket = round_even(t/w), t = bucket*w -
+    # ties to EVEN, the reference's python-round rule),
     # means rounded at the output boundary like q18.
     "lifecycle_query": """
         WITH dp AS (
@@ -416,11 +417,11 @@ CORE_ORACLE = {
                        AND TIMESTAMP '2024-01-20 00:00:00'),
         res AS (
           SELECT name,
-                 CAST(FLOOR(t_us / 43200000000.0 + 0.5) AS BIGINT)
+                 CAST(round_even(t_us / 43200000000.0, 0) AS BIGINT)
                    * 43200000000 AS t,
                  ROUND(AVG(value_r), 6) AS value_r
           FROM dp
-          GROUP BY name, CAST(FLOOR(t_us / 43200000000.0 + 0.5) AS BIGINT))
+          GROUP BY name, CAST(round_even(t_us / 43200000000.0, 0) AS BIGINT))
         SELECT 'raw' AS kind, name, t_us AS t, value_r FROM dp
         UNION ALL
         SELECT 'resampled' AS kind, name, t, value_r FROM res
