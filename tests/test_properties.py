@@ -98,3 +98,32 @@ def test_streaming_raster_synthetic_ts_reconstruction_is_exact(off_us, nx):
     # time in either direction (float binning can round a boundary down
     # or a near-boundary up), bounding the watermark-lateness slack
     assert -col <= t - synth < 2 * col
+
+
+def test_nearest_bucket_matches_python_round_on_random_and_tie_instants(spark):
+    """nearest_bucket's contract is 'the bucket index python round would
+    give the reference' (functions/time.py): verify over random
+    timestamps PLUS every constructed half-tie instant in a window, for
+    several widths, in one vectorized job per width. Python round on a
+    float is IEEE half-even over the same double quotient Spark's
+    bround sees, so equality must be exact."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.functions.time import nearest_bucket
+
+    rng = random.Random(12)
+    for w_s in (60, 600, 43200, 86400):
+        w = w_s * 1_000_000
+        ts = [rng.randrange(1_600_000_000_000_000, 1_800_000_000_000_000) for _ in range(2000)]
+        ts += [k * (w // 2) for k in range(26_000_000 // w_s, 26_000_000 // w_s + 40)]
+        df = spark.createDataFrame([(t,) for t in ts], "t_us long")
+        got = [
+            r["b"]
+            for r in df.select(
+                F.col("t_us"), nearest_bucket(F.col("t_us"), w).alias("b")
+            ).orderBy("t_us").collect()
+        ]
+        want = [round(t / w) for t in sorted(ts)]
+        assert got == want, f"width {w_s}s: first diff at {next(i for i,(g,x) in enumerate(zip(got,want)) if g!=x)}"
