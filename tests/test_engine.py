@@ -2151,3 +2151,108 @@ def test_markov_transitions_on_planted_journeys(spark):
         tables.load_tables = orig
         E.load_tables = orig
     assert got == {("A", "B"): (2, 1.0), ("B", "A"): (1, 1.0)}
+
+
+# --- SURVEY §5.2 named edges: empty day / single point / all-NULL series --
+
+
+def test_engine_named_edges_empty_day_single_point_all_null(spark):
+    """The reference-behavior edge list SURVEY §5.2 names explicitly,
+    constructed: a time window containing ZERO rows (empty day) must
+    return an empty frame with the stable (name, t, value_r) schema and
+    render as a header-only CSV block; a SINGLE-point resample window
+    must emit exactly one bucket whose mean is the point; a series whose
+    rows are ALL error-nulled (all-NaN in the reference) must survive
+    raw query and resample with NULL value_r, never raise, and render as
+    empty CSV cells."""
+    from datetime import datetime
+
+    from web_maxiv_hdbppviewer_spark.api.lifecycle import HdbppQueryEngine
+    from web_maxiv_hdbppviewer_spark.api.render import render_csv
+    from web_maxiv_hdbppviewer_spark.sources.fixtures import hdbpp_fixture
+
+    catalog, _ = hdbpp_fixture(spark, SF_SMOKE)
+    name = lambda u: f"cs1/dom{u % 5}/fam{u % 10}/mem{u % 3}/attr{u}"  # noqa: E731
+    rows = [
+        (0, datetime(2024, 1, 10, 12), 42.0),   # attr0: exactly one point
+        (1, datetime(2024, 1, 10, 1), None),    # attr1: error rows only
+        (1, datetime(2024, 1, 10, 2), None),
+    ]
+    dp = spark.createDataFrame(
+        rows, "att_conf_id long, ts timestamp, value_r double"
+    )
+    engine = HdbppQueryEngine(catalog, dp)
+
+    # empty day: no rows anywhere in the window
+    empty = engine.query_raw_df(
+        [name(0), name(1)], datetime(2024, 2, 1), datetime(2024, 2, 2)
+    )
+    assert [f.name for f in empty.schema.fields] == ["name", "t", "value_r"]
+    assert empty.count() == 0
+    csv = render_csv(
+        engine.query_raw([name(0)], datetime(2024, 2, 1), datetime(2024, 2, 2))
+    ).decode()
+    assert csv == f"{name(0)}\nt[us],value_r\n"  # header-only block
+
+    # single-point window, resampled: one bucket, mean == the point
+    one = engine.query_raw_df(
+        [name(0)], datetime(2024, 1, 10), datetime(2024, 1, 11), interval="12h"
+    ).collect()
+    assert len(one) == 1 and one[0]["value_r"] == 42.0
+
+    # all-error series: raw keeps the NULLs; resample yields NULL means;
+    # CSV renders them as empty cells
+    raw = engine.query_raw_df(
+        [name(1)], datetime(2024, 1, 10), datetime(2024, 1, 11)
+    ).collect()
+    assert len(raw) == 2 and all(r["value_r"] is None for r in raw)
+    res = engine.query_raw_df(
+        [name(1)], datetime(2024, 1, 10), datetime(2024, 1, 11), interval="12h"
+    ).collect()
+    assert res and all(r["value_r"] is None for r in res)
+    csv = render_csv(
+        engine.query_raw([name(1)], datetime(2024, 1, 10), datetime(2024, 1, 11))
+    ).decode()
+    body = [l for l in csv.splitlines()[2:] if l]
+    assert len(body) == 2 and all(l.endswith(",") for l in body)
+
+
+def test_image_axis_with_a_no_data_attribute_still_renders(spark):
+    """SURVEY §5.2 'attribute with no data' (reference data.py:107,113 /
+    F7): an /image axis mixing one attribute WITH points and one with
+    NONE must aggregate the populated one and not raise; an axis whose
+    every attribute is empty must come back without a y_range rather
+    than exploding on empty extrema."""
+    from datetime import datetime
+
+    from web_maxiv_hdbppviewer_spark.api.lifecycle import HdbppQueryEngine
+    from web_maxiv_hdbppviewer_spark.sources.fixtures import hdbpp_fixture
+
+    catalog, _ = hdbpp_fixture(spark, SF_SMOKE)
+    name = lambda u: f"cs1/dom{u % 5}/fam{u % 10}/mem{u % 3}/attr{u}"  # noqa: E731
+    dp = spark.createDataFrame(
+        [(0, datetime(2024, 1, 10, h), float(h)) for h in range(1, 5)],
+        "att_conf_id long, ts timestamp, value_r double",
+    )
+    engine = HdbppQueryEngine(catalog, dp)
+    out = engine.image_aggregates(
+        [
+            {"name": name(0), "y_axis": 0},   # has 4 points
+            {"name": name(1), "y_axis": 0},   # resolves, zero points
+            {"name": name(2), "y_axis": 1},   # axis 1: nothing at all
+        ],
+        datetime(2024, 1, 10),
+        datetime(2024, 1, 11),
+        (100, 50),
+    )
+    ax0 = out[0]
+    y0, y1 = ax0["y_range"]
+    assert y0 < 1.0 and y1 > 4.0  # padded beyond the data extrema
+    assert ax0["raster"].count() > 0, "populated attribute must rasterize"
+    # the no-data attribute resolves but contributes no extrema rows
+    assert ax0["descs"][name(0)]["total_points"] == 4
+    assert name(1) not in ax0["descs"]
+    # the all-empty axis falls back to the degenerate (0, 1) band
+    # (pad_range(None, None)) with an empty raster - never an error
+    assert out[1]["y_range"] == (0.0, 1.0)
+    assert out[1]["raster"].count() == 0
