@@ -170,11 +170,21 @@ def test_image_manual_axis_override(engine, events):
 
 
 def test_pad_range_branches():
+    """The reference's exact padding algebra (plot.py:160-188): constant
+    series invent v/2..1.5v (scale-independent, +/-0.5 only at v == 0,
+    mirrored for v < 0); log axes pad 5% in LOG space; linear axes 5%
+    of the value range."""
     assert pad_range(None, None) == (0.0, 1.0)
-    assert pad_range(5.0, 5.0) == (4.5, 5.5)  # constant series invents a band
-    assert pad_range(10.0, 10.0, log_scale=True) == (1.0, 100.0)
+    assert pad_range(5.0, 5.0) == (2.5, 7.5)
+    assert pad_range(0.0, 0.0) == (-0.5, 0.5)
+    assert pad_range(-4.0, -4.0) == (-6.0, -2.0)
+    assert pad_range(10.0, 10.0, log_scale=True) == (5.0, 15.0)
     lo, hi = pad_range(0.0, 100.0)
     assert lo == -5.0 and hi == 105.0
+    # log-space pad: extrema (10, 1000) -> (10^0.9, 10^3.1), floor > 0
+    lo, hi = pad_range(10.0, 1000.0, log_scale=True)
+    assert lo == pytest.approx(10 ** 0.9) and hi == pytest.approx(10 ** 3.1)
+    assert lo > 0
 
 
 # --- search lifecycle ----------------------------------------------------
@@ -2256,3 +2266,39 @@ def test_image_axis_with_a_no_data_attribute_still_renders(spark):
     # (pad_range(None, None)) with an empty raster - never an error
     assert out[1]["y_range"] == (0.0, 1.0)
     assert out[1]["raster"].count() == 0
+
+
+def test_image_log_axis_filters_nonpositive_from_raster_and_extrema(spark):
+    """SURVEY §5.2 '<=0 values on log axis' (reference plot.py:94-97,
+    F3) constructed through the /image path: with scale=log, values
+    <= 0 must be invisible to BOTH the axis extrema (y_range derives
+    from positive values only) and the raster (no pixel row for them)."""
+    from datetime import datetime
+
+    from web_maxiv_hdbppviewer_spark.api.lifecycle import HdbppQueryEngine
+    from web_maxiv_hdbppviewer_spark.sources.fixtures import hdbpp_fixture
+
+    catalog, _ = hdbpp_fixture(spark, SF_SMOKE)
+    name0 = "cs1/dom0/fam0/mem0/attr0"
+    dp = spark.createDataFrame(
+        [
+            (0, datetime(2024, 1, 10, 1), -5.0),
+            (0, datetime(2024, 1, 10, 2), 0.0),
+            (0, datetime(2024, 1, 10, 3), 10.0),
+            (0, datetime(2024, 1, 10, 4), 1000.0),
+        ],
+        "att_conf_id long, ts timestamp, value_r double",
+    )
+    engine = HdbppQueryEngine(catalog, dp)
+    out = engine.image_aggregates(
+        [{"name": name0, "y_axis": 0}],
+        datetime(2024, 1, 10),
+        datetime(2024, 1, 11),
+        (100, 50),
+        axes={"0": {"scale": "log"}},
+    )[0]
+    y0, y1 = out["y_range"]
+    assert y0 > 0.0, "log axis floor must come from positive values only"
+    assert out["descs"][name0]["min_value"] == 10.0
+    cells = out["raster"].agg(F.sum("cnt")).collect()[0][0]
+    assert cells == 2  # only the two positive points rasterize

@@ -10,6 +10,8 @@ surviving points surface as null extrema (the reference's ``nodata`` set).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -52,17 +54,36 @@ def axis_extrema(
 
 
 def pad_range(vmin: float, vmax: float, log_scale: bool = False) -> tuple[float, float]:
-    """Driver-side axis-range padding, replicating the reference's observable
-    behavior for degenerate ranges (reference plot.py:160-188):
-    constant series get an invented +/-0.5 (or decade on log) band; normal
-    ranges get 5% padding.
+    """Driver-side axis-range padding, replicating the reference's exact
+    algebra (reference plot.py:160-188):
+
+      - constant series invent a band scale-INDEPENDENTLY (the reference
+        ignores the axis scale here, plot.py:162-177): v/2 .. 1.5v for
+        v > 0, the mirrored 1.5v .. v/2 for v < 0, and +/-0.5 at v == 0;
+      - log axes pad 5% in LOG space - 10^(log10(min) - p) .. - a linear
+        5% pad would push a positive floor NEGATIVE (e.g. extrema
+        (10, 1000) -> -39.5), which is both off-reference and
+        geometrically meaningless on a log axis;
+      - linear axes pad 5% of the value range.
+
+    The (None, None) -> (0, 1) fallback is ours: the reference skips an
+    axis it cannot derive limits for (plot.py:150-158 ``continue``); the
+    engine instead returns a degenerate band so the aggregate surface
+    stays total (the axis carries an empty raster either way).
     """
     if vmin is None or vmax is None:
         return (0.0, 1.0)
     if vmin == vmax:
-        if log_scale:
-            return (vmin / 10.0 if vmin > 0 else 0.1, vmax * 10.0 if vmax > 0 else 1.0)
-        return (vmin - 0.5, vmax + 0.5)
+        v = vmin
+        if v > 0:
+            return (v / 2.0, 1.5 * v)
+        if v == 0:
+            return (-0.5, 0.5)
+        return (1.5 * v, v / 2.0)
+    if log_scale:
+        logmin, logmax = math.log10(vmin), math.log10(vmax)
+        p = 0.05 * (logmax - logmin)
+        return (10 ** (logmin - p), 10 ** (logmax + p))
     pad = (vmax - vmin) * 0.05
     return (vmin - pad, vmax + pad)
 
