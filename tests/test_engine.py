@@ -2302,3 +2302,22 @@ def test_image_log_axis_filters_nonpositive_from_raster_and_extrema(spark):
     assert out["descs"][name0]["min_value"] == 10.0
     cells = out["raster"].agg(F.sum("cnt")).collect()[0][0]
     assert cells == 2  # only the two positive points rasterize
+
+
+def test_search_class_glob_is_fully_anchored_like_the_reference(spark):
+    """CONSTRUCTED: class globs take the regex fallback (LIKE cannot
+    express [seq]), and the reference fully anchors - re.match pins the
+    start, fnmatch.translate's \\Z the end (server.py:78-86). Java rlike
+    is find()-style, so an unanchored translate would also admit
+    'xfam1b' (suffix) and anything longer (prefix). Case-insensitivity
+    must hold on the class too."""
+    from web_maxiv_hdbppviewer_spark.operators.search import search_names
+
+    df = spark.createDataFrame(
+        [("fam1b",), ("fam2b",), ("fam3b",), ("xfam1b",), ("fam1bx",), ("FAM2B",)],
+        ["name"],
+    )
+    got = sorted(
+        r["name"] for r in search_names(df, "fam[12]?", limit=None).collect()
+    )
+    assert got == ["FAM2B", "fam1b", "fam2b"], got

@@ -57,6 +57,11 @@ def search_names(
         else:
             import fnmatch
 
-            cond = F.upper(name).rlike(fnmatch.translate(pattern.upper()))
+            # the reference FULLY matches: re.match anchors the start and
+            # fnmatch.translate's \Z the end (server.py:78-86). Java's
+            # rlike is find()-style, so without the explicit ^ a
+            # class-glob like 'fam[12]' would also hit 'xfam1' via its
+            # suffix - a silent superset of the reference's result
+            cond = F.upper(name).rlike("^" + fnmatch.translate(pattern.upper()))
     out = df.where(cond).orderBy(name_col)
     return out.limit(limit) if limit else out
