@@ -3,9 +3,12 @@
 The reference fetches the whole ~100k-attribute catalog and matches
 client-side with a glob compiled to a case-insensitive regex
 (``fnmatch.translate``, reference server.py:78-86); the Grafana variant
-wraps the term as ``.*term.*`` (server.py:196-207). The declared ``max``
-cap is parsed but never applied in the reference (server.py:77) - we
-enforce it.
+wraps the term as ``.*term.*`` (server.py:196-207). Two deliberate
+hardenings over the reference, same spirit: the declared ``max`` cap is
+parsed but never applied there (server.py:77) - we enforce it; and the
+Grafana term is spliced into that regex UNESCAPED there (``a.c`` matches
+``abc``; a malformed term raises) - our ``contains`` treats the term as
+a literal substring.
 
 Spark-first: glob patterns without classes compile to ``ILIKE`` (sargable,
 pushes to the source); everything else becomes ``rlike`` over an upper-cased
