@@ -41,15 +41,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-12 WINDOW. CORRECTNESS_r11 landed 50/50 green (first zero-red
 # round since r7), so the window rotates to the recorded r12 queue
-# (VERDICT r11 #1): the 9-entry r12 changelist leads, then the two
-# NEVER-driver-witnessed queries (dedup_clusters_semantic +
-# text_keywords - queued and displaced twice, mandated to lead the
-# fill), then the stale backlog OLDEST FIRST: all 23 remaining r7-row
-# queries, then 16 of the 39 r8-row queries (the core q5-q8, q23-q28,
-# q30-q34 VERDICT r11 names explicitly, plus stream_last_value). The
-# remaining r8 rows (stream_window/dedup/sessions, the text_bpe family,
-# multimodal, q31-adjacent fixtures) lead the r13 queue - with 62 stale
-# entries and 50 slots this was always a 2-round rotation.
+# (VERDICT r11 #1): the 12-entry r12 changelist leads (q18 and q32
+# joined late for the half-even bucket tie rule - they were already in
+# the stale fill, so the SET of 50 is unchanged, only the partition),
+# then the two NEVER-driver-witnessed queries (dedup_clusters_semantic
+# + text_keywords - queued and displaced twice, mandated to lead the
+# fill), then the stale backlog OLDEST FIRST: the 22 remaining r7-row
+# queries (q18 moved up to the changelist), then 14 r8-row queries
+# (q5-q8, q23-q28, q30/q31/q33/q34 - q32 moved up; stream_last_value
+# yielded its slot to dedup_spans). The remaining r8 rows
+# (stream_window/dedup/sessions, the text_bpe family, multimodal,
+# q31-adjacent fixtures) lead the r13 queue - with 62 stale entries
+# and 50 slots this was always a 2-round rotation.
 # (Prior-round window rationales: git history.)
 #
 # Round-12 changelist: sim_dim_stats (ADVICE: +0.0 canonicalization
@@ -105,7 +108,7 @@ _NEVER_WITNESSED = [
     "dedup_clusters_semantic",
     "text_keywords",
 ]
-# stale backlog, oldest driver row first: the 23 r7-row queries...
+# stale backlog, oldest driver row first: the 22 remaining r7-row queries...
 _STALE_R7 = [
     "q19",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
@@ -117,9 +120,10 @@ _STALE_R7 = [
     "window_sliding", "window_sessions",
     "events_rollup", "events_pivot", "events_quantiles",
 ]
-# ...then the r8-row core (q5-q8, q23-q28, q30-q34 - named in VERDICT
-# r11 #1); stream_last_value yielded its slot to the dedup_spans oracle
-# fix and leads the r13 queue with the other r8 rows
+# ...then the r8-row core (q5-q8, q23-q28, q30/q31/q33/q34 - VERDICT
+# r11 #1 named q30-q34, q32 moved up to the changelist);
+# stream_last_value yielded its slot to the dedup_spans oracle fix and
+# leads the r13 queue with the other r8 rows
 _STALE_R8 = (
     [f"q{i}" for i in (5, 6, 7, 8)]
     + [f"q{i}" for i in range(23, 29)]

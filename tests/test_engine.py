@@ -75,7 +75,8 @@ def test_query_raw_resample_means(engine, events):
         events.where((F.col("user_id") == uid) & F.col("ts").between(T0, T1))
         .where(F.col("event_type") != "error")
         .select(
-            (F.floor(F.unix_micros("ts") / float(width) + 0.5).cast("long") * width).alias("t"),
+            # half-to-EVEN like the engine/reference (bround, not +0.5 floor)
+            (F.bround(F.unix_micros("ts") / float(width)).cast("long") * width).alias("t"),
             F.col("value").alias("v"),
         )
         .groupBy("t")

@@ -111,7 +111,8 @@ def nearest_bucket(t_us: Column, width_us: float) -> Column:
     HALF_EVEN over the same IEEE quotient python round sees, so the tie
     rule matches exactly; DuckDB twins use ``round_even``. (Remaining
     deliberate difference: the reference divides NANOsecond int64s as
-    doubles, losing integer precision above 2^53 ns ~ 1985 - our
+    doubles, losing integer precision above 2^53 ns - that is ~104 days
+    after epoch, so essentially every realistic timestamp; our
     microsecond quotient is the same index computed without that loss.)
     """
     return F.bround(t_us / float(width_us)).cast("long")

@@ -80,10 +80,17 @@ def pad_range(vmin: float, vmax: float, log_scale: bool = False) -> tuple[float,
         if v == 0:
             return (-0.5, 0.5)
         return (1.5 * v, v / 2.0)
-    if log_scale:
+    if log_scale and vmin > 0:
+        # exponents clamped to the double range: 10**309 would raise
+        # OverflowError for extrema near 1e308
         logmin, logmax = math.log10(vmin), math.log10(vmax)
         p = 0.05 * (logmax - logmin)
-        return (10 ** (logmin - p), 10 ** (logmax + p))
+        return (10 ** max(logmin - p, -323.0), 10 ** min(logmax + p, 308.0))
+    # linear pad - also the log-axis fallback when a MANUAL override puts
+    # a non-positive bound on a log axis (cfg 'min'/'max' bypass the
+    # positivity filter applied to data extrema): the reference's numpy
+    # log10 degrades to 0/NaN bands there; a finite linear band keeps the
+    # request servable instead of raising math-domain errors
     pad = (vmax - vmin) * 0.05
     return (vmin - pad, vmax + pad)
 
