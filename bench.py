@@ -120,7 +120,7 @@ def main() -> None:
     # eviction-forced rebuild - the exact pipe_contamination_bloom r11
     # spike class) keeps len()==4 while swapping an entry; id()-set
     # difference still catches it.
-    def _memo_sizes() -> dict[str, frozenset]:
+    def _memo_sizes() -> dict[str, tuple]:
         from web_maxiv_hdbppviewer_spark.operators import (
             dedup, similarity, textquality,
         )
@@ -140,26 +140,45 @@ def main() -> None:
             "ivfpq_artifacts": extensions._IVFPQ_MEMO,
             "coarse_centroids": extensions._COARSE_MEMO,
         }
+        # (id-set, strong refs): the refs keep every snapshotted entry
+        # alive for the snapshot's lifetime, so an LRU-evicted entry
+        # cannot be garbage-collected and have its id() recycled by the
+        # replacement built during the timed query (which would make
+        # after - before empty and hide exactly the eviction-forced
+        # rebuild this mechanism exists to catch; ADVICE r12)
         def ids(v):
-            vals = v.values() if isinstance(v, dict) else v
-            return frozenset(id(x) for x in vals)
+            vals = list(v.values()) if isinstance(v, dict) else list(v)
+            return (frozenset(id(x) for x in vals), vals)
 
         return {k: ids(v) for k, v in stores.items()}
 
     timings: dict[str, float] = {}
     first_touch: dict[str, list[str]] = {}
     cal_start = _host_cal()
-    for name in sorted(queries, key=lambda n: (len(n), n)):
-        if name == "lifecycle_image":
-            # timed by the dedicated end-to-end block below at the full
-            # 800x400 viewport; the declared query is the same render path
-            # at witness size and would collide on the timings key
-            continue
+    cal_mid = None
+    ordered = [
+        n for n in sorted(queries, key=lambda n: (len(n), n))
+        if n != "lifecycle_image"
+        # lifecycle_image is timed by the dedicated end-to-end block below
+        # at the full 800x400 viewport; the declared query is the same
+        # render path at witness size and would collide on the timings key
+    ]
+    for i, name in enumerate(ordered):
+        if i == len(ordered) // 2:
+            # third calibration probe MID-battery: the r12 run showed the
+            # sandbox's slow phases can start and end INSIDE one battery
+            # (start/end probes both fast, a heavy-query cluster mid-run),
+            # so a two-point pair provably misses them
+            cal_mid = _host_cal()
         before = _memo_sizes()
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        grew = [k for k, after in _memo_sizes().items() if after - before[k]]
+        grew = [
+            k for k, (after_ids, _) in _memo_sizes().items()
+            if after_ids - before[k][0]
+        ]
+        del before  # release the strong refs only after the comparison
         if grew:
             first_touch[name] = grew
         # stream each timing as its own line: the driver keeps only a
@@ -206,7 +225,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "first_touch": first_touch,
-        "host_cal_sec": [cal_start, cal_end],
+        "host_cal_sec": [cal_start, cal_mid, cal_end],
         "sf": sf,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
     }
@@ -239,11 +258,11 @@ def main() -> None:
             sum(timings[n] for n in first_touch if n in timings), 3
         ),
         "n_first_touch": len(first_touch),
-        # fixed md5+count workload timed at battery start/end: identical
-        # code runs 1.2-1.5x slower in the sandbox's recurring slow
-        # phases (BASELINE.md), and this pair says which phase THIS run
-        # landed in without needing a re-measure session
-        "host_cal_sec": [cal_start, cal_end],
+        # fixed md5+count workload timed at battery start/MID/end:
+        # identical code runs 1.2-1.5x slower in the sandbox's recurring
+        # slow phases (BASELINE.md), and r12 proved a phase can live
+        # entirely INSIDE the battery - the mid probe catches that
+        "host_cal_sec": [cal_start, cal_mid, cal_end],
         "detail": "BENCH_LOCAL.json",
     }
     line = json.dumps(summary, separators=(",", ":"))

@@ -1,0 +1,307 @@
+"""Round-13 constructed tests.
+
+1. The right-anchored attribute-name split (reference hdbpp.py:90-92
+   ``attr.rsplit("/", 4)``): real Tango control-system names contain
+   slashes (``tango://host:10000``), so cs = everything before the LAST
+   four separators. The pre-r13 engine split on the FIRST separator -
+   every test here is red under that split.
+2. pad_range's log-branch clamp must never place a "padded" bound inside
+   the data (ADVICE r12: vmax > 1e308 fell above the old 308.0-capped
+   upper bound).
+"""
+
+from datetime import datetime
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+SLASHED_CS = "tango://g-v-csdb-0:10000"
+
+
+def test_split_attr_right_anchored_like_reference_rsplit():
+    """_split_attr == reference split_cs_and_attribute (hdbpp.py:90-92)."""
+    from web_maxiv_hdbppviewer_spark.api.lifecycle import _split_attr
+
+    assert _split_attr(f"{SLASHED_CS}/sys/tg/1/volt") == (
+        SLASHED_CS,
+        "sys/tg/1/volt",
+    )
+    # slash-free cs (the fixture shape) is unchanged by the fix
+    assert _split_attr("cs1/dom0/fam0/mem0/attr0") == ("cs1", "dom0/fam0/mem0/attr0")
+    # empty segments split positionally, exactly like str.rsplit
+    assert _split_attr("a//b/c/d/e") == ("a/", "b/c/d/e")
+    # <4 separators: ValueError, like the reference's tuple unpack
+    with pytest.raises(ValueError):
+        _split_attr("dom/fam/attr")
+
+
+def test_name_column_helpers_right_anchored(spark):
+    """attr_control_system / attr_without_cs mirror rsplit("/", 4) in
+    column form and round-trip attr_full_name for slashed cs names;
+    malformed (<4 separator) names degrade to '' (documented in
+    functions/names.py - the reference raises there)."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.functions.names import (
+        attr_control_system,
+        attr_full_name,
+        attr_without_cs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (SLASHED_CS, "sys", "tg", "1", "volt"),
+            ("cs1", "dom0", "fam0", "mem0", "attr0"),
+            ("a/b", "", "c", "", "d"),  # empty segments stay positional
+        ],
+        "cs string, d string, f string, m string, n string",
+    )
+    out = df.select(
+        "cs",
+        attr_full_name("cs", "d", "f", "m", "n").alias("full"),
+    ).select(
+        "cs",
+        "full",
+        attr_control_system("full").alias("cs_back"),
+        attr_without_cs("full").alias("attr_back"),
+    )
+    for r in out.collect():
+        assert r["cs_back"] == r["cs"], r
+        assert r["full"] == f"{r['cs_back']}/{r['attr_back']}", r
+    malformed = spark.range(1).select(
+        attr_control_system(F.lit("dom/fam/attr")).alias("cs"),
+        attr_without_cs(F.lit("dom/fam/attr")).alias("att"),
+    ).first()
+    assert malformed["cs"] == "" and malformed["att"] == ""
+
+
+def _slashed_catalog(spark):
+    """A constructed catalog holding one attribute under a SLASHED cs and
+    one under a plain cs (stored lower-cased, like the fixture)."""
+    from web_maxiv_hdbppviewer_spark.sources.hdbpp import HdbppCatalog
+
+    att_conf = spark.createDataFrame(
+        [
+            (SLASHED_CS, "sys/tg/1/volt", 7, "scalar_devdouble_ro"),
+            ("cs1", "dom0/fam0/mem0/attr0", 1, "scalar_devdouble_ro"),
+        ],
+        "cs_name string, att_name string, att_conf_id long, data_type string",
+    )
+    att_names = spark.createDataFrame(
+        [
+            (SLASHED_CS, "sys", "tg", "1", "volt"),
+            ("cs1", "dom0", "fam0", "mem0", "attr0"),
+        ],
+        "cs_name string, domain string, family string, member string, name string",
+    )
+    return HdbppCatalog(att_conf, att_names)
+
+
+def test_resolve_routes_slashed_cs_attribute(spark):
+    """End-to-end routing under a slashed cs: _resolve must find the
+    att_conf_id and query_raw_df must return the rows. Red on the old
+    left-anchored split (cs='tango:', att='//g-v-csdb-0:10000/...' ->
+    route miss -> attribute silently dropped per F7)."""
+    from web_maxiv_hdbppviewer_spark.api.lifecycle import HdbppQueryEngine
+
+    catalog = _slashed_catalog(spark)
+    dp = spark.createDataFrame(
+        [
+            (7, datetime(2024, 1, 10, 1), 230.0),
+            (7, datetime(2024, 1, 10, 2), 231.5),
+            (1, datetime(2024, 1, 10, 3), 5.0),
+        ],
+        "att_conf_id long, ts timestamp, value_r double",
+    )
+    engine = HdbppQueryEngine(catalog, dp)
+    full = f"{SLASHED_CS}/sys/tg/1/volt"
+
+    resolved = engine._resolve([full, "cs1/dom0/fam0/mem0/attr0"])
+    assert resolved[full] == 7
+    assert resolved["cs1/dom0/fam0/mem0/attr0"] == 1
+
+    rows = engine.query_raw_df(
+        [full], datetime(2024, 1, 10), datetime(2024, 1, 11)
+    ).collect()
+    assert sorted(r["value_r"] for r in rows) == [230.0, 231.5]
+    assert all(r["name"] == full for r in rows)
+
+
+def test_search_under_slashed_cs(spark):
+    """catalog.search scoped to a slashed cs returns its attribute names
+    (reference server.py:73-89 filters by the cs string as a unit)."""
+    catalog = _slashed_catalog(spark)
+    hits = catalog.search(SLASHED_CS, "sys/*").collect()
+    assert [r["name"] for r in hits] == ["sys/tg/1/volt"]
+    # and the plain cs still only sees its own names
+    hits = catalog.search("cs1", "*").collect()
+    assert [r["name"] for r in hits] == ["dom0/fam0/mem0/attr0"]
+
+
+def test_image_aggregates_slashed_cs(spark):
+    """The /image lifecycle resolves a slashed-cs attribute and rasters
+    its points (the full J1 -> A2/A3 -> A6 chain, not just _resolve)."""
+    from web_maxiv_hdbppviewer_spark.api.lifecycle import HdbppQueryEngine
+
+    catalog = _slashed_catalog(spark)
+    dp = spark.createDataFrame(
+        [(7, datetime(2024, 1, 10, h), float(h)) for h in range(1, 5)],
+        "att_conf_id long, ts timestamp, value_r double",
+    )
+    engine = HdbppQueryEngine(catalog, dp)
+    full = f"{SLASHED_CS}/sys/tg/1/volt"
+    out = engine.image_aggregates(
+        [{"name": full, "y_axis": 0}],
+        datetime(2024, 1, 10),
+        datetime(2024, 1, 11),
+        (100, 50),
+    )[0]
+    assert out["descs"][full]["total_points"] == 4
+    assert out["raster"].count() > 0
+
+
+def test_pad_range_log_clamp_never_undercuts_extrema():
+    """ADVICE r12: for vmax near/above 1e308 the old 308.0-exponent cap
+    returned an upper bound BELOW vmax; the padded band must always
+    contain [vmin, vmax]."""
+    import sys
+
+    from web_maxiv_hdbppviewer_spark.operators.extrema import pad_range
+
+    vmin, vmax = 1.0, 1.5e308
+    lo, hi = pad_range(vmin, vmax, log_scale=True)
+    assert hi >= vmax and lo <= vmin
+    assert hi <= sys.float_info.max  # still a finite double
+    # the very top of the double range
+    lo, hi = pad_range(1e300, sys.float_info.max, log_scale=True)
+    assert hi == sys.float_info.max
+    # subnormal floor: clamping must not push the lower bound above vmin
+    lo, hi = pad_range(5e-324, 1.0, log_scale=True)
+    assert lo <= 5e-324
+    # ordinary ranges still pad in log space, strictly outward
+    lo, hi = pad_range(10.0, 1000.0, log_scale=True)
+    assert 0 < lo < 10.0 and hi > 1000.0
+
+
+def test_grafana_json_byte_shape_nan_to_null_ordering(spark):
+    """K2 byte shape vs the reference renderer (reference data.py:58-75):
+    datapoints are [value, t_ms] pairs - VALUE FIRST, float millisecond
+    timestamp second - with NaN replaced by null BEFORE pairing (the
+    df.replace happens ahead of the zip), so null lands in the value slot
+    while the timestamp stays numeric. Asserted at the BYTE level against
+    a hand-built expectation, including json.dumps' default ', '/': '
+    separators which the reference also uses."""
+    import json
+    import math
+
+    from web_maxiv_hdbppviewer_spark.api.render import render_grafana_json
+
+    name = "cs1/dom0/fam0/mem0/attr0"
+    df = spark.createDataFrame(
+        [
+            (1_704_067_200_000_000, 1.5),
+            (1_704_067_201_000_000, float("nan")),
+            (1_704_067_202_000_000, None),
+            (1_704_067_203_000_000, -42.0),
+        ],
+        "t long, value_r double",
+    )
+    out = render_grafana_json({name: df})
+    expected = json.dumps(
+        [
+            {
+                "target": name,
+                "datapoints": [
+                    [1.5, 1704067200000.0],
+                    [None, 1704067201000.0],
+                    [None, 1704067202000.0],
+                    [-42.0, 1704067203000.0],
+                ],
+            }
+        ]
+    ).encode()
+    assert out == expected
+    # and the null ordering survives a json round-trip: value slot None,
+    # t slot float
+    parsed = json.loads(out)
+    assert parsed[0]["datapoints"][1] == [None, 1704067201000.0]
+    assert not any(
+        isinstance(v, float) and math.isnan(v)
+        for pt in parsed[0]["datapoints"] for v in pt if v is not None
+    )
+
+
+def test_incremental_merge_duplicate_final_second_corpus(spark):
+    """F4/T1 on a CRAFTED corpus (reference hdbpp.py:380-390): several
+    rows share the cache's FINAL SECOND (distinct microseconds - the
+    exact case Cassandra's second-precision filter cannot cut), and the
+    seam row appears in both the cache and the re-fetch. The engine's
+    exact-watermark merge must equal (a) a full re-read and (b) the
+    reference's truncate-to-second + refetch-from-second merge,
+    row-for-row."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.streaming.incremental import (
+        incremental_merge,
+    )
+
+    us = lambda micro: datetime(2024, 1, 10, 10, 0, 5, micro)  # noqa: E731
+    full_rows = [
+        (1, datetime(2024, 1, 10, 9, 59, 59, 999999), 1.0),
+        (1, us(100000), 2.0),   # final cached second begins
+        (1, us(500000), 3.0),
+        (1, us(900000), 4.0),   # the watermark row (seam)
+        (1, us(950000), 5.0),   # same second, after the watermark
+        (2, us(900000), 6.0),   # other key, bitwise-equal timestamp
+        (1, datetime(2024, 1, 10, 10, 0, 6, 100000), 7.0),
+    ]
+    schema = "user_id long, ts timestamp, value double"
+    full = spark.createDataFrame(full_rows, schema)
+    # the cache saw everything up to and including the watermark row
+    cached = spark.createDataFrame(
+        [r for r in full_rows if r[1] <= us(900000)], schema
+    )
+
+    def fetch_from(wm):
+        return full.where(F.col("ts") >= F.lit(wm)) if wm else full
+
+    merged = incremental_merge(cached, fetch_from, keys=["user_id"])
+    canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert canon(merged) == canon(full)
+
+    # reference-style merge: truncate the cache strictly BEFORE the
+    # watermark second, refetch ts >= that second (hdbpp.py:386-390)
+    wm_s = datetime(2024, 1, 10, 10, 0, 5)
+    ref_merged = cached.where(F.col("ts") < F.lit(wm_s)).unionByName(
+        full.where(F.col("ts") >= F.lit(wm_s))
+    )
+    assert canon(ref_merged) == canon(merged)
+
+
+def test_parse_time_to_naive_utc_boundaries():
+    """Request-boundary time parsing (reference utils.py:14-19): naive
+    strings pass through AS UTC; aware strings convert to UTC and drop
+    the tzinfo; both forms of the same instant parse identically."""
+    from datetime import datetime
+
+    from web_maxiv_hdbppviewer_spark.functions.time import (
+        parse_time_to_naive_utc as p,
+    )
+
+    naive = p("2024-01-10T12:30:00")
+    assert naive == datetime(2024, 1, 10, 12, 30) and naive.tzinfo is None
+    # aware, positive offset: 12:30+02:00 is 10:30 UTC
+    aware = p("2024-01-10T12:30:00+02:00")
+    assert aware == datetime(2024, 1, 10, 10, 30) and aware.tzinfo is None
+    # Zulu suffix == naive-as-UTC == explicit +00:00
+    assert p("2024-01-10T12:30:00Z") == p("2024-01-10T12:30:00") == p(
+        "2024-01-10T12:30:00+00:00"
+    )
+    # microseconds survive, and date-only strings parse to midnight
+    assert p("2024-01-10T12:30:00.000123-01:00") == datetime(
+        2024, 1, 10, 13, 30, 0, 123
+    )
+    assert p("2024-01-10") == datetime(2024, 1, 10)

@@ -11,7 +11,7 @@ search) ever reach the driver.
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -24,9 +24,14 @@ from ..sources.hdbpp import HdbppCatalog
 
 
 def _split_attr(full_name: str) -> tuple[str, str]:
-    """'cs/domain/family/member/name' -> (cs, attr) (reference hdbpp.py:90-92)."""
-    cs, rest = full_name.split("/", 1)
-    return cs, rest
+    """'cs/domain/family/member/name' -> (cs, attr), right-anchored like the
+    reference's split_cs_and_attribute (reference hdbpp.py:90-92
+    ``attr.rsplit("/", 4)``): real Tango cs names contain slashes
+    (``tango://host:10000``), so the cs is everything before the LAST four
+    separators, never the prefix before the first one. Like the reference,
+    raises ValueError for names with fewer than four separators."""
+    cs, domain, family, member, name = full_name.rsplit("/", 4)
+    return cs, "/".join((domain, family, member, name))
 
 
 class HdbppQueryEngine:
@@ -96,6 +101,17 @@ class HdbppQueryEngine:
         df = self.datapoints.where(F.col("att_conf_id").isin(list(ids.values()) or [-1]))
         if restrict_time:
             df = df.where(F.col("ts").between(F.lit(t0), F.lit(t1)))
+        else:
+            # /httpquery semantics (reference server.py:167-181 ->
+            # get_data restrict_time=False): WHOLE covered day-periods,
+            # never the full history - the reference fetches only the
+            # periods overlapping [t0, t1] (hdbpp.py:304-308) and skips
+            # the exact trim. Day span in the engine's UTC period zone
+            # (SURVEY §7.3); still a sargable ts-range predicate, so
+            # partition pruning holds at scale.
+            day0 = datetime(t0.year, t0.month, t0.day)
+            day1 = datetime(t1.year, t1.month, t1.day) + timedelta(days=1)
+            df = df.where((F.col("ts") >= F.lit(day0)) & (F.col("ts") < F.lit(day1)))
         if interval:
             width = freq_to_us(interval)
             res = resample_mean(df, width, value_col="value_r", keys=["att_conf_id"])

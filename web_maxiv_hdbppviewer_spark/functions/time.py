@@ -35,6 +35,18 @@ def datetime_to_epoch_us(t: datetime) -> int:
     return (t - epoch) // _US
 
 
+def parse_time_to_naive_utc(timestring: str) -> datetime:
+    """API-edge request-time parsing, the reference's rule verbatim
+    (reference utils.py:14-19): the database speaks UTC and the engine's
+    datetimes are naive, so a naive input is taken AS UTC unchanged, and
+    an aware input is converted to UTC and stripped of its tzinfo. ISO
+    8601 strings (what the JS client posts, js/actions.js)."""
+    parsed = datetime.fromisoformat(timestring)
+    if parsed.tzinfo is None:
+        return parsed
+    return parsed.astimezone(timezone.utc).replace(tzinfo=None)
+
+
 def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 

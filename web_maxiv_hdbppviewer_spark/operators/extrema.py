@@ -11,6 +11,7 @@ surviving points surface as null extrema (the reference's ``nodata`` set).
 from __future__ import annotations
 
 import math
+import sys
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -82,10 +83,18 @@ def pad_range(vmin: float, vmax: float, log_scale: bool = False) -> tuple[float,
         return (1.5 * v, v / 2.0)
     if log_scale and vmin > 0:
         # exponents clamped to the double range: 10**309 would raise
-        # OverflowError for extrema near 1e308
+        # OverflowError for extrema near 1e308. The clamp must never put
+        # the "padded" bound INSIDE the data (a 308.0 cap undercuts
+        # vmax > 1e308; a -323.0 floor overshoots subnormal vmin), so both
+        # ends snap back to the raw extremum if clamping crossed it.
         logmin, logmax = math.log10(vmin), math.log10(vmax)
         p = 0.05 * (logmax - logmin)
-        return (10 ** max(logmin - p, -323.0), 10 ** min(logmax + p, 308.0))
+        try:
+            hi = 10 ** min(logmax + p, math.log10(sys.float_info.max))
+        except OverflowError:  # 10**log10(DBL_MAX) itself overflows
+            hi = sys.float_info.max
+        lo = 10 ** max(logmin - p, -323.0)
+        return (min(lo, vmin), max(hi, vmax))
     # linear pad - also the log-axis fallback when a MANUAL override puts
     # a non-positive bound on a log axis (cfg 'min'/'max' bypass the
     # positivity filter applied to data extrema): the reference's numpy

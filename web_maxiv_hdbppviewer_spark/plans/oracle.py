@@ -271,14 +271,18 @@ CORE_ORACLE = {
                  FILTER (WHERE kind = 'numeric' AND data_type LIKE '%_rw'
                            AND error_desc IS NULL) AS BIGINT) AS n_w,
                MIN(value_w) FILTER (WHERE kind = 'numeric'
+                                      AND data_type LIKE '%_rw'
                                       AND error_desc IS NULL) AS wmin,
                MAX(value_w) FILTER (WHERE kind = 'numeric'
+                                      AND data_type LIKE '%_rw'
                                       AND error_desc IS NULL) AS wmax,
                ROUND(AVG(value_w) FILTER (WHERE kind = 'numeric'
+                                            AND data_type LIKE '%_rw'
                                             AND error_desc IS NULL), 6)
                  AS wmean,
                ROUND(AVG(value_r - value_w)
-                 FILTER (WHERE kind = 'numeric' AND error_desc IS NULL
+                 FILTER (WHERE kind = 'numeric' AND data_type LIKE '%_rw'
+                           AND error_desc IS NULL
                            AND value_r IS NOT NULL
                            AND value_w IS NOT NULL), 6) AS trk_err_r
         FROM typed
@@ -357,6 +361,31 @@ CORE_ORACLE = {
         GROUP BY strftime(ts, '%Y-%m-%d')
         ORDER BY period
     """,
+    # P5/P6 right-anchored rsplit("/", 4) parity (reference hdbpp.py:90-92):
+    # cs = everything before the LAST four separators (slashed Tango cs
+    # names), '' for malformed <4-separator names (both engines'
+    # regexp_extract no-match degradation)
+    "q36": """
+        WITH base AS (
+          SELECT n_nationkey AS id,
+                 'tango://' || lower(replace(r_name, ' ', '-')) || ':10000/'
+                   || lower(n_name)
+                   || '/fam' || CAST(CAST(n_nationkey % 3 AS INT) AS VARCHAR)
+                   || '/mem' || CAST(CAST(n_nationkey % 2 AS INT) AS VARCHAR)
+                   || '/attr' || CAST(CAST(n_nationkey AS INT) AS VARCHAR)
+                   AS full_name
+          FROM nation JOIN region ON n_regionkey = r_regionkey
+          UNION ALL
+          SELECT n_nationkey + 100, lower(n_name) || '/only/three'
+          FROM nation)
+        SELECT id, full_name,
+               regexp_extract(full_name,
+                 '^(.*)/[^/]*/[^/]*/[^/]*/[^/]*$', 1) AS cs,
+               regexp_extract(full_name,
+                 '([^/]*/[^/]*/[^/]*/[^/]*)$', 1) AS att_name
+        FROM base
+        ORDER BY id
+    """,
     # /image lifecycle from first principles: fixture datapoints (user_id ->
     # att_conf_id, error rows -> NULL value_r), axis extrema + 5% padding
     # (plot.py:160-188), clip to [y0, y1), 100x80 binning, per-series raster
@@ -421,10 +450,26 @@ CORE_ORACLE = {
                    * 43200000000 AS t,
                  ROUND(AVG(value_r), 6) AS value_r
           FROM dp
-          GROUP BY name, CAST(round_even(t_us / 43200000000.0, 0) AS BIGINT))
+          GROUP BY name, CAST(round_even(t_us / 43200000000.0, 0) AS BIGINT)),
+        httpq AS (
+          -- /httpquery: restrict_time=False returns WHOLE covered
+          -- day-periods for the mid-day request [01-05 12:00, 01-19
+          -- 18:00] (reference hdbpp.py:16-21, 304-308 over-fetch)
+          SELECT 'cs1/dom' || CAST(user_id % 5 AS VARCHAR)
+                 || '/fam' || CAST(user_id % 10 AS VARCHAR)
+                 || '/mem' || CAST(user_id % 3 AS VARCHAR)
+                 || '/attr' || CAST(user_id AS VARCHAR) AS name,
+                 epoch_us(ts) AS t,
+                 CASE WHEN event_type <> 'error' THEN value END AS value_r
+          FROM events
+          WHERE user_id < 6
+            AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+            AND ts <  TIMESTAMP '2024-01-20 00:00:00')
         SELECT 'raw' AS kind, name, t_us AS t, value_r FROM dp
         UNION ALL
         SELECT 'resampled' AS kind, name, t, value_r FROM res
+        UNION ALL
+        SELECT 'httpquery' AS kind, name, t, value_r FROM httpq
         ORDER BY kind, name, t
     """,
     # PINNED regression oracle for the PNG render path (VERDICT r11

@@ -554,7 +554,17 @@ def lifecycle_query(spark, sf_dir):
         "t",
         F.round("value_r", 6).alias("value_r"),
     )
-    return raw.unionAll(res).orderBy("kind", "name", "t")
+    # /httpquery's no-trim/no-interval variant (reference server.py:167-181
+    # -> get_data restrict_time=False): MID-DAY request bounds, but whole
+    # covered day-periods come back (hdbpp.py:16-21 over-fetch contract) -
+    # the witness proves the day-span filter, not the exact trim
+    http = engine.query_raw_df(
+        names,
+        datetime(2024, 1, 5, 12),
+        datetime(2024, 1, 19, 18),
+        restrict_time=False,
+    ).select(F.lit("httpquery").alias("kind"), "name", "t", "value_r")
+    return raw.unionAll(res).unionAll(http).orderBy("kind", "name", "t")
 
 
 def lifecycle_image(spark, sf_dir):
@@ -607,7 +617,52 @@ def lifecycle_image(spark, sf_dir):
     )
 
 
-CORE_QUERIES = {f"q{i}": globals()[f"q{i}"] for i in range(1, 36)}
+def q36(spark, sf_dir):
+    """P5/P6 right-anchored attribute-name split (reference hdbpp.py:90-92
+    ``attr.rsplit("/", 4)``): constructed 5-part full names whose cs
+    segment CONTAINS slashes (real Tango style, ``tango://host:10000``),
+    split back with the column extractors. A left-anchored split (the
+    pre-r13 defect) returns cs='tango:' here and hash-fails. The unioned
+    3-segment malformed names pin the column form's ''-degradation (the
+    driver-side ``_split_attr`` raises instead, like the reference -
+    documented divergence in functions/names.py). Scale: broadcast dim
+    join + pure string expressions, no shuffle beyond the final sort."""
+    from ..functions.names import attr_control_system, attr_without_cs
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cs = F.concat(
+        F.lit("tango://"),
+        F.lower(F.replace(F.col("r_name"), F.lit(" "), F.lit("-"))),
+        F.lit(":10000"),
+    )
+    full = F.concat(
+        cs, F.lit("/"), F.lower(F.col("n_name")),
+        F.lit("/fam"), (F.col("n_nationkey") % 3).cast("string"),
+        F.lit("/mem"), (F.col("n_nationkey") % 2).cast("string"),
+        F.lit("/attr"), F.col("n_nationkey").cast("string"),
+    )
+    well_formed = (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("id"), full.alias("full_name"))
+    )
+    malformed = nation.select(
+        (F.col("n_nationkey") + 100).alias("id"),
+        F.concat(F.lower(F.col("n_name")), F.lit("/only/three")).alias("full_name"),
+    )
+    return (
+        well_formed.unionAll(malformed)
+        .select(
+            "id",
+            "full_name",
+            attr_control_system("full_name").alias("cs"),
+            attr_without_cs("full_name").alias("att_name"),
+        )
+        .orderBy("id")
+    )
+
+
+CORE_QUERIES = {f"q{i}": globals()[f"q{i}"] for i in range(1, 37)}
 CORE_QUERIES["lifecycle_aggregate"] = lifecycle_aggregate
 CORE_QUERIES["lifecycle_query"] = lifecycle_query
 CORE_QUERIES["lifecycle_image"] = lifecycle_image
