@@ -46,8 +46,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # PQ/IVFPQ, pipe_delta/funnel, events_quantiles_approx, sim_quantize,
 # dedup_embedding), then the oldest-first fill: the first 23 of the 40
 # r10-row queries (alphabetical - the deterministic order within an
-# equal-age cohort). The remaining 17 r10 rows lead the r14 queue:
-#   scale_bucketed, scale_colstats, scale_compact, scale_zorder,
+# equal-age cohort). The remaining 19 r10 rows lead the r14 queue:
+#   pipe_stats_delta, pipe_temperature_mix, scale_bucketed, scale_colstats, scale_compact, scale_zorder,
 #   sim_ann_compare, sim_knn_graph, sim_pca, sim_sparse_topk,
 #   stream_join, stream_restart, stream_sessions_evict,
 #   stream_sink_compact, text_chunk, text_collocations,
@@ -61,12 +61,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # column form's ''-degradation), q35 (oracle's wmin/wmax/wmean/trk_err_r
 # FILTERs now carry the same data_type LIKE '%_rw' guard as the engine's
 # typed_summary rw condition - ADVICE r12; fixture results unchanged),
-# lifecycle_query (re-witnessed because its _resolve path now right-splits
-# attribute names - fixture cs1 rows identical, the witness proves it).
+# lifecycle_query (re-witnessed: its _resolve path now right-splits
+# attribute names - fixture cs1 rows identical, the witness proves it -
+# AND it gained the /httpquery no-trim branch: restrict_time=False now
+# returns whole covered day-periods, the reference's over-fetch
+# contract, instead of the full history), lifecycle_image_stream (NEW -
+# VERDICT r12 #7 stretch: the complete /image loop under Structured
+# Streaming - per-series append-mode watermarked rasters -> pad_range
+# band -> the batch compose/encode stack -> pinned decoded-pixel
+# digest, independently re-derived from batch bin_2d + the same
+# compositor in tests/test_round13.py).
 _CHANGED_THIS_ROUND = [
     "q36",  # NEW - rsplit("/",4) parity (VERDICT r12 What's-wrong #1)
     "q35",  # oracle rw-guard on write aggregates (ADVICE r12)
-    "lifecycle_query",  # _split_attr now right-anchored on its path
+    "lifecycle_query",  # right-anchored resolve + /httpquery branch
+    "lifecycle_image_stream",  # NEW - streamed /image, hash-pinned
+    # fuzzy gram index now built from the FUSED single-lambda
+    # hashed_word_kgrams (functions/texthash.py): the old two-lambda
+    # transform tree never semanticHash-canonicalized, so the session
+    # memo re-keyed on every call and the index rebuilt per battery
+    # (the r13 ft-census finding). Byte-identical grams, same results;
+    # the plan changed, so it leads the window.
+    "dedup_fuzzy",
 ]
 # the 24 r8-freshness rows - VERDICT r12 #1 mandates ALL of them this round
 _STALE_R8 = [
@@ -78,7 +94,10 @@ _STALE_R8 = [
     "multimodal_frames", "pipe_delta", "pipe_funnel",
     "events_quantiles_approx", "sim_topk_pq", "sim_ann_ivfpq",
 ]
-# fill: first 23 of the 40 r10-freshness rows, alphabetical
+# fill: first 21 of the 40 r10-freshness rows, alphabetical
+# (pipe_temperature_mix and pipe_stats_delta yielded their slots to the
+# lifecycle_image_stream and dedup_fuzzy changelist entries and join
+# the r14 queue)
 _STALE_R10 = [
     "dedup_containment", "dedup_incremental", "dedup_keep_best",
     "dedup_semantic", "events_anomaly", "events_attribution",
@@ -86,8 +105,7 @@ _STALE_R10 = [
     "events_markov", "events_props_parse", "events_retention",
     "events_scaffold", "pipe_bootstrap", "pipe_curriculum",
     "pipe_dedup_sweep", "pipe_delta_apply", "pipe_manifest",
-    "pipe_pack_bpe", "pipe_reweight", "pipe_stats", "pipe_stats_delta",
-    "pipe_temperature_mix",
+    "pipe_pack_bpe", "pipe_reweight", "pipe_stats",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R8 + _STALE_R10
 

@@ -305,3 +305,65 @@ def test_parse_time_to_naive_utc_boundaries():
         2024, 1, 10, 13, 30, 0, 123
     )
     assert p("2024-01-10") == datetime(2024, 1, 10)
+
+
+def test_lifecycle_image_stream_matches_batch_compositor(spark):
+    """Independent derivation of the lifecycle_image_stream pin: batch
+    bin_2d per series over the same feed, truncated to the columns the
+    stream's watermark finalized (window end <= max synthetic ts - 1h),
+    run through the SAME compose stack - the digest must equal the
+    streamed query's. This is the lifecycle_image pattern: the oracle
+    pin makes regressions driver-visible, this test derives the pinned
+    value from the batch path so the pin is not self-certifying."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.api.png import compose_image
+    from web_maxiv_hdbppviewer_spark.functions.time import epoch_us
+    from web_maxiv_hdbppviewer_spark.operators.extrema import pad_range
+    from web_maxiv_hdbppviewer_spark.operators.raster import bin_2d
+    from web_maxiv_hdbppviewer_spark.plans.extensions import (
+        lifecycle_image_stream,
+    )
+    from web_maxiv_hdbppviewer_spark.plans.queries import X0_US, X_SPAN_US
+    from web_maxiv_hdbppviewer_spark.sources.tables import load_tables
+
+    w, h = 200, 120
+    col_us = int(X_SPAN_US / w)
+    events = load_tables(spark, SF_SMOKE)["events"]
+    keep = (F.col("user_id") < 2) & (F.col("event_type") != "error")
+    ev = events.where(keep)
+    ext = ev.agg(F.min("value").alias("a"), F.max("value").alias("b")).collect()[0]
+    y0, y1 = pad_range(ext["a"], ext["b"])
+
+    # the stream's final watermark rides the SYNTHETIC column-start time
+    # of the latest surviving event (streaming/incremental.py), minus 1h
+    max_us = (
+        ev.where((F.col("value") >= y0) & (F.col("value") < y1))
+        .select(epoch_us(F.max("ts")).alias("m")).collect()[0]["m"]
+    )
+    max_synth = X0_US + math.floor((max_us - X0_US) / X_SPAN_US * w) * col_us
+    wm_us = max_synth - 3_600_000_000
+
+    batch = bin_2d(
+        ev, X0_US, X_SPAN_US, w, y0, y1, h, keys=["user_id"]
+    ).collect()
+    finalized = [
+        {"series": r["user_id"], "xb": r["xb"], "yb": r["yb"], "cnt": r["cnt"]}
+        for r in batch
+        if X0_US + (r["xb"] + 1) * col_us <= wm_us
+    ]
+    assert finalized, "watermark left no finalized columns"
+    img = compose_image(finalized, w, h, order=[0, 1])
+    want = (
+        int((img[:, :, 3] > 0).sum()),
+        hashlib.sha256(img.tobytes()).hexdigest(),
+    )
+
+    got = lifecycle_image_stream(spark, SF_SMOKE).collect()[0]
+    assert (got["n_lit"], got["pixel_sha256"]) == want
+    assert (got["y0"], got["y1"]) == (y0, y1)
+    # and later columns exist in batch but are (correctly) unemitted
+    assert len(batch) > len(finalized)

@@ -38,21 +38,46 @@ def word_bigrams(tokens: Column) -> Column:
 
 def word_kgrams(tokens: Column, k: int) -> Column:
     """Adjacent word k-grams joined with one space - ``word_bigrams``
-    generalized: k-1 chained zip_with concats over shifted slices (bulk
-    array ops), NOT a per-gram transform(sequence, i -> join(slice(...)))
-    - the per-gram subarray allocation was measured ~2x slower over the
-    sf0.1 corpus. ``greatest(n-k+1, 0)`` makes every slice empty for docs
-    shorter than k, so short docs yield [] without an explicit guard."""
+    generalized: ONE arrays_zip over the k shifted slices + ONE top-level
+    transform concat (bulk array ops), NOT a per-gram
+    transform(sequence, i -> join(slice(...))) - the per-gram subarray
+    allocation was measured ~2x slower over the sf0.1 corpus.
+    ``greatest(n-k+1, 0)`` makes every slice empty for docs shorter than
+    k, so short docs yield [] without an explicit guard.
+
+    Deliberately NOT k-1 chained zip_with lambdas (the pre-r13 shape):
+    nested lambda variables defeat Catalyst's semanticHash
+    normalization, so every call produced a fresh hash and the
+    fuzzy-linkage session memo (_FUZZY_GRAM_CACHE) could never hit
+    across calls - a single top-level lambda normalizes (verified: the
+    bigram zip_with memo-hits; the chained form re-keyed per call).
+    Output strings are byte-identical to the chained form."""
     n = F.size(tokens)
     m = F.greatest(n - k + 1, F.lit(0))
-    grams = F.slice(tokens, 1, m)
-    for j in range(1, k):
-        grams = F.zip_with(
-            grams,
-            F.slice(tokens, j + 1, m),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    return grams
+    zipped = F.arrays_zip(*[F.slice(tokens, j + 1, m) for j in range(k)])
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
+    )
+
+
+def hashed_word_kgrams(tokens: Column, k: int) -> Column:
+    """``transform(word_kgrams(tokens, k), md5_int60)`` FUSED into the
+    one top-level lambda: gram assembly and 60-bit hashing inside a
+    single transform over the arrays_zip. Semantically identical to the
+    two-step composition, but the two-lambda tree (a transform over
+    word_kgrams' transform) does NOT semanticHash-canonicalize - every
+    call re-keys, so plans built from it can never hit a session memo
+    keyed on the Catalyst semantic hash (the r13 dedup_fuzzy finding:
+    its gram index rebuilt on every call despite identical inputs). Use
+    this form whenever the hashed gram stream feeds a memoized
+    checkpoint."""
+    n = F.size(tokens)
+    m = F.greatest(n - k + 1, F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(tokens, j + 1, m) for j in range(k)])
+    return F.transform(
+        zipped,
+        lambda s: md5_int60(F.concat_ws(" ", *[s[str(j)] for j in range(k)])),
+    )
 
 
 def md5_int60(c: Column, salt: str | None = None) -> Column:

@@ -46,7 +46,13 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.texthash import md5_int60, word_bigrams, word_kgrams, words
+from ..functions.texthash import (
+    hashed_word_kgrams,
+    md5_int60,
+    word_bigrams,
+    word_kgrams,
+    words,
+)
 
 NUM_PERM = 12
 BANDS = 4
@@ -1115,12 +1121,12 @@ def fuzzy_pairs(
         base.select(
             "id",
             "len",
+            # FUSED gram+hash single-lambda form: the two-lambda
+            # transform-over-transform tree never semanticHash-
+            # canonicalizes, so the memo below re-keyed on EVERY call
+            # (r13 finding - the warmup-prepaid index was unreachable)
             F.explode(
-                F.array_distinct(
-                    F.transform(
-                        word_kgrams(words(F.col("t")), gram_k), md5_int60
-                    )
-                )
+                F.array_distinct(hashed_word_kgrams(words(F.col("t")), gram_k))
             ).alias("h"),
         ),
     )

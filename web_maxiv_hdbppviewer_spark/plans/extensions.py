@@ -1642,6 +1642,89 @@ def stream_raster(spark, sf_dir):
     return spark.table(sink).orderBy("xb", "yb")
 
 
+def lifecycle_image_stream(spark, sf_dir):
+    """The COMPLETE /image loop under Structured Streaming (VERDICT r12
+    #7 stretch): per-series APPEND-MODE rasters
+    (streaming_raster_windowed - each pixel column emitted exactly once
+    when the event-time watermark passes it, state evicted) -> pad_range
+    axis band (plot.py:160-188 algebra) -> the SAME compose/encode stack
+    the batch /image path uses (api/png.compose_image, eq-hist alpha,
+    palette, premultiplied stacking) -> decoded-pixel digest row. The
+    live-dashboard twin of lifecycle_image: a deployment keeps the
+    panel's PNG current from the append stream instead of re-rendering
+    history per refresh.
+
+    Determinism: the emitted pixel set is every column whose window end
+    <= final watermark (max synthetic event time - 1h) - a pure
+    function of the data; the digest is pinned per corpus in the oracle
+    (like lifecycle_image), and the suite independently re-derives it
+    from batch bin_2d truncated at the same watermark
+    (tests/test_round13.py). Scale: streaming state is bounded by
+    (series x open columns x ny); the driver collects <= series*w*h
+    pixel rows - the reference's own response-size contract."""
+    import hashlib
+
+    from ..api.png import compose_image
+    from ..operators.extrema import pad_range
+    from ..streaming.incremental import streaming_raster_windowed
+    from .queries import X0_US, X_SPAN_US
+
+    w, h = 200, 120
+    events = load_tables(spark, sf_dir)["events"]
+    keep = (F.col("user_id") < 2) & (F.col("event_type") != "error")
+    # axis band: exact MIN/MAX extrema + the reference's padding algebra
+    # (bounded driver scalars, same both engines)
+    ext = events.where(keep).agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    ).collect()[0]
+    y0, y1 = pad_range(ext["vmin"], ext["vmax"])
+
+    sink = f"lifecycle_image_stream_{next(_STREAM_SEQ)}"
+    feed = (
+        _stream_events(spark, sf_dir)
+        .where(keep)
+        .select(F.col("user_id").alias("att_conf_id"), "ts", "value")
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            streaming_raster_windowed(
+                feed, X0_US, X_SPAN_US, w, y0, y1, h,
+                keys=["att_conf_id"],
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    pixel_rows = [
+        {"series": r["att_conf_id"], "xb": r["xb"], "yb": r["yb"], "cnt": r["cnt"]}
+        for r in spark.table(sink).collect()
+    ]
+    img = compose_image(pixel_rows, w, h, order=[0, 1])
+    return spark.createDataFrame(
+        [
+            (
+                0,
+                w,
+                h,
+                int((img[:, :, 3] > 0).sum()),
+                hashlib.sha256(img.tobytes()).hexdigest(),
+                float(y0),
+                float(y1),
+            )
+        ],
+        "axis int, width int, height int, n_lit long, pixel_sha256 string,"
+        " y0 double, y1 double",
+    )
+
+
 def stream_sessions(spark, sf_dir):
     """Gap-based sessionization as a STREAM - the exact claim
     ``window_sessions`` makes ("the identical expression runs under
@@ -4231,6 +4314,7 @@ EXTENSION_QUERIES = {
     "dedup_compare": dedup_compare,
     "stream_cusum": stream_cusum,
     "stream_raster": stream_raster,
+    "lifecycle_image_stream": lifecycle_image_stream,
     "pipe_split_safe": pipe_split_safe,
     "sim_ivf_probe_sweep": sim_ivf_probe_sweep,
     "multimodal_phash": multimodal_phash,

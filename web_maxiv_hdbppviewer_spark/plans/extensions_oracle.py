@@ -3563,3 +3563,27 @@ EXTENSION_ORACLE["pipe_interleave"] = f"""
 from .oracle import CORE_ORACLE as _CORE_ORACLE  # noqa: E402
 
 EXTENSION_ORACLE["stream_raster"] = _CORE_ORACLE["q20"]
+
+# lifecycle_image_stream: the streamed /image PNG pinned per corpus
+# (the compose/encode stack is not SQL-expressible; the INDEPENDENT
+# derivation - batch bin_2d truncated at the same watermark, run
+# through the same compositor - lives in tests/test_round13.py, this
+# pin makes it driver-visible, exactly the lifecycle_image pattern).
+# Regenerate literals after any legitimate render/fixture change by
+# running the query at sf0.001/sf0.01 and copying the row.
+EXTENSION_ORACLE["lifecycle_image_stream"] = """
+    WITH pinned(n_events, axis, width, height, n_lit,
+                pixel_sha256, y0, y1) AS (
+      VALUES
+        (1000, 0, 200, 120, CAST(84 AS BIGINT),
+         'b274f10aecaed392a3aa79a2bbab66bc23331a3b682d713021428b903720ae80',
+         CAST('-12.3945' AS DOUBLE), CAST('279.6445' AS DOUBLE)),
+        (10000, 0, 200, 120, CAST(97 AS BIGINT),
+         '93582aca34fdfcc4a489f296ba94508866359127b83ecc1c77dc1f012a5a3654',
+         CAST('-12.258500000000002' AS DOUBLE),
+         CAST('260.9485' AS DOUBLE)))
+    SELECT axis, width, height, n_lit, pixel_sha256, y0, y1
+    FROM pinned
+    WHERE n_events = (SELECT COUNT(*) FROM events)
+    ORDER BY axis
+"""

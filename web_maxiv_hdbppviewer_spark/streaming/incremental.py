@@ -91,6 +91,7 @@ def streaming_raster_windowed(
     ts_col: str = "ts",
     value_col: str = "value",
     late_threshold: str = "1 hour",
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """APPEND-MODE twin of the A6 raster kernel - the production shape of
     a live /image dashboard (the complete-mode ``stream_raster`` witness
@@ -139,11 +140,13 @@ def streaming_raster_windowed(
         + xbin(epoch_us(F.col(ts_col)), x0_us, span_us, nx).cast("long")
         * F.lit(col_us)
     )
+    keys = keys or []  # per-series rasters (the /image multi-line panel)
     return (
         stream.where((v >= ymin) & (v < ymax))
         .withColumn("_col_ts", col_start)
         .withWatermark("_col_ts", late_threshold)
         .groupBy(
+            *keys,
             F.window(F.col("_col_ts"), dur, dur, off).alias("win"),
             ybin(v, ymin, ymax, ny).alias("yb"),
         )
@@ -154,6 +157,7 @@ def streaming_raster_windowed(
             F.round(F.max(value_col), 6).alias("vmax"),
         )
         .select(
+            *keys,
             F.floor(
                 (epoch_us(F.col("win.start")) - F.lit(x0_us))
                 / F.lit(float(col_us))
