@@ -257,7 +257,7 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
-    core_names = [f"q{i}" for i in range(1, 36)] + [
+    core_names = [f"q{i}" for i in range(1, 37)] + [
         "lifecycle_aggregate", "lifecycle_query", "lifecycle_image",
     ]
     core = {n: round(timings[n], 2) for n in core_names if n in timings}

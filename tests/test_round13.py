@@ -367,3 +367,12 @@ def test_lifecycle_image_stream_matches_batch_compositor(spark):
     assert (got["y0"], got["y1"]) == (y0, y1)
     # and later columns exist in batch but are (correctly) unemitted
     assert len(batch) > len(finalized)
+
+
+def test_controlsystems_lists_slashed_cs_whole(spark):
+    """The controlsystems catalog (reference server.py:63-70: sorted
+    config keys) must list a slashed cs as ONE entry, never split at its
+    internal separators."""
+    catalog = _slashed_catalog(spark)
+    got = [r["cs_name"] for r in catalog.controlsystems().collect()]
+    assert got == sorted(["cs1", SLASHED_CS])
