@@ -44,10 +44,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # changelist leads, then ALL 24 queries whose freshest driver rows are
 # r8 (the recorded r13 queue - stream_*/text_bpe families, multimodal,
 # PQ/IVFPQ, pipe_delta/funnel, events_quantiles_approx, sim_quantize,
-# dedup_embedding), then the oldest-first fill: the first 23 of the 40
+# dedup_embedding), then the oldest-first fill: the first 20 of the 40
 # r10-row queries (alphabetical - the deterministic order within an
-# equal-age cohort). The remaining 19 r10 rows lead the r14 queue:
-#   pipe_stats_delta, pipe_temperature_mix, scale_bucketed, scale_colstats, scale_compact, scale_zorder,
+# equal-age cohort). The remaining 20 r10 rows lead the r14 queue:
+#   pipe_stats, pipe_stats_delta, pipe_temperature_mix,
+#   scale_bucketed, scale_colstats, scale_compact, scale_zorder,
 #   sim_ann_compare, sim_knn_graph, sim_pca, sim_sparse_topk,
 #   stream_join, stream_restart, stream_sessions_evict,
 #   stream_sink_compact, text_chunk, text_collocations,
@@ -83,6 +84,13 @@ _CHANGED_THIS_ROUND = [
     # (the r13 ft-census finding). Byte-identical grams, same results;
     # the plan changed, so it leads the window.
     "dedup_fuzzy",
+    # repeated_substrings now hashes the BARE window string: the old
+    # direct transform(.., md5_int60) pass bound the element index to
+    # the salt parameter (hashing 'Column<...>:gram'), so the oracle's
+    # "identical criterion both sides" held only absent collisions.
+    # salt is keyword-only now; same duplicate sets on the driver
+    # corpora, criterion truly identical.
+    "dedup_substr",
 ]
 # the 24 r8-freshness rows - VERDICT r12 #1 mandates ALL of them this round
 _STALE_R8 = [
@@ -94,10 +102,10 @@ _STALE_R8 = [
     "multimodal_frames", "pipe_delta", "pipe_funnel",
     "events_quantiles_approx", "sim_topk_pq", "sim_ann_ivfpq",
 ]
-# fill: first 21 of the 40 r10-freshness rows, alphabetical
-# (pipe_temperature_mix and pipe_stats_delta yielded their slots to the
-# lifecycle_image_stream and dedup_fuzzy changelist entries and join
-# the r14 queue)
+# fill: first 20 of the 40 r10-freshness rows, alphabetical
+# (pipe_stats, pipe_stats_delta and pipe_temperature_mix yielded their
+# slots to the lifecycle_image_stream / dedup_fuzzy / dedup_substr
+# changelist entries and join the r14 queue)
 _STALE_R10 = [
     "dedup_containment", "dedup_incremental", "dedup_keep_best",
     "dedup_semantic", "events_anomaly", "events_attribution",
@@ -105,7 +113,7 @@ _STALE_R10 = [
     "events_markov", "events_props_parse", "events_retention",
     "events_scaffold", "pipe_bootstrap", "pipe_curriculum",
     "pipe_dedup_sweep", "pipe_delta_apply", "pipe_manifest",
-    "pipe_pack_bpe", "pipe_reweight", "pipe_stats",
+    "pipe_pack_bpe", "pipe_reweight",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R8 + _STALE_R10
 

@@ -376,3 +376,58 @@ def test_controlsystems_lists_slashed_cs_whole(spark):
     catalog = _slashed_catalog(spark)
     got = [r["cs_name"] for r in catalog.controlsystems().collect()]
     assert got == sorted(["cs1", SLASHED_CS])
+
+
+def test_httpquery_day_span_respects_period_zone(spark):
+    """restrict_time=False returns whole covered day-periods in the
+    DEPLOYMENT's period zone (reference hdbpp.py:304-308: periods are
+    LOCAL dates, timestamps UTC - the r13 review finding: a UTC-hardcoded
+    span returns partial local periods). Europe/Stockholm in January is
+    UTC+1: the local day 2024-01-05 is [2024-01-04 23:00, 2024-01-05
+    23:00) UTC, so a 23:30-UTC-on-Jan-4 row belongs to the covered
+    period under the Stockholm zone but not under UTC."""
+    from web_maxiv_hdbppviewer_spark.api.lifecycle import (
+        HdbppQueryEngine,
+        _covered_day_span_utc,
+    )
+
+    assert _covered_day_span_utc(
+        datetime(2024, 1, 5, 12), datetime(2024, 1, 5, 13), "UTC"
+    ) == (datetime(2024, 1, 5), datetime(2024, 1, 6))
+    assert _covered_day_span_utc(
+        datetime(2024, 1, 5, 12), datetime(2024, 1, 5, 13), "Europe/Stockholm"
+    ) == (datetime(2024, 1, 4, 23), datetime(2024, 1, 5, 23))
+    # midnight-UTC edge: 2024-01-05 00:30 UTC is already Jan 5 LOCAL
+    # (01:30) in Stockholm; 2024-01-04 23:30 UTC is too
+    assert _covered_day_span_utc(
+        datetime(2024, 1, 4, 23, 30), datetime(2024, 1, 4, 23, 40),
+        "Europe/Stockholm",
+    ) == (datetime(2024, 1, 4, 23), datetime(2024, 1, 5, 23))
+
+    catalog = _slashed_catalog(spark)
+    rows = [
+        (1, datetime(2024, 1, 4, 22, 30), 1.0),   # previous local day
+        (1, datetime(2024, 1, 4, 23, 30), 2.0),   # Jan 5 local, Jan 4 UTC
+        (1, datetime(2024, 1, 5, 12, 0), 3.0),    # mid-day
+        (1, datetime(2024, 1, 5, 22, 30), 4.0),   # Jan 5 local, late UTC
+        (1, datetime(2024, 1, 5, 23, 30), 5.0),   # Jan 6 local, Jan 5 UTC
+    ]
+    dp = spark.createDataFrame(rows, "att_conf_id long, ts timestamp, value_r double")
+    name = "cs1/dom0/fam0/mem0/attr0"
+    t0, t1 = datetime(2024, 1, 5, 10), datetime(2024, 1, 5, 14)
+
+    utc_engine = HdbppQueryEngine(catalog, dp)
+    got_utc = sorted(
+        r["value_r"] for r in utc_engine.query_raw_df(
+            [name], t0, t1, restrict_time=False
+        ).collect()
+    )
+    assert got_utc == [3.0, 4.0, 5.0]  # the UTC day 2024-01-05
+
+    sthlm = HdbppQueryEngine(catalog, dp, period_zone="Europe/Stockholm")
+    got_sthlm = sorted(
+        r["value_r"] for r in sthlm.query_raw_df(
+            [name], t0, t1, restrict_time=False
+        ).collect()
+    )
+    assert got_sthlm == [2.0, 3.0, 4.0]  # the Stockholm day 2024-01-05

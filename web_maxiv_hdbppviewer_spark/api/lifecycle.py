@@ -11,7 +11,7 @@ search) ever reach the driver.
 
 from __future__ import annotations
 
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -34,6 +34,27 @@ def _split_attr(full_name: str) -> tuple[str, str]:
     return cs, "/".join((domain, family, member, name))
 
 
+def _covered_day_span_utc(
+    t0: datetime, t1: datetime, zone: str
+) -> tuple[datetime, datetime]:
+    """[start, end) naive-UTC instants of the ``zone``-local calendar days
+    covering [t0, t1] (reference hdbpp.py:304-308: periods are LOCAL
+    dates, timestamps UTC). Inputs are the engine's naive-UTC datetimes;
+    for zone='UTC' this is plain midnight flooring."""
+    from zoneinfo import ZoneInfo
+
+    tz = ZoneInfo(zone)
+    utc = timezone.utc
+    d0 = t0.replace(tzinfo=utc).astimezone(tz).date()
+    d1 = t1.replace(tzinfo=utc).astimezone(tz).date() + timedelta(days=1)
+    to_naive_utc = lambda d: (  # noqa: E731
+        datetime(d.year, d.month, d.day, tzinfo=tz)
+        .astimezone(utc)
+        .replace(tzinfo=None)
+    )
+    return to_naive_utc(d0), to_naive_utc(d1)
+
+
 class HdbppQueryEngine:
     """Query surface over an HdbppCatalog + unified datapoints DataFrame.
 
@@ -41,6 +62,12 @@ class HdbppQueryEngine:
     att_history tables (schemas.ATT_PARAMETER_SCHEMA / ATT_HISTORY_SCHEMA)
     backing the reference's parameter and event-history lookups
     (reference hdbpp.py:166-191, 243-270).
+
+    ``period_zone`` is the deployment's storage-partition zone (the
+    reference pins a local zone for its day periods, hdbpp.py:304-308 +
+    Dockerfile; the engine default is UTC per SURVEY §7.3) - it decides
+    which calendar days "whole covered day-periods" means for
+    restrict_time=False requests.
     """
 
     def __init__(
@@ -49,11 +76,13 @@ class HdbppQueryEngine:
         datapoints: DataFrame,
         parameters: DataFrame | None = None,
         history: DataFrame | None = None,
+        period_zone: str = "UTC",
     ):
         self.catalog = catalog
         self.datapoints = datapoints
         self.parameters = parameters
         self.history = history
+        self.period_zone = period_zone
 
     # --- routing ---------------------------------------------------------
 
@@ -106,11 +135,13 @@ class HdbppQueryEngine:
             # get_data restrict_time=False): WHOLE covered day-periods,
             # never the full history - the reference fetches only the
             # periods overlapping [t0, t1] (hdbpp.py:304-308) and skips
-            # the exact trim. Day span in the engine's UTC period zone
-            # (SURVEY §7.3); still a sargable ts-range predicate, so
-            # partition pruning holds at scale.
-            day0 = datetime(t0.year, t0.month, t0.day)
-            day1 = datetime(t1.year, t1.month, t1.day) + timedelta(days=1)
+            # the exact trim. "Day" means the deployment's period zone
+            # (self.period_zone; the reference's periods are local-time
+            # dates while timestamps are UTC) - the bounds are the
+            # zone-local midnights converted back to the engine's naive
+            # UTC, still one sargable ts-range predicate, so partition
+            # pruning holds at scale.
+            day0, day1 = _covered_day_span_utc(t0, t1, self.period_zone)
             df = df.where((F.col("ts") >= F.lit(day0)) & (F.col("ts") < F.lit(day1)))
         if interval:
             width = freq_to_us(interval)

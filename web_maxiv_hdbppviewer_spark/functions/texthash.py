@@ -61,26 +61,31 @@ def word_kgrams(tokens: Column, k: int) -> Column:
 
 
 def hashed_word_kgrams(tokens: Column, k: int) -> Column:
-    """``transform(word_kgrams(tokens, k), md5_int60)`` FUSED into the
-    one top-level lambda: gram assembly and 60-bit hashing inside a
-    single transform over the arrays_zip. Semantically identical to the
-    two-step composition, but the two-lambda tree (a transform over
-    word_kgrams' transform) does NOT semanticHash-canonicalize - every
-    call re-keys, so plans built from it can never hit a session memo
-    keyed on the Catalyst semantic hash (the r13 dedup_fuzzy finding:
-    its gram index rebuilt on every call despite identical inputs). Use
-    this form whenever the hashed gram stream feeds a memoized
-    checkpoint."""
-    n = F.size(tokens)
-    m = F.greatest(n - k + 1, F.lit(0))
-    zipped = F.arrays_zip(*[F.slice(tokens, j + 1, m) for j in range(k)])
-    return F.transform(
-        zipped,
-        lambda s: md5_int60(F.concat_ws(" ", *[s[str(j)] for j in range(k)])),
-    )
+    """Per-gram 60-bit hashes: ``transform(word_kgrams(..), g -> md5(g))``.
+
+    One named spelling for the hashed-gram stream so memoized consumers
+    (the fuzzy gram index) all build the byte-identical plan. History
+    (r13): the old chained-zip_with ``word_kgrams`` never
+    semanticHash-canonicalized (every call re-keyed the session memo),
+    and the old direct ``transform(.., md5_int60)`` pass bound the
+    element index to the salt parameter, silently hashing
+    'Column<...>:gram'. With the arrays_zip ``word_kgrams`` and a
+    keyword-only salt, the plain composition is stable across calls and
+    hashes exactly what the SQL oracles hash - verified by probe and by
+    the zero-first-touch bench battery."""
+    return F.transform(word_kgrams(tokens, k), lambda g: md5_int60(g))
 
 
-def md5_int60(c: Column, salt: str | None = None) -> Column:
-    """Portable 60-bit integer hash: bigint(md5(salt ':' x)[0:15 hex])."""
+def md5_int60(c: Column, *, salt: str | None = None) -> Column:
+    """Portable 60-bit integer hash: bigint(md5(salt ':' x)[0:15 hex]).
+
+    ``salt`` is KEYWORD-ONLY: a two-positional-parameter callable passed
+    directly to ``F.transform`` gets the element index bound to its
+    second parameter - here that silently salted every hash with the
+    stringified index Column (the r13 review finding: the engine hashed
+    'Column<...>:gram' while oracles hash the plain gram, so the
+    "identical criterion both sides" contract held only absent
+    collisions). Keyword-only, ``transform(arr, md5_int60)`` is a unary
+    callable and hashes exactly what the SQL twin hashes."""
     src = F.concat(F.lit(f"{salt}:"), c) if salt is not None else c
     return F.conv(F.substring(F.md5(src), 1, 15), 16, 10).cast("long")

@@ -864,8 +864,14 @@ def repeated_substrings(
     base = toks.select("id", F.size("l").cast("long").alias("n_tokens"))
     wins = toks.select(
         "id",
+        # explicit unary lambda: the pre-r13 direct pass bound transform's
+        # element INDEX to md5_int60's salt parameter, hashing
+        # 'Column<...>:gram' while the dedup_substr oracle hashes the
+        # plain gram - same duplicate sets absent collisions, but NOT the
+        # identical-criterion contract. Now both sides hash the bare
+        # window string (salt is keyword-only, so the old form raises).
         F.posexplode(
-            F.transform(word_kgrams(F.col("l"), k), md5_int60)
+            F.transform(word_kgrams(F.col("l"), k), lambda g: md5_int60(g))
         ).alias("p", "h"),
     )
     dup = wins.select(
