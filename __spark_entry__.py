@@ -44,10 +44,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # changelist leads, then ALL 24 queries whose freshest driver rows are
 # r8 (the recorded r13 queue - stream_*/text_bpe families, multimodal,
 # PQ/IVFPQ, pipe_delta/funnel, events_quantiles_approx, sim_quantize,
-# dedup_embedding), then the oldest-first fill: the first 20 of the 40
+# dedup_embedding), then the oldest-first fill: the first 15 of the 40
 # r10-row queries (alphabetical - the deterministic order within an
-# equal-age cohort). The remaining 20 r10 rows lead the r14 queue:
-#   pipe_stats, pipe_stats_delta, pipe_temperature_mix,
+# equal-age cohort). The remaining 25 r10 rows lead the r14 queue:
+#   pipe_dedup_sweep, pipe_delta_apply, pipe_manifest, pipe_pack_bpe,
+#   pipe_reweight, pipe_stats, pipe_stats_delta, pipe_temperature_mix,
 #   scale_bucketed, scale_colstats, scale_compact, scale_zorder,
 #   sim_ann_compare, sim_knn_graph, sim_pca, sim_sparse_topk,
 #   stream_join, stream_restart, stream_sessions_evict,
@@ -75,7 +76,12 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHANGED_THIS_ROUND = [
     "q36",  # NEW - rsplit("/",4) parity (VERDICT r12 What's-wrong #1)
     "q35",  # oracle rw-guard on write aggregates (ADVICE r12)
-    "lifecycle_query",  # right-anchored resolve + /httpquery branch
+    # right-anchored resolve + /httpquery branch + the r13-found
+    # resample-t parity fix: the reference's groupby().mean() averages
+    # the t column too and exports THAT (the bucket key is the dropped
+    # index, data.py:47/52-55/71-72), so resampled t is now the member
+    # MEAN (double), raw t stays int64 - hash changes, witness leads.
+    "lifecycle_query",
     "lifecycle_image_stream",  # NEW - streamed /image, hash-pinned
     # fuzzy gram index now built from the FUSED single-lambda
     # hashed_word_kgrams (functions/texthash.py): the old two-lambda
@@ -91,6 +97,23 @@ _CHANGED_THIS_ROUND = [
     # salt is keyword-only now; same duplicate sets on the driver
     # corpora, criterion truly identical.
     "dedup_substr",
+    # r13 canvas-parity change (reference plot.py:22-33, 88-90 +
+    # datashader map_onto_pixel): bin_2d/hover_stats now clip to the
+    # canvas INCLUSIVE on both edges with upper-edge points snapped into
+    # the last bin (was: y half-open, x unclipped); the /image lifecycle
+    # now fetches WHOLE covered day-periods for the raster/line input
+    # (get_data restrict_time=False) while extrema/total_points use the
+    # HALF-OPEN request slice [t0, t1) (searchsorted both sides), so
+    # line segments enter the view from off-screen anchors. Driver
+    # corpora are interior to every edge (events end Jan 30, values
+    # < 500), so the VALUES are identical - these witnesses re-certify
+    # the changed plans, constructed edge tests in tests/test_round13.py
+    # pin the new semantics.
+    "q20",
+    "q21",
+    "stream_raster",
+    "lifecycle_aggregate",
+    "lifecycle_image",
 ]
 # the 24 r8-freshness rows - VERDICT r12 #1 mandates ALL of them this round
 _STALE_R8 = [
@@ -102,18 +125,17 @@ _STALE_R8 = [
     "multimodal_frames", "pipe_delta", "pipe_funnel",
     "events_quantiles_approx", "sim_topk_pq", "sim_ann_ivfpq",
 ]
-# fill: first 20 of the 40 r10-freshness rows, alphabetical
-# (pipe_stats, pipe_stats_delta and pipe_temperature_mix yielded their
-# slots to the lifecycle_image_stream / dedup_fuzzy / dedup_substr
-# changelist entries and join the r14 queue)
+# fill: first 15 of the 40 r10-freshness rows, alphabetical
+# (pipe_dedup_sweep, pipe_delta_apply, pipe_manifest, pipe_pack_bpe,
+# pipe_reweight, pipe_stats, pipe_stats_delta and pipe_temperature_mix
+# yielded their slots to the changelist entries above and join the r14
+# queue)
 _STALE_R10 = [
     "dedup_containment", "dedup_incremental", "dedup_keep_best",
     "dedup_semantic", "events_anomaly", "events_attribution",
     "events_distinct_approx", "events_funnel_seq", "events_heavy_hitters",
     "events_markov", "events_props_parse", "events_retention",
     "events_scaffold", "pipe_bootstrap", "pipe_curriculum",
-    "pipe_dedup_sweep", "pipe_delta_apply", "pipe_manifest",
-    "pipe_pack_bpe", "pipe_reweight",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R8 + _STALE_R10
 

@@ -69,25 +69,39 @@ def test_query_raw_resample_means(engine, events):
     uid = events.select("user_id").limit(1).collect()[0][0]
     name = _attr_name(uid)
     out = engine.query_raw([name], T0, T1, interval="1d")[name].collect()
-    # property: count conservation and constant-series mean
+    # property: count conservation and constant-series mean. Exported t
+    # is the MEAN of the member timestamps (reference data.py:47: the
+    # groupby().mean() averages t too; the bucket key is the dropped
+    # index), keyed here by the half-to-EVEN bucket for grouping only.
     width = 86_400_000_000
     manual = (
         events.where((F.col("user_id") == uid) & F.col("ts").between(T0, T1))
-        .where(F.col("event_type") != "error")
         .select(
             # half-to-EVEN like the engine/reference (bround, not +0.5 floor)
-            (F.bround(F.unix_micros("ts") / float(width)).cast("long") * width).alias("t"),
-            F.col("value").alias("v"),
+            F.bround(F.unix_micros("ts") / float(width)).cast("long").alias("b"),
+            F.unix_micros("ts").alias("t_us"),
+            # error rows are NULL-valued datapoints: they skip the value
+            # mean but their t still counts in the t mean (pandas'
+            # per-column NaN-skipping mean does exactly this)
+            F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
         )
-        .groupBy("t")
-        .agg(F.avg("v").alias("m"))
+        .groupBy("b")
+        .agg(F.avg("v").alias("m"), F.avg("t_us").alias("mt"))
         .collect()
     )
-    expect = {r["t"]: r["m"] for r in manual}
-    got = {r["t"]: r["value_r"] for r in out}
+    expect = {r["b"]: r["m"] for r in manual}
+    expect_t = {r["b"]: r["mt"] for r in manual}
+    got = {round(r["t"] / width): r["value_r"] for r in out}
+    got_t = {round(r["t"] / width): r["t"] for r in out}
+    assert got_t.keys() == expect_t.keys()
+    for b in expect_t:
+        assert got_t[b] == pytest.approx(expect_t[b], abs=1.0)  # sub-µs
     assert got.keys() == expect.keys()
     for t in expect:
-        assert got[t] == pytest.approx(expect[t], rel=1e-12)
+        if expect[t] is None:
+            assert got[t] is None  # all-error bucket: NULL mean survives
+        else:
+            assert got[t] == pytest.approx(expect[t], rel=1e-12)
 
 
 def test_query_unknown_attribute_dropped(engine):
@@ -234,17 +248,37 @@ def test_asof_join_forward_includes_ties(spark):
 
 
 def test_slice_cache_hit_equals_miss_and_evicts(spark, events):
-    cache = SliceCache(max_bytes=1)  # force eviction on every put
     day = events.where(F.to_date("ts") == "2024-01-05")
+    day6 = events.where(F.to_date("ts") == "2024-01-06")
+    # measure each entry's accounted size with a generous budget
+    probe = SliceCache(max_bytes=1 << 40)
+    probe.put(("cs1", 1, "2024-01-05"), day)
+    b5 = probe.size_bytes
+    probe.put(("cs1", 1, "2024-01-06"), day6)
+    b6 = probe.size_bytes - b5
+    probe.clear()
+
+    # budget admits either entry alone but not both: second put evicts first
+    cache = SliceCache(max_bytes=max(b5, b6) + 1)
     first = cache.put(("cs1", 1, "2024-01-05"), day)
     n1 = first.count()
     assert cache.get(("cs1", 1, "2024-01-05")) is not None
-    cache.put(("cs1", 1, "2024-01-06"), events.where(F.to_date("ts") == "2024-01-06"))
-    # budget of 1 byte keeps only the newest entry
+    cache.put(("cs1", 1, "2024-01-06"), day6)
+    assert cache.get(("cs1", 1, "2024-01-06")) is not None
     assert cache.get(("cs1", 1, "2024-01-05")) is None
+    assert cache.size_bytes <= cache.max_bytes  # never exceeds budget
     fresh = events.where(F.to_date("ts") == "2024-01-05").count()
     assert n1 == fresh
     cache.clear()
+
+    # reference utils.py:220-223: a value at or over the WHOLE budget is
+    # never stored at all (it would evict everything and still breach)
+    tiny = SliceCache(max_bytes=1)
+    out = tiny.put(("cs1", 1, "2024-01-05"), day)
+    assert out.count() == n1  # caller's plan still works uncached
+    assert tiny.get(("cs1", 1, "2024-01-05")) is None
+    assert tiny.size_bytes == 0
+    tiny.clear()
 
 
 def test_cache_guard_matches_query_rule(spark, events):

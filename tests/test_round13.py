@@ -431,3 +431,167 @@ def test_httpquery_day_span_respects_period_zone(spark):
         ).collect()
     )
     assert got_sthlm == [2.0, 3.0, 4.0]  # the Stockholm day 2024-01-05
+
+
+def test_resampled_t_is_member_mean_reference_ground_truth(spark):
+    """The resampled export's per-bucket timestamp is the MEAN of the
+    member timestamps, not the bucket time (reference data.py:47: the
+    groupby(round_timestamp).mean() averages the synthesized t column
+    too, and both renderers export that average while the rounded bucket
+    key stays in the DROPPED index - data.py:52-55 to_csv(index=False),
+    data.py:71-72 df['t']). Ground truth observed from the reference
+    implementation itself: rows at 1 s / 7 s / 61 s / 119 s under a 1 m
+    interval export t = 4_000_000.0 (mean of the two bucket-0 members),
+    61_000_000.0 and 119_000_000.0 - note 119 s rounds to the 120 s
+    bucket yet exports its own 119 s timestamp. The pre-r13 engine
+    emitted bucket*width (0 / 60_000_000 / 120_000_000) - red here."""
+    from web_maxiv_hdbppviewer_spark.api.lifecycle import HdbppQueryEngine
+    from web_maxiv_hdbppviewer_spark.api.render import render_csv
+
+    catalog = _slashed_catalog(spark)
+    name = "cs1/dom0/fam0/mem0/attr0"
+    rows = [
+        (1, datetime(1970, 1, 1, 0, 0, 1), 1.0),
+        (1, datetime(1970, 1, 1, 0, 0, 7), 2.0),
+        (1, datetime(1970, 1, 1, 0, 1, 1), 3.0),
+        (1, datetime(1970, 1, 1, 0, 1, 59), 4.0),
+    ]
+    dp = spark.createDataFrame(rows, "att_conf_id long, ts timestamp, value_r double")
+    engine = HdbppQueryEngine(catalog, dp)
+    t0, t1 = datetime(1970, 1, 1), datetime(1970, 1, 1, 1)
+
+    got = engine.query_raw_df([name], t0, t1, interval="1m").collect()
+    assert [(r["t"], r["value_r"]) for r in got] == [
+        (4_000_000.0, 1.5),
+        (61_000_000.0, 3.0),
+        (119_000_000.0, 4.0),
+    ]
+    # the dtype split the reference emits: raw t int64, resampled DOUBLE
+    raw_t = dict(engine.query_raw_df([name], t0, t1).dtypes)["t"]
+    res_t = dict(engine.query_raw_df([name], t0, t1, interval="1m").dtypes)["t"]
+    assert (raw_t, res_t) == ("bigint", "double")
+
+    # CSV bytes match the reference's to_csv float formatting
+    csv = render_csv(
+        engine.query_raw([name], t0, t1, interval="1m")
+    ).decode()
+    assert csv == (
+        f"{name}\nt[us],value_r\n"
+        "4000000.0,1.5\n61000000.0,3.0\n119000000.0,4.0\n"
+    )
+
+
+def test_resampled_t_mean_includes_null_value_rows(spark):
+    """Null-valued (error) rows skip the value mean but their timestamps
+    still count in the t mean - pandas' per-column NaN-skipping mean
+    (the t column is never NaN, so every member contributes)."""
+    from web_maxiv_hdbppviewer_spark.api.lifecycle import HdbppQueryEngine
+
+    catalog = _slashed_catalog(spark)
+    name = "cs1/dom0/fam0/mem0/attr0"
+    rows = [
+        (1, datetime(1970, 1, 1, 0, 0, 10), None),
+        (1, datetime(1970, 1, 1, 0, 0, 20), 6.0),
+    ]
+    dp = spark.createDataFrame(rows, "att_conf_id long, ts timestamp, value_r double")
+    engine = HdbppQueryEngine(catalog, dp)
+    got = engine.query_raw_df(
+        [name], datetime(1970, 1, 1), datetime(1970, 1, 1, 1), interval="1m"
+    ).collect()
+    assert [(r["t"], r["value_r"]) for r in got] == [(15_000_000.0, 6.0)]
+
+
+def test_bin2d_canvas_edges_inclusive_with_upper_edge_snap(spark):
+    """datashader Canvas bounds are INCLUSIVE both ends and a point
+    exactly on the upper edge maps into the LAST bin (map_onto_pixel's
+    ``xx - 1 if x == xmax``); everything outside the canvas is dropped.
+    The pre-r13 bin_2d clipped y half-open ([ymin, ymax)) and passed x
+    through unclipped - this pins the canvas contract directly."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.operators.raster import bin_2d, hover_stats
+
+    x0 = 1_000_000_000
+    span = 1_000_000.0  # 1 s canvas
+    nx, ny = 10, 8
+    rows = [
+        (x0 - 1, 50.0),          # before canvas: dropped
+        (x0, 0.0),               # lower-left corner: bin (0, 0)
+        (x0 + 500_000, 250.0),   # interior: bin (5, 4)
+        (x0 + 1_000_000, 500.0), # exact upper-right corner: SNAPS to (9, 7)
+        (x0 + 1_000_001, 50.0),  # past canvas: dropped
+        (x0 + 500_000, 500.5),   # y above canvas: dropped
+    ]
+    df = spark.createDataFrame(
+        [(t, v) for t, v in rows], "t_us long, value double"
+    ).select(F.timestamp_micros("t_us").alias("ts"), "value")
+    got = {
+        (r["xb"], r["yb"]): r["cnt"]
+        for r in bin_2d(df, x0, span, nx, 0.0, 500.0, ny).collect()
+    }
+    assert got == {(0, 0): 1, (5, 4): 1, (9, 7): 1}
+    hov = {r["xb"]: r["cnt"] for r in hover_stats(
+        df, x0, span, nx, 0.0, 500.0
+    ).collect()}
+    assert hov == {0: 1, 5: 1, 9: 1}
+
+
+def test_image_windows_match_reference_slices(spark):
+    """The /image endpoint's THREE windows (reference get_images ->
+    get_data restrict_time=False -> get_extrema -> Canvas):
+      - raster/line input = WHOLE covered day-periods (data.py:78-114
+        default restrict_time=False),
+      - extrema & total_points = the HALF-OPEN request slice [t0, t1)
+        (plot.py:88-90: searchsorted on both bounds),
+      - the canvas clips points to [t0, t1] INCLUSIVE with the right
+        edge snapped into the last pixel column,
+      - line segments ENTER the view from off-screen anchor points in
+        the covered days (the raster is drawn from the full frame).
+    Pre-r13 all three were the single closed trim [t0, t1]."""
+    from web_maxiv_hdbppviewer_spark.api.lifecycle import HdbppQueryEngine
+    from web_maxiv_hdbppviewer_spark.operators.rasterline import rasterize_lines
+
+    catalog = _slashed_catalog(spark)
+    name = "cs1/dom0/fam0/mem0/attr0"
+    rows = [
+        (1, datetime(2024, 1, 4, 23, 0), 400.0),  # previous day: NOT covered
+        (1, datetime(2024, 1, 5, 3, 0), 10.0),    # covered day, before t0
+        (1, datetime(2024, 1, 5, 12, 0), 20.0),   # in view
+        (1, datetime(2024, 1, 5, 18, 0), 30.0),   # exactly t1: canvas edge
+        (1, datetime(2024, 1, 5, 21, 0), 40.0),   # covered day, after t1
+    ]
+    dp = spark.createDataFrame(rows, "att_conf_id long, ts timestamp, value_r double")
+    engine = HdbppQueryEngine(catalog, dp)
+    t0, t1 = datetime(2024, 1, 5, 6), datetime(2024, 1, 5, 18)
+    w, h = 100, 80
+
+    ax = engine.image_aggregates([{"name": name, "y_axis": 0}], t0, t1, (w, h))[0]
+
+    # extrema/total_points: [t0, t1) - only the 12:00 point
+    assert ax["descs"][name]["total_points"] == 1
+    assert ax["descs"][name]["min_value"] == 20.0
+    assert ax["descs"][name]["max_value"] == 20.0
+    # y_range padded around the constant 20.0 (reference invent-a-band)
+    assert ax["y_range"] == (10.0, 30.0)
+
+    # whole-days fetch: the four Jan-5 points, not the Jan-4 one
+    days_ts = sorted(r["ts"] for r in ax["data"].collect())
+    assert days_ts == [r[1] for r in rows[1:]]
+
+    # point raster: canvas [t0, t1] inclusive - 12:00 in its column,
+    # the exact-t1 point snapped into the LAST column; 03:00/21:00 out
+    pts = {(r["xb"], r["cnt"]) for r in ax["raster"].collect()}
+    assert {x for x, _ in pts} == {w // 2, w - 1}
+    hov = {r["xb"] for r in ax["hover"].collect()}
+    assert hov == {w // 2, w - 1}
+
+    # line raster from the whole-days frame: the segment from the 03:00
+    # off-view anchor (value 10 = bottom of the band) ENTERS the canvas,
+    # so pixel column 0 is lit - with only in-view points the leftmost
+    # lit column would be the 12:00 point's
+    x0_us, x1_us = ax["x_range"]
+    pix = rasterize_lines(
+        ax["data"], x0_us, float(x1_us - x0_us), w, *ax["y_range"], h
+    ).collect()
+    assert min(r["xb"] for r in pix) == 0
+    assert max(r["xb"] for r in pix) == w - 1  # ...and exits right

@@ -120,7 +120,8 @@ class HdbppQueryEngine:
         reference instead gathered 50 concurrent day-queries
         (hdbpp.py:312-321); Catalyst's task scheduler subsumes that.
 
-        Returns (name, t, value_r) ordered by (name, t).
+        Returns (name, t, value_r) ordered by (name, t); t is int64 µs for
+        raw queries, DOUBLE (mean member timestamp) when resampled.
         """
         ids = _ids if _ids is not None else self._resolve(attributes)
         spark = self.datapoints.sparkSession
@@ -146,9 +147,15 @@ class HdbppQueryEngine:
         if interval:
             width = freq_to_us(interval)
             res = resample_mean(df, width, value_col="value_r", keys=["att_conf_id"])
+            # resampled t = the MEAN of the member timestamps, not the
+            # bucket time: the reference's groupby().mean() averages the
+            # t column too and its renderers export that average while
+            # the bucket key stays in the dropped index (data.py:47,
+            # 52-55, 71-72). Raw t is int64 µs, resampled t is DOUBLE -
+            # the same dtype split the reference emits.
             out = res.select(
                 "att_conf_id",
-                (F.col("bucket") * width).alias("t"),
+                F.col("mean_t").alias("t"),
                 F.col("mean_v").alias("value_r"),
             )
         else:
@@ -223,15 +230,31 @@ class HdbppQueryEngine:
             if not ids:
                 continue
             id_to_name = {v: k for k, v in ids.items()}
-            data = self.datapoints.where(
+            routed = self.datapoints.where(
                 F.col("att_conf_id").isin(list(ids.values()))
-            ).where(F.col("ts").between(F.lit(t0), F.lit(t1)))
+            )
+            # reference /image windows (r13 parity): get_images fetches
+            # WHOLE covered day-periods (get_data restrict_time defaults
+            # False, server.py:124 -> data.py:78-114), computes extrema
+            # over the HALF-OPEN request slice [t0, t1) (plot.py:88-90
+            # searchsorted both sides), and rasterizes from the full
+            # whole-days frame with the canvas clipping to [t0, t1]
+            # INCLUSIVE (so line segments enter the view from off-screen
+            # anchor points, and a point exactly at t1 is drawn but not
+            # counted in extrema). Both windows stay sargable ts ranges.
+            day0, day1 = _covered_day_span_utc(t0, t1, self.period_zone)
+            days = routed.where(
+                (F.col("ts") >= F.lit(day0)) & (F.col("ts") < F.lit(day1))
+            )
+            view = routed.where(
+                (F.col("ts") >= F.lit(t0)) & (F.col("ts") < F.lit(t1))
+            )
 
             # per-series extrema (A2, log filter F3) - tiny driver result
             ext = {
                 r["att_conf_id"]: r
                 for r in series_extrema(
-                    data, ["att_conf_id"], "value_r", log_scale
+                    view, ["att_conf_id"], "value_r", log_scale
                 ).collect()
             }
             descs = {
@@ -249,7 +272,7 @@ class HdbppQueryEngine:
             vmax = cfg.get("max", max(maxs) if maxs else None)
             y0, y1 = pad_range(vmin, vmax, log_scale)
 
-            plot_data = data
+            plot_data = days
             if log_scale:
                 plot_data = plot_data.where(F.col("value_r") > 0)
             raster = bin_2d(

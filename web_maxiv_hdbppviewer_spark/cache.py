@@ -94,9 +94,18 @@ class SliceCache:
         persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
         n = persisted.count()
         nbytes = n * _estimate_row_bytes(df)
+        if nbytes >= self.max_bytes:
+            # reference utils.py:220-223: a value at or over the whole
+            # budget is never stored (it would only evict everything and
+            # still breach the cap). Unpersist - the caller's plan still
+            # works, it just recomputes.
+            persisted.unpersist()
+            return df
         self._entries[key] = (persisted, nbytes)
         self._bytes += nbytes
-        while self._bytes > self.max_bytes and len(self._entries) > 1:
+        while self._bytes > self.max_bytes:
+            # evict LRU until back under budget (reference utils.py:227-234;
+            # the skip above guarantees the new entry alone always fits)
             old_key, (old_df, old_bytes) = self._entries.popitem(last=False)
             old_df.unpersist()
             self._bytes -= old_bytes

@@ -53,16 +53,31 @@ def bin_2d(
 
     Output: (keys..., xb, yb, cnt, vmean, vmin, vmax) - the datashader
     ``summary(count, mean, min, max)`` decomposed into built-in aggregates
-    (reference plot.py:29-33). Rows outside [ymin, ymax) are dropped, like
-    datashader's canvas clipping.
+    (reference plot.py:29-33).
+
+    Canvas semantics (r13 parity): datashader's Canvas bounds are
+    INCLUSIVE on both ends, with a point exactly on the upper edge mapped
+    into the LAST bin (its map_onto_pixel does ``xx - 1 if x == xmax``) -
+    so rows are kept for x0 <= t <= x0+span and ymin <= v <= ymax, and
+    both bin indices snap the upper edge via ``least(floor(..), n-1)``
+    (which also absorbs the one-ulp float-overshoot hazard the streaming
+    twin documents). Rows outside the canvas are dropped HERE, exactly as
+    the reference's canvas clips the whole-days frame /image feeds it
+    (get_data restrict_time=False -> Canvas(x_range=[t0, t1])). The
+    pre-r13 form clipped y half-open and passed x through unclipped - fine
+    for pre-trimmed feeds, wrong for the edge rows themselves.
     """
     v = F.col(value_col)
+    t_us = epoch_us(F.col(ts_col))
     binned = (
-        df.where((v >= ymin) & (v < ymax))
+        df.where((v >= ymin) & (v <= ymax))
+        .where((t_us >= x0_us) & (t_us <= x0_us + float(span_us)))
         .select(
             *(keys or []),
-            xbin(epoch_us(F.col(ts_col)), x0_us, span_us, nx).alias("xb"),
-            ybin(v, ymin, ymax, ny).alias("yb"),
+            F.least(
+                xbin(t_us, x0_us, span_us, nx), F.lit(nx - 1)
+            ).alias("xb"),
+            F.least(ybin(v, ymin, ymax, ny), F.lit(ny - 1)).alias("yb"),
             v.alias("_v"),
         )
     )
@@ -91,13 +106,22 @@ def hover_stats(
     (reference plot.py:44-60: nanmin of mins, nanmax of maxes, sum of
     counts per x column, keeping only columns with data). Expressed
     directly as a 1-D binned aggregate - Catalyst's partial/final agg is
-    the reference's collapse.
+    the reference's collapse. Canvas clip and upper-edge snap as in
+    ``bin_2d`` (the reference's hover reads the same canvas-clipped
+    aggregate, plot.py:28-33,44-51).
     """
     v = F.col(value_col)
-    binned = df.where((v >= ymin) & (v < ymax)).select(
-        *(keys or []),
-        xbin(epoch_us(F.col(ts_col)), x0_us, span_us, nx).alias("xb"),
-        v.alias("_v"),
+    t_us = epoch_us(F.col(ts_col))
+    binned = (
+        df.where((v >= ymin) & (v <= ymax))
+        .where((t_us >= x0_us) & (t_us <= x0_us + float(span_us)))
+        .select(
+            *(keys or []),
+            F.least(
+                xbin(t_us, x0_us, span_us, nx), F.lit(nx - 1)
+            ).alias("xb"),
+            v.alias("_v"),
+        )
     )
     return (
         binned.groupBy(*(keys or []), "xb")

@@ -48,12 +48,42 @@ def resample_mean(
 ) -> DataFrame:
     """Tumbling mean with round-to-nearest buckets.
 
-    Returns (keys..., bucket, mean_v, n). ``bucket`` is the integer bucket
-    index; bucket * width_us is its center-aligned epoch.
+    Returns (keys..., bucket, mean_t, mean_v, n). ``bucket`` is the integer
+    bucket index (bucket * width_us = its center-aligned epoch); ``mean_t``
+    is the MEAN of the member microsecond timestamps. The reference's
+    resample is ``groupby(round_timestamp).mean()`` (data.py:47), and
+    pandas' mean averages EVERY numeric column - including the ``t`` it
+    just synthesized - while the rounded bucket key lands in the INDEX,
+    which both renderers drop (data.py:52-55 exports columns [t, value_r]
+    with index=False; data.py:71-72 reads df['t']). So the reference's
+    exported per-bucket timestamp is the member mean, NOT the bucket time
+    (verified against the reference implementation: rows at 1 s and 7 s
+    under a 1 m interval export t = 4_000_000.0).
+
+    Exactness: mean_t = bucket*width + sum(t - bucket*width)/n with the
+    offset sum exact in int64 (|offset| <= width/2, overflow-safe to
+    ~2^63/width rows per bucket) and one double divide + add - identical
+    arithmetic in any engine and within one ulp of the true mean (the
+    reference's float64 column mean is looser; divergence is sub-µs).
+    Null values keep their row's t inside mean_t and n but are skipped by
+    mean_v, exactly pandas' per-column NaN-skipping mean.
     """
-    b = nearest_bucket(epoch_us(F.col(ts_col)), width_us).alias(bucket_col)
-    grouped = df.groupBy(*(keys or []), b)
+    w = int(width_us)
+    t_us = epoch_us(F.col(ts_col))
+    b = nearest_bucket(t_us, width_us)
+    staged = df.withColumn("_off", t_us - b * F.lit(w))
+    grouped = staged.groupBy(*(keys or []), b.alias(bucket_col))
     return grouped.agg(
         F.avg(value_col).alias("mean_v"),
         F.count(F.lit(1)).alias("n"),
+        F.sum("_off").alias("_s_off"),
+    ).select(
+        *(keys or []),
+        bucket_col,
+        (
+            F.col(bucket_col).cast("double") * float(w)
+            + F.col("_s_off").cast("double") / F.col("n")
+        ).alias("mean_t"),
+        "mean_v",
+        "n",
     )

@@ -104,21 +104,31 @@ CORE_ORACLE = {
         FROM events WHERE event_type IN ('click', 'view')
     """,
     "q20": """
+        -- canvas clip is INCLUSIVE both ends with the upper edge snapped
+        -- into the last bin (datashader map_onto_pixel; engine bin_2d r13)
         WITH b AS (
-          SELECT CAST(FLOOR((epoch_us(ts) - 1704067200000000)
-                            / 2592000000000.0 * 100) AS INT) AS xb,
-                 CAST(FLOOR((value - 0.0) / 500.0 * 80) AS INT) AS yb,
+          SELECT LEAST(CAST(FLOOR((epoch_us(ts) - 1704067200000000)
+                            / 2592000000000.0 * 100) AS INT), 99) AS xb,
+                 LEAST(CAST(FLOOR((value - 0.0) / 500.0 * 80) AS INT), 79)
+                   AS yb,
                  value
-          FROM events WHERE value >= 0.0 AND value < 500.0)
+          FROM events
+          WHERE value >= 0.0 AND value <= 500.0
+            AND epoch_us(ts) >= 1704067200000000
+            AND epoch_us(ts) <= 1704067200000000 + 2592000000000)
         SELECT xb, yb, COUNT(*) AS cnt, ROUND(AVG(value), 6) AS vmean,
                ROUND(MIN(value), 6) AS vmin, ROUND(MAX(value), 6) AS vmax
         FROM b GROUP BY xb, yb ORDER BY xb, yb
     """,
     "q21": """
         WITH b AS (
-          SELECT CAST(FLOOR((epoch_us(ts) - 1704067200000000)
-                            / 2592000000000.0 * 100) AS INT) AS xb, value
-          FROM events WHERE value >= 0.0 AND value < 500.0)
+          SELECT LEAST(CAST(FLOOR((epoch_us(ts) - 1704067200000000)
+                            / 2592000000000.0 * 100) AS INT), 99) AS xb,
+                 value
+          FROM events
+          WHERE value >= 0.0 AND value <= 500.0
+            AND epoch_us(ts) >= 1704067200000000
+            AND epoch_us(ts) <= 1704067200000000 + 2592000000000)
         SELECT xb, COUNT(*) AS cnt, ROUND(MIN(value), 6) AS vmin,
                ROUND(MAX(value), 6) AS vmax
         FROM b GROUP BY xb HAVING COUNT(*) > 0 ORDER BY xb
@@ -445,12 +455,20 @@ CORE_ORACLE = {
             AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
                        AND TIMESTAMP '2024-01-20 00:00:00'),
         res AS (
+          -- resampled t = MEAN of the member timestamps (the reference's
+          -- groupby().mean() averages the t column; the bucket key stays
+          -- in the dropped index - data.py:47,52-55,71-72), computed as
+          -- bucket*width + exact-int offset sum / n like the engine
           SELECT name,
-                 CAST(round_even(t_us / 43200000000.0, 0) AS BIGINT)
-                   * 43200000000 AS t,
+                 CAST(b AS DOUBLE) * 43200000000
+                   + CAST(SUM(t_us - b * 43200000000) AS DOUBLE)
+                     / COUNT(*) AS t,
                  ROUND(AVG(value_r), 6) AS value_r
-          FROM dp
-          GROUP BY name, CAST(round_even(t_us / 43200000000.0, 0) AS BIGINT)),
+          FROM (SELECT name, t_us, value_r,
+                       CAST(round_even(t_us / 43200000000.0, 0) AS BIGINT)
+                         AS b
+                FROM dp)
+          GROUP BY name, b),
         httpq AS (
           -- /httpquery: restrict_time=False returns WHOLE covered
           -- day-periods for the mid-day request [01-05 12:00, 01-19
@@ -465,11 +483,13 @@ CORE_ORACLE = {
           WHERE user_id < 6
             AND ts >= TIMESTAMP '2024-01-05 00:00:00'
             AND ts <  TIMESTAMP '2024-01-20 00:00:00')
-        SELECT 'raw' AS kind, name, t_us AS t, value_r FROM dp
+        SELECT 'raw' AS kind, name, CAST(t_us AS DOUBLE) AS t, value_r
+        FROM dp
         UNION ALL
         SELECT 'resampled' AS kind, name, t, value_r FROM res
         UNION ALL
-        SELECT 'httpquery' AS kind, name, t, value_r FROM httpq
+        SELECT 'httpquery' AS kind, name, CAST(t AS DOUBLE) AS t, value_r
+        FROM httpq
         ORDER BY kind, name, t
     """,
     # PINNED regression oracle for the PNG render path (VERDICT r11

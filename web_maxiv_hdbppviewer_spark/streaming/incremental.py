@@ -141,14 +141,23 @@ def streaming_raster_windowed(
         * F.lit(col_us)
     )
     keys = keys or []  # per-series rasters (the /image multi-line panel)
+    # y canvas semantics match batch bin_2d (r13: inclusive upper edge,
+    # snapped into the top row). x stays UNCLIPPED here, unlike bin_2d's
+    # canvas clip: a live stream's watermark must ride every event (an
+    # out-of-view event still advances time and finalizes columns), and a
+    # dashboard's x-range moves - the consumer crops columns to its
+    # current canvas (api/png.py drops out-of-grid rows). Consequence:
+    # only IN-CANVAS columns are bit-compatible with bin_2d; an event
+    # exactly on the canvas right edge opens column nx here where batch
+    # snaps it into nx-1.
     return (
-        stream.where((v >= ymin) & (v < ymax))
+        stream.where((v >= ymin) & (v <= ymax))
         .withColumn("_col_ts", col_start)
         .withWatermark("_col_ts", late_threshold)
         .groupBy(
             *keys,
             F.window(F.col("_col_ts"), dur, dur, off).alias("win"),
-            ybin(v, ymin, ymax, ny).alias("yb"),
+            F.least(ybin(v, ymin, ymax, ny), F.lit(ny - 1)).alias("yb"),
         )
         .agg(
             F.count(F.lit(1)).alias("cnt"),
