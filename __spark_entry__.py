@@ -44,13 +44,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # changelist leads, then ALL 24 queries whose freshest driver rows are
 # r8 (the recorded r13 queue - stream_*/text_bpe families, multimodal,
 # PQ/IVFPQ, pipe_delta/funnel, events_quantiles_approx, sim_quantize,
-# dedup_embedding), then the oldest-first fill: the first 15 of the 40
+# dedup_embedding), then the oldest-first fill: the first 13 of the 40
 # r10-row queries (alphabetical - the deterministic order within an
-# equal-age cohort). The remaining 25 r10 rows lead the r14 queue:
-#   pipe_dedup_sweep, pipe_delta_apply, pipe_manifest, pipe_pack_bpe,
+# equal-age cohort; sim_pca graduated to the changelist). The remaining
+# 26 r10 rows lead the r14 queue:
+#   pipe_bootstrap, pipe_curriculum, pipe_dedup_sweep, pipe_delta_apply,
+#   pipe_manifest, pipe_pack_bpe,
 #   pipe_reweight, pipe_stats, pipe_stats_delta, pipe_temperature_mix,
 #   scale_bucketed, scale_colstats, scale_compact, scale_zorder,
-#   sim_ann_compare, sim_knn_graph, sim_pca, sim_sparse_topk,
+#   sim_ann_compare, sim_knn_graph, sim_sparse_topk,
 #   stream_join, stream_restart, stream_sessions_evict,
 #   stream_sink_compact, text_chunk, text_collocations,
 #   text_domain_shift, text_lm_score, text_vocab
@@ -114,6 +116,19 @@ _CHANGED_THIS_ROUND = [
     "stream_raster",
     "lifecycle_aggregate",
     "lifecycle_image",
+    # r13 scale/perf rework: moments now come from the partial-Gram
+    # Arrow kernel (operators/pca.py moment_sums_gram - one corpus pass,
+    # partition-local exact int64 partial sums with the Spark-DIV
+    # trunc-split replicated in numpy, O(partitions x d^2) rows to one
+    # tiny merge) instead of the d-fold self-join amplification, and the
+    # projection-variance check folds flat zip_with/aggregate lambdas
+    # instead of a 64-deep Add chain (same terms, same order, identical
+    # doubles). Integer-for-integer equality with the join form is
+    # pinned by test_pca_gram_kernel_equals_join_moments; oracles
+    # unchanged, values identical, plans changed -> witnesses lead.
+    # (sim_pca 7.5 -> 3.3 s median, sim_pca_gram 2.8 -> 1.2 s at sf0.1.)
+    "sim_pca",
+    "sim_pca_gram",
 ]
 # the 24 r8-freshness rows - VERDICT r12 #1 mandates ALL of them this round
 _STALE_R8 = [
@@ -125,17 +140,16 @@ _STALE_R8 = [
     "multimodal_frames", "pipe_delta", "pipe_funnel",
     "events_quantiles_approx", "sim_topk_pq", "sim_ann_ivfpq",
 ]
-# fill: first 15 of the 40 r10-freshness rows, alphabetical
-# (pipe_dedup_sweep, pipe_delta_apply, pipe_manifest, pipe_pack_bpe,
-# pipe_reweight, pipe_stats, pipe_stats_delta and pipe_temperature_mix
-# yielded their slots to the changelist entries above and join the r14
-# queue)
+# fill: first 13 of the 40 r10-freshness rows, alphabetical (the pipe_*
+# tail from pipe_bootstrap on yielded its slots to the changelist
+# entries above and joins the r14 queue; sim_pca graduated from the
+# queue INTO the changelist)
 _STALE_R10 = [
     "dedup_containment", "dedup_incremental", "dedup_keep_best",
     "dedup_semantic", "events_anomaly", "events_attribution",
     "events_distinct_approx", "events_funnel_seq", "events_heavy_hitters",
     "events_markov", "events_props_parse", "events_retention",
-    "events_scaffold", "pipe_bootstrap", "pipe_curriculum",
+    "events_scaffold",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R8 + _STALE_R10
 

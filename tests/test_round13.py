@@ -595,3 +595,40 @@ def test_image_windows_match_reference_slices(spark):
     ).collect()
     assert min(r["xb"] for r in pix) == 0
     assert max(r["xb"] for r in pix) == w - 1  # ...and exits right
+
+
+def test_pca_gram_kernel_equals_join_moments(spark):
+    """The partial-Gram Arrow kernel must reproduce the join-form moment
+    sums INTEGER FOR INTEGER - same per-product hi/lo trunc-div split
+    (Spark DIV truncates toward zero; numpy // floors, so every negative
+    product would shift its (s_hi, s_lo) pair under a naive port), same
+    quantization, partition-then-merge == row-level aggregation. The
+    corpus mixes signs so negative products are exercised, and spans
+    multiple partitions so the merge path runs."""
+    from web_maxiv_hdbppviewer_spark.operators import pca
+
+    # unit-scale domain (|q| < 2^31 per the QSCALE header - larger
+    # coordinates overflow int64 products in BOTH forms, by design)
+    rows = [
+        (1, [0.25, -1.75, 1.5, -0.0009]),
+        (2, [-2.0, 0.333, -0.125, 1.0]),
+        (3, [1.5, 1.5, -1.5, 0.75]),
+        (4, [-0.6, -0.6, 0.6, -1.25]),
+        (5, [0.0, 1.125, -1.3, 0.005]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(3)
+
+    f_join, s_join = pca.moment_sums(pca.quantized_coords(df))
+    f_gram, s_gram = pca.moment_sums_gram(df)
+
+    fj = {r["i"]: (int(r["s"]), r["n"]) for r in f_join.collect()}
+    fg = {r["i"]: (int(r["s"]), r["n"]) for r in f_gram.collect()}
+    assert fj == fg
+    sj = {(r["i"], r["j"]): (r["s_hi"], r["s_lo"]) for r in s_join.collect()}
+    sg = {(r["i"], r["j"]): (r["s_hi"], r["s_lo"]) for r in s_gram.collect()}
+    assert sj == sg
+    # the sign mix really produced negative products (the trunc-div
+    # hazard is exercised, not vacuously green)
+    assert any(hi < 0 for hi, _ in sj.values())

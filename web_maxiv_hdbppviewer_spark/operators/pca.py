@@ -94,15 +94,107 @@ def moment_sums(coords: DataFrame) -> tuple[DataFrame, DataFrame]:
     return first, second
 
 
+def moment_sums_gram(df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     ) -> tuple[DataFrame, DataFrame]:
+    """Partial-Gram moment kernel - the production (100 TB) shape of
+    ``moment_sums``: ONE Arrow pass over the corpus, each partition
+    emitting its d + d(d+1)/2 integer partial sums, then a bounded final
+    merge. No self-join: the join form amplifies every row d-fold before
+    codegen multiplies; this computes the same per-row products in numpy
+    and ships only O(partitions x d^2) rows to one tiny shuffle.
+
+    Bit-exactness contract (what makes it a swap-in for moment_sums and
+    keeps every SQL oracle green unchanged):
+
+    - quantization happens in COLUMN form BEFORE the kernel - the same
+      ``round(cast(x as double) * 1e9)`` expression quantized_coords
+      uses, so q is identical to the oracle's by construction (numpy
+      round is half-EVEN where Spark/DuckDB round half-up: never
+      quantize inside the kernel);
+    - the per-product hi/lo split replicates Spark ``DIV`` / ``%``
+      TRUNCATING semantics (``sign(p) * (|p| // R)``, remainder keeping
+      the dividend's sign) - numpy's ``//`` floors toward -inf and would
+      shift every negative product's pair;
+    - partial sums are exact int64 (|hi| < 2^36 so a partition overflows
+      only past ~2^27 rows; |q| < 2^31 per the QSCALE header), and
+      integer addition is associative, so partition-then-merge equals
+      the row-level aggregation integer for integer (pinned by
+      ``test_pca_gram_kernel_equals_join_moments``, which constructs
+      negative products to catch a floored division).
+
+    The kernel output is localCheckpointed (bounded: partitions x
+    (d + d(d+1)/2) rows) so deriving both moment frames costs one pass.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_arr = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * QSCALE, 0).cast("long"),
+    )
+    quantized = df.select(q_arr.alias("q"))
+
+    def gram(batches):
+        s_hi = s_lo = s1 = iu = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array(pdf["q"].tolist(), dtype=np.int64)
+            if iu is None:
+                d = q.shape[1]
+                iu = np.triu_indices(d)
+                s_hi = np.zeros(len(iu[0]), dtype=np.int64)
+                s_lo = np.zeros(len(iu[0]), dtype=np.int64)
+                s1 = np.zeros(d, dtype=np.int64)
+            p = q[:, iu[0]] * q[:, iu[1]]  # rows x d(d+1)/2, exact int64
+            hi = np.sign(p) * (np.abs(p) // SPLIT_RADIX)  # trunc toward 0
+            s_hi += hi.sum(axis=0)
+            s_lo += (p - hi * SPLIT_RADIX).sum(axis=0)
+            s1 += q.sum(axis=0)
+            n += len(pdf)
+        if iu is None:
+            return
+        d = len(s1)
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([iu[0], np.arange(d)]),
+                "j": np.concatenate([iu[1], np.full(d, -1)]),
+                "s_hi": np.concatenate([s_hi, s1]),
+                "s_lo": np.concatenate([s_lo, np.full(d, n, dtype=np.int64)]),
+            }
+        )
+
+    parts = quantized.mapInPandas(
+        gram, "i int, j int, s_hi long, s_lo long"
+    ).localCheckpoint()
+    first = (
+        parts.where(F.col("j") == -1)
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("s_hi").cast("decimal(38,0)")).alias("s"),
+            F.sum("s_lo").alias("n"),
+        )
+    )
+    second = (
+        parts.where(F.col("j") >= 0)
+        .groupBy("i", "j")
+        .agg(F.sum("s_hi").alias("s_hi"), F.sum("s_lo").alias("s_lo"))
+    )
+    return first, second
+
+
 def covariance_df(df: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding",
                   moments: tuple[DataFrame, DataFrame] | None = None,
                   ) -> DataFrame:
     """Upper-triangle covariance matrix (i, j, cov_r), round-6, from the
-    integer moments - every cell exactly replayable by a SQL oracle."""
+    integer moments - every cell exactly replayable by a SQL oracle.
+    Defaults to the partial-Gram kernel (r13); the join-form moment_sums
+    produces the identical integers and remains the pure-SQL twin."""
     if moments is None:
-        coords = quantized_coords(df, id_col, vec_col)
-        moments = moment_sums(coords)
+        moments = moment_sums_gram(df, id_col, vec_col)
     first, second = moments
     n = first.select(F.max("n").alias("nv"))
     fi = first.select(F.col("i").alias("fi_i"), F.col("s").alias("si"))
@@ -163,16 +255,27 @@ def projection_variances(df: DataFrame, vecs, mu, n_comp: int,
     driver eigensolve is right (Var(X w_k) must equal lambda_k). The
     per-vector dot product is a broadcast map-side expression; the
     variance aggregation sums decimal-cast squares so repeated runs are
-    bit-identical regardless of partitioning."""
+    bit-identical regardless of partitioning.
+
+    Expression shape (r13): ONE flat zip_with + aggregate lambda per
+    component instead of a d-deep nested Add chain - at d = 64 x 3
+    components the chained tree cost ~3.8 s of Catalyst analysis alone
+    (the dominant sim_pca line item), the lambda form is milliseconds.
+    The fold runs left-to-right over the same (x_i - mu_i) * w_i terms in
+    the same index order, so the double result is bit-identical (the only
+    divergence class, an all-(-0.0) term list folding to +0.0 instead of
+    -0.0, is erased by the squaring)."""
+    # F.lit(list) builds ONE array literal node per vector (a 64-element
+    # F.array of struct literals costs ~0.5 s of analysis per component)
+    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    diffs = F.zip_with(xs, F.lit([float(m) for m in mu]), lambda x, m: x - m)
     dots = []
     for k in range(n_comp):
-        acc = None
-        for i, (w, m) in enumerate(zip(vecs[:, k], mu)):
-            term = (F.col(vec_col)[i].cast("double") - F.lit(float(m))) * F.lit(
-                float(w)
-            )
-            acc = term if acc is None else acc + term
-        dots.append(acc.alias(f"p{k}"))
+        ws = F.lit([float(vecs[i, k]) for i in range(len(mu))])
+        terms = F.zip_with(diffs, ws, lambda d, w: d * w)
+        dots.append(
+            F.aggregate(terms, F.lit(0.0), lambda a, t: a + t).alias(f"p{k}")
+        )
     pr = df.select(*dots)
     aggs = [
         (
@@ -199,10 +302,10 @@ def pca_summary(spark: SparkSession, df: DataFrame, dim: int = 64,
     descending eigenvalue order."""
     import numpy as np
 
-    coords = quantized_coords(df, id_col, vec_col)
-    first, second = moment_sums(coords)
-    first = first.localCheckpoint()
-    second = second.localCheckpoint()
+    # partial-Gram kernel (r13): its bounded output is checkpointed, so
+    # the three reads below (cov, first, diag) each cost a tiny agg, not
+    # a corpus pass - the former per-frame localCheckpoints are gone
+    first, second = moment_sums_gram(df, id_col, vec_col)
     cov_rows = covariance_df(df, id_col, vec_col,
                              moments=(first, second)).collect()
     fr = {r["i"]: (int(r["s"]), r["n"]) for r in first.collect()}
