@@ -632,3 +632,28 @@ def test_pca_gram_kernel_equals_join_moments(spark):
     # the sign mix really produced negative products (the trunc-div
     # hazard is exercised, not vacuously green)
     assert any(hi < 0 for hi, _ in sj.values())
+
+
+def test_bin2d_canvas_clip_pushes_to_parquet(spark):
+    """The canvas time clip must reach the parquet scan as pushed filters
+    (plain ts bounds via push_time_filter, or the raw _ts_ns compare) -
+    a clip on the DERIVED epoch_us(ts) is opaque to row-group statistics
+    and a 100 TB raster would scan every partition the canvas excludes."""
+    import __spark_entry__ as entry_mod
+
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        plan = (
+            entry_mod.queries()["q20"](spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    scan_lines = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert scan_lines, "no parquet scan with PushedFilters in q20's plan"
+    line = scan_lines[0]
+    assert "GreaterThanOrEqual(ts" in line or "GreaterThanOrEqual(_ts_ns" in line, line
+    assert "LessThanOrEqual(ts" in line or "LessThan(_ts_ns" in line, line

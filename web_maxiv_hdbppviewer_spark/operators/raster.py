@@ -21,10 +21,34 @@ that mirrors the shape.
 
 from __future__ import annotations
 
+from datetime import datetime, timedelta
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.time import epoch_us
+from ..functions.time import epoch_us, push_time_filter
+
+_EPOCH = datetime(1970, 1, 1)
+
+
+def _canvas_time_clip(df: DataFrame, x0_us: int, span_us: float,
+                      ts_col: str) -> DataFrame:
+    """Inclusive [x0, x0+span] canvas clip expressed as a SARGABLE
+    time-range predicate (push_time_filter: plain ts bounds, or the raw
+    ``_ts_ns`` integer compare where the scan column exists) instead of a
+    filter on the derived ``epoch_us(ts)`` - the derived form is opaque
+    to parquet row-group statistics, so a 100 TB raster would scan every
+    partition the canvas excludes. push_time_filter's inclusive bound
+    translation keeps sub-µs rows of the edge instant exactly like an
+    ``epoch_us(ts) <= x1`` comparison would (its documented ns
+    translation), so the oracle's epoch_us filter matches verbatim."""
+    x1_us = x0_us + int(span_us)
+    return push_time_filter(
+        df,
+        t0=_EPOCH + timedelta(microseconds=x0_us),
+        t1=_EPOCH + timedelta(microseconds=x1_us),
+        ts_col=ts_col,
+    )
 
 
 def xbin(t_us: Column, x0_us: int, span_us: float, nx: int) -> Column:
@@ -70,8 +94,9 @@ def bin_2d(
     v = F.col(value_col)
     t_us = epoch_us(F.col(ts_col))
     binned = (
-        df.where((v >= ymin) & (v <= ymax))
-        .where((t_us >= x0_us) & (t_us <= x0_us + float(span_us)))
+        _canvas_time_clip(
+            df.where((v >= ymin) & (v <= ymax)), x0_us, span_us, ts_col
+        )
         .select(
             *(keys or []),
             F.least(
@@ -113,8 +138,9 @@ def hover_stats(
     v = F.col(value_col)
     t_us = epoch_us(F.col(ts_col))
     binned = (
-        df.where((v >= ymin) & (v <= ymax))
-        .where((t_us >= x0_us) & (t_us <= x0_us + float(span_us)))
+        _canvas_time_clip(
+            df.where((v >= ymin) & (v <= ymax)), x0_us, span_us, ts_col
+        )
         .select(
             *(keys or []),
             F.least(
