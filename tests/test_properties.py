@@ -127,3 +127,44 @@ def test_nearest_bucket_matches_python_round_on_random_and_tie_instants(spark):
         ]
         want = [round(t / w) for t in sorted(ts)]
         assert got == want, f"width {w_s}s: first diff at {next(i for i,(g,x) in enumerate(zip(got,want)) if g!=x)}"
+
+
+def test_resample_mean_t_is_exact_member_mean(spark):
+    """resample_mean's mean_t contract (r13, reference data.py:47: the
+    exported per-bucket timestamp is the MEAN of the member timestamps):
+    over random µs instants, mean_t must BIT-EQUAL the replayed
+    arithmetic float(bucket*w) + float(sum_int_offsets)/n - the offset
+    sum is exact int64, and the one double multiply/divide/add sequence
+    is the same IEEE ops in the same order on both sides. Null values
+    must not shrink the t-mean's member set (pandas' per-column
+    NaN-skipping mean keeps every row's t)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.operators.resample import resample_mean
+
+    rng = random.Random(13)
+    w = 43_200_000_000  # 12 h
+    rows = []
+    for i in range(3000):
+        t = rng.randrange(1_700_000_000_000_000, 1_705_000_000_000_000)
+        v = None if i % 7 == 0 else rng.uniform(-50.0, 50.0)
+        rows.append((t, v))
+    df = spark.createDataFrame(rows, "t_us long, value double").select(
+        F.timestamp_micros("t_us").alias("ts"), "value"
+    )
+    got = {
+        r["bucket"]: (r["mean_t"], r["n"])
+        for r in resample_mean(df, w).collect()
+    }
+
+    groups: dict[int, list[int]] = {}
+    for t, _ in rows:
+        groups.setdefault(round(t / w), []).append(t)
+    assert got.keys() == groups.keys()
+    for b, ts in groups.items():
+        s_off = sum(t - b * w for t in ts)  # exact int
+        expect = float(b * w) + float(s_off) / len(ts)
+        assert got[b][0] == expect, (b, got[b][0], expect)
+        assert got[b][1] == len(ts)  # nulls still counted

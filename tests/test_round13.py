@@ -657,3 +657,31 @@ def test_bin2d_canvas_clip_pushes_to_parquet(spark):
     line = scan_lines[0]
     assert "GreaterThanOrEqual(ts" in line or "GreaterThanOrEqual(_ts_ns" in line, line
     assert "LessThanOrEqual(ts" in line or "LessThan(_ts_ns" in line, line
+
+
+def test_resample_tie_and_nan_reference_ground_truth(spark):
+    """Pinned from the reference implementation: half-tie instants round
+    half-EVEN into their bucket (30 s under 1 m -> quotient 0.5 -> bucket
+    0; 90 s -> 1.5 -> bucket 2) while the exported t stays the member
+    mean, and a NaN reading contributes its timestamp to the t mean but
+    not the value mean. Observed output: bucket 0 -> (30000000.0, 8.0),
+    bucket 120 s -> (92500000.0, 4.0) for rows (30 s, 8.0), (90 s, NaN),
+    (95 s, 4.0)."""
+    from web_maxiv_hdbppviewer_spark.api.lifecycle import HdbppQueryEngine
+
+    catalog = _slashed_catalog(spark)
+    name = "cs1/dom0/fam0/mem0/attr0"
+    rows = [
+        (1, datetime(1970, 1, 1, 0, 0, 30), 8.0),
+        (1, datetime(1970, 1, 1, 0, 1, 30), None),  # NaN reading
+        (1, datetime(1970, 1, 1, 0, 1, 35), 4.0),
+    ]
+    dp = spark.createDataFrame(rows, "att_conf_id long, ts timestamp, value_r double")
+    engine = HdbppQueryEngine(catalog, dp)
+    got = engine.query_raw_df(
+        [name], datetime(1970, 1, 1), datetime(1970, 1, 1, 1), interval="1m"
+    ).collect()
+    assert [(r["t"], r["value_r"]) for r in got] == [
+        (30_000_000.0, 8.0),
+        (92_500_000.0, 4.0),
+    ]
