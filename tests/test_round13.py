@@ -685,3 +685,24 @@ def test_resample_tie_and_nan_reference_ground_truth(spark):
         (30_000_000.0, 8.0),
         (92_500_000.0, 4.0),
     ]
+
+
+def test_sim_pca_gram_plan_has_no_join_amplification(spark):
+    """After the r13 partial-Gram rework the covariance plan must carry
+    NO corpus join: the moments come pre-reduced from the checkpointed
+    Arrow kernel, so the only joins are the two broadcast lookups of the
+    first-moment rows and the one-row broadcast cross carrying n (the
+    pre-r13 shape self-joined the exploded coords, amplifying every
+    vector d-fold)."""
+    import __spark_entry__ as entry_mod
+
+    plan = (
+        entry_mod.queries()["sim_pca_gram"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row n cross
