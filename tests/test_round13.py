@@ -706,3 +706,51 @@ def test_sim_pca_gram_plan_has_no_join_amplification(spark):
     assert plan.count("CartesianProduct") == 0
     assert plan.count("BroadcastHashJoin") == 2
     assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row n cross
+
+
+def test_total_points_counts_error_rows_and_log_masked_rows(spark):
+    """The reference's per-series hover count is len(relevant)
+    (plot.py:107) - EVERY row in the window slice, NaN/error readings
+    included, and the log-axis positivity mask shrinks only the extrema
+    (pandas .where(>0) keeps the frame shape, plot.py:95). Pre-r13 the
+    engine counted non-null (and, under log, positive) VALUES."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.api.lifecycle import HdbppQueryEngine
+    from web_maxiv_hdbppviewer_spark.operators.extrema import series_extrema
+
+    catalog = _slashed_catalog(spark)
+    name = "cs1/dom0/fam0/mem0/attr0"
+    rows = [
+        (1, datetime(2024, 1, 10, 1), 5.0),
+        (1, datetime(2024, 1, 10, 2), None),    # error reading
+        (1, datetime(2024, 1, 10, 3), -2.0),    # nonpositive
+        (1, datetime(2024, 1, 10, 4), 20.0),
+    ]
+    dp = spark.createDataFrame(rows, "att_conf_id long, ts timestamp, value_r double")
+    engine = HdbppQueryEngine(catalog, dp)
+    t0, t1 = datetime(2024, 1, 10), datetime(2024, 1, 11)
+
+    lin = engine.image_aggregates([{"name": name, "y_axis": 0}], t0, t1, (50, 40))
+    assert lin[0]["descs"][name] == {
+        "total_points": 4, "min_value": -2.0, "max_value": 20.0,
+    }
+    log = engine.image_aggregates(
+        [{"name": name, "y_axis": 0}], t0, t1, (50, 40),
+        axes={"0": {"scale": "log"}},
+    )
+    assert log[0]["descs"][name] == {
+        "total_points": 4, "min_value": 5.0, "max_value": 20.0,
+    }
+
+    # an all-nonpositive series under log: full row count, NULL extrema
+    # (the reference's NaN-extrema nodata entry, plot.py:115-121)
+    neg = spark.createDataFrame(
+        [(1, datetime(2024, 1, 10, 1), -1.0), (1, datetime(2024, 1, 10, 2), -3.0)],
+        "att_conf_id long, ts timestamp, value_r double",
+    )
+    got = series_extrema(
+        neg.where(F.col("ts").between(t0, t1)), ["att_conf_id"], "value_r",
+        log_scale=True,
+    ).collect()
+    assert [(r["vmin"], r["vmax"], r["n"]) for r in got] == [(None, None, 2)]

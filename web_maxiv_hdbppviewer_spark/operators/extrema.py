@@ -23,14 +23,23 @@ def series_extrema(
     value_col: str = "value",
     log_scale: bool = False,
 ) -> DataFrame:
-    """Per-series (vmin, vmax, n) with optional log-axis positivity filter."""
+    """Per-series (vmin, vmax, n) with optional log-axis positivity filter.
+
+    ``n`` is the ROW count of the series' window slice - the reference's
+    ``points = len(relevant)`` (plot.py:107) counts every row, NaN/error
+    readings included, and the log-axis positivity mask shrinks only the
+    extrema, never the count (pandas ``.where(>0)`` keeps the frame shape,
+    plot.py:95). A ``count(value)`` here - the pre-r13 form - undercounted
+    both. The positivity mask is a null-out, not a filter, for the same
+    reason: an all-nonpositive series still reports its row count with
+    NULL extrema (the reference's NaN-extrema ``nodata`` entries,
+    plot.py:115-121)."""
     v = F.col(value_col)
-    if log_scale:
-        df = df.where(v > 0)  # reference plot.py:94-97
+    valid = F.when(v > 0, v) if log_scale else v  # plot.py:94-97
     return df.groupBy(*keys).agg(
-        F.min(v).alias("vmin"),
-        F.max(v).alias("vmax"),
-        F.count(v).alias("n"),
+        F.min(valid).alias("vmin"),
+        F.max(valid).alias("vmax"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
