@@ -106,6 +106,7 @@ def main() -> None:
         "sim_knn_graph",     # exact-dots baseline
         "sim_sparse_topk",   # tf-idf stats
         "text_winnow",       # winnow marks
+        "sim_pca_gram",      # partial-Gram kernel memo (r13)
     ):
         queries[warm_q](spark, sf_dir).write.format("noop").mode(
             "overwrite"
@@ -144,11 +145,12 @@ def main() -> None:
     # difference still catches it.
     def _memo_sizes() -> dict[str, tuple]:
         from web_maxiv_hdbppviewer_spark.operators import (
-            dedup, similarity, textquality,
+            dedup, pca, similarity, textquality,
         )
 
         stores = {
             "shingle_idx": dedup._SHINGLE_CACHE,
+            "pca_gram": pca._GRAM_CACHE,
             "pair_table": dedup._PAIR_CACHE,
             "fuzzy_gram_idx": dedup._FUZZY_GRAM_CACHE,
             "fuzzy_rare_idx": dedup._FUZZY_RARE_CACHE,

@@ -400,13 +400,14 @@ def test_clear_dedup_caches_clears_every_memo_store():
     and silently survived a clear, returning stale checkpointed indexes
     after an in-place corpus rewrite (same logical plan, same semantic
     hash, old blocks)."""
-    from web_maxiv_hdbppviewer_spark.operators import dedup
+    from web_maxiv_hdbppviewer_spark.operators import dedup, pca
 
     stores = (
         dedup._SHINGLE_CACHE,
         dedup._PAIR_CACHE,
         dedup._FUZZY_GRAM_CACHE,
         dedup._FUZZY_RARE_CACHE,
+        pca._GRAM_CACHE,  # r13: the partial-Gram kernel memo
     )
     saved = [list(s) for s in stores]
     try:

@@ -147,6 +147,12 @@ def clear_dedup_caches() -> None:
     _PAIR_CACHE.clear()
     _FUZZY_GRAM_CACHE.clear()
     _FUZZY_RARE_CACHE.clear()
+    # the PCA gram-kernel memo lives with its operator but is cleared by
+    # the same corpus-rewrite escape hatch (import here: pca imports this
+    # module's _memoized_checkpoint, so the reverse import must be lazy)
+    from . import pca
+
+    pca._GRAM_CACHE.clear()
 
 
 def _memoized_checkpoint(cache: list, plan: DataFrame) -> DataFrame:
