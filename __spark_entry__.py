@@ -58,6 +58,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #   text_domain_shift, text_lm_score, text_vocab
 # - after r14 the staleness ledger is closed (everything witnessed
 # r11+). (Prior-round window rationales: git history.)
+# r14 perf candidates (defer plan changes until their witness slots
+# open): sim_mmr/sim_kcenter per-step center literals via F.lit(list)
+# instead of F.array(*64 lits) - the r13 sim_pca lesson (literal-heavy
+# trees cost seconds of Catalyst analysis); both are r11-witnessed so
+# the swap belongs in the r14 changelist.
 #
 # Round-13 changelist: q36 (NEW - P5/P6 right-anchored name-split parity:
 # the judge-found rsplit("/",4) divergence, reference hdbpp.py:90-92;
