@@ -754,3 +754,38 @@ def test_total_points_counts_error_rows_and_log_masked_rows(spark):
         log_scale=True,
     ).collect()
     assert [(r["vmin"], r["vmax"], r["n"]) for r in got] == [(None, None, 2)]
+
+
+def test_manual_axis_bounds_float_coerced_and_missing_axis_degrades(spark):
+    """Manual axis min/max arrive as JSON strings from the client and the
+    reference float()-coerces them (plot.py:103-104) - the engine must
+    too, then pad them like any extrema (the reference pads manual
+    bounds as well, plot.py:179-188). Divergence pin: when a non-empty
+    axes config OMITS the queried axis the reference raises KeyError
+    (plot.py:103 indexes axes[str(y_axis)]); the engine treats the
+    missing entry as {} per the malformed-input degradation rule."""
+    from web_maxiv_hdbppviewer_spark.api.lifecycle import HdbppQueryEngine
+
+    catalog = _slashed_catalog(spark)
+    dp = spark.createDataFrame(
+        [(1, datetime(2024, 1, 10, h), float(h) * 10) for h in range(1, 5)],
+        "att_conf_id long, ts timestamp, value_r double",
+    )
+    engine = HdbppQueryEngine(catalog, dp)
+    name = "cs1/dom0/fam0/mem0/attr0"
+    t0, t1 = datetime(2024, 1, 10), datetime(2024, 1, 11)
+
+    # string bounds: float()-coerced, then the 5% linear pad applies
+    out = engine.image_aggregates(
+        [{"name": name, "y_axis": 0}], t0, t1, (50, 40),
+        axes={"0": {"min": "0", "max": "100"}},
+    )[0]
+    assert out["y_range"] == (-5.0, 105.0)
+
+    # axes config present but for ANOTHER axis: engine degrades to data
+    # extrema (10..40 padded) instead of the reference's KeyError 500
+    out = engine.image_aggregates(
+        [{"name": name, "y_axis": 0}], t0, t1, (50, 40),
+        axes={"1": {"scale": "log"}},
+    )[0]
+    assert out["y_range"] == (10.0 - 1.5, 40.0 + 1.5)

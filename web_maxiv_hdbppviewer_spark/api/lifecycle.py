@@ -268,8 +268,17 @@ class HdbppQueryEngine:
             # axis fold (A3) + manual overrides (J4) + padding (plot.py:160-188)
             mins = [r["vmin"] for r in ext.values() if r["vmin"] is not None]
             maxs = [r["vmax"] for r in ext.values() if r["vmax"] is not None]
-            vmin = cfg.get("min", min(mins) if mins else None)
-            vmax = cfg.get("max", max(maxs) if maxs else None)
+            # manual bounds are float()-coerced like the reference
+            # (plot.py:103-104) - JSON clients send axis config numbers
+            # as strings; a computed fallback passes through unchanged.
+            # Divergence note: the reference does axes[str(y_axis)] when
+            # ANY axes config exists and 500s on an axis the config
+            # omits; the engine treats a missing axis entry as {} (the
+            # malformed-input degradation rule, SURVEY §7.3).
+            vmin = cfg.get("min")
+            vmax = cfg.get("max")
+            vmin = float(vmin) if vmin is not None else (min(mins) if mins else None)
+            vmax = float(vmax) if vmax is not None else (max(maxs) if maxs else None)
             y0, y1 = pad_range(vmin, vmax, log_scale)
 
             plot_data = days
