@@ -168,3 +168,49 @@ def test_resample_mean_t_is_exact_member_mean(spark):
         expect = float(b * w) + float(s_off) / len(ts)
         assert got[b][0] == expect, (b, got[b][0], expect)
         assert got[b][1] == len(ts)  # nulls still counted
+
+
+def test_bin2d_matches_numpy_canvas_twin_on_edge_heavy_corpus(spark):
+    """Randomized canvas property (r13): bin_2d must agree cell-for-cell
+    with an exact numpy twin of the datashader canvas semantics -
+    inclusive [x0, x1] x [ymin, ymax] clip, floor float binning in the
+    same IEEE order, upper edges snapped into the last bin - on a corpus
+    salted with exact edge instants/values and near-boundary points."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.operators.raster import bin_2d
+
+    rng = random.Random(17)
+    x0, span, nx = 1_704_067_200_000_000, 2_592_000_000_000.0, 100
+    ymin, ymax, ny = 0.0, 500.0, 80
+    x1 = x0 + int(span)
+    col = int(span) // nx
+    pts = []
+    for _ in range(4000):
+        t = rng.randrange(x0 - col, x1 + col)  # spills past both edges
+        v = rng.uniform(-20.0, 520.0)
+        pts.append((t, v))
+    # exact edges and boundaries
+    pts += [(x0, ymin), (x1, ymax), (x0, ymax), (x1, ymin)]
+    pts += [(x0 + k * col, 250.0) for k in range(0, nx + 1, 7)]
+    pts += [(x1 - 1, ymax), (x1 + 1, 250.0), (x0 - 1, 250.0)]
+
+    expect: dict[tuple[int, int], int] = {}
+    for t, v in pts:
+        if not (x0 <= t <= x1 and ymin <= v <= ymax):
+            continue
+        xb = min(int(math.floor((t - x0) / span * nx)), nx - 1)
+        yb = min(int(math.floor((v - ymin) / (ymax - ymin) * ny)), ny - 1)
+        expect[(xb, yb)] = expect.get((xb, yb), 0) + 1
+
+    df = spark.createDataFrame(pts, "t_us long, value double").select(
+        F.timestamp_micros("t_us").alias("ts"), "value"
+    )
+    got = {
+        (r["xb"], r["yb"]): r["cnt"]
+        for r in bin_2d(df, x0, span, nx, ymin, ymax, ny).collect()
+    }
+    assert got == expect
