@@ -789,3 +789,22 @@ def test_manual_axis_bounds_float_coerced_and_missing_axis_degrades(spark):
         axes={"1": {"scale": "log"}},
     )[0]
     assert out["y_range"] == (10.0 - 1.5, 40.0 + 1.5)
+
+
+def test_covered_day_span_handles_dst_transition_days():
+    """Zone-aware day periods on DST-transition days (the reference's
+    periods are LOCAL dates, hdbpp.py:304-308, and its deployment zone
+    observes DST): Europe/Stockholm's spring-forward local day
+    2024-03-31 spans only 23 UTC hours and the fall-back day 2024-10-27
+    spans 25 - a fixed 24 h bound would leak an hour of the neighboring
+    period or drop one."""
+    from web_maxiv_hdbppviewer_spark.api.lifecycle import _covered_day_span_utc
+
+    assert _covered_day_span_utc(
+        datetime(2024, 3, 31, 10), datetime(2024, 3, 31, 11),
+        "Europe/Stockholm",
+    ) == (datetime(2024, 3, 30, 23), datetime(2024, 3, 31, 22))
+    assert _covered_day_span_utc(
+        datetime(2024, 10, 27, 10), datetime(2024, 10, 27, 11),
+        "Europe/Stockholm",
+    ) == (datetime(2024, 10, 26, 22), datetime(2024, 10, 27, 23))
