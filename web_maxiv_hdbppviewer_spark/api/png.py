@@ -129,6 +129,39 @@ def _spread(alpha: np.ndarray, px: int) -> np.ndarray:
     return out
 
 
+def snap_streamed_edge_rows(pixel_rows: list, w: int) -> list:
+    """Adapter from ``streaming_raster_windowed`` rows to batch canvas
+    semantics at the RIGHT edge (ADVICE r13): the streaming raster leaves
+    x unclipped (its watermark must ride every event), so an event
+    bitwise-exactly on the canvas right edge x0+span opens column ``w``
+    there, while batch ``bin_2d`` snaps it into ``w-1``
+    (datashader's inclusive upper edge). Apply this when - and only when
+    - the consumer's canvas right edge equals the raster's x0+span:
+    rows at xb == w are folded into xb = w-1, summing ``cnt`` per
+    (series, yb) exactly as the batch hash aggregate would have.
+    Only ``cnt`` is merged - ``compose_image`` reads nothing else;
+    callers needing merged vmean/vmin/vmax must re-aggregate upstream.
+    Columns beyond w (a moved canvas) are left for compose's crop."""
+    merged: dict = {}
+    for r in pixel_rows:
+        if int(r["xb"]) == w:
+            key = (r["series"], int(r["yb"]))
+            merged[key] = merged.get(key, 0) + r["cnt"]
+    result = []
+    for r in pixel_rows:
+        if int(r["xb"]) == w:
+            continue
+        key = (r["series"], int(r["yb"]))
+        if int(r["xb"]) == w - 1 and key in merged:
+            result.append({**r, "cnt": r["cnt"] + merged.pop(key)})
+        else:
+            result.append(dict(r))
+    # an edge-only pixel (no existing w-1 row to fold into) still renders
+    for (series, yb), cnt in merged.items():
+        result.append({"series": series, "xb": w - 1, "yb": yb, "cnt": cnt})
+    return result
+
+
 def compose_image(
     pixel_rows: list,
     w: int,

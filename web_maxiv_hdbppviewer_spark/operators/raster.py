@@ -41,7 +41,19 @@ def _canvas_time_clip(df: DataFrame, x0_us: int, span_us: float,
     partition the canvas excludes. push_time_filter's inclusive bound
     translation keeps sub-µs rows of the edge instant exactly like an
     ``epoch_us(ts) <= x1`` comparison would (its documented ns
-    translation), so the oracle's epoch_us filter matches verbatim."""
+    translation), so the oracle's epoch_us filter matches verbatim.
+
+    span_us must be an integral float (asserted; ADVICE r13): a
+    non-integral span would let this clip (which floors the right edge
+    to whole µs) and the float bin math disagree about points in
+    (x0+int(span), x0+span] - vacuously for Spark's µs-precision
+    timestamps, where no representable instant lies in that interval,
+    but the assertion makes the disagreement impossible by construction
+    rather than by a precision argument. Every /image span is an exact
+    µs difference (x1_us - x0_us), so real callers always pass."""
+    assert float(span_us).is_integer(), (
+        f"canvas span must be integral microseconds, got {span_us!r}"
+    )
     x1_us = x0_us + int(span_us)
     return push_time_filter(
         df,

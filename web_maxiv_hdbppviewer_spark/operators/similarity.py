@@ -1274,7 +1274,11 @@ def kcenter_select(
 
     cur = base.where(F.col("id") != int(seed["id"]))
     for step in range(2, k + 1):
-        cv = F.array(*[F.lit(float(x)) for x in center_vec])
+        # ONE array-literal node per superstep, not CreateArray over 64
+        # F.lit leaves: Catalyst re-analyzes the running plan each step,
+        # and literal-heavy trees cost it seconds across k steps (the r13
+        # sim_pca lesson, operators/pca.py:282). Same doubles, same order.
+        cv = F.lit([float(x) for x in center_vec])
         cur = cur.withColumn(
             "best_s",
             F.round(cosine(F.col("vec"), cv, F.col("nrm"), F.lit(center_nrm)), 6)
@@ -1333,7 +1337,7 @@ def mmr_select(
     """
     base = with_norms(df, id_col, vec_col)
     q = base.where(F.col("id") == query_id).collect()[0]
-    qv = F.array(*[F.lit(float(x)) for x in q["vec"]])
+    qv = F.lit([float(x) for x in q["vec"]])  # one literal node (see kcenter)
     pool = base.where(F.col("id") != query_id).select(
         "id",
         "vec",
@@ -1347,7 +1351,8 @@ def mmr_select(
     center_vec, center_nrm = first["vec"], float(first["nrm"])
     cur = pool.where(F.col("id") != int(first["id"]))
     for step in range(2, k + 1):
-        cv = F.array(*[F.lit(float(x)) for x in center_vec])
+        # one literal node per superstep (see kcenter_select)
+        cv = F.lit([float(x) for x in center_vec])
         sim = F.round(
             cosine(F.col("vec"), cv, F.col("nrm"), F.lit(center_nrm)), 6
         )

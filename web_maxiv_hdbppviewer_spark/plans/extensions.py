@@ -1664,7 +1664,7 @@ def lifecycle_image_stream(spark, sf_dir):
     pixel rows - the reference's own response-size contract."""
     import hashlib
 
-    from ..api.png import compose_image
+    from ..api.png import compose_image, snap_streamed_edge_rows
     from ..operators.extrema import pad_range
     from ..streaming.incremental import streaming_raster_windowed
     from .queries import X0_US, X_SPAN_US
@@ -1707,6 +1707,12 @@ def lifecycle_image_stream(spark, sf_dir):
         {"series": r["att_conf_id"], "xb": r["xb"], "yb": r["yb"], "cnt": r["cnt"]}
         for r in spark.table(sink).collect()
     ]
+    # this consumer's canvas right edge IS the raster's x0+span, so fold
+    # any right-edge-exact column w into w-1 like batch bin_2d (the
+    # streaming raster leaves x unclipped; ADVICE r13). The driver corpus
+    # is interior to every edge, so the digest is unchanged - the
+    # constructed edge test in tests/test_round14.py exercises the fold.
+    pixel_rows = snap_streamed_edge_rows(pixel_rows, w)
     img = compose_image(pixel_rows, w, h, order=[0, 1])
     return spark.createDataFrame(
         [

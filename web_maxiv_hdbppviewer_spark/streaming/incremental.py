@@ -149,7 +149,10 @@ def streaming_raster_windowed(
     # current canvas (api/png.py drops out-of-grid rows). Consequence:
     # only IN-CANVAS columns are bit-compatible with bin_2d; an event
     # exactly on the canvas right edge opens column nx here where batch
-    # snaps it into nx-1.
+    # snaps it into nx-1. A consumer whose canvas right edge equals
+    # x0+span must fold column nx into nx-1 itself -
+    # api/png.snap_streamed_edge_rows does the cnt-merge (ADVICE r13;
+    # lifecycle_image_stream applies it).
     return (
         stream.where((v >= ymin) & (v <= ymax))
         .withColumn("_col_ts", col_start)
