@@ -77,7 +77,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # and values unchanged - re-certification witnesses), q9 (catalog
 # search now int()-coerces a string max_n like the reference's query
 # param shape, server.py:77; the enforced cap is unchanged for int
-# callers - re-certification witness).
+# callers - re-certification witness), lifecycle_image +
+# lifecycle_aggregate (VERDICT r13 #5: image_aggregates now resolves the
+# catalog ONCE for the whole request instead of once per axis - the
+# per-axis _resolve was ~0.8 s of catalog-join collect per axis, the
+# single largest line in the lifecycle_image profile; routing results
+# identical, PLANS.md records the attribution).
 _CHANGED_THIS_ROUND = [
     "sim_mmr",
     "sim_kcenter",
@@ -85,6 +90,8 @@ _CHANGED_THIS_ROUND = [
     "q20",
     "q21",
     "q9",
+    "lifecycle_image",
+    "lifecycle_aggregate",
 ]
 # ALL 26 r10-freshness rows - VERDICT r13 #1 mandates the full set; this
 # closes the staleness ledger (everything witnessed r11+ after r14)
@@ -99,7 +106,7 @@ _STALE_R10 = [
     "text_collocations", "text_domain_shift", "text_lm_score",
     "text_vocab",
 ]
-# fill: first 18 of the r11 cohort, alphabetical (sim_mmr/sim_kcenter
+# fill: first 16 of the r11 cohort, alphabetical (sim_mmr/sim_kcenter
 # graduated from that cohort into the changelist; q9 likewise); the
 # remaining r11 rows lead the r15 oldest-first queue
 _STALE_R11 = [
@@ -108,7 +115,7 @@ _STALE_R11 = [
     "events_rolling", "events_scd2", "multimodal_phash",
     "pipe_epoch_shuffle", "pipe_interleave", "pipe_mixture_schedule",
     "pipe_sample_weighted", "pipe_split_safe", "pipe_token_budget",
-    "q1", "q10", "q11",
+    "q1",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R10 + _STALE_R11
 

@@ -238,10 +238,17 @@ class HdbppQueryEngine:
         span_us = float(x1_us - x0_us)
         result: dict = {}
 
+        # ONE catalog resolve for the whole request (r14: the per-axis
+        # _resolve was ~0.8 s of catalog-join collect PER AXIS - the
+        # largest single line in the lifecycle_image profile, PLANS.md);
+        # per-axis routing below is a driver-side dict slice. Same
+        # drop-unknown-names semantics (F7), one broadcast-join job.
+        all_ids = self._resolve([spec["name"] for spec in attributes])
+
         for axis, names in by_axis.items():
             cfg = axes.get(str(axis), {})
             log_scale = cfg.get("scale") == "log"
-            ids = self._resolve(names)
+            ids = {n: all_ids[n] for n in names if n in all_ids}
             if not ids:
                 continue
             id_to_name = {v: k for k, v in ids.items()}
