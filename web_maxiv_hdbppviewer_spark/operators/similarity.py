@@ -1279,6 +1279,11 @@ def kcenter_select(
         # and literal-heavy trees cost it seconds across k steps (the r13
         # sim_pca lesson, operators/pca.py:282). Same doubles, same order.
         cv = F.lit([float(x) for x in center_vec])
+        # lazy checkpoint: the argmin job below is the one corpus pass of
+        # this superstep - it materializes the checkpointed partitions AND
+        # answers the TakeOrdered in the same scan (eager=True would spend
+        # a separate full pass just writing the checkpoint, doubling every
+        # superstep's corpus IO; r14)
         cur = cur.withColumn(
             "best_s",
             F.round(cosine(F.col("vec"), cv, F.col("nrm"), F.lit(center_nrm)), 6)
@@ -1289,7 +1294,7 @@ def kcenter_select(
                     cosine(F.col("vec"), cv, F.col("nrm"), F.lit(center_nrm)), 6
                 ),
             ),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         far = cur.orderBy(F.asc("best_s"), F.asc("id")).limit(1).collect()[0]
         chosen.append((step, int(far["id"]), float(far["best_s"])))
         center_vec, center_nrm = far["vec"], float(far["nrm"])
@@ -1356,10 +1361,11 @@ def mmr_select(
         sim = F.round(
             cosine(F.col("vec"), cv, F.col("nrm"), F.lit(center_nrm)), 6
         )
+        # lazy checkpoint - one corpus pass per superstep (see kcenter)
         cur = cur.withColumn(
             "max_sim",
             sim if step == 2 else F.greatest(F.col("max_sim"), sim),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         scored = cur.select(
             "id",
             "vec",
