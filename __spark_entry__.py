@@ -82,7 +82,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # catalog ONCE for the whole request instead of once per axis - the
 # per-axis _resolve was ~0.8 s of catalog-join collect per axis, the
 # single largest line in the lifecycle_image profile; routing results
-# identical, PLANS.md records the attribution).
+# identical, PLANS.md records the attribution), sim_ivf_probe_sweep
+# (r14 checkpoint-laziness pass: its exact baseline and per-probe
+# rankings now localCheckpoint(eager=False) because their first
+# consumer is a sequential count() that materializes the blocks in the
+# same pass - eager spent a separate full pass writing them; the
+# parallel-branch consumers elsewhere stay EAGER by measurement, see
+# plans/extensions.py sim_ann_compare. dedup_compare and
+# events_changepoint got the same treatment and sit in the fill below;
+# sim_mmr/sim_kcenter supersteps also checkpoint lazily now - one
+# corpus pass per superstep, values identical).
 _CHANGED_THIS_ROUND = [
     "sim_mmr",
     "sim_kcenter",
@@ -92,6 +101,7 @@ _CHANGED_THIS_ROUND = [
     "q9",
     "lifecycle_image",
     "lifecycle_aggregate",
+    "sim_ivf_probe_sweep",
 ]
 # ALL 26 r10-freshness rows - VERDICT r13 #1 mandates the full set; this
 # closes the staleness ledger (everything witnessed r11+ after r14)
@@ -106,16 +116,15 @@ _STALE_R10 = [
     "text_collocations", "text_domain_shift", "text_lm_score",
     "text_vocab",
 ]
-# fill: first 16 of the r11 cohort, alphabetical (sim_mmr/sim_kcenter
-# graduated from that cohort into the changelist; q9 likewise); the
-# remaining r11 rows lead the r15 oldest-first queue
+# fill: first 15 of the r11 cohort, alphabetical (sim_mmr/sim_kcenter/
+# q9/sim_ivf_probe_sweep graduated from that cohort into the
+# changelist); the remaining r11 rows lead the r15 oldest-first queue
 _STALE_R11 = [
     "dedup_compare", "dedup_cross_source", "dedup_winnow",
     "events_changepoint", "events_gap_fill", "events_lttb",
     "events_rolling", "events_scd2", "multimodal_phash",
     "pipe_epoch_shuffle", "pipe_interleave", "pipe_mixture_schedule",
     "pipe_sample_weighted", "pipe_split_safe", "pipe_token_budget",
-    "q1",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R10 + _STALE_R11
 

@@ -75,6 +75,13 @@ def connected_components(
         jumped = (
             merged.join(as_map, merged["lbl"] == as_map["m_id"], "left")
             .select("id", "old", F.coalesce("m_lbl", "lbl").alias("lbl"))
+            # EAGER on purpose (r14 measured): lazy showed no win here -
+            # the eager materialization job IS the round's full plan and
+            # the convergence count over its blocks is nearly free, while
+            # lazy risks the parallel-branch duplicate-compute hazard for
+            # next round's two label reads. (The kcenter superstep lazy
+            # win came from per-job overhead at k tiny steps, not from
+            # avoiding a heavy pass.)
             .localCheckpoint()
         )
         changed = jumped.where(F.col("lbl") != F.col("old")).count()

@@ -1365,6 +1365,13 @@ def sim_ann_compare(spark, sf_dir):
     exact = (
         similarity.topk_cosine(emb, ANN_TOPK, QUERY_IDS_BELOW)
         .select("q_id", "cand_id")
+        # EAGER on purpose (r14 measured): the four method branches sit
+        # in ONE union plan, so with a lazy checkpoint they all start
+        # computing the unpersisted baseline concurrently and
+        # duplicate-compute its partitions before any block lands
+        # (12.7 s vs 7.4 s). One clean materialization job wins when the
+        # consumers are parallel branches of a single job; lazy wins only
+        # when the first consumer is sequential (see dedup_compare).
         .localCheckpoint()
     )
     cents, rcb = _ivfpq_artifacts(spark, sf_dir)
@@ -3795,7 +3802,9 @@ def events_changepoint(spark, sf_dir):
         # materialize ONCE: three consumers (peak, tie-break, final pick)
         # would otherwise each re-execute the corpus window (the rank.py
         # localCheckpoint discipline); after this the reductions scan
-        # frozen blocks
+        # frozen blocks. EAGER on purpose: the consumers are parallel
+        # branches of one final plan - lazy would duplicate-compute the
+        # unpersisted window (the sim_ann_compare r14 measurement)
         .localCheckpoint()
     )
     peak = cum.groupBy("user_id").agg(F.max("s_abs").alias("drift"))
@@ -3875,7 +3884,7 @@ def dedup_compare(spark, sf_dir):
     exact = (
         dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
         .select("id_a", "id_b")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # first count() materializes (r14)
     )
     n_exact = exact.count()
     methods = {
@@ -3889,7 +3898,7 @@ def dedup_compare(spark, sf_dir):
     }
     rows = []
     for name in sorted(methods):
-        mdf = methods[name].localCheckpoint()
+        mdf = methods[name].localCheckpoint(eager=False)
         n_out = mdf.count()
         n_hit = mdf.join(exact, ["id_a", "id_b"], "left_semi").count()
         rows.append((name, n_out, n_hit, n_exact))
@@ -4005,7 +4014,11 @@ def sim_ivf_probe_sweep(spark, sf_dir):
     exact = (
         similarity.topk_cosine(emb, ANN_TOPK, QUERY_IDS_BELOW)
         .select("q_id", "cand_id")
-        .localCheckpoint()
+        # lazy: the first consumer's job materializes the persisted
+        # blocks - eager would spend a separate full exact-top-k pass
+        # just writing them (r14; within-job branch reuse still hits the
+        # checkpoint's MEMORY_AND_DISK blocks)
+        .localCheckpoint(eager=False)
     )
     n_exact = exact.count()
     rows = []
@@ -4015,7 +4028,7 @@ def sim_ivf_probe_sweep(spark, sf_dir):
                 emb, ANN_TOPK, QUERY_IDS_BELOW, IVF_CELLS, np_
             )
             .select("q_id", "cand_id")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n_out = ivf.count()
         n_hit = ivf.join(exact, ["q_id", "cand_id"], "left_semi").count()
