@@ -266,6 +266,57 @@ def test_csv_rw_null_value_w_bytes_match_pandas_twin(spark):
     assert got == want
 
 
+def test_snap_streamed_edge_rows_properties():
+    """Randomized invariants of the edge fold: (a) total cnt per
+    (series, yb) over columns {w-1, w} is conserved, (b) no output row
+    has xb == w, (c) rows with xb not in {w-1, w} pass through
+    unchanged, (d) idempotence (a second fold is a no-op), (e) inputs
+    never mutated."""
+    import copy
+    import random
+
+    from web_maxiv_hdbppviewer_spark.api.png import snap_streamed_edge_rows
+
+    rng = random.Random(1404)
+    w, h = 12, 6
+    for _ in range(200):
+        rows = [
+            {
+                "series": rng.randrange(3),
+                "xb": rng.choice([0, 3, w - 2, w - 1, w, w + 3]),
+                "yb": rng.randrange(h),
+                "cnt": rng.randrange(1, 9),
+            }
+            for _ in range(rng.randrange(0, 25))
+        ]
+        frozen = copy.deepcopy(rows)
+        out = snap_streamed_edge_rows(rows, w)
+        assert rows == frozen  # (e)
+        assert all(int(r["xb"]) != w for r in out)  # (b)
+
+        def tally(rs, pred):
+            agg: dict = {}
+            for r in rs:
+                if pred(r):
+                    key = (r["series"], int(r["yb"]))
+                    agg[key] = agg.get(key, 0) + r["cnt"]
+            return agg
+
+        assert tally(out, lambda r: int(r["xb"]) == w - 1) == tally(
+            rows, lambda r: int(r["xb"]) in (w - 1, w)
+        )  # (a)
+        passthrough = lambda r: int(r["xb"]) not in (w - 1, w)  # noqa: E731
+        assert sorted(
+            (r["series"], r["xb"], r["yb"], r["cnt"]) for r in out if passthrough(r)
+        ) == sorted(
+            (r["series"], r["xb"], r["yb"], r["cnt"]) for r in rows if passthrough(r)
+        )  # (c)
+        again = snap_streamed_edge_rows(out, w)
+        assert sorted(
+            (r["series"], r["xb"], r["yb"], r["cnt"]) for r in again
+        ) == sorted((r["series"], r["xb"], r["yb"], r["cnt"]) for r in out)  # (d)
+
+
 # --- rotation policy, machine-checked (VERDICT r13 #7) ---------------------
 
 
