@@ -91,8 +91,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # plans/extensions.py sim_ann_compare. dedup_compare and
 # events_changepoint got the same treatment and sit in the fill below;
 # sim_mmr/sim_kcenter supersteps also checkpoint lazily now - one
-# corpus pass per superstep, values identical).
+# corpus pass per superstep, values identical), sim_hybrid_rrf (NEW
+# r14 - hybrid retrieval: BM25 lexical leg + exact-cosine vector leg,
+# each TakeOrdered to top-20, fused full-outer with Cormack RRF
+# 1/(60+rank); the RAG first-stage / hard-negative-mining primitive.
+# Oracle reuses the text_bm25 and sim_topk_cosine CTEs; the one
+# bounded 20-row global window is plan-lint-allowlisted with the
+# graph_pagerank argument), sim_hard_negatives (NEW r14 - contrastive
+# hard-negative mining: top-5 most-similar DIFFERENT-label vectors per
+# query, the sim_topk_cosine pass plus one label-inequality predicate;
+# oracle folds the constraint into the join condition).
 _CHANGED_THIS_ROUND = [
+    "sim_hybrid_rrf",
+    "sim_hard_negatives",
     "sim_mmr",
     "sim_kcenter",
     "lifecycle_image_stream",
@@ -116,15 +127,16 @@ _STALE_R10 = [
     "text_collocations", "text_domain_shift", "text_lm_score",
     "text_vocab",
 ]
-# fill: first 15 of the r11 cohort, alphabetical (sim_mmr/sim_kcenter/
+# fill: first 13 of the r11 cohort, alphabetical (sim_mmr/sim_kcenter/
 # q9/sim_ivf_probe_sweep graduated from that cohort into the
-# changelist); the remaining r11 rows lead the r15 oldest-first queue
+# changelist; the NEW sim_hybrid_rrf + sim_hard_negatives take two more
+# slots); the remaining r11 rows lead the r15 oldest-first queue
 _STALE_R11 = [
     "dedup_compare", "dedup_cross_source", "dedup_winnow",
     "events_changepoint", "events_gap_fill", "events_lttb",
     "events_rolling", "events_scd2", "multimodal_phash",
     "pipe_epoch_shuffle", "pipe_interleave", "pipe_mixture_schedule",
-    "pipe_sample_weighted", "pipe_split_safe", "pipe_token_budget",
+    "pipe_sample_weighted",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R10 + _STALE_R11
 

@@ -41,7 +41,15 @@ QUERIES = entry_mod.queries()
 #                          rows (bounded by the domain vocabulary, never
 #                          the corpus - same argument as the codebook
 #                          collects)
-GLOBAL_WINDOW_OK = {"graph_pagerank": 1, "pipe_mixture_schedule": 1}
+#   sim_hybrid_rrf       - lexical-leg rank over the HYBRID_TOPK(=20)-row
+#                          TakeOrderedAndProject result (the graph_pagerank
+#                          argument verbatim; the corpus-sized work is the
+#                          two upstream legs, both single-pass reductions)
+GLOBAL_WINDOW_OK = {
+    "graph_pagerank": 1,
+    "pipe_mixture_schedule": 1,
+    "sim_hybrid_rrf": 1,
+}
 
 # name -> allowed count of Exchange SinglePartition sites, all one of:
 #   (a) the merge step of a partially-aggregated global aggregate (input

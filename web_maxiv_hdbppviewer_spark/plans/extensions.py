@@ -247,6 +247,120 @@ def sim_topk_cosine(spark, sf_dir):
     )
 
 
+#: RRF constant (Cormack et al.'09's k=60, the de-facto default) and
+#: per-leg candidate depth for the hybrid fusion
+RRF_K = 60
+HYBRID_TOPK = 20
+
+
+def sim_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (NEW r14) - the
+    standard first-stage retriever of a RAG / hard-negative-mining
+    pipeline: a LEXICAL leg (BM25 of every document against the literal
+    BM25_TERMS query, the text_bm25 scorer) and a VECTOR leg (exact
+    round-6 cosine top-k of the corpus against embedding 0, the
+    sim_topk_cosine ranking) each produce a top-20 candidate list; the
+    fused score is Cormack's RRF
+
+        rrf(d) = round6( 1/(60 + lex_rank) + 1/(60 + vec_rank) )
+
+    with an absent leg contributing 0 (full-outer fusion). Ranks are
+    deterministic both sides (score desc, id asc). The doc/embedding id
+    spaces are aligned by construction (TESTDATA: doc_id == vec_id), the
+    same convention dedup_clusters_semantic relies on.
+
+    Scale shape: each leg's top-20 is a TakeOrderedAndProject (no global
+    sort); the ONLY global window is the 20-row rank over the already-
+    reduced lexical candidates (bounded like graph_pagerank's final
+    ranking, allowlisted in the plan lint); the fusion joins two
+    <=20-row frames. At 100 TB the legs are the expensive part and both
+    remain single-pass distributed reductions.
+
+    Oracle: the text_bm25 statistics/scoring CTEs + the sim_topk_cosine
+    ranking CTEs, fused with the identical 1.0/(60+rank) double
+    arithmetic (CAST AS DOUBLE: DuckDB's bare 1.0 is DECIMAL and its
+    decimal division would diverge in the 6th decimal)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+
+    lex_top = (
+        textquality.bm25_scores(docs, textquality.BM25_TERMS)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(HYBRID_TOPK)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    vec = (
+        similarity.topk_cosine(emb, HYBRID_TOPK, 1)  # q_id = 0 only
+        .select(F.col("cand_id").alias("doc_id"), F.col("rank").cast("long").alias("vec_rank"))
+    )
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col(c).cast("double")), F.lit(0.0)
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.round(contrib("lex_rank") + contrib("vec_rank"), 6).alias("rrf_r"),
+        )
+        .orderBy(F.desc("rrf_r"), F.asc("doc_id"))
+    )
+
+
+def sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (NEW r14) - the contrastive-training data
+    primitive: for each query vector (id < QUERY_IDS_BELOW), the TOPK
+    most-similar vectors whose LABEL DIFFERS from the query's (the
+    embeddings table carries a class label) - maximally confusable
+    cross-class examples, exactly what a contrastive or reranker
+    training loop mines after ANN candidate generation. Ranking is the
+    battery's round-6 cosine with id tie-break; the label constraint is
+    one broadcast-joined predicate on the same single corpus pass as
+    sim_topk_cosine (no extra shuffle - plan shape identical plus one
+    filter). Oracle: the sim_topk_cosine ranking CTEs with the label
+    inequality in the join condition."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine, with_norms
+
+    emb = _emb(spark, sf_dir)
+    labels = emb.select(F.col("vec_id").alias("id"), "label")
+    base = with_norms(emb).join(labels, "id")
+    q = base.where(F.col("id") < QUERY_IDS_BELOW).select(
+        F.col("id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .where((F.col("id") != F.col("q_id")) & (F.col("label") != F.col("q_label")))
+        .select(
+            "q_id",
+            F.col("id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            F.round(
+                cosine(F.col("q_vec"), F.col("vec"), F.col("q_nrm"), F.col("nrm")), 6
+            ).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_r").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOPK)
+        .orderBy("q_id", "rank")
+    )
+
+
 def sim_mips(spark, sf_dir):
     """Maximum-inner-product top-k (operators/similarity.topk_mips):
     exact round-6 inner-product ranking plus the norm-augmentation
@@ -4347,6 +4461,9 @@ EXTENSION_QUERIES = {
     "text_entropy": text_entropy,
     "sim_dim_stats": sim_dim_stats,
     "pipe_interleave": pipe_interleave,
+    # -- round 14 --
+    "sim_hybrid_rrf": sim_hybrid_rrf,
+    "sim_hard_negatives": sim_hard_negatives,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

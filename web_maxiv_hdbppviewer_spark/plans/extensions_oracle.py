@@ -3587,3 +3587,91 @@ EXTENSION_ORACLE["lifecycle_image_stream"] = """
     WHERE n_events = (SELECT COUNT(*) FROM events)
     ORDER BY axis
 """
+
+# hybrid retrieval RRF (NEW r14, mirrors extensions.sim_hybrid_rrf):
+# the text_bm25 statistics/scoring CTEs + the sim_topk_cosine ranking,
+# each reduced to its top-20 (ORDER BY score DESC, id ASC - the
+# engine's TakeOrdered bound), fused full-outer with Cormack's
+# 1/(60+rank). CAST(1 AS DOUBLE): DuckDB's bare 1.0 literal is DECIMAL
+# and decimal division diverges from the engine's IEEE double in the
+# 6th decimal; the engine sums lex-then-vec in the same order.
+EXTENSION_ORACLE["sim_hybrid_rrf"] = f"""
+    WITH {_VECS},
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents),
+    st AS (
+      SELECT COUNT(*) AS n, ROUND(AVG(len(toks)), 6) AS avgdl FROM t),
+    dfs AS (
+      SELECT {", ".join(
+        f"SUM(CASE WHEN len(list_filter(toks, x -> x = '{t}')) > 0"
+        f" THEN 1 ELSE 0 END) AS df{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM t),
+    idf AS (
+      SELECT {", ".join(
+        f"ROUND(ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1), 6) AS idf{i}"
+        for i in range(len(_BM25_TERMS)))}
+      FROM st, dfs),
+    bm AS (
+      SELECT doc_id,
+             ROUND({" + ".join(
+               f"idf{i} * tf{i} * 2.2 / (tf{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+               for i in range(len(_BM25_TERMS)))}, 6) AS bm25
+      FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                   {", ".join(
+                     f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+                     for i, t in enumerate(_BM25_TERMS))}
+            FROM t), st, idf),
+    lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                  AS BIGINT) AS lex_rank
+      FROM (SELECT doc_id, bm25 FROM bm
+            ORDER BY bm25 DESC, doc_id ASC LIMIT 20)),
+    vscored AS (
+      SELECT c.id AS doc_id,
+             ROUND(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+      FROM vecs q JOIN vecs c ON c.id != q.id
+      WHERE q.id = 0),
+    vranked AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cos_r DESC, doc_id ASC)
+                  AS BIGINT) AS vec_rank
+      FROM vscored),
+    vec AS (SELECT doc_id, vec_rank FROM vranked WHERE vec_rank <= 20)
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+           ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank),
+                          CAST(0 AS DOUBLE))
+                 + COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank),
+                            CAST(0 AS DOUBLE)), 6) AS rrf_r
+    FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    ORDER BY rrf_r DESC, doc_id
+"""
+
+# hard-negative mining (NEW r14, mirrors extensions.sim_hard_negatives):
+# the sim_topk_cosine ranking with the cross-class constraint folded
+# into the join condition - top-5 most-similar DIFFERENT-label vectors
+# per query, round-6 cosine, id tie-break.
+EXTENSION_ORACLE["sim_hard_negatives"] = """
+    WITH lvecs AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm,
+             label
+      FROM embeddings),
+    scored AS (
+      SELECT q.id AS q_id, c.id AS cand_id, c.label AS cand_label,
+             ROUND(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_r
+      FROM lvecs q JOIN lvecs c
+        ON c.id != q.id AND c.label != q.label
+      WHERE q.id < 10),
+    ranked AS (
+      SELECT q_id, cand_id, cand_label, cos_r,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos_r DESC, cand_id ASC)
+                  AS BIGINT) AS rank
+      FROM scored)
+    SELECT q_id, cand_id, cand_label, cos_r, rank FROM ranked
+    WHERE rank <= 5 ORDER BY q_id, rank
+"""
