@@ -101,7 +101,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # hard-negative mining: top-5 most-similar DIFFERENT-label vectors per
 # query, the sim_topk_cosine pass plus one label-inequality predicate;
 # oracle folds the constraint into the join condition).
+# text_nb_train / text_nb_classify / text_nb_eval (NEW r14 - trained
+# multinomial Naive-Bayes text classifier, the CCNet/fastText-style
+# quality/domain filtering primitive: min_count-vocab model with
+# add-one smoothing published as int64 micro-nats, broadcast wide-model
+# scoring in ONE groupBy(doc) aggregate, argmax as a bounded when-chain;
+# oracle re-derives the identical model in SQL CTEs - operators/nbayes.py).
 _CHANGED_THIS_ROUND = [
+    "text_nb_train",
+    "text_nb_classify",
+    "text_nb_eval",
     "sim_hybrid_rrf",
     "sim_hard_negatives",
     "sim_mmr",
@@ -127,16 +136,16 @@ _STALE_R10 = [
     "text_collocations", "text_domain_shift", "text_lm_score",
     "text_vocab",
 ]
-# fill: first 13 of the r11 cohort, alphabetical (sim_mmr/sim_kcenter/
+# fill: first 10 of the r11 cohort, alphabetical (sim_mmr/sim_kcenter/
 # q9/sim_ivf_probe_sweep graduated from that cohort into the
-# changelist; the NEW sim_hybrid_rrf + sim_hard_negatives take two more
-# slots); the remaining r11 rows lead the r15 oldest-first queue
+# changelist; the NEW sim_hybrid_rrf + sim_hard_negatives +
+# text_nb_train/classify/eval take five more slots); the remaining r11
+# rows lead the r15 oldest-first queue
 _STALE_R11 = [
     "dedup_compare", "dedup_cross_source", "dedup_winnow",
     "events_changepoint", "events_gap_fill", "events_lttb",
     "events_rolling", "events_scd2", "multimodal_phash",
-    "pipe_epoch_shuffle", "pipe_interleave", "pipe_mixture_schedule",
-    "pipe_sample_weighted",
+    "pipe_epoch_shuffle",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R10 + _STALE_R11
 

@@ -79,6 +79,13 @@ SINGLE_PARTITION_OK = {
     "sim_pca_gram": 1,
     "text_collocations": 2,
     "text_domain_shift": 1,
+    # NB family: the vocabulary-size scalar V (count_distinct over the
+    # min_count-filtered model - merge sees one row per map partition;
+    # case (a)). classify/eval inherit the same single scalar through
+    # the broadcast model subtree.
+    "text_nb_train": 1,
+    "text_nb_classify": 1,
+    "text_nb_eval": 1,
     "text_keywords": 1,
     "text_lm_score": 1,
 }

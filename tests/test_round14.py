@@ -523,3 +523,85 @@ def test_cassandra_pushdown_predicate_snapshot(spark):
     assert re.search(r"data_time#\d+ <= 2024-02-02 06:30:00\)", plan), plan
     # and the exact µs trim IS present on the derived ts (both bounds)
     assert "12:00:00.25" in plan, plan
+
+
+# --- 5. Naive-Bayes classifier: constructed ground truth (NEW r14) ---------
+#
+# Hand-derived corpus exercising every model path: a token counted under
+# BOTH labels ('the': en+fr), a vocab token with a zero count under one
+# label (sat/fr -> per-label default), OOV tokens, an EMPTY document
+# (prior-only score), and a label NONE of whose tokens survive the
+# vocabulary cut (zz: T_zz = 0, still gets a prior and defaults).
+# min_count=2 -> vocab {the, sat, le}, V=3; T_en=5, T_fr=4, T_zz=0;
+# N_en=3, N_fr=2, N_zz=1, N=6. All literals below are hand-computed
+# micro-nats: round(ln(ratio) * 1e6).
+
+_NB_CORPUS = [
+    (1, "en", "the cat sat on the mat"),
+    (2, "en", "the dog sat"),
+    (3, "fr", "le chat le chien"),
+    (4, "fr", "le the"),
+    (5, "en", ""),
+    (6, "zz", "xyz unique tokens only"),
+]
+
+
+def test_nb_model_constructed_ground_truth(spark):
+    from web_maxiv_hdbppviewer_spark.operators import nbayes
+
+    df = spark.createDataFrame(_NB_CORPUS, "doc_id long, lang string, text string")
+    got = sorted(
+        tuple(r) for r in nbayes.nb_model(df, min_count=2).collect()
+    )
+    # logp_fp = round(ln((c+1)/(T_L+V)) * 1e6):
+    #   (le,fr):  ln(4/7)  -> -559616   (sat,en): ln(3/8) -> -980829
+    #   (the,en): ln(4/8)  -> -693147   (the,fr): ln(2/7) -> -1252763
+    assert got == [
+        ("le", "fr", 3, -559616),
+        ("sat", "en", 2, -980829),
+        ("the", "en", 3, -693147),
+        ("the", "fr", 1, -1252763),
+    ], got
+
+
+def test_nb_classify_constructed_ground_truth(spark):
+    from web_maxiv_hdbppviewer_spark.operators import nbayes
+
+    df = spark.createDataFrame(_NB_CORPUS, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]: (r["lang"], r["pred"], r["score_fp"])
+        for r in nbayes.nb_classify(spark, df, min_count=2).collect()
+    }
+    # defaults: en ln(1/8) -> -2079442, fr ln(1/7) -> -1945910,
+    #           zz ln(1/3) -> -1098612
+    # priors:   en ln(3/6) -> -693147,  fr ln(2/6) -> -1098612,
+    #           zz ln(1/6) -> -1791759
+    assert got == {
+        # doc1: zz WINS (-1791759 + 6*-1098612 = -8383431) over en
+        # (-693147 - 2*693147 - 980829 - 3*2079442 = -9298596): the
+        # zero-vocab label's cheap defaults beat en's OOV penalty -
+        # correct NB arithmetic, pinned deliberately
+        1: ("en", "zz", -8383431),
+        2: ("en", "en", -4446565),
+        3: ("fr", "fr", -6109664),
+        4: ("fr", "fr", -2910991),
+        5: ("en", "en", -693147),   # empty doc -> prior-only argmax
+        6: ("zz", "zz", -6186207),
+    }, got
+
+
+def test_nb_confusion_and_empty_corpus(spark):
+    from web_maxiv_hdbppviewer_spark.operators import nbayes
+
+    df = spark.createDataFrame(_NB_CORPUS, "doc_id long, lang string, text string")
+    conf = sorted(
+        tuple(r)
+        for r in nbayes.nb_confusion(nbayes.nb_classify(spark, df, min_count=2)).collect()
+    )
+    assert conf == [("en", "en", 2), ("en", "zz", 1), ("fr", "fr", 2), ("zz", "zz", 1)]
+
+    empty = spark.createDataFrame([], "doc_id long, lang string, text string")
+    assert nbayes.nb_model(empty, min_count=2).count() == 0
+    cls = nbayes.nb_classify(spark, empty, min_count=2)
+    assert cls.count() == 0
+    assert [f.name for f in cls.schema.fields] == ["doc_id", "lang", "pred", "score_fp"]

@@ -1,0 +1,219 @@
+"""Trained multinomial Naive-Bayes text classifier (train / score / eval).
+
+The CCNet / fastText-style pipeline primitive the extension surface was
+missing: every production pretraining pipeline trains a cheap linear
+classifier on labeled text (quality buckets, domains, languages) and
+scores the whole corpus with it to filter or reweight documents. The
+reference viewer has no analogue (its text surface is the raw archive);
+this family extends SURVEY §2's training-data operators alongside
+text_quality / text_langid (which are untrained heuristics).
+
+Model: multinomial NB with add-one smoothing over the whitespace-token
+vocabulary restricted to tokens whose corpus-wide count >= ``min_count``
+(the standard hashing-trick-free vocabulary cut):
+
+    logp(t, L)  = ln((c(t,L) + 1) / (T_L + V))
+    default(L)  = ln(1 / (T_L + V))          # unseen / out-of-vocab token
+    prior(L)    = ln(N_L / N)
+    score(d, L) = prior(L) + sum over tokens of logp/default
+    pred(d)     = argmax_L score(d, L), ties -> smaller label string
+
+where c(t,L) is the count of vocab token t in label-L documents, T_L the
+total vocab-token count in label-L documents, V the vocab size, N_L the
+label-L document count.
+
+Cross-engine exactness (the sim_quantize / pca fixed-point discipline):
+every log-probability is published as ``logp_fp = CAST(ROUND(ln(..)*1e6,
+0) AS BIGINT)`` and per-document scores are SUMS OF THOSE INT64 values -
+integer-exact in any engine and in any aggregation order, so the only
+cross-engine float surface is the one ROUND-guarded ``ln`` per model
+cell (the repo-wide accepted class, see bm25's ROUND-6 idf).
+
+Scale posture (100 TB): training is one explode + one (token,label)
+hash aggregate (map-side combinable) + a token-partition window whose
+state is bounded by |labels|; the label/vocab statistics collected to
+the driver are |labels|+1 rows (the bounded-trainer discipline shared
+with BPE / k-means). Scoring broadcast-joins the WIDE model (one row
+per vocab token, one int64 column per label - bounded by the vocabulary
+cut) onto the exploded corpus and reduces with ONE groupBy(doc) hash
+aggregate; the argmax over the bounded label set is a literal
+when-chain, not a window, so no per-document shuffle beyond the single
+score aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.texthash import words
+
+NB_MIN_COUNT = 5
+_FP = 1_000_000.0  # fixed-point scale for log-probabilities
+
+
+def _fp(col):
+    """ln -> int64 micro-nats: CAST(ROUND(x*1e6, 0) AS BIGINT) - written
+    identically in the SQL oracle so both engines publish the same
+    integer (ROUND parity on the last ulp of ln is the repo-wide
+    accepted class)."""
+    return F.round(col * F.lit(_FP), 0).cast("long")
+
+
+def _tokens(df: DataFrame, id_col: str, label_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.col(label_col).alias("label"),
+        F.explode(words(F.col(text_col))).alias("token"),
+    )
+
+
+def nb_counts(
+    df: DataFrame,
+    min_count: int = NB_MIN_COUNT,
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, label, n) over the min_count-filtered vocabulary: one
+    (token,label) hash aggregate, then the corpus-wide token total as a
+    token-partition window sum (per-partition state bounded by |labels|)."""
+    c = (
+        _tokens(df, id_col, label_col, text_col)
+        .groupBy("token", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.sum("n").over(Window.partitionBy("token"))
+    return c.withColumn("tot", tot).where(F.col("tot") >= min_count).drop("tot")
+
+
+def _label_stats(
+    df: DataFrame, m: DataFrame, label_col: str, include_total: bool = False
+) -> DataFrame:
+    """Per-label (T_L, N_L) plus the scalar V, derived from the filtered
+    counts; labels come from the CORPUS (left join) so a label none of
+    whose tokens survived the vocabulary cut still trains a prior and a
+    default. ``include_total`` adds the corpus document count (the prior
+    denominator) - only the classifier's bounded driver round-trip needs
+    it, so the train plan skips that scalar job."""
+    labels = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per_label = m.groupBy("label").agg(F.sum("n").alias("t_l"))
+    vrow = m.select(F.count_distinct("token").alias("v"))
+    out = (
+        labels.join(F.broadcast(per_label), "label", "left")
+        .na.fill({"t_l": 0})
+        # 1-row stats frames -> broadcast NLJ (the repo's bounded
+        # broadcast-1-row-stats join pattern)
+        .crossJoin(F.broadcast(vrow))
+    )
+    if include_total:
+        nrow = df.select(F.count(F.lit(1)).alias("n_total"))
+        out = out.crossJoin(F.broadcast(nrow))
+    return out
+
+
+def nb_model(
+    df: DataFrame,
+    min_count: int = NB_MIN_COUNT,
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """The published model: (token, label, n, logp_fp) for every
+    (vocab token x label observed with it); defaults/priors are recomputed
+    from the same statistics by the scorer (and by the SQL oracle)."""
+    m = nb_counts(df, min_count, id_col, label_col, text_col)
+    stats = _label_stats(df, m, label_col)
+    denom = (F.col("t_l") + F.col("v")).cast("double")
+    return m.join(F.broadcast(stats), "label").select(
+        "token", F.col("label"), "n",
+        _fp(F.log((F.col("n") + F.lit(1.0)) / denom)).alias("logp_fp"),
+    )
+
+
+def nb_classify(
+    spark: SparkSession,
+    df: DataFrame,
+    min_count: int = NB_MIN_COUNT,
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document and predict: (id, label, pred, score_fp).
+
+    The per-label statistics collected to the driver are |labels| rows
+    (the bounded-trainer round-trip); the model joins the corpus WIDE
+    (one int64 column per label) and broadcast, so scoring is
+    broadcast-join + ONE groupBy(id) aggregate."""
+    m = nb_counts(df, min_count, id_col, label_col, text_col)
+    stats_rows = (
+        _label_stats(df, m, label_col, include_total=True)
+        .withColumn(
+            "def_fp", _fp(F.log(F.lit(1.0) / (F.col("t_l") + F.col("v")).cast("double")))
+        )
+        .withColumn(
+            "prior_fp",
+            _fp(F.log(F.col("n_docs").cast("double") / F.col("n_total"))),
+        )
+        .collect()
+    )  # bounded: one row per label
+    if not stats_rows:
+        return df.select(
+            F.col(id_col), F.col(label_col),
+            F.lit(None).cast("string").alias("pred"),
+            F.lit(None).cast("long").alias("score_fp"),
+        ).where(F.lit(False))
+    stats = sorted(
+        ((r["label"], r["def_fp"], r["prior_fp"]) for r in stats_rows),
+        key=lambda r: r[0],
+    )
+    model_wide = (
+        nb_model(df, min_count, id_col, label_col, text_col)
+        .groupBy("token")
+        .agg(*[
+            F.sum(F.when(F.col("label") == lbl, F.col("logp_fp"))).alias(f"lp_{i}")
+            for i, (lbl, _, _) in enumerate(stats)
+        ])
+    )
+    toks = df.select(
+        F.col(id_col), F.col(label_col),
+        F.explode_outer(words(F.col(text_col))).alias("token"),
+    )
+    scored = (
+        toks.join(F.broadcast(model_wide), "token", "left")
+        .groupBy(id_col, label_col)
+        .agg(*[
+            F.sum(
+                F.when(F.col("token").isNull(), F.lit(0).cast("long"))
+                .otherwise(F.coalesce(F.col(f"lp_{i}"), F.lit(def_fp)))
+            ).alias(f"s_{i}")
+            for i, (_, def_fp, _) in enumerate(stats)
+        ])
+    )
+    score_cols = [
+        (F.col(f"s_{i}") + F.lit(prior_fp)).alias(f"score_{i}")
+        for i, (_, _, prior_fp) in enumerate(stats)
+    ]
+    scored = scored.select(id_col, label_col, *score_cols)
+    # argmax fold, ascending label order: a later label wins only on a
+    # STRICTLY greater score, so ties resolve to the smaller label string
+    best_s, best_l = F.col("score_0"), F.lit(stats[0][0])
+    for i in range(1, len(stats)):
+        s = F.col(f"score_{i}")
+        gt = s > best_s
+        best_l = F.when(gt, F.lit(stats[i][0])).otherwise(best_l)
+        best_s = F.when(gt, s).otherwise(best_s)
+    return scored.select(
+        F.col(id_col), F.col(label_col),
+        best_l.alias("pred"), best_s.alias("score_fp"),
+    )
+
+
+def nb_confusion(classified: DataFrame, label_col: str = "lang") -> DataFrame:
+    """Confusion matrix of the classifier over its own training corpus
+    (the standard fit-quality report): (actual, pred, n)."""
+    return classified.groupBy(
+        F.col(label_col).alias("actual"), "pred"
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -4322,6 +4322,48 @@ def text_boilerplate(spark, sf_dir):
     ).orderBy("id")
 
 
+NB_MIN_COUNT = 5
+
+
+def text_nb_train(spark, sf_dir):
+    """Multinomial Naive-Bayes model over the lang-labeled corpus
+    (operators/nbayes.py): the min_count-filtered (token, label) table
+    with add-one-smoothed log-likelihoods published as int64 micro-nats
+    - the trained-classifier pipeline primitive (CCNet/fastText-style
+    quality and domain filters). Oracle: the identical counts / vocab
+    cut / ln arithmetic as SQL CTEs."""
+    from ..operators import nbayes
+
+    return nbayes.nb_model(_docs(spark, sf_dir), NB_MIN_COUNT).orderBy(
+        "token", "label"
+    )
+
+
+def text_nb_classify(spark, sf_dir):
+    """Score every document with the NB model and predict its label:
+    broadcast wide model (one int64 column per label) + ONE groupBy(doc)
+    aggregate; the per-label priors/defaults are a |labels|-row driver
+    round-trip (the bounded-trainer discipline). Scores are int64 sums,
+    integer-exact in any aggregation order; ties predict the smaller
+    label string."""
+    from ..operators import nbayes
+
+    return nbayes.nb_classify(spark, _docs(spark, sf_dir), NB_MIN_COUNT).orderBy(
+        "doc_id"
+    )
+
+
+def text_nb_eval(spark, sf_dir):
+    """Confusion matrix of the classifier over its training corpus
+    (actual x predicted document counts) - the fit-quality report a
+    filtering pipeline reads before trusting the scorer."""
+    from ..operators import nbayes
+
+    return nbayes.nb_confusion(
+        nbayes.nb_classify(spark, _docs(spark, sf_dir), NB_MIN_COUNT)
+    ).orderBy("actual", "pred")
+
+
 # Dict order here is NOT the witness window anymore: since round 7 the
 # 50-entry driver window is the explicit _WINDOW list in __spark_entry__.py
 # (rotated every round toward the least-recently-witnessed queries); this
@@ -4330,6 +4372,9 @@ EXTENSION_QUERIES = {
     "text_bpe_train": text_bpe_train,
     "text_bpe_apply": text_bpe_apply,
     "text_bm25": text_bm25,
+    "text_nb_train": text_nb_train,
+    "text_nb_classify": text_nb_classify,
+    "text_nb_eval": text_nb_eval,
     "text_langid": text_langid,
     "text_lm_score": text_lm_score,
     "text_collocations": text_collocations,

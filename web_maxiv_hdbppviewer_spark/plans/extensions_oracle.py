@@ -1248,6 +1248,84 @@ EXTENSION_ORACLE = {
               FROM t), st, idf
         ORDER BY doc_id
     """,
+    # Naive-Bayes model (operators/nbayes.py): identical tokenization,
+    # min_count vocabulary cut, and ln arithmetic; log-probs published as
+    # int64 micro-nats (CAST(ROUND(ln(..)*1e6, 0) AS BIGINT)) so every
+    # downstream sum is integer-exact in any engine
+    "text_nb_train": """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents),
+        tok AS (SELECT doc_id, lang, unnest(toks) AS token FROM t),
+        c AS (SELECT token, lang, CAST(COUNT(*) AS BIGINT) AS n
+              FROM tok GROUP BY 1, 2),
+        m AS (SELECT token, lang, n FROM
+                (SELECT token, lang, n,
+                        SUM(n) OVER (PARTITION BY token) AS tot FROM c)
+              WHERE tot >= 5),
+        vst AS (SELECT COUNT(DISTINCT token) AS v FROM m),
+        tl AS (SELECT l.lang, COALESCE(s.t_l, 0) AS t_l
+               FROM (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1) l
+               LEFT JOIN (SELECT lang, SUM(n) AS t_l FROM m GROUP BY 1) s
+                 USING (lang))
+        SELECT m.token, m.lang AS label, m.n,
+               CAST(ROUND(ln((m.n + 1.0) / CAST(t_l + v AS DOUBLE)) * 1e6, 0)
+                    AS BIGINT) AS logp_fp
+        FROM m JOIN tl ON m.lang = tl.lang, vst
+        ORDER BY token, label
+    """,
+    # NB scoring: per-(doc, candidate-label) int64 score sums with the
+    # per-label default for out-of-vocab tokens, prior added, argmax with
+    # smaller-label tie-break; empty docs score prior-only via the
+    # documents-left-join base
+    "text_nb_classify": """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents),
+        tok AS (SELECT doc_id, lang, unnest(toks) AS token FROM t),
+        c AS (SELECT token, lang, CAST(COUNT(*) AS BIGINT) AS n
+              FROM tok GROUP BY 1, 2),
+        m AS (SELECT token, lang, n FROM
+                (SELECT token, lang, n,
+                        SUM(n) OVER (PARTITION BY token) AS tot FROM c)
+              WHERE tot >= 5),
+        vst AS (SELECT COUNT(DISTINCT token) AS v FROM m),
+        tl AS (SELECT l.lang, l.n_docs, COALESCE(s.t_l, 0) AS t_l
+               FROM (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1) l
+               LEFT JOIN (SELECT lang, SUM(n) AS t_l FROM m GROUP BY 1) s
+                 USING (lang)),
+        model AS (
+          SELECT m.token, m.lang,
+                 CAST(ROUND(ln((m.n + 1.0) / CAST(t_l + v AS DOUBLE)) * 1e6, 0)
+                      AS BIGINT) AS logp_fp
+          FROM m JOIN tl ON m.lang = tl.lang, vst),
+        st AS (
+          SELECT lang,
+                 CAST(ROUND(ln(1.0 / CAST(t_l + v AS DOUBLE)) * 1e6, 0)
+                      AS BIGINT) AS def_fp,
+                 CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / n_total) * 1e6, 0)
+                      AS BIGINT) AS prior_fp
+          FROM tl, vst, (SELECT COUNT(*) AS n_total FROM documents)),
+        ds AS (
+          SELECT tk.doc_id, st.lang AS cand,
+                 CAST(SUM(COALESCE(model.logp_fp, st.def_fp)) AS BIGINT) AS s
+          FROM tok tk CROSS JOIN st
+          LEFT JOIN model ON model.token = tk.token AND model.lang = st.lang
+          GROUP BY 1, 2),
+        tot AS (
+          SELECT d.doc_id, d.lang, st.lang AS cand,
+                 st.prior_fp + COALESCE(ds.s, 0) AS score
+          FROM documents d CROSS JOIN st
+          LEFT JOIN ds ON ds.doc_id = d.doc_id AND ds.cand = st.lang)
+        SELECT doc_id, lang, cand AS pred, CAST(score AS BIGINT) AS score_fp
+        FROM (SELECT doc_id, lang, cand, score,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, cand ASC) AS r
+              FROM tot)
+        WHERE r = 1 ORDER BY doc_id
+    """,
     # long->wide pivot as conditional aggregation (mirrors
     # extensions.events_pivot's literal EVENT_TYPES column set)
     "events_pivot": """
@@ -1596,6 +1674,14 @@ EXTENSION_ORACLE = {
 # the streaming sessionization must converge to EXACTLY the batch answer
 # (complete-mode drain), so its oracle is the same gaps-and-islands SQL
 EXTENSION_ORACLE["stream_sessions"] = EXTENSION_ORACLE["window_sessions"]
+
+# confusion matrix over the classify result - reuses the classify CTE
+# block verbatim (DuckDB accepts a nested WITH inside a CTE body)
+EXTENSION_ORACLE["text_nb_eval"] = f"""
+    WITH cls AS ({EXTENSION_ORACLE["text_nb_classify"]})
+    SELECT lang AS actual, pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM cls GROUP BY 1, 2 ORDER BY actual, pred
+"""
 
 # recall-per-method comparison (extensions.sim_ann_compare): ONE exact
 # top-k CTE shared by all three approximate rankings - the same LSH / PQ /
