@@ -107,7 +107,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # add-one smoothing published as int64 micro-nats, broadcast wide-model
 # scoring in ONE groupBy(doc) aggregate, argmax as a bounded when-chain;
 # oracle re-derives the identical model in SQL CTEs - operators/nbayes.py).
+# pipe_dsir (NEW r14 - DSIR corpus targeting, Xie et al. 2023: hashed
+# 256-bucket token importance-ratio model, int64 micro-nat scores,
+# Gumbel-top-k with deterministic hash noise - operators/sampling.py).
 _CHANGED_THIS_ROUND = [
+    "pipe_dsir",
     "text_nb_train",
     "text_nb_classify",
     "text_nb_eval",
@@ -136,16 +140,15 @@ _STALE_R10 = [
     "text_collocations", "text_domain_shift", "text_lm_score",
     "text_vocab",
 ]
-# fill: first 10 of the r11 cohort, alphabetical (sim_mmr/sim_kcenter/
+# fill: first 9 of the r11 cohort, alphabetical (sim_mmr/sim_kcenter/
 # q9/sim_ivf_probe_sweep graduated from that cohort into the
 # changelist; the NEW sim_hybrid_rrf + sim_hard_negatives +
-# text_nb_train/classify/eval take five more slots); the remaining r11
-# rows lead the r15 oldest-first queue
+# text_nb_train/classify/eval + pipe_dsir take six more slots); the
+# remaining r11 rows lead the r15 oldest-first queue
 _STALE_R11 = [
     "dedup_compare", "dedup_cross_source", "dedup_winnow",
     "events_changepoint", "events_gap_fill", "events_lttb",
     "events_rolling", "events_scd2", "multimodal_phash",
-    "pipe_epoch_shuffle",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R10 + _STALE_R11
 

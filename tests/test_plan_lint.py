@@ -83,6 +83,10 @@ SINGLE_PARTITION_OK = {
     # min_count-filtered model - merge sees one row per map partition;
     # case (a)). classify/eval inherit the same single scalar through
     # the broadcast model subtree.
+    # pipe_dsir: the (tt, tr) corpus-total scalar pair - one merge over
+    # the 256-row bucket-count aggregate (bounded by construction; the
+    # DSIR hashing trick's whole point). Case (a)+(b).
+    "pipe_dsir": 1,
     "text_nb_train": 1,
     "text_nb_classify": 1,
     "text_nb_eval": 1,

@@ -605,3 +605,130 @@ def test_nb_confusion_and_empty_corpus(spark):
     cls = nbayes.nb_classify(spark, empty, min_count=2)
     assert cls.count() == 0
     assert [f.name for f in cls.schema.fields] == ["doc_id", "lang", "pred", "score_fp"]
+
+
+# --- 6. DSIR selection: pure-Python twin + contracts (NEW r14) --------------
+
+
+def _dsir_twin(corpus, k=3, n_buckets=256):
+    """Independent full-pipeline replication of operators/sampling.
+    dsir_select in pure Python: hashlib md5 for the portable hash,
+    math.log for the ratios, the same micro-nat rounding."""
+    import hashlib
+    import math
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def toks(t):
+        return [w for w in t.lower().split(" ") if w]
+
+    ct, cr = {}, {}
+    for _id, lang, text in corpus:
+        tgt = lang == "en"
+        for w in toks(text):
+            b = h60(f"dsir:{w}") % n_buckets
+            (ct if tgt else cr)[b] = (ct if tgt else cr).get(b, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    all_b = set(ct) | set(cr)
+    lr = {
+        b: int(round((math.log((ct.get(b, 0) + 1.0) / (tt + n_buckets))
+                      - math.log((cr.get(b, 0) + 1.0) / (tr + n_buckets))) * 1e6))
+        for b in all_b
+    }
+    rows = []
+    for _id, lang, text in corpus:
+        if lang == "en":
+            continue
+        tl = toks(text)
+        if not tl:
+            continue  # empty docs carry no evidence -> excluded (documented)
+        s = sum(lr[h60(f"dsir:{w}") % n_buckets] for w in tl)
+        u = ((h60(f"dsir-g:{_id}") % (1 << 52)) + 0.5) / float(1 << 52)
+        g = int(round(-math.log(-math.log(u)) * 1e6))
+        rows.append((_id, len(tl), s, g, s + g))
+    rows.sort(key=lambda r: (-r[4], r[0]))
+    return rows[:k]
+
+
+def test_dsir_matches_pure_python_twin(spark):
+    from web_maxiv_hdbppviewer_spark.operators import sampling
+
+    corpus = [
+        (1, "en", "wiki style clean prose about science"),
+        (2, "en", "clean prose with citations and science"),
+        (3, "fr", "clean prose science citations"),      # target-like pool doc
+        (4, "fr", "menu login click here click here"),   # boilerplate
+        (5, "de", "science prose wiki clean"),           # target-like pool doc
+        (6, "de", ""),                                    # empty -> excluded
+        (7, "zh", "click menu here login"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, lang string, text string")
+    got = [tuple(r) for r in sampling.dsir_select(df, 3).collect()]
+    assert got == _dsir_twin(corpus, 3), (got, _dsir_twin(corpus, 3))
+    # contracts: no target docs, no empty docs, k honored, deterministic
+    ids = [r[0] for r in got]
+    assert 1 not in ids and 2 not in ids and 6 not in ids
+    assert len(got) == 3
+    assert got == [tuple(r) for r in sampling.dsir_select(df, 3).collect()]
+
+
+def test_dsir_degenerate_corpora(spark):
+    from web_maxiv_hdbppviewer_spark.operators import sampling
+
+    # no pool docs at all -> empty selection, stable schema
+    only_target = spark.createDataFrame(
+        [(1, "en", "a b c")], "doc_id long, lang string, text string"
+    )
+    out = sampling.dsir_select(only_target, 5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_tokens", "logratio_fp", "gumbel_fp", "key_fp",
+    ]
+    # no target docs -> model is pool-only + smoothing, still selects
+    only_pool = spark.createDataFrame(
+        [(1, "fr", "a b"), (2, "de", "c d")],
+        "doc_id long, lang string, text string",
+    )
+    assert sampling.dsir_select(only_pool, 5).count() == 2
+
+
+# --- 7. NB classifier: integer self-consistency property (NEW r14) ---------
+
+
+def test_nb_classify_is_argmax_over_published_model(spark):
+    """Classification must be EXACTLY argmax over the published model
+    artifacts - replayed here in pure-integer Python from Spark's own
+    nb_model / label-stats outputs (no floats, no ln), so a wiring bug
+    in the wide pivot, the OOV default, the empty-doc path, or the
+    tie-break flips this even when every parity hash is green."""
+    from web_maxiv_hdbppviewer_spark.operators import nbayes
+
+    df = spark.createDataFrame(_NB_CORPUS, "doc_id long, lang string, text string")
+    model = {
+        (r["token"], r["label"]): r["logp_fp"]
+        for r in nbayes.nb_model(df, min_count=2).collect()
+    }
+    stats = {
+        r["label"]: (r["def_fp"], r["prior_fp"])
+        for r in nbayes._label_stats(
+            df, nbayes.nb_counts(df, min_count=2), "lang", include_total=True
+        )
+        .selectExpr(
+            "label",
+            "CAST(ROUND(ln(1.0 / CAST(t_l + v AS DOUBLE)) * 1e6, 0) AS LONG) AS def_fp",
+            "CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / n_total) * 1e6, 0) AS LONG) AS prior_fp",
+        )
+        .collect()
+    }
+    labels = sorted(stats)
+    text_by_id = {d: t for d, _, t in _NB_CORPUS}
+    for r in nbayes.nb_classify(spark, df, min_count=2).collect():
+        toks = [w for w in text_by_id[r["doc_id"]].lower().split(" ") if w]
+        scores = {
+            lbl: stats[lbl][1]
+            + sum(model.get((w, lbl), stats[lbl][0]) for w in toks)
+            for lbl in labels
+        }
+        best = min(labels, key=lambda lbl: (-scores[lbl], lbl))
+        assert (r["pred"], r["score_fp"]) == (best, scores[best]), r

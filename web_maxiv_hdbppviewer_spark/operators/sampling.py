@@ -416,3 +416,96 @@ def token_budget_fill(
             (F.col("cum_tokens") <= budget).alias("selected"),
         )
     )
+
+
+DSIR_BUCKETS = 256
+_DSIR_U_DOM = 1 << 52  # 2^52: (h % 2^52 + 0.5) / 2^52 is EXACT in double
+
+
+def dsir_select(
+    df: DataFrame,
+    k: int,
+    target_col: str = "lang",
+    target_value: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "dsir",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023, DSIR):
+    pick the pool documents that look most like a small TARGET corpus by
+    (1) fitting hashed bag-of-token models to target and pool, (2)
+    scoring every pool document with the per-token log importance ratio
+    ln p_target(t) - ln p_pool(t), and (3) Gumbel-top-k resampling on
+    the scores - the standard pretraining-corpus targeting step (select
+    web documents that look like Wikipedia/books).
+
+    Determinism discipline: the token feature space is HASHED to
+    ``n_buckets`` buckets (the paper's hashed n-gram trick) with the
+    portable seeded md5 hash, per-bucket log-ratios are published as
+    int64 micro-nats (the nbayes fixed-point discipline), so every
+    per-document sum is integer-exact in any engine and order. The
+    Gumbel noise is a pure function of the id: u = (h mod 2^52 + 0.5) /
+    2^52 is EXACT in float64 and strictly inside (0,1) (a raw 60-bit h
+    cast to double can round up to 2^60 and make u = 1.0 -> -ln(-ln 1)
+    = inf), g_fp = round(-ln(-ln u) * 1e6). Re-running on any layout
+    returns the identical selection.
+
+    Scale shape (100 TB): one exploded pass feeds a ``n_buckets``-row
+    conditional count aggregate (map-side combinable, model size FIXED
+    by construction - the reason DSIR hashes); scoring broadcast-joins
+    that model and reduces with ONE groupBy(doc) aggregate; selection
+    is a global top-k (TakeOrderedAndProject, per-partition heaps).
+    Documents that tokenize to nothing carry no evidence and are
+    excluded (documented; DSIR is undefined on empty feature vectors).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    toks = df.select(
+        F.col(id_col),
+        (F.col(target_col) == target_value).alias("is_t"),
+        F.explode(words(F.col(text_col))).alias("token"),
+    ).select(
+        id_col, "is_t",
+        (md5_int60(F.col("token"), salt=seed) % n_buckets).alias("b"),
+    )
+    counts = toks.groupBy("b").agg(
+        F.sum(F.col("is_t").cast("long")).alias("ct"),
+        F.sum((~F.col("is_t")).cast("long")).alias("cr"),
+    )
+    tot = counts.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"),
+        F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"),
+    )
+    model = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            (F.log((F.col("ct") + F.lit(1.0)) / (F.col("tt") + F.lit(n_buckets)))
+             - F.log((F.col("cr") + F.lit(1.0)) / (F.col("tr") + F.lit(n_buckets))))
+            * F.lit(1e6),
+            0,
+        ).cast("long").alias("lr_fp"),
+    )
+    pool = (
+        toks.where(~F.col("is_t"))
+        .join(F.broadcast(model), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_fp").alias("logratio_fp"),
+        )
+    )
+    u = (
+        (md5_int60(F.col(id_col).cast("string"), salt=f"{seed}-g") % _DSIR_U_DOM)
+        + F.lit(0.5)
+    ) / F.lit(float(_DSIR_U_DOM))
+    g_fp = F.round(-F.log(-F.log(u)) * F.lit(1e6), 0).cast("long")
+    return (
+        pool.select(
+            id_col, "n_tokens", "logratio_fp",
+            g_fp.alias("gumbel_fp"),
+            (F.col("logratio_fp") + g_fp).alias("key_fp"),
+        )
+        .orderBy(F.desc("key_fp"), F.col(id_col).asc())
+        .limit(k)
+    )

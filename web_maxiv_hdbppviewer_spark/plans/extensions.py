@@ -2908,6 +2908,20 @@ VOCAB_TOPK = 20
 ROLL_WINDOW_S = 7 * 86_400
 
 
+DSIR_K = 50
+
+
+def pipe_dsir(spark, sf_dir):
+    """DSIR corpus targeting (Xie et al. 2023): select the 50 non-English
+    pool documents that look most like the English target corpus under
+    hashed bag-of-token importance ratios, Gumbel-top-k resampled with
+    deterministic hash noise (operators/sampling.dsir_select). The
+    256-bucket model is fixed-size by construction (the paper's hashing
+    trick), broadcast to the scoring pass; scores and Gumbel keys are
+    int64 micro-nats, so the whole result hashes integer-exact."""
+    return sampling.dsir_select(_docs(spark, sf_dir), DSIR_K)
+
+
 def pipe_sample_weighted(spark, sf_dir):
     """Importance-weighted corpus subsample: top-100 documents by the
     Efraimidis-Spirakis exponential key with weight = n_chars (longer
@@ -4461,6 +4475,7 @@ EXTENSION_QUERIES = {
     "sim_pca": sim_pca,
     "sim_topk_cosine": sim_topk_cosine,
     # -- round 10 --
+    "pipe_dsir": pipe_dsir,
     "pipe_sample_weighted": pipe_sample_weighted,
     "dedup_fuzzy": dedup_fuzzy,
     "dedup_keep_best": dedup_keep_best,

@@ -2471,6 +2471,45 @@ EXTENSION_ORACLE["graph_pagerank"] = _pagerank_sql()
 # Efraimidis-Spirakis weighted sample (extensions.pipe_sample_weighted /
 # sampling.weighted_sample): the same key algebra - seeded 60-bit uniform,
 # round-6 ln(u)/w ranking, id tiebreak, top-100
+# DSIR importance resampling (operators/sampling.dsir_select): identical
+# 256-bucket hashed token model (seeded portable md5), per-bucket
+# log-ratios and Gumbel keys in int64 micro-nats, u = (h mod 2^52 + 0.5)
+# / 2^52 exact in float64, top-50 by key with doc_id tie-break
+EXTENSION_ORACLE["pipe_dsir"] = f"""
+        WITH tb AS (
+          SELECT doc_id, lang = 'en' AS is_t,
+                 {H.format(x="'dsir:' || token")} % 256 AS b
+          FROM (SELECT doc_id, lang,
+                       unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS token
+                FROM documents)),
+        counts AS (
+          SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                    SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+          FROM tb GROUP BY 1),
+        tot AS (SELECT COALESCE(SUM(ct), 0) AS tt,
+                       COALESCE(SUM(cr), 0) AS tr FROM counts),
+        model AS (
+          SELECT b, CAST(ROUND((ln((ct + 1.0) / (tt + 256))
+                                - ln((cr + 1.0) / (tr + 256))) * 1e6, 0)
+                         AS BIGINT) AS lr_fp
+          FROM counts, tot),
+        pool AS (
+          SELECT tb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(lr_fp) AS BIGINT) AS logratio_fp
+          FROM tb JOIN model USING (b) WHERE NOT is_t GROUP BY 1),
+        keyed AS (
+          SELECT doc_id, n_tokens, logratio_fp,
+                 CAST(ROUND(-ln(-ln((({H.format(
+                     x="'dsir-g:' || CAST(doc_id AS VARCHAR)")}
+                     % 4503599627370496) + 0.5) / 4503599627370496.0))
+                     * 1e6, 0) AS BIGINT) AS gumbel_fp
+          FROM pool)
+        SELECT doc_id, n_tokens, logratio_fp, gumbel_fp,
+               logratio_fp + gumbel_fp AS key_fp
+        FROM keyed ORDER BY key_fp DESC, doc_id ASC LIMIT 50
+    """
+
 EXTENSION_ORACLE["pipe_sample_weighted"] = f"""
         WITH k AS (
           SELECT doc_id, lang, source, n_chars,
