@@ -110,7 +110,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # pipe_dsir (NEW r14 - DSIR corpus targeting, Xie et al. 2023: hashed
 # 256-bucket token importance-ratio model, int64 micro-nat scores,
 # Gumbel-top-k with deterministic hash noise - operators/sampling.py).
+# text_fertility (NEW r14 - per-language tokenizer fertility under the
+# trained BPE merges: token-per-word and byte-per-token ratios, the
+# multilingual token-budget diagnostic; per-doc metadata rides THROUGH
+# the Arrow counting pass via apply_bpe_merges carry columns, so there
+# is no corpus-sized doc_id join).
 _CHANGED_THIS_ROUND = [
+    "text_fertility",
     "pipe_dsir",
     "text_nb_train",
     "text_nb_classify",
@@ -140,15 +146,15 @@ _STALE_R10 = [
     "text_collocations", "text_domain_shift", "text_lm_score",
     "text_vocab",
 ]
-# fill: first 9 of the r11 cohort, alphabetical (sim_mmr/sim_kcenter/
+# fill: first 8 of the r11 cohort, alphabetical (sim_mmr/sim_kcenter/
 # q9/sim_ivf_probe_sweep graduated from that cohort into the
 # changelist; the NEW sim_hybrid_rrf + sim_hard_negatives +
-# text_nb_train/classify/eval + pipe_dsir take six more slots); the
-# remaining r11 rows lead the r15 oldest-first queue
+# text_nb_train/classify/eval + pipe_dsir + text_fertility take seven
+# more slots); the remaining r11 rows lead the r15 oldest-first queue
 _STALE_R11 = [
     "dedup_compare", "dedup_cross_source", "dedup_winnow",
     "events_changepoint", "events_gap_fill", "events_lttb",
-    "events_rolling", "events_scd2", "multimodal_phash",
+    "events_rolling", "events_scd2",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R10 + _STALE_R11
 

@@ -732,3 +732,64 @@ def test_nb_classify_is_argmax_over_published_model(spark):
         }
         best = min(labels, key=lambda lbl: (-scores[lbl], lbl))
         assert (r["pred"], r["score_fp"]) == (best, scores[best]), r
+
+
+# --- 8. BPE carry columns + fertility ground truth (NEW r14) ----------------
+
+
+def test_bpe_apply_carry_alignment_with_dropped_rows(spark):
+    """apply_bpe_merges carry columns must stay row-aligned when the
+    kernel DROPS rows (NULL text, token-less text) mid-batch - the
+    alignment bug class this API could reintroduce: a positional bug
+    would pair doc 3's count with doc 1's lang."""
+    from web_maxiv_hdbppviewer_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [
+            (1, None, "de"),          # NULL text -> dropped
+            (2, "  ", "fr"),          # token-less -> dropped
+            (3, "ab ab", "en"),
+            (4, "b a", "zh"),
+        ],
+        "doc_id long, text string, lang string",
+    ).coalesce(1)  # one batch, so drops and survivors share a batch
+    got = sorted(
+        tuple(r)
+        for r in bpe.apply_bpe_merges(df, [("a", "b")], carry=("lang",)).collect()
+    )
+    # merges [("a","b")]: "ab" -> 1 token, "b"/"a" unmerged -> 1 each
+    assert got == [(3, 2, "en"), (4, 2, "zh")], got
+    # default call (no carry) keeps the original two-column contract
+    base = bpe.apply_bpe_merges(df, [("a", "b")])
+    assert [f.name for f in base.schema.fields] == ["doc_id", "n_bpe_tokens"]
+
+
+def test_fertility_constructed_ground_truth(spark):
+    """Hand-computed fertility on a corpus where every quantity is
+    checkable by eye; also pins that docs dropped by the kernel (NULL /
+    token-less) leave their language's totals entirely."""
+    from web_maxiv_hdbppviewer_spark.operators import bpe
+    from pyspark.sql import functions as F
+    from web_maxiv_hdbppviewer_spark.functions.texthash import words
+
+    df = spark.createDataFrame(
+        [
+            (1, "ab ab ab", "en"),   # 3 words, 3 BPE tokens, 8 bytes
+            (2, "a b", "en"),        # 2 words, 2 tokens, 3 bytes
+            (3, "", "fr"),           # dropped
+        ],
+        "doc_id long, text string, lang string",
+    )
+    base = df.select(
+        "doc_id", "text", "lang",
+        F.size(words(F.col("text"))).cast("long").alias("n_words"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    per = bpe.apply_bpe_merges(base, [("a", "b")], carry=("lang", "n_words", "n_bytes"))
+    agg = per.groupBy("lang").agg(
+        F.sum("n_words").alias("w"),
+        F.sum("n_bpe_tokens").alias("t"),
+        F.sum("n_bytes").alias("b"),
+    )
+    rows = {r["lang"]: (r["w"], r["t"], r["b"]) for r in agg.collect()}
+    assert rows == {"en": (5, 5, 11)}, rows  # fr vanished with its only doc

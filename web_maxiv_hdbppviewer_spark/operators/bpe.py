@@ -201,6 +201,7 @@ def apply_bpe_merges(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document token count under a learned merge list: re-tokenize the
     vocabulary once through the merge sequence, then count each document's
@@ -228,7 +229,13 @@ def apply_bpe_merges(
     import pandas as pd
 
     merge_list = [(str(a), str(b)) for a, b in merges]
-    out_schema = f"{id_col} long, n_bpe_tokens long"
+    carry_fields = ", ".join(
+        f"{df.schema[c].name} {df.schema[c].dataType.simpleString()}"
+        for c in carry
+    )
+    out_schema = f"{id_col} long, n_bpe_tokens long" + (
+        f", {carry_fields}" if carry else ""
+    )
 
     def count_batches(batches):
         memo: dict[str, int] = {}
@@ -244,15 +251,21 @@ def apply_bpe_merges(
             return n
 
         for pdf in batches:
-            ids, counts = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+            keep, counts = [], []
+            for i, (doc_id, text) in enumerate(zip(pdf[id_col], pdf[text_col])):
                 if not isinstance(text, str):
                     continue  # NULL text (None/NaN): explode emits no row
                 toks = [t for t in text.lower().split(" ") if t]
                 if not toks:
                     continue  # explode semantics: token-less docs vanish
-                ids.append(doc_id)
+                keep.append(i)
                 counts.append(sum(n_tok(t) for t in toks))
-            yield pd.DataFrame({id_col: ids, "n_bpe_tokens": counts})
+            out = pdf.iloc[keep].reset_index(drop=True)
+            res = pd.DataFrame({id_col: out[id_col], "n_bpe_tokens": counts})
+            for c in carry:
+                res[c] = out[c]
+            yield res
 
-    return df.select(id_col, text_col).mapInPandas(count_batches, out_schema)
+    return df.select(id_col, text_col, *carry).mapInPandas(
+        count_batches, out_schema
+    )

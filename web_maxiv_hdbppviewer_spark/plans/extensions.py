@@ -782,6 +782,43 @@ def text_fingerprint(spark, sf_dir):
     return textquality.fingerprints(_docs_sorted(spark, sf_dir))
 
 
+def text_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility under the trained BPE merges:
+    document/word/BPE-token/byte totals plus fertility (BPE tokens per
+    whitespace word) and bytes per BPE token - the multilingual-mix
+    diagnostic that sets per-language TOKEN budgets (a high-fertility
+    language pays more tokens for the same text, so doc- or byte-count
+    quotas skew the realized mix). The per-doc lang/word/byte metadata
+    rides THROUGH the Arrow counting pass (apply_bpe_merges carry
+    columns), so there is NO corpus-sized doc_id join - one narrow
+    Arrow pass + one |langs|-row map-side-combinable aggregate. All
+    sums are int64; the two round-6 ratios divide identical integers in
+    both engines. Oracle: the unrolled BPE-apply CTE joined to per-doc
+    word/byte counts."""
+    from ..functions.texthash import words
+
+    learned = [(lhs, rhs) for _, lhs, rhs, _ in _trained_merges(spark, sf_dir)]
+    base = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang",
+        F.size(words(F.col("text"))).cast("long").alias("n_words"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    per_doc = bpe.apply_bpe_merges(
+        base, learned, carry=("lang", "n_words", "n_bytes")
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("words"),
+        F.sum("n_bpe_tokens").alias("bpe_tokens"),
+        F.sum("n_bytes").alias("bytes"),
+    )
+    return agg.select(
+        "lang", "n_docs", "words", "bpe_tokens", "bytes",
+        F.round(F.col("bpe_tokens") / F.col("words"), 6).alias("fertility_r"),
+        F.round(F.col("bytes") / F.col("bpe_tokens"), 6).alias("bytes_per_token_r"),
+    ).orderBy("lang")
+
+
 # --- multimodal ----------------------------------------------------------
 
 
@@ -4397,6 +4434,7 @@ EXTENSION_QUERIES = {
     "text_bpe": text_bpe,
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
+    "text_fertility": text_fertility,
     "text_repetition": text_repetition,
     "sim_quantize": sim_quantize,
     "dedup_embedding": dedup_embedding,

@@ -416,6 +416,28 @@ _QUANT = """
 EXTENSION_ORACLE = {
     "text_bpe_train": _bpe_train_sql(),
     "text_bpe_apply": _bpe_apply_sql(),
+    # per-language fertility: the unrolled BPE-apply CTE block joined to
+    # per-doc word/byte counts; int64 sums, two ROUND-6 ratios of
+    # identical integers (extensions.text_fertility)
+    "text_fertility": f"""
+        WITH bpe_counts AS ({{BPE_APPLY}}),
+        meta AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS BIGINT) AS n_words,
+                 CAST(strlen(text) AS BIGINT) AS n_bytes  -- byte length, = Spark octet_length
+          FROM documents)
+        SELECT meta.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS words,
+               CAST(SUM(n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+               CAST(SUM(n_bytes) AS BIGINT) AS bytes,
+               ROUND(CAST(SUM(n_bpe_tokens) AS BIGINT)
+                     / CAST(SUM(n_words) AS BIGINT), 6) AS fertility_r,
+               ROUND(CAST(SUM(n_bytes) AS BIGINT)
+                     / CAST(SUM(n_bpe_tokens) AS BIGINT), 6) AS bytes_per_token_r
+        FROM bpe_counts JOIN meta USING (doc_id)
+        GROUP BY 1 ORDER BY lang
+    """.replace("{BPE_APPLY}", _bpe_apply_sql()),
     "sim_quantize": f"""
         WITH {_VECS}, {_QUANT}
         SELECT id, scale_r,
