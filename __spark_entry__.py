@@ -115,7 +115,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # multilingual token-budget diagnostic; per-doc metadata rides THROUGH
 # the Arrow counting pass via apply_bpe_merges carry columns, so there
 # is no corpus-sized doc_id join).
+# stream_classify (NEW r14 - the batch-trained NB model served over a
+# document stream STATELESSLY: artifacts in the task closure, Arrow
+# scoring kernel, append mode with zero state operators (asserted in
+# the query); integer micro-nat sums make streamed output bit-identical
+# to batch text_nb_classify, whose oracle it shares verbatim - the
+# stream_raster aliasing discipline).
 _CHANGED_THIS_ROUND = [
+    "stream_classify",
     "text_fertility",
     "pipe_dsir",
     "text_nb_train",
@@ -146,15 +153,16 @@ _STALE_R10 = [
     "text_collocations", "text_domain_shift", "text_lm_score",
     "text_vocab",
 ]
-# fill: first 8 of the r11 cohort, alphabetical (sim_mmr/sim_kcenter/
+# fill: first 7 of the r11 cohort, alphabetical (sim_mmr/sim_kcenter/
 # q9/sim_ivf_probe_sweep graduated from that cohort into the
 # changelist; the NEW sim_hybrid_rrf + sim_hard_negatives +
-# text_nb_train/classify/eval + pipe_dsir + text_fertility take seven
-# more slots); the remaining r11 rows lead the r15 oldest-first queue
+# text_nb_train/classify/eval + pipe_dsir + text_fertility +
+# stream_classify take eight more slots); the remaining r11 rows lead
+# the r15 oldest-first queue
 _STALE_R11 = [
     "dedup_compare", "dedup_cross_source", "dedup_winnow",
     "events_changepoint", "events_gap_fill", "events_lttb",
-    "events_rolling", "events_scd2",
+    "events_rolling",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R10 + _STALE_R11
 

@@ -793,3 +793,41 @@ def test_fertility_constructed_ground_truth(spark):
     )
     rows = {r["lang"]: (r["w"], r["t"], r["b"]) for r in agg.collect()}
     assert rows == {"en": (5, 5, 11)}, rows  # fr vanished with its only doc
+
+
+def test_dsir_null_label_is_pool(spark):
+    """NULL labels must land in the POOL on both engines: a bare
+    `col == value` is NULL for NULL labels, and a NULL is_t silently
+    vanishes from Spark's conditional count sums while the oracle's
+    CASE WHEN routes it to ELSE (pool) - the coalesce(.., false) in
+    dsir_select pins the two to the same semantics."""
+    from web_maxiv_hdbppviewer_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, "en", "a b c"), (2, None, "a b c"), (3, "fr", "a b c")],
+        "doc_id long, lang string, text string",
+    )
+    got = sorted(r["doc_id"] for r in sampling.dsir_select(df, 10).collect())
+    assert got == [2, 3], got  # the unlabeled doc is selectable pool
+
+
+# --- 9. Streamed NB serving (NEW r14) ---------------------------------------
+
+
+def test_stream_classify_equals_batch_and_is_stateless(spark):
+    """The streamed classifier must return EXACTLY the batch result (the
+    aliasing contract that lets it share text_nb_classify's oracle), and
+    must run with ZERO state operators - the query itself asserts the
+    progress shows none (stateless model-in-closure serving is the
+    whole scale argument), so reaching the comparison proves both."""
+    from web_maxiv_hdbppviewer_spark.plans.extensions import (
+        stream_classify, text_nb_classify,
+    )
+
+    streamed = sorted(
+        tuple(r) for r in stream_classify(spark, SF_SMOKE).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in text_nb_classify(spark, SF_SMOKE).collect()
+    )
+    assert streamed == batch and len(streamed) == 500

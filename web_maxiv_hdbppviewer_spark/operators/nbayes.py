@@ -217,3 +217,77 @@ def nb_confusion(classified: DataFrame, label_col: str = "lang") -> DataFrame:
     return classified.groupBy(
         F.col(label_col).alias("actual"), "pred"
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def nb_artifacts(
+    df: DataFrame,
+    min_count: int = NB_MIN_COUNT,
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    text_col: str = "text",
+):
+    """The trained model as DRIVER artifacts for closure shipping: the
+    (token, label) -> logp_fp dict plus sorted [(label, def_fp,
+    prior_fp)] - the fastText-style "model file" a stateless serving
+    path distributes to workers. Bounded by the vocabulary cut x
+    |labels| (the same boundedness argument as the BPE merge table in
+    apply_bpe_merges' closure)."""
+    m = nb_counts(df, min_count, id_col, label_col, text_col)
+    model = {
+        (r["token"], r["label"]): r["logp_fp"]
+        for r in nb_model(df, min_count, id_col, label_col, text_col).collect()
+    }
+    stats = sorted(
+        (r["label"], r["def_fp"], r["prior_fp"])
+        for r in _label_stats(df, m, label_col, include_total=True)
+        .selectExpr(
+            "label",
+            "CAST(ROUND(ln(1.0 / CAST(t_l + v AS DOUBLE)) * 1e6, 0)"
+            " AS LONG) AS def_fp",
+            "CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / n_total) * 1e6, 0)"
+            " AS LONG) AS prior_fp",
+        )
+        .collect()
+    )
+    return model, stats
+
+
+def nb_score_kernel(model: dict, stats: list):
+    """Arrow batch kernel scoring rows with the shipped artifacts -
+    STATELESS (no state store, no watermark): pure-integer micro-nat
+    sums and the same ascending-label strictly-greater argmax as the
+    engine's when-chain, so streamed output is bit-identical to batch
+    nb_classify. NULL/token-less text scores prior-only, matching the
+    batch explode_outer row."""
+    import pandas as pd
+
+    labels = [lbl for lbl, _, _ in stats]
+
+    def score_batches(batches):
+        for pdf in batches:
+            preds, scores = [], []
+            for text in pdf["text"]:
+                toks = (
+                    [t for t in text.lower().split(" ") if t]
+                    if isinstance(text, str) else []
+                )
+                best_l, best_s = None, None
+                for lbl, def_fp, prior_fp in stats:
+                    s = prior_fp + sum(
+                        model.get((w, lbl), def_fp) for w in toks
+                    )
+                    if best_s is None or s > best_s:
+                        best_l, best_s = lbl, s
+                preds.append(best_l)
+                scores.append(best_s)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "pred": pd.array(preds, dtype="string"),
+                    "score_fp": pd.array(scores, dtype="Int64"),
+                }
+            )
+            yield out
+
+    return score_batches, labels

@@ -461,9 +461,13 @@ def dsir_select(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    # NULL labels are POOL, explicitly: a bare `col == value` is NULL for
+    # NULL labels, and a NULL is_t silently vanishes from Spark's
+    # conditional count sums while a SQL CASE WHEN routes it to ELSE -
+    # the engines would diverge on unlabeled documents without this.
     toks = df.select(
         F.col(id_col),
-        (F.col(target_col) == target_value).alias("is_t"),
+        F.coalesce(F.col(target_col) == target_value, F.lit(False)).alias("is_t"),
         F.explode(words(F.col(text_col))).alias("token"),
     ).select(
         id_col, "is_t",

@@ -2021,6 +2021,51 @@ def stream_restart(spark, sf_dir):
     )
 
 
+def stream_classify(spark, sf_dir):
+    """Serve the batch-trained NB classifier over a document STREAM -
+    train once in batch (operators/nbayes.nb_artifacts: the model dict
+    + label stats, bounded by the vocabulary cut, shipped in the task
+    closure exactly like apply_bpe_merges' merge table), then score the
+    file-stream STATELESSLY with an Arrow kernel: no state store, no
+    watermark, append mode - the production model-serving shape, and
+    the reason it scales to an unbounded stream. Pure-integer micro-nat
+    sums and the same ascending-label strictly-greater argmax make the
+    streamed output bit-identical to batch text_nb_classify, so the
+    oracle is that query's SQL verbatim (the stream_raster aliasing
+    discipline: stream and batch can never drift)."""
+    from ..operators import nbayes
+    from ..session import configure
+
+    model, stats = nbayes.nb_artifacts(_docs(spark, sf_dir), NB_MIN_COUNT)
+    kernel, _labels = nbayes.nb_score_kernel(model, stats)
+    configure(spark)
+    physical = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    feed = (
+        spark.readStream.schema(physical)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "lang", "text")
+    )
+    scored = feed.mapInPandas(
+        kernel, "doc_id long, lang string, pred string, score_fp long"
+    )
+    sink = f"stream_classify_{next(_STREAM_SEQ)}"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    # stateless serving is the CLAIM - a state store appearing in the
+    # progress would mean the plan silently grew a streaming aggregation
+    progress = q.lastProgress
+    assert progress is None or not progress.get("stateOperators"), (
+        "stream_classify must run stateless", progress and progress.get("stateOperators"))
+    return spark.sql(f"SELECT * FROM {sink}").orderBy("doc_id")
+
+
 def stream_sink_compact(spark, sf_dir):
     """The end-to-end ingest shape that CREATES and then FIXES the
     small-file problem: the events stream lands through an exactly-once
@@ -4477,6 +4522,7 @@ EXTENSION_QUERIES = {
     "scale_compact": scale_compact,
     "scale_zorder": scale_zorder,
     "stream_sink_compact": stream_sink_compact,
+    "stream_classify": stream_classify,
     "events_quantiles": events_quantiles,
     "events_quantiles_approx": events_quantiles_approx,
     "events_distinct_approx": events_distinct_approx,

@@ -1697,6 +1697,11 @@ EXTENSION_ORACLE = {
 # (complete-mode drain), so its oracle is the same gaps-and-islands SQL
 EXTENSION_ORACLE["stream_sessions"] = EXTENSION_ORACLE["window_sessions"]
 
+# streamed NB scoring is bit-identical to batch classification by
+# construction (integer micro-nat sums, same argmax), so it shares the
+# batch oracle verbatim - the stream_raster aliasing discipline
+EXTENSION_ORACLE["stream_classify"] = EXTENSION_ORACLE["text_nb_classify"]
+
 # confusion matrix over the classify result - reuses the classify CTE
 # block verbatim (DuckDB accepts a nested WITH inside a CTE body)
 EXTENSION_ORACLE["text_nb_eval"] = f"""
