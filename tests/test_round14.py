@@ -570,7 +570,7 @@ def test_nb_classify_constructed_ground_truth(spark):
     df = spark.createDataFrame(_NB_CORPUS, "doc_id long, lang string, text string")
     got = {
         r["doc_id"]: (r["lang"], r["pred"], r["score_fp"])
-        for r in nbayes.nb_classify(spark, df, min_count=2).collect()
+        for r in nbayes.nb_classify(df, min_count=2).collect()
     }
     # defaults: en ln(1/8) -> -2079442, fr ln(1/7) -> -1945910,
     #           zz ln(1/3) -> -1098612
@@ -596,13 +596,13 @@ def test_nb_confusion_and_empty_corpus(spark):
     df = spark.createDataFrame(_NB_CORPUS, "doc_id long, lang string, text string")
     conf = sorted(
         tuple(r)
-        for r in nbayes.nb_confusion(nbayes.nb_classify(spark, df, min_count=2)).collect()
+        for r in nbayes.nb_confusion(nbayes.nb_classify(df, min_count=2)).collect()
     )
     assert conf == [("en", "en", 2), ("en", "zz", 1), ("fr", "fr", 2), ("zz", "zz", 1)]
 
     empty = spark.createDataFrame([], "doc_id long, lang string, text string")
     assert nbayes.nb_model(empty, min_count=2).count() == 0
-    cls = nbayes.nb_classify(spark, empty, min_count=2)
+    cls = nbayes.nb_classify(empty, min_count=2)
     assert cls.count() == 0
     assert [f.name for f in cls.schema.fields] == ["doc_id", "lang", "pred", "score_fp"]
 
@@ -723,7 +723,7 @@ def test_nb_classify_is_argmax_over_published_model(spark):
     }
     labels = sorted(stats)
     text_by_id = {d: t for d, _, t in _NB_CORPUS}
-    for r in nbayes.nb_classify(spark, df, min_count=2).collect():
+    for r in nbayes.nb_classify(df, min_count=2).collect():
         toks = [w for w in text_by_id[r["doc_id"]].lower().split(" ") if w]
         scores = {
             lbl: stats[lbl][1]
@@ -831,3 +831,70 @@ def test_stream_classify_equals_batch_and_is_stateless(spark):
         tuple(r) for r in text_nb_classify(spark, SF_SMOKE).collect()
     )
     assert streamed == batch and len(streamed) == 500
+
+
+# --- 10. NB contracts from the r14 review pass ------------------------------
+
+
+def test_nb_null_label_contract(spark):
+    """Unlabeled rows neither train nor classify (nbayes._labeled; the
+    oracles carry the same WHERE lang IS NOT NULL base): without the
+    shared contract, Spark's NULL group crashes the driver sort while
+    DuckDB ranks NULL as a candidate label - the engines would diverge
+    or die. The NULL-lang doc must vanish from the model, the
+    classification, the confusion matrix, AND the priors (en prior =
+    ln(2/3), not ln(2/4))."""
+    from web_maxiv_hdbppviewer_spark.operators import nbayes
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "aa bb aa bb"),
+            (2, "en", "aa bb"),
+            (3, "fr", "aa bb"),
+            (4, None, "aa bb aa bb aa bb"),  # unlabeled: fully excluded
+        ],
+        "doc_id long, lang string, text string",
+    )
+    model = nbayes.nb_model(df, min_count=2).collect()
+    # counts must NOT include doc 4's tokens: c(aa,en)=3 not 6
+    assert {(r["token"], r["label"]): r["n"] for r in model} == {
+        ("aa", "en"): 3, ("bb", "en"): 3, ("aa", "fr"): 1, ("bb", "fr"): 1,
+    }
+    cls = nbayes.nb_classify(df, min_count=2)
+    assert sorted(r["doc_id"] for r in cls.collect()) == [1, 2, 3]
+    # prior denominator excludes the unlabeled doc: ln(2/3) -> -405465
+    _, stats = nbayes.nb_artifacts(df, min_count=2)
+    assert [lbl for lbl, _, _ in stats] == ["en", "fr"]
+    assert stats[0][2] == -405465, stats  # round(ln(2/3)*1e6)
+
+
+def test_nb_empty_vocabulary_raises(spark):
+    """A labeled corpus where NO token reaches min_count has no model
+    (t_l + v = 0 -> ln(1/0), NULL in Spark / inf in SQL): the classifier
+    and the artifact trainer must refuse loudly instead of silently
+    predicting the alphabetically-first label with NULL scores."""
+    import pytest as _pytest
+
+    from web_maxiv_hdbppviewer_spark.operators import nbayes
+
+    df = spark.createDataFrame(
+        [(1, "en", "unique words only"), (2, "fr", "chaque mot distinct")],
+        "doc_id long, lang string, text string",
+    )
+    with _pytest.raises(ValueError, match="vocabulary is empty"):
+        nbayes.nb_classify(df, min_count=5).collect()
+    with _pytest.raises(ValueError, match="vocabulary is empty"):
+        nbayes.nb_artifacts(df, min_count=5)
+
+
+def test_bpe_carry_rejects_duplicate_columns(spark):
+    """carry repeating id_col/text_col would make pdf[text_col] a
+    2-column frame and silently mispair rows - rejected up front."""
+    import pytest as _pytest
+
+    from web_maxiv_hdbppviewer_spark.operators import bpe
+
+    df = spark.createDataFrame([(1, "a b", "en")],
+                               "doc_id long, text string, lang string")
+    with _pytest.raises(ValueError, match="carry must not repeat"):
+        bpe.apply_bpe_merges(df, [("a", "b")], carry=("text",))

@@ -228,6 +228,10 @@ def apply_bpe_merges(
     the DuckDB oracle mirrors (explode over a NULL array emits nothing)."""
     import pandas as pd
 
+    if id_col in carry or text_col in carry:
+        # a duplicated select column makes pdf[text_col] a 2-column frame
+        # and silently mispairs rows in the kernel zip
+        raise ValueError(f"carry must not repeat {id_col!r}/{text_col!r}")
     merge_list = [(str(a), str(b)) for a, b in merges]
     carry_fields = ", ".join(
         f"{df.schema[c].name} {df.schema[c].dataType.simpleString()}"

@@ -43,7 +43,7 @@ score aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -51,6 +51,17 @@ from ..functions.texthash import words
 
 NB_MIN_COUNT = 5
 _FP = 1_000_000.0  # fixed-point scale for log-probabilities
+
+# NULL-label contract (shared with the SQL oracles, which carry the same
+# WHERE lang IS NOT NULL base): unlabeled rows neither train nor
+# classify. Without this the engines diverge silently - Spark's NULL
+# group sorts unorderably against strings on the driver while DuckDB
+# ranks NULL as a candidate label NULLS LAST - and a supervised model
+# has no defined semantics for an unlabeled example anyway.
+
+
+def _labeled(df: DataFrame, label_col: str) -> DataFrame:
+    return df.where(F.col(label_col).isNotNull())
 
 
 def _fp(col):
@@ -79,7 +90,7 @@ def nb_counts(
     (token,label) hash aggregate, then the corpus-wide token total as a
     token-partition window sum (per-partition state bounded by |labels|)."""
     c = (
-        _tokens(df, id_col, label_col, text_col)
+        _tokens(_labeled(df, label_col), id_col, label_col, text_col)
         .groupBy("token", "label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -96,9 +107,9 @@ def _label_stats(
     default. ``include_total`` adds the corpus document count (the prior
     denominator) - only the classifier's bounded driver round-trip needs
     it, so the train plan skips that scalar job."""
-    labels = df.groupBy(F.col(label_col).alias("label")).agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
+    labels = _labeled(df, label_col).groupBy(
+        F.col(label_col).alias("label")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
     per_label = m.groupBy("label").agg(F.sum("n").alias("t_l"))
     vrow = m.select(F.count_distinct("token").alias("v"))
     out = (
@@ -109,9 +120,46 @@ def _label_stats(
         .crossJoin(F.broadcast(vrow))
     )
     if include_total:
-        nrow = df.select(F.count(F.lit(1)).alias("n_total"))
+        nrow = _labeled(df, label_col).select(F.count(F.lit(1)).alias("n_total"))
         out = out.crossJoin(F.broadcast(nrow))
     return out
+
+
+def _stats_fp(df: DataFrame, m: DataFrame, label_col: str) -> list:
+    """The classifier's bounded driver round-trip, in ONE dialect for
+    batch and streamed serving alike (the two used to spell the same
+    formulas in Column DSL and selectExpr SQL - a drift risk for the
+    stream/batch bit-identical contract): collected, sorted
+    [(label, def_fp, prior_fp)]. Raises when the corpus is labeled but
+    the vocabulary cut left NOTHING (t_l + v = 0 makes ln(1/0)
+    divide-to-NULL in Spark and inf in SQL - neither is a model; the
+    caller must lower min_count or accept there is nothing to train
+    on). Empty labeled corpus -> []."""
+    denom = (F.col("t_l") + F.col("v")).cast("double")
+    rows = (
+        _label_stats(df, m, label_col, include_total=True)
+        .withColumn(
+            # the when-guard keeps ANSI mode from raising DIVIDE_BY_ZERO
+            # before the v == 0 check below can turn it into the real
+            # diagnosis (empty vocabulary, not a numeric accident)
+            "def_fp",
+            F.when(denom > 0, _fp(F.log(F.lit(1.0) / denom))),
+        )
+        .withColumn(
+            "prior_fp",
+            _fp(F.log(F.col("n_docs").cast("double") / F.col("n_total"))),
+        )
+        .collect()
+    )  # bounded: one row per label
+    if rows and rows[0]["v"] == 0:
+        raise ValueError(
+            "NB vocabulary is empty under min_count: no token reaches the "
+            "cut, so there is no model to train (lower min_count)"
+        )
+    return sorted(
+        ((r["label"], r["def_fp"], r["prior_fp"]) for r in rows),
+        key=lambda r: r[0],
+    )
 
 
 def nb_model(
@@ -120,11 +168,16 @@ def nb_model(
     id_col: str = "doc_id",
     label_col: str = "lang",
     text_col: str = "text",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """The published model: (token, label, n, logp_fp) for every
     (vocab token x label observed with it); defaults/priors are recomputed
-    from the same statistics by the scorer (and by the SQL oracle)."""
-    m = nb_counts(df, min_count, id_col, label_col, text_col)
+    from the same statistics by the scorer (and by the SQL oracle).
+    ``counts`` lets the classifier pass its lazily-checkpointed counts
+    frame so the training aggregation executes ONCE per request."""
+    m = counts if counts is not None else nb_counts(
+        df, min_count, id_col, label_col, text_col
+    )
     stats = _label_stats(df, m, label_col)
     denom = (F.col("t_l") + F.col("v")).cast("double")
     return m.join(F.broadcast(stats), "label").select(
@@ -134,7 +187,6 @@ def nb_model(
 
 
 def nb_classify(
-    spark: SparkSession,
     df: DataFrame,
     min_count: int = NB_MIN_COUNT,
     id_col: str = "doc_id",
@@ -146,38 +198,31 @@ def nb_classify(
     The per-label statistics collected to the driver are |labels| rows
     (the bounded-trainer round-trip); the model joins the corpus WIDE
     (one int64 column per label) and broadcast, so scoring is
-    broadcast-join + ONE groupBy(id) aggregate."""
-    m = nb_counts(df, min_count, id_col, label_col, text_col)
-    stats_rows = (
-        _label_stats(df, m, label_col, include_total=True)
-        .withColumn(
-            "def_fp", _fp(F.log(F.lit(1.0) / (F.col("t_l") + F.col("v")).cast("double")))
-        )
-        .withColumn(
-            "prior_fp",
-            _fp(F.log(F.col("n_docs").cast("double") / F.col("n_total"))),
-        )
-        .collect()
-    )  # bounded: one row per label
-    if not stats_rows:
+    broadcast-join + ONE groupBy(id) aggregate. The counts frame is
+    LAZILY localCheckpoint'ed: the stats collect is a sequential action
+    over it (the eager/lazy decision rule, PLANS.md r14), so that one
+    pass both computes and freezes the training aggregation, and the
+    scoring plan's model subtree reads frozen blocks instead of
+    re-running the corpus explode."""
+    m = nb_counts(df, min_count, id_col, label_col, text_col).localCheckpoint(
+        eager=False
+    )
+    stats = _stats_fp(df, m, label_col)
+    if not stats:
         return df.select(
             F.col(id_col), F.col(label_col),
             F.lit(None).cast("string").alias("pred"),
             F.lit(None).cast("long").alias("score_fp"),
         ).where(F.lit(False))
-    stats = sorted(
-        ((r["label"], r["def_fp"], r["prior_fp"]) for r in stats_rows),
-        key=lambda r: r[0],
-    )
     model_wide = (
-        nb_model(df, min_count, id_col, label_col, text_col)
+        nb_model(df, min_count, id_col, label_col, text_col, counts=m)
         .groupBy("token")
         .agg(*[
             F.sum(F.when(F.col("label") == lbl, F.col("logp_fp"))).alias(f"lp_{i}")
             for i, (lbl, _, _) in enumerate(stats)
         ])
     )
-    toks = df.select(
+    toks = _labeled(df, label_col).select(
         F.col(id_col), F.col(label_col),
         F.explode_outer(words(F.col(text_col))).alias("token"),
     )
@@ -231,25 +276,20 @@ def nb_artifacts(
     prior_fp)] - the fastText-style "model file" a stateless serving
     path distributes to workers. Bounded by the vocabulary cut x
     |labels| (the same boundedness argument as the BPE merge table in
-    apply_bpe_merges' closure)."""
-    m = nb_counts(df, min_count, id_col, label_col, text_col)
+    apply_bpe_merges' closure). Shares _stats_fp with nb_classify so
+    the batch and streamed scorers can never drift on the formulas, and
+    lazily checkpoints the counts frame so the model collect's pass
+    freezes the training aggregation for the stats collect."""
+    m = nb_counts(df, min_count, id_col, label_col, text_col).localCheckpoint(
+        eager=False
+    )
     model = {
         (r["token"], r["label"]): r["logp_fp"]
-        for r in nb_model(df, min_count, id_col, label_col, text_col).collect()
+        for r in nb_model(
+            df, min_count, id_col, label_col, text_col, counts=m
+        ).collect()
     }
-    stats = sorted(
-        (r["label"], r["def_fp"], r["prior_fp"])
-        for r in _label_stats(df, m, label_col, include_total=True)
-        .selectExpr(
-            "label",
-            "CAST(ROUND(ln(1.0 / CAST(t_l + v AS DOUBLE)) * 1e6, 0)"
-            " AS LONG) AS def_fp",
-            "CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / n_total) * 1e6, 0)"
-            " AS LONG) AS prior_fp",
-        )
-        .collect()
-    )
-    return model, stats
+    return model, _stats_fp(df, m, label_col)
 
 
 def nb_score_kernel(model: dict, stats: list):
@@ -258,15 +298,19 @@ def nb_score_kernel(model: dict, stats: list):
     sums and the same ascending-label strictly-greater argmax as the
     engine's when-chain, so streamed output is bit-identical to batch
     nb_classify. NULL/token-less text scores prior-only, matching the
-    batch explode_outer row."""
+    batch explode_outer row; NULL-label rows are dropped, matching the
+    batch _labeled contract (without it, stream and batch would diverge
+    on unlabeled documents)."""
     import pandas as pd
 
     labels = [lbl for lbl, _, _ in stats]
 
     def score_batches(batches):
         for pdf in batches:
-            preds, scores = [], []
-            for text in pdf["text"]:
+            keep, preds, scores = [], [], []
+            for i, (lang, text) in enumerate(zip(pdf["lang"], pdf["text"])):
+                if not isinstance(lang, str):
+                    continue  # NULL label: excluded, like batch _labeled
                 toks = (
                     [t for t in text.lower().split(" ") if t]
                     if isinstance(text, str) else []
@@ -278,12 +322,14 @@ def nb_score_kernel(model: dict, stats: list):
                     )
                     if best_s is None or s > best_s:
                         best_l, best_s = lbl, s
+                keep.append(i)
                 preds.append(best_l)
                 scores.append(best_s)
+            kept = pdf.iloc[keep].reset_index(drop=True)
             out = pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "lang": pdf["lang"],
+                    "doc_id": kept["doc_id"],
+                    "lang": kept["lang"],
                     "pred": pd.array(preds, dtype="string"),
                     "score_fp": pd.array(scores, dtype="Int64"),
                 }

@@ -4418,7 +4418,9 @@ def text_boilerplate(spark, sf_dir):
     ).orderBy("id")
 
 
-NB_MIN_COUNT = 5
+from ..operators.nbayes import NB_MIN_COUNT  # noqa: E402  (single source
+# of the vocabulary-cut constant; the oracle SQL's literal 5 is pinned by
+# the parity tests against it)
 
 
 def text_nb_train(spark, sf_dir):
@@ -4444,7 +4446,7 @@ def text_nb_classify(spark, sf_dir):
     label string."""
     from ..operators import nbayes
 
-    return nbayes.nb_classify(spark, _docs(spark, sf_dir), NB_MIN_COUNT).orderBy(
+    return nbayes.nb_classify(_docs(spark, sf_dir), NB_MIN_COUNT).orderBy(
         "doc_id"
     )
 
@@ -4456,7 +4458,7 @@ def text_nb_eval(spark, sf_dir):
     from ..operators import nbayes
 
     return nbayes.nb_confusion(
-        nbayes.nb_classify(spark, _docs(spark, sf_dir), NB_MIN_COUNT)
+        nbayes.nb_classify(_docs(spark, sf_dir), NB_MIN_COUNT)
     ).orderBy("actual", "pred")
 
 

@@ -1275,10 +1275,12 @@ EXTENSION_ORACLE = {
     # int64 micro-nats (CAST(ROUND(ln(..)*1e6, 0) AS BIGINT)) so every
     # downstream sum is integer-exact in any engine
     "text_nb_train": """
-        WITH t AS (
+        WITH docs AS (  -- NULL-label contract: unlabeled rows don't train
+          SELECT doc_id, lang, text FROM documents WHERE lang IS NOT NULL),
+        t AS (
           SELECT doc_id, lang,
                  list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
-          FROM documents),
+          FROM docs),
         tok AS (SELECT doc_id, lang, unnest(toks) AS token FROM t),
         c AS (SELECT token, lang, CAST(COUNT(*) AS BIGINT) AS n
               FROM tok GROUP BY 1, 2),
@@ -1288,7 +1290,7 @@ EXTENSION_ORACLE = {
               WHERE tot >= 5),
         vst AS (SELECT COUNT(DISTINCT token) AS v FROM m),
         tl AS (SELECT l.lang, COALESCE(s.t_l, 0) AS t_l
-               FROM (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1) l
+               FROM (SELECT lang, COUNT(*) AS n_docs FROM docs GROUP BY 1) l
                LEFT JOIN (SELECT lang, SUM(n) AS t_l FROM m GROUP BY 1) s
                  USING (lang))
         SELECT m.token, m.lang AS label, m.n,
@@ -1302,10 +1304,13 @@ EXTENSION_ORACLE = {
     # smaller-label tie-break; empty docs score prior-only via the
     # documents-left-join base
     "text_nb_classify": """
-        WITH t AS (
+        WITH docs AS (  -- NULL-label contract: unlabeled rows neither
+          -- train nor classify (mirrors nbayes._labeled)
+          SELECT doc_id, lang, text FROM documents WHERE lang IS NOT NULL),
+        t AS (
           SELECT doc_id, lang,
                  list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
-          FROM documents),
+          FROM docs),
         tok AS (SELECT doc_id, lang, unnest(toks) AS token FROM t),
         c AS (SELECT token, lang, CAST(COUNT(*) AS BIGINT) AS n
               FROM tok GROUP BY 1, 2),
@@ -1315,7 +1320,7 @@ EXTENSION_ORACLE = {
               WHERE tot >= 5),
         vst AS (SELECT COUNT(DISTINCT token) AS v FROM m),
         tl AS (SELECT l.lang, l.n_docs, COALESCE(s.t_l, 0) AS t_l
-               FROM (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1) l
+               FROM (SELECT lang, COUNT(*) AS n_docs FROM docs GROUP BY 1) l
                LEFT JOIN (SELECT lang, SUM(n) AS t_l FROM m GROUP BY 1) s
                  USING (lang)),
         model AS (
@@ -1329,7 +1334,7 @@ EXTENSION_ORACLE = {
                       AS BIGINT) AS def_fp,
                  CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / n_total) * 1e6, 0)
                       AS BIGINT) AS prior_fp
-          FROM tl, vst, (SELECT COUNT(*) AS n_total FROM documents)),
+          FROM tl, vst, (SELECT COUNT(*) AS n_total FROM docs)),
         ds AS (
           SELECT tk.doc_id, st.lang AS cand,
                  CAST(SUM(COALESCE(model.logp_fp, st.def_fp)) AS BIGINT) AS s
@@ -1339,7 +1344,7 @@ EXTENSION_ORACLE = {
         tot AS (
           SELECT d.doc_id, d.lang, st.lang AS cand,
                  st.prior_fp + COALESCE(ds.s, 0) AS score
-          FROM documents d CROSS JOIN st
+          FROM docs d CROSS JOIN st
           LEFT JOIN ds ON ds.doc_id = d.doc_id AND ds.cand = st.lang)
         SELECT doc_id, lang, cand AS pred, CAST(score AS BIGINT) AS score_fp
         FROM (SELECT doc_id, lang, cand, score,
@@ -2504,7 +2509,11 @@ EXTENSION_ORACLE["graph_pagerank"] = _pagerank_sql()
 # / 2^52 exact in float64, top-50 by key with doc_id tie-break
 EXTENSION_ORACLE["pipe_dsir"] = f"""
         WITH tb AS (
-          SELECT doc_id, lang = 'en' AS is_t,
+          -- COALESCE pins NULL labels to the POOL on this side too: the
+          -- counts CASE WHEN already routed NULL to cr, but the pool
+          -- CTE's WHERE NOT is_t would silently DROP the NULL row while
+          -- Spark's coalesced is_t scores it (r14 review finding)
+          SELECT doc_id, COALESCE(lang = 'en', FALSE) AS is_t,
                  {H.format(x="'dsir:' || token")} % 256 AS b
           FROM (SELECT doc_id, lang,
                        unnest(list_filter(string_split(lower(text), ' '),
