@@ -898,3 +898,87 @@ def test_bpe_carry_rejects_duplicate_columns(spark):
                                "doc_id long, text string, lang string")
     with _pytest.raises(ValueError, match="carry must not repeat"):
         bpe.apply_bpe_merges(df, [("a", "b")], carry=("text",))
+
+
+# --- 11. Randomized properties for the new families (NEW r14) ---------------
+#
+# Spark runs per example, so max_examples stays small; the NB replay is
+# PURE INTEGER (it reuses Spark's own published micro-nats), so it can
+# never flake on float rounding - it tests the counting pipeline, the
+# vocabulary cut, the NULL-label contract, the wide-pivot wiring, and
+# the argmax/tie-break against an independent Python derivation.
+
+from hypothesis import given, settings, strategies as st
+
+_NB_WORD = st.sampled_from(["a", "b", "ab", "ba", ""])
+_NB_DOC = st.lists(_NB_WORD, max_size=6).map(lambda ws: " ".join(ws))
+_NB_ROW = st.tuples(st.sampled_from(["x", "y", None]), _NB_DOC)
+
+
+@given(rows=st.lists(_NB_ROW, min_size=1, max_size=8))
+@settings(max_examples=12, deadline=None)
+def test_nb_pipeline_matches_integer_replay(spark, rows):
+    import pytest as _pytest
+
+    from web_maxiv_hdbppviewer_spark.operators import nbayes
+
+    corpus = [(i, lang, text) for i, (lang, text) in enumerate(rows)]
+    df = spark.createDataFrame(corpus, "doc_id long, lang string, text string")
+
+    # independent Python derivation of the integer layer
+    def toks(t):
+        return [w for w in t.lower().split(" ") if w]
+
+    counts: dict = {}
+    for _id, lang, text in corpus:
+        if lang is None:
+            continue
+        for w in toks(text):
+            counts[(w, lang)] = counts.get((w, lang), 0) + 1
+    tot: dict = {}
+    for (w, _l), n in counts.items():
+        tot[w] = tot.get(w, 0) + n
+    m = {k: n for k, n in counts.items() if tot[k[0]] >= 2}
+    labels = sorted({l for _i, l, _t in corpus if l is not None})
+
+    if not labels:
+        assert nbayes.nb_model(df, min_count=2).count() == 0
+        assert nbayes.nb_classify(df, min_count=2).count() == 0
+        return
+    if not m:  # labeled corpus, empty vocabulary -> the named refusal
+        with _pytest.raises(ValueError, match="vocabulary is empty"):
+            nbayes.nb_classify(df, min_count=2).collect()
+        return
+
+    got_model = nbayes.nb_model(df, min_count=2).collect()
+    assert {(r["token"], r["label"]): r["n"] for r in got_model} == m
+
+    model, stats = nbayes.nb_artifacts(df, min_count=2)
+    assert [lbl for lbl, _, _ in stats] == labels
+    # classification must be exact integer argmax over the published model
+    by_id = {r["doc_id"]: r for r in nbayes.nb_classify(df, min_count=2).collect()}
+    assert sorted(by_id) == [i for i, l, _t in corpus if l is not None]
+    for _id, lang, text in corpus:
+        if lang is None:
+            continue
+        scores = {
+            lbl: prior + sum(model.get((w, lbl), dflt) for w in toks(text))
+            for lbl, dflt, prior in stats
+        }
+        best = min(labels, key=lambda lbl: (-scores[lbl], lbl))
+        r = by_id[_id]
+        assert (r["pred"], r["score_fp"]) == (best, scores[best]), (corpus, _id)
+
+
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["en", "fr", None]), _NB_DOC),
+    min_size=1, max_size=8,
+))
+@settings(max_examples=10, deadline=None)
+def test_dsir_matches_twin_on_random_corpora(spark, rows):
+    from web_maxiv_hdbppviewer_spark.operators import sampling
+
+    corpus = [(i, lang, text) for i, (lang, text) in enumerate(rows)]
+    df = spark.createDataFrame(corpus, "doc_id long, lang string, text string")
+    got = [tuple(r) for r in sampling.dsir_select(df, 3).collect()]
+    assert got == _dsir_twin(corpus, 3), corpus
