@@ -55,116 +55,57 @@ def entry(spark: SparkSession) -> DataFrame:
 # With 163 declared queries and ~44 fill slots/round, every stable query
 # is re-witnessed at least every 4 rounds.
 #
-# ROUND-14 WINDOW. CORRECTNESS_r13 landed 50/50 green (all hash
-# matches). Per VERDICT r13 #1 the window closes the ledger: the (small)
-# r14 changelist leads, then ALL 26 queries whose freshest driver rows
-# are r10 (the recorded r14 queue), then the oldest-first fill from the
-# r11 cohort (alphabetical). After this round every declared query is
-# witnessed r11+, and rotation is pure steady-state.
+# ROUND-15 WINDOW. CORRECTNESS_r14 landed 50/50 green (all hash
+# matches) and closed the staleness ledger, so this is the FIRST pure
+# steady-state rotation: the r15 changelist leads, then the fill is
+# exactly the oldest-first prefix of the recomputed ledger - the entire
+# 31-row r11 cohort, then the r12 cohort alphabetically to 50.
 #
-# Round-14 changelist: sim_mmr + sim_kcenter (the recorded VERDICT r13
-# #2 perf fix: per-superstep center vectors are now ONE F.lit(list)
-# array-literal node instead of F.array over 64 F.lit leaves - the r13
-# sim_pca lesson; same doubles in the same order, plans changed ->
-# witnesses lead), lifecycle_image_stream (ADVICE r13: its consumer now
-# folds a right-edge-exact streamed column nx into nx-1 via
-# api/png.snap_streamed_edge_rows, matching batch bin_2d's inclusive
-# upper-edge snap; driver corpus is interior so the digest is unchanged
-# - the witness proves it - and the constructed edge corpus in
-# tests/test_round14.py exercises the fold), q20 + q21 (ADVICE r13:
-# _canvas_time_clip now asserts integral spans so the µs-floored clip
-# and the float bin math can never disagree on the right edge; plans
-# and values unchanged - re-certification witnesses), q9 (catalog
-# search now int()-coerces a string max_n like the reference's query
-# param shape, server.py:77; the enforced cap is unchanged for int
-# callers - re-certification witness), lifecycle_image +
-# lifecycle_aggregate (VERDICT r13 #5: image_aggregates now resolves the
-# catalog ONCE for the whole request instead of once per axis - the
-# per-axis _resolve was ~0.8 s of catalog-join collect per axis, the
-# single largest line in the lifecycle_image profile; routing results
-# identical, PLANS.md records the attribution), sim_ivf_probe_sweep
-# (r14 checkpoint-laziness pass: its exact baseline and per-probe
-# rankings now localCheckpoint(eager=False) because their first
-# consumer is a sequential count() that materializes the blocks in the
-# same pass - eager spent a separate full pass writing them; the
-# parallel-branch consumers elsewhere stay EAGER by measurement, see
-# plans/extensions.py sim_ann_compare. dedup_compare and
-# events_changepoint got the same treatment and sit in the fill below;
-# sim_mmr/sim_kcenter supersteps also checkpoint lazily now - one
-# corpus pass per superstep, values identical), sim_hybrid_rrf (NEW
-# r14 - hybrid retrieval: BM25 lexical leg + exact-cosine vector leg,
-# each TakeOrdered to top-20, fused full-outer with Cormack RRF
-# 1/(60+rank); the RAG first-stage / hard-negative-mining primitive.
-# Oracle reuses the text_bm25 and sim_topk_cosine CTEs; the one
-# bounded 20-row global window is plan-lint-allowlisted with the
-# graph_pagerank argument), sim_hard_negatives (NEW r14 - contrastive
-# hard-negative mining: top-5 most-similar DIFFERENT-label vectors per
-# query, the sim_topk_cosine pass plus one label-inequality predicate;
-# oracle folds the constraint into the join condition).
-# text_nb_train / text_nb_classify / text_nb_eval (NEW r14 - trained
-# multinomial Naive-Bayes text classifier, the CCNet/fastText-style
-# quality/domain filtering primitive: min_count-vocab model with
-# add-one smoothing published as int64 micro-nats, broadcast wide-model
-# scoring in ONE groupBy(doc) aggregate, argmax as a bounded when-chain;
-# oracle re-derives the identical model in SQL CTEs - operators/nbayes.py).
-# pipe_dsir (NEW r14 - DSIR corpus targeting, Xie et al. 2023: hashed
-# 256-bucket token importance-ratio model, int64 micro-nat scores,
-# Gumbel-top-k with deterministic hash noise - operators/sampling.py).
-# text_fertility (NEW r14 - per-language tokenizer fertility under the
-# trained BPE merges: token-per-word and byte-per-token ratios, the
-# multilingual token-budget diagnostic; per-doc metadata rides THROUGH
-# the Arrow counting pass via apply_bpe_merges carry columns, so there
-# is no corpus-sized doc_id join).
-# stream_classify (NEW r14 - the batch-trained NB model served over a
-# document stream STATELESSLY: artifacts in the task closure, Arrow
-# scoring kernel, append mode with zero state operators (asserted in
-# the query); integer micro-nat sums make streamed output bit-identical
-# to batch text_nb_classify, whose oracle it shares verbatim - the
-# stream_raster aliasing discipline).
+# Round-15 changelist: pipe_curation_trained (NEW r15 - VERDICT r14 #4,
+# the CCNet composition, Wenzek et al. 2020: the curation funnel run
+# with the repo's TRAINED filters - stage 1 keeps docs whose
+# multinomial-NB prediction (operators/nbayes.py) agrees with the
+# recorded lang, stage 2 keeps docs at/below their language's median
+# round-6 bigram-LM surprisal (textquality.lm_bigram_scores) among
+# survivors, stages 3/4 are exact dedup + near-dup drop; per-stage
+# (n_in, n_kept) attribution like pipe_funnel; oracle nests the
+# text_nb_classify and text_lm_score CTEs verbatim). dedup_chunk (NEW
+# r15 - VERDICT r14 #5: chunk-grain EXACT dedup for the RAG store over
+# text_chunk's 64/48 windows - keep-first per chunk_hash content group,
+# ONE shuffle serving both window functions). dedup_chunk_near (NEW r15
+# - the MinHash near-dup variant at chunk grain: chunks packed into
+# cid = doc_id * 2^20 + chunk_idx ride the doc-grain MinHash+LSH
+# machinery unchanged; the oracle replays band candidacy in SQL, the
+# dedup_minhash_lsh parity discipline). text_chunk (its windowing is
+# now the shared _chunk_windows helper the chunk-dedup family reuses -
+# expressions identical, plan unchanged, but the code path changed so
+# the witness leads with the changelist).
 _CHANGED_THIS_ROUND = [
-    "stream_classify",
-    "text_fertility",
-    "pipe_dsir",
-    "text_nb_train",
-    "text_nb_classify",
-    "text_nb_eval",
-    "sim_hybrid_rrf",
-    "sim_hard_negatives",
-    "sim_mmr",
-    "sim_kcenter",
-    "lifecycle_image_stream",
-    "q20",
-    "q21",
-    "q9",
-    "lifecycle_image",
-    "lifecycle_aggregate",
-    "sim_ivf_probe_sweep",
+    "pipe_curation_trained",
+    "dedup_chunk",
+    "dedup_chunk_near",
+    "text_chunk",
 ]
-# ALL 26 r10-freshness rows - VERDICT r13 #1 mandates the full set; this
-# closes the staleness ledger (everything witnessed r11+ after r14)
-_STALE_R10 = [
-    "pipe_bootstrap", "pipe_curriculum", "pipe_dedup_sweep",
-    "pipe_delta_apply", "pipe_manifest", "pipe_pack_bpe",
-    "pipe_reweight", "pipe_stats", "pipe_stats_delta",
-    "pipe_temperature_mix", "scale_bucketed", "scale_colstats",
-    "scale_compact", "scale_zorder", "sim_ann_compare", "sim_knn_graph",
-    "sim_sparse_topk", "stream_join", "stream_restart",
-    "stream_sessions_evict", "stream_sink_compact", "text_chunk",
-    "text_collocations", "text_domain_shift", "text_lm_score",
-    "text_vocab",
-]
-# fill: first 7 of the r11 cohort, alphabetical (sim_mmr/sim_kcenter/
-# q9/sim_ivf_probe_sweep graduated from that cohort into the
-# changelist; the NEW sim_hybrid_rrf + sim_hard_negatives +
-# text_nb_train/classify/eval + pipe_dsir + text_fertility +
-# stream_classify take eight more slots); the remaining r11 rows lead
-# the r15 oldest-first queue
+# fill: the ENTIRE 31-row r11 cohort (oldest-first, alphabetical - the
+# exact list the r14 rotation tripwire printed), then the r12 cohort
+# alphabetically to 50. After this round no row is older than r12.
 _STALE_R11 = [
-    "dedup_compare", "dedup_cross_source", "dedup_winnow",
-    "events_changepoint", "events_gap_fill", "events_lttb",
-    "events_rolling",
+    "events_scd2", "multimodal_phash", "pipe_epoch_shuffle",
+    "pipe_interleave", "pipe_mixture_schedule", "pipe_sample_weighted",
+    "pipe_split_safe", "pipe_token_budget", "q1", "q10", "q11", "q12",
+    "q13", "q14", "q15", "q16", "q17", "q2", "q22", "q29", "q3", "q4",
+    "sim_cluster_stats", "sim_index_append", "sim_index_persist",
+    "sim_nearest_centroid", "stream_cusum", "text_boilerplate",
+    "text_entropy", "text_pii_scrub", "text_winnow",
 ]
-_WINDOW = _CHANGED_THIS_ROUND + _STALE_R10 + _STALE_R11
+_STALE_R12 = [
+    "dedup_clusters", "dedup_clusters_semantic", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_spans", "events_pivot", "events_quantiles", "events_rollup",
+    "graph_pagerank", "pipe_contamination", "pipe_contamination_bloom",
+    "pipe_curation", "pipe_domain_mix",
+]
+_WINDOW = _CHANGED_THIS_ROUND + _STALE_R11 + _STALE_R12
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

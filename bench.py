@@ -237,6 +237,76 @@ def main() -> None:
     assert out["images"], "lifecycle produced no axis images"
     timings["lifecycle_image"] = round(time.perf_counter() - t0, 4)
 
+    # Self-settling reprobe (VERDICT r14 #3): the sandbox's roaming slow
+    # phases have cost a judge adjudication in r8/r10/r13/r14 - a line
+    # 2-3x its own history with unchanged code, settled every time by an
+    # isolated re-measure. Automate that protocol at battery end: any
+    # query whose time exceeded 2x its archived per-round median is
+    # re-run ONCE (same session, battery order effects gone) and BOTH
+    # readings land in the JSON ("line_s" / "reprobe_s"), so the judge
+    # reads the adjudication off the artifact instead of re-running.
+    # Medians come from the committed BENCH_LOCAL_r*.json archives
+    # (earlier rounds only - the current round's own local iterations
+    # must not anchor the median that judges them). First-touch lines are
+    # exempt (their excess is the attributed artifact build, not phase
+    # noise). Reprobes are capped at 12, worst exceedance first: a
+    # battery-wide slow phase would otherwise reprobe half the battery
+    # and double the runtime; host_cal already evidences that case.
+    import glob as _glob
+    import re as _re
+    import statistics as _stats
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    this_round = max(rounds, default=0) + 1
+    hist: dict[str, list[float]] = {}
+    for p in _glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json")):
+        m = _re.search(r"BENCH_LOCAL_r(\d+)", os.path.basename(p))
+        if m and int(m.group(1)) >= this_round:
+            continue  # same-round iterations don't anchor their own median
+        try:
+            with open(p) as f:
+                for q, s in json.load(f).get("queries", {}).items():
+                    hist.setdefault(q, []).append(float(s))
+        except (ValueError, OSError):
+            continue
+    flagged = sorted(
+        (
+            (timings[q] / _stats.median(hist[q]), q)
+            for q in timings
+            if q in hist
+            and q not in first_touch
+            and timings[q] > 2 * _stats.median(hist[q])
+        ),
+        reverse=True,
+    )
+    reprobe: dict[str, dict[str, float]] = {}
+    for _, name in flagged[:12]:
+        t0 = time.perf_counter()
+        if name == "lifecycle_image":
+            engine.render_image(
+                attrs, datetime(2024, 1, 1), datetime(2024, 1, 31), (800, 400)
+            )
+        else:
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        reprobe[name] = {
+            "line_s": timings[name],
+            "median_s": round(_stats.median(hist[name]), 4),
+            "reprobe_s": round(time.perf_counter() - t0, 4),
+        }
+        print(
+            json.dumps({"reprobe": name, **reprobe[name]}, separators=(",", ":")),
+            flush=True,
+        )
+    if len(flagged) > 12:
+        reprobe["_skipped"] = {q: timings[q] for _, q in flagged[12:]}
+
     # Full per-query record -> committed file. The driver's BENCH_r{N}.json
     # keeps only a ~2000-char tail of stdout; a 132-query dict is ~2.9 kB
     # even compact, so r10's artifact came back parsed:null with 60 timings
@@ -249,11 +319,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "first_touch": first_touch,
+        "reprobe": reprobe,
         "host_cal_sec": [cal_start, cal_mid, cal_end],
         "sf": sf,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
     }
-    here = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(here, "BENCH_LOCAL.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -264,17 +334,8 @@ def main() -> None:
     # local iteration runs overwrite the same archive and the final
     # (driver) run of the round wins - exactly the record BENCH_r{N}
     # summarizes. Convention noted in BASELINE.md.
-    import glob as _glob
-    import re as _re
-
-    rounds = [
-        int(m.group(1))
-        for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
-        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
     with open(
-        os.path.join(here, f"BENCH_LOCAL_r{max(rounds, default=0) + 1:02d}.json"),
-        "w",
+        os.path.join(here, f"BENCH_LOCAL_r{this_round:02d}.json"), "w"
     ) as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
@@ -301,6 +362,9 @@ def main() -> None:
             sum(timings[n] for n in first_touch if n in timings), 3
         ),
         "n_first_touch": len(first_touch),
+        # lines >2x their archived median, auto re-measured at battery
+        # end (line_s/median_s/reprobe_s per query in BENCH_LOCAL.json)
+        "n_reprobed": len([k for k in reprobe if k != "_skipped"]),
         # fixed md5+count workload timed at battery start/MID/end:
         # identical code runs 1.2-1.5x slower in the sandbox's recurring
         # slow phases (BASELINE.md), and r12 proved a phase can live

@@ -90,6 +90,14 @@ SINGLE_PARTITION_OK = {
     "text_nb_train": 1,
     "text_nb_classify": 1,
     "text_nb_eval": 1,
+    # the trained curation funnel: pipe_funnel's shape with one more
+    # stage - 8 scalar survivor counts (4 stages x n_in/n_kept), each a
+    # single-row merge below a partial count aggregate (case (a)); the
+    # trained-model subtrees contribute nothing extra because the NB
+    # scalar V and the LM scalar V both sit under the same partial-agg
+    # class already allowlisted for text_nb_classify / text_lm_score
+    # and are consumed via broadcast before these counts run.
+    "pipe_curation_trained": 8,
     "text_keywords": 1,
     "text_lm_score": 1,
 }

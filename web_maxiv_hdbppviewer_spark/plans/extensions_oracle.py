@@ -1715,6 +1715,146 @@ EXTENSION_ORACLE["text_nb_eval"] = f"""
     FROM cls GROUP BY 1, 2 ORDER BY actual, pred
 """
 
+# chunk-grain exact dedup (extensions.dedup_chunk): the text_chunk 64/48
+# window arithmetic, then keep-first per chunk_hash content group
+EXTENSION_ORACLE["dedup_chunk"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+      FROM documents),
+    ch AS (
+      SELECT doc_id, c AS chunk_idx,
+             list_slice(l, c * 48 + 1, c * 48 + 64) AS chunk
+      FROM (SELECT doc_id, l,
+                   unnest(generate_series(0,
+                     CASE WHEN len(l) <= 64 THEN 0
+                          ELSE CAST(FLOOR((len(l) - 64 + 47) / 48.0) AS INT)
+                     END)) AS c
+            FROM t WHERE len(l) > 0)),
+    h AS (
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             {H.format(x="array_to_string(chunk, ' ')")} AS chunk_hash
+      FROM ch)
+    SELECT doc_id, chunk_idx, chunk_hash,
+           CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS n_copies,
+           (ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                               ORDER BY doc_id, chunk_idx) = 1) AS keep
+    FROM h ORDER BY doc_id, chunk_idx
+"""
+
+# chunk-grain MinHash near-dup (extensions.dedup_chunk_near): the SAME
+# 64/48 windows packed into cid = doc_id * 2^20 + chunk_idx, then the
+# dedup_minhash_lsh chain verbatim at chunk grain - signatures, band
+# candidacy (replayed in SQL so parity checks the LSH filter itself),
+# exact Jaccard verification
+EXTENSION_ORACLE["dedup_chunk_near"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+      FROM documents),
+    ch AS (
+      SELECT doc_id * {1 << 20} + c AS cid,
+             list_slice(l, c * 48 + 1, c * 48 + 64) AS chunk
+      FROM (SELECT doc_id, l,
+                   unnest(generate_series(0,
+                     CASE WHEN len(l) <= 64 THEN 0
+                          ELSE CAST(FLOOR((len(l) - 64 + 47) / 48.0) AS INT)
+                     END)) AS c
+            FROM t WHERE len(l) > 0)),
+    cw AS (SELECT cid, unnest(chunk) AS w,
+                  generate_subscripts(chunk, 1) AS i
+           FROM ch),
+    sh AS (
+      SELECT DISTINCT cid AS id, w || ' ' || nw AS s
+      FROM (SELECT cid, w, i,
+                   lead(w) OVER (PARTITION BY cid ORDER BY i) AS nw
+            FROM cw)
+      WHERE nw IS NOT NULL),
+    hx AS (
+      SELECT id, {H.format(x="s")} % {MINHASH_P} AS h31
+      FROM sh),
+    sig AS (
+      SELECT id, {_SIG_COLS}
+      FROM hx GROUP BY id),
+    banded AS (
+      SELECT id, {_BAND_COLS}
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.id < b.id
+       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+    {_JACCARD}
+    SELECT CAST(id_a // {1 << 20} AS BIGINT) AS doc_a,
+           CAST(id_a % {1 << 20} AS BIGINT) AS idx_a,
+           CAST(id_b // {1 << 20} AS BIGINT) AS doc_b,
+           CAST(id_b % {1 << 20} AS BIGINT) AS idx_b,
+           j.jaccard
+    FROM jac j JOIN cand USING (id_a, id_b)
+    WHERE j.jaccard >= 0.8 ORDER BY doc_a, idx_a, doc_b, idx_b
+"""
+
+# the CCNet-composition trained curation funnel
+# (extensions.pipe_curation_trained): nested NB-classify and bigram-LM
+# CTEs reused verbatim (the text_nb_eval nesting discipline), per-lang
+# round-6 median via quantile_cont (the events_quantiles parity class),
+# then pipe_funnel's dedup/near-dup stage SQL over the survivors
+EXTENSION_ORACLE["pipe_curation_trained"] = f"""
+    WITH cls AS ({EXTENSION_ORACLE["text_nb_classify"]}),
+    s1 AS (SELECT doc_id, lang FROM cls WHERE pred = lang),
+    lm AS ({EXTENSION_ORACLE["text_lm_score"]}),
+    s1lm AS (SELECT s1.doc_id, s1.lang, lm.nll_r
+             FROM s1 JOIN lm ON lm.id = s1.doc_id),
+    med AS (SELECT lang, ROUND(quantile_cont(nll_r, 0.5), 6) AS med_r
+            FROM s1lm GROUP BY lang),
+    s2 AS (SELECT doc_id FROM s1lm JOIN med USING (lang)
+           WHERE nll_r <= med_r),
+    d2 AS (SELECT d.doc_id, d.text FROM documents d JOIN s2 USING (doc_id)),
+    reps AS (SELECT MIN(doc_id) AS doc_id FROM d2 GROUP BY md5(LOWER(text))),
+    s3 AS (SELECT d2.doc_id, d2.text FROM d2 JOIN reps USING (doc_id)),
+    raw_toks3 AS (
+      SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+            FROM s3)),
+    sh3 AS (
+      SELECT DISTINCT doc_id AS id, w || ' ' || nw AS s
+      FROM (SELECT doc_id, w, i,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS nw
+            FROM raw_toks3)
+      WHERE nw IS NOT NULL),
+    sz3 AS (SELECT id, COUNT(*) AS n FROM sh3 GROUP BY id),
+    common3 AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+      FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2),
+    dominated AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM common3
+      JOIN sz3 sa ON sa.id = id_a
+      JOIN sz3 sb ON sb.id = id_b
+      WHERE ROUND(c / (sa.n + sb.n - c), 6) >= 0.8),
+    s4 AS (
+      SELECT doc_id FROM s3
+      WHERE doc_id NOT IN (SELECT doc_id FROM dominated))
+    SELECT CAST(1 AS BIGINT) AS stage, 'nb_lang' AS name,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_in,
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_kept
+    UNION ALL
+    SELECT 2, 'lm_ppl',
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'exact_dedup',
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    UNION ALL
+    SELECT 4, 'near_dup',
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM s4) AS BIGINT)
+    ORDER BY stage
+"""
+
 # recall-per-method comparison (extensions.sim_ann_compare): ONE exact
 # top-k CTE shared by all three approximate rankings - the same LSH / PQ /
 # IVFPQ chains as the retired per-method recall oracles, combined. The

@@ -85,20 +85,42 @@ class HdbppCatalog:
             attr_full_name("domain", "family", "member", "name").alias("name"),
         )
 
-    def search(self, cs: str, pattern: str, max_n: int | str = 100, contains: bool = False) -> DataFrame:
+    def search(
+        self,
+        cs: str,
+        pattern: str,
+        max_n: int | str | None = 100,
+        contains: bool = False,
+    ) -> DataFrame:
         """Glob/substring attribute search, sorted + capped (reference
         server.py:73-89; the cap is enforced here unlike the reference).
 
+        DOCUMENTED DIVERGENCE (SURVEY O5): the reference PARSES ``max``
+        (server.py:77 ``request.query.get("max", 100)``) but never
+        applies it - its ``matches`` list goes out uncapped. The engine
+        enforces the cap for real (an uncapped name list over a
+        100k-attribute archive is the exact unbounded-response class the
+        API layer must not ship). ``max_n=None`` requests the
+        reference's true uncapped shape - byte-shape comparisons against
+        the reference must pass it so the comparison excludes the cap
+        (tests/test_round15.py pins both sides).
+
         ``max_n`` accepts a STRING like the reference's query param
-        (server.py:77 ``request.query.get("max", 100)`` yields str when
-        the client sends one, int 100 otherwise) and int()-coerces it -
-        the coercion the reference would need had it applied the cap it
-        parses. A non-numeric string raises ValueError at the API edge
-        rather than silently scanning uncapped."""
+        (str when the client sends one, int 100 otherwise) and
+        int()-coerces it - the coercion the reference would need had it
+        applied the cap it parses. A non-numeric string raises
+        ValueError at the API edge rather than silently scanning
+        uncapped."""
         from ..operators.search import search_names
 
         names = self.full_names().where(F.col("cs_name") == cs)
-        return search_names(names, pattern, "name", contains=contains, limit=int(max_n))
+        return search_names(
+            names,
+            pattern,
+            "name",
+            contains=contains,
+            limit=None if max_n is None else int(max_n),
+        )
 
     def route(self, requests: DataFrame) -> DataFrame:
         """Resolve (cs_name, att_name) request rows to (att_conf_id,
