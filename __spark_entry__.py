@@ -79,12 +79,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # dedup_minhash_lsh parity discipline). text_chunk (its windowing is
 # now the shared _chunk_windows helper the chunk-dedup family reuses -
 # expressions identical, plan unchanged, but the code path changed so
-# the witness leads with the changelist).
+# the witness leads with the changelist). stream_curation (NEW r15 -
+# VERDICT r14 #8, the streamed end-to-end curation lifecycle:
+# duplicated-arrival file stream -> stateless NB scoring -> trained
+# lang-agreement filter -> watermarked exactly-once dedup guard ->
+# checkpointed parquet sink; the landed store's per-lang digest is
+# oracle-checked against the batch NB-classify CTE, so a hash match
+# certifies exactly-once landing with bit-identical integer scores).
+# text_gopher_rules (NEW r15 - the published Gopher rule-based quality
+# filter, Rae et al. 2021 App. A1.1: word-count/word-length/symbol/
+# bullet/ellipsis/alpha/stopword rules as one narrow codegen
+# projection, ROUND-6 ratios, combined keep verdict).
+# sim_chunk_bm25 (NEW r15 - chunk-grain BM25 retrieval with document
+# max-pooling, the RAG parent-document-retrieval primitive: text_chunk
+# windows scored with chunk-corpus BM25 statistics, best chunk per doc,
+# global top-10 docs with their best chunk's coordinates).
+# text_c4_rules (NEW r15 - the C4 LINE-level cleaning filter, Raffel
+# et al. 2020 §2.2, the within-document complement of the Gopher doc
+# rules: terminal-punct/5-word/'javascript' line rules, 3-sentence/
+# brace/'lorem ipsum' doc rules, md5(kept lines) for cleaned-grain
+# dedup; run over a deterministically DERIVED lined corpus - the
+# pipe_delta discipline - because the synthetic corpus is single-line).
+# pipe_pref_pairs (NEW r15 - DPO preference-pair construction: best vs
+# worst doc per (source, lang) under the quality score, deterministic
+# tie-breaks, zero-margin pairs dropped, NULL-lang excluded).
 _CHANGED_THIS_ROUND = [
     "pipe_curation_trained",
     "dedup_chunk",
     "dedup_chunk_near",
     "text_chunk",
+    "stream_curation",
+    "text_gopher_rules",
+    "sim_chunk_bm25",
+    "text_c4_rules",
+    "pipe_pref_pairs",
 ]
 # fill: the ENTIRE 31-row r11 cohort (oldest-first, alphabetical - the
 # exact list the r14 rotation tripwire printed), then the r12 cohort
@@ -98,12 +126,14 @@ _STALE_R11 = [
     "sim_nearest_centroid", "stream_cusum", "text_boilerplate",
     "text_entropy", "text_pii_scrub", "text_winnow",
 ]
+# (the 5 NEW r15 queries displace the r12 tail - graph_pagerank,
+# pipe_contamination, pipe_contamination_bloom, pipe_curation and
+# pipe_domain_mix rotate back in next round; the fill stays the
+# oldest-first alphabetical PREFIX the ledger test recomputes)
 _STALE_R12 = [
     "dedup_clusters", "dedup_clusters_semantic", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_spans", "events_pivot", "events_quantiles", "events_rollup",
-    "graph_pagerank", "pipe_contamination", "pipe_contamination_bloom",
-    "pipe_curation", "pipe_domain_mix",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R11 + _STALE_R12
 

@@ -225,3 +225,347 @@ def test_pipe_curation_trained_funnel_is_self_auditing(spark):
         assert cur["n_in"] == prev["n_kept"]
     for r in out:
         assert 0 <= r["n_kept"] <= r["n_in"]
+
+
+# --- 4. streamed end-to-end curation lifecycle (VERDICT r14 #8) -------------
+
+
+def test_stream_curation_lands_batch_funnel_exactly_once(spark):
+    """The full streamed lifecycle - duplicated-arrival file stream ->
+    stateless NB scoring -> trained lang-agreement filter -> watermarked
+    dedup guard -> checkpointed parquet sink - must land EXACTLY the
+    batch stage-1 survivor set, once each, with bit-identical integer
+    scores: the per-lang digest equals the batch NB-classify result
+    filtered to pred = lang, and landed_once certifies zero duplicate
+    doc_ids in the physical store despite every doc arriving twice."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.plans import extensions
+
+    streamed = extensions.stream_curation(spark, SF_SMOKE).collect()
+    assert streamed and all(r["landed_once"] for r in streamed)
+    batch = (
+        extensions.text_nb_classify(spark, SF_SMOKE)
+        .where(F.col("pred") == F.col("lang"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("score_fp").alias("score_sum"),
+        )
+        .orderBy("lang")
+        .collect()
+    )
+    assert [
+        (r["lang"], r["n_docs"], r["id_sum"], r["score_sum"]) for r in streamed
+    ] == [
+        (r["lang"], r["n_docs"], r["id_sum"], r["score_sum"]) for r in batch
+    ]
+
+
+def test_stream_curation_epoch_doc_is_not_dropped_as_late(spark):
+    """The doc_id-0 late-drop pin: synthesized event time must sit ABOVE
+    Spark's initial zero watermark, or the dedup guard silently drops
+    the doc_id-0 row as late (observed: sf0.01's doc 0 survives the NB
+    filter and vanished from the landed store when ts was doc_id cast
+    to timestamp - same id_sum by coincidence of +0, one fewer row).
+    Run at the driver grain (SF_CORRECT), where doc 0 is a survivor:
+    the landed per-lang counts must sum to the batch survivor count."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_CORRECT
+    from web_maxiv_hdbppviewer_spark.plans import extensions
+
+    streamed = extensions.stream_curation(spark, SF_CORRECT).collect()
+    n_landed = sum(r["n_docs"] for r in streamed)
+    survivors = (
+        extensions.text_nb_classify(spark, SF_CORRECT)
+        .where(F.col("pred") == F.col("lang"))
+    )
+    assert n_landed == survivors.count()
+    assert survivors.where(F.col("doc_id") == 0).count() == 1  # the trap doc
+
+
+# --- 5. Gopher rule filter (NEW r15) -----------------------------------------
+
+
+def test_gopher_rules_match_pure_python_twin(spark):
+    """Every rule's arithmetic replayed by a pure-Python twin on a
+    corpus crafted so each rule fires somewhere: a clean keeper, a
+    too-short doc, a bullet-list doc, an ellipsis-heavy doc, a
+    symbol-heavy doc, a numeric doc (alpha rule), a long-word doc
+    (mean-length rule), and a stopword-free doc."""
+    from web_maxiv_hdbppviewer_spark.operators import textquality as tq
+
+    good = "the cat sat of mat and dog ran with joy " * 6  # 60 words
+    docs = [
+        (1, good),
+        (2, "the cat sat of mat and dog ran with joy"),  # 10 words
+        (3, "\n".join(["- " + good] * 10)),
+        (4, "\n".join([good + "..."] * 10)),
+        (5, ("#ab " * 60).strip()),
+        (6, ("12 " * 30 + "the of " * 15).strip()),
+        (7, ("incomprehensibilities " * 30 + "the of " * 15).strip()),
+        (8, ("cat dog run sat " * 15).strip()),
+    ]
+
+    def twin(text):
+        toks = [t for t in text.lower().split(" ") if t]
+        lines = [ln for ln in text.split("\n") if ln.strip()]
+        n, nl = len(toks), len(lines)
+        n_sym = (
+            text.count("#")
+            + (len(text) - len(text.replace("...", ""))) // 3
+            + text.count("…")
+        )
+        feats = dict(
+            n_words=n,
+            mean_word_len=round(sum(map(len, toks)) / n, 6),
+            symbol_ratio=round(n_sym / n, 6),
+            frac_bullet=round(
+                sum(ln.lstrip()[:1] in "-*•" and len(ln.lstrip()) > 0 for ln in lines) / nl, 6
+            ),
+            frac_ellipsis=round(
+                sum(ln.rstrip().endswith(("...", "…")) for ln in lines) / nl, 6
+            ),
+            frac_alpha=round(
+                sum(any("a" <= c <= "z" for c in t) for t in toks) / n, 6
+            ),
+            n_stop=len(set(toks) & set(tq.GOPHER_STOPWORDS)),
+        )
+        feats["keep"] = (
+            50 <= feats["n_words"] <= 100_000
+            and 3.0 <= feats["mean_word_len"] <= 10.0
+            and feats["symbol_ratio"] <= 0.1
+            and feats["frac_bullet"] <= 0.9
+            and feats["frac_ellipsis"] <= 0.3
+            and feats["frac_alpha"] >= 0.8
+            and feats["n_stop"] >= 2
+        )
+        return feats
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in tq.gopher_rules(df).collect()}
+    assert set(got) == {d for d, _ in docs}
+    for doc_id, text in docs:
+        want = twin(text)
+        have = {k: v for k, v in got[doc_id].items() if k != "doc_id"}
+        assert have == want, (doc_id, have, want)
+    # the crafted corpus exercises every rule: exactly doc 1 survives,
+    # and each non-keeper fails the rule it was built to fail
+    assert [d for d in sorted(got) if got[d]["keep"]] == [1]
+    assert got[2]["n_words"] < 50
+    assert got[3]["frac_bullet"] > 0.9
+    assert got[4]["frac_ellipsis"] > 0.3
+    assert got[5]["symbol_ratio"] > 0.1
+    assert got[6]["frac_alpha"] < 0.8
+    assert got[7]["mean_word_len"] > 10.0
+    assert got[8]["n_stop"] < 2
+
+
+# --- 6. chunk-grain BM25 retrieval (NEW r15) ---------------------------------
+
+
+def test_sim_chunk_bm25_surfaces_concentrated_chunk(spark):
+    """The max-pool semantics the operator exists for: a long document
+    whose query terms concentrate in ONE chunk must rank by that chunk
+    (and report its coordinates), beating a short document where the
+    same number of term hits is diluted across the whole text - the
+    case whole-document BM25 gets backwards when document length
+    normalization swamps the concentrated signal."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.operators import textquality as tq
+    from web_maxiv_hdbppviewer_spark.plans import extensions as ext
+
+    pad = "pad " * 48
+    hot = "query dup customer " * 8  # 24 term hits inside one window
+    # doc 1: two 48-token pad chunks, then the hot chunk at idx 2
+    d1 = (pad + pad + hot).strip()
+    # doc 2: 3 hits spread across 150 filler tokens
+    d2 = ("filler " * 50 + "query " + "filler " * 50 + "dup " + "filler " * 50).strip()
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, ("noise " * 80).strip())],
+        "doc_id long, text string",
+    )
+    ch = ext._chunk_windows(docs).select(
+        (F.col("doc_id") * F.lit(1 << ext.CHUNK_IDX_BITS) + F.col("chunk_idx")).alias("cid"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
+    scored = tq.bm25_scores(ch, tq.BM25_TERMS, id_col="cid", text_col="chunk_text")
+    per_chunk = scored.select(
+        F.shiftright("cid", ext.CHUNK_IDX_BITS).alias("doc_id"),
+        (F.col("cid") % F.lit(1 << ext.CHUNK_IDX_BITS)).alias("chunk_idx"),
+        "bm25",
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("bm25").desc(), F.col("chunk_idx").asc())
+    best = (
+        per_chunk.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .collect()
+    )
+    assert [r["doc_id"] for r in best] == [1, 2, 3]
+    assert best[0]["chunk_idx"] == 2  # the concentrated window, by coordinates
+    assert best[0]["bm25"] > best[1]["bm25"] > best[2]["bm25"] == 0.0
+
+
+# --- 7. C4 line-level cleaning (NEW r15) -------------------------------------
+
+
+def test_c4_rules_match_pure_python_twin(spark):
+    """C4's line and doc rules replayed by a pure-Python twin on docs
+    crafted so each rule fires: terminal punctuation, the 5-word line
+    floor, the 'javascript' line drop, the 3-sentence doc floor, the
+    brace and 'lorem ipsum' doc drops, and the empty-kept-set hash."""
+    import hashlib
+
+    from web_maxiv_hdbppviewer_spark.operators import textquality as tq
+
+    s = "the quick brown fox jumps over the lazy dog."
+    docs = [
+        (1, "\n".join([s, s, s])),                      # 3 sentences: keep
+        (2, "\n".join([s, s])),                         # 2 sentences: drop
+        (3, "\n".join([s, s, s, "too short."])),        # short line dropped
+        (4, "\n".join([s, s, s, "enable javascript to view this page."])),
+        (5, "\n".join([s, s, s]) + "\nconfig { block"), # brace: drop
+        (6, "\n".join([s, s, s, "lorem ipsum dolor sit amet today."])),
+        (7, "no terminal punctuation on this line at all"),
+        (8, 'he said "stop right there my good friend"'),  # quote terminal
+    ]
+
+    def twin(text):
+        lines = [ln for ln in text.split("\n") if ln.strip()]
+        kept = [
+            ln for ln in lines
+            if ln.rstrip()[-1:] in ('.', '!', '?', '"')
+            and len([w for w in ln.split(" ") if w]) >= 5
+            and "javascript" not in ln.lower()
+        ]
+        cleaned = "\n".join(kept)
+        n_sent = sum(cleaned.count(t) for t in ".!?")
+        return dict(
+            n_lines=len(lines),
+            n_kept_lines=len(kept),
+            kept_ratio=round(len(kept) / len(lines), 6),
+            n_kept_words=sum(len([w for w in ln.split(" ") if w]) for ln in kept),
+            n_sentences=n_sent,
+            has_brace="{" in text,
+            has_lorem="lorem ipsum" in text.lower(),
+            keep=n_sent >= 3 and "{" not in text and "lorem ipsum" not in text.lower(),
+            cleaned_md5=hashlib.md5(cleaned.encode()).hexdigest(),
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in tq.c4_rules(df).collect()}
+    for doc_id, text in docs:
+        have = {k: v for k, v in got[doc_id].items() if k != "doc_id"}
+        assert have == twin(text), (doc_id, have, twin(text))
+    keeps = {d: got[d]["keep"] for d in got}
+    assert keeps == {1: True, 2: False, 3: True, 4: True,
+                     5: False, 6: False, 7: False, 8: False}
+    assert got[3]["n_kept_lines"] == 3 and got[3]["n_lines"] == 4
+    assert got[4]["n_kept_lines"] == 3  # the javascript line dropped
+    assert got[8]["n_kept_lines"] == 1 and got[8]["n_sentences"] == 0
+
+
+# --- 8. DPO preference pairs (NEW r15) ---------------------------------------
+
+
+def test_pipe_pref_pairs_constructed_cohorts(spark):
+    """Endpoint selection and the degenerate-cohort contracts on a
+    corpus built per case: a clear best/worst cohort pairs them with
+    the hand-computed margin; a single-doc cohort yields nothing
+    (chosen == rejected); an all-equal cohort yields nothing (distinct
+    endpoints by tie-break, but zero margin = no DPO signal); NULL-lang
+    docs are excluded entirely."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.operators import textquality as tq
+    from web_maxiv_hdbppviewer_spark.plans import extensions as ext
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the of and to a", "en", "s1"),   # q = 0.4 + 0.015 + 0.3
+            (2, "x x x x x", "en", "s1"),          # q = 0 + 0.015 + 0.06
+            (3, "solo doc here", "en", "s2"),      # single-doc cohort
+            (4, "y y", "en", "s3"),                # all-equal cohort
+            (5, "y y", "en", "s3"),
+            (6, "the of and", None, "s1"),         # NULL lang: excluded
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    q = tq.quality_scores(
+        docs.where(F.col("lang").isNotNull()), keep_cols=("source", "lang")
+    ).select("doc_id", "source", "lang", "quality")
+    # replay the query's pairing on the constructed frame
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("source", "lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    wr = Window.partitionBy("source", "lang").orderBy(
+        F.col("quality").asc(), F.col("doc_id").desc()
+    )
+    ranked = q.select(
+        "source", "lang", "doc_id", "quality",
+        F.row_number().over(wc).alias("rc"),
+        F.row_number().over(wr).alias("rr"),
+    )
+    chosen = ranked.where(F.col("rc") == 1).select(
+        "source", "lang",
+        F.col("doc_id").alias("chosen_id"), F.col("quality").alias("q_chosen"),
+    )
+    rejected = ranked.where(F.col("rr") == 1).select(
+        "source", "lang",
+        F.col("doc_id").alias("rejected_id"), F.col("quality").alias("q_rejected"),
+    )
+    pairs = (
+        chosen.join(rejected, ["source", "lang"])
+        .where(F.col("chosen_id") != F.col("rejected_id"))
+        .select(
+            "source", "lang", "chosen_id", "rejected_id",
+            "q_chosen", "q_rejected",
+            F.round(F.col("q_chosen") - F.col("q_rejected"), 6).alias("margin"),
+        )
+        .where(F.col("margin") > 0)
+        .collect()
+    )
+    assert [tuple(r) for r in pairs] == [
+        ("s1", "en", 1, 2, 0.715, 0.075, 0.64)
+    ]
+
+
+# --- 9. r15 plan pins --------------------------------------------------------
+
+
+def test_gopher_and_c4_plans_are_shuffle_free_projections(spark):
+    """Both published-rule filters must stay single narrow projections:
+    the ONLY exchange is _docs_sorted's presentation range-sort on the
+    narrow scan (the established pre-projection sort discipline) - no
+    hash shuffle anywhere, no Python UDF nodes, rules inside codegen."""
+    from tests.test_plans import _plan
+    from web_maxiv_hdbppviewer_spark.plans import extensions as ext
+
+    for q in (ext.text_gopher_rules, ext.text_c4_rules):
+        plan = _plan(q(spark, SF_SMOKE))
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert plan.count("Exchange rangepartitioning") == 1, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sim_chunk_bm25_plan_ranks_docs_not_chunks(spark):
+    """The retrieval plan's shape at scale: the global top-10 must be a
+    TakeOrderedAndProject (never a global Sort of the chunk frame), and
+    the only corpus-sized exchange is the per-doc max-pool window's
+    hashpartitioning on doc_id (the BM25 stats merge is the allowlisted
+    bounded single-partition aggregate)."""
+    from tests.test_plans import _plan
+    from web_maxiv_hdbppviewer_spark.plans import extensions as ext
+
+    plan = _plan(ext.sim_chunk_bm25(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "doc_id" in plan.split("Exchange hashpartitioning", 1)[1][:80]

@@ -121,6 +121,249 @@ def quality_scores(
     )
 
 
+#: the Gopher rule-filter stopword set (Rae et al. 2021, App. A1.1 -
+#: "contains at least 2 of the following English words"); distinct from
+#: the 5-word scoring STOPWORDS above, which feeds quality_scores' ratio
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+#: Gopher rule thresholds, named so the SQL oracle and the keep predicate
+#: provably compare the same literals
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_WLEN, GOPHER_MAX_WLEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL = 0.1
+GOPHER_MAX_BULLET = 0.9
+GOPHER_MAX_ELLIPSIS = 0.3
+GOPHER_MIN_ALPHA = 0.8
+GOPHER_MIN_STOP = 2
+_BULLETS = ["-", "*", "•"]
+
+
+def gopher_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The Gopher rule-based quality filter (Rae et al. 2021, Appendix
+    A1.1) - the published heuristic rule set production pretraining
+    pipelines (Gopher, RefinedWeb, Dolma) run before any trained filter:
+
+      1. 50 <= word count <= 100,000
+      2. 3 <= mean word length <= 10
+      3. symbol-to-word ratio <= 0.1  (symbols: '#', '...', unicode ellipsis)
+      4. <= 90% of lines start with a bullet ('-', '*', bullet char)
+      5. <= 30% of lines end with an ellipsis
+      6. >= 80% of words contain an alphabetic character
+      7. contains >= 2 distinct words of {the, be, to, of, and, that,
+         have, with}
+
+    One row per non-empty document: every rule's feature column (ratios
+    ROUND-6 before comparison, so the keep predicate is bit-portable
+    cross-engine) plus the combined ``keep``. Token-less documents are
+    excluded (every ratio is undefined; Gopher's rule 1 would drop them
+    anyway).
+
+    Scale shape: a pure narrow projection - the token and line arrays
+    are let-bound behind the quality_scores Generate barrier so the
+    whitespace/newline splits run once per row despite ~10 uses; symbol
+    counts are length-delta arithmetic inside whole-stage codegen; zero
+    shuffles, zero UDFs, zero driver round-trips."""
+    txt = F.col(text_col)
+    hashes = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    ellipses = _trigram_hits(txt, "...") + (
+        F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit("")))
+    )
+
+    def _feat(x):
+        toks, lines = x["toks"], x["lines"]
+        n = F.size(toks)
+        nl = F.size(lines)
+        mean_wlen = F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+            / n,
+            6,
+        )
+        sym = F.round(x["n_sym"] / n, 6)
+        bullet = F.round(
+            F.size(
+                F.filter(
+                    lines,
+                    lambda ln: F.substring(F.ltrim(ln), 1, 1).isin(
+                        [F.lit(b) for b in _BULLETS]
+                    ),
+                )
+            )
+            / nl,
+            6,
+        )
+        ell = F.round(
+            F.size(
+                F.filter(
+                    lines,
+                    lambda ln: F.rtrim(ln).endswith("...")
+                    | F.rtrim(ln).endswith("…"),
+                )
+            )
+            / nl,
+            6,
+        )
+        alpha = F.round(
+            F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n, 6
+        )
+        n_stop = F.size(
+            F.array_intersect(
+                toks, F.array([F.lit(s) for s in GOPHER_STOPWORDS])
+            )
+        )
+        return F.struct(
+            n.cast("long").alias("n_words"),
+            mean_wlen.alias("mean_word_len"),
+            sym.alias("symbol_ratio"),
+            bullet.alias("frac_bullet"),
+            ell.alias("frac_ellipsis"),
+            alpha.alias("frac_alpha"),
+            n_stop.cast("long").alias("n_stop"),
+        )
+
+    base = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.array(
+                    F.struct(
+                        words(txt).alias("toks"),
+                        F.filter(
+                            F.split(txt, "\n"),
+                            lambda ln: F.trim(ln) != "",
+                        ).alias("lines"),
+                        (hashes + ellipses).cast("long").alias("n_sym"),
+                    )
+                ),
+                _feat,
+            )
+        ).alias("g"),
+    ).where(F.col("g.n_words") > 0)
+    g = F.col("g")
+    keep = (
+        g["n_words"].between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & g["mean_word_len"].between(GOPHER_MIN_WLEN, GOPHER_MAX_WLEN)
+        & (g["symbol_ratio"] <= GOPHER_MAX_SYMBOL)
+        & (g["frac_bullet"] <= GOPHER_MAX_BULLET)
+        & (g["frac_ellipsis"] <= GOPHER_MAX_ELLIPSIS)
+        & (g["frac_alpha"] >= GOPHER_MIN_ALPHA)
+        & (g["n_stop"] >= GOPHER_MIN_STOP)
+    )
+    return base.select(
+        id_col,
+        g["n_words"].alias("n_words"),
+        g["mean_word_len"].alias("mean_word_len"),
+        g["symbol_ratio"].alias("symbol_ratio"),
+        g["frac_bullet"].alias("frac_bullet"),
+        g["frac_ellipsis"].alias("frac_ellipsis"),
+        g["frac_alpha"].alias("frac_alpha"),
+        g["n_stop"].alias("n_stop"),
+        keep.alias("keep"),
+    )
+
+
+#: C4 line-keep thresholds (Raffel et al. 2020 §2.2)
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+_C4_TERMINALS = [".", "!", "?", '"']
+
+
+def c4_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The C4 line-level cleaning filter (Raffel et al. 2020, §2.2) -
+    the complement of the doc-level Gopher rules: C4 cleans WITHIN the
+    document before judging it. Line rules (a line survives iff all
+    hold): ends in terminal punctuation ('.', '!', '?', '"' after
+    rtrim), has >= 5 words, does not contain 'javascript' (lower-cased
+    match). Document rules over the SURVIVING lines: >= 3 sentences
+    (terminal-punctuation occurrences in the kept text), no curly brace
+    anywhere in the original text (code), no 'lorem ipsum'.
+
+    One row per document: line accounting (n_lines, n_kept_lines,
+    ROUND-6 kept_ratio), the doc-rule booleans, the kept-text word
+    count, the doc verdict, and md5(cleaned) - the fingerprint of the
+    kept-lines-joined text, ready for C4's downstream exact dedup at
+    the cleaned grain (dedup_exact's key shape).
+
+    Scale shape: a pure narrow projection - the line array is let-bound
+    behind the quality_scores Generate barrier (split runs once per row
+    despite ~6 uses); every rule is codegen string/array arithmetic;
+    zero shuffles, zero UDFs."""
+    txt = F.col(text_col)
+
+    def _line_ok(ln):
+        r = F.rtrim(ln)
+        ends = F.substring(r, -1, 1).isin([F.lit(t) for t in _C4_TERMINALS])
+        n_words = F.size(F.filter(F.split(ln, " "), lambda w: w != ""))
+        return (
+            ends
+            & (n_words >= C4_MIN_LINE_WORDS)
+            & ~F.lower(ln).contains("javascript")
+        )
+
+    def _feat(x):
+        lines, kept = x["lines"], F.filter(x["lines"], _line_ok)
+        cleaned = F.array_join(kept, "\n")
+        n_sent = sum(
+            (
+                F.length(cleaned)
+                - F.length(F.replace(cleaned, F.lit(t), F.lit("")))
+                for t in [".", "!", "?"]
+            ),
+            F.lit(0),
+        )
+        return F.struct(
+            F.size(lines).cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept_lines"),
+            F.round(F.size(kept) / F.size(lines), 6).alias("kept_ratio"),
+            F.aggregate(
+                kept,
+                F.lit(0).cast("long"),
+                lambda a, ln: a
+                + F.size(F.filter(F.split(ln, " "), lambda w: w != "")),
+            ).alias("n_kept_words"),
+            n_sent.cast("long").alias("n_sentences"),
+            F.md5(cleaned).alias("cleaned_md5"),
+        )
+
+    base = df.select(
+        F.col(id_col),
+        txt.contains("{").alias("has_brace"),
+        F.lower(txt).contains("lorem ipsum").alias("has_lorem"),
+        F.explode(
+            F.transform(
+                F.array(
+                    F.struct(
+                        F.filter(
+                            F.split(txt, "\n"), lambda ln: F.trim(ln) != ""
+                        ).alias("lines")
+                    )
+                ),
+                _feat,
+            )
+        ).alias("c"),
+    ).where(F.col("c.n_lines") > 0)
+    c = F.col("c")
+    keep = (
+        (c["n_sentences"] >= C4_MIN_SENTENCES)
+        & ~F.col("has_brace")
+        & ~F.col("has_lorem")
+    )
+    return base.select(
+        id_col,
+        c["n_lines"].alias("n_lines"),
+        c["n_kept_lines"].alias("n_kept_lines"),
+        c["kept_ratio"].alias("kept_ratio"),
+        c["n_kept_words"].alias("n_kept_words"),
+        c["n_sentences"].alias("n_sentences"),
+        "has_brace",
+        "has_lorem",
+        keep.alias("keep"),
+        c["cleaned_md5"].alias("cleaned_md5"),
+    )
+
+
 def _trigram_hits(text_lower, trigram: str):
     """Non-overlapping occurrence count of one trigram: every engine agrees
     on (len(s) - len(replace(s, t, ''))) / 3, and the division is exact."""

@@ -647,6 +647,65 @@ def text_bm25(spark, sf_dir):
     )
 
 
+def text_gopher_rules(spark, sf_dir):
+    """The Gopher rule-based quality filter (Rae et al. 2021, App. A1.1;
+    operators/textquality.gopher_rules) - the published heuristic rule
+    set pretraining pipelines run ahead of trained filters: word-count
+    bounds, mean word length, symbol ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, the 8-word stopword-presence
+    rule, and the combined keep verdict. Ratios are ROUND-6 before
+    comparison so the keep predicate is bit-portable; the whole filter
+    is one narrow codegen projection (zero shuffles, zero UDFs)."""
+    return textquality.gopher_rules(_docs_sorted(spark, sf_dir))
+
+
+def text_c4_rules(spark, sf_dir):
+    """The C4 line-level cleaning filter (Raffel et al. 2020 §2.2;
+    operators/textquality.c4_rules) - the within-document complement of
+    text_gopher_rules' doc-level verdicts: terminal-punctuation /
+    5-word / no-'javascript' line rules, >= 3-sentence + no-brace +
+    no-'lorem ipsum' document rules, line accounting, and
+    md5(kept lines) ready for C4's downstream cleaned-grain exact
+    dedup.
+
+    The synthetic corpus is single-line and punctuation-free (every C4
+    feature would be a constant), so the declared query first DERIVES a
+    lined corpus deterministically (the pipe_delta discipline - the
+    oracle replays the derivation): each document reflows into 10-token
+    lines, line i terminated with '.' iff (doc_id + i) % 3 != 2, a
+    brace line appended to doc_id % 97 == 0 docs and a 'lorem ipsum'
+    line to doc_id % 89 == 0 docs - so kept/dropped lines, sentence
+    counts, and all three doc verdicts vary across the corpus. Both the
+    derivation and the filter are narrow codegen projections, zero
+    shuffles."""
+    from ..functions.texthash import words
+
+    docs = _docs_sorted(spark, sf_dir)
+    toks = words(F.col("text"))
+    d = F.col("doc_id")
+    nl = F.ceil(F.size(toks) / F.lit(10)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+            F.when((d + i) % 3 != 2, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    lined = docs.where(F.size(toks) > 0).select(
+        "doc_id",
+        F.concat(
+            F.array_join(lines, "\n"),
+            F.when(
+                d % 97 == 0, F.lit("\nconfig block follows here {")
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 89 == 0, F.lit("\nlorem ipsum filler text here.")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textquality.c4_rules(lined)
+
+
 def text_repetition(spark, sf_dir):
     """Within-document repetition features (Gopher-style boilerplate
     detection): duplicate word-trigram fraction and top-trigram mass per
@@ -824,6 +883,58 @@ def dedup_chunk_near(spark, sf_dir):
         (F.col("id_b") % bits).alias("idx_b"),
         "jaccard",
     ).orderBy("doc_a", "idx_a", "doc_b", "idx_b")
+
+
+CHUNK_TOPK = 10
+
+
+def sim_chunk_bm25(spark, sf_dir):
+    """Chunk-grain BM25 retrieval with document max-pooling - the RAG
+    'parent document retrieval' primitive (retrieve by best CHUNK, return
+    the parent document): the text_chunk 64/48 windows are scored against
+    the literal BM25_TERMS query with chunk-corpus statistics (N = chunk
+    count, avgdl over chunks - textquality.bm25_scores with the packed
+    cid riding as the id, the dedup_chunk_near pack), the best-scoring
+    chunk per document is selected (row_number per doc, score DESC /
+    chunk_idx ASC - the deterministic max-pool), and the global top-10
+    documents are returned with their best chunk's coordinates. Long
+    documents stop drowning in their own length: a 10k-token document
+    with one on-topic chunk ranks by that chunk, not by its diluted
+    whole-document term frequency.
+
+    Scale shape: chunking is the narrow explode; BM25 statistics are one
+    bounded aggregation (|terms|+2 scalars to the driver); scoring is a
+    pure projection; the per-doc max-pool shuffles once on doc_id; the
+    final global rank is a TakeOrdered over one row per doc, never a
+    global sort of chunks."""
+    from pyspark.sql import Window
+
+    ch = _chunk_windows(_docs(spark, sf_dir)).select(
+        (
+            F.col("doc_id") * F.lit(1 << CHUNK_IDX_BITS) + F.col("chunk_idx")
+        ).alias("cid"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
+    scored = textquality.bm25_scores(
+        ch, textquality.BM25_TERMS, id_col="cid", text_col="chunk_text"
+    )
+    bits = F.lit(1 << CHUNK_IDX_BITS)
+    per_chunk = scored.select(
+        F.shiftright("cid", CHUNK_IDX_BITS).alias("doc_id"),
+        (F.col("cid") % bits).alias("chunk_idx"),
+        "bm25",
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("bm25").desc(), F.col("chunk_idx").asc()
+    )
+    best = (
+        per_chunk.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return best.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(
+        CHUNK_TOPK
+    )
 
 
 def pipe_contamination_bloom(spark, sf_dir):
@@ -2151,6 +2262,108 @@ def stream_classify(spark, sf_dir):
     return spark.sql(f"SELECT * FROM {sink}").orderBy("doc_id")
 
 
+def stream_curation(spark, sf_dir):
+    """The documents-side streamed curation lifecycle END-TO-END (VERDICT
+    r14 #8): file-stream ingest -> STATELESS trained-NB scoring
+    (stream_classify's model-serving shape: bounded artifacts in the
+    task closure, Arrow kernel, no state store) -> trained
+    lang-agreement filter (pipe_curation_trained stage 1) -> watermarked
+    exactly-once dedup guard (stream_dedup's bounded-state shape - the
+    feed is the corpus unioned with itself, so every doc ARRIVES twice
+    and must LAND once) -> checkpointed exactly-once parquet FILE sink
+    (stream_sink_compact's landing shape).
+
+    The digest check is the whole witness: the returned per-language
+    (n_docs, id_sum, score_sum) rows come from the LANDED parquet, and
+    the oracle is the batch NB-classify CTE filtered to pred = lang -
+    so a hash match proves the duplicated stream landed each surviving
+    document exactly once with bit-identical integer micro-nat scores.
+    ``landed_once`` additionally certifies zero duplicate doc_ids in the
+    physical store (hard-coded TRUE in the oracle, the scale_zorder
+    discipline for physical facts SQL cannot see).
+
+    Scale shape: scoring is stateless (unbounded-stream safe); the only
+    state is the dedup guard's, bounded by the watermark horizon, never
+    by history; the sink is the checkpointed exactly-once file sink a
+    production landing zone uses. Event time is synthesized from doc_id
+    (documents carry no timestamp), offset above the initial zero
+    watermark; the corpus' span sits inside the 1 h horizon, so the
+    guard provably sees every duplicate pair and drops nothing as late."""
+    from ..operators import nbayes
+    from ..session import configure
+
+    model, stats = nbayes.nb_artifacts(_docs(spark, sf_dir), NB_MIN_COUNT)
+    kernel, _labels = nbayes.nb_score_kernel(model, stats)
+    configure(spark)
+    physical = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    base = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
+            "file:"
+        ),
+        "stream_curation_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/")),
+    )
+    land, ckpt = os.path.join(base, "land"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    def one_stream():
+        return (
+            spark.readStream.schema(physical)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .select("doc_id", "lang", "text")
+        )
+
+    feed = one_stream().union(one_stream())  # every doc arrives TWICE
+    scored = feed.mapInPandas(
+        kernel, "doc_id long, lang string, pred string, score_fp long"
+    )
+    # synthesized event time is OFFSET a day above epoch 0: Spark's
+    # stateful operators treat event time <= the initial zero watermark
+    # as LATE, so a doc_id-0 row timestamped exactly at the epoch would
+    # silently never land (caught by the sf0.01 digest - doc 0 survives
+    # the NB filter there)
+    kept = scored.where(F.col("pred") == F.col("lang")).withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id") + F.lit(86_400))
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            kept.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["doc_id"])
+            .drop("ts")
+            .writeStream.format("parquet")
+            .option("path", land)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    landed = spark.read.parquet(land)
+    once = landed.agg(
+        (F.count(F.lit(1)) == F.count_distinct("doc_id")).alias("ok")
+    ).collect()[0]["ok"]
+    return (
+        landed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("score_fp").alias("score_sum"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "id_sum",
+            "score_sum",
+            F.lit(bool(once)).alias("landed_once"),
+        )
+        .orderBy("lang")
+    )
+
+
 def stream_sink_compact(spark, sf_dir):
     """The end-to-end ingest shape that CREATES and then FIXES the
     small-file problem: the events stream lands through an exactly-once
@@ -2837,6 +3050,73 @@ def pipe_curation_trained(spark, sf_dir):
         .unionByName(row(3, "exact_dedup", s2_ids, s3_ids))
         .unionByName(row(4, "near_dup", s3_ids, s4_ids))
         .orderBy("stage")
+    )
+
+
+def pipe_pref_pairs(spark, sf_dir):
+    """Preference-pair construction for DPO/RLHF-style training (Rafailov
+    et al. 2023's data shape): within every (source, lang) cohort, pair
+    the highest-scoring document (chosen) with the lowest-scoring one
+    (rejected) under the quality model - here the heuristic
+    quality_scores standing in for the reward model, the same
+    composition a production pipeline runs with a trained RM. Ties
+    break deterministically (chosen: doc_id ASC at equal quality;
+    rejected: doc_id DESC, so an all-equal cohort still yields two
+    DISTINCT endpoints); zero-margin pairs are dropped (no strict
+    preference = no DPO signal); unlabeled (NULL-lang) docs are
+    excluded, the NB family's labeled contract.
+
+    Scale shape: the quality projection is narrow; both row_number
+    ranks share ONE hash partitioning on (source, lang) - two sorts,
+    one shuffle; the chosen/rejected frames are one row per cohort
+    (bounded by the source x lang vocabulary), so the final join is a
+    broadcast of cohort-sized sides, never corpus-sized."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).where(F.col("lang").isNotNull())
+    q = textquality.quality_scores(docs, keep_cols=("source", "lang")).select(
+        "doc_id", "source", "lang", "quality"
+    )
+    wc = Window.partitionBy("source", "lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    wr = Window.partitionBy("source", "lang").orderBy(
+        F.col("quality").asc(), F.col("doc_id").desc()
+    )
+    ranked = q.select(
+        "source",
+        "lang",
+        "doc_id",
+        "quality",
+        F.row_number().over(wc).alias("rc"),
+        F.row_number().over(wr).alias("rr"),
+    )
+    chosen = ranked.where(F.col("rc") == 1).select(
+        "source",
+        "lang",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("quality").alias("q_chosen"),
+    )
+    rejected = ranked.where(F.col("rr") == 1).select(
+        "source",
+        "lang",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("quality").alias("q_rejected"),
+    )
+    return (
+        chosen.join(rejected, ["source", "lang"])
+        .where(F.col("chosen_id") != F.col("rejected_id"))
+        .select(
+            "source",
+            "lang",
+            "chosen_id",
+            "rejected_id",
+            "q_chosen",
+            "q_rejected",
+            F.round(F.col("q_chosen") - F.col("q_rejected"), 6).alias("margin"),
+        )
+        .where(F.col("margin") > 0)
+        .orderBy("source", "lang")
     )
 
 
@@ -4705,6 +4985,12 @@ EXTENSION_QUERIES = {
     "scale_zorder": scale_zorder,
     "stream_sink_compact": stream_sink_compact,
     "stream_classify": stream_classify,
+    # -- round 15 --
+    "stream_curation": stream_curation,
+    "text_gopher_rules": text_gopher_rules,
+    "sim_chunk_bm25": sim_chunk_bm25,
+    "text_c4_rules": text_c4_rules,
+    "pipe_pref_pairs": pipe_pref_pairs,
     "events_quantiles": events_quantiles,
     "events_quantiles_approx": events_quantiles_approx,
     "events_distinct_approx": events_distinct_approx,

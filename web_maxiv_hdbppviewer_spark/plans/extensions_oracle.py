@@ -1707,6 +1707,218 @@ EXTENSION_ORACLE["stream_sessions"] = EXTENSION_ORACLE["window_sessions"]
 # batch oracle verbatim - the stream_raster aliasing discipline
 EXTENSION_ORACLE["stream_classify"] = EXTENSION_ORACLE["text_nb_classify"]
 
+# the streamed end-to-end curation lifecycle (extensions.stream_curation):
+# the landed parquet store's per-language digest must equal the BATCH
+# NB-classify CTE filtered to pred = lang - a hash match proves the
+# duplicated stream landed each surviving doc exactly once with
+# bit-identical integer scores. landed_once is a physical-store fact
+# (zero duplicate doc_ids on disk) SQL cannot see: hard-coded TRUE, the
+# scale_zorder discipline.
+EXTENSION_ORACLE["stream_curation"] = f"""
+    WITH cls AS ({EXTENSION_ORACLE["text_nb_classify"]})
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(score_fp) AS BIGINT) AS score_sum,
+           TRUE AS landed_once
+    FROM cls WHERE pred = lang
+    GROUP BY lang ORDER BY lang
+"""
+
+# the Gopher rule filter (extensions.text_gopher_rules /
+# textquality.gopher_rules): identical rule arithmetic - length-delta
+# symbol counts (the '...' delta is an exact multiple of 3, so the cast
+# is rounding-free in both engines), ROUND-6 ratios compared to the same
+# literals, list_intersect/array_intersect both set-semantics
+EXTENSION_ORACLE["text_gopher_rules"] = """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             ROUND(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                   / len(toks), 6) AS mean_word_len,
+             ROUND((length(text) - length(replace(text, '#', ''))
+                    + CAST((length(text) - length(replace(text, '...', ''))) / 3
+                           AS BIGINT)
+                    + length(text) - length(replace(text, '…', '')))
+                   / len(toks), 6) AS symbol_ratio,
+             ROUND(len(list_filter(lines,
+                     l -> ltrim(l)[1:1] IN ('-', '*', '•')))
+                   / len(lines), 6) AS frac_bullet,
+             ROUND(len(list_filter(lines,
+                     l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+                   / len(lines), 6) AS frac_ellipsis,
+             ROUND(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                   / len(toks), 6) AS frac_alpha,
+             CAST(len(list_intersect(toks,
+                  ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+                  AS BIGINT) AS n_stop
+      FROM t WHERE len(toks) > 0)
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, frac_bullet,
+           frac_ellipsis, frac_alpha, n_stop,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_ratio <= 0.1
+            AND frac_bullet <= 0.9
+            AND frac_ellipsis <= 0.3
+            AND frac_alpha >= 0.8
+            AND n_stop >= 2) AS keep
+    FROM f ORDER BY doc_id
+"""
+
+# chunk-grain BM25 retrieval with doc max-pool (extensions.sim_chunk_bm25):
+# the dedup_chunk window arithmetic produces the chunk token lists
+# directly (no re-split - the engine's array_join/words round-trip is
+# the identity on whitespace tokens), then the text_bm25 statistics and
+# scoring CTEs verbatim over CHUNKS, the per-doc best-chunk rank, and
+# the global top-10
+EXTENSION_ORACLE["sim_chunk_bm25"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+      FROM documents),
+    ch AS (
+      SELECT doc_id, c AS chunk_idx,
+             list_slice(l, c * 48 + 1, c * 48 + 64) AS toks
+      FROM (SELECT doc_id, l,
+                   unnest(generate_series(0,
+                     CASE WHEN len(l) <= 64 THEN 0
+                          ELSE CAST(FLOOR((len(l) - 64 + 47) / 48.0) AS INT)
+                     END)) AS c
+            FROM t WHERE len(l) > 0)),
+    st AS (SELECT COUNT(*) AS n, ROUND(AVG(len(toks)), 6) AS avgdl FROM ch),
+    dfs AS (
+      SELECT {", ".join(
+        f"SUM(CASE WHEN len(list_filter(toks, x -> x = '{t}')) > 0"
+        f" THEN 1 ELSE 0 END) AS df{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM ch),
+    idf AS (
+      SELECT {", ".join(
+        f"ROUND(ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1), 6) AS idf{i}"
+        for i in range(len(_BM25_TERMS)))}
+      FROM st, dfs),
+    bm AS (
+      SELECT doc_id, chunk_idx,
+             ROUND({" + ".join(
+               f"idf{i} * tf{i} * 2.2 / (tf{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+               for i in range(len(_BM25_TERMS)))}, 6) AS bm25
+      FROM (SELECT doc_id, chunk_idx, CAST(len(toks) AS DOUBLE) AS dl,
+                   {", ".join(
+                     f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+                     for i, t in enumerate(_BM25_TERMS))}
+            FROM ch), st, idf),
+    best AS (
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, bm25
+      FROM (SELECT doc_id, chunk_idx, bm25,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY bm25 DESC, chunk_idx ASC) AS rn
+            FROM bm)
+      WHERE rn = 1)
+    SELECT doc_id, chunk_idx, bm25 FROM best
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
+
+# the C4 line-level cleaning filter (extensions.text_c4_rules /
+# textquality.c4_rules): identical line predicates and doc rules;
+# n_kept_words sums per-line word counts (never re-splitting the joined
+# text, whose chr(10) separators would glue boundary tokens); sentence
+# count is the exact length-delta over the kept text
+EXTENSION_ORACLE["text_c4_rules"] = """
+    WITH raw AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents),
+    lined AS (
+      SELECT doc_id,
+             array_to_string(list_transform(
+               generate_series(0, CAST(ceil(len(toks) / 10.0) AS INT) - 1),
+               i -> array_to_string(list_slice(toks, i*10 + 1, i*10 + 10), ' ')
+                    || CASE WHEN (doc_id + i) % 3 <> 2 THEN '.' ELSE '' END),
+               chr(10))
+             || CASE WHEN doc_id % 97 = 0
+                     THEN chr(10) || 'config block follows here {'
+                     ELSE '' END
+             || CASE WHEN doc_id % 89 = 0
+                     THEN chr(10) || 'lorem ipsum filler text here.'
+                     ELSE '' END AS text
+      FROM raw WHERE len(toks) > 0),
+    t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+             contains(text, '{') AS has_brace,
+             contains(lower(text), 'lorem ipsum') AS has_lorem
+      FROM lined),
+    k AS (
+      SELECT doc_id, has_brace, has_lorem, lines,
+             list_filter(lines, l ->
+                right(rtrim(l), 1) IN ('.', '!', '?', '"')
+                AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+                AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM t WHERE len(lines) > 0),
+    f AS (
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(kept) AS BIGINT) AS n_kept_lines,
+             ROUND(len(kept) / len(lines), 6) AS kept_ratio,
+             CAST(COALESCE(list_aggregate(list_transform(kept,
+                    l -> len(list_filter(string_split(l, ' '), w -> w <> ''))),
+                  'sum'), 0) AS BIGINT) AS n_kept_words,
+             -- DuckDB's array_to_string is NULL on an empty list where
+             -- Spark's array_join is '' - coalesce to the engine's value
+             COALESCE(array_to_string(kept, chr(10)), '') AS cleaned,
+             has_brace, has_lorem
+      FROM k)
+    SELECT doc_id, n_lines, n_kept_lines, kept_ratio, n_kept_words,
+           CAST(length(cleaned) - length(replace(cleaned, '.', ''))
+                + length(cleaned) - length(replace(cleaned, '!', ''))
+                + length(cleaned) - length(replace(cleaned, '?', ''))
+                AS BIGINT) AS n_sentences,
+           has_brace, has_lorem,
+           ((length(cleaned) - length(replace(cleaned, '.', ''))
+             + length(cleaned) - length(replace(cleaned, '!', ''))
+             + length(cleaned) - length(replace(cleaned, '?', ''))) >= 3
+            AND NOT has_brace AND NOT has_lorem) AS keep,
+           md5(cleaned) AS cleaned_md5
+    FROM f ORDER BY doc_id
+"""
+
+# DPO preference pairs (extensions.pipe_pref_pairs): the pipe_funnel
+# quality formula (raw ratios inside, ROUND-6 once), best/worst per
+# (source, lang) with the engine's exact tie-breaks, zero-margin pairs
+# dropped, NULL-lang excluded (the NB labeled contract)
+EXTENSION_ORACLE["pipe_pref_pairs"] = """
+    WITH t AS (
+      SELECT doc_id, source, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents WHERE lang IS NOT NULL),
+    q AS (
+      SELECT doc_id, source, lang,
+             ROUND(0.4 * (len(list_filter(toks,
+                      x -> x IN ('the', 'a', 'of', 'and', 'to'))) / len(toks))
+                   + 0.3 * least(len(toks) / 100.0, 1.0)
+                   + 0.3 * (len(list_distinct(toks)) / len(toks)), 6) AS quality
+      FROM t),
+    r AS (
+      SELECT source, lang, doc_id, quality,
+             ROW_NUMBER() OVER (PARTITION BY source, lang
+                                ORDER BY quality DESC, doc_id ASC) AS rc,
+             ROW_NUMBER() OVER (PARTITION BY source, lang
+                                ORDER BY quality ASC, doc_id DESC) AS rr
+      FROM q),
+    c AS (SELECT source, lang, doc_id AS chosen_id, quality AS q_chosen
+          FROM r WHERE rc = 1),
+    j AS (SELECT source, lang, doc_id AS rejected_id, quality AS q_rejected
+          FROM r WHERE rr = 1)
+    SELECT c.source, c.lang, chosen_id, rejected_id, q_chosen, q_rejected,
+           ROUND(q_chosen - q_rejected, 6) AS margin
+    FROM c JOIN j USING (source, lang)
+    WHERE chosen_id <> rejected_id AND ROUND(q_chosen - q_rejected, 6) > 0
+    ORDER BY source, lang
+"""
+
 # confusion matrix over the classify result - reuses the classify CTE
 # block verbatim (DuckDB accepts a nested WITH inside a CTE body)
 EXTENSION_ORACLE["text_nb_eval"] = f"""
