@@ -103,6 +103,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # pipe_pref_pairs (NEW r15 - DPO preference-pair construction: best vs
 # worst doc per (source, lang) under the quality score, deterministic
 # tie-breaks, zero-margin pairs dropped, NULL-lang excluded).
+# pipe_classifier_agreement (NEW r15 - Cohen's kappa between the
+# trained NB and the trigram lang-ID: confusion matrix + round-6
+# po/pe/kappa, integer-exact sums, hand-example-pinned).
 _CHANGED_THIS_ROUND = [
     "pipe_curation_trained",
     "dedup_chunk",
@@ -113,6 +116,7 @@ _CHANGED_THIS_ROUND = [
     "sim_chunk_bm25",
     "text_c4_rules",
     "pipe_pref_pairs",
+    "pipe_classifier_agreement",
 ]
 # fill: the ENTIRE 31-row r11 cohort (oldest-first, alphabetical - the
 # exact list the r14 rotation tripwire printed), then the r12 cohort
@@ -126,14 +130,14 @@ _STALE_R11 = [
     "sim_nearest_centroid", "stream_cusum", "text_boilerplate",
     "text_entropy", "text_pii_scrub", "text_winnow",
 ]
-# (the 5 NEW r15 queries displace the r12 tail - graph_pagerank,
-# pipe_contamination, pipe_contamination_bloom, pipe_curation and
-# pipe_domain_mix rotate back in next round; the fill stays the
-# oldest-first alphabetical PREFIX the ledger test recomputes)
+# (the 6 NEW r15 queries displace the r12 tail - events_rollup,
+# graph_pagerank, pipe_contamination, pipe_contamination_bloom,
+# pipe_curation and pipe_domain_mix rotate back in next round; the fill
+# stays the oldest-first alphabetical PREFIX the ledger test recomputes)
 _STALE_R12 = [
     "dedup_clusters", "dedup_clusters_semantic", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_spans", "events_pivot", "events_quantiles", "events_rollup",
+    "dedup_spans", "events_pivot", "events_quantiles",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R11 + _STALE_R12
 

@@ -100,6 +100,12 @@ SINGLE_PARTITION_OK = {
     "pipe_curation_trained": 8,
     "text_keywords": 1,
     "text_lm_score": 1,
+    # pipe_classifier_agreement: two scalar merges over BOUNDED frames -
+    # tot (n/agree sums) reads the |labels|^2-row confusion matrix (a
+    # lazy localCheckpoint, so the corpus-sized classify work sits below
+    # the memo, not below these merges) and pe_num reads the
+    # |labels|-row marginal equi-join. Case (b) both.
+    "pipe_classifier_agreement": 2,
 }
 
 # No declared query may plan a CartesianProduct, ever. (The bounded

@@ -569,3 +569,144 @@ def test_sim_chunk_bm25_plan_ranks_docs_not_chunks(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "doc_id" in plan.split("Exchange hashpartitioning", 1)[1][:80]
+
+
+# --- 10. classifier agreement / Cohen's kappa (NEW r15) ----------------------
+
+
+def test_kappa_scalars_hand_computed(spark):
+    """The textbook 2x2 example: 20 yes/yes, 5 yes/no, 10 no/yes,
+    15 no/no -> po = 0.7, pe = 0.5, kappa = 0.4 (Cohen 1960). Also the
+    degenerate perfect-agreement (kappa 1) and the single-cell
+    off-diagonal matrix (po 0)."""
+    from web_maxiv_hdbppviewer_spark.plans.extensions import _kappa_scalars
+
+    conf = spark.createDataFrame(
+        [("yes", "yes", 20), ("yes", "no", 5), ("no", "yes", 10), ("no", "no", 15)],
+        "pred_nb string, pred_tri string, n long",
+    )
+    row = _kappa_scalars(conf).collect()[0]
+    assert (row["po_r"], row["pe_r"], row["kappa_r"]) == (0.7, 0.5, 0.4)
+
+    perfect = spark.createDataFrame(
+        [("en", "en", 30), ("fr", "fr", 10)],
+        "pred_nb string, pred_tri string, n long",
+    )
+    row = _kappa_scalars(perfect).collect()[0]
+    assert row["po_r"] == 1.0 and row["kappa_r"] == 1.0
+
+    disjoint = spark.createDataFrame(
+        [("en", "fr", 10)], "pred_nb string, pred_tri string, n long"
+    )
+    row = _kappa_scalars(disjoint).collect()[0]
+    # marginals never meet on a shared label: pe = 0, kappa = po = 0
+    assert (row["po_r"], row["pe_r"], row["kappa_r"]) == (0.0, 0.0, 0.0)
+
+
+# --- 11. randomized rule-filter properties (the r14 discipline) --------------
+
+from hypothesis import given, settings, strategies as st
+
+_RULE_WORD = st.sampled_from(
+    ["the", "of", "and", "with", "cat", "x", "12", "#ab", "a...b",
+     "incomprehensibilities", "…", "-", "*", "javascript", "lorem", "ipsum"]
+)
+_RULE_LINE = st.lists(_RULE_WORD, min_size=0, max_size=10).map(" ".join)
+_RULE_DOC = st.lists(_RULE_LINE, min_size=1, max_size=6).map("\n".join)
+
+
+def _gopher_twin(text, stopwords):
+    toks = [t for t in text.lower().split(" ") if t]
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    if not toks or not lines:
+        return None
+    n, nl = len(toks), len(lines)
+    n_sym = (
+        text.count("#")
+        + (len(text) - len(text.replace("...", ""))) // 3
+        + text.count("…")
+    )
+    f = dict(
+        n_words=n,
+        mean_word_len=round(sum(map(len, toks)) / n, 6),
+        symbol_ratio=round(n_sym / n, 6),
+        frac_bullet=round(
+            sum(ln.lstrip()[:1] in "-*•" and len(ln.lstrip()) > 0 for ln in lines)
+            / nl, 6),
+        frac_ellipsis=round(
+            sum(ln.rstrip().endswith(("...", "…")) for ln in lines) / nl, 6),
+        frac_alpha=round(
+            sum(any("a" <= c <= "z" for c in t) for t in toks) / n, 6),
+        n_stop=len(set(toks) & set(stopwords)),
+    )
+    f["keep"] = (
+        50 <= f["n_words"] <= 100_000
+        and 3.0 <= f["mean_word_len"] <= 10.0
+        and f["symbol_ratio"] <= 0.1
+        and f["frac_bullet"] <= 0.9
+        and f["frac_ellipsis"] <= 0.3
+        and f["frac_alpha"] >= 0.8
+        and f["n_stop"] >= 2
+    )
+    return f
+
+
+def _c4_twin(text):
+    import hashlib
+
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    if not lines:
+        return None
+    kept = [
+        ln for ln in lines
+        if ln.rstrip()[-1:] in ('.', '!', '?', '"')
+        and len([w for w in ln.split(" ") if w]) >= 5
+        and "javascript" not in ln.lower()
+    ]
+    cleaned = "\n".join(kept)
+    n_sent = sum(cleaned.count(t) for t in ".!?")
+    return dict(
+        n_lines=len(lines),
+        n_kept_lines=len(kept),
+        kept_ratio=round(len(kept) / len(lines), 6),
+        n_kept_words=sum(len([w for w in ln.split(" ") if w]) for ln in kept),
+        n_sentences=n_sent,
+        has_brace="{" in text,
+        has_lorem="lorem ipsum" in text.lower(),
+        keep=n_sent >= 3 and "{" not in text
+        and "lorem ipsum" not in text.lower(),
+        cleaned_md5=hashlib.md5(cleaned.encode()).hexdigest(),
+    )
+
+
+@given(texts=st.lists(_RULE_DOC, min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None)
+def test_rule_filters_match_twins_on_random_corpora(spark, texts):
+    """gopher_rules and c4_rules vs their pure-Python twins on random
+    multi-line corpora drawn from an alphabet that hits every rule path
+    (stopwords, symbols, bullets, unicode/ascii ellipses, numerics,
+    long words, 'javascript', 'lorem ipsum'). Token/line counts stay
+    far below 128, so no round-6 ratio can land on an exact half-ulp
+    tie and the twins' round() is equivalent to Spark's HALF_UP."""
+    from web_maxiv_hdbppviewer_spark.operators import textquality as tq
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got_g = {r["doc_id"]: r.asDict() for r in tq.gopher_rules(df).collect()}
+    for i, t in docs:
+        want = _gopher_twin(t, tq.GOPHER_STOPWORDS)
+        if want is None:
+            assert i not in got_g
+        else:
+            have = {k: v for k, v in got_g[i].items() if k != "doc_id"}
+            assert have == want, (i, t, have, want)
+
+    got_c = {r["doc_id"]: r.asDict() for r in tq.c4_rules(df).collect()}
+    for i, t in docs:
+        want = _c4_twin(t)
+        if want is None:
+            assert i not in got_c
+        else:
+            have = {k: v for k, v in got_c[i].items() if k != "doc_id"}
+            assert have == want, (i, t, have, want)

@@ -155,9 +155,9 @@ def gopher_rules(
 
     One row per non-empty document: every rule's feature column (ratios
     ROUND-6 before comparison, so the keep predicate is bit-portable
-    cross-engine) plus the combined ``keep``. Token-less documents are
-    excluded (every ratio is undefined; Gopher's rule 1 would drop them
-    anyway).
+    cross-engine) plus the combined ``keep``. Token-less documents and
+    documents with zero nonblank lines are excluded (their ratios are
+    undefined; Gopher's rule 1 would drop them anyway).
 
     Scale shape: a pure narrow projection - the token and line arrays
     are let-bound behind the quality_scores Generate barrier so the
@@ -221,24 +221,29 @@ def gopher_rules(
             n_stop.cast("long").alias("n_stop"),
         )
 
-    base = df.select(
+    # token-less and nonblank-line-less docs are excluded BEFORE the
+    # feature projection: under ANSI mode (Spark 4 default) the ratio
+    # divisions would otherwise throw DIVIDE_BY_ZERO during struct
+    # evaluation - a post-projection filter is too late. Both guards
+    # matter: whitespace-only multi-line text ("\n\n") HAS a space-split
+    # token but zero nonblank lines (hypothesis-caught,
+    # tests/test_round15.py)
+    nonblank = F.filter(F.split(txt, "\n"), lambda ln: F.trim(ln) != "")
+    base = df.where((F.size(words(txt)) > 0) & (F.size(nonblank) > 0)).select(
         F.col(id_col),
         F.explode(
             F.transform(
                 F.array(
                     F.struct(
                         words(txt).alias("toks"),
-                        F.filter(
-                            F.split(txt, "\n"),
-                            lambda ln: F.trim(ln) != "",
-                        ).alias("lines"),
+                        nonblank.alias("lines"),
                         (hashes + ellipses).cast("long").alias("n_sym"),
                     )
                 ),
                 _feat,
             )
         ).alias("g"),
-    ).where(F.col("g.n_words") > 0)
+    )
     g = F.col("g")
     keep = (
         g["n_words"].between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
@@ -327,23 +332,18 @@ def c4_rules(
             F.md5(cleaned).alias("cleaned_md5"),
         )
 
-    base = df.select(
+    # line-less docs excluded BEFORE the projection: ANSI mode would
+    # throw on the kept_ratio division during struct evaluation (the
+    # gopher_rules hypothesis-caught contract)
+    nonblank = F.filter(F.split(txt, "\n"), lambda ln: F.trim(ln) != "")
+    base = df.where(F.size(nonblank) > 0).select(
         F.col(id_col),
         txt.contains("{").alias("has_brace"),
         F.lower(txt).contains("lorem ipsum").alias("has_lorem"),
         F.explode(
-            F.transform(
-                F.array(
-                    F.struct(
-                        F.filter(
-                            F.split(txt, "\n"), lambda ln: F.trim(ln) != ""
-                        ).alias("lines")
-                    )
-                ),
-                _feat,
-            )
+            F.transform(F.array(F.struct(nonblank.alias("lines"))), _feat)
         ).alias("c"),
-    ).where(F.col("c.n_lines") > 0)
+    )
     c = F.col("c")
     keep = (
         (c["n_sentences"] >= C4_MIN_SENTENCES)

@@ -3053,6 +3053,75 @@ def pipe_curation_trained(spark, sf_dir):
     )
 
 
+def pipe_classifier_agreement(spark, sf_dir):
+    """Inter-classifier agreement diagnostic: Cohen's kappa between the
+    repo's two language classifiers - the TRAINED multinomial NB
+    (operators/nbayes.py) and the Cavnar-Trenkle trigram-profile
+    heuristic (textquality.lang_id) - the chance-corrected agreement
+    statistic a labeling pipeline reports before trusting silver labels
+    (kappa = (po - pe) / (1 - pe), Cohen 1960). Output: the full
+    confusion matrix (pred_nb x pred_tri counts) with the round-6
+    po/pe/kappa scalars broadcast onto every row.
+
+    Float parity: po and pe are single IEEE divisions of exact integer
+    sums (pe's numerator sum(row_k * col_k) stays int64-exact for any
+    corpus under ~3e9 docs), combined in the same operation order as
+    the SQL oracle, rounded once. Scale shape: both classifiers are the
+    established corpus-linear passes; the confusion matrix is one
+    groupBy over |labels|^2 keys, lazily localCheckpoint-ed for its
+    four bounded consumers (the sequential-consumer rule, PLANS.md
+    r14); every scalar join is a 1-row broadcast."""
+    from ..operators import nbayes
+
+    docs = _docs(spark, sf_dir)
+    nb = nbayes.nb_classify(docs, NB_MIN_COUNT).select(
+        "doc_id", F.col("pred").alias("pred_nb")
+    )
+    tri = textquality.lang_id(docs).select(
+        "doc_id", F.col("pred_lang").alias("pred_tri")
+    )
+    conf = (
+        nb.join(tri, "doc_id")
+        .groupBy("pred_nb", "pred_tri")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    return conf.crossJoin(F.broadcast(_kappa_scalars(conf))).orderBy(
+        "pred_nb", "pred_tri"
+    )
+
+
+def _kappa_scalars(conf):
+    """(po_r, pe_r, kappa_r) from a (pred_nb, pred_tri, n) confusion
+    frame - Cohen 1960, hand-example-pinned in tests/test_round15.py.
+    All sums integer-exact; po/pe are single double divisions combined
+    in the oracle's operation order, rounded once."""
+    tot = conf.agg(
+        F.sum("n").alias("nn"),
+        F.sum(
+            F.when(F.col("pred_nb") == F.col("pred_tri"), F.col("n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_agree"),
+    )
+    rowm = conf.groupBy("pred_nb").agg(F.sum("n").alias("rn")).withColumnRenamed(
+        "pred_nb", "k"
+    )
+    colm = conf.groupBy("pred_tri").agg(F.sum("n").alias("cn")).withColumnRenamed(
+        "pred_tri", "k"
+    )
+    pe_num = rowm.join(colm, "k").agg(
+        F.coalesce(F.sum(F.col("rn") * F.col("cn")), F.lit(0)).alias("pe_num")
+    )
+    po_e = F.col("n_agree") / F.col("nn")
+    pe_e = F.col("pe_num") / (F.col("nn").cast("double") * F.col("nn"))
+    return tot.crossJoin(pe_num).select(
+        F.round(po_e, 6).alias("po_r"),
+        F.round(pe_e, 6).alias("pe_r"),
+        F.round((po_e - pe_e) / (F.lit(1.0) - pe_e), 6).alias("kappa_r"),
+    )
+
+
 def pipe_pref_pairs(spark, sf_dir):
     """Preference-pair construction for DPO/RLHF-style training (Rafailov
     et al. 2023's data shape): within every (source, lang) cohort, pair
@@ -4991,6 +5060,7 @@ EXTENSION_QUERIES = {
     "sim_chunk_bm25": sim_chunk_bm25,
     "text_c4_rules": text_c4_rules,
     "pipe_pref_pairs": pipe_pref_pairs,
+    "pipe_classifier_agreement": pipe_classifier_agreement,
     "events_quantiles": events_quantiles,
     "events_quantiles_approx": events_quantiles_approx,
     "events_distinct_approx": events_distinct_approx,

@@ -1734,7 +1734,9 @@ EXTENSION_ORACLE["text_gopher_rules"] = """
       SELECT doc_id, text,
              list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
              list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
-      FROM documents),
+      FROM documents
+      WHERE len(list_filter(string_split(text, chr(10)),
+                            x -> trim(x) <> '')) > 0),
     f AS (
       SELECT doc_id,
              CAST(len(toks) AS BIGINT) AS n_words,
@@ -1917,6 +1919,39 @@ EXTENSION_ORACLE["pipe_pref_pairs"] = """
     FROM c JOIN j USING (source, lang)
     WHERE chosen_id <> rejected_id AND ROUND(q_chosen - q_rejected, 6) > 0
     ORDER BY source, lang
+"""
+
+# Cohen's kappa between the trained NB and the trigram lang-ID
+# (extensions.pipe_classifier_agreement): both classifier CTEs nested
+# verbatim (the text_nb_eval discipline), integer confusion counts, po
+# and pe as single double divisions of exact BIGINT sums combined in
+# the engine's operation order, rounded once
+EXTENSION_ORACLE["pipe_classifier_agreement"] = f"""
+    WITH cls AS ({EXTENSION_ORACLE["text_nb_classify"]}),
+    tri AS ({EXTENSION_ORACLE["text_langid"]}),
+    j AS (SELECT cls.doc_id, cls.pred AS pred_nb, tri.pred_lang AS pred_tri
+          FROM cls JOIN tri USING (doc_id)),
+    conf AS (SELECT pred_nb, pred_tri, CAST(COUNT(*) AS BIGINT) AS n
+             FROM j GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(CASE WHEN pred_nb = pred_tri THEN n ELSE 0 END)
+                        AS BIGINT) AS n_agree
+            FROM conf),
+    rowm AS (SELECT pred_nb AS k, CAST(SUM(n) AS BIGINT) AS rn
+             FROM conf GROUP BY 1),
+    colm AS (SELECT pred_tri AS k, CAST(SUM(n) AS BIGINT) AS cn
+             FROM conf GROUP BY 1),
+    pe AS (SELECT CAST(COALESCE(SUM(rn * cn), 0) AS BIGINT) AS pe_num
+           FROM rowm JOIN colm USING (k)),
+    scal AS (
+      SELECT ROUND(CAST(n_agree AS DOUBLE) / nn, 6) AS po_r,
+             ROUND(pe_num / (CAST(nn AS DOUBLE) * nn), 6) AS pe_r,
+             ROUND((CAST(n_agree AS DOUBLE) / nn
+                    - pe_num / (CAST(nn AS DOUBLE) * nn))
+                   / (1.0 - pe_num / (CAST(nn AS DOUBLE) * nn)), 6) AS kappa_r
+      FROM tot, pe)
+    SELECT pred_nb, pred_tri, n, po_r, pe_r, kappa_r
+    FROM conf, scal ORDER BY pred_nb, pred_tri
 """
 
 # confusion matrix over the classify result - reuses the classify CTE
