@@ -106,6 +106,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # pipe_classifier_agreement (NEW r15 - Cohen's kappa between the
 # trained NB and the trigram lang-ID: confusion matrix + round-6
 # po/pe/kappa, integer-exact sums, hand-example-pinned).
+# multimodal_near_dup (NEW r15 - perceptual near-dup pairs: 4x8-bit
+# band-bucket join over the 32-bit block-mean signatures, EXACT recall
+# for Hamming <= 3 by pigeonhole, bit_count(xor) verify; the banding
+# replayed in the SQL oracle and pinned on constructed signatures).
+# sim_outliers (NEW r15 - own-class centroid outlier pruning over a
+# deterministically polluted store (vec_id % 41 scaled x3): exact-grid
+# distances, round-6 ratio to the class mean, ratio >= 4 flags exactly
+# the injected set; oracle replays derivation + grid + division order).
 _CHANGED_THIS_ROUND = [
     "pipe_curation_trained",
     "dedup_chunk",
@@ -117,6 +125,8 @@ _CHANGED_THIS_ROUND = [
     "text_c4_rules",
     "pipe_pref_pairs",
     "pipe_classifier_agreement",
+    "multimodal_near_dup",
+    "sim_outliers",
 ]
 # fill: the ENTIRE 31-row r11 cohort (oldest-first, alphabetical - the
 # exact list the r14 rotation tripwire printed), then the r12 cohort
@@ -130,14 +140,15 @@ _STALE_R11 = [
     "sim_nearest_centroid", "stream_cusum", "text_boilerplate",
     "text_entropy", "text_pii_scrub", "text_winnow",
 ]
-# (the 6 NEW r15 queries displace the r12 tail - events_rollup,
-# graph_pagerank, pipe_contamination, pipe_contamination_bloom,
-# pipe_curation and pipe_domain_mix rotate back in next round; the fill
-# stays the oldest-first alphabetical PREFIX the ledger test recomputes)
+# (the 8 NEW r15 queries displace the r12 tail - events_pivot,
+# events_quantiles, events_rollup, graph_pagerank, pipe_contamination,
+# pipe_contamination_bloom, pipe_curation and pipe_domain_mix rotate
+# back in next round; the fill stays the oldest-first alphabetical
+# PREFIX the ledger test recomputes)
 _STALE_R12 = [
     "dedup_clusters", "dedup_clusters_semantic", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_spans", "events_pivot", "events_quantiles",
+    "dedup_spans",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R11 + _STALE_R12
 

@@ -710,3 +710,73 @@ def test_rule_filters_match_twins_on_random_corpora(spark, texts):
         else:
             have = {k: v for k, v in got_c[i].items() if k != "doc_id"}
             assert have == want, (i, t, have, want)
+
+
+# --- 12. perceptual near-dup banding (NEW r15) -------------------------------
+
+
+def test_phash_band_join_pigeonhole_on_constructed_signatures(spark):
+    """The banded Hamming join's recall/precision contract on crafted
+    32-bit signatures: a 3-bit spread-across-3-bands edit IS found (the
+    pigeonhole guarantee: <= 3 flips can touch at most 3 of 4 bands), a
+    4-bit one-flip-per-band edit shares NO band and is (correctly, by
+    the threshold) not a candidate at all, a 4-bit two-band edit IS a
+    candidate but the verify rejects it, and an exact duplicate reports
+    Hamming 0."""
+    from web_maxiv_hdbppviewer_spark.plans.extensions import (
+        _phash_near_dup_pairs,
+    )
+
+    s = 0b10101010_11001100_11110000_00001111
+    flip3 = s ^ (1 << 0) ^ (1 << 9) ^ (1 << 17)   # bands 0,1,2 touched
+    flip4_spread = s ^ (1 << 0) ^ (1 << 9) ^ (1 << 17) ^ (1 << 25)  # all 4
+    flip4_two_bands = s ^ 0b11 ^ (0b11 << 8)       # 4 flips in bands 0,1
+    sigs = spark.createDataFrame(
+        [(1, s), (2, flip3), (3, flip4_spread), (4, flip4_two_bands), (5, s)],
+        "doc_id long, sig long",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in _phash_near_dup_pairs(sigs).collect()
+    }
+    # exact expected pair set, hand-derived from the flip coordinates:
+    #   (1,2) ham 3 (pigeonhole recall at the threshold)
+    #   (1,5) ham 0 (exact duplicate), (2,5) ham 3 (via the duplicate)
+    #   (2,3) ham 1 (they share flips 0/9/17; differ only at bit 25)
+    #   (2,4) ham 3 (xor bits 1/8/17 leave band 3 shared)
+    #   (1,3)/(3,5) ham 4 one-flip-per-band: no shared band, no candidate
+    #   (1,4)/(4,5) ham 4 in two bands: candidates, verify rejects
+    #   (3,4) ham 4 touching all four bands: no candidate
+    assert got == {
+        (1, 2): 3, (1, 5): 0, (2, 5): 3, (2, 3): 1, (2, 4): 3,
+    }
+
+
+# --- 13. embedding outlier pruning (NEW r15) ---------------------------------
+
+
+def test_centroid_outliers_constructed_classes(spark):
+    """A 10-inlier + 1-far-vector class must flag exactly the far
+    vector (its ratio to the class mean lands near n, far above 4,
+    while inliers sit near 0.1); a degenerate all-identical class has
+    zero mean distance and must yield NULL ratios and no flags - the
+    ANSI-safe contract."""
+    from web_maxiv_hdbppviewer_spark.operators.similarity import (
+        centroid_outliers,
+    )
+
+    rows = [(i, [1.0, 0.0], 0) for i in range(10)]
+    rows.append((10, [9.0, 0.0], 0))          # the off-manifold vector
+    rows += [(11, [2.0, 2.0], 1), (12, [2.0, 2.0], 1)]  # degenerate class
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    got = {r["vec_id"]: r for r in centroid_outliers(df).collect()}
+    assert [v for v in sorted(got) if got[v]["is_outlier"]] == [10]
+    assert got[10]["ratio_r"] > 4.0
+    for i in range(10):
+        assert got[i]["ratio_r"] < 1.0
+    for v in (11, 12):
+        assert got[v]["ratio_r"] is None
+        assert got[v]["is_outlier"] is False
+        assert got[v]["dist_r"] == 0.0 and got[v]["mean_dist_r"] == 0.0

@@ -1593,6 +1593,76 @@ def centroid_cluster_stats(
     )
 
 
+#: relative-to-class-mean outlier threshold: squared distance >= 4x the
+#: class mean (~2 sigma for tight clusters) flags the vector
+OUTLIER_RATIO = 4.0
+
+
+def centroid_outliers(
+    df: DataFrame,
+    ratio_threshold: float = OUTLIER_RATIO,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-vector outlier flags against the own-class centroid - the
+    embedding-store pruning rule (mislabeled / polluted / off-manifold
+    examples sit far from their class mean; CLIP-style curation drops
+    them before training): (vec_id, label, dist_r, mean_dist_r, ratio_r,
+    is_outlier) where ratio_r = ROUND(dist / class_mean_dist, 6) and the
+    flag compares the ROUNDED ratio to the threshold, so the verdict is
+    bit-portable cross-engine.
+
+    A relative-to-mean rule rather than a z-score ON PURPOSE: the mean
+    is a single division of the DECIMAL-exact distance sum (the
+    centroid_cluster_stats discipline), while a variance would need a
+    sum of squared grid distances (~2^120 per class at corpus scale) or
+    float accumulation with order-dependent results. Degenerate classes
+    (all vectors identical, mean distance 0) yield NULL ratio and
+    is_outlier = false.
+
+    Scale shape: one broadcast equi-join against the codebook-sized
+    centroid table, one per-vector projection (lazily localCheckpoint-ed
+    for its two sequential consumers), one |labels|-row aggregate
+    broadcast back. No window, no corpus-sized shuffle beyond the
+    centroid build's (label, dim) partial aggregation.
+    """
+    cents = class_centroids(df, vec_col, label_col)
+    d = _sq_dist(F.col("qs"), F.col("cvec"))
+    per_vec = (
+        df.select(
+            F.col(id_col),
+            F.col(label_col).alias("label"),
+            _quantized_vec(vec_col).alias("qs"),
+        )
+        .join(F.broadcast(cents), "label")
+        .select(
+            id_col, "label", d.cast("decimal(38,0)").alias("dd")
+        )
+        .localCheckpoint(eager=False)
+    )
+    agg = per_vec.groupBy("label").agg(
+        F.sum("dd").alias("sum_d"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dist_u = F.col("dd").cast("double") / F.lit(1.0e12)
+    mean_u = F.col("sum_d").cast("double") / F.lit(1.0e12) / F.col("n")
+    ratio_r = F.when(F.col("sum_d") > 0, F.round(dist_u / mean_u, 6))
+    return (
+        per_vec.join(F.broadcast(agg), "label")
+        .select(
+            F.col(id_col),
+            "label",
+            F.round(dist_u, 6).alias("dist_r"),
+            F.round(mean_u, 6).alias("mean_dist_r"),
+            ratio_r.alias("ratio_r"),
+            F.coalesce(
+                ratio_r >= F.lit(ratio_threshold), F.lit(False)
+            ).alias("is_outlier"),
+        )
+    )
+
+
 def dimension_stats(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -4797,6 +4797,85 @@ def multimodal_phash(spark, sf_dir):
     return multimodal.content_signature(with_blob).orderBy("doc_id")
 
 
+#: perceptual-hash near-dup: 32-bit signature split into 4 x 8-bit bands.
+#: PIGEONHOLE GUARANTEE: two signatures within Hamming distance 3 differ
+#: in <= 3 bits, which can touch at most 3 of the 4 bands - so every
+#: qualifying pair shares >= 1 exact band and the band-bucket equi-join
+#: has EXACT recall at the threshold (the MinHash-LSH discipline, made
+#: deterministic).
+PHASH_HAM_MAX = 3
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 8
+
+
+def multimodal_near_dup(spark, sf_dir):
+    """Perceptual near-duplicate pairs over the opaque binary payload -
+    the image-dedup primitive (aHash/pHash Hamming matching) run at the
+    signature grain: content_signature's 32-bit block-mean signatures
+    (multimodal_phash), candidates from a 4x8-bit band-bucket equi-join
+    (exact recall for Hamming <= 3 by pigeonhole - never all-pairs),
+    verification one bit_count(xor) per candidate. A real deployment
+    swaps DCT'd decoded pixels in behind the same signature column; the
+    banding, join, and verify are grain-independent.
+
+    Scale shape: signatures are one Arrow pass (memoized lazy
+    localCheckpoint shared by the band explode and the verify sides);
+    candidates come from an equi-join on (band, value) buckets - the
+    skew bound is the duplicate-cluster size, exactly like the MinHash
+    band join; the xor/bit_count verify is codegen integer arithmetic.
+    Oracle replays banding and candidacy in SQL, so parity checks the
+    pigeonhole filter itself, not just the verify."""
+    from ..operators import multimodal
+
+    sigs = (
+        multimodal.content_signature(
+            multimodal.attach_payload(_docs(spark, sf_dir))
+        )
+        .select("doc_id", "sig")
+        .localCheckpoint(eager=False)
+    )
+    return _phash_near_dup_pairs(sigs).orderBy("doc_a", "doc_b")
+
+
+def _phash_near_dup_pairs(sigs):
+    """(doc_a, doc_b, hamming <= PHASH_HAM_MAX) from a (doc_id, sig)
+    frame via the banded Hamming join - pigeonhole-pinned in
+    tests/test_round15.py on constructed signatures."""
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * PHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << PHASH_BAND_BITS) - 1))
+                        .alias("bv"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bv"
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    ).where(F.col("hamming") <= PHASH_HAM_MAX)
+
+
 #: per-source token budget for pipe_token_budget (sources carry ~1.3-1.5k
 #: tokens at sf0.01, so ~half of each source is selected - nontrivial at
 #: every SF)
@@ -4874,6 +4953,40 @@ def sim_cluster_stats(spark, sf_dir):
     return similarity.centroid_cluster_stats(_emb(spark, sf_dir)).orderBy(
         "label"
     )
+
+
+def sim_outliers(spark, sf_dir):
+    """Per-vector embedding outliers against the own-class centroid
+    (similarity.centroid_outliers) - the pruning pass a curation
+    pipeline runs on a labeled embedding store: squared distance to the
+    class mean on the exact 1e-6 fixed grid, ROUND-6 ratio to the
+    class's mean distance, flagged at ratio >= 4 (rounded-then-compared,
+    bit-portable). Degenerate all-identical classes yield NULL ratio and
+    no flag.
+
+    The synthetic embeddings are a uniform shell (every own-class ratio
+    sits in [0.88, 1.12] - no real outliers to find), so the declared
+    query first DERIVES a polluted store deterministically (the
+    pipe_delta discipline, replayed by the oracle): every vec_id % 41
+    == 0 vector is scaled x3 component-wise - the off-manifold
+    magnitude error a broken encoder or corrupted row produces - and
+    the operator must flag exactly that injected set while the scaled
+    vectors also drag their class centroids (the realistic coupling:
+    pollution moves the mean it is measured against)."""
+    # cast to double BEFORE scaling: a float32 x*3 rounds to float32 and
+    # diverges from the oracle's double multiply at the 1e-3 grid edge
+    emb_d = F.col("embedding").cast("array<double>")
+    polluted = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 41 == 0,
+            F.transform(emb_d, lambda x: x * 3),
+        )
+        .otherwise(emb_d)
+        .alias("embedding"),
+        "label",
+    )
+    return similarity.centroid_outliers(polluted).orderBy("vec_id")
 
 
 def pipe_interleave(spark, sf_dir):
@@ -5061,6 +5174,8 @@ EXTENSION_QUERIES = {
     "text_c4_rules": text_c4_rules,
     "pipe_pref_pairs": pipe_pref_pairs,
     "pipe_classifier_agreement": pipe_classifier_agreement,
+    "multimodal_near_dup": multimodal_near_dup,
+    "sim_outliers": sim_outliers,
     "events_quantiles": events_quantiles,
     "events_quantiles_approx": events_quantiles_approx,
     "events_distinct_approx": events_distinct_approx,

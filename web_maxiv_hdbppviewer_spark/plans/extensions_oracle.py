@@ -3896,6 +3896,27 @@ EXTENSION_ORACLE["multimodal_phash"] = """
         FROM bits GROUP BY doc_id ORDER BY doc_id
     """
 
+# perceptual near-dup pairs (extensions.multimodal_near_dup): the
+# multimodal_phash signature CTE verbatim, 4x8-bit band candidacy
+# replayed in SQL (parity checks the pigeonhole filter itself), one
+# bit_count(xor) verify per candidate
+EXTENSION_ORACLE["multimodal_near_dup"] = f"""
+    WITH sigs AS ({EXTENSION_ORACLE["multimodal_phash"]}),
+    bands AS (
+      SELECT doc_id, sig, b.band AS band,
+             (sig >> (b.band * 8)) & 255 AS bv
+      FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    ORDER BY doc_a, doc_b
+"""
+
 
 # --- round 11, batch 6 ---------------------------------------------------
 
@@ -3992,6 +4013,49 @@ EXTENSION_ORACLE["sim_cluster_stats"] = f"""
                    AS mean_dist_r
         FROM norms n JOIN agg a ON a.label = n.c_label
         ORDER BY label
+    """
+
+# per-vector own-class outliers (extensions.sim_outliers /
+# similarity.centroid_outliers): the polluted-store derivation
+# (vec_id % 41 == 0 scaled x3, in DOUBLE - the engine casts to double
+# before scaling so the multiply is the same IEEE op) replayed ahead of
+# the centroid grid CTEs, which are rebound onto the derived table;
+# then per-vector exact dd, |labels|-row sums, the engine's division
+# order, NULL ratio / false flag for zero-mean classes
+_CENTROID_Q_POLLUTED = _CENTROID_Q.replace("FROM embeddings", "FROM polluted")
+
+EXTENSION_ORACLE["sim_outliers"] = f"""
+        WITH polluted AS (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 41 = 0
+                      THEN list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * 3)
+                      ELSE CAST(embedding AS DOUBLE[]) END AS embedding,
+                 label
+          FROM embeddings),
+        {_CENTROID_Q_POLLUTED},
+        dist AS (
+          SELECT q.id, q.label,
+                 CAST(SUM((q.qd * 1000 - c.c) * (q.qd * 1000 - c.c))
+                      AS BIGINT) AS dd
+          FROM q JOIN cent c ON q.d = c.d AND q.label = c.c_label
+          GROUP BY 1, 2),
+        agg AS (SELECT label, CAST(SUM(dd) AS BIGINT) AS sum_d,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM dist GROUP BY 1)
+        SELECT d.id AS vec_id, d.label,
+               ROUND(CAST(d.dd AS DOUBLE) / 1e12, 6) AS dist_r,
+               ROUND(CAST(a.sum_d AS DOUBLE) / 1e12 / a.n, 6) AS mean_dist_r,
+               CASE WHEN a.sum_d > 0
+                    THEN ROUND((CAST(d.dd AS DOUBLE) / 1e12)
+                               / (CAST(a.sum_d AS DOUBLE) / 1e12 / a.n), 6)
+                    END AS ratio_r,
+               COALESCE(CASE WHEN a.sum_d > 0
+                    THEN ROUND((CAST(d.dd AS DOUBLE) / 1e12)
+                               / (CAST(a.sum_d AS DOUBLE) / 1e12 / a.n), 6)
+                         >= 4.0 END, FALSE) AS is_outlier
+        FROM dist d JOIN agg a USING (label)
+        ORDER BY vec_id
     """
 
 # boilerplate gram exposure (extensions.text_boilerplate): shared k-gram
