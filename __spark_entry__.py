@@ -114,6 +114,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # deterministically polluted store (vec_id % 41 scaled x3): exact-grid
 # distances, round-6 ratio to the class mean, ratio >= 4 flags exactly
 # the injected set; oracle replays derivation + grid + division order).
+# pipe_refinedweb (NEW r15 - the RefinedWeb/FineWeb-shape heuristic
+# funnel, Penedo et al. 2023: lang-ID agreement -> Gopher rules -> C4
+# line cleaning -> exact dedup at the C4 cleaned grain -> near-dup
+# drop, per-stage attribution over the content-keyed stopword-lined
+# derived corpus; constructed 5-doc test drops someone at every stage).
 _CHANGED_THIS_ROUND = [
     "pipe_curation_trained",
     "dedup_chunk",
@@ -127,6 +132,7 @@ _CHANGED_THIS_ROUND = [
     "pipe_classifier_agreement",
     "multimodal_near_dup",
     "sim_outliers",
+    "pipe_refinedweb",
 ]
 # fill: the ENTIRE 31-row r11 cohort (oldest-first, alphabetical - the
 # exact list the r14 rotation tripwire printed), then the r12 cohort
@@ -140,15 +146,14 @@ _STALE_R11 = [
     "sim_nearest_centroid", "stream_cusum", "text_boilerplate",
     "text_entropy", "text_pii_scrub", "text_winnow",
 ]
-# (the 8 NEW r15 queries displace the r12 tail - events_pivot,
-# events_quantiles, events_rollup, graph_pagerank, pipe_contamination,
-# pipe_contamination_bloom, pipe_curation and pipe_domain_mix rotate
-# back in next round; the fill stays the oldest-first alphabetical
-# PREFIX the ledger test recomputes)
+# (the 9 NEW r15 queries displace the r12 tail - dedup_spans,
+# events_pivot, events_quantiles, events_rollup, graph_pagerank,
+# pipe_contamination, pipe_contamination_bloom, pipe_curation and
+# pipe_domain_mix rotate back in next round; the fill stays the
+# oldest-first alphabetical PREFIX the ledger test recomputes)
 _STALE_R12 = [
     "dedup_clusters", "dedup_clusters_semantic", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_spans",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R11 + _STALE_R12
 

@@ -100,6 +100,11 @@ SINGLE_PARTITION_OK = {
     "pipe_curation_trained": 8,
     "text_keywords": 1,
     "text_lm_score": 1,
+    # pipe_refinedweb: pipe_curation_trained's funnel shape with one
+    # more stage - 10 scalar survivor counts (5 stages x n_in/n_kept),
+    # each a single-row merge below a partial count aggregate over a
+    # lazily-checkpointed survivor id-frame. Case (a) throughout.
+    "pipe_refinedweb": 10,
     # pipe_classifier_agreement: two scalar merges over BOUNDED frames -
     # tot (n/agree sums) reads the |labels|^2-row confusion matrix (a
     # lazy localCheckpoint, so the corpus-sized classify work sits below

@@ -780,3 +780,63 @@ def test_centroid_outliers_constructed_classes(spark):
         assert got[v]["ratio_r"] is None
         assert got[v]["is_outlier"] is False
         assert got[v]["dist_r"] == 0.0 and got[v]["mean_dist_r"] == 0.0
+
+
+# --- 14. the RefinedWeb heuristic funnel (NEW r15) ---------------------------
+
+
+def test_pipe_refinedweb_constructed_every_stage_drops(spark, tmp_path):
+    """A 5-doc corpus where each stage's drop is known by construction:
+    doc 5 (mislabeled fr on English-stopword-prefixed text) drops at
+    lang_id; doc 4 (10 tokens) drops at Gopher's 50-word floor; docs
+    1/2 are byte-identical 60-token texts, so the content-keyed
+    derivation keeps them identical and exact_cleaned collapses them;
+    doc 3 is a one-token edit of doc 1 (same token count -> same
+    derivation keys, bigram Jaccard ~0.94) and is dominated at
+    near_dup. Exactly one document survives."""
+    from web_maxiv_hdbppviewer_spark.plans import extensions
+
+    # 60 DISTINCT tokens: bigram shingles must be ~59 distinct so the
+    # one-token edit lands at J = 57/61 ~= 0.93 (a repeated-vocabulary
+    # base collapses to 6 distinct shingles and the edit dives to 0.75)
+    base = " ".join(f"tok{i:02d}" for i in range(60))
+    edited = base.split(" ")
+    edited[30] = "zzzzz"
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "src", base),
+            (2, "en", "src", base),
+            (3, "en", "src", " ".join(edited)),
+            (4, "en", "src", " ".join(f"tok{i:02d}" for i in range(8))),
+            (5, "fr", "src", base),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    sf_dir = _constructed_corpus(spark, tmp_path, docs=docs)
+    out = extensions.pipe_refinedweb(spark, sf_dir).collect()
+    funnel = [(r["stage"], r["name"], r["n_in"], r["n_kept"]) for r in out]
+    assert funnel == [
+        (1, "lang_id", 5, 4),
+        (2, "gopher", 4, 3),
+        (3, "c4", 3, 3),
+        (4, "exact_cleaned", 3, 2),
+        (5, "near_dup", 2, 1),
+    ]
+
+
+def test_pipe_refinedweb_funnel_is_self_auditing(spark):
+    """On real testdata: stage k's n_in equals stage k-1's n_kept,
+    counts monotonically non-increasing, stage-1 n_in is the derived
+    corpus size (every raw doc tokenizes non-empty here)."""
+    from web_maxiv_hdbppviewer_spark.plans import extensions
+    from web_maxiv_hdbppviewer_spark.sources.tables import load_tables
+
+    out = extensions.pipe_refinedweb(spark, SF_SMOKE).collect()
+    assert [r["stage"] for r in out] == [1, 2, 3, 4, 5]
+    n_docs = load_tables(spark, SF_SMOKE)["documents"].count()
+    assert out[0]["n_in"] == n_docs
+    for prev, cur in zip(out, out[1:]):
+        assert cur["n_in"] == prev["n_kept"]
+    for r in out:
+        assert 0 <= r["n_kept"] <= r["n_in"]
+    assert out[1]["n_kept"] < out[0]["n_kept"]  # gopher really filters

@@ -678,32 +678,7 @@ def text_c4_rules(spark, sf_dir):
     counts, and all three doc verdicts vary across the corpus. Both the
     derivation and the filter are narrow codegen projections, zero
     shuffles."""
-    from ..functions.texthash import words
-
-    docs = _docs_sorted(spark, sf_dir)
-    toks = words(F.col("text"))
-    d = F.col("doc_id")
-    nl = F.ceil(F.size(toks) / F.lit(10)).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(0), nl - 1),
-        lambda i: F.concat(
-            F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
-            F.when((d + i) % 3 != 2, F.lit(".")).otherwise(F.lit("")),
-        ),
-    )
-    lined = docs.where(F.size(toks) > 0).select(
-        "doc_id",
-        F.concat(
-            F.array_join(lines, "\n"),
-            F.when(
-                d % 97 == 0, F.lit("\nconfig block follows here {")
-            ).otherwise(F.lit("")),
-            F.when(
-                d % 89 == 0, F.lit("\nlorem ipsum filler text here.")
-            ).otherwise(F.lit("")),
-        ).alias("text"),
-    )
-    return textquality.c4_rules(lined)
+    return textquality.c4_rules(_lined_docs(spark, sf_dir))
 
 
 def text_repetition(spark, sf_dir):
@@ -3189,6 +3164,157 @@ def pipe_pref_pairs(spark, sf_dir):
     )
 
 
+def _lined_docs(spark, sf_dir, keep_cols=(), stopwords=False):
+    """The deterministically DERIVED lined corpus shared by
+    text_c4_rules and pipe_refinedweb (the synthetic corpus is
+    single-line and punctuation-free): 10-token reflow, line i
+    terminated '.' iff (doc_id + i) % 3 != 2, brace line appended to
+    doc_id % 97 == 0 docs, 'lorem ipsum' line to doc_id % 89 == 0.
+    With ``stopwords=True`` every line is additionally PREFIXED with a
+    cycling GOPHER_STOPWORDS entry and the per-line keys switch from
+    doc_id to the token COUNT - the funnel variant: Gopher's
+    stopword-presence rule gets a signal path on the synthetic
+    vocabulary (multi-line docs collect >= 2 distinct stopwords), and
+    content-keyed derivation means identical raw texts derive
+    IDENTICALLY, so the funnel's cleaned-grain dedup still sees them as
+    duplicates (a doc_id key would pseudo-uniquify every copy). The
+    oracle replays the identical arithmetic."""
+    from ..functions.texthash import words
+    from ..operators.textquality import GOPHER_STOPWORDS
+
+    docs = _docs_sorted(spark, sf_dir)
+    toks = words(F.col("text"))
+    d = F.col("doc_id")
+    key = F.size(toks).cast("long") if stopwords else d
+    nl = F.ceil(F.size(toks) / F.lit(10)).cast("int")
+    stoparr = F.array([F.lit(s) for s in GOPHER_STOPWORDS])
+
+    def line(i):
+        body = F.array_join(F.slice(toks, i * 10 + 1, 10), " ")
+        if stopwords:
+            body = F.concat(
+                F.element_at(stoparr, ((key + i) % 8 + 1).cast("int")),
+                F.lit(" "),
+                body,
+            )
+        return F.concat(
+            body,
+            F.when((key + i) % 3 != 2, F.lit(".")).otherwise(F.lit("")),
+        )
+
+    lines = F.transform(F.sequence(F.lit(0), nl - 1), line)
+    # the funnel variant joins lines with ' \n ' so the SPACE-only
+    # whitespace tokenizer (words/gopher_rules) still sees the line
+    # boundary tokens - a bare newline glues line-final and prefix
+    # tokens ('hop.\nthat') and silently hides every injected stopword
+    sep = " \n " if stopwords else "\n"
+    return docs.where(F.size(toks) > 0).select(
+        "doc_id",
+        F.concat(
+            F.array_join(lines, sep),
+            F.when(
+                d % 97 == 0, F.lit("\nconfig block follows here {")
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 89 == 0, F.lit("\nlorem ipsum filler text here.")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+        *keep_cols,
+    )
+
+
+def pipe_refinedweb(spark, sf_dir):
+    """The literature-complete HEURISTIC curation funnel - the
+    RefinedWeb/FineWeb pipeline shape (Penedo et al. 2023): language
+    identification -> Gopher doc-level rules -> C4 line-level cleaning
+    -> exact dedup at the CLEANED grain (C4's own dedup unit:
+    md5 of the kept lines) -> near-dup drop. The trained twin is
+    pipe_curation_trained; this funnel runs the published rule sets the
+    big web corpora actually shipped with, each stage applying to the
+    previous stage's survivors with (n_in, n_kept) attribution (the
+    pipe_funnel self-audit: stage k's n_in == stage k-1's n_kept).
+
+    The whole funnel runs over ONE deterministically derived corpus
+    (_lined_docs with the stopword-prefix variant - the synthetic text
+    is single-line, punctuation-free, and Gopher-stopword-free, so the
+    raw corpus gives the line rules and the stopword rule nothing to
+    read; the derivation gives every published rule a signal path and
+    the oracle replays it). Stage semantics: (1) lang_id - the trigram
+    classifier's prediction must agree with the recorded lang;
+    NULL-lang docs cannot certify and drop. (2) gopher -
+    gopher_rules' keep verdict. (3) c4 - c4_rules' doc verdict.
+    (4) exact_cleaned - min-id representative per C4 cleaned_md5
+    group, so two docs whose SURVIVING lines coincide collapse even
+    when their raw bytes differ (the C4-accurate dedup grain).
+    (5) near_dup - docs dominated by a smaller-id Jaccard >= 0.8
+    partner on the RAW text (near-duplication is a property of the
+    content, not of the derivation's injected punctuation - and the
+    raw-corpus pair index is the session-shared one every dedup query
+    reuses, so this stage adds zero index builds), filtered to
+    surviving endpoints - recall-exact, pairwise.
+
+    Scale shape: stages 1-3 are the established narrow passes; survivor
+    id-frames are lazily localCheckpoint-ed (bytes per doc); the
+    cleaned-grain dedup is one groupBy(md5); near-dup reads the
+    memoized pair index. Ten scalar counts, nothing else reaches the
+    driver."""
+    docs = _lined_docs(
+        spark, sf_dir, keep_cols=("lang",), stopwords=True
+    ).localCheckpoint(eager=False)
+    total = docs.select("doc_id")
+    s1_ids = (
+        textquality.lang_id(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .where(F.col("pred_lang") == F.col("lang"))
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    gop = textquality.gopher_rules(docs).select("doc_id", "keep")
+    s2_ids = (
+        s1_ids.join(gop.where("keep"), "doc_id", "left_semi")
+        .localCheckpoint(eager=False)
+    )
+    c4 = textquality.c4_rules(docs).select("doc_id", "keep", "cleaned_md5")
+    s3 = (
+        s2_ids.join(c4.where("keep"), "doc_id", "left_semi")
+        .join(c4.select("doc_id", "cleaned_md5"), "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    s4_ids = (
+        s3.groupBy("cleaned_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD)
+    dominated = (
+        pairs.join(s4_ids.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi")
+        .join(s4_ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s5_ids = s4_ids.join(dominated, "doc_id", "left_anti")
+
+    def row(stage, name, df_in, df_kept):
+        n_in = df_in.agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+        n_kept = df_kept.agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        return n_in.crossJoin(n_kept).select(
+            F.lit(stage).cast("long").alias("stage"),
+            F.lit(name).alias("name"),
+            "n_in",
+            "n_kept",
+        )
+
+    return (
+        row(1, "lang_id", total, s1_ids)
+        .unionByName(row(2, "gopher", s1_ids, s2_ids))
+        .unionByName(row(3, "c4", s2_ids, s3))
+        .unionByName(row(4, "exact_cleaned", s3, s4_ids))
+        .unionByName(row(5, "near_dup", s4_ids, s5_ids))
+        .orderBy("stage")
+    )
+
+
 def pipe_pack(spark, sf_dir):
     """Sequence packing: every document's contiguous token span in its
     packed training shard (deterministic order, documents may straddle
@@ -5176,6 +5302,7 @@ EXTENSION_QUERIES = {
     "pipe_classifier_agreement": pipe_classifier_agreement,
     "multimodal_near_dup": multimodal_near_dup,
     "sim_outliers": sim_outliers,
+    "pipe_refinedweb": pipe_refinedweb,
     "events_quantiles": events_quantiles,
     "events_quantiles_approx": events_quantiles_approx,
     "events_distinct_approx": events_distinct_approx,

@@ -2102,6 +2102,115 @@ EXTENSION_ORACLE["pipe_curation_trained"] = f"""
     ORDER BY stage
 """
 
+# the RefinedWeb-shape heuristic funnel (extensions.pipe_refinedweb):
+# every stage runs over the ONE derived stopword-lined corpus (the
+# _lined_docs stopwords=True arithmetic, replayed in the `lined` CTE);
+# the text_langid and text_gopher_rules oracles are nested verbatim
+# with their source rebound onto it (a nested WITH may read an outer
+# CTE), the C4 rule arithmetic is inlined over the same text, dedup is
+# at the C4 cleaned grain, and the near-dup stage is
+# pipe_curation_trained's pair SQL over the derived text
+EXTENSION_ORACLE["pipe_refinedweb"] = f"""
+    WITH raw AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents),
+    lined AS (
+      SELECT doc_id, lang,
+             array_to_string(list_transform(
+               generate_series(0, CAST(ceil(len(toks) / 10.0) AS INT) - 1),
+               i -> list_extract(['the', 'be', 'to', 'of', 'and', 'that',
+                                  'have', 'with'],
+                                 CAST((len(toks) + i) % 8 + 1 AS INT))
+                    || ' '
+                    || array_to_string(list_slice(toks, i*10 + 1, i*10 + 10), ' ')
+                    || CASE WHEN (len(toks) + i) % 3 <> 2 THEN '.' ELSE '' END),
+               ' ' || chr(10) || ' ')
+             || CASE WHEN doc_id % 97 = 0
+                     THEN chr(10) || 'config block follows here {{'
+                     ELSE '' END
+             || CASE WHEN doc_id % 89 = 0
+                     THEN chr(10) || 'lorem ipsum filler text here.'
+                     ELSE '' END AS text
+      FROM raw WHERE len(toks) > 0),
+    lid AS ({EXTENSION_ORACLE["text_langid"].replace("FROM documents", "FROM lined")}),
+    s1 AS (SELECT d.doc_id FROM lined d
+           JOIN lid USING (doc_id) WHERE lid.pred_lang = d.lang),
+    gop AS ({EXTENSION_ORACLE["text_gopher_rules"].replace("FROM documents", "FROM lined")}),
+    s2 AS (SELECT doc_id FROM s1 JOIN gop USING (doc_id) WHERE gop.keep),
+    c4t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+             contains(text, '{{') AS has_brace,
+             contains(lower(text), 'lorem ipsum') AS has_lorem
+      FROM lined),
+    c4k AS (
+      SELECT doc_id, has_brace, has_lorem,
+             COALESCE(array_to_string(list_filter(lines, l ->
+                right(rtrim(l), 1) IN ('.', '!', '?', '"')
+                AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+                AND NOT contains(lower(l), 'javascript')), chr(10)), '')
+               AS cleaned
+      FROM c4t WHERE len(lines) > 0),
+    c4 AS (
+      SELECT doc_id,
+             ((length(cleaned) - length(replace(cleaned, '.', ''))
+               + length(cleaned) - length(replace(cleaned, '!', ''))
+               + length(cleaned) - length(replace(cleaned, '?', ''))) >= 3
+              AND NOT has_brace AND NOT has_lorem) AS keep,
+             md5(cleaned) AS cleaned_md5
+      FROM c4k),
+    s3 AS (SELECT c4.doc_id, c4.cleaned_md5
+           FROM s2 JOIN c4 USING (doc_id) WHERE c4.keep),
+    s4 AS (SELECT MIN(doc_id) AS doc_id FROM s3 GROUP BY cleaned_md5),
+    d4 AS (SELECT d.doc_id, d.text FROM documents d JOIN s4 USING (doc_id)),
+    raw_toks4 AS (
+      SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+            FROM d4)),
+    sh4 AS (
+      SELECT DISTINCT doc_id AS id, w || ' ' || nw AS s
+      FROM (SELECT doc_id, w, i,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS nw
+            FROM raw_toks4)
+      WHERE nw IS NOT NULL),
+    sz4 AS (SELECT id, COUNT(*) AS n FROM sh4 GROUP BY id),
+    common4 AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+      FROM sh4 a JOIN sh4 b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2),
+    dominated AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM common4
+      JOIN sz4 sa ON sa.id = id_a
+      JOIN sz4 sb ON sb.id = id_b
+      WHERE ROUND(c / (sa.n + sb.n - c), 6) >= 0.8),
+    s5 AS (
+      SELECT doc_id FROM s4
+      WHERE doc_id NOT IN (SELECT doc_id FROM dominated))
+    SELECT CAST(1 AS BIGINT) AS stage, 'lang_id' AS name,
+           CAST((SELECT COUNT(*) FROM lined) AS BIGINT) AS n_in,
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_kept
+    UNION ALL
+    SELECT 2, 'gopher',
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'c4',
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    UNION ALL
+    SELECT 4, 'exact_cleaned',
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM s4) AS BIGINT)
+    UNION ALL
+    SELECT 5, 'near_dup',
+           CAST((SELECT COUNT(*) FROM s4) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM s5) AS BIGINT)
+    ORDER BY stage
+"""
+
 # recall-per-method comparison (extensions.sim_ann_compare): ONE exact
 # top-k CTE shared by all three approximate rankings - the same LSH / PQ /
 # IVFPQ chains as the retired per-method recall oracles, combined. The
