@@ -119,6 +119,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # line cleaning -> exact dedup at the C4 cleaned grain -> near-dup
 # drop, per-stage attribution over the content-keyed stopword-lined
 # derived corpus; constructed 5-doc test drops someone at every stage).
+# pipe_token_attribution (NEW r15 - 'where did my tokens go': the
+# refinedweb stages re-weighted by the RAW-corpus token budget, ten
+# bounded scalar sums over the shared stage frames, guarded round-6
+# kept fraction).
 _CHANGED_THIS_ROUND = [
     "pipe_curation_trained",
     "dedup_chunk",
@@ -133,6 +137,7 @@ _CHANGED_THIS_ROUND = [
     "multimodal_near_dup",
     "sim_outliers",
     "pipe_refinedweb",
+    "pipe_token_attribution",
 ]
 # fill: the ENTIRE 31-row r11 cohort (oldest-first, alphabetical - the
 # exact list the r14 rotation tripwire printed), then the r12 cohort
@@ -146,14 +151,15 @@ _STALE_R11 = [
     "sim_nearest_centroid", "stream_cusum", "text_boilerplate",
     "text_entropy", "text_pii_scrub", "text_winnow",
 ]
-# (the 9 NEW r15 queries displace the r12 tail - dedup_spans,
-# events_pivot, events_quantiles, events_rollup, graph_pagerank,
-# pipe_contamination, pipe_contamination_bloom, pipe_curation and
-# pipe_domain_mix rotate back in next round; the fill stays the
-# oldest-first alphabetical PREFIX the ledger test recomputes)
+# (the 10 NEW r15 queries displace the r12 tail - dedup_simhash,
+# dedup_spans, events_pivot, events_quantiles, events_rollup,
+# graph_pagerank, pipe_contamination, pipe_contamination_bloom,
+# pipe_curation and pipe_domain_mix rotate back in next round; the
+# fill stays the oldest-first alphabetical PREFIX the ledger test
+# recomputes)
 _STALE_R12 = [
     "dedup_clusters", "dedup_clusters_semantic", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R11 + _STALE_R12
 

@@ -105,6 +105,11 @@ SINGLE_PARTITION_OK = {
     # each a single-row merge below a partial count aggregate over a
     # lazily-checkpointed survivor id-frame. Case (a) throughout.
     "pipe_refinedweb": 10,
+    # pipe_token_attribution: same funnel frames, ten scalar TOKEN-sum
+    # merges (5 stages x tok_in/tok_kept), each a single-row merge below
+    # a partial sum over a survivor-semi-joined narrow (doc_id, n_tok)
+    # frame. Case (a) throughout.
+    "pipe_token_attribution": 10,
     # pipe_classifier_agreement: two scalar merges over BOUNDED frames -
     # tot (n/agree sums) reads the |labels|^2-row confusion matrix (a
     # lazy localCheckpoint, so the corpus-sized classify work sits below

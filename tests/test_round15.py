@@ -840,3 +840,40 @@ def test_pipe_refinedweb_funnel_is_self_auditing(spark):
     for r in out:
         assert 0 <= r["n_kept"] <= r["n_in"]
     assert out[1]["n_kept"] < out[0]["n_kept"]  # gopher really filters
+
+
+def test_pipe_token_attribution_ties_to_doc_funnel(spark, tmp_path):
+    """The token funnel on the 5-doc constructed corpus: budgets are
+    hand-knowable (60+60+60+8+60 raw tokens), tok_in chains stage to
+    stage like the doc funnel (self-audit), stage 1 sheds doc 5's 60
+    tokens, stage 2 sheds doc 4's 8, stage 4 sheds a 60-token
+    duplicate, stage 5 sheds the 60-token near-dup - one survivor with
+    60 tokens and exact round-6 kept fractions."""
+    from web_maxiv_hdbppviewer_spark.plans import extensions
+
+    base = " ".join(f"tok{i:02d}" for i in range(60))
+    edited = base.split(" ")
+    edited[30] = "zzzzz"
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "src", base),
+            (2, "en", "src", base),
+            (3, "en", "src", " ".join(edited)),
+            (4, "en", "src", " ".join(f"tok{i:02d}" for i in range(8))),
+            (5, "fr", "src", base),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    sf_dir = _constructed_corpus(spark, tmp_path, docs=docs)
+    out = extensions.pipe_token_attribution(spark, sf_dir).collect()
+    rows = [
+        (r["stage"], r["name"], r["tok_in"], r["tok_kept"], r["kept_frac"])
+        for r in out
+    ]
+    assert rows == [
+        (1, "lang_id", 248, 188, round(188 / 248, 6)),
+        (2, "gopher", 188, 180, round(180 / 188, 6)),
+        (3, "c4", 180, 180, 1.0),
+        (4, "exact_cleaned", 180, 120, round(120 / 180, 6)),
+        (5, "near_dup", 120, 60, 0.5),
+    ]

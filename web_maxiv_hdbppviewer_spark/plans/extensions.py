@@ -3258,6 +3258,31 @@ def pipe_refinedweb(spark, sf_dir):
     cleaned-grain dedup is one groupBy(md5); near-dup reads the
     memoized pair index. Ten scalar counts, nothing else reaches the
     driver."""
+    stages = _refinedweb_stages(spark, sf_dir)
+
+    def row(stage, name, df_in, df_kept):
+        n_in = df_in.agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+        n_kept = df_kept.agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        return n_in.crossJoin(n_kept).select(
+            F.lit(stage).cast("long").alias("stage"),
+            F.lit(name).alias("name"),
+            "n_in",
+            "n_kept",
+        )
+
+    out = None
+    for i, (name, df_in, df_kept) in enumerate(stages, start=1):
+        r = row(i, name, df_in, df_kept)
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("stage")
+
+
+def _refinedweb_stages(spark, sf_dir):
+    """The funnel's stage list [(name, in_frame, kept_frame)], shared by
+    pipe_refinedweb (doc counts) and pipe_token_attribution (raw-token
+    budgets). Frames carry doc_id (s3 also cleaned_md5); every survivor
+    frame is a lazy localCheckpoint so both report queries and every
+    later stage read the one materialization."""
     docs = _lined_docs(
         spark, sf_dir, keep_cols=("lang",), stopwords=True
     ).localCheckpoint(eager=False)
@@ -3294,25 +3319,65 @@ def pipe_refinedweb(spark, sf_dir):
         .distinct()
     )
     s5_ids = s4_ids.join(dominated, "doc_id", "left_anti")
+    return [
+        ("lang_id", total, s1_ids),
+        ("gopher", s1_ids, s2_ids),
+        ("c4", s2_ids, s3),
+        ("exact_cleaned", s3, s4_ids),
+        ("near_dup", s4_ids, s5_ids),
+    ]
 
-    def row(stage, name, df_in, df_kept):
-        n_in = df_in.agg(F.count(F.lit(1)).cast("long").alias("n_in"))
-        n_kept = df_kept.agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
-        return n_in.crossJoin(n_kept).select(
-            F.lit(stage).cast("long").alias("stage"),
-            F.lit(name).alias("name"),
-            "n_in",
-            "n_kept",
+
+def pipe_token_attribution(spark, sf_dir):
+    """'Where did my tokens go' - the funnel report a 100 TB pipeline
+    actually publishes: pipe_refinedweb's five stages re-weighted by the
+    RAW-corpus whitespace token budget, (stage, name, tok_in, tok_kept,
+    round-6 kept_frac). Document counts hide the skew (one dropped
+    10k-token document outweighs fifty dropped stubs); the token-grain
+    view is what budget planning reads.
+
+    Scale shape: the stage frames are pipe_refinedweb's lazy
+    localCheckpoints; each budget is one broadcast-sized semi-join of
+    the survivor id-frame against the narrow (doc_id, n_tok) projection
+    followed by a scalar sum - ten bounded scalars, no new corpus
+    passes beyond the one (doc_id, n_tok) projection."""
+    from ..functions.texthash import words
+
+    ntok = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id", F.size(words(F.col("text"))).cast("long").alias("n_tok")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def budget(ids):
+        return ntok.join(ids.select("doc_id"), "doc_id", "left_semi").agg(
+            F.coalesce(F.sum("n_tok"), F.lit(0)).alias("t")
         )
 
-    return (
-        row(1, "lang_id", total, s1_ids)
-        .unionByName(row(2, "gopher", s1_ids, s2_ids))
-        .unionByName(row(3, "c4", s2_ids, s3))
-        .unionByName(row(4, "exact_cleaned", s3, s4_ids))
-        .unionByName(row(5, "near_dup", s4_ids, s5_ids))
-        .orderBy("stage")
-    )
+    out = None
+    for i, (name, df_in, df_kept) in enumerate(
+        _refinedweb_stages(spark, sf_dir), start=1
+    ):
+        r = (
+            budget(df_in)
+            .withColumnRenamed("t", "tok_in")
+            .crossJoin(budget(df_kept).withColumnRenamed("t", "tok_kept"))
+            .select(
+                F.lit(i).cast("long").alias("stage"),
+                F.lit(name).alias("name"),
+                "tok_in",
+                "tok_kept",
+                # ANSI guard: an emptied-out stage has no defined ratio
+                F.when(
+                    F.col("tok_in") > 0,
+                    F.round(F.col("tok_kept") / F.col("tok_in"), 6),
+                ).alias("kept_frac"),
+            )
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("stage")
 
 
 def pipe_pack(spark, sf_dir):
@@ -5303,6 +5368,7 @@ EXTENSION_QUERIES = {
     "multimodal_near_dup": multimodal_near_dup,
     "sim_outliers": sim_outliers,
     "pipe_refinedweb": pipe_refinedweb,
+    "pipe_token_attribution": pipe_token_attribution,
     "events_quantiles": events_quantiles,
     "events_quantiles_approx": events_quantiles_approx,
     "events_distinct_approx": events_distinct_approx,

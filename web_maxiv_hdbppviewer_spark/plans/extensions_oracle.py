@@ -2211,6 +2211,52 @@ EXTENSION_ORACLE["pipe_refinedweb"] = f"""
     ORDER BY stage
 """
 
+# token-weighted funnel report (extensions.pipe_token_attribution):
+# the pipe_refinedweb CTE chain verbatim (string-reused up to its stage
+# selects), one narrow (doc_id, n_tok) raw-budget CTE, and per-stage
+# scalar token sums with the engine's guarded round-6 kept fraction
+_RW_CTES = EXTENSION_ORACLE["pipe_refinedweb"].split(
+    "SELECT CAST(1 AS BIGINT) AS stage"
+)[0].rstrip()
+
+# (the kept_frac alias cannot laterally reference subquery aliases in
+# DuckDB, so each stage row computes the sums in an inner select)
+_TOK_STAGE = """
+    SELECT stage, name, tok_in, tok_kept,
+           CASE WHEN tok_in > 0 THEN ROUND(tok_kept / tok_in, 6) END
+               AS kept_frac
+    FROM (SELECT CAST({i} AS BIGINT) AS stage, '{name}' AS name,
+                 (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
+                  FROM ntok JOIN {src_in} USING (doc_id)) AS tok_in,
+                 (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
+                  FROM ntok JOIN {src_kept} USING (doc_id)) AS tok_kept)
+"""
+
+EXTENSION_ORACLE["pipe_token_attribution"] = (
+    _RW_CTES
+    + """,
+    ntok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents)
+"""
+    + " UNION ALL ".join(
+        _TOK_STAGE.format(i=i, name=name, src_in=si, src_kept=sk)
+        for i, (name, si, sk) in enumerate(
+            [
+                ("lang_id", "lined", "s1"),
+                ("gopher", "s1", "s2"),
+                ("c4", "s2", "s3"),
+                ("exact_cleaned", "s3", "s4"),
+                ("near_dup", "s4", "s5"),
+            ],
+            start=1,
+        )
+    )
+    + "    ORDER BY stage\n"
+)
+
 # recall-per-method comparison (extensions.sim_ann_compare): ONE exact
 # top-k CTE shared by all three approximate rankings - the same LSH / PQ /
 # IVFPQ chains as the retired per-method recall oracles, combined. The
