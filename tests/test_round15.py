@@ -313,15 +313,12 @@ def test_gopher_rules_match_pure_python_twin(spark):
         toks = [t for t in text.lower().split(" ") if t]
         lines = [ln for ln in text.split("\n") if ln.strip()]
         n, nl = len(toks), len(lines)
-        n_sym = (
-            text.count("#")
-            + (len(text) - len(text.replace("...", ""))) // 3
-            + text.count("…")
-        )
+        n_ell = (len(text) - len(text.replace("...", ""))) // 3 + text.count("…")
         feats = dict(
             n_words=n,
             mean_word_len=round(sum(map(len, toks)) / n, 6),
-            symbol_ratio=round(n_sym / n, 6),
+            hash_ratio=round(text.count("#") / n, 6),
+            ellipsis_sym_ratio=round(n_ell / n, 6),
             frac_bullet=round(
                 sum(ln.lstrip()[:1] in "-*•" and len(ln.lstrip()) > 0 for ln in lines) / nl, 6
             ),
@@ -336,7 +333,8 @@ def test_gopher_rules_match_pure_python_twin(spark):
         feats["keep"] = (
             50 <= feats["n_words"] <= 100_000
             and 3.0 <= feats["mean_word_len"] <= 10.0
-            and feats["symbol_ratio"] <= 0.1
+            and feats["hash_ratio"] <= 0.1
+            and feats["ellipsis_sym_ratio"] <= 0.1
             and feats["frac_bullet"] <= 0.9
             and feats["frac_ellipsis"] <= 0.3
             and feats["frac_alpha"] >= 0.8
@@ -357,7 +355,7 @@ def test_gopher_rules_match_pure_python_twin(spark):
     assert got[2]["n_words"] < 50
     assert got[3]["frac_bullet"] > 0.9
     assert got[4]["frac_ellipsis"] > 0.3
-    assert got[5]["symbol_ratio"] > 0.1
+    assert got[5]["hash_ratio"] > 0.1
     assert got[6]["frac_alpha"] < 0.8
     assert got[7]["mean_word_len"] > 10.0
     assert got[8]["n_stop"] < 2
@@ -621,15 +619,12 @@ def _gopher_twin(text, stopwords):
     if not toks or not lines:
         return None
     n, nl = len(toks), len(lines)
-    n_sym = (
-        text.count("#")
-        + (len(text) - len(text.replace("...", ""))) // 3
-        + text.count("…")
-    )
+    n_ell = (len(text) - len(text.replace("...", ""))) // 3 + text.count("…")
     f = dict(
         n_words=n,
         mean_word_len=round(sum(map(len, toks)) / n, 6),
-        symbol_ratio=round(n_sym / n, 6),
+        hash_ratio=round(text.count("#") / n, 6),
+        ellipsis_sym_ratio=round(n_ell / n, 6),
         frac_bullet=round(
             sum(ln.lstrip()[:1] in "-*•" and len(ln.lstrip()) > 0 for ln in lines)
             / nl, 6),
@@ -642,7 +637,8 @@ def _gopher_twin(text, stopwords):
     f["keep"] = (
         50 <= f["n_words"] <= 100_000
         and 3.0 <= f["mean_word_len"] <= 10.0
-        and f["symbol_ratio"] <= 0.1
+        and f["hash_ratio"] <= 0.1
+        and f["ellipsis_sym_ratio"] <= 0.1
         and f["frac_bullet"] <= 0.9
         and f["frac_ellipsis"] <= 0.3
         and f["frac_alpha"] >= 0.8

@@ -146,7 +146,11 @@ def gopher_rules(
 
       1. 50 <= word count <= 100,000
       2. 3 <= mean word length <= 10
-      3. symbol-to-word ratio <= 0.1  (symbols: '#', '...', unicode ellipsis)
+      3. hash-to-word ratio <= 0.1 AND ellipsis-to-word ratio <= 0.1
+         (the paper drops on EITHER symbol's ratio exceeding 0.1 -
+         "for either the hash symbol or the ellipsis" - so the two
+         ratios are computed and compared SEPARATELY, never summed;
+         ellipses counted as non-overlapping '...' plus unicode '…')
       4. <= 90% of lines start with a bullet ('-', '*', bullet char)
       5. <= 30% of lines end with an ellipsis
       6. >= 80% of words contain an alphabetic character
@@ -179,7 +183,8 @@ def gopher_rules(
             / n,
             6,
         )
-        sym = F.round(x["n_sym"] / n, 6)
+        hash_r = F.round(x["n_hash"] / n, 6)
+        ell_r = F.round(x["n_ell"] / n, 6)
         bullet = F.round(
             F.size(
                 F.filter(
@@ -214,7 +219,8 @@ def gopher_rules(
         return F.struct(
             n.cast("long").alias("n_words"),
             mean_wlen.alias("mean_word_len"),
-            sym.alias("symbol_ratio"),
+            hash_r.alias("hash_ratio"),
+            ell_r.alias("ellipsis_sym_ratio"),
             bullet.alias("frac_bullet"),
             ell.alias("frac_ellipsis"),
             alpha.alias("frac_alpha"),
@@ -237,7 +243,8 @@ def gopher_rules(
                     F.struct(
                         words(txt).alias("toks"),
                         nonblank.alias("lines"),
-                        (hashes + ellipses).cast("long").alias("n_sym"),
+                        hashes.cast("long").alias("n_hash"),
+                        ellipses.cast("long").alias("n_ell"),
                     )
                 ),
                 _feat,
@@ -248,7 +255,8 @@ def gopher_rules(
     keep = (
         g["n_words"].between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
         & g["mean_word_len"].between(GOPHER_MIN_WLEN, GOPHER_MAX_WLEN)
-        & (g["symbol_ratio"] <= GOPHER_MAX_SYMBOL)
+        & (g["hash_ratio"] <= GOPHER_MAX_SYMBOL)
+        & (g["ellipsis_sym_ratio"] <= GOPHER_MAX_SYMBOL)
         & (g["frac_bullet"] <= GOPHER_MAX_BULLET)
         & (g["frac_ellipsis"] <= GOPHER_MAX_ELLIPSIS)
         & (g["frac_alpha"] >= GOPHER_MIN_ALPHA)
@@ -258,7 +266,8 @@ def gopher_rules(
         id_col,
         g["n_words"].alias("n_words"),
         g["mean_word_len"].alias("mean_word_len"),
-        g["symbol_ratio"].alias("symbol_ratio"),
+        g["hash_ratio"].alias("hash_ratio"),
+        g["ellipsis_sym_ratio"].alias("ellipsis_sym_ratio"),
         g["frac_bullet"].alias("frac_bullet"),
         g["frac_ellipsis"].alias("frac_ellipsis"),
         g["frac_alpha"].alias("frac_alpha"),
@@ -283,7 +292,11 @@ def c4_rules(
     rtrim), has >= 5 words, does not contain 'javascript' (lower-cased
     match). Document rules over the SURVIVING lines: >= 3 sentences
     (terminal-punctuation occurrences in the kept text), no curly brace
-    anywhere in the original text (code), no 'lorem ipsum'.
+    anywhere in the original text (code), no 'lorem ipsum'. DELIBERATE
+    omission from the published set: C4's bad-words page drop (the
+    LDNOOBW list) needs an external word-list artifact the engine does
+    not vendor; the mechanism is the same contains() rule as
+    'lorem ipsum', pluggable when the list is supplied.
 
     One row per document: line accounting (n_lines, n_kept_lines,
     ROUND-6 kept_ratio), the doc-rule booleans, the kept-text word

@@ -1727,8 +1727,9 @@ EXTENSION_ORACLE["stream_curation"] = f"""
 # the Gopher rule filter (extensions.text_gopher_rules /
 # textquality.gopher_rules): identical rule arithmetic - length-delta
 # symbol counts (the '...' delta is an exact multiple of 3, so the cast
-# is rounding-free in both engines), ROUND-6 ratios compared to the same
-# literals, list_intersect/array_intersect both set-semantics
+# is rounding-free in both engines), hash and ellipsis ratios SEPARATE
+# (the paper drops on EITHER exceeding 0.1), ROUND-6 ratios compared to
+# the same literals, list_intersect/array_intersect both set-semantics
 EXTENSION_ORACLE["text_gopher_rules"] = """
     WITH t AS (
       SELECT doc_id, text,
@@ -1742,11 +1743,12 @@ EXTENSION_ORACLE["text_gopher_rules"] = """
              CAST(len(toks) AS BIGINT) AS n_words,
              ROUND(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
                    / len(toks), 6) AS mean_word_len,
-             ROUND((length(text) - length(replace(text, '#', ''))
-                    + CAST((length(text) - length(replace(text, '...', ''))) / 3
-                           AS BIGINT)
+             ROUND((length(text) - length(replace(text, '#', '')))
+                   / len(toks), 6) AS hash_ratio,
+             ROUND((CAST((length(text) - length(replace(text, '...', ''))) / 3
+                         AS BIGINT)
                     + length(text) - length(replace(text, '…', '')))
-                   / len(toks), 6) AS symbol_ratio,
+                   / len(toks), 6) AS ellipsis_sym_ratio,
              ROUND(len(list_filter(lines,
                      l -> ltrim(l)[1:1] IN ('-', '*', '•')))
                    / len(lines), 6) AS frac_bullet,
@@ -1759,11 +1761,12 @@ EXTENSION_ORACLE["text_gopher_rules"] = """
                   ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
                   AS BIGINT) AS n_stop
       FROM t WHERE len(toks) > 0)
-    SELECT doc_id, n_words, mean_word_len, symbol_ratio, frac_bullet,
-           frac_ellipsis, frac_alpha, n_stop,
+    SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_sym_ratio,
+           frac_bullet, frac_ellipsis, frac_alpha, n_stop,
            (n_words BETWEEN 50 AND 100000
             AND mean_word_len BETWEEN 3.0 AND 10.0
-            AND symbol_ratio <= 0.1
+            AND hash_ratio <= 0.1
+            AND ellipsis_sym_ratio <= 0.1
             AND frac_bullet <= 0.9
             AND frac_ellipsis <= 0.3
             AND frac_alpha >= 0.8
