@@ -607,7 +607,10 @@ from hypothesis import given, settings, strategies as st
 
 _RULE_WORD = st.sampled_from(
     ["the", "of", "and", "with", "cat", "x", "12", "#ab", "a...b",
-     "incomprehensibilities", "…", "-", "*", "javascript", "lorem", "ipsum"]
+     "incomprehensibilities", "…", "-", "*", "javascript", "lorem", "ipsum",
+     # terminal-punctuation and brace words: without them the C4
+     # kept-line and has_brace paths never fire in random corpora
+     "dog.", "run!", "why?", 'said"', "{x}"]
 )
 _RULE_LINE = st.lists(_RULE_WORD, min_size=0, max_size=10).map(" ".join)
 _RULE_DOC = st.lists(_RULE_LINE, min_size=1, max_size=6).map("\n".join)
