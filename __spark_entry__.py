@@ -123,6 +123,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # refinedweb stages re-weighted by the RAW-corpus token budget, ten
 # bounded scalar sums over the shared stage frames, guarded round-6
 # kept fraction).
+# text_ppl_buckets (NEW r15 - CCNet's per-language head/middle/tail
+# surprisal terciles, Wenzek et al. 2020: exact nearest-rank cuts at
+# ceil(n/3)/ceil(2n/3) - no interpolation, no float-op-order surface -
+# over the full-corpus bigram LM; rank-twin-replayed in the suite).
 _CHANGED_THIS_ROUND = [
     "pipe_curation_trained",
     "dedup_chunk",
@@ -138,6 +142,7 @@ _CHANGED_THIS_ROUND = [
     "sim_outliers",
     "pipe_refinedweb",
     "pipe_token_attribution",
+    "text_ppl_buckets",
 ]
 # fill: the ENTIRE 31-row r11 cohort (oldest-first, alphabetical - the
 # exact list the r14 rotation tripwire printed), then the r12 cohort
@@ -151,15 +156,15 @@ _STALE_R11 = [
     "sim_nearest_centroid", "stream_cusum", "text_boilerplate",
     "text_entropy", "text_pii_scrub", "text_winnow",
 ]
-# (the 10 NEW r15 queries displace the r12 tail - dedup_simhash,
-# dedup_spans, events_pivot, events_quantiles, events_rollup,
-# graph_pagerank, pipe_contamination, pipe_contamination_bloom,
-# pipe_curation and pipe_domain_mix rotate back in next round; the
-# fill stays the oldest-first alphabetical PREFIX the ledger test
-# recomputes)
+# (the 11 NEW r15 queries displace the r12 tail - dedup_ngram_jaccard,
+# dedup_simhash, dedup_spans, events_pivot, events_quantiles,
+# events_rollup, graph_pagerank, pipe_contamination,
+# pipe_contamination_bloom, pipe_curation and pipe_domain_mix rotate
+# back in next round; the fill stays the oldest-first alphabetical
+# PREFIX the ledger test recomputes)
 _STALE_R12 = [
     "dedup_clusters", "dedup_clusters_semantic", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R11 + _STALE_R12
 

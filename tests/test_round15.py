@@ -876,3 +876,41 @@ def test_pipe_token_attribution_ties_to_doc_funnel(spark, tmp_path):
         (4, "exact_cleaned", 180, 120, round(120 / 180, 6)),
         (5, "near_dup", 120, 60, 0.5),
     ]
+
+
+# --- 15. CCNet perplexity terciles (NEW r15) ---------------------------------
+
+
+def test_text_ppl_buckets_rank_cuts_match_python_replay(spark):
+    """The tercile machinery replayed in Python from the collected
+    surprisal values: per language, c1/c2 must equal the nll_r at
+    1-based ranks ceil(n/3) and ceil(2n/3) of the (nll_r, doc_id) sort,
+    and every bucket must follow the <=c1 / <=c2 / else rule - plus the
+    structural facts: only labeled docs appear, buckets are monotone in
+    nll_r within a language."""
+    import math
+    from collections import defaultdict
+
+    from web_maxiv_hdbppviewer_spark.plans import extensions
+
+    rows = extensions.text_ppl_buckets(spark, SF_SMOKE).collect()
+    assert rows and all(r["lang"] is not None for r in rows)
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+    for lang, rs in by_lang.items():
+        srt = sorted(rs, key=lambda r: (r["nll_r"], r["doc_id"]))
+        n = len(srt)
+        c1 = srt[math.ceil(n / 3) - 1]["nll_r"]
+        c2 = srt[math.ceil(2 * n / 3) - 1]["nll_r"]
+        for r in rs:
+            assert (r["c1"], r["c2"]) == (c1, c2), (lang, r)
+            want = (
+                "head" if r["nll_r"] <= c1
+                else "middle" if r["nll_r"] <= c2
+                else "tail"
+            )
+            assert r["bucket"] == want, (lang, r, want)
+        # monotone in the sort: head block, then middle, then tail
+        seq = [r["bucket"] for r in srt]
+        assert seq == sorted(seq, key=["head", "middle", "tail"].index)

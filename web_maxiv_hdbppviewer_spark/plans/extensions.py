@@ -647,6 +647,71 @@ def text_bm25(spark, sf_dir):
     )
 
 
+def text_ppl_buckets(spark, sf_dir):
+    """CCNet's signature corpus split (Wenzek et al. 2020): per-language
+    HEAD / MIDDLE / TAIL terciles of LM surprisal - head feeds the
+    highest-quality mix, tail is dropped or down-weighted. Surprisal is
+    the corpus-trained add-one bigram LM (textquality.lm_bigram_scores,
+    round-6); the tercile cuts are EXACT NEAREST-RANK order statistics
+    (the nll_r at 1-based ranks ceil(n/3) and ceil(2n/3) within each
+    language, ties broken by doc_id) rather than interpolated
+    percentiles - interpolation arithmetic is the one place two engines'
+    float op order can diverge, a rank lookup cannot. Docs with
+    undefined surprisal (< 2 tokens) and NULL-lang docs are excluded
+    (the labeled contract). Output: (doc_id, lang, nll_r, c1, c2,
+    bucket), bucket = head iff nll_r <= c1, middle iff <= c2, else
+    tail - compared on the shared round-6 values.
+
+    Scale shape: the LM trains and scores corpus-linearly (no driver
+    collect); the rank windows partition BY LANGUAGE (never global);
+    the cut table is |langs| rows, broadcast back. One hash exchange on
+    lang feeds both window functions."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    # the LM trains on the FULL corpus (text_lm_score's contract - its
+    # oracle is reused verbatim); only the bucketing excludes unlabeled
+    lm = textquality.lm_bigram_scores(docs).select(
+        F.col("id").alias("doc_id"), "nll_r"
+    )
+    d = (
+        docs.where(F.col("lang").isNotNull())
+        .select("doc_id", "lang")
+        .join(lm, "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("lang").orderBy("nll_r", "doc_id")
+    ranked = d.select(
+        "lang",
+        "nll_r",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    cuts = (
+        ranked.where(
+            (F.col("rn") == F.ceil(F.col("n") / 3))
+            | (F.col("rn") == F.ceil(2 * F.col("n") / 3))
+        )
+        .groupBy("lang")
+        .agg(F.min("nll_r").alias("c1"), F.max("nll_r").alias("c2"))
+    )
+    return (
+        d.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "nll_r",
+            "c1",
+            "c2",
+            F.when(F.col("nll_r") <= F.col("c1"), F.lit("head"))
+            .when(F.col("nll_r") <= F.col("c2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def text_gopher_rules(spark, sf_dir):
     """The Gopher rule-based quality filter (Rae et al. 2021, App. A1.1;
     operators/textquality.gopher_rules) - the published heuristic rule
@@ -5369,6 +5434,7 @@ EXTENSION_QUERIES = {
     "sim_outliers": sim_outliers,
     "pipe_refinedweb": pipe_refinedweb,
     "pipe_token_attribution": pipe_token_attribution,
+    "text_ppl_buckets": text_ppl_buckets,
     "events_quantiles": events_quantiles,
     "events_quantiles_approx": events_quantiles_approx,
     "events_distinct_approx": events_distinct_approx,

@@ -2260,6 +2260,35 @@ EXTENSION_ORACLE["pipe_token_attribution"] = (
     + "    ORDER BY stage\n"
 )
 
+# CCNet perplexity terciles (extensions.text_ppl_buckets): the
+# text_lm_score CTE verbatim (full-corpus LM), exact NEAREST-RANK
+# tercile cuts per language (ranks ceil(n/3) and ceil(2n/3), ties by
+# doc_id - no interpolation, so no float-op-order surface), buckets
+# compared on the shared round-6 values
+EXTENSION_ORACLE["text_ppl_buckets"] = f"""
+    WITH lm AS ({EXTENSION_ORACLE["text_lm_score"]}),
+    d AS (SELECT doc.doc_id, doc.lang, lm.nll_r
+          FROM documents doc JOIN lm ON lm.id = doc.doc_id
+          WHERE doc.lang IS NOT NULL),
+    r AS (SELECT lang, nll_r,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY nll_r, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM d),
+    cuts AS (SELECT lang, MIN(nll_r) AS c1, MAX(nll_r) AS c2
+             FROM r
+             WHERE rn = CAST(ceil(n / 3.0) AS BIGINT)
+                OR rn = CAST(ceil(2 * n / 3.0) AS BIGINT)
+             GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.nll_r, c.c1, c.c2,
+           CASE WHEN d.nll_r <= c.c1 THEN 'head'
+                WHEN d.nll_r <= c.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM d JOIN cuts c USING (lang)
+    ORDER BY d.doc_id
+"""
+
+
 # recall-per-method comparison (extensions.sim_ann_compare): ONE exact
 # top-k CTE shared by all three approximate rankings - the same LSH / PQ /
 # IVFPQ chains as the retired per-method recall oracles, combined. The
