@@ -52,121 +52,57 @@ def entry(spark: SparkSession) -> DataFrame:
 #      tests/test_round14.py::test_witness_window_fill_is_oldest_first,
 #      which recomputes the ledger from the artifacts, so a hand-edited
 #      window that skips a stale row fails the suite.
-# With 163 declared queries and ~44 fill slots/round, every stable query
-# is re-witnessed at least every 4 rounds.
+# With ~187 declared queries and ~46 fill slots/round, every stable
+# query is re-witnessed at least every 4 rounds.
 #
-# ROUND-15 WINDOW. CORRECTNESS_r14 landed 50/50 green (all hash
-# matches) and closed the staleness ledger, so this is the FIRST pure
-# steady-state rotation: the r15 changelist leads, then the fill is
-# exactly the oldest-first prefix of the recomputed ledger - the entire
-# 31-row r11 cohort, then the r12 cohort alphabetically to 50.
+# ROUND-16 WINDOW. CORRECTNESS_r15 landed 50/50 green (all hash
+# matches); steady-state rotation continues: the r16 changelist leads,
+# then the fill is exactly the oldest-first prefix of the recomputed
+# ledger - the entire 41-row r12 cohort, then the r13 cohort
+# alphabetically to 50. After this round no row is older than r13.
 #
-# Round-15 changelist: pipe_curation_trained (NEW r15 - VERDICT r14 #4,
-# the CCNet composition, Wenzek et al. 2020: the curation funnel run
-# with the repo's TRAINED filters - stage 1 keeps docs whose
-# multinomial-NB prediction (operators/nbayes.py) agrees with the
-# recorded lang, stage 2 keeps docs at/below their language's median
-# round-6 bigram-LM surprisal (textquality.lm_bigram_scores) among
-# survivors, stages 3/4 are exact dedup + near-dup drop; per-stage
-# (n_in, n_kept) attribution like pipe_funnel; oracle nests the
-# text_nb_classify and text_lm_score CTEs verbatim). dedup_chunk (NEW
-# r15 - VERDICT r14 #5: chunk-grain EXACT dedup for the RAG store over
-# text_chunk's 64/48 windows - keep-first per chunk_hash content group,
-# ONE shuffle serving both window functions). dedup_chunk_near (NEW r15
-# - the MinHash near-dup variant at chunk grain: chunks packed into
-# cid = doc_id * 2^20 + chunk_idx ride the doc-grain MinHash+LSH
-# machinery unchanged; the oracle replays band candidacy in SQL, the
-# dedup_minhash_lsh parity discipline). text_chunk (its windowing is
-# now the shared _chunk_windows helper the chunk-dedup family reuses -
-# expressions identical, plan unchanged, but the code path changed so
-# the witness leads with the changelist). stream_curation (NEW r15 -
-# VERDICT r14 #8, the streamed end-to-end curation lifecycle:
-# duplicated-arrival file stream -> stateless NB scoring -> trained
-# lang-agreement filter -> watermarked exactly-once dedup guard ->
-# checkpointed parquet sink; the landed store's per-lang digest is
-# oracle-checked against the batch NB-classify CTE, so a hash match
-# certifies exactly-once landing with bit-identical integer scores).
-# text_gopher_rules (NEW r15 - the published Gopher rule-based quality
-# filter, Rae et al. 2021 App. A1.1: word-count/word-length/symbol/
-# bullet/ellipsis/alpha/stopword rules as one narrow codegen
-# projection, ROUND-6 ratios, combined keep verdict).
-# sim_chunk_bm25 (NEW r15 - chunk-grain BM25 retrieval with document
-# max-pooling, the RAG parent-document-retrieval primitive: text_chunk
-# windows scored with chunk-corpus BM25 statistics, best chunk per doc,
-# global top-10 docs with their best chunk's coordinates).
-# text_c4_rules (NEW r15 - the C4 LINE-level cleaning filter, Raffel
-# et al. 2020 §2.2, the within-document complement of the Gopher doc
-# rules: terminal-punct/5-word/'javascript' line rules, 3-sentence/
-# brace/'lorem ipsum' doc rules, md5(kept lines) for cleaned-grain
-# dedup; run over a deterministically DERIVED lined corpus - the
-# pipe_delta discipline - because the synthetic corpus is single-line).
-# pipe_pref_pairs (NEW r15 - DPO preference-pair construction: best vs
-# worst doc per (source, lang) under the quality score, deterministic
-# tie-breaks, zero-margin pairs dropped, NULL-lang excluded).
-# pipe_classifier_agreement (NEW r15 - Cohen's kappa between the
-# trained NB and the trigram lang-ID: confusion matrix + round-6
-# po/pe/kappa, integer-exact sums, hand-example-pinned).
-# multimodal_near_dup (NEW r15 - perceptual near-dup pairs: 4x8-bit
-# band-bucket join over the 32-bit block-mean signatures, EXACT recall
-# for Hamming <= 3 by pigeonhole, bit_count(xor) verify; the banding
-# replayed in the SQL oracle and pinned on constructed signatures).
-# sim_outliers (NEW r15 - own-class centroid outlier pruning over a
-# deterministically polluted store (vec_id % 41 scaled x3): exact-grid
-# distances, round-6 ratio to the class mean, ratio >= 4 flags exactly
-# the injected set; oracle replays derivation + grid + division order).
-# pipe_refinedweb (NEW r15 - the RefinedWeb/FineWeb-shape heuristic
-# funnel, Penedo et al. 2023: lang-ID agreement -> Gopher rules -> C4
-# line cleaning -> exact dedup at the C4 cleaned grain -> near-dup
-# drop, per-stage attribution over the content-keyed stopword-lined
-# derived corpus; constructed 5-doc test drops someone at every stage).
-# pipe_token_attribution (NEW r15 - 'where did my tokens go': the
-# refinedweb stages re-weighted by the RAW-corpus token budget, ten
-# bounded scalar sums over the shared stage frames, guarded round-6
-# kept fraction).
-# text_ppl_buckets (NEW r15 - CCNet's per-language head/middle/tail
-# surprisal terciles, Wenzek et al. 2020: exact nearest-rank cuts at
-# ceil(n/3)/ceil(2n/3) - no interpolation, no float-op-order surface -
-# over the full-corpus bigram LM; rank-twin-replayed in the suite).
+# Round-16 changelist: pipe_url_filter (NEW r16 - VERDICT r15 #4, the
+# RefinedWeb stage 0 the r15 funnel was missing, Penedo et al. 2023
+# §3.1: deterministic doc_id-keyed URL derivation - the text_pii_scrub
+# fixture discipline - then domain blocklist, integer-tenths soft URL
+# word score, round-6 digit-ratio and length caps, INDEPENDENT per-rule
+# flags + combined keep, one narrow codegen projection).
+# pipe_curation_sweep (NEW r16 - VERDICT r15 #7, the trained-funnel
+# calibration table: NB-agreement ON/OFF crossed with four per-language
+# nearest-rank surprisal retention percentiles, doc + token budgets and
+# round-6 kept fractions from ONE scoring pass and one explode - the
+# pipe_dedup_sweep pattern over pipe_curation_trained's knobs; the
+# retention predicate is exact integer arithmetic, (pct*n+99) DIV 100).
+# pipe_refinedweb (CHANGED r16 - pipe_url_filter composed as its
+# stage 1; the published pipeline's stage order restored, six stages,
+# oracle renumbered with the URL CTE chain nested verbatim).
+# pipe_token_attribution (CHANGED r16 - re-weights the same six-stage
+# frames, twelve bounded token scalars).
 _CHANGED_THIS_ROUND = [
-    "pipe_curation_trained",
-    "dedup_chunk",
-    "dedup_chunk_near",
-    "text_chunk",
-    "stream_curation",
-    "text_gopher_rules",
-    "sim_chunk_bm25",
-    "text_c4_rules",
-    "pipe_pref_pairs",
-    "pipe_classifier_agreement",
-    "multimodal_near_dup",
-    "sim_outliers",
+    "pipe_url_filter",
+    "pipe_curation_sweep",
     "pipe_refinedweb",
     "pipe_token_attribution",
-    "text_ppl_buckets",
 ]
-# fill: the ENTIRE 31-row r11 cohort (oldest-first, alphabetical - the
-# exact list the r14 rotation tripwire printed), then the r12 cohort
-# alphabetically to 50. After this round no row is older than r12.
-_STALE_R11 = [
-    "events_scd2", "multimodal_phash", "pipe_epoch_shuffle",
-    "pipe_interleave", "pipe_mixture_schedule", "pipe_sample_weighted",
-    "pipe_split_safe", "pipe_token_budget", "q1", "q10", "q11", "q12",
-    "q13", "q14", "q15", "q16", "q17", "q2", "q22", "q29", "q3", "q4",
-    "sim_cluster_stats", "sim_index_append", "sim_index_persist",
-    "sim_nearest_centroid", "stream_cusum", "text_boilerplate",
-    "text_entropy", "text_pii_scrub", "text_winnow",
-]
-# (the 11 NEW r15 queries displace the r12 tail - dedup_ngram_jaccard,
-# dedup_simhash, dedup_spans, events_pivot, events_quantiles,
-# events_rollup, graph_pagerank, pipe_contamination,
-# pipe_contamination_bloom, pipe_curation and pipe_domain_mix rotate
-# back in next round; the fill stays the oldest-first alphabetical
-# PREFIX the ledger test recomputes)
+# fill: the ENTIRE 41-row r12 cohort (oldest-first, alphabetical - the
+# exact list the r15 rotation tripwire printed), then the r13 cohort
+# alphabetically to 50. After this round no row is older than r13.
 _STALE_R12 = [
-    "dedup_clusters", "dedup_clusters_semantic", "dedup_exact",
-    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_spans", "events_pivot",
+    "events_quantiles", "events_rollup", "graph_pagerank",
+    "pipe_contamination", "pipe_contamination_bloom", "pipe_curation",
+    "pipe_domain_mix", "pipe_pack", "pipe_shard_sink", "pipe_split",
+    "q18", "q19", "q23", "q24", "q25", "q26", "q27", "q28", "q30", "q31",
+    "q32", "q33", "q34", "q5", "q6", "q7", "q8", "sim_ann_ivf",
+    "sim_ann_ivf_trained", "sim_ann_lsh", "sim_dim_stats", "sim_mips",
+    "sim_topk_cosine", "sim_topk_quantized", "text_keywords",
+    "window_sessions", "window_sliding",
 ]
-_WINDOW = _CHANGED_THIS_ROUND + _STALE_R11 + _STALE_R12
+_STALE_R13 = [
+    "dedup_containment", "dedup_embedding", "dedup_fuzzy",
+    "dedup_incremental", "dedup_keep_best",
+]
+_WINDOW = _CHANGED_THIS_ROUND + _STALE_R12 + _STALE_R13
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

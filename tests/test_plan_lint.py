@@ -100,16 +100,17 @@ SINGLE_PARTITION_OK = {
     "pipe_curation_trained": 8,
     "text_keywords": 1,
     "text_lm_score": 1,
-    # pipe_refinedweb: pipe_curation_trained's funnel shape with one
-    # more stage - 10 scalar survivor counts (5 stages x n_in/n_kept),
-    # each a single-row merge below a partial count aggregate over a
-    # lazily-checkpointed survivor id-frame. Case (a) throughout.
-    "pipe_refinedweb": 10,
-    # pipe_token_attribution: same funnel frames, ten scalar TOKEN-sum
-    # merges (5 stages x tok_in/tok_kept), each a single-row merge below
-    # a partial sum over a survivor-semi-joined narrow (doc_id, n_tok)
-    # frame. Case (a) throughout.
-    "pipe_token_attribution": 10,
+    # pipe_refinedweb: pipe_curation_trained's funnel shape with two
+    # more stages - 12 scalar survivor counts (6 stages x n_in/n_kept,
+    # the r16 url_filter stage 0 included), each a single-row merge
+    # below a partial count aggregate over a lazily-checkpointed
+    # survivor id-frame. Case (a) throughout.
+    "pipe_refinedweb": 12,
+    # pipe_token_attribution: same funnel frames, twelve scalar
+    # TOKEN-sum merges (6 stages x tok_in/tok_kept), each a single-row
+    # merge below a partial sum over a survivor-semi-joined narrow
+    # (doc_id, n_tok) frame. Case (a) throughout.
+    "pipe_token_attribution": 12,
     # pipe_classifier_agreement: two scalar merges over BOUNDED frames -
     # tot (n/agree sums) reads the |labels|^2-row confusion matrix (a
     # lazy localCheckpoint, so the corpus-sized classify work sits below

@@ -785,14 +785,17 @@ def test_centroid_outliers_constructed_classes(spark):
 
 
 def test_pipe_refinedweb_constructed_every_stage_drops(spark, tmp_path):
-    """A 5-doc corpus where each stage's drop is known by construction:
-    doc 5 (mislabeled fr on English-stopword-prefixed text) drops at
-    lang_id; doc 4 (10 tokens) drops at Gopher's 50-word floor; docs
-    1/2 are byte-identical 60-token texts, so the content-keyed
-    derivation keeps them identical and exact_cleaned collapses them;
-    doc 3 is a one-token edit of doc 1 (same token count -> same
-    derivation keys, bigram Jaccard ~0.94) and is dominated at
-    near_dup. Exactly one document survives."""
+    """A 6-doc corpus where each stage's drop is known by construction:
+    doc 1 (doc_id % 16 == 1 -> blocklisted best-casino-777.com URL)
+    drops at url_filter; doc 9 (mislabeled fr on English-stopword-
+    prefixed text) drops at lang_id; doc 8 (8 tokens) drops at Gopher's
+    50-word floor; docs 3/4 are byte-identical 60-token texts, so the
+    content-keyed derivation keeps them identical and exact_cleaned
+    collapses them; doc 6 is a one-token edit of doc 3 (same token
+    count -> same derivation keys, bigram Jaccard ~0.93) and is
+    dominated at near_dup. The surviving ids all pass the URL rules
+    (doc_id % 16 not in {1,5,11}, % 11 not in {2,5,7}, % 23 != 0,
+    % 19 != 0). Exactly one document survives."""
     from web_maxiv_hdbppviewer_spark.plans import extensions
 
     # 60 DISTINCT tokens: bigram shingles must be ~59 distinct so the
@@ -804,10 +807,11 @@ def test_pipe_refinedweb_constructed_every_stage_drops(spark, tmp_path):
     docs = spark.createDataFrame(
         [
             (1, "en", "src", base),
-            (2, "en", "src", base),
-            (3, "en", "src", " ".join(edited)),
-            (4, "en", "src", " ".join(f"tok{i:02d}" for i in range(8))),
-            (5, "fr", "src", base),
+            (3, "en", "src", base),
+            (4, "en", "src", base),
+            (6, "en", "src", " ".join(edited)),
+            (8, "en", "src", " ".join(f"tok{i:02d}" for i in range(8))),
+            (9, "fr", "src", base),
         ],
         "doc_id long, lang string, source string, text string",
     )
@@ -815,11 +819,12 @@ def test_pipe_refinedweb_constructed_every_stage_drops(spark, tmp_path):
     out = extensions.pipe_refinedweb(spark, sf_dir).collect()
     funnel = [(r["stage"], r["name"], r["n_in"], r["n_kept"]) for r in out]
     assert funnel == [
-        (1, "lang_id", 5, 4),
-        (2, "gopher", 4, 3),
-        (3, "c4", 3, 3),
-        (4, "exact_cleaned", 3, 2),
-        (5, "near_dup", 2, 1),
+        (1, "url_filter", 6, 5),
+        (2, "lang_id", 5, 4),
+        (3, "gopher", 4, 3),
+        (4, "c4", 3, 3),
+        (5, "exact_cleaned", 3, 2),
+        (6, "near_dup", 2, 1),
     ]
 
 
@@ -831,23 +836,25 @@ def test_pipe_refinedweb_funnel_is_self_auditing(spark):
     from web_maxiv_hdbppviewer_spark.sources.tables import load_tables
 
     out = extensions.pipe_refinedweb(spark, SF_SMOKE).collect()
-    assert [r["stage"] for r in out] == [1, 2, 3, 4, 5]
+    assert [r["stage"] for r in out] == [1, 2, 3, 4, 5, 6]
     n_docs = load_tables(spark, SF_SMOKE)["documents"].count()
     assert out[0]["n_in"] == n_docs
     for prev, cur in zip(out, out[1:]):
         assert cur["n_in"] == prev["n_kept"]
     for r in out:
         assert 0 <= r["n_kept"] <= r["n_in"]
-    assert out[1]["n_kept"] < out[0]["n_kept"]  # gopher really filters
+    assert out[0]["n_kept"] < out[0]["n_in"]  # url_filter really filters
+    assert out[2]["n_kept"] < out[2]["n_in"]  # gopher really filters
 
 
 def test_pipe_token_attribution_ties_to_doc_funnel(spark, tmp_path):
-    """The token funnel on the 5-doc constructed corpus: budgets are
-    hand-knowable (60+60+60+8+60 raw tokens), tok_in chains stage to
-    stage like the doc funnel (self-audit), stage 1 sheds doc 5's 60
-    tokens, stage 2 sheds doc 4's 8, stage 4 sheds a 60-token
-    duplicate, stage 5 sheds the 60-token near-dup - one survivor with
-    60 tokens and exact round-6 kept fractions."""
+    """The token funnel on the 6-doc constructed corpus: budgets are
+    hand-knowable (60*5 + 8 = 308 raw tokens), tok_in chains stage to
+    stage like the doc funnel (self-audit), stage 1 sheds doc 1's 60
+    tokens (blocklisted URL), stage 2 sheds doc 9's 60, stage 3 sheds
+    doc 8's 8, stage 5 sheds a 60-token duplicate, stage 6 sheds the
+    60-token near-dup - one survivor with 60 tokens and exact round-6
+    kept fractions."""
     from web_maxiv_hdbppviewer_spark.plans import extensions
 
     base = " ".join(f"tok{i:02d}" for i in range(60))
@@ -856,10 +863,11 @@ def test_pipe_token_attribution_ties_to_doc_funnel(spark, tmp_path):
     docs = spark.createDataFrame(
         [
             (1, "en", "src", base),
-            (2, "en", "src", base),
-            (3, "en", "src", " ".join(edited)),
-            (4, "en", "src", " ".join(f"tok{i:02d}" for i in range(8))),
-            (5, "fr", "src", base),
+            (3, "en", "src", base),
+            (4, "en", "src", base),
+            (6, "en", "src", " ".join(edited)),
+            (8, "en", "src", " ".join(f"tok{i:02d}" for i in range(8))),
+            (9, "fr", "src", base),
         ],
         "doc_id long, lang string, source string, text string",
     )
@@ -870,11 +878,12 @@ def test_pipe_token_attribution_ties_to_doc_funnel(spark, tmp_path):
         for r in out
     ]
     assert rows == [
-        (1, "lang_id", 248, 188, round(188 / 248, 6)),
-        (2, "gopher", 188, 180, round(180 / 188, 6)),
-        (3, "c4", 180, 180, 1.0),
-        (4, "exact_cleaned", 180, 120, round(120 / 180, 6)),
-        (5, "near_dup", 120, 60, 0.5),
+        (1, "url_filter", 308, 248, round(248 / 308, 6)),
+        (2, "lang_id", 248, 188, round(188 / 248, 6)),
+        (3, "gopher", 188, 180, round(180 / 188, 6)),
+        (4, "c4", 180, 180, 1.0),
+        (5, "exact_cleaned", 180, 120, round(120 / 180, 6)),
+        (6, "near_dup", 120, 60, 0.5),
     ]
 
 

@@ -3093,6 +3093,114 @@ def pipe_curation_trained(spark, sf_dir):
     )
 
 
+CURATION_SWEEP_PCTS = (25, 50, 75, 100)
+
+
+def pipe_curation_sweep(spark, sf_dir):
+    """Quality-classifier calibration sweep (VERDICT r15 #7, pairs with
+    pipe_curation_trained): kept-document and kept-TOKEN budgets as a
+    function of the two trained-filter knobs - the NB language-agreement
+    gate ON/OFF crossed with the per-language surprisal retention
+    percentile (CCNet keeps the lowest-perplexity head of each
+    language; this is the tuning table for where to put that cut). The
+    pipe_dedup_sweep pattern applied to the trained funnel: ONE scoring
+    pass, one explode over the percentile literals.
+
+    Retention is the EXACT NEAREST-RANK prefix (text_ppl_buckets'
+    discipline): per (nb_filter, lang) branch, keep the first
+    ceil(pct * n / 100) docs of the (nll_r, doc_id) sort, computed as
+    the integer (pct * n + 99) DIV 100 - no interpolated percentile, no
+    float-op-order surface; the only floats are the final round-6
+    kept fractions (one IEEE division of exact int64 sums per cell,
+    identical in both engines). NULL-lang docs have no language branch
+    and are excluded (the labeled contract); docs with < 2 tokens have
+    no defined surprisal and are excluded (lm_bigram_scores' contract -
+    both exclusions shared with pipe_curation_trained's stage 2).
+    Monotonicity is structural: a larger pct keeps a superset per
+    branch, so every kept count/budget is non-decreasing in pct and
+    pct=100 equals the branch totals (suite-pinned).
+
+    Scale shape: the NB classify and bigram-LM scoring are the
+    established corpus-linear passes; the rank windows partition BY
+    (branch, language) - never global; the explode multiplies only the
+    narrow ranked frame by |pcts|=4; output is 2 x 4 bounded rows."""
+    from pyspark.sql import Window
+
+    from ..functions.texthash import words
+    from ..operators import nbayes
+
+    docs = _docs(spark, sf_dir)
+    lm = textquality.lm_bigram_scores(docs).select(
+        F.col("id").alias("doc_id"), "nll_r"
+    )
+    base = (
+        docs.where(F.col("lang").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.size(words(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        .join(lm, "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    agree = (
+        nbayes.nb_classify(docs, NB_MIN_COUNT)
+        .where(F.col("pred") == F.col("lang"))
+        .select("doc_id")
+    )
+    u = base.select(F.lit(False).alias("nb_filter"), "*").unionByName(
+        base.join(agree, "doc_id", "left_semi").select(
+            F.lit(True).alias("nb_filter"), "*"
+        )
+    )
+    w = Window.partitionBy("nb_filter", "lang").orderBy("nll_r", "doc_id")
+    ranked = u.select(
+        "nb_filter",
+        "n_tok",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("nb_filter", "lang"))
+        .alias("n"),
+    ).localCheckpoint(eager=False)
+    totals = ranked.groupBy("nb_filter").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_in"),
+        F.sum("n_tok").cast("long").alias("tok_in"),
+    )
+    kept = (
+        ranked.select(
+            "nb_filter",
+            "n_tok",
+            "rn",
+            "n",
+            F.explode(
+                F.array(*[F.lit(p) for p in CURATION_SWEEP_PCTS])
+            ).alias("pct"),
+        )
+        .where(F.col("rn") <= F.expr("(pct * n + 99) DIV 100"))
+        .groupBy("nb_filter", "pct")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+            F.sum("n_tok").cast("long").alias("tok_kept"),
+        )
+    )
+    return (
+        kept.join(F.broadcast(totals), "nb_filter")
+        .select(
+            "nb_filter",
+            F.col("pct").cast("long").alias("pct"),
+            "n_docs_in",
+            "n_docs_kept",
+            "tok_in",
+            "tok_kept",
+            F.round(F.col("n_docs_kept") / F.col("n_docs_in"), 6).alias(
+                "doc_frac"
+            ),
+            F.round(F.col("tok_kept") / F.col("tok_in"), 6).alias("tok_frac"),
+        )
+        .orderBy("nb_filter", "pct")
+    )
+
+
 def pipe_classifier_agreement(spark, sf_dir):
     """Inter-classifier agreement diagnostic: Cohen's kappa between the
     repo's two language classifiers - the TRAINED multinomial NB
@@ -3229,6 +3337,134 @@ def pipe_pref_pairs(spark, sf_dir):
     )
 
 
+# --- URL / domain filtering (RefinedWeb stage 0; Penedo et al. 2023 §3.1) --
+#
+# The synthetic corpus carries no URL column, so one is DERIVED
+# deterministically from doc_id (the text_pii_scrub fixture discipline:
+# both engines rebuild the identical dirty metadata, and every rule
+# below has a guaranteed signal path on it). Domain cycles a 16-entry
+# list with 3 blocklisted domains at positions 2/6/12; the first path
+# segment cycles an 11-word list containing 3 banned words; doc_id%23
+# appends an 18-digit tracking id (digit-ratio rule); doc_id%19 appends
+# a 68-char section chain (length rule).
+_URL_DOMAINS = [
+    "archive-docs.org", "best-casino-777.com", "city-library.net",
+    "daily-news-site.com", "edu-lectures.edu", "free-prize-claim.net",
+    "garden-forum.org", "home-cooking.net", "indie-music.com",
+    "journal-open.org", "kids-stories.net", "live-webcam-chat.com",
+    "maps-service.com", "news-world.org", "open-data.gov",
+    "photo-blog.net",
+]
+_URL_BLOCKLIST = (
+    "best-casino-777.com", "free-prize-claim.net", "live-webcam-chat.com",
+)
+_URL_PATH_WORDS = [
+    "article", "recipes", "poker", "travel", "music", "webcam",
+    "science", "escort", "sports", "weather", "history",
+]
+# RefinedWeb's soft URL word scoring: curated words carry severity
+# weights and the URL is flagged when the summed score crosses a bar.
+# Weights are INTEGER TENTHS (never a float sum): escort 3.0, webcam
+# 2.5, poker/casino 2.0, prize 1.5; bar = 2.0. "casino"/"prize" also
+# occur inside two blocklisted domains, so blocklist and word-score
+# attribution overlap on those residues - deliberately: the rules are
+# independent flags, not a sequential funnel.
+_URL_BANNED_TENTHS = (
+    ("escort", 30), ("webcam", 25), ("poker", 20),
+    ("casino", 20), ("prize", 15),
+)
+_URL_SCORE_BAR_TENTHS = 20
+_URL_MAX_LEN = 80
+_URL_DIGIT_FRAC = 0.2
+
+
+def _doc_urls(spark, sf_dir):
+    """(doc_id, url, per-rule flags, keep) for every document - the
+    shared frame pipe_url_filter reports and _refinedweb_stages consumes
+    as stage 0. One narrow codegen projection over the doc_id column:
+    zero shuffles, zero UDFs, corpus-linear."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    domains = F.array([F.lit(s) for s in _URL_DOMAINS])
+    pwords = F.array([F.lit(s) for s in _URL_PATH_WORDS])
+    domain = F.element_at(domains, (did % 16 + 1).cast("int"))
+    url = F.concat(
+        F.lit("https://"),
+        domain,
+        F.lit("/"),
+        F.element_at(pwords, (did % 11 + 1).cast("int")),
+        F.lit("/item"),
+        did.cast("string"),
+        F.when(
+            did % 23 == 0,
+            F.concat(
+                F.lit("/"),
+                F.lpad((did % 1_000_000_000).cast("string"), 18, "7"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 19 == 0,
+            F.concat(F.lit("/"), F.repeat(F.lit("long-section-name"), 4)),
+        ).otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", domain.alias("domain"), url.alias("url"))
+    u = F.col("url")
+    n_digit = F.length(u) - F.length(F.regexp_replace(u, "[0-9]", ""))
+    score = None
+    for w, tenths in _URL_BANNED_TENTHS:
+        term = F.when(u.contains(w), F.lit(tenths)).otherwise(F.lit(0))
+        score = term if score is None else score + term
+    flagged = base.select(
+        "doc_id",
+        "url",
+        F.col("domain").isin(*_URL_BLOCKLIST).alias("f_blocklist"),
+        score.cast("long").alias("score_tenths"),
+        F.round(n_digit / F.length(u), 6).alias("digit_frac_r"),
+        F.length(u).cast("long").alias("url_len"),
+    )
+    return flagged.select(
+        "doc_id",
+        "url",
+        "f_blocklist",
+        (F.col("score_tenths") >= _URL_SCORE_BAR_TENTHS).alias("f_words"),
+        (F.col("digit_frac_r") > _URL_DIGIT_FRAC).alias("f_digits"),
+        (F.col("url_len") > _URL_MAX_LEN).alias("f_length"),
+        "score_tenths",
+        "digit_frac_r",
+        "url_len",
+    ).select(
+        "*",
+        (
+            ~F.col("f_blocklist")
+            & ~F.col("f_words")
+            & ~F.col("f_digits")
+            & ~F.col("f_length")
+        ).alias("keep"),
+    )
+
+
+def pipe_url_filter(spark, sf_dir):
+    """URL/domain filtering - the stage every production crawl pipeline
+    runs BEFORE touching text (RefinedWeb stage 0, Penedo et al. 2023
+    §3.1): an aggregated domain blocklist plus a soft word-score over
+    the URL string, complemented by the two structural heuristics the
+    crawl-curation literature pairs with it (digit-ratio and URL-length
+    caps). Per-doc output with INDEPENDENT per-rule flags (f_blocklist /
+    f_words / f_digits / f_length), the integer-tenths word score, the
+    round-6 digit fraction, and the combined keep verdict - per-rule
+    attribution, so an operator can read which rule is doing the work
+    before composing the funnel (pipe_refinedweb consumes keep as its
+    stage 1).
+
+    Scale shape: URL synthesis + all four rules are ONE narrow codegen
+    projection keyed by doc_id (no text read, no shuffle, no UDF); at
+    crawl scale the blocklist (~4.6M domains in the published pipeline)
+    would become a broadcast semi-join against a domain dimension - here
+    it is an IN-list over the 3-entry fixture blocklist, same plan
+    class."""
+    return _doc_urls(spark, sf_dir).orderBy("doc_id")
+
+
 def _lined_docs(spark, sf_dir, keep_cols=(), stopwords=False):
     """The deterministically DERIVED lined corpus shared by
     text_c4_rules and pipe_refinedweb (the synthetic corpus is
@@ -3290,10 +3526,12 @@ def _lined_docs(spark, sf_dir, keep_cols=(), stopwords=False):
 
 def pipe_refinedweb(spark, sf_dir):
     """The literature-complete HEURISTIC curation funnel - the
-    RefinedWeb/FineWeb pipeline shape (Penedo et al. 2023): language
-    identification -> Gopher doc-level rules -> C4 line-level cleaning
-    -> exact dedup at the CLEANED grain (C4's own dedup unit:
-    md5 of the kept lines) -> near-dup drop. The trained twin is
+    RefinedWeb/FineWeb pipeline shape (Penedo et al. 2023): URL/domain
+    filtering (stage 0, §3.1 - the pass that runs before any text is
+    read) -> language identification -> Gopher doc-level rules -> C4
+    line-level cleaning -> exact dedup at the CLEANED grain (C4's own
+    dedup unit: md5 of the kept lines) -> near-dup drop. The trained
+    twin is
     pipe_curation_trained; this funnel runs the published rule sets the
     big web corpora actually shipped with, each stage applying to the
     previous stage's survivors with (n_in, n_kept) attribution (the
@@ -3304,25 +3542,28 @@ def pipe_refinedweb(spark, sf_dir):
     is single-line, punctuation-free, and Gopher-stopword-free, so the
     raw corpus gives the line rules and the stopword rule nothing to
     read; the derivation gives every published rule a signal path and
-    the oracle replays it). Stage semantics: (1) lang_id - the trigram
+    the oracle replays it). Stage semantics: (1) url_filter - the
+    derived-URL blocklist + soft word-score + digit/length heuristics
+    (pipe_url_filter's combined keep; URL metadata is doc_id-keyed, so
+    the stage reads no text at all). (2) lang_id - the trigram
     classifier's prediction must agree with the recorded lang;
-    NULL-lang docs cannot certify and drop. (2) gopher -
-    gopher_rules' keep verdict. (3) c4 - c4_rules' doc verdict.
-    (4) exact_cleaned - min-id representative per C4 cleaned_md5
+    NULL-lang docs cannot certify and drop. (3) gopher -
+    gopher_rules' keep verdict. (4) c4 - c4_rules' doc verdict.
+    (5) exact_cleaned - min-id representative per C4 cleaned_md5
     group, so two docs whose SURVIVING lines coincide collapse even
     when their raw bytes differ (the C4-accurate dedup grain).
-    (5) near_dup - docs dominated by a smaller-id Jaccard >= 0.8
+    (6) near_dup - docs dominated by a smaller-id Jaccard >= 0.8
     partner on the RAW text (near-duplication is a property of the
     content, not of the derivation's injected punctuation - and the
     raw-corpus pair index is the session-shared one every dedup query
     reuses, so this stage adds zero index builds), filtered to
     surviving endpoints - recall-exact, pairwise.
 
-    Scale shape: stages 1-3 are the established narrow passes; survivor
-    id-frames are lazily localCheckpoint-ed (bytes per doc); the
-    cleaned-grain dedup is one groupBy(md5); near-dup reads the
-    memoized pair index. Ten scalar counts, nothing else reaches the
-    driver."""
+    Scale shape: stage 1 is a doc_id-keyed projection + semi-join and
+    stages 2-4 are the established narrow passes; survivor id-frames
+    are lazily localCheckpoint-ed (bytes per doc); the cleaned-grain
+    dedup is one groupBy(md5); near-dup reads the memoized pair index.
+    Twelve scalar counts, nothing else reaches the driver."""
     stages = _refinedweb_stages(spark, sf_dir)
 
     def row(stage, name, df_in, df_kept):
@@ -3352,11 +3593,23 @@ def _refinedweb_stages(spark, sf_dir):
         spark, sf_dir, keep_cols=("lang",), stopwords=True
     ).localCheckpoint(eager=False)
     total = docs.select("doc_id")
+    # stage 0 (r16): URL/domain filtering - RefinedWeb's actual first
+    # stage (Penedo et al. 2023 §3.1) runs before any text is read; the
+    # keep verdict is _doc_urls' combined four-rule pass
+    s0_ids = (
+        total.join(
+            _doc_urls(spark, sf_dir).where("keep").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        .localCheckpoint(eager=False)
+    )
     s1_ids = (
         textquality.lang_id(docs)
         .join(docs.select("doc_id", "lang"), "doc_id")
         .where(F.col("pred_lang") == F.col("lang"))
         .select("doc_id")
+        .join(s0_ids, "doc_id", "left_semi")
         .localCheckpoint(eager=False)
     )
     gop = textquality.gopher_rules(docs).select("doc_id", "keep")
@@ -3385,7 +3638,8 @@ def _refinedweb_stages(spark, sf_dir):
     )
     s5_ids = s4_ids.join(dominated, "doc_id", "left_anti")
     return [
-        ("lang_id", total, s1_ids),
+        ("url_filter", total, s0_ids),
+        ("lang_id", s0_ids, s1_ids),
         ("gopher", s1_ids, s2_ids),
         ("c4", s2_ids, s3),
         ("exact_cleaned", s3, s4_ids),
@@ -3395,7 +3649,7 @@ def _refinedweb_stages(spark, sf_dir):
 
 def pipe_token_attribution(spark, sf_dir):
     """'Where did my tokens go' - the funnel report a 100 TB pipeline
-    actually publishes: pipe_refinedweb's five stages re-weighted by the
+    actually publishes: pipe_refinedweb's six stages re-weighted by the
     RAW-corpus whitespace token budget, (stage, name, tok_in, tok_kept,
     round-6 kept_frac). Document counts hide the skew (one dropped
     10k-token document outweighs fifty dropped stubs); the token-grain
@@ -3404,7 +3658,7 @@ def pipe_token_attribution(spark, sf_dir):
     Scale shape: the stage frames are pipe_refinedweb's lazy
     localCheckpoints; each budget is one broadcast-sized semi-join of
     the survivor id-frame against the narrow (doc_id, n_tok) projection
-    followed by a scalar sum - ten bounded scalars, no new corpus
+    followed by a scalar sum - twelve bounded scalars, no new corpus
     passes beyond the one (doc_id, n_tok) projection."""
     from ..functions.texthash import words
 
@@ -5423,6 +5677,9 @@ EXTENSION_QUERIES = {
     "scale_zorder": scale_zorder,
     "stream_sink_compact": stream_sink_compact,
     "stream_classify": stream_classify,
+    # -- round 16 --
+    "pipe_url_filter": pipe_url_filter,
+    "pipe_curation_sweep": pipe_curation_sweep,
     # -- round 15 --
     "stream_curation": stream_curation,
     "text_gopher_rules": text_gopher_rules,

@@ -2105,9 +2105,121 @@ EXTENSION_ORACLE["pipe_curation_trained"] = f"""
     ORDER BY stage
 """
 
+# quality-classifier calibration sweep (extensions.pipe_curation_sweep):
+# the text_nb_classify / text_lm_score CTEs nested verbatim, the
+# NB-agreement branch crossed with four nearest-rank retention
+# percentiles via one unnest - rank prefix (pct * n + 99) // 100 in
+# exact integer arithmetic, round-6 fractions from exact int64 sums
+EXTENSION_ORACLE["pipe_curation_sweep"] = f"""
+    WITH cls AS ({EXTENSION_ORACLE["text_nb_classify"]}),
+    lm AS ({EXTENSION_ORACLE["text_lm_score"]}),
+    base AS (
+      SELECT d.doc_id, d.lang,
+             CAST(len(list_filter(string_split(lower(d.text), ' '),
+                                  x -> x <> '')) AS BIGINT) AS n_tok,
+             lm.nll_r
+      FROM documents d JOIN lm ON lm.id = d.doc_id
+      WHERE d.lang IS NOT NULL),
+    u AS (
+      SELECT FALSE AS nb_filter, doc_id, lang, n_tok, nll_r FROM base
+      UNION ALL
+      SELECT TRUE, b.doc_id, b.lang, b.n_tok, b.nll_r
+      FROM base b JOIN cls ON cls.doc_id = b.doc_id
+      WHERE cls.pred = cls.lang),
+    ranked AS (
+      SELECT nb_filter, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY nb_filter, lang
+                                ORDER BY nll_r, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY nb_filter, lang) AS n
+      FROM u),
+    totals AS (
+      SELECT nb_filter, CAST(COUNT(*) AS BIGINT) AS n_docs_in,
+             CAST(SUM(n_tok) AS BIGINT) AS tok_in
+      FROM ranked GROUP BY nb_filter),
+    kept AS (
+      SELECT nb_filter, CAST(pct AS BIGINT) AS pct,
+             CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+             CAST(SUM(n_tok) AS BIGINT) AS tok_kept
+      FROM ranked, (SELECT unnest([25, 50, 75, 100]) AS pct) p
+      WHERE rn <= (pct * n + 99) // 100
+      GROUP BY 1, 2)
+    SELECT nb_filter, pct, n_docs_in, n_docs_kept, tok_in, tok_kept,
+           ROUND(n_docs_kept / n_docs_in, 6) AS doc_frac,
+           ROUND(tok_kept / tok_in, 6) AS tok_frac
+    FROM kept JOIN totals USING (nb_filter)
+    ORDER BY nb_filter, pct
+"""
+
+# URL/domain filtering (extensions.pipe_url_filter, RefinedWeb stage 0):
+# the deterministic URL derivation and all four rules replayed verbatim -
+# domain/path-word list indexing, the integer-tenths soft word score,
+# the round-6 digit fraction, and the length cap. Shared as a CTE chain
+# so pipe_refinedweb / pipe_token_attribution nest it for their stage 1.
+_URL_CTES = """
+    urlbase AS (
+      SELECT doc_id,
+             list_extract(['archive-docs.org', 'best-casino-777.com',
+               'city-library.net', 'daily-news-site.com',
+               'edu-lectures.edu', 'free-prize-claim.net',
+               'garden-forum.org', 'home-cooking.net', 'indie-music.com',
+               'journal-open.org', 'kids-stories.net',
+               'live-webcam-chat.com', 'maps-service.com',
+               'news-world.org', 'open-data.gov', 'photo-blog.net'],
+               CAST(doc_id % 16 + 1 AS INT)) AS domain,
+             list_extract(['article', 'recipes', 'poker', 'travel',
+               'music', 'webcam', 'science', 'escort', 'sports',
+               'weather', 'history'],
+               CAST(doc_id % 11 + 1 AS INT)) AS pword
+      FROM documents),
+    urlstr AS (
+      SELECT doc_id, domain,
+             'https://' || domain || '/' || pword || '/item'
+             || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 23 = 0
+                     THEN '/' || lpad(CAST(doc_id % 1000000000 AS VARCHAR),
+                                      18, '7')
+                     ELSE '' END
+             || CASE WHEN doc_id % 19 = 0
+                     THEN '/' || repeat('long-section-name', 4)
+                     ELSE '' END AS url
+      FROM urlbase),
+    urlsc AS (
+      SELECT doc_id, url,
+             domain IN ('best-casino-777.com', 'free-prize-claim.net',
+                        'live-webcam-chat.com') AS f_blocklist,
+             CAST(CASE WHEN contains(url, 'escort') THEN 30 ELSE 0 END
+                + CASE WHEN contains(url, 'webcam') THEN 25 ELSE 0 END
+                + CASE WHEN contains(url, 'poker') THEN 20 ELSE 0 END
+                + CASE WHEN contains(url, 'casino') THEN 20 ELSE 0 END
+                + CASE WHEN contains(url, 'prize') THEN 15 ELSE 0 END
+                AS BIGINT) AS score_tenths,
+             ROUND((length(url)
+                    - length(regexp_replace(url, '[0-9]', '', 'g')))
+                   / length(url), 6) AS digit_frac_r,
+             CAST(length(url) AS BIGINT) AS url_len
+      FROM urlstr),
+    urlkeep AS (
+      SELECT doc_id, url, f_blocklist,
+             score_tenths >= 20 AS f_words,
+             digit_frac_r > 0.2 AS f_digits,
+             url_len > 80 AS f_length,
+             score_tenths, digit_frac_r, url_len,
+             (NOT f_blocklist AND NOT score_tenths >= 20
+              AND NOT digit_frac_r > 0.2 AND NOT url_len > 80) AS keep
+      FROM urlsc)"""
+
+EXTENSION_ORACLE["pipe_url_filter"] = f"""
+    WITH {_URL_CTES.lstrip()}
+    SELECT doc_id, url, f_blocklist, f_words, f_digits, f_length,
+           score_tenths, digit_frac_r, url_len, keep
+    FROM urlkeep
+    ORDER BY doc_id
+"""
+
 # the RefinedWeb-shape heuristic funnel (extensions.pipe_refinedweb):
 # every stage runs over the ONE derived stopword-lined corpus (the
-# _lined_docs stopwords=True arithmetic, replayed in the `lined` CTE);
+# _lined_docs stopwords=True arithmetic, replayed in the `lined` CTE)
+# gated by the derived-URL stage-0 pass (the _URL_CTES chain verbatim);
 # the text_langid and text_gopher_rules oracles are nested verbatim
 # with their source rebound onto it (a nested WITH may read an outer
 # CTE), the C4 rule arithmetic is inlined over the same text, dedup is
@@ -2135,10 +2247,13 @@ EXTENSION_ORACLE["pipe_refinedweb"] = f"""
              || CASE WHEN doc_id % 89 = 0
                      THEN chr(10) || 'lorem ipsum filler text here.'
                      ELSE '' END AS text
-      FROM raw WHERE len(toks) > 0),
+      FROM raw WHERE len(toks) > 0),{_URL_CTES},
+    s0 AS (SELECT l.doc_id FROM lined l
+           JOIN urlkeep u USING (doc_id) WHERE u.keep),
     lid AS ({EXTENSION_ORACLE["text_langid"].replace("FROM documents", "FROM lined")}),
     s1 AS (SELECT d.doc_id FROM lined d
-           JOIN lid USING (doc_id) WHERE lid.pred_lang = d.lang),
+           JOIN lid USING (doc_id) WHERE lid.pred_lang = d.lang
+             AND d.doc_id IN (SELECT doc_id FROM s0)),
     gop AS ({EXTENSION_ORACLE["text_gopher_rules"].replace("FROM documents", "FROM lined")}),
     s2 AS (SELECT doc_id FROM s1 JOIN gop USING (doc_id) WHERE gop.keep),
     c4t AS (
@@ -2192,23 +2307,27 @@ EXTENSION_ORACLE["pipe_refinedweb"] = f"""
     s5 AS (
       SELECT doc_id FROM s4
       WHERE doc_id NOT IN (SELECT doc_id FROM dominated))
-    SELECT CAST(1 AS BIGINT) AS stage, 'lang_id' AS name,
+    SELECT CAST(1 AS BIGINT) AS stage, 'url_filter' AS name,
            CAST((SELECT COUNT(*) FROM lined) AS BIGINT) AS n_in,
-           CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_kept
+           CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_kept
     UNION ALL
-    SELECT 2, 'gopher',
+    SELECT 2, 'lang_id',
+           CAST((SELECT COUNT(*) FROM s0) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'gopher',
            CAST((SELECT COUNT(*) FROM s1) AS BIGINT),
            CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
     UNION ALL
-    SELECT 3, 'c4',
+    SELECT 4, 'c4',
            CAST((SELECT COUNT(*) FROM s2) AS BIGINT),
            CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
     UNION ALL
-    SELECT 4, 'exact_cleaned',
+    SELECT 5, 'exact_cleaned',
            CAST((SELECT COUNT(*) FROM s3) AS BIGINT),
            CAST((SELECT COUNT(*) FROM s4) AS BIGINT)
     UNION ALL
-    SELECT 5, 'near_dup',
+    SELECT 6, 'near_dup',
            CAST((SELECT COUNT(*) FROM s4) AS BIGINT),
            CAST((SELECT COUNT(*) FROM s5) AS BIGINT)
     ORDER BY stage
@@ -2248,7 +2367,8 @@ EXTENSION_ORACLE["pipe_token_attribution"] = (
         _TOK_STAGE.format(i=i, name=name, src_in=si, src_kept=sk)
         for i, (name, si, sk) in enumerate(
             [
-                ("lang_id", "lined", "s1"),
+                ("url_filter", "lined", "s0"),
+                ("lang_id", "s0", "s1"),
                 ("gopher", "s1", "s2"),
                 ("c4", "s2", "s3"),
                 ("exact_cleaned", "s3", "s4"),
