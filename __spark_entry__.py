@@ -78,9 +78,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle renumbered with the URL CTE chain nested verbatim).
 # pipe_token_attribution (CHANGED r16 - re-weights the same six-stage
 # frames, twelve bounded token scalars).
+# sim_chunk_ann (NEW r16 - VERDICT r15 #8 stretch, the dense twin of
+# sim_chunk_bm25 closing the RAG retrieval family: the chunk-grain
+# embedding store - text_chunk windows, DENSE ids via the distributed
+# global rank, parent-doc vectors on an exact m/512 binary grid with
+# integer per-(doc,chunk,dim) jitter so cross-engine aggregation order
+# cannot produce round-6 boundary noise - indexed with the production
+# residual IVF-PQ rung (memoized chunk-store artifacts), top-20
+# candidate chunks per query chunk, self-parent excluded, best chunk
+# per candidate doc, top-5 parent docs; the oracle replays the full
+# coarse-k-means + residual-PQ + ADC chain over the identical store).
 _CHANGED_THIS_ROUND = [
     "pipe_url_filter",
     "pipe_curation_sweep",
+    "sim_chunk_ann",
     "pipe_refinedweb",
     "pipe_token_attribution",
 ]
@@ -100,7 +111,7 @@ _STALE_R12 = [
 ]
 _STALE_R13 = [
     "dedup_containment", "dedup_embedding", "dedup_fuzzy",
-    "dedup_incremental", "dedup_keep_best",
+    "dedup_incremental",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R12 + _STALE_R13
 

@@ -77,6 +77,7 @@ def main() -> None:
     extensions._pq_codebooks(spark, sf_dir)
     extensions._pq_base_codebooks(spark, sf_dir)
     extensions._ivfpq_artifacts(spark, sf_dir)
+    extensions._chunk_ivfpq_artifacts(spark, sf_dir)
     # pre-materialize the session shingle-array index and verified pair
     # table (operators/dedup._SHINGLE_CACHE/_PAIR_CACHE): every
     # dedup-family query shares them via the session memo, and whichever
@@ -162,6 +163,8 @@ def main() -> None:
             "pq_codebooks": extensions._PQ_CODEBOOK_MEMO,
             "pq_base_codebooks": extensions._PQ_BASE_CODEBOOK_MEMO,
             "ivfpq_artifacts": extensions._IVFPQ_MEMO,
+            "chunk_vec_store": extensions._CHUNK_STORE_MEMO,
+            "chunk_ivfpq_artifacts": extensions._CHUNK_IVFPQ_MEMO,
             "coarse_centroids": extensions._COARSE_MEMO,
         }
         # (id-set, strong refs): the refs keep every snapshotted entry

@@ -11,6 +11,10 @@
    NB branch is a subset of the unfiltered branch, and the integer
    nearest-rank formula equals math.ceil(pct*n/100) over an exhaustive
    grid.
+3. sim_chunk_ann (VERDICT r15 #8): the chunk embedding store's dense-id
+   and binary-grid derivation contracts (pure-Python twin), and the
+   parent-doc max-pool's structural facts (rank sequences, ordering,
+   distinct docs, self-parent exclusion, store-consistent coordinates).
 """
 
 import math
@@ -186,6 +190,73 @@ def test_pipe_curation_sweep_monotone_and_boundaries(spark):
         assert pt["n_docs_kept"] <= pf["n_docs_kept"]
     # the NB gate must actually gate on this corpus
     assert by_branch[True][0]["n_docs_in"] < by_branch[False][0]["n_docs_in"]
+
+
+# --- 3. chunk-grain ANN with parent-doc max-pooling -------------------------
+
+
+def test_chunk_vec_store_dense_ids_and_python_twin(spark):
+    """The chunk embedding store's two contracts: rids are the DENSE
+    0..n-1 enumeration of the (doc_id, chunk_idx) sort (the property
+    the ANN seeding and query-set selection depend on), and every
+    vector equals the pure-Python replay of the binary-grid derivation
+    floor(parent*512) + jitter over 512 - checked on the first 40 rows
+    (beyond the seed/query prefix)."""
+    import math
+
+    from web_maxiv_hdbppviewer_spark.plans import extensions
+
+    store = sorted(
+        extensions._chunk_vec_store(spark, SF_SMOKE).collect(),
+        key=lambda r: r["rid"],
+    )
+    keys = [(r["doc_id"], r["chunk_idx"]) for r in store]
+    assert keys == sorted(keys)
+    assert [r["rid"] for r in store] == list(range(len(store)))
+
+    emb = {
+        r["vec_id"]: list(r["embedding"])
+        for r in extensions._emb(spark, SF_SMOKE).collect()
+    }
+    for r in store[:40]:
+        want = [
+            (math.floor(float(x) * 512)
+             + ((r["doc_id"] * 31 + r["chunk_idx"] * 7 + j) % 17 - 8)) / 512.0
+            for j, x in enumerate(emb[r["doc_id"]])
+        ]
+        assert list(r["cvec"]) == want, r["rid"]
+
+
+def test_sim_chunk_ann_pooling_contracts(spark):
+    """Structural facts of the parent-doc max-pool on the real smoke
+    corpus: every query chunk has rid < 10 and appears with ranks
+    1..m (m <= 5); acos_r is non-increasing within a query with the
+    doc-asc tiebreak; candidate docs are distinct per query (the
+    max-pool collapses chunks); the query's own parent never appears;
+    and (q_doc, q_chunk_idx) matches the store's mapping for q_id."""
+    from web_maxiv_hdbppviewer_spark.plans import extensions
+
+    rows = extensions.sim_chunk_ann(spark, SF_SMOKE).collect()
+    assert rows
+    cmap = {
+        r["rid"]: (r["doc_id"], r["chunk_idx"])
+        for r in extensions._chunk_vec_store(spark, SF_SMOKE).collect()
+    }
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q_id, rs in by_q.items():
+        assert q_id < 10
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        for r in rs:
+            assert (r["q_doc"], r["q_chunk_idx"]) == cmap[q_id]
+            assert r["cand_doc"] != r["q_doc"]
+            assert (r["cand_doc"], r["cand_chunk_idx"]) in set(cmap.values())
+        pairs = [(r["acos_r"], r["cand_doc"]) for r in rs]
+        assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+        assert len({r["cand_doc"] for r in rs}) == len(rs)
 
 
 def test_nearest_rank_integer_formula_matches_ceil():

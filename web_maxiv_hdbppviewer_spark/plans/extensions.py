@@ -977,6 +977,168 @@ def sim_chunk_bm25(spark, sf_dir):
     )
 
 
+CHUNK_ANN_CAND_K = 20
+CHUNK_ANN_DOC_TOPK = 5
+
+
+def _chunk_vec_store(spark, sf_dir):
+    """(rid, doc_id, chunk_idx, cvec): the chunk-grain embedding store -
+    text_chunk's 64/48 windows with DENSE sequential chunk ids and
+    deterministically DERIVED chunk embeddings (the fixture discipline:
+    the corpus ships doc-grain embeddings only, so the chunk vector is
+    the parent doc's vector binary-grid-quantized plus an integer
+    per-(doc, chunk, dim) jitter, all over 512 - both engines rebuild
+    the identical store, and chunks of one document stay near their
+    parent, which is the geometry a real chunk embedder produces).
+
+    Dense ids matter: the ANN machinery seeds k-means from `id <
+    n_cells` and takes `id < query_ids_below` as the query set, so the
+    packed dedup_chunk_near cid (doc_id * 2^20 + chunk_idx) would break
+    both. The rank is the DISTRIBUTED global rank (operators/rank.py) -
+    never a partition-less window. Session-memoized (the shingle-index
+    discipline): the rank materializes eagerly at build time, so every
+    caller after the first reads the one checkpointed store."""
+    from ..operators.rank import global_rank
+
+    if sf_dir in _CHUNK_STORE_MEMO:
+        return _CHUNK_STORE_MEMO[sf_dir]
+    chunks = _chunk_windows(_docs(spark, sf_dir)).select("doc_id", "chunk_idx")
+    ranked = global_rank(chunks, ["doc_id", "chunk_idx"], out_col="rank")
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    did, cidx = F.col("doc_id"), F.col("chunk_idx")
+    # EXACT BINARY GRID: element = (floor(parent * 512) + jitter) / 512
+    # with integer jitter in [-8, 8]. Every element is m/512 - exactly
+    # representable, so sums (k-means member means, inner products) are
+    # order-EXACT and the two engines' different aggregation orders
+    # cannot produce ulp noise at a round-6 boundary (a decimal-grid
+    # jitter was measured to flip exactly that: centroid means landed ON
+    # 5e-7 boundaries and AVG order decided the rounding).
+    cvec = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x, i: (
+            F.floor(x * 512) + ((did * 31 + cidx * 7 + i) % 17 - 8)
+        )
+        / F.lit(512.0),
+    )
+    store = (
+        ranked.select("doc_id", "chunk_idx", (F.col("rank") - 1).alias("rid"))
+        .join(emb, "doc_id")
+        .select("rid", "doc_id", "chunk_idx", cvec.alias("cvec"))
+        .localCheckpoint(eager=False)
+    )
+    _CHUNK_STORE_MEMO[sf_dir] = store
+    return store
+
+
+_CHUNK_STORE_MEMO: dict = {}
+_CHUNK_IVFPQ_MEMO: dict = {}
+
+
+def _chunk_ivfpq_artifacts(spark, sf_dir):
+    """Chunk-store IVFPQ artifacts (coarse centroids + residual
+    codebooks), memoized like _ivfpq_artifacts - the chunk store is a
+    different vector population, so it trains its own index."""
+    if sf_dir not in _CHUNK_IVFPQ_MEMO:
+        cents, rcb = similarity.train_ivfpq(
+            _chunk_vec_store(spark, sf_dir),
+            IVF_CELLS,
+            KMEANS_ITERS,
+            id_col="rid",
+            vec_col="cvec",
+        )
+        _CHUNK_IVFPQ_MEMO[sf_dir] = (
+            [(int(r["cid"]), list(r["cvec"])) for r in cents.collect()],
+            [(int(r["m"]), int(r["cid"]), list(r["cv"])) for r in rcb.collect()],
+        )
+    cr, rr = _CHUNK_IVFPQ_MEMO[sf_dir]
+    return (
+        spark.createDataFrame(cr, "cid long, cvec array<double>"),
+        spark.createDataFrame(rr, "m int, cid long, cv array<double>"),
+    )
+
+
+def sim_chunk_ann(spark, sf_dir):
+    """Chunk-grain ANN retrieval with parent-document max-pooling - the
+    DENSE twin of sim_chunk_bm25, closing the RAG retrieval family at
+    the grain retrieval actually serves (VERDICT r15 #8): the chunk
+    embedding store (_chunk_vec_store) is indexed with the production
+    residual IVF-PQ ladder rung (similarity.ann_topk_ivfpq - trained
+    coarse cells, product-quantized residuals, ADC scoring), each query
+    chunk retrieves its top-20 candidate CHUNKS, candidates from the
+    query's own parent are excluded, the best chunk per candidate
+    document is selected (acos desc, chunk_idx asc - the deterministic
+    max-pool) and the top-5 parent documents are returned with their
+    best chunk's coordinates.
+
+    Scale shape: the store build is one narrow explode + the
+    distributed global rank + a doc-keyed equi-join; index training is
+    the memoized driver-bounded artifact pair (|cells| + |codebook|
+    rows); the probe join and ADC are ann_topk_ivfpq's established
+    broadcast plan; the pooling windows partition by (q_id) and
+    (q_id, cand_doc) - never global; output is |queries| x 5 rows.
+    Oracle: the full k-means + residual-PQ + ADC chain replayed over
+    the identical derived store, then the same two pooling windows."""
+    from pyspark.sql import Window
+
+    store = _chunk_vec_store(spark, sf_dir)
+    cents, rcb = _chunk_ivfpq_artifacts(spark, sf_dir)
+    ann = similarity.ann_topk_ivfpq(
+        store,
+        CHUNK_ANN_CAND_K,
+        QUERY_IDS_BELOW,
+        IVF_CELLS,
+        IVF_NPROBE,
+        KMEANS_ITERS,
+        id_col="rid",
+        vec_col="cvec",
+        centroids=cents,
+        codebooks=rcb,
+    )
+    cmap = store.select("rid", "doc_id", "chunk_idx")
+    # the query map is |queries| rows by construction - broadcast it;
+    # the candidate map stays corpus-sized and joins the bounded ANN
+    # result on cand_id
+    qmap = cmap.where(F.col("rid") < QUERY_IDS_BELOW).select(
+        F.col("rid").alias("q_id"),
+        F.col("doc_id").alias("q_doc"),
+        F.col("chunk_idx").cast("long").alias("q_chunk_idx"),
+    )
+    cand = cmap.select(
+        F.col("rid").alias("cand_id"),
+        F.col("doc_id").alias("cand_doc"),
+        F.col("chunk_idx").cast("long").alias("cand_chunk_idx"),
+    )
+    pooled = (
+        ann.join(F.broadcast(qmap), "q_id")
+        .join(cand, "cand_id")
+        .where(F.col("cand_doc") != F.col("q_doc"))
+    )
+    wb = Window.partitionBy("q_id", "cand_doc").orderBy(
+        F.col("acos_r").desc(), F.col("cand_chunk_idx").asc()
+    )
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("acos_r").desc(), F.col("cand_doc").asc()
+    )
+    return (
+        pooled.withColumn("brn", F.row_number().over(wb))
+        .where(F.col("brn") == 1)
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= CHUNK_ANN_DOC_TOPK)
+        .select(
+            "q_id",
+            "q_doc",
+            "q_chunk_idx",
+            "cand_doc",
+            "cand_chunk_idx",
+            "acos_r",
+            "rank",
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
 def pipe_contamination_bloom(spark, sf_dir):
     """pipe_contamination with the production Bloom pre-filter
     (dedup.bloom_contamination): the train shingle set becomes a 512 KiB
@@ -5680,6 +5842,7 @@ EXTENSION_QUERIES = {
     # -- round 16 --
     "pipe_url_filter": pipe_url_filter,
     "pipe_curation_sweep": pipe_curation_sweep,
+    "sim_chunk_ann": sim_chunk_ann,
     # -- round 15 --
     "stream_curation": stream_curation,
     "text_gopher_rules": text_gopher_rules,

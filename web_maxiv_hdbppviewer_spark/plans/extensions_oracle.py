@@ -2150,6 +2150,65 @@ EXTENSION_ORACLE["pipe_curation_sweep"] = f"""
     ORDER BY nb_filter, pct
 """
 
+# chunk-grain ANN with parent-document max-pooling
+# (extensions.sim_chunk_ann): the text_chunk window arithmetic gives the
+# chunk set, dense ids from a global ROW_NUMBER, the derived chunk
+# vectors (parent embedding + exact-grid round-6 jitter), then the FULL
+# coarse-k-means + residual-PQ + ADC chain reused verbatim (the
+# sim_ann_ivfpq oracle machinery reads the `vecs` CTE, which here is
+# the chunk store), candidate cap 20 (CHUNK_ANN_CAND_K) and doc top-5
+# (CHUNK_ANN_DOC_TOPK) hard-coded to the engine constants
+EXTENSION_ORACLE["sim_chunk_ann"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+      FROM documents),
+    ch AS (
+      SELECT doc_id, unnest(generate_series(0,
+               CASE WHEN len(l) <= 64 THEN 0
+                    ELSE CAST(FLOOR((len(l) - 64 + 47) / 48.0) AS INT)
+               END)) AS chunk_idx
+      FROM t WHERE len(l) > 0),
+    cmap AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY doc_id, chunk_idx) - 1 AS id,
+             doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx
+      FROM ch),
+    cvecs AS (
+      SELECT id, doc_id, chunk_idx,
+             list((FLOOR(vx * 512)
+                   + ((doc_id * 31 + chunk_idx * 7 + idx - 1) % 17 - 8))
+                  / 512.0 ORDER BY idx) AS v
+      FROM (SELECT cm.id, cm.doc_id, cm.chunk_idx,
+                   unnest(CAST(e.embedding AS DOUBLE[])) AS vx,
+                   generate_subscripts(e.embedding, 1) AS idx
+            FROM cmap cm JOIN embeddings e ON e.vec_id = cm.doc_id)
+      GROUP BY id, doc_id, chunk_idx),
+    vecs AS (
+      SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM cvecs),
+    {_KMEANS_CTES}
+    {_IVFPQ_CHAIN},
+    pooled AS (
+      SELECT r.q_id, qm.doc_id AS q_doc, qm.chunk_idx AS q_chunk_idx,
+             cm.doc_id AS cand_doc, cm.chunk_idx AS cand_chunk_idx,
+             r.acos_r
+      FROM ivfpqranked r
+      JOIN cmap cm ON cm.id = r.cand_id
+      JOIN cmap qm ON qm.id = r.q_id
+      WHERE r.rank <= 20 AND cm.doc_id != qm.doc_id),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, cand_doc
+                                   ORDER BY acos_r DESC,
+                                            cand_chunk_idx ASC) AS brn
+      FROM pooled),
+    docranked AS (
+      SELECT q_id, q_doc, q_chunk_idx, cand_doc, cand_chunk_idx, acos_r,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY acos_r DESC, cand_doc ASC) AS rank
+      FROM best WHERE brn = 1)
+    SELECT q_id, q_doc, q_chunk_idx, cand_doc, cand_chunk_idx, acos_r, rank
+    FROM docranked WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
 # URL/domain filtering (extensions.pipe_url_filter, RefinedWeb stage 0):
 # the deterministic URL derivation and all four rules replayed verbatim -
 # domain/path-word list indexing, the integer-tenths soft word score,
