@@ -88,10 +88,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # candidate chunks per query chunk, self-parent excluded, best chunk
 # per candidate doc, top-5 parent docs; the oracle replays the full
 # coarse-k-means + residual-PQ + ADC chain over the identical store).
+# sim_chunk_ann_recall (NEW r16 - the recall dial for the new rung:
+# recall@5 of the IVFPQ parent-doc ranking vs the exact float-cosine
+# parent-doc ranking, both legs pooled with the IDENTICAL max-pool
+# windows; the sim_ivfpq_recall discipline at the chunk grain).
 _CHANGED_THIS_ROUND = [
     "pipe_url_filter",
     "pipe_curation_sweep",
     "sim_chunk_ann",
+    "sim_chunk_ann_recall",
     "pipe_refinedweb",
     "pipe_token_attribution",
 ]
@@ -111,7 +116,6 @@ _STALE_R12 = [
 ]
 _STALE_R13 = [
     "dedup_containment", "dedup_embedding", "dedup_fuzzy",
-    "dedup_incremental",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R12 + _STALE_R13
 

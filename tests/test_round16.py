@@ -259,6 +259,41 @@ def test_sim_chunk_ann_pooling_contracts(spark):
         assert len({r["cand_doc"] for r in rs}) == len(rs)
 
 
+def test_sim_chunk_ann_recall_bounds_and_hit_replay(spark):
+    """The recall dial's contracts on the real smoke corpus: one row
+    per query chunk (rid < 10), n_hits in 0..5, recall_r the round-6
+    ratio - and the hit counts replayed from the two declared rankings
+    themselves (exact side = sim_chunk_ann's pooling applied to the
+    brute-force cosine), so the recall join cannot silently drift from
+    the legs it claims to compare."""
+    from web_maxiv_hdbppviewer_spark.operators import similarity
+    from web_maxiv_hdbppviewer_spark.plans import extensions
+
+    rows = extensions.sim_chunk_ann_recall(spark, SF_SMOKE).collect()
+    assert [r["q_id"] for r in rows] == sorted(r["q_id"] for r in rows)
+    assert all(r["q_id"] < 10 for r in rows)
+    ann = {}
+    for r in extensions.sim_chunk_ann(spark, SF_SMOKE).collect():
+        ann.setdefault(r["q_id"], set()).add(r["cand_doc"])
+    store = extensions._chunk_vec_store(spark, SF_SMOKE)
+    exact_pool = extensions._pool_parent_docs(
+        similarity.topk_cosine(
+            store, 1 << 40, 10, id_col="rid", vec_col="cvec"
+        ).select("q_id", "cand_id", "cos_r"),
+        store.select("rid", "doc_id", "chunk_idx"),
+        "cos_r",
+    ).collect()
+    exact = {}
+    for r in exact_pool:
+        exact.setdefault(r["q_id"], set()).add(r["cand_doc"])
+    assert {r["q_id"] for r in rows} == set(exact)
+    for r in rows:
+        want = len(ann.get(r["q_id"], set()) & exact[r["q_id"]])
+        assert r["n_hits"] == want, (r, want)
+        assert 0 <= r["n_hits"] <= 5
+        assert r["recall_r"] == round(r["n_hits"] / 5.0, 6)
+
+
 def test_nearest_rank_integer_formula_matches_ceil():
     """(pct * n + 99) DIV 100 == ceil(pct * n / 100) exhaustively over
     the grid that matters (every pct in the sweep, n up to 10k) - the

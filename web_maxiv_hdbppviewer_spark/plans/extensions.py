@@ -1080,8 +1080,6 @@ def sim_chunk_ann(spark, sf_dir):
     (q_id, cand_doc) - never global; output is |queries| x 5 rows.
     Oracle: the full k-means + residual-PQ + ADC chain replayed over
     the identical derived store, then the same two pooling windows."""
-    from pyspark.sql import Window
-
     store = _chunk_vec_store(spark, sf_dir)
     cents, rcb = _chunk_ivfpq_artifacts(spark, sf_dir)
     ann = similarity.ann_topk_ivfpq(
@@ -1096,10 +1094,24 @@ def sim_chunk_ann(spark, sf_dir):
         centroids=cents,
         codebooks=rcb,
     )
-    cmap = store.select("rid", "doc_id", "chunk_idx")
-    # the query map is |queries| rows by construction - broadcast it;
-    # the candidate map stays corpus-sized and joins the bounded ANN
-    # result on cand_id
+    return _pool_parent_docs(
+        ann.select("q_id", "cand_id", "acos_r"),
+        store.select("rid", "doc_id", "chunk_idx"),
+        "acos_r",
+    ).orderBy("q_id", "rank")
+
+
+def _pool_parent_docs(scored, cmap, score_col):
+    """Parent-document max-pooling shared by sim_chunk_ann (ADC scores)
+    and sim_chunk_ann_recall's exact leg (float cosine): join the
+    scored (q_id, cand_id, score) chunk pairs back to the chunk map,
+    exclude the query's own parent, keep the best-scoring chunk per
+    candidate document (score desc, chunk_idx asc) and rank the top
+    CHUNK_ANN_DOC_TOPK documents per query (score desc, doc asc). The
+    query map is |queries| rows by construction - broadcast; both
+    windows partition by q_id - never global."""
+    from pyspark.sql import Window
+
     qmap = cmap.where(F.col("rid") < QUERY_IDS_BELOW).select(
         F.col("rid").alias("q_id"),
         F.col("doc_id").alias("q_doc"),
@@ -1111,15 +1123,15 @@ def sim_chunk_ann(spark, sf_dir):
         F.col("chunk_idx").cast("long").alias("cand_chunk_idx"),
     )
     pooled = (
-        ann.join(F.broadcast(qmap), "q_id")
+        scored.join(F.broadcast(qmap), "q_id")
         .join(cand, "cand_id")
         .where(F.col("cand_doc") != F.col("q_doc"))
     )
     wb = Window.partitionBy("q_id", "cand_doc").orderBy(
-        F.col("acos_r").desc(), F.col("cand_chunk_idx").asc()
+        F.col(score_col).desc(), F.col("cand_chunk_idx").asc()
     )
     wr = Window.partitionBy("q_id").orderBy(
-        F.col("acos_r").desc(), F.col("cand_doc").asc()
+        F.col(score_col).desc(), F.col("cand_doc").asc()
     )
     return (
         pooled.withColumn("brn", F.row_number().over(wb))
@@ -1132,11 +1144,54 @@ def sim_chunk_ann(spark, sf_dir):
             "q_chunk_idx",
             "cand_doc",
             "cand_chunk_idx",
-            "acos_r",
+            score_col,
             "rank",
         )
-        .orderBy("q_id", "rank")
     )
+
+
+def sim_chunk_ann_recall(spark, sf_dir):
+    """Recall@5 of the chunk-grain IVFPQ parent-document ranking against
+    the EXACT parent-document ranking - the recall dial for the RAG
+    retrieval rung (the sim_ivfpq_recall discipline at the chunk
+    grain): the exact leg scores every (query chunk, candidate chunk)
+    float cosine, pools to the true top-5 parent documents with the
+    IDENTICAL max-pool, and per-query recall counts the approximate
+    ranking's document hits. ANN loses parent docs two ways - unprobed
+    cells and the 20-candidate chunk cap before pooling - and this
+    measures the combined effect in-engine.
+
+    Scale shape: the exact leg is the |queries| x |chunks| broadcast
+    cosine (queries bounded by construction); both legs reuse the
+    memoized chunk store and index artifacts; pooling windows partition
+    by q_id; output is |queries| bounded rows."""
+    store = _chunk_vec_store(spark, sf_dir)
+    cmap = store.select("rid", "doc_id", "chunk_idx")
+    cents, rcb = _chunk_ivfpq_artifacts(spark, sf_dir)
+    ann = similarity.ann_topk_ivfpq(
+        store,
+        CHUNK_ANN_CAND_K,
+        QUERY_IDS_BELOW,
+        IVF_CELLS,
+        IVF_NPROBE,
+        KMEANS_ITERS,
+        id_col="rid",
+        vec_col="cvec",
+        centroids=cents,
+        codebooks=rcb,
+    )
+    ann_docs = _pool_parent_docs(
+        ann.select("q_id", "cand_id", "acos_r"), cmap, "acos_r"
+    ).select("q_id", F.col("cand_doc").alias("cand_id"))
+    # exact leg: pool over ALL candidate chunks (k = corpus bound), so
+    # the exact top-5 documents are the true ones, not a capped proxy
+    exact = similarity.topk_cosine(
+        store, 1 << 40, QUERY_IDS_BELOW, id_col="rid", vec_col="cvec"
+    )
+    exact_docs = _pool_parent_docs(
+        exact.select("q_id", "cand_id", "cos_r"), cmap, "cos_r"
+    ).select("q_id", F.col("cand_doc").alias("cand_id"))
+    return _recall_vs_exact(ann_docs, exact_docs, CHUNK_ANN_DOC_TOPK)
 
 
 def pipe_contamination_bloom(spark, sf_dir):
@@ -5843,6 +5898,7 @@ EXTENSION_QUERIES = {
     "pipe_url_filter": pipe_url_filter,
     "pipe_curation_sweep": pipe_curation_sweep,
     "sim_chunk_ann": sim_chunk_ann,
+    "sim_chunk_ann_recall": sim_chunk_ann_recall,
     # -- round 15 --
     "stream_curation": stream_curation,
     "text_gopher_rules": text_gopher_rules,

@@ -2153,13 +2153,15 @@ EXTENSION_ORACLE["pipe_curation_sweep"] = f"""
 # chunk-grain ANN with parent-document max-pooling
 # (extensions.sim_chunk_ann): the text_chunk window arithmetic gives the
 # chunk set, dense ids from a global ROW_NUMBER, the derived chunk
-# vectors (parent embedding + exact-grid round-6 jitter), then the FULL
-# coarse-k-means + residual-PQ + ADC chain reused verbatim (the
-# sim_ann_ivfpq oracle machinery reads the `vecs` CTE, which here is
-# the chunk store), candidate cap 20 (CHUNK_ANN_CAND_K) and doc top-5
-# (CHUNK_ANN_DOC_TOPK) hard-coded to the engine constants
-EXTENSION_ORACLE["sim_chunk_ann"] = f"""
-    WITH t AS (
+# vectors (parent embedding on the exact m/512 binary grid plus integer
+# jitter), then the FULL coarse-k-means + residual-PQ + ADC chain
+# reused verbatim (the sim_ann_ivfpq oracle machinery reads the `vecs`
+# CTE, which here is the chunk store), candidate cap 20
+# (CHUNK_ANN_CAND_K) and doc top-5 (CHUNK_ANN_DOC_TOPK) hard-coded to
+# the engine constants. The chain is shared with sim_chunk_ann_recall,
+# whose exact leg pools the all-pairs float cosine with the identical
+# windows.
+_CHUNK_ANN_CTES = f"""t AS (
       SELECT doc_id,
              list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
       FROM documents),
@@ -2204,9 +2206,54 @@ EXTENSION_ORACLE["sim_chunk_ann"] = f"""
       SELECT q_id, q_doc, q_chunk_idx, cand_doc, cand_chunk_idx, acos_r,
              ROW_NUMBER() OVER (PARTITION BY q_id
                                 ORDER BY acos_r DESC, cand_doc ASC) AS rank
-      FROM best WHERE brn = 1)
+      FROM best WHERE brn = 1)"""
+
+EXTENSION_ORACLE["sim_chunk_ann"] = f"""
+    WITH {_CHUNK_ANN_CTES}
     SELECT q_id, q_doc, q_chunk_idx, cand_doc, cand_chunk_idx, acos_r, rank
     FROM docranked WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+# recall@5 of the chunk-grain IVFPQ parent-doc ranking vs the exact
+# float-cosine parent-doc ranking (extensions.sim_chunk_ann_recall):
+# the shared chain, an all-pairs exact leg pooled with the IDENTICAL
+# windows, and the _recall_vs_exact hit arithmetic at k=5
+EXTENSION_ORACLE["sim_chunk_ann_recall"] = f"""
+    WITH {_CHUNK_ANN_CTES},
+    exactsc AS (
+      SELECT q.id AS q_id, c.id AS cand_id,
+             ROUND(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6)
+               AS cos_r
+      FROM vecs q JOIN vecs c ON c.id != q.id
+      WHERE q.id < 10),
+    epool AS (
+      SELECT e.q_id, cm.doc_id AS cand_doc, cm.chunk_idx AS cand_chunk_idx,
+             e.cos_r
+      FROM exactsc e
+      JOIN cmap cm ON cm.id = e.cand_id
+      JOIN cmap qm ON qm.id = e.q_id
+      WHERE cm.doc_id != qm.doc_id),
+    ebest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, cand_doc
+                                   ORDER BY cos_r DESC,
+                                            cand_chunk_idx ASC) AS brn
+      FROM epool),
+    eranked AS (
+      SELECT q_id, cand_doc,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_r DESC, cand_doc ASC) AS rank
+      FROM ebest WHERE brn = 1),
+    exact AS (SELECT q_id, cand_doc AS cand_id FROM eranked WHERE rank <= 5),
+    annd AS (SELECT q_id, cand_doc AS cand_id FROM docranked WHERE rank <= 5),
+    hits AS (
+      SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM exact e JOIN annd a ON a.q_id = e.q_id AND a.cand_id = e.cand_id
+      GROUP BY e.q_id),
+    qids AS (SELECT DISTINCT q_id FROM exact)
+    SELECT qids.q_id AS q_id,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(n, 0) / 5.0, 6) AS recall_r
+    FROM qids LEFT JOIN hits USING (q_id) ORDER BY q_id
 """
 
 # URL/domain filtering (extensions.pipe_url_filter, RefinedWeb stage 0):
