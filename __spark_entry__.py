@@ -92,6 +92,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # recall@5 of the IVFPQ parent-doc ranking vs the exact float-cosine
 # parent-doc ranking, both legs pooled with the IDENTICAL max-pool
 # windows; the sim_ivfpq_recall discipline at the chunk grain).
+# pipe_curation_trained (CHANGED r16 - stage counts moved into
+# _funnel_report's one labeled-union aggregation, like the two
+# refinedweb reports; values identical, plan now has zero
+# single-partition exchanges).
 _CHANGED_THIS_ROUND = [
     "pipe_url_filter",
     "pipe_curation_sweep",
@@ -99,6 +103,7 @@ _CHANGED_THIS_ROUND = [
     "sim_chunk_ann_recall",
     "pipe_refinedweb",
     "pipe_token_attribution",
+    "pipe_curation_trained",
 ]
 # fill: the ENTIRE 41-row r12 cohort (oldest-first, alphabetical - the
 # exact list the r15 rotation tripwire printed), then the r13 cohort
@@ -115,7 +120,7 @@ _STALE_R12 = [
     "window_sessions", "window_sliding",
 ]
 _STALE_R13 = [
-    "dedup_containment", "dedup_embedding", "dedup_fuzzy",
+    "dedup_containment", "dedup_embedding",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R12 + _STALE_R13
 

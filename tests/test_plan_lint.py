@@ -90,27 +90,19 @@ SINGLE_PARTITION_OK = {
     "text_nb_train": 1,
     "text_nb_classify": 1,
     "text_nb_eval": 1,
-    # the trained curation funnel: pipe_funnel's shape with one more
-    # stage - 8 scalar survivor counts (4 stages x n_in/n_kept), each a
-    # single-row merge below a partial count aggregate (case (a)); the
-    # trained-model subtrees contribute nothing extra because the NB
-    # scalar V and the LM scalar V both sit under the same partial-agg
-    # class already allowlisted for text_nb_classify / text_lm_score
-    # and are consumed via broadcast before these counts run.
-    "pipe_curation_trained": 8,
+    # the trained curation funnel (r16): the stage counts land in ONE
+    # labeled-union keyed aggregation (_funnel_report), so the plan has
+    # ZERO single-partition exchanges - the NB scalar V and the LM
+    # scalar V sit under the partial-agg class already allowlisted for
+    # text_nb_classify / text_lm_score and are consumed via broadcast
+    # before the count job runs. No entry needed; kept here as the
+    # record of the r15->r16 change (was 8 scalar merges).
     "text_keywords": 1,
     "text_lm_score": 1,
-    # pipe_refinedweb: pipe_curation_trained's funnel shape with two
-    # more stages - 12 scalar survivor counts (6 stages x n_in/n_kept,
-    # the r16 url_filter stage 0 included), each a single-row merge
-    # below a partial count aggregate over a lazily-checkpointed
-    # survivor id-frame. Case (a) throughout.
-    "pipe_refinedweb": 12,
-    # pipe_token_attribution: same funnel frames, twelve scalar
-    # TOKEN-sum merges (6 stages x tok_in/tok_kept), each a single-row
-    # merge below a partial sum over a survivor-semi-joined narrow
-    # (doc_id, n_tok) frame. Case (a) throughout.
-    "pipe_token_attribution": 12,
+    # pipe_refinedweb / pipe_token_attribution (r16): all stage counts
+    # and token budgets land in _funnel_report's one labeled-union
+    # keyed aggregation - zero single-partition exchanges (was 12
+    # scalar merges each). No entries needed.
     # pipe_classifier_agreement: two scalar merges over BOUNDED frames -
     # tot (n/agree sums) reads the |labels|^2-row confusion matrix (a
     # lazy localCheckpoint, so the corpus-sized classify work sits below

@@ -3245,10 +3245,11 @@ def pipe_curation_trained(spark, sf_dir):
     the session-shared full-corpus pair index filtered to surviving
     endpoints (recall-exact - jaccard is pairwise); the per-lang LM
     median is an exact percentile over a |langs|-bounded group set,
-    broadcast back. Both trained models are the bounded-trainer
-    artifacts the 100 TB brief requires: NB's driver round-trip is
-    |labels|+1 rows, the LM trains and scores in one corpus-linear
-    pipeline with no driver collect."""
+    broadcast back; the eight stage counts land in ONE labeled-union
+    aggregation (_funnel_report). Both trained models are the
+    bounded-trainer artifacts the 100 TB brief requires: NB's driver
+    round-trip is |labels|+1 rows, the LM trains and scores in one
+    corpus-linear pipeline with no driver collect."""
     from ..operators import nbayes
 
     docs = _docs(spark, sf_dir)
@@ -3290,23 +3291,14 @@ def pipe_curation_trained(spark, sf_dir):
         .distinct()
     )
     s4_ids = s3_ids.join(dominated, "doc_id", "left_anti")
-
-    def row(stage, name, df_in, df_kept):
-        n_in = df_in.agg(F.count(F.lit(1)).cast("long").alias("n_in"))
-        n_kept = df_kept.agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
-        return n_in.crossJoin(n_kept).select(
-            F.lit(stage).cast("long").alias("stage"),
-            F.lit(name).alias("name"),
-            "n_in",
-            "n_kept",
-        )
-
-    return (
-        row(1, "nb_lang", total, s1_ids)
-        .unionByName(row(2, "lm_ppl", s1_ids, s2_ids))
-        .unionByName(row(3, "exact_dedup", s2_ids, s3_ids))
-        .unionByName(row(4, "near_dup", s3_ids, s4_ids))
-        .orderBy("stage")
+    return _funnel_report(
+        spark,
+        [
+            ("nb_lang", total, s1_ids),
+            ("lm_ppl", s1_ids, s2_ids),
+            ("exact_dedup", s2_ids, s3_ids),
+            ("near_dup", s3_ids, s4_ids),
+        ],
     )
 
 
@@ -3741,6 +3733,88 @@ def _lined_docs(spark, sf_dir, keep_cols=(), stopwords=False):
     )
 
 
+def _funnel_report(spark, stages, value_frame=None):
+    """(stage, name, in, kept) for a funnel stage list in ONE
+    aggregation job (r16 perf): the distinct stage frames are unioned
+    with a frame-id label and aggregated in a single |frames|-group
+    pass, then the stage rows assemble by broadcast-joining the bounded
+    per-frame table twice - one read per frame and one tiny shuffle
+    instead of 2 x |stages| separate scalar-merge jobs. The linearity
+    study (BASELINE.md r16) showed the funnels' cost at bench scale is
+    almost entirely stage-scheduling overhead; this removes ~3/4 of the
+    scheduled jobs without touching any value.
+
+    With ``value_frame`` (a (doc_id, n_tok) projection) the aggregate
+    is the token SUM of each frame's semi-join against it (the
+    pipe_token_attribution budgets, columns tok_in/tok_kept + the
+    guarded round-6 kept_frac); without it, the COUNT per frame
+    (columns n_in/n_kept). Empty frames coalesce to 0 in both modes."""
+    frames = []
+    for _, fin, fkept in stages:
+        for f in (fin, fkept):
+            if all(f is not g for g in frames):
+                frames.append(f)
+    labeled = None
+    for i, f in enumerate(frames):
+        if value_frame is not None:
+            l = value_frame.join(
+                f.select("doc_id"), "doc_id", "left_semi"
+            ).select(F.lit(i).alias("fid"), "n_tok")
+        else:
+            l = f.select(F.lit(i).alias("fid"))
+        labeled = l if labeled is None else labeled.unionByName(l)
+    agg = (
+        F.sum("n_tok") if value_frame is not None else F.count(F.lit(1))
+    )
+    per_frame = labeled.groupBy("fid").agg(agg.cast("long").alias("n"))
+    fid = {id(f): i for i, f in enumerate(frames)}
+    meta = spark.createDataFrame(
+        [
+            (k, name, fid[id(fin)], fid[id(fkept)])
+            for k, (name, fin, fkept) in enumerate(stages, 1)
+        ],
+        "stage long, name string, fid_in int, fid_kept int",
+    )
+    cin, ckept = ("tok_in", "tok_kept") if value_frame is not None else (
+        "n_in", "n_kept"
+    )
+    out = (
+        meta.join(
+            F.broadcast(
+                per_frame.select(
+                    F.col("fid").alias("fid_in"), F.col("n").alias("_nin")
+                )
+            ),
+            "fid_in",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                per_frame.select(
+                    F.col("fid").alias("fid_kept"), F.col("n").alias("_nkept")
+                )
+            ),
+            "fid_kept",
+            "left",
+        )
+        .select(
+            "stage",
+            "name",
+            F.coalesce(F.col("_nin"), F.lit(0)).cast("long").alias(cin),
+            F.coalesce(F.col("_nkept"), F.lit(0)).cast("long").alias(ckept),
+        )
+    )
+    if value_frame is not None:
+        out = out.select(
+            "*",
+            F.when(
+                F.col("tok_in") > 0,
+                F.round(F.col("tok_kept") / F.col("tok_in"), 6),
+            ).alias("kept_frac"),
+        )
+    return out.orderBy("stage")
+
+
 def pipe_refinedweb(spark, sf_dir):
     """The literature-complete HEURISTIC curation funnel - the
     RefinedWeb/FineWeb pipeline shape (Penedo et al. 2023): URL/domain
@@ -3780,24 +3854,9 @@ def pipe_refinedweb(spark, sf_dir):
     stages 2-4 are the established narrow passes; survivor id-frames
     are lazily localCheckpoint-ed (bytes per doc); the cleaned-grain
     dedup is one groupBy(md5); near-dup reads the memoized pair index.
-    Twelve scalar counts, nothing else reaches the driver."""
-    stages = _refinedweb_stages(spark, sf_dir)
-
-    def row(stage, name, df_in, df_kept):
-        n_in = df_in.agg(F.count(F.lit(1)).cast("long").alias("n_in"))
-        n_kept = df_kept.agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
-        return n_in.crossJoin(n_kept).select(
-            F.lit(stage).cast("long").alias("stage"),
-            F.lit(name).alias("name"),
-            "n_in",
-            "n_kept",
-        )
-
-    out = None
-    for i, (name, df_in, df_kept) in enumerate(stages, start=1):
-        r = row(i, name, df_in, df_kept)
-        out = r if out is None else out.unionByName(r)
-    return out.orderBy("stage")
+    All twelve counts land in ONE labeled-union aggregation
+    (_funnel_report), nothing else reaches the driver."""
+    return _funnel_report(spark, _refinedweb_stages(spark, sf_dir))
 
 
 def _refinedweb_stages(spark, sf_dir):
@@ -3874,9 +3933,11 @@ def pipe_token_attribution(spark, sf_dir):
 
     Scale shape: the stage frames are pipe_refinedweb's lazy
     localCheckpoints; each budget is one broadcast-sized semi-join of
-    the survivor id-frame against the narrow (doc_id, n_tok) projection
-    followed by a scalar sum - twelve bounded scalars, no new corpus
-    passes beyond the one (doc_id, n_tok) projection."""
+    the survivor id-frame against the narrow (doc_id, n_tok)
+    projection, and all twelve sums land in ONE labeled-union
+    aggregation (_funnel_report) - no new corpus passes beyond the one
+    (doc_id, n_tok) projection. The kept_frac carries _funnel_report's
+    ANSI guard: an emptied-out stage has no defined ratio."""
     from ..functions.texthash import words
 
     ntok = (
@@ -3886,34 +3947,9 @@ def pipe_token_attribution(spark, sf_dir):
         )
         .localCheckpoint(eager=False)
     )
-
-    def budget(ids):
-        return ntok.join(ids.select("doc_id"), "doc_id", "left_semi").agg(
-            F.coalesce(F.sum("n_tok"), F.lit(0)).alias("t")
-        )
-
-    out = None
-    for i, (name, df_in, df_kept) in enumerate(
-        _refinedweb_stages(spark, sf_dir), start=1
-    ):
-        r = (
-            budget(df_in)
-            .withColumnRenamed("t", "tok_in")
-            .crossJoin(budget(df_kept).withColumnRenamed("t", "tok_kept"))
-            .select(
-                F.lit(i).cast("long").alias("stage"),
-                F.lit(name).alias("name"),
-                "tok_in",
-                "tok_kept",
-                # ANSI guard: an emptied-out stage has no defined ratio
-                F.when(
-                    F.col("tok_in") > 0,
-                    F.round(F.col("tok_kept") / F.col("tok_in"), 6),
-                ).alias("kept_frac"),
-            )
-        )
-        out = r if out is None else out.unionByName(r)
-    return out.orderBy("stage")
+    return _funnel_report(
+        spark, _refinedweb_stages(spark, sf_dir), value_frame=ntok
+    )
 
 
 def pipe_pack(spark, sf_dir):
