@@ -154,6 +154,24 @@ def test_refinedweb_stage0_is_url_keep_set(spark):
     assert funnel["url_filter"]["n_in"] > funnel["url_filter"]["n_kept"]
 
 
+def test_pipe_url_filter_plan_is_one_narrow_projection(spark):
+    """The declared scale shape, pinned at the plan level: URL synthesis
+    plus all four rules plan as narrow projections over the scan with
+    ZERO hash shuffles - the only exchange is the presentation sort's
+    range partitioning."""
+    from web_maxiv_hdbppviewer_spark.plans import extensions
+
+    plan = (
+        extensions.pipe_url_filter(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("hashpartitioning") == 0, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" in plan
+
+
 # --- 2. curation calibration sweep ------------------------------------------
 
 
