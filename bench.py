@@ -165,6 +165,7 @@ def main() -> None:
             "ivfpq_artifacts": extensions._IVFPQ_MEMO,
             "chunk_vec_store": extensions._CHUNK_STORE_MEMO,
             "chunk_ivfpq_artifacts": extensions._CHUNK_IVFPQ_MEMO,
+            "refinedweb_stages": extensions._RW_STAGES_MEMO,
             "coarse_centroids": extensions._COARSE_MEMO,
         }
         # (id-set, strong refs): the refs keep every snapshotted entry

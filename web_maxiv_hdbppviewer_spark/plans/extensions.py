@@ -3859,12 +3859,22 @@ def pipe_refinedweb(spark, sf_dir):
     return _funnel_report(spark, _refinedweb_stages(spark, sf_dir))
 
 
+_RW_STAGES_MEMO: dict = {}
+
+
 def _refinedweb_stages(spark, sf_dir):
     """The funnel's stage list [(name, in_frame, kept_frame)], shared by
     pipe_refinedweb (doc counts) and pipe_token_attribution (raw-token
     budgets). Frames carry doc_id (s3 also cleaned_md5); every survivor
     frame is a lazy localCheckpoint so both report queries and every
-    later stage read the one materialization."""
+    later stage read the one materialization - and the stage list is
+    SESSION-MEMOIZED per sf_dir (r16), so the second report query reads
+    the frames the first one already materialized instead of re-running
+    the whole funnel. Memory is bounded: the id-frames are bytes per
+    doc and the one corpus-sized entry (the derived lined corpus) is
+    the same deliberate hot-slice cache class as the shingle index."""
+    if sf_dir in _RW_STAGES_MEMO:
+        return _RW_STAGES_MEMO[sf_dir]
     docs = _lined_docs(
         spark, sf_dir, keep_cols=("lang",), stopwords=True
     ).localCheckpoint(eager=False)
@@ -3913,7 +3923,7 @@ def _refinedweb_stages(spark, sf_dir):
         .distinct()
     )
     s5_ids = s4_ids.join(dominated, "doc_id", "left_anti")
-    return [
+    _RW_STAGES_MEMO[sf_dir] = [
         ("url_filter", total, s0_ids),
         ("lang_id", s0_ids, s1_ids),
         ("gopher", s1_ids, s2_ids),
@@ -3921,6 +3931,7 @@ def _refinedweb_stages(spark, sf_dir):
         ("exact_cleaned", s3, s4_ids),
         ("near_dup", s4_ids, s5_ids),
     ]
+    return _RW_STAGES_MEMO[sf_dir]
 
 
 def pipe_token_attribution(spark, sf_dir):
