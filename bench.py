@@ -166,6 +166,7 @@ def main() -> None:
             "chunk_vec_store": extensions._CHUNK_STORE_MEMO,
             "chunk_ivfpq_artifacts": extensions._CHUNK_IVFPQ_MEMO,
             "refinedweb_stages": extensions._RW_STAGES_MEMO,
+            "curation_scores": extensions._CURATION_SCORES_MEMO,
             "coarse_centroids": extensions._COARSE_MEMO,
         }
         # (id-set, strong refs): the refs keep every snapshotted entry

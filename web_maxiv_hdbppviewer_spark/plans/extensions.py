@@ -3249,20 +3249,12 @@ def pipe_curation_trained(spark, sf_dir):
     aggregation (_funnel_report). Both trained models are the
     bounded-trainer artifacts the 100 TB brief requires: NB's driver
     round-trip is |labels|+1 rows, the LM trains and scores in one
-    corpus-linear pipeline with no driver collect."""
-    from ..operators import nbayes
-
+    corpus-linear pipeline with no driver collect. The two scoring
+    frames are the session-shared _curation_scores memo (r16), so the
+    calibration sweep and this funnel train each model once."""
     docs = _docs(spark, sf_dir)
     total = docs.select("doc_id")
-    cls = nbayes.nb_classify(docs, NB_MIN_COUNT)
-    s1_ids = (
-        cls.where(F.col("pred") == F.col("lang"))
-        .select("doc_id")
-        .localCheckpoint(eager=False)
-    )
-    lm = textquality.lm_bigram_scores(docs).select(
-        F.col("id").alias("doc_id"), "nll_r"
-    )
+    lm, s1_ids = _curation_scores(spark, sf_dir)
     s1_lm = (
         docs.select("doc_id", "lang")
         .join(s1_ids, "doc_id", "left_semi")
@@ -3303,6 +3295,34 @@ def pipe_curation_trained(spark, sf_dir):
 
 
 CURATION_SWEEP_PCTS = (25, 50, 75, 100)
+_CURATION_SCORES_MEMO: dict = {}
+
+
+def _curation_scores(spark, sf_dir):
+    """The two trained-model scoring frames the curation family shares,
+    session-memoized per sf_dir (r16): the corpus bigram-LM surprisal
+    (doc_id, nll_r) and the NB language-agreement survivor ids - both
+    lazy localCheckpoints, so pipe_curation_trained and
+    pipe_curation_sweep train each model ONCE per session instead of
+    once per query. Memory is bytes per doc (one double + one id)."""
+    from ..operators import nbayes
+
+    if sf_dir in _CURATION_SCORES_MEMO:
+        return _CURATION_SCORES_MEMO[sf_dir]
+    docs = _docs(spark, sf_dir)
+    lm = (
+        textquality.lm_bigram_scores(docs)
+        .select(F.col("id").alias("doc_id"), "nll_r")
+        .localCheckpoint(eager=False)
+    )
+    agree = (
+        nbayes.nb_classify(docs, NB_MIN_COUNT)
+        .where(F.col("pred") == F.col("lang"))
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    _CURATION_SCORES_MEMO[sf_dir] = (lm, agree)
+    return _CURATION_SCORES_MEMO[sf_dir]
 
 
 def pipe_curation_sweep(spark, sf_dir):
@@ -3330,18 +3350,17 @@ def pipe_curation_sweep(spark, sf_dir):
     pct=100 equals the branch totals (suite-pinned).
 
     Scale shape: the NB classify and bigram-LM scoring are the
-    established corpus-linear passes; the rank windows partition BY
-    (branch, language) - never global; the explode multiplies only the
-    narrow ranked frame by |pcts|=4; output is 2 x 4 bounded rows."""
+    established corpus-linear passes, read from the session-shared
+    _curation_scores memo (trained once for the whole curation family);
+    the rank windows partition BY (branch, language) - never global;
+    the explode multiplies only the narrow ranked frame by |pcts|=4;
+    output is 2 x 4 bounded rows."""
     from pyspark.sql import Window
 
     from ..functions.texthash import words
-    from ..operators import nbayes
 
     docs = _docs(spark, sf_dir)
-    lm = textquality.lm_bigram_scores(docs).select(
-        F.col("id").alias("doc_id"), "nll_r"
-    )
+    lm, agree = _curation_scores(spark, sf_dir)
     base = (
         docs.where(F.col("lang").isNotNull())
         .select(
@@ -3351,11 +3370,6 @@ def pipe_curation_sweep(spark, sf_dir):
         )
         .join(lm, "doc_id")
         .localCheckpoint(eager=False)
-    )
-    agree = (
-        nbayes.nb_classify(docs, NB_MIN_COUNT)
-        .where(F.col("pred") == F.col("lang"))
-        .select("doc_id")
     )
     u = base.select(F.lit(False).alias("nb_filter"), "*").unionByName(
         base.join(agree, "doc_id", "left_semi").select(
