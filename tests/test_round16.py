@@ -154,6 +154,34 @@ def test_refinedweb_stage0_is_url_keep_set(spark):
     assert funnel["url_filter"]["n_in"] > funnel["url_filter"]["n_kept"]
 
 
+def test_pipe_url_filter_random_ids_match_python_twin(spark, tmp_path):
+    """The derivation + rules on a seeded RANDOM id sample spanning the
+    full long range the corpus could ever use (up to 2^40, including
+    the residue classes and the doc_id %% 1e9 == 0 lpad edge): every
+    column equals the pure-Python twin, so the arithmetic is pinned
+    beyond the dense small-id range the real corpus exercises."""
+    import random
+
+    from web_maxiv_hdbppviewer_spark.plans import extensions
+
+    rng = random.Random(2016)
+    ids = sorted(
+        {rng.randrange(0, 1 << 40) for _ in range(40)}
+        | {0, 23 * 19, 10**9, 3 * 10**9, (1 << 40) - 1}
+    )
+    docs = spark.createDataFrame(
+        [(i, "en", "src", "words here") for i in ids],
+        "doc_id long, lang string, source string, text string",
+    )
+    sf_dir = _constructed_corpus(spark, tmp_path, docs=docs)
+    rows = extensions.pipe_url_filter(spark, sf_dir).collect()
+    assert len(rows) == len(ids)
+    for r in rows:
+        want = _python_url_twin(r["doc_id"])
+        got = {k: r[k] for k in want}
+        assert got == want, (r["doc_id"], got, want)
+
+
 def test_pipe_url_filter_plan_is_one_narrow_projection(spark):
     """The declared scale shape, pinned at the plan level: URL synthesis
     plus all four rules plan as narrow projections over the scan with
