@@ -55,74 +55,73 @@ def entry(spark: SparkSession) -> DataFrame:
 # With ~187 declared queries and ~46 fill slots/round, every stable
 # query is re-witnessed at least every 4 rounds.
 #
-# ROUND-16 WINDOW. CORRECTNESS_r15 landed 50/50 green (all hash
-# matches); steady-state rotation continues: the r16 changelist leads,
+# ROUND-17 WINDOW. CORRECTNESS_r16 landed 50/50 green (all hash
+# matches); steady-state rotation continues: the r17 changelist leads,
 # then the fill is exactly the oldest-first prefix of the recomputed
-# ledger - the entire 41-row r12 cohort, then the r13 cohort
-# alphabetically to 50. After this round no row is older than r13.
+# ledger - the entire 43-row r13 cohort (the list the r16 rotation
+# tripwire printed), then the r14 cohort alphabetically to 50. After
+# this round no row is older than r14.
 #
-# Round-16 changelist: pipe_url_filter (NEW r16 - VERDICT r15 #4, the
-# RefinedWeb stage 0 the r15 funnel was missing, Penedo et al. 2023
-# §3.1: deterministic doc_id-keyed URL derivation - the text_pii_scrub
-# fixture discipline - then domain blocklist, integer-tenths soft URL
-# word score, round-6 digit-ratio and length caps, INDEPENDENT per-rule
-# flags + combined keep, one narrow codegen projection).
-# pipe_curation_sweep (NEW r16 - VERDICT r15 #7, the trained-funnel
-# calibration table: NB-agreement ON/OFF crossed with four per-language
-# nearest-rank surprisal retention percentiles, doc + token budgets and
-# round-6 kept fractions from ONE scoring pass and one explode - the
-# pipe_dedup_sweep pattern over pipe_curation_trained's knobs; the
-# retention predicate is exact integer arithmetic, (pct*n+99) DIV 100).
-# pipe_refinedweb (CHANGED r16 - pipe_url_filter composed as its
-# stage 1; the published pipeline's stage order restored, six stages,
-# oracle renumbered with the URL CTE chain nested verbatim).
-# pipe_token_attribution (CHANGED r16 - re-weights the same six-stage
-# frames, twelve bounded token scalars).
-# sim_chunk_ann (NEW r16 - VERDICT r15 #8 stretch, the dense twin of
-# sim_chunk_bm25 closing the RAG retrieval family: the chunk-grain
-# embedding store - text_chunk windows, DENSE ids via the distributed
-# global rank, parent-doc vectors on an exact m/512 binary grid with
-# integer per-(doc,chunk,dim) jitter so cross-engine aggregation order
-# cannot produce round-6 boundary noise - indexed with the production
-# residual IVF-PQ rung (memoized chunk-store artifacts), top-20
-# candidate chunks per query chunk, self-parent excluded, best chunk
-# per candidate doc, top-5 parent docs; the oracle replays the full
-# coarse-k-means + residual-PQ + ADC chain over the identical store).
-# sim_chunk_ann_recall (NEW r16 - the recall dial for the new rung:
-# recall@5 of the IVFPQ parent-doc ranking vs the exact float-cosine
-# parent-doc ranking, both legs pooled with the IDENTICAL max-pool
-# windows; the sim_ivfpq_recall discipline at the chunk grain).
-# pipe_curation_trained (CHANGED r16 - stage counts moved into
-# _funnel_report's one labeled-union aggregation, like the two
-# refinedweb reports; values identical, plan now has zero
-# single-partition exchanges).
+# Round-17 changelist: pipe_stage_order (NEW r17 - VERDICT r16 #6, the
+# filter-order ablation: dedup-before-filter vs filter-before-dedup
+# over the trained curation funnel, both orders' eight stage frames in
+# ONE labeled-union report; the trained models are shared (trained
+# once, the _curation_scores memo) - the orders differ through
+# representative selection and each order's own per-language surprisal
+# median, and the two final budgets provably differ on the synthetic
+# corpus, suite-pinned).
+# pipe_dump_dedup (NEW r17 - VERDICT r16 #5, FineWeb's per-snapshot
+# dedup ablation, Penedo et al. 2024 §4.4: deterministic dump =
+# doc_id % 5, ONE pass over the session-shared minhash_lsh pair rung,
+# global vs same-dump domination (a pure predicate - dump is
+# id-derived, no join), per-dump doc + token budgets for both modes;
+# per-dump keeps a row-wise superset, suite-pinned, with a constructed
+# cross-dump-duplicate corpus where the verdicts differ).
+# pipe_curation_lr (NEW r17 - VERDICT r16 #8 stretch, the
+# hashed-n-gram LINEAR quality gate: operators/linear.py's averaged
+# perceptron - LR_STEPS=5 full-batch INTEGER subgradient steps, driver
+# holds only the D x L weight table, the published model is the
+# argmax-equivalent integer SUM of the per-step tables - swapped in as
+# the trained funnel's stage 1; training replayed exactly by unrolled
+# MATERIALIZED integer CTEs in the oracle. Honest dial: the synthetic
+# corpus's unigram distributions are label-independent, so the gate
+# settles at the majority class; true convergence is pinned on a
+# constructed separable corpus).
+# pipe_lr_agreement (NEW r17 - the LR-vs-NB gate agreement row: full
+# confusion matrix + round-6 Cohen kappa, the pipe_classifier_agreement
+# discipline over the two TRAINED gates).
+# pipe_curation_trained (CHANGED r17 - stage chain factored into the
+# session-memoized _trained_stages shared with pipe_stage_order's
+# filter_first arm; s4 now localCheckpoint-ed; values identical,
+# row-for-row equality with the ablation arm suite-pinned).
 _CHANGED_THIS_ROUND = [
-    "pipe_url_filter",
-    "pipe_curation_sweep",
-    "sim_chunk_ann",
-    "sim_chunk_ann_recall",
-    "pipe_refinedweb",
-    "pipe_token_attribution",
+    "pipe_stage_order",
+    "pipe_dump_dedup",
+    "pipe_curation_lr",
+    "pipe_lr_agreement",
     "pipe_curation_trained",
 ]
-# fill: the ENTIRE 41-row r12 cohort (oldest-first, alphabetical - the
-# exact list the r15 rotation tripwire printed), then the r13 cohort
-# alphabetically to 50. After this round no row is older than r13.
-_STALE_R12 = [
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_spans", "events_pivot",
-    "events_quantiles", "events_rollup", "graph_pagerank",
-    "pipe_contamination", "pipe_contamination_bloom", "pipe_curation",
-    "pipe_domain_mix", "pipe_pack", "pipe_shard_sink", "pipe_split",
-    "q18", "q19", "q23", "q24", "q25", "q26", "q27", "q28", "q30", "q31",
-    "q32", "q33", "q34", "q5", "q6", "q7", "q8", "sim_ann_ivf",
-    "sim_ann_ivf_trained", "sim_ann_lsh", "sim_dim_stats", "sim_mips",
-    "sim_topk_cosine", "sim_topk_quantized", "text_keywords",
-    "window_sessions", "window_sliding",
-]
+# fill: the ENTIRE 43-row r13 cohort (oldest-first, alphabetical - the
+# exact list the r16 rotation tripwire printed), then the r14 cohort
+# alphabetically to 50. After this round no row is older than r14.
 _STALE_R13 = [
-    "dedup_containment", "dedup_embedding",
+    "dedup_fuzzy", "dedup_incremental", "dedup_keep_best", "dedup_semantic",
+    "dedup_substr", "events_anomaly", "events_attribution",
+    "events_distinct_approx", "events_funnel_seq", "events_heavy_hitters",
+    "events_markov", "events_props_parse", "events_quantiles_approx",
+    "events_retention", "events_scaffold", "lifecycle_query",
+    "multimodal_extract", "multimodal_frames", "multimodal_meta",
+    "multimodal_resize", "pipe_delta", "pipe_funnel", "q35", "q36",
+    "sim_ann_ivfpq", "sim_pca", "sim_pca_gram", "sim_quantize",
+    "sim_topk_pq", "stream_dedup", "stream_last_value", "stream_raster",
+    "stream_sessions", "stream_window", "text_bm25", "text_bpe",
+    "text_bpe_apply", "text_bpe_train", "text_fingerprint", "text_langid",
+    "text_quality", "text_repetition", "text_tokens",
 ]
-_WINDOW = _CHANGED_THIS_ROUND + _STALE_R12 + _STALE_R13
+_STALE_R14 = [
+    "dedup_compare", "dedup_cross_source",
+]
+_WINDOW = _CHANGED_THIS_ROUND + _STALE_R13 + _STALE_R14
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -22,6 +22,50 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def reprobe_verdict(
+    reprobe_s: float,
+    med: float,
+    best_m3: float,
+    rp_cal: float,
+    rp_shufcal: float,
+    cal_ref: float,
+    shufcal_ref: float,
+) -> tuple[str, float]:
+    """Adjudicate one battery-end reprobe (VERDICT r16 #3). Returns
+    (verdict, calibration-normalized reprobe seconds).
+
+    r16's sim_ivf_probe_sweep reprobe read 11.24 s against a 5.47 s line
+    - the re-run landed in the same slow phase and false-confirmed an
+    elevation the identical tree's closing battery contradicted. The
+    fix: both calibration probes (md5 driver-CPU + 32-partition shuffle)
+    are timed immediately before the reprobe and anchored at the host's
+    best PROVEN speed; a reprobe on an elevated host cannot confirm.
+      settled   - reprobe back inside the firing band: phase noise.
+      phase     - reprobe elevated, but a calibration probe is elevated
+                  (>1.25x md5 / >1.3x shuffle anchor) or the normalized
+                  reading is back in band: re-run phase-contaminated.
+      confirmed - reprobe elevated on a calibration-normal host: a real
+                  finding for the isolated-median protocol
+                  (tools/isolated_median.py).
+    The band is the same rule that flags a line in the first place
+    (2x archived median, or 1.4x best archived median-of-3 by >1 s)."""
+
+    def in_band(v: float) -> bool:
+        return not (v > 2 * med or (v > 1.4 * best_m3 and v - best_m3 > 1.0))
+
+    phase_ratio = max(rp_cal / cal_ref, rp_shufcal / shufcal_ref, 1.0)
+    norm_s = round(reprobe_s / phase_ratio, 4)
+    if in_band(reprobe_s):
+        return "settled", norm_s
+    if (
+        rp_cal > 1.25 * cal_ref
+        or rp_shufcal > 1.3 * shufcal_ref
+        or in_band(norm_s)
+    ):
+        return "phase", norm_s
+    return "confirmed", norm_s
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -51,6 +95,21 @@ def main() -> None:
         spark.range(0, 1 << 22, 1, 32).selectExpr("sum(id)").write.format(
             "noop"
         ).mode("overwrite").save()
+        return round(time.perf_counter() - t0, 4)
+
+    # Second calibration probe, SHUFFLE-shaped (VERDICT r16 #3): the r16
+    # driver battery ran 1.09x slow with three >=2x reprobe-confirmed
+    # lines while _host_cal read NORMAL at start/mid/end - the md5+count
+    # probe is driver-CPU-bound and provably blind to the phase class
+    # that actually slows the battery (executor shuffle/IO). This probe
+    # times a fixed 32-partition hash-aggregate exchange, the shape the
+    # heavy queries share, so a reprobe-time reading can evidence the
+    # phase the md5 probe misses.
+    def _shuffle_cal() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 1 << 21, 1, 32).selectExpr(
+            "id % 9973 AS k", "id AS v"
+        ).groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 4)
 
     # warmup: JVM, codegen, parquet footer caches, and the Arrow Python
@@ -167,6 +226,8 @@ def main() -> None:
             "chunk_ivfpq_artifacts": extensions._CHUNK_IVFPQ_MEMO,
             "refinedweb_stages": extensions._RW_STAGES_MEMO,
             "curation_scores": extensions._CURATION_SCORES_MEMO,
+            "trained_stages": extensions._TRAINED_STAGES_MEMO,
+            "lr_preds": extensions._LR_PREDS_MEMO,
             "coarse_centroids": extensions._COARSE_MEMO,
         }
         # (id-set, strong refs): the refs keep every snapshotted entry
@@ -184,7 +245,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     first_touch: dict[str, list[str]] = {}
     cal_start = _host_cal()
+    shufcal_start = _shuffle_cal()
     cal_mid = None
+    shufcal_mid = None
     ordered = [
         n for n in sorted(queries, key=lambda n: (len(n), n))
         if n != "lifecycle_image"
@@ -199,6 +262,7 @@ def main() -> None:
             # (start/end probes both fast, a heavy-query cluster mid-run),
             # so a two-point pair provably misses them
             cal_mid = _host_cal()
+            shufcal_mid = _shuffle_cal()
         before = _memo_sizes()
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -271,16 +335,33 @@ def main() -> None:
     ]
     this_round = max(rounds, default=0) + 1
     hist: dict[str, list[float]] = {}
+    cal_hist: list[float] = []
+    shufcal_hist: list[float] = []
     for p in _glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json")):
         m = _re.search(r"BENCH_LOCAL_r(\d+)", os.path.basename(p))
         if m and int(m.group(1)) >= this_round:
             continue  # same-round iterations don't anchor their own median
         try:
             with open(p) as f:
-                for q, s in json.load(f).get("queries", {}).items():
-                    hist.setdefault(q, []).append(float(s))
+                arch = json.load(f)
+            if arch.get("sf") != 0.1:
+                continue  # only canonical-SF batteries anchor medians
+            for q, s in arch.get("queries", {}).items():
+                hist.setdefault(q, []).append(float(s))
+            cal_hist += [
+                float(c) for c in arch.get("host_cal_sec") or [] if c
+            ]
+            shufcal_hist += [
+                float(c) for c in arch.get("shuffle_cal_sec") or [] if c
+            ]
         except (ValueError, OSError):
             continue
+    # Calibration anchors for reprobe verdicts: the host's best PROVEN
+    # speed on each probe (min over archives + this battery's start
+    # probe) - a median would itself be dragged up by archived slow-phase
+    # batteries.
+    cal_ref = min(cal_hist + [cal_start])
+    shufcal_ref = min(shufcal_hist + [shufcal_start])
     # Anchor rule (VERDICT r15 #3): a median over ALL archived rounds is
     # structurally blind to a regression BACK to an old level - r15's
     # lifecycle_image (2.71 -> 4.54 s after the r14 catalog-hoist win)
@@ -310,8 +391,17 @@ def main() -> None:
         ),
         reverse=True,
     )
-    reprobe: dict[str, dict[str, float]] = {}
+    # Reprobe verdicts (VERDICT r16 #3): adjudicated by reprobe_verdict
+    # above - both calibration probes timed immediately before each
+    # re-run, anchored at the host's best proven speed, so a
+    # phase-contaminated reprobe reads "phase", not "confirmed".
+    # (Replayed against r16: its md5-only cals read normal through the
+    # slow battery - which is exactly why the shuffle-shaped probe
+    # exists; see BASELINE.md "Reprobe verdict protocol".)
+    reprobe: dict[str, dict] = {}
     for _, name in flagged[:12]:
+        rp_cal = _host_cal()
+        rp_shufcal = _shuffle_cal()
         t0 = time.perf_counter()
         if name == "lifecycle_image":
             engine.render_image(
@@ -321,11 +411,27 @@ def main() -> None:
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
+        reprobe_s = round(time.perf_counter() - t0, 4)
+        verdict, norm_s = reprobe_verdict(
+            reprobe_s,
+            _stats.median(hist[name]),
+            _best_m3(hist[name]),
+            rp_cal,
+            rp_shufcal,
+            cal_ref,
+            shufcal_ref,
+        )
         reprobe[name] = {
             "line_s": timings[name],
             "median_s": round(_stats.median(hist[name]), 4),
             "best_m3_s": round(_best_m3(hist[name]), 4),
-            "reprobe_s": round(time.perf_counter() - t0, 4),
+            "reprobe_s": reprobe_s,
+            "reprobe_cal_s": rp_cal,
+            "reprobe_shufcal_s": rp_shufcal,
+            "cal_ref_s": round(cal_ref, 4),
+            "shufcal_ref_s": round(shufcal_ref, 4),
+            "reprobe_norm_s": norm_s,
+            "verdict": verdict,
         }
         print(
             json.dumps({"reprobe": name, **reprobe[name]}, separators=(",", ":")),
@@ -340,6 +446,7 @@ def main() -> None:
     # lost. The durable copy lives in-repo (the driver commits the
     # worktree at round end); the stdout line carries a summary that FITS.
     cal_end = _host_cal()
+    shufcal_end = _shuffle_cal()
     detail = {
         "metric": "declared_queries_total",
         "value": round(sum(timings.values()), 4),
@@ -348,6 +455,7 @@ def main() -> None:
         "first_touch": first_touch,
         "reprobe": reprobe,
         "host_cal_sec": [cal_start, cal_mid, cal_end],
+        "shuffle_cal_sec": [shufcal_start, shufcal_mid, shufcal_end],
         "sf": sf,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
     }
@@ -360,11 +468,15 @@ def main() -> None:
     # running this script, so the round in flight is max(existing)+1;
     # local iteration runs overwrite the same archive and the final
     # (driver) run of the round wins - exactly the record BENCH_r{N}
-    # summarizes. Convention noted in BASELINE.md.
-    with open(
-        os.path.join(here, f"BENCH_LOCAL_r{this_round:02d}.json"), "w"
-    ) as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
+    # summarizes. Convention noted in BASELINE.md. CANONICAL-SF ONLY
+    # (r17): a smoke run at another SF must not land in the archive -
+    # the r*-archives anchor the reprobe medians, and one sf0.001 run
+    # would poison every future median with near-zero readings.
+    if sf == 0.1:
+        with open(
+            os.path.join(here, f"BENCH_LOCAL_r{this_round:02d}.json"), "w"
+        ) as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
 
     core_names = [f"q{i}" for i in range(1, 37)] + [
         "lifecycle_aggregate", "lifecycle_query", "lifecycle_image",
@@ -393,11 +505,24 @@ def main() -> None:
         # median-of-3 (+1 s), auto re-measured at battery end
         # (line_s/median_s/best_m3_s/reprobe_s in BENCH_LOCAL.json)
         "n_reprobed": len([k for k in reprobe if k != "_skipped"]),
+        # reprobe verdict histogram (settled / phase / confirmed; full
+        # per-line calibration evidence in BENCH_LOCAL.json "reprobe")
+        "reprobe_verdicts": {
+            v: sum(
+                1
+                for k, r in reprobe.items()
+                if k != "_skipped" and r.get("verdict") == v
+            )
+            for v in ("settled", "phase", "confirmed")
+        },
         # fixed md5+count workload timed at battery start/MID/end:
         # identical code runs 1.2-1.5x slower in the sandbox's recurring
         # slow phases (BASELINE.md), and r12 proved a phase can live
         # entirely INSIDE the battery - the mid probe catches that
         "host_cal_sec": [cal_start, cal_mid, cal_end],
+        # shuffle-shaped probe at the same three points (r16 showed the
+        # md5 probe blind to the executor-side phase class)
+        "shuffle_cal_sec": [shufcal_start, shufcal_mid, shufcal_end],
         "detail": "BENCH_LOCAL.json",
     }
     line = json.dumps(summary, separators=(",", ":"))

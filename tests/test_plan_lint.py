@@ -109,6 +109,12 @@ SINGLE_PARTITION_OK = {
     # the memo, not below these merges) and pe_num reads the
     # |labels|-row marginal equi-join. Case (b) both.
     "pipe_classifier_agreement": 2,
+    # pipe_lr_agreement (r17): the identical two kappa-scalar merges
+    # over the |labels|^2-row LR-vs-NB confusion checkpoint and its
+    # |labels|-row marginals - pipe_classifier_agreement's argument
+    # verbatim. (The corpus-sized LR scoring sits under the _lr_preds
+    # session memo; the NB scalar V is the partial-agg class.) Case (b).
+    "pipe_lr_agreement": 2,
 }
 
 # No declared query may plan a CartesianProduct, ever. (The bounded

@@ -42,6 +42,17 @@ def build_corpus(spark) -> None:
 
     dedup_leg.build_corpus(spark)
     sim_leg.build_corpus(spark)
+    # ADVICE r16: the two sibling builders offset ids by k * |base table|
+    # independently; the combined corpus is only aligned if the two base
+    # tables have the SAME row count - otherwise the doc->embedding
+    # inner join in _chunk_vec_store silently drops chunks and the "10x
+    # store" claim is measured on the wrong workload.
+    n_docs = spark.read.parquet(os.path.join(SRC, "documents.parquet")).count()
+    n_emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet")).count()
+    assert n_docs == n_emb, (
+        f"base tables misaligned: {n_docs} documents vs {n_emb} embeddings -"
+        " the k*n id offsets of the two sibling builders would diverge"
+    )
     os.makedirs(SCRATCH, exist_ok=True)
     from web_maxiv_hdbppviewer_spark.sources.tables import TESTDATA_TABLES
 

@@ -74,6 +74,16 @@ def _emb(spark, sf_dir):
     return load_tables(spark, sf_dir)["embeddings"]
 
 
+def _session_key(spark, sf_dir):
+    """Memo key for SparkSession-BOUND artifacts (lazy localCheckpoint
+    frames): (applicationId, sf_dir), so a second SparkSession created in
+    the same process can never read frames bound to a stopped
+    predecessor's checkpoints (ADVICE r16). Driver-DATA memos
+    (_IVFPQ_MEMO etc. - plain Python lists) survive sessions safely and
+    stay keyed by sf_dir alone."""
+    return (spark.sparkContext.applicationId, sf_dir)
+
+
 # --- deduplication -------------------------------------------------------
 
 
@@ -1000,8 +1010,9 @@ def _chunk_vec_store(spark, sf_dir):
     caller after the first reads the one checkpointed store."""
     from ..operators.rank import global_rank
 
-    if sf_dir in _CHUNK_STORE_MEMO:
-        return _CHUNK_STORE_MEMO[sf_dir]
+    key = _session_key(spark, sf_dir)
+    if key in _CHUNK_STORE_MEMO:
+        return _CHUNK_STORE_MEMO[key]
     chunks = _chunk_windows(_docs(spark, sf_dir)).select("doc_id", "chunk_idx")
     ranked = global_rank(chunks, ["doc_id", "chunk_idx"], out_col="rank")
     emb = _emb(spark, sf_dir).select(
@@ -1028,7 +1039,7 @@ def _chunk_vec_store(spark, sf_dir):
         .select("rid", "doc_id", "chunk_idx", cvec.alias("cvec"))
         .localCheckpoint(eager=False)
     )
-    _CHUNK_STORE_MEMO[sf_dir] = store
+    _CHUNK_STORE_MEMO[key] = store
     return store
 
 
@@ -3251,10 +3262,298 @@ def pipe_curation_trained(spark, sf_dir):
     round-trip is |labels|+1 rows, the LM trains and scores in one
     corpus-linear pipeline with no driver collect. The two scoring
     frames are the session-shared _curation_scores memo (r16), so the
-    calibration sweep and this funnel train each model once."""
+    calibration sweep and this funnel train each model once; the stage
+    frames themselves are the session-shared _trained_stages memo
+    (r17), shared with the filter-order ablation pipe_stage_order."""
+    return _funnel_report(spark, _trained_stages(spark, sf_dir))
+
+
+_TRAINED_STAGES_MEMO: dict = {}
+
+
+def _trained_stages(spark, sf_dir):
+    """pipe_curation_trained's stage list [(name, in_frame, kept_frame)]
+    - the FILTER-FIRST order of the trained funnel (nb_lang -> lm_ppl ->
+    exact_dedup -> near_dup), session-memoized per (session, sf_dir)
+    like _refinedweb_stages so the trained report and the filter-order
+    ablation (pipe_stage_order) read one materialization. Frames are
+    lazy localCheckpoint id-frames (bytes per doc)."""
+    key = _session_key(spark, sf_dir)
+    if key in _TRAINED_STAGES_MEMO:
+        return _TRAINED_STAGES_MEMO[key]
     docs = _docs(spark, sf_dir)
     total = docs.select("doc_id")
     lm, s1_ids = _curation_scores(spark, sf_dir)
+    s1_lm = (
+        docs.select("doc_id", "lang")
+        .join(s1_ids, "doc_id", "left_semi")
+        .join(lm, "doc_id")
+    )
+    med = s1_lm.groupBy("lang").agg(
+        F.round(F.expr("percentile(nll_r, 0.5)"), 6).alias("med_r")
+    )
+    s2_ids = (
+        s1_lm.join(F.broadcast(med), "lang")
+        .where(F.col("nll_r") <= F.col("med_r"))
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    s2_docs = docs.join(s2_ids, "doc_id", "left_semi")
+    s3_ids = (
+        dedup.exact_dedup(s2_docs)
+        .select(F.col("keep_id").alias("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    dominated = (
+        pairs.join(s3_ids.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi")
+        .join(s3_ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s4_ids = s3_ids.join(dominated, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+    _TRAINED_STAGES_MEMO[key] = [
+        ("nb_lang", total, s1_ids),
+        ("lm_ppl", s1_ids, s2_ids),
+        ("exact_dedup", s2_ids, s3_ids),
+        ("near_dup", s3_ids, s4_ids),
+    ]
+    return _TRAINED_STAGES_MEMO[key]
+
+
+def _dedup_first_stages(spark, sf_dir):
+    """The trained funnel with the two dedup stages moved FIRST
+    (exact_dedup -> near_dup -> nb_lang -> lm_ppl): the other arm of the
+    filter-order ablation. The trained MODELS are identical in both
+    orders (the session-shared _curation_scores frames, trained once on
+    the raw corpus - the ablation moves the GATES, not the training);
+    what genuinely shifts is (a) which duplicates' representatives reach
+    the filters and (b) the per-language surprisal MEDIAN, recomputed
+    among the docs that actually reach the lm_ppl stage - exactly the
+    calibration drift the published pipelines disagree about. NOT
+    memoized: its only consumer is pipe_stage_order, which is itself one
+    report job."""
+    docs = _docs(spark, sf_dir)
+    total = docs.select("doc_id")
+    lm, agree = _curation_scores(spark, sf_dir)
+    b1_ids = (
+        dedup.exact_dedup(docs)
+        .select(F.col("keep_id").alias("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    dominated = (
+        pairs.join(b1_ids.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi")
+        .join(b1_ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    b2_ids = b1_ids.join(dominated, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+    b3_ids = b2_ids.join(agree, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
+    b3_lm = (
+        docs.select("doc_id", "lang")
+        .join(b3_ids, "doc_id", "left_semi")
+        .join(lm, "doc_id")
+    )
+    med = b3_lm.groupBy("lang").agg(
+        F.round(F.expr("percentile(nll_r, 0.5)"), 6).alias("med_r")
+    )
+    b4_ids = (
+        b3_lm.join(F.broadcast(med), "lang")
+        .where(F.col("nll_r") <= F.col("med_r"))
+        .select("doc_id")
+    )
+    return [
+        ("exact_dedup", total, b1_ids),
+        ("near_dup", b1_ids, b2_ids),
+        ("nb_lang", b2_ids, b3_ids),
+        ("lm_ppl", b3_ids, b4_ids),
+    ]
+
+
+def pipe_stage_order(spark, sf_dir):
+    """Filter-order ablation (VERDICT r16 #6): dedup-before-filter vs
+    filter-before-dedup over the trained curation funnel - the ordering
+    question the published pipelines answer differently (C4 dedups after
+    its heuristics; CCNet dedups before its LM filter; FineWeb measured
+    the interaction and shipped filter-first). One labeled-union report
+    (the _funnel_report discipline) over BOTH orders' eight stage
+    frames: (ord, stage, name, n_in, n_kept), filter_first = the
+    pipe_curation_trained chain read from its session memo, dedup_first
+    = the same four gates re-chained with dedup leading. The trained
+    models are shared (trained once, _curation_scores); the orders
+    differ because (a) dedup-first picks min-id representatives BEFORE
+    quality gating, so a duplicate group whose representative fails a
+    filter loses the whole group, and (b) the per-language surprisal
+    median is calibrated on each order's own lm_ppl-stage population.
+    Both end-budgets land in one report, so the doc/token cost of the
+    ordering choice is a single-query read.
+
+    Scale shape: every frame is an id-frame semi-join or the memoized
+    pair index (no new index builds - the dedup machinery is the
+    session-shared one); the report is ONE labeled-union aggregation
+    over 10 distinct bounded frames."""
+    a = [
+        (f"filter_first:{n}", fin, fkept)
+        for n, fin, fkept in _trained_stages(spark, sf_dir)
+    ]
+    b = [
+        (f"dedup_first:{n}", fin, fkept)
+        for n, fin, fkept in _dedup_first_stages(spark, sf_dir)
+    ]
+    rep = _funnel_report(spark, a + b)
+    return rep.select(
+        F.split(F.col("name"), ":")[0].alias("ord"),
+        ((F.col("stage") - 1) % 4 + 1).cast("long").alias("stage"),
+        F.split(F.col("name"), ":")[1].alias("name"),
+        "n_in",
+        "n_kept",
+    ).orderBy("ord", "stage")
+
+
+DUMP_COUNT = 5
+
+
+def pipe_dump_dedup(spark, sf_dir):
+    """Per-dump (per-crawl-snapshot) MinHash dedup ablation - FineWeb's
+    headline curation finding (Penedo et al. 2024 §4.4: MinHash applied
+    WITHIN each crawl snapshot beats global cross-snapshot dedup on
+    downstream quality, because global dedup preferentially deletes the
+    re-crawled - often higher-quality - content). The synthetic corpus
+    carries no snapshot column, so the dump is deterministically DERIVED
+    (the pipe_url_filter fixture discipline): dump = doc_id % 5, the
+    round-robin assignment an interleaved multi-crawl ingest produces,
+    replayed verbatim by the oracle.
+
+    One pass over the established minhash_lsh rung (the session-shared
+    shingle/signature/pair machinery - no new index): global mode drops
+    every doc dominated by a smaller-id Jaccard >= 0.8 partner ANYWHERE;
+    per-dump mode drops only docs dominated by a SAME-dump partner - and
+    because the dump is doc_id-derived, the same-dump predicate is a
+    pure projection on the pair frame (id_a % 5 == id_b % 5), no join.
+    Output: one row per dump with doc and raw-token budgets under both
+    modes plus round-6 token retention per mode - per-dump keeps a
+    superset (cross-dump duplicates survive), so kept_dump >= kept_global
+    row-wise (suite-pinned, with a constructed cross-dump-duplicate
+    corpus where the verdicts provably differ).
+
+    Scale shape: candidate generation is the banded-LSH rung (never
+    all-pairs, corpus-linear per the LINEARITY study); the ablation adds
+    one narrow projection + two distinct-id frames + one 5-group
+    aggregate on top - at 100 TB the pair frame is the dominant term and
+    it is shared with every other dedup query in the battery."""
+    from ..functions.texthash import words
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (d % DUMP_COUNT).cast("int").alias("dump"),
+        F.size(words(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    pairs = dedup.minhash_dedup_pairs(
+        _docs(spark, sf_dir), JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    dom_global = (
+        pairs.select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(True).alias("_dg"))
+    )
+    dom_dump = (
+        pairs.where(F.col("id_a") % DUMP_COUNT == F.col("id_b") % DUMP_COUNT)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(True).alias("_dd"))
+    )
+    keep_g = F.col("_dg").isNull()
+    keep_d = F.col("_dd").isNull()
+    zero = F.lit(0).cast("long")
+    return (
+        docs.join(dom_global, "doc_id", "left")
+        .join(dom_dump, "doc_id", "left")
+        .groupBy("dump")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(keep_g, 1).otherwise(0)).cast("long").alias(
+                "n_kept_global"
+            ),
+            F.sum(F.when(keep_d, 1).otherwise(0)).cast("long").alias(
+                "n_kept_dump"
+            ),
+            F.sum("n_tok").cast("long").alias("tok_total"),
+            F.sum(F.when(keep_g, F.col("n_tok")).otherwise(zero))
+            .cast("long")
+            .alias("tok_kept_global"),
+            F.sum(F.when(keep_d, F.col("n_tok")).otherwise(zero))
+            .cast("long")
+            .alias("tok_kept_dump"),
+        )
+        .select(
+            "*",
+            F.round(F.col("tok_kept_global") / F.col("tok_total"), 6).alias(
+                "tok_frac_global"
+            ),
+            F.round(F.col("tok_kept_dump") / F.col("tok_total"), 6).alias(
+                "tok_frac_dump"
+            ),
+        )
+        .orderBy("dump")
+    )
+
+
+_LR_PREDS_MEMO: dict = {}
+
+
+def _lr_preds(spark, sf_dir):
+    """The trained hashed-feature linear classifier's prediction frame
+    (doc_id, lang, pred, score), session-memoized per (session, sf_dir)
+    - trained once (operators/linear.perceptron_classify: LR_STEPS
+    full-batch integer subgradient steps, driver holds only the D x L
+    weight table) and shared by the LR funnel and the agreement row."""
+    from ..operators import linear
+
+    key = _session_key(spark, sf_dir)
+    if key not in _LR_PREDS_MEMO:
+        _LR_PREDS_MEMO[key] = (
+            linear.perceptron_classify(_docs(spark, sf_dir))
+            .select(
+                F.col("id").alias("doc_id"),
+                F.col("label").alias("lang"),
+                "pred",
+                "score",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return _LR_PREDS_MEMO[key]
+
+
+def pipe_curation_lr(spark, sf_dir):
+    """The trained curation funnel with the hashed-n-gram LINEAR
+    classifier as its agreement gate (VERDICT r16 #8 stretch - the
+    fastText-class upgrade of pipe_curation_trained's NB stage 1): keep
+    docs whose linear prediction matches the recorded lang, then the
+    same lm_ppl / exact_dedup / near_dup chain, medians calibrated on
+    THIS gate's survivors. The trainer is operators/linear.py's bounded
+    full-batch perceptron (integer-exact training, see the module
+    docstring for why not softmax); the LM scores come from the
+    session-shared _curation_scores memo, the near-dup stage from the
+    session-shared pair index - the only new work is the LR gate itself.
+    Oracle: the training steps unrolled as integer-arithmetic CTEs (the
+    graph_pagerank discipline)."""
+    docs = _docs(spark, sf_dir)
+    total = docs.select("doc_id")
+    lm, _ = _curation_scores(spark, sf_dir)
+    s1_ids = (
+        _lr_preds(spark, sf_dir)
+        .where(F.col("pred") == F.col("lang"))
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
     s1_lm = (
         docs.select("doc_id", "lang")
         .join(s1_ids, "doc_id", "left_semi")
@@ -3286,12 +3585,42 @@ def pipe_curation_trained(spark, sf_dir):
     return _funnel_report(
         spark,
         [
-            ("nb_lang", total, s1_ids),
+            ("lr_lang", total, s1_ids),
             ("lm_ppl", s1_ids, s2_ids),
             ("exact_dedup", s2_ids, s3_ids),
             ("near_dup", s3_ids, s4_ids),
         ],
     )
+
+
+def pipe_lr_agreement(spark, sf_dir):
+    """Inter-gate agreement between the repo's two TRAINED quality
+    gates - the hashed-feature linear classifier (operators/linear.py)
+    and the multinomial NB (operators/nbayes.py) - as the full
+    confusion matrix (pred_lr x pred_nb, n) with the round-6
+    po/pe/kappa scalars broadcast onto every row: the
+    pipe_classifier_agreement discipline applied to the question a
+    curation team actually asks before swapping gates (how often would
+    the LR gate disagree with the NB gate it replaces?). Both
+    prediction frames are session-memoized; the matrix is one groupBy
+    over |labels|^2 keys."""
+    from ..operators import nbayes
+
+    lr = _lr_preds(spark, sf_dir).select(
+        "doc_id", F.col("pred").alias("pred_lr")
+    )
+    nb = nbayes.nb_classify(_docs(spark, sf_dir), NB_MIN_COUNT).select(
+        "doc_id", F.col("pred").alias("pred_nb")
+    )
+    conf = (
+        lr.join(nb, "doc_id")
+        .groupBy("pred_lr", "pred_nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    return conf.crossJoin(
+        F.broadcast(_kappa_scalars(conf, a="pred_lr", b="pred_nb"))
+    ).orderBy("pred_lr", "pred_nb")
 
 
 CURATION_SWEEP_PCTS = (25, 50, 75, 100)
@@ -3307,8 +3636,9 @@ def _curation_scores(spark, sf_dir):
     once per query. Memory is bytes per doc (one double + one id)."""
     from ..operators import nbayes
 
-    if sf_dir in _CURATION_SCORES_MEMO:
-        return _CURATION_SCORES_MEMO[sf_dir]
+    key = _session_key(spark, sf_dir)
+    if key in _CURATION_SCORES_MEMO:
+        return _CURATION_SCORES_MEMO[key]
     docs = _docs(spark, sf_dir)
     lm = (
         textquality.lm_bigram_scores(docs)
@@ -3321,8 +3651,8 @@ def _curation_scores(spark, sf_dir):
         .select("doc_id")
         .localCheckpoint(eager=False)
     )
-    _CURATION_SCORES_MEMO[sf_dir] = (lm, agree)
-    return _CURATION_SCORES_MEMO[sf_dir]
+    _CURATION_SCORES_MEMO[key] = (lm, agree)
+    return _CURATION_SCORES_MEMO[key]
 
 
 def pipe_curation_sweep(spark, sf_dir):
@@ -3462,24 +3792,22 @@ def pipe_classifier_agreement(spark, sf_dir):
     )
 
 
-def _kappa_scalars(conf):
-    """(po_r, pe_r, kappa_r) from a (pred_nb, pred_tri, n) confusion
-    frame - Cohen 1960, hand-example-pinned in tests/test_round15.py.
-    All sums integer-exact; po/pe are single double divisions combined
-    in the oracle's operation order, rounded once."""
+def _kappa_scalars(conf, a="pred_nb", b="pred_tri"):
+    """(po_r, pe_r, kappa_r) from an (a, b, n) confusion frame - Cohen
+    1960, hand-example-pinned in tests/test_round15.py. All sums
+    integer-exact; po/pe are single double divisions combined in the
+    oracle's operation order, rounded once."""
     tot = conf.agg(
         F.sum("n").alias("nn"),
         F.sum(
-            F.when(F.col("pred_nb") == F.col("pred_tri"), F.col("n")).otherwise(
-                F.lit(0)
-            )
+            F.when(F.col(a) == F.col(b), F.col("n")).otherwise(F.lit(0))
         ).alias("n_agree"),
     )
-    rowm = conf.groupBy("pred_nb").agg(F.sum("n").alias("rn")).withColumnRenamed(
-        "pred_nb", "k"
+    rowm = conf.groupBy(a).agg(F.sum("n").alias("rn")).withColumnRenamed(
+        a, "k"
     )
-    colm = conf.groupBy("pred_tri").agg(F.sum("n").alias("cn")).withColumnRenamed(
-        "pred_tri", "k"
+    colm = conf.groupBy(b).agg(F.sum("n").alias("cn")).withColumnRenamed(
+        b, "k"
     )
     pe_num = rowm.join(colm, "k").agg(
         F.coalesce(F.sum(F.col("rn") * F.col("cn")), F.lit(0)).alias("pe_num")
@@ -3762,7 +4090,15 @@ def _funnel_report(spark, stages, value_frame=None):
     is the token SUM of each frame's semi-join against it (the
     pipe_token_attribution budgets, columns tok_in/tok_kept + the
     guarded round-6 kept_frac); without it, the COUNT per frame
-    (columns n_in/n_kept). Empty frames coalesce to 0 in both modes."""
+    (columns n_in/n_kept). Empty frames coalesce to 0 in both modes.
+
+    CONTRACT (ADVICE r16): chained stages must pass the SAME DataFrame
+    OBJECT for stage k's kept frame and stage k+1's in frame - frame
+    dedup is by Python object identity, so logically-identical but
+    distinct objects double-scan and, if the duplicate frames ever
+    diverged (non-deterministic upstream), could report
+    n_in != previous n_kept. Every caller builds its stage list from
+    one chain of localCheckpoint frames, which satisfies this."""
     frames = []
     for _, fin, fkept in stages:
         for f in (fin, fkept):
@@ -3887,8 +4223,9 @@ def _refinedweb_stages(spark, sf_dir):
     the whole funnel. Memory is bounded: the id-frames are bytes per
     doc and the one corpus-sized entry (the derived lined corpus) is
     the same deliberate hot-slice cache class as the shingle index."""
-    if sf_dir in _RW_STAGES_MEMO:
-        return _RW_STAGES_MEMO[sf_dir]
+    key = _session_key(spark, sf_dir)
+    if key in _RW_STAGES_MEMO:
+        return _RW_STAGES_MEMO[key]
     docs = _lined_docs(
         spark, sf_dir, keep_cols=("lang",), stopwords=True
     ).localCheckpoint(eager=False)
@@ -3937,7 +4274,7 @@ def _refinedweb_stages(spark, sf_dir):
         .distinct()
     )
     s5_ids = s4_ids.join(dominated, "doc_id", "left_anti")
-    _RW_STAGES_MEMO[sf_dir] = [
+    _RW_STAGES_MEMO[key] = [
         ("url_filter", total, s0_ids),
         ("lang_id", s0_ids, s1_ids),
         ("gopher", s1_ids, s2_ids),
@@ -3945,7 +4282,7 @@ def _refinedweb_stages(spark, sf_dir):
         ("exact_cleaned", s3, s4_ids),
         ("near_dup", s4_ids, s5_ids),
     ]
-    return _RW_STAGES_MEMO[sf_dir]
+    return _RW_STAGES_MEMO[key]
 
 
 def pipe_token_attribution(spark, sf_dir):
@@ -6057,6 +6394,11 @@ EXTENSION_QUERIES = {
     # -- round 14 --
     "sim_hybrid_rrf": sim_hybrid_rrf,
     "sim_hard_negatives": sim_hard_negatives,
+    # -- round 17 --
+    "pipe_stage_order": pipe_stage_order,
+    "pipe_dump_dedup": pipe_dump_dedup,
+    "pipe_curation_lr": pipe_curation_lr,
+    "pipe_lr_agreement": pipe_lr_agreement,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

@@ -2150,6 +2150,310 @@ EXTENSION_ORACLE["pipe_curation_sweep"] = f"""
     ORDER BY nb_filter, pct
 """
 
+# filter-order ablation (extensions.pipe_stage_order): BOTH orders of
+# the trained funnel in one statement - the filter-first chain is the
+# pipe_curation_trained CTE chain verbatim (s1..s4); the dedup-first
+# chain (b1..b4) re-runs the same four gates with dedup leading, the
+# per-language median recalibrated on ITS lm-stage population (b3).
+# The shingle/jaccard near-dup SQL is instantiated once per order over
+# that order's survivor set (jaccard is pairwise, so survivor-scoped
+# shingles equal full-corpus pairs filtered to survivors).
+_ND_SQL = """
+    raw_toks{sfx} AS (
+      SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+            FROM {src})),
+    sh{sfx} AS (
+      SELECT DISTINCT doc_id AS id, w || ' ' || nw AS s
+      FROM (SELECT doc_id, w, i,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS nw
+            FROM raw_toks{sfx})
+      WHERE nw IS NOT NULL),
+    sz{sfx} AS (SELECT id, COUNT(*) AS n FROM sh{sfx} GROUP BY id),
+    common{sfx} AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+      FROM sh{sfx} a JOIN sh{sfx} b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2),
+    dominated{sfx} AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM common{sfx}
+      JOIN sz{sfx} sa ON sa.id = id_a
+      JOIN sz{sfx} sb ON sb.id = id_b
+      WHERE ROUND(c / (sa.n + sb.n - c), 6) >= 0.8)
+"""
+
+_ORD_STAGE = """
+    SELECT '{ord}' AS ord, CAST({i} AS BIGINT) AS stage, '{name}' AS name,
+           CAST((SELECT COUNT(*) FROM {src_in}) AS BIGINT) AS n_in,
+           CAST((SELECT COUNT(*) FROM {src_kept}) AS BIGINT) AS n_kept
+"""
+
+EXTENSION_ORACLE["pipe_stage_order"] = (
+    f"""
+    WITH cls AS ({EXTENSION_ORACLE["text_nb_classify"]}),
+    lm AS ({EXTENSION_ORACLE["text_lm_score"]}),
+    agree AS (SELECT doc_id, lang FROM cls WHERE pred = lang),
+    -- filter-first (the pipe_curation_trained chain)
+    s1 AS (SELECT doc_id, lang FROM agree),
+    s1lm AS (SELECT s1.doc_id, s1.lang, lm.nll_r
+             FROM s1 JOIN lm ON lm.id = s1.doc_id),
+    med AS (SELECT lang, ROUND(quantile_cont(nll_r, 0.5), 6) AS med_r
+            FROM s1lm GROUP BY lang),
+    s2 AS (SELECT doc_id FROM s1lm JOIN med USING (lang)
+           WHERE nll_r <= med_r),
+    d2 AS (SELECT d.doc_id, d.text FROM documents d JOIN s2 USING (doc_id)),
+    reps AS (SELECT MIN(doc_id) AS doc_id FROM d2 GROUP BY md5(LOWER(text))),
+    s3 AS (SELECT d2.doc_id, d2.text FROM d2 JOIN reps USING (doc_id)),
+"""
+    + _ND_SQL.format(sfx="3", src="s3")
+    + """,
+    s4 AS (
+      SELECT doc_id FROM s3
+      WHERE doc_id NOT IN (SELECT doc_id FROM dominated3)),
+    -- dedup-first (the same gates, dedup leading; median recalibrated
+    -- on the b3 population)
+    repsb AS (SELECT MIN(doc_id) AS doc_id
+              FROM documents GROUP BY md5(LOWER(text))),
+    b1 AS (SELECT d.doc_id, d.text FROM documents d JOIN repsb USING (doc_id)),
+"""
+    + _ND_SQL.format(sfx="B", src="b1")
+    + """,
+    b2 AS (
+      SELECT doc_id FROM b1
+      WHERE doc_id NOT IN (SELECT doc_id FROM dominatedB)),
+    b3 AS (SELECT b2.doc_id, agree.lang
+           FROM b2 JOIN agree USING (doc_id)),
+    b3lm AS (SELECT b3.doc_id, b3.lang, lm.nll_r
+             FROM b3 JOIN lm ON lm.id = b3.doc_id),
+    medb AS (SELECT lang, ROUND(quantile_cont(nll_r, 0.5), 6) AS med_r
+             FROM b3lm GROUP BY lang),
+    b4 AS (SELECT doc_id FROM b3lm JOIN medb USING (lang)
+           WHERE nll_r <= med_r)
+"""
+    + " UNION ALL ".join(
+        _ORD_STAGE.format(ord=o, i=i, name=name, src_in=si, src_kept=sk)
+        for o, stages in (
+            (
+                "filter_first",
+                [
+                    ("nb_lang", "documents", "s1"),
+                    ("lm_ppl", "s1", "s2"),
+                    ("exact_dedup", "s2", "s3"),
+                    ("near_dup", "s3", "s4"),
+                ],
+            ),
+            (
+                "dedup_first",
+                [
+                    ("exact_dedup", "documents", "b1"),
+                    ("near_dup", "b1", "b2"),
+                    ("nb_lang", "b2", "b3"),
+                    ("lm_ppl", "b3", "b4"),
+                ],
+            ),
+        )
+        for i, (name, si, sk) in enumerate(stages, 1)
+    )
+    + "    ORDER BY ord, stage\n"
+)
+
+# hashed-feature averaged perceptron (operators/linear.py): the
+# LR_STEPS=5 full-batch integer subgradient steps unrolled as chained
+# CTEs (the graph_pagerank unrolled-superstep discipline) - every
+# quantity BIGINT (counts, weights, scores), so the training replay is
+# exact in any engine and any aggregation order. w0 is the empty table;
+# step t scores under w(t-1) (missing weight -> 0), predicts by
+# (s DESC, lbl ASC) row_number (the engine's strictly-greater ascending
+# argmax fold), accumulates the misclassified-doc delta, and w(t) =
+# w(t-1) + d(t); the published model is the SUM of w1..w5 (averaged
+# perceptron - argmax-equivalent to the average, no division).
+# Every step CTE is MATERIALIZED: w{t} references w{t-1} twice (the
+# score join and the union), so DuckDB's default CTE INLINING would
+# re-expand the chain exponentially (2^5 copies of the step-1 subtree -
+# measured as a multi-minute hang); materialization executes each step
+# once, which is also exactly the engine's semantics (one bounded
+# weight table per step).
+_LR_STEP = """
+    s{t} AS MATERIALIZED (
+      SELECT f.id, f.label, l.lbl,
+             CAST(COALESCE(SUM(f.cnt * w.w), 0) AS BIGINT) AS s
+      FROM lrfeats f CROSS JOIN lrlabels l
+      LEFT JOIN w{p} w ON w.bucket = f.bucket AND w.lbl = l.lbl
+      GROUP BY 1, 2, 3),
+    p{t} AS MATERIALIZED (
+      SELECT id, label, lbl AS pred
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                         ORDER BY s DESC, lbl ASC) AS rn
+            FROM s{t})
+      WHERE rn = 1),
+    d{t} AS MATERIALIZED (
+      SELECT f.bucket, l.lbl,
+             CAST(SUM(f.cnt *
+                      (CASE WHEN f.label = l.lbl THEN 1 ELSE 0 END
+                       - CASE WHEN p.pred = l.lbl THEN 1 ELSE 0 END))
+                  AS BIGINT) AS w
+      FROM lrfeats f JOIN p{t} p ON p.id = f.id
+      CROSS JOIN lrlabels l
+      WHERE p.pred <> p.label
+      GROUP BY 1, 2),
+    w{t} AS MATERIALIZED (
+      SELECT bucket, lbl, CAST(SUM(w) AS BIGINT) AS w
+      FROM (SELECT * FROM w{p} UNION ALL SELECT * FROM d{t})
+      GROUP BY 1, 2)
+"""
+
+_LR_CTES = (
+    f"""
+    lrtoks AS (
+      SELECT doc_id AS id, lang AS label,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS token
+      FROM documents WHERE lang IS NOT NULL),
+    lrfeats AS MATERIALIZED (
+      SELECT id, label,
+             {H.format(x="'lr:' || token")} % 512 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lrtoks GROUP BY 1, 2, 3),
+    lrlabels AS (SELECT DISTINCT lang AS lbl
+                 FROM documents WHERE lang IS NOT NULL),
+    w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket,
+                  CAST(NULL AS VARCHAR) AS lbl,
+                  CAST(NULL AS BIGINT) AS w
+           WHERE FALSE),
+"""
+    + ",".join(_LR_STEP.format(t=t, p=t - 1) for t in range(1, 6))
+    + """,
+    wavg AS MATERIALIZED (
+      SELECT bucket, lbl, CAST(SUM(w) AS BIGINT) AS w
+      FROM (SELECT * FROM w1 UNION ALL SELECT * FROM w2
+            UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4
+            UNION ALL SELECT * FROM w5)
+      GROUP BY 1, 2),
+    sF AS (
+      SELECT f.id, f.label, l.lbl,
+             CAST(COALESCE(SUM(f.cnt * w.w), 0) AS BIGINT) AS s
+      FROM lrfeats f CROSS JOIN lrlabels l
+      LEFT JOIN wavg w ON w.bucket = f.bucket AND w.lbl = l.lbl
+      GROUP BY 1, 2, 3),
+    lrcls AS MATERIALIZED (
+      SELECT id AS doc_id, label AS lang, lbl AS pred, s AS score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                         ORDER BY s DESC, lbl ASC) AS rn
+            FROM sF)
+      WHERE rn = 1)
+"""
+)
+
+# the LR-gated trained funnel (extensions.pipe_curation_lr): the
+# pipe_curation_trained chain with lrcls as stage 1 and the per-lang
+# median recalibrated on ITS survivors
+EXTENSION_ORACLE["pipe_curation_lr"] = (
+    f"""
+    WITH {_LR_CTES},
+    lm AS ({EXTENSION_ORACLE["text_lm_score"]}),
+    g1 AS (SELECT doc_id, lang FROM lrcls WHERE pred = lang),
+    g1lm AS (SELECT g1.doc_id, g1.lang, lm.nll_r
+             FROM g1 JOIN lm ON lm.id = g1.doc_id),
+    gmed AS (SELECT lang, ROUND(quantile_cont(nll_r, 0.5), 6) AS med_r
+             FROM g1lm GROUP BY lang),
+    g2 AS (SELECT doc_id FROM g1lm JOIN gmed USING (lang)
+           WHERE nll_r <= med_r),
+    gd2 AS (SELECT d.doc_id, d.text FROM documents d JOIN g2 USING (doc_id)),
+    greps AS (SELECT MIN(doc_id) AS doc_id FROM gd2 GROUP BY md5(LOWER(text))),
+    g3 AS (SELECT gd2.doc_id, gd2.text FROM gd2 JOIN greps USING (doc_id)),
+"""
+    + _ND_SQL.format(sfx="G", src="g3")
+    + """,
+    g4 AS (
+      SELECT doc_id FROM g3
+      WHERE doc_id NOT IN (SELECT doc_id FROM dominatedG))
+    SELECT CAST(1 AS BIGINT) AS stage, 'lr_lang' AS name,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_in,
+           CAST((SELECT COUNT(*) FROM g1) AS BIGINT) AS n_kept
+    UNION ALL
+    SELECT 2, 'lm_ppl',
+           CAST((SELECT COUNT(*) FROM g1) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM g2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'exact_dedup',
+           CAST((SELECT COUNT(*) FROM g2) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM g3) AS BIGINT)
+    UNION ALL
+    SELECT 4, 'near_dup',
+           CAST((SELECT COUNT(*) FROM g3) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM g4) AS BIGINT)
+    ORDER BY stage
+"""
+)
+
+# LR-vs-NB gate agreement (extensions.pipe_lr_agreement): both trained
+# classifier CTEs nested, the pipe_classifier_agreement kappa SQL over
+# (pred_lr, pred_nb)
+EXTENSION_ORACLE["pipe_lr_agreement"] = f"""
+    WITH {_LR_CTES},
+    cls AS ({EXTENSION_ORACLE["text_nb_classify"]}),
+    j AS (SELECT lrcls.doc_id, lrcls.pred AS pred_lr, cls.pred AS pred_nb
+          FROM lrcls JOIN cls USING (doc_id)),
+    conf AS (SELECT pred_lr, pred_nb, CAST(COUNT(*) AS BIGINT) AS n
+             FROM j GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(CASE WHEN pred_lr = pred_nb THEN n ELSE 0 END)
+                        AS BIGINT) AS n_agree
+            FROM conf),
+    rowm AS (SELECT pred_lr AS k, CAST(SUM(n) AS BIGINT) AS rn
+             FROM conf GROUP BY 1),
+    colm AS (SELECT pred_nb AS k, CAST(SUM(n) AS BIGINT) AS cn
+             FROM conf GROUP BY 1),
+    pe AS (SELECT CAST(COALESCE(SUM(rn * cn), 0) AS BIGINT) AS pe_num
+           FROM rowm JOIN colm USING (k)),
+    scal AS (
+      SELECT ROUND(CAST(n_agree AS DOUBLE) / nn, 6) AS po_r,
+             ROUND(pe_num / (CAST(nn AS DOUBLE) * nn), 6) AS pe_r,
+             ROUND((CAST(n_agree AS DOUBLE) / nn
+                    - pe_num / (CAST(nn AS DOUBLE) * nn))
+                   / (1.0 - pe_num / (CAST(nn AS DOUBLE) * nn)), 6) AS kappa_r
+      FROM tot, pe)
+    SELECT pred_lr, pred_nb, n, po_r, pe_r, kappa_r
+    FROM conf, scal ORDER BY pred_lr, pred_nb
+"""
+
+# per-dump MinHash dedup ablation (extensions.pipe_dump_dedup): the
+# dedup_minhash_lsh SQL nested verbatim as the pair source; dump =
+# doc_id % 5 replayed; per-dump domination is the same pair set
+# restricted to same-dump endpoints (a pure predicate - dump is
+# id-derived)
+EXTENSION_ORACLE["pipe_dump_dedup"] = f"""
+    WITH mh AS (SELECT id_a, id_b
+                FROM ({EXTENSION_ORACLE["dedup_minhash_lsh"]})),
+    domg AS (SELECT DISTINCT id_b AS doc_id FROM mh),
+    domd AS (SELECT DISTINCT id_b AS doc_id FROM mh
+             WHERE id_a % 5 = id_b % 5),
+    d AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS dump,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS BIGINT) AS n_tok
+          FROM documents)
+    SELECT dump,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN g.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept_global,
+           CAST(SUM(CASE WHEN p.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept_dump,
+           CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+           CAST(SUM(CASE WHEN g.doc_id IS NULL THEN n_tok ELSE 0 END)
+                AS BIGINT) AS tok_kept_global,
+           CAST(SUM(CASE WHEN p.doc_id IS NULL THEN n_tok ELSE 0 END)
+                AS BIGINT) AS tok_kept_dump,
+           ROUND(SUM(CASE WHEN g.doc_id IS NULL THEN n_tok ELSE 0 END)
+                 / SUM(n_tok), 6) AS tok_frac_global,
+           ROUND(SUM(CASE WHEN p.doc_id IS NULL THEN n_tok ELSE 0 END)
+                 / SUM(n_tok), 6) AS tok_frac_dump
+    FROM d
+    LEFT JOIN domg g ON g.doc_id = d.doc_id
+    LEFT JOIN domd p ON p.doc_id = d.doc_id
+    GROUP BY dump ORDER BY dump
+"""
+
 # chunk-grain ANN with parent-document max-pooling
 # (extensions.sim_chunk_ann): the text_chunk window arithmetic gives the
 # chunk set, dense ids from a global ROW_NUMBER, the derived chunk
