@@ -94,16 +94,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # session-memoized _trained_stages shared with pipe_stage_order's
 # filter_first arm; s4 now localCheckpoint-ed; values identical,
 # row-for-row equality with the ablation arm suite-pinned).
+# text_nb_classify / text_nb_eval / pipe_classifier_agreement /
+# pipe_curation_sweep (CHANGED r17 - the NB prediction frame is now the
+# session-shared _nb_preds memo, the r16 curation-scores sharing win
+# applied to the other trained model: five consumers re-ran the whole
+# classify plan, ~2 s each at sf0.1; values identical by construction,
+# plans now read one lazy localCheckpoint).
 _CHANGED_THIS_ROUND = [
     "pipe_stage_order",
     "pipe_dump_dedup",
     "pipe_curation_lr",
     "pipe_lr_agreement",
     "pipe_curation_trained",
+    "text_nb_classify",
+    "text_nb_eval",
+    "pipe_classifier_agreement",
+    "pipe_curation_sweep",
 ]
-# fill: the ENTIRE 43-row r13 cohort (oldest-first, alphabetical - the
-# exact list the r16 rotation tripwire printed), then the r14 cohort
-# alphabetically to 50. After this round no row is older than r14.
+# fill: the first 41 rows of the 43-row r13 cohort (oldest-first,
+# alphabetical - the exact list the r16 rotation tripwire printed; the
+# 9-entry changelist leaves 41 slots, so the cohort's alphabetical tail
+# text_repetition / text_tokens rotates into r18's window). After this
+# round no declared query is older than r13, and only those two r13
+# rows remain.
 _STALE_R13 = [
     "dedup_fuzzy", "dedup_incremental", "dedup_keep_best", "dedup_semantic",
     "dedup_substr", "events_anomaly", "events_attribution",
@@ -116,12 +129,9 @@ _STALE_R13 = [
     "sim_topk_pq", "stream_dedup", "stream_last_value", "stream_raster",
     "stream_sessions", "stream_window", "text_bm25", "text_bpe",
     "text_bpe_apply", "text_bpe_train", "text_fingerprint", "text_langid",
-    "text_quality", "text_repetition", "text_tokens",
+    "text_quality",
 ]
-_STALE_R14 = [
-    "dedup_compare", "dedup_cross_source",
-]
-_WINDOW = _CHANGED_THIS_ROUND + _STALE_R13 + _STALE_R14
+_WINDOW = _CHANGED_THIS_ROUND + _STALE_R13
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -167,6 +167,12 @@ def main() -> None:
         "sim_sparse_topk",   # tf-idf stats
         "text_winnow",       # winnow marks
         "sim_pca_gram",      # partial-Gram kernel memo (r13)
+        "pipe_curation_lr",  # nb_preds + curation_scores + lr_preds (r17:
+                             # the averaged-perceptron trainer is the one
+                             # artifact build over ~10 s - 5 sequential
+                             # full-batch steps - and every LR/NB-family
+                             # query shares the frames)
+        "pipe_stage_order",  # trained_stages (both funnel orders' frames)
     ):
         queries[warm_q](spark, sf_dir).write.format("noop").mode(
             "overwrite"
@@ -228,6 +234,7 @@ def main() -> None:
             "curation_scores": extensions._CURATION_SCORES_MEMO,
             "trained_stages": extensions._TRAINED_STAGES_MEMO,
             "lr_preds": extensions._LR_PREDS_MEMO,
+            "nb_preds": extensions._NB_PREDS_MEMO,
             "coarse_centroids": extensions._COARSE_MEMO,
         }
         # (id-set, strong refs): the refs keep every snapshotted entry

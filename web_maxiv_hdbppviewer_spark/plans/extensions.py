@@ -3506,6 +3506,29 @@ def pipe_dump_dedup(spark, sf_dir):
     )
 
 
+_NB_PREDS_MEMO: dict = {}
+
+
+def _nb_preds(spark, sf_dir):
+    """The trained NB classifier's prediction frame (doc_id, lang, pred,
+    score_fp), session-memoized per (session, sf_dir) - the r16
+    curation-scores sharing win applied to the OTHER trained model:
+    text_nb_classify / text_nb_eval / pipe_classifier_agreement /
+    pipe_lr_agreement / _curation_scores all consumed their own
+    nb_classify plan (each re-collecting the bounded stats and
+    re-scoring the corpus, ~2 s per query at sf0.1); one lazy
+    localCheckpoint pays it once per session. Memory is bytes per doc
+    (two strings + one int64)."""
+    from ..operators import nbayes
+
+    key = _session_key(spark, sf_dir)
+    if key not in _NB_PREDS_MEMO:
+        _NB_PREDS_MEMO[key] = nbayes.nb_classify(
+            _docs(spark, sf_dir), NB_MIN_COUNT
+        ).localCheckpoint(eager=False)
+    return _NB_PREDS_MEMO[key]
+
+
 _LR_PREDS_MEMO: dict = {}
 
 
@@ -3604,12 +3627,10 @@ def pipe_lr_agreement(spark, sf_dir):
     the LR gate disagree with the NB gate it replaces?). Both
     prediction frames are session-memoized; the matrix is one groupBy
     over |labels|^2 keys."""
-    from ..operators import nbayes
-
     lr = _lr_preds(spark, sf_dir).select(
         "doc_id", F.col("pred").alias("pred_lr")
     )
-    nb = nbayes.nb_classify(_docs(spark, sf_dir), NB_MIN_COUNT).select(
+    nb = _nb_preds(spark, sf_dir).select(
         "doc_id", F.col("pred").alias("pred_nb")
     )
     conf = (
@@ -3634,8 +3655,6 @@ def _curation_scores(spark, sf_dir):
     lazy localCheckpoints, so pipe_curation_trained and
     pipe_curation_sweep train each model ONCE per session instead of
     once per query. Memory is bytes per doc (one double + one id)."""
-    from ..operators import nbayes
-
     key = _session_key(spark, sf_dir)
     if key in _CURATION_SCORES_MEMO:
         return _CURATION_SCORES_MEMO[key]
@@ -3646,7 +3665,7 @@ def _curation_scores(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
     agree = (
-        nbayes.nb_classify(docs, NB_MIN_COUNT)
+        _nb_preds(spark, sf_dir)
         .where(F.col("pred") == F.col("lang"))
         .select("doc_id")
         .localCheckpoint(eager=False)
@@ -3772,10 +3791,8 @@ def pipe_classifier_agreement(spark, sf_dir):
     groupBy over |labels|^2 keys, lazily localCheckpoint-ed for its
     four bounded consumers (the sequential-consumer rule, PLANS.md
     r14); every scalar join is a 1-row broadcast."""
-    from ..operators import nbayes
-
     docs = _docs(spark, sf_dir)
-    nb = nbayes.nb_classify(docs, NB_MIN_COUNT).select(
+    nb = _nb_preds(spark, sf_dir).select(
         "doc_id", F.col("pred").alias("pred_nb")
     )
     tri = textquality.lang_id(docs).select(
@@ -6210,9 +6227,7 @@ def text_nb_classify(spark, sf_dir):
     label string."""
     from ..operators import nbayes
 
-    return nbayes.nb_classify(_docs(spark, sf_dir), NB_MIN_COUNT).orderBy(
-        "doc_id"
-    )
+    return _nb_preds(spark, sf_dir).orderBy("doc_id")
 
 
 def text_nb_eval(spark, sf_dir):
@@ -6221,9 +6236,9 @@ def text_nb_eval(spark, sf_dir):
     filtering pipeline reads before trusting the scorer."""
     from ..operators import nbayes
 
-    return nbayes.nb_confusion(
-        nbayes.nb_classify(_docs(spark, sf_dir), NB_MIN_COUNT)
-    ).orderBy("actual", "pred")
+    return nbayes.nb_confusion(_nb_preds(spark, sf_dir)).orderBy(
+        "actual", "pred"
+    )
 
 
 # Dict order here is NOT the witness window anymore: since round 7 the
