@@ -100,6 +100,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # applied to the other trained model: five consumers re-ran the whole
 # classify plan, ~2 s each at sf0.1; values identical by construction,
 # plans now read one lazy localCheckpoint).
+# sim_chunk_probe_sweep (NEW r17 - the recall-vs-nprobe dial at the
+# CHUNK grain, completing the RAG family's symmetry with
+# sim_ivf_probe_sweep: per nprobe 1/2/4 the memoized IVFPQ rung
+# retrieves, max-pools to parent-doc top-5, and scores against the ONE
+# exact float-cosine parent-doc leg; the oracle is one shared
+# force-MATERIALIZED chunk chain with a probe-filtered ADC tail per
+# setting. Honest dial: recall can DECREASE with nprobe here - more
+# probed candidates compete for the 20-chunk cap under approximate ADC
+# scores, the cap-vs-quantizer interaction the dial exists to expose).
+# sim_chunk_ann_recall (CHANGED r17 - its exact parent-doc leg moved
+# into the _chunk_exact_docs session memo shared with the sweep;
+# values identical).
 _CHANGED_THIS_ROUND = [
     "pipe_stage_order",
     "pipe_dump_dedup",
@@ -110,13 +122,15 @@ _CHANGED_THIS_ROUND = [
     "text_nb_eval",
     "pipe_classifier_agreement",
     "pipe_curation_sweep",
+    "sim_chunk_probe_sweep",
+    "sim_chunk_ann_recall",
 ]
-# fill: the first 41 rows of the 43-row r13 cohort (oldest-first,
+# fill: the first 39 rows of the 43-row r13 cohort (oldest-first,
 # alphabetical - the exact list the r16 rotation tripwire printed; the
-# 9-entry changelist leaves 41 slots, so the cohort's alphabetical tail
-# text_repetition / text_tokens rotates into r18's window). After this
-# round no declared query is older than r13, and only those two r13
-# rows remain.
+# 11-entry changelist leaves 39 slots, so the cohort's alphabetical
+# tail text_langid / text_quality / text_repetition / text_tokens
+# rotates into r18's window). After this round no declared query is
+# older than r13, and only those four r13 rows remain.
 _STALE_R13 = [
     "dedup_fuzzy", "dedup_incremental", "dedup_keep_best", "dedup_semantic",
     "dedup_substr", "events_anomaly", "events_attribution",
@@ -128,8 +142,7 @@ _STALE_R13 = [
     "sim_ann_ivfpq", "sim_pca", "sim_pca_gram", "sim_quantize",
     "sim_topk_pq", "stream_dedup", "stream_last_value", "stream_raster",
     "stream_sessions", "stream_window", "text_bm25", "text_bpe",
-    "text_bpe_apply", "text_bpe_train", "text_fingerprint", "text_langid",
-    "text_quality",
+    "text_bpe_apply", "text_bpe_train", "text_fingerprint",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R13
 

@@ -229,6 +229,7 @@ def main() -> None:
             "pq_base_codebooks": extensions._PQ_BASE_CODEBOOK_MEMO,
             "ivfpq_artifacts": extensions._IVFPQ_MEMO,
             "chunk_vec_store": extensions._CHUNK_STORE_MEMO,
+            "chunk_exact_docs": extensions._CHUNK_EXACT_DOCS_MEMO,
             "chunk_ivfpq_artifacts": extensions._CHUNK_IVFPQ_MEMO,
             "refinedweb_stages": extensions._RW_STAGES_MEMO,
             "curation_scores": extensions._CURATION_SCORES_MEMO,

@@ -223,7 +223,32 @@ def test_perceptron_early_stop_equals_full_unroll(spark):
     assert strip(averaged) == strip(unrolled)
 
 
-# --- 4. reprobe verdict protocol --------------------------------------------
+# --- 4. chunk-grain probe sweep -----------------------------------------------
+
+
+def test_chunk_probe_sweep_structure(spark):
+    """Structural facts of the chunk-grain recall dial: one row per
+    sweep setting; every setting emits exactly the exact leg's pooled
+    top-5 budget (both legs rank to CHUNK_ANN_DOC_TOPK over >= 5
+    candidate docs on this corpus); hits bounded by the exact total;
+    the nprobe=2 setting IS sim_chunk_ann's ranking, so its hit count
+    must equal the summed per-query hits of sim_chunk_ann_recall."""
+    from web_maxiv_hdbppviewer_spark.plans import extensions
+
+    rows = {
+        r["nprobe"]: r
+        for r in extensions.sim_chunk_probe_sweep(spark, SF_SMOKE).collect()
+    }
+    assert sorted(rows) == list(extensions.IVF_SWEEP_PROBES)
+    for r in rows.values():
+        assert r["n_out"] == r["n_exact"]
+        assert 0 <= r["n_hit"] <= r["n_exact"]
+        assert r["recall_r"] == round(r["n_hit"] / r["n_exact"], 6)
+    recall = extensions.sim_chunk_ann_recall(spark, SF_SMOKE).collect()
+    assert rows[2]["n_hit"] == sum(r["n_hits"] for r in recall)
+
+
+# --- 5. reprobe verdict protocol --------------------------------------------
 
 
 def test_reprobe_verdict_branches():

@@ -1161,6 +1161,32 @@ def _pool_parent_docs(scored, cmap, score_col):
     )
 
 
+_CHUNK_EXACT_DOCS_MEMO: dict = {}
+
+
+def _chunk_exact_docs(spark, sf_dir):
+    """The exact float-cosine parent-document top-5 leg (q_id, cand_id),
+    session-memoized per (session, sf_dir): the |queries| x |chunks|
+    broadcast cosine pooled with the shared max-pool windows - computed
+    once and read by both sim_chunk_ann_recall and
+    sim_chunk_probe_sweep (r17). Bounded: |queries| x 5 rows."""
+    key = _session_key(spark, sf_dir)
+    if key not in _CHUNK_EXACT_DOCS_MEMO:
+        store = _chunk_vec_store(spark, sf_dir)
+        cmap = store.select("rid", "doc_id", "chunk_idx")
+        exact = similarity.topk_cosine(
+            store, 1 << 40, QUERY_IDS_BELOW, id_col="rid", vec_col="cvec"
+        )
+        _CHUNK_EXACT_DOCS_MEMO[key] = (
+            _pool_parent_docs(
+                exact.select("q_id", "cand_id", "cos_r"), cmap, "cos_r"
+            )
+            .select("q_id", F.col("cand_doc").alias("cand_id"))
+            .localCheckpoint(eager=False)
+        )
+    return _CHUNK_EXACT_DOCS_MEMO[key]
+
+
 def sim_chunk_ann_recall(spark, sf_dir):
     """Recall@5 of the chunk-grain IVFPQ parent-document ranking against
     the EXACT parent-document ranking - the recall dial for the RAG
@@ -1195,14 +1221,76 @@ def sim_chunk_ann_recall(spark, sf_dir):
         ann.select("q_id", "cand_id", "acos_r"), cmap, "acos_r"
     ).select("q_id", F.col("cand_doc").alias("cand_id"))
     # exact leg: pool over ALL candidate chunks (k = corpus bound), so
-    # the exact top-5 documents are the true ones, not a capped proxy
-    exact = similarity.topk_cosine(
-        store, 1 << 40, QUERY_IDS_BELOW, id_col="rid", vec_col="cvec"
+    # the exact top-5 documents are the true ones, not a capped proxy -
+    # session-shared with sim_chunk_probe_sweep (r17)
+    return _recall_vs_exact(
+        ann_docs, _chunk_exact_docs(spark, sf_dir), CHUNK_ANN_DOC_TOPK
     )
-    exact_docs = _pool_parent_docs(
-        exact.select("q_id", "cand_id", "cos_r"), cmap, "cos_r"
-    ).select("q_id", F.col("cand_doc").alias("cand_id"))
-    return _recall_vs_exact(ann_docs, exact_docs, CHUNK_ANN_DOC_TOPK)
+
+
+def sim_chunk_probe_sweep(spark, sf_dir):
+    """Recall-vs-nprobe tuning curve at the CHUNK grain - the dial
+    completing the RAG family's symmetry (sim_ivf_probe_sweep tunes the
+    doc-grain IVF-flat index; this tunes the chunk-grain residual IVFPQ
+    rung that sim_chunk_ann serves): for nprobe = 1, 2, 4 the IVFPQ
+    retrieval runs against the memoized chunk store and index, pools to
+    parent-document top-5 with the IDENTICAL max-pool windows, and is
+    scored against the ONE exact float-cosine parent-doc leg
+    (sim_chunk_ann_recall's exact leg, localCheckpoint'd once). Per
+    probe count: emitted doc pairs, hits, exact total, round-6 recall.
+
+    Scale shape: the exact leg is |queries| x |chunks| broadcast cosine
+    (queries bounded); each nprobe setting re-runs only the probe join
+    + ADC + pooling over the session-memoized artifacts (training never
+    repeats); all counts are bounded driver values. Oracle: ONE shared
+    chunk-ANN chain (assignment, residual codes, lookup tables are
+    nprobe-INDEPENDENT) with one probe-filtered ADC/pool tail per
+    setting - the candidate set at nprobe=k is exactly the adc rows
+    whose cell sits within the query's k nearest centroids, because a
+    candidate's cell is unique and ADC values don't depend on which
+    probe surfaced them."""
+    store = _chunk_vec_store(spark, sf_dir)
+    cmap = store.select("rid", "doc_id", "chunk_idx")
+    cents, rcb = _chunk_ivfpq_artifacts(spark, sf_dir)
+    exact_docs = _chunk_exact_docs(spark, sf_dir)
+    n_exact = exact_docs.count()
+    rows = []
+    for np_ in IVF_SWEEP_PROBES:
+        ann = similarity.ann_topk_ivfpq(
+            store,
+            CHUNK_ANN_CAND_K,
+            QUERY_IDS_BELOW,
+            IVF_CELLS,
+            np_,
+            KMEANS_ITERS,
+            id_col="rid",
+            vec_col="cvec",
+            centroids=cents,
+            codebooks=rcb,
+        )
+        docs = (
+            _pool_parent_docs(
+                ann.select("q_id", "cand_id", "acos_r"), cmap, "acos_r"
+            )
+            .select("q_id", F.col("cand_doc").alias("cand_id"))
+            .localCheckpoint(eager=False)
+        )
+        n_out = docs.count()
+        n_hit = docs.join(exact_docs, ["q_id", "cand_id"], "left_semi").count()
+        rows.append((np_, n_out, n_hit, n_exact))
+    return (
+        spark.createDataFrame(
+            rows, "nprobe long, n_out long, n_hit long, n_exact long"
+        )
+        .select(
+            "nprobe",
+            "n_out",
+            "n_hit",
+            "n_exact",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall_r"),
+        )
+        .orderBy("nprobe")
+    )
 
 
 def pipe_contamination_bloom(spark, sf_dir):
@@ -6414,6 +6502,7 @@ EXTENSION_QUERIES = {
     "pipe_dump_dedup": pipe_dump_dedup,
     "pipe_curation_lr": pipe_curation_lr,
     "pipe_lr_agreement": pipe_lr_agreement,
+    "sim_chunk_probe_sweep": sim_chunk_probe_sweep,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

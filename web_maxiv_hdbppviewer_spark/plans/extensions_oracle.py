@@ -2522,6 +2522,128 @@ EXTENSION_ORACLE["sim_chunk_ann"] = f"""
 # float-cosine parent-doc ranking (extensions.sim_chunk_ann_recall):
 # the shared chain, an all-pairs exact leg pooled with the IDENTICAL
 # windows, and the _recall_vs_exact hit arithmetic at k=5
+# chunk-grain recall-vs-nprobe sweep (extensions.sim_chunk_probe_sweep):
+# ONE shared chunk-ANN chain - coarse assignment, residual codes, and
+# every ADC lookup table are nprobe-INDEPENDENT - plus one
+# probe-filtered tail per setting. The candidate set at nprobe=k is
+# exactly the adc rows whose (unique) cell ranks within the query's k
+# nearest centroids, so each tail re-instantiates only probes/qc/adc/
+# ranking/pooling with the chain's own SQL, suffix-renamed; the np=2
+# tail is the chain's own docranked. The exact leg is
+# sim_chunk_ann_recall's, verbatim.
+_CHUNK_SWEEP_TAIL = f"""
+    probesS{{s}} AS (SELECT id, v, nrm, cid AS cell FROM assign
+                   WHERE rn <= {{np}} AND id < 10),
+    qcS{{s}} AS (
+      SELECT p.id AS q_id, p.cell, p.nrm AS q_nrm,
+             ROUND(list_inner_product(p.v, c.cv), 6) AS qc_dot,
+             ROUND(list_inner_product(c.cv, c.cv), 6) AS ipcc
+      FROM probesS{{s}} p JOIN {_KMEANS_FINAL} c ON p.cell = c.cid),
+    adcS{{s}} AS (
+      SELECT t.q_id, k.id AS cand_id,
+             ROUND((MAX(t.qc_dot) + ({_IVFPQ_PD_SUM}))
+                   / (MAX(t.q_nrm)
+                      * sqrt(MAX(t.ipcc) + 2 * ({_IVFPQ_CROSS_SUM})
+                             + ({_IVFPQ_NSQ_SUM}))), 6) AS acos_r
+      FROM cand k
+      JOIN qcS{{s}} t ON k.cell = t.cell AND k.id != t.q_id
+      JOIN pdt ON pdt.q_id = t.q_id AND pdt.m = k.m AND pdt.code = k.code
+      JOIN nsqt ON nsqt.m = k.m AND nsqt.code = k.code
+      JOIN crosst ON crosst.cell = k.cell AND crosst.m = k.m
+                 AND crosst.code = k.code
+      GROUP BY t.q_id, k.id),
+    rankedS{{s}} AS (
+      SELECT q_id, cand_id, acos_r,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY acos_r DESC, cand_id ASC) AS rank
+      FROM adcS{{s}}),
+    pooledS{{s}} AS (
+      SELECT r.q_id, cm.doc_id AS cand_doc, cm.chunk_idx AS cand_chunk_idx,
+             r.acos_r
+      FROM rankedS{{s}} r
+      JOIN cmap cm ON cm.id = r.cand_id
+      JOIN cmap qm ON qm.id = r.q_id
+      WHERE r.rank <= 20 AND cm.doc_id != qm.doc_id),
+    bestS{{s}} AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, cand_doc
+                                   ORDER BY acos_r DESC,
+                                            cand_chunk_idx ASC) AS brn
+      FROM pooledS{{s}}),
+    dockS{{s}} AS (
+      SELECT q_id, cand_doc,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY acos_r DESC, cand_doc ASC) AS rank
+      FROM bestS{{s}} WHERE brn = 1),
+    topS{{s}} AS (SELECT q_id, cand_doc AS cand_id FROM dockS{{s}}
+                WHERE rank <= 5)
+"""
+
+_CHUNK_SWEEP_STAT = """
+    SELECT CAST({np} AS BIGINT) AS nprobe,
+           CAST((SELECT COUNT(*) FROM {top}) AS BIGINT) AS n_out,
+           CAST((SELECT COUNT(*) FROM {top} t
+                 JOIN cexact e ON e.q_id = t.q_id
+                              AND e.cand_id = t.cand_id) AS BIGINT) AS n_hit,
+           CAST((SELECT COUNT(*) FROM cexact) AS BIGINT) AS n_exact
+"""
+
+# For the sweep ONLY, every chain CTE is force-MATERIALIZED (the
+# _LR_STEP lesson): three ADC tails each reference cand/pdt/nsqt/crosst,
+# and DuckDB's default inlining would re-execute the whole k-means +
+# residual-coding chain once per tail - measured as a process-memory
+# blow-up at the driver gate's scale. Same values, each stage executed
+# once. The shared sim_chunk_ann/recall oracles keep default inlining
+# (single tail - no fan-out to amplify).
+import re as _re  # noqa: E402
+
+_CHUNK_ANN_CTES_MAT = _re.sub(
+    r"(?m)^(\s*)(\w+) AS \(", r"\1\2 AS MATERIALIZED (", _CHUNK_ANN_CTES
+)
+
+EXTENSION_ORACLE["sim_chunk_probe_sweep"] = (
+    f"""
+    WITH {_CHUNK_ANN_CTES_MAT},
+    exactsc AS (
+      SELECT q.id AS q_id, c.id AS cand_id,
+             ROUND(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6)
+               AS cos_r
+      FROM vecs q JOIN vecs c ON c.id != q.id
+      WHERE q.id < 10),
+    epool AS (
+      SELECT e.q_id, cm.doc_id AS cand_doc, cm.chunk_idx AS cand_chunk_idx,
+             e.cos_r
+      FROM exactsc e
+      JOIN cmap cm ON cm.id = e.cand_id
+      JOIN cmap qm ON qm.id = e.q_id
+      WHERE cm.doc_id != qm.doc_id),
+    ebest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, cand_doc
+                                   ORDER BY cos_r DESC,
+                                            cand_chunk_idx ASC) AS brn
+      FROM epool),
+    eranked AS (
+      SELECT q_id, cand_doc,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_r DESC, cand_doc ASC) AS rank
+      FROM ebest WHERE brn = 1),
+    cexact AS (SELECT q_id, cand_doc AS cand_id FROM eranked WHERE rank <= 5),
+    top2 AS (SELECT q_id, cand_doc AS cand_id FROM docranked WHERE rank <= 5),
+"""
+    + _CHUNK_SWEEP_TAIL.format(s=1, np=1)
+    + ","
+    + _CHUNK_SWEEP_TAIL.format(s=4, np=4)
+    + ",\n    stats AS ("
+    + " UNION ALL ".join(
+        _CHUNK_SWEEP_STAT.format(np=np, top=top)
+        for np, top in ((1, "topS1"), (2, "top2"), (4, "topS4"))
+    )
+    + """)
+    SELECT nprobe, n_out, n_hit, n_exact,
+           ROUND(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall_r
+    FROM stats ORDER BY nprobe
+"""
+)
+
 EXTENSION_ORACLE["sim_chunk_ann_recall"] = f"""
     WITH {_CHUNK_ANN_CTES},
     exactsc AS (
