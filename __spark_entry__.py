@@ -112,6 +112,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # sim_chunk_ann_recall (CHANGED r17 - its exact parent-doc leg moved
 # into the _chunk_exact_docs session memo shared with the sweep;
 # values identical).
+# sim_lsh_census (NEW r17 - the 100x sign-LSH finding as a first-class
+# query: the banded candidate volume is ~bands/2^bits * N^2, measured
+# x100 per corpus decade (LSH_BUCKETS_r17.json; the 8x8 wall-clock run
+# at 200k vectors exhausted the disk) - this census computes the EXACT
+# candidate-pair count and worst bucket per geometry (8x8 vs 4x16 over
+# the same 64 hyperplanes) with per-bucket integer C(nb,2) sums, no
+# pair materialized: the pre-flight that sizes band bit-width ~
+# 2*log2(N) before paying for the pair join).
 _CHANGED_THIS_ROUND = [
     "pipe_stage_order",
     "pipe_dump_dedup",
@@ -124,13 +132,15 @@ _CHANGED_THIS_ROUND = [
     "pipe_curation_sweep",
     "sim_chunk_probe_sweep",
     "sim_chunk_ann_recall",
+    "sim_lsh_census",
 ]
-# fill: the first 39 rows of the 43-row r13 cohort (oldest-first,
+# fill: the first 38 rows of the 43-row r13 cohort (oldest-first,
 # alphabetical - the exact list the r16 rotation tripwire printed; the
-# 11-entry changelist leaves 39 slots, so the cohort's alphabetical
-# tail text_langid / text_quality / text_repetition / text_tokens
-# rotates into r18's window). After this round no declared query is
-# older than r13, and only those four r13 rows remain.
+# 12-entry changelist leaves 38 slots, so the cohort's alphabetical
+# tail text_fingerprint / text_langid / text_quality /
+# text_repetition / text_tokens rotates into r18's window). After this
+# round no declared query is older than r13, and only those five r13
+# rows remain.
 _STALE_R13 = [
     "dedup_fuzzy", "dedup_incremental", "dedup_keep_best", "dedup_semantic",
     "dedup_substr", "events_anomaly", "events_attribution",
@@ -142,7 +152,7 @@ _STALE_R13 = [
     "sim_ann_ivfpq", "sim_pca", "sim_pca_gram", "sim_quantize",
     "sim_topk_pq", "stream_dedup", "stream_last_value", "stream_raster",
     "stream_sessions", "stream_window", "text_bm25", "text_bpe",
-    "text_bpe_apply", "text_bpe_train", "text_fingerprint",
+    "text_bpe_apply", "text_bpe_train",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _STALE_R13
 

@@ -248,6 +248,27 @@ def test_chunk_probe_sweep_structure(spark):
     assert rows[2]["n_hit"] == sum(r["n_hits"] for r in recall)
 
 
+def test_lsh_census_vs_pair_generation(spark):
+    """The census must be consistent with the machinery it sizes: both
+    geometries see the same vector count; doubling band bit-width
+    strictly shrinks candidate volume and the worst bucket; and the 8x8
+    candidate count upper-bounds dedup_embedding's DISTINCT candidate
+    set (the census counts per-band pairs, so cross-band duplicates
+    make it an upper bound), which in turn bounds the verified pairs."""
+    from web_maxiv_hdbppviewer_spark.plans import extensions
+
+    rows = {
+        r["band_bits"]: r
+        for r in extensions.sim_lsh_census(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {8, 16}
+    assert rows[8]["n_vectors"] == rows[16]["n_vectors"] > 0
+    assert rows[8]["candidate_pairs"] > rows[16]["candidate_pairs"]
+    assert rows[8]["max_bucket"] >= rows[16]["max_bucket"]
+    n_verified = extensions.dedup_embedding(spark, SF_SMOKE).count()
+    assert rows[8]["candidate_pairs"] >= n_verified
+
+
 # --- 5. reprobe verdict protocol --------------------------------------------
 
 

@@ -1293,6 +1293,82 @@ def sim_chunk_probe_sweep(spark, sf_dir):
     )
 
 
+LSH_CENSUS_GEOMETRIES = ((8, 8), (4, 16))
+
+
+def sim_lsh_census(spark, sf_dir):
+    """Sign-LSH geometry-sizing census - the r17 100x finding as a
+    first-class query: banded-LSH candidate volume is
+    ~bands/2^band_bits * N^2, QUADRATIC once N >> 2^band_bits (measured
+    x100 per corpus decade in LSH_BUCKETS_r17.json; at 200k vectors the
+    8x8 default's 776M-pair verification join exhausts a 65 GB disk).
+    This census is the pre-flight a deployment runs BEFORE paying for
+    the pair join: for each geometry over the same 64 hyperplane dots -
+    the shipped 8x8 and the bit-width-doubled 4x16 - the EXACT
+    candidate-pair count (per bucket C(nb, 2), integer arithmetic, no
+    pair materialized) and the worst bucket. Reading the two rows gives
+    the bits ~ 2*log2(N) sizing rule directly.
+
+    Scale shape: one narrow Arrow plane-dot pass (the session _DOTS
+    machinery's kernel), one explode by bands, ONE hash aggregate per
+    grain - |bands x 2^bits| keys then |geometries| rows; nothing
+    corpus-sized shuffles twice. All outputs exact integers (the
+    round-6 plane-dot signs are the dedup_embedding parity class)."""
+    from ..operators.similarity import all_plane_dots, with_norms
+
+    base = with_norms(_emb(spark, sf_dir), "vec_id", "embedding")
+    dotted = base.select(all_plane_dots(F.col("vec")).alias("_dots"))
+
+    def bucket(b, bits):
+        s = None
+        for j in range(bits):
+            bit = F.when(
+                F.round(F.element_at(F.col("_dots"), b * bits + j + 1), 6)
+                >= 0,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+            s = bit if s is None else s + bit
+        return s
+
+    frames = None
+    for bands, bits in LSH_CENSUS_GEOMETRIES:
+        e = dotted.select(
+            F.lit(bands).cast("long").alias("bands"),
+            F.lit(bits).cast("long").alias("band_bits"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            bucket(b, bits).cast("long").alias("bv"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("e"),
+        ).select(
+            "bands",
+            "band_bits",
+            F.col("e.band").alias("band"),
+            F.col("e.bv").alias("bv"),
+        )
+        frames = e if frames is None else frames.unionByName(e)
+    per_bucket = frames.groupBy("bands", "band_bits", "band", "bv").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    return (
+        per_bucket.groupBy("bands", "band_bits")
+        .agg(
+            F.expr("sum(nb) DIV bands").cast("long").alias("n_vectors"),
+            F.sum(F.expr("(nb * (nb - 1)) DIV 2"))
+            .cast("long")
+            .alias("candidate_pairs"),
+            F.max("nb").cast("long").alias("max_bucket"),
+        )
+        .orderBy("band_bits")
+    )
+
+
 def pipe_contamination_bloom(spark, sf_dir):
     """pipe_contamination with the production Bloom pre-filter
     (dedup.bloom_contamination): the train shingle set becomes a 512 KiB
@@ -6503,6 +6579,7 @@ EXTENSION_QUERIES = {
     "pipe_curation_lr": pipe_curation_lr,
     "pipe_lr_agreement": pipe_lr_agreement,
     "sim_chunk_probe_sweep": sim_chunk_probe_sweep,
+    "sim_lsh_census": sim_lsh_census,
 }
 
 from .extensions_oracle import EXTENSION_ORACLE  # noqa: E402

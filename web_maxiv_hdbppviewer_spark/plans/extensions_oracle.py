@@ -2522,6 +2522,36 @@ EXTENSION_ORACLE["sim_chunk_ann"] = f"""
 # float-cosine parent-doc ranking (extensions.sim_chunk_ann_recall):
 # the shared chain, an all-pairs exact leg pooled with the IDENTICAL
 # windows, and the _recall_vs_exact hit arithmetic at k=5
+# sign-LSH geometry census (extensions.sim_lsh_census): the SAME
+# hyperplane sign-bucket SQL as dedup_embedding, one UNION ALL branch
+# per (geometry, band), exact integer per-bucket C(nb,2) sums - the
+# quadratic candidate law measured in-engine, no pair materialized
+EXTENSION_ORACLE["sim_lsh_census"] = (
+    f"""
+    WITH {_VECS},
+    cen AS (
+"""
+    + "\n      UNION ALL\n".join(
+        f"""      SELECT {bands} AS bands, {bits} AS band_bits,
+             {b} AS band, {_hp_bucket_sql(bits, b * bits)} AS bv
+      FROM vecs"""
+        for bands, bits in ((8, 8), (4, 16))
+        for b in range(bands)
+    )
+    + """
+    ),
+    pb AS (
+      SELECT bands, band_bits, band, bv, CAST(COUNT(*) AS BIGINT) AS nb
+      FROM cen GROUP BY 1, 2, 3, 4)
+    SELECT CAST(bands AS BIGINT) AS bands,
+           CAST(band_bits AS BIGINT) AS band_bits,
+           CAST(SUM(nb) // bands AS BIGINT) AS n_vectors,
+           CAST(SUM(nb * (nb - 1) // 2) AS BIGINT) AS candidate_pairs,
+           CAST(MAX(nb) AS BIGINT) AS max_bucket
+    FROM pb GROUP BY bands, band_bits ORDER BY band_bits
+"""
+)
+
 # chunk-grain recall-vs-nprobe sweep (extensions.sim_chunk_probe_sweep):
 # ONE shared chunk-ANN chain - coarse assignment, residual codes, and
 # every ADC lookup table are nprobe-INDEPENDENT - plus one
