@@ -223,6 +223,39 @@ def test_perceptron_early_stop_equals_full_unroll(spark):
     assert strip(averaged) == strip(unrolled)
 
 
+def test_perceptron_training_is_partitioning_invariant(spark):
+    """The integer-exactness claim, pinned the way hash_split pins it:
+    every training quantity is an INT64 sum, so weights - and therefore
+    every prediction - must be identical under any input partitioning
+    (a float trainer would drift with aggregation order). Train on the
+    same corpus at 1 partition and at 7 and compare the full weight
+    tables and prediction maps."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.operators import linear
+
+    rows = [
+        (i, f"w{i % 7} w{(i * 3) % 11} shared tok{i % 5}",
+         ["aa", "bb", "cc"][i % 3])
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    labels = ["aa", "bb", "cc"]
+    outs = []
+    for parts in (1, 7):
+        feats = linear.feature_counts(docs.repartition(parts)).localCheckpoint(
+            eager=False
+        )
+        w = linear.train_weights(feats, labels, steps=4)
+        preds = {
+            r["id"]: (r["pred"], r["score"])
+            for r in linear._scored(feats, w, labels).collect()
+        }
+        outs.append(({k: v for k, v in w.items() if v != 0}, preds))
+    assert outs[0][0] == outs[1][0]
+    assert outs[0][1] == outs[1][1]
+
+
 # --- 4. chunk-grain probe sweep -----------------------------------------------
 
 
