@@ -893,12 +893,11 @@ def train_ivfpq(
     return cents, rcb
 
 
-def ann_topk_ivfpq(
+def ann_adc_ivfpq(
     df: DataFrame,
-    k: int,
     query_ids_below: int = 10,
     n_cells: int = 8,
-    nprobe: int = 2,
+    nprobe_max: int = 2,
     kmeans_iters: int = 2,
     n_sub: int = PQ_M,
     sub_dim: int = PQ_SUBDIM,
@@ -909,12 +908,17 @@ def ann_topk_ivfpq(
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-PQ with RESIDUAL coding - the production ANN index shape
-    (FAISS IVFPQ, Jegou'11 §IV): a trained coarse quantizer routes each
-    vector to a cell, the RESIDUAL (vector minus its cell centroid) is
-    product-quantized, and queries scan only their ``nprobe`` nearest
-    cells, scoring candidates from code lookups - per candidate the index
-    stores one cell id + n_sub codes, nothing else.
+    """The IVF-PQ ADC scoring pass, UNRANKED, carrying each candidate's
+    probe ``cell_rank`` (1-based position of the candidate's cell in the
+    query's nearest-centroid order) - factored out of ``ann_topk_ivfpq``
+    (r18) so probe-sweep dials compute the expensive probe join + ADC
+    aggregation ONCE at ``nprobe_max`` and derive every smaller setting
+    by a pure ``cell_rank <= nprobe`` filter: a candidate lives in
+    exactly one cell, ADC scores don't depend on which probe surfaced
+    them, so the nprobe=k candidate set is exactly the rows whose cell
+    rank is <= k (the transformation the sweep oracles already use).
+
+    Returns (q_id, cand_id, acos_r, cell_rank).
 
     ADC algebra (every leaf rounded to 6 decimals, every sum an explicit
     left-to-right addition, so both engines agree bit-for-bit):
@@ -929,6 +933,7 @@ def ann_topk_ivfpq(
     same plan as ann_topk_ivf; one aggregation groups back to
     (q_id, cand_id) with map-side combine.
     """
+    nprobe = nprobe_max
     base = with_norms(df, id_col, vec_col)
     cents = (
         centroids
@@ -949,7 +954,8 @@ def ann_topk_ivfpq(
     cand = codes.join(residuals.select("id", "cell"), "id")
 
     # query probes: nprobe nearest cells by the same (sim desc, cid asc)
-    # order the assignment used (ann_topk_ivf's collect-and-slice shape)
+    # order the assignment used (ann_topk_ivf's collect-and-slice shape);
+    # posexplode keeps the probe position as cell_rank (1-based)
     q = (
         scored_assign.where(F.col("id") < query_ids_below)
         .groupBy("id")
@@ -969,9 +975,15 @@ def ann_topk_ivfpq(
             F.col("id").alias("q_id"),
             F.col("v.vec").alias("q_vec"),
             F.col("v.nrm").alias("q_nrm"),
-            F.explode("probes").alias("p"),
+            F.posexplode("probes").alias("pr", "p"),
         )
-        .select("q_id", "q_vec", "q_nrm", F.col("p.cid").alias("cell"))
+        .select(
+            "q_id",
+            "q_vec",
+            "q_nrm",
+            F.col("p.cid").alias("cell"),
+            (F.col("pr") + 1).cast("long").alias("cell_rank"),
+        )
     )
     # per-(query, probed cell) scalars: dot(q, c) and ip(c, c)
     qc = q.join(
@@ -979,6 +991,7 @@ def ann_topk_ivfpq(
     ).select(
         "q_id",
         "cell",
+        "cell_rank",
         "q_nrm",
         "q_vec",
         F.round(dot(F.col("q_vec"), F.col("cvec")), 6).alias("qc_dot"),
@@ -1021,7 +1034,12 @@ def ann_topk_ivfpq(
         F.round(dot(F.col("csv"), F.col("cv")), 6).alias("cross"),
     )
     j = (
-        cand.join(F.broadcast(qc.select("q_id", "cell", "q_nrm", "qc_dot", "ipcc")), "cell")
+        cand.join(
+            F.broadcast(
+                qc.select("q_id", "cell", "cell_rank", "q_nrm", "qc_dot", "ipcc")
+            ),
+            "cell",
+        )
         .where(F.col("id") != F.col("q_id"))
         .join(F.broadcast(pdt), ["q_id", "m", "code"])
         .join(F.broadcast(nsqt), ["m", "code"])
@@ -1031,6 +1049,9 @@ def ann_topk_ivfpq(
         F.first("q_nrm").alias("q_nrm"),
         F.first("qc_dot").alias("qc_dot"),
         F.first("ipcc").alias("ipcc"),
+        # a candidate lives in exactly one cell, so every row of a
+        # (q_id, cand_id) group carries the same cell_rank
+        F.first("cell_rank").alias("cell_rank"),
     ]
     for m in range(n_sub):
         for col in ("pd", "nsq", "cross"):
@@ -1047,11 +1068,51 @@ def ann_topk_ivfpq(
 
     approx_dot = F.col("qc_dot") + _ltr("pd")
     approx_nsq = F.col("ipcc") + 2 * _ltr("cross") + _ltr("nsq")
-    scored = g.select(
+    return g.select(
         "q_id",
         "cand_id",
         F.round(approx_dot / (F.col("q_nrm") * F.sqrt(approx_nsq)), 6).alias("acos_r"),
+        "cell_rank",
     )
+
+
+def ann_topk_ivfpq(
+    df: DataFrame,
+    k: int,
+    query_ids_below: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    kmeans_iters: int = 2,
+    n_sub: int = PQ_M,
+    sub_dim: int = PQ_SUBDIM,
+    n_codes: int = PQ_K,
+    pq_iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL coding - the production ANN index shape
+    (FAISS IVFPQ, Jegou'11 §IV): the ``ann_adc_ivfpq`` scoring pass at
+    exactly ``nprobe`` probed cells, ranked per query (acos desc, id
+    asc) and cut to the top ``k``. All ADC algebra, lookup-table shapes
+    and scale notes live on ``ann_adc_ivfpq`` (the unranked pass this
+    wraps since r18; values bit-identical to the pre-split operator)."""
+    scored = ann_adc_ivfpq(
+        df,
+        query_ids_below,
+        n_cells,
+        nprobe,
+        kmeans_iters,
+        n_sub,
+        sub_dim,
+        n_codes,
+        pq_iters,
+        id_col,
+        vec_col,
+        centroids,
+        codebooks,
+    ).drop("cell_rank")
     w = Window.partitionBy("q_id").orderBy(F.col("acos_r").desc(), F.col("cand_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -1240,33 +1240,45 @@ def sim_chunk_probe_sweep(spark, sf_dir):
     probe count: emitted doc pairs, hits, exact total, round-6 recall.
 
     Scale shape: the exact leg is |queries| x |chunks| broadcast cosine
-    (queries bounded); each nprobe setting re-runs only the probe join
-    + ADC + pooling over the session-memoized artifacts (training never
-    repeats); all counts are bounded driver values. Oracle: ONE shared
-    chunk-ANN chain (assignment, residual codes, lookup tables are
-    nprobe-INDEPENDENT) with one probe-filtered ADC/pool tail per
-    setting - the candidate set at nprobe=k is exactly the adc rows
-    whose cell sits within the query's k nearest centroids, because a
-    candidate's cell is unique and ADC values don't depend on which
-    probe surfaced them."""
+    (queries bounded); the probe join + ADC aggregation runs ONCE at
+    max(nprobe) with each candidate's probe cell_rank carried
+    (similarity.ann_adc_ivfpq, localCheckpoint'd - r18, VERDICT r17 #2:
+    the candidate set at nprobe=k is exactly the ADC rows whose
+    cell_rank <= k, because a candidate's cell is unique and ADC values
+    don't depend on which probe surfaced them), so each setting is a
+    pure filter + per-query top-k window + pooling over the one
+    materialized score frame; training never repeats; all counts are
+    bounded driver values. Oracle: the same shape - ONE shared
+    force-MATERIALIZED chunk-ANN chain (assignment, residual codes,
+    lookup tables are nprobe-INDEPENDENT) with one probe-filtered
+    ADC/pool tail per setting."""
+    from pyspark.sql import Window
+
     store = _chunk_vec_store(spark, sf_dir)
     cmap = store.select("rid", "doc_id", "chunk_idx")
     cents, rcb = _chunk_ivfpq_artifacts(spark, sf_dir)
     exact_docs = _chunk_exact_docs(spark, sf_dir)
     n_exact = exact_docs.count()
+    adc = similarity.ann_adc_ivfpq(
+        store,
+        QUERY_IDS_BELOW,
+        IVF_CELLS,
+        max(IVF_SWEEP_PROBES),
+        KMEANS_ITERS,
+        id_col="rid",
+        vec_col="cvec",
+        centroids=cents,
+        codebooks=rcb,
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("acos_r").desc(), F.col("cand_id").asc()
+    )
     rows = []
     for np_ in IVF_SWEEP_PROBES:
-        ann = similarity.ann_topk_ivfpq(
-            store,
-            CHUNK_ANN_CAND_K,
-            QUERY_IDS_BELOW,
-            IVF_CELLS,
-            np_,
-            KMEANS_ITERS,
-            id_col="rid",
-            vec_col="cvec",
-            centroids=cents,
-            codebooks=rcb,
+        ann = (
+            adc.where(F.col("cell_rank") <= np_)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= CHUNK_ANN_CAND_K)
         )
         docs = (
             _pool_parent_docs(
