@@ -465,20 +465,68 @@ def ann_topk_ivf(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
 
 
+def expected_lsh_candidates(n_vectors: int, bands: int, band_bits: int) -> float:
+    """Expected RANDOM-collision candidate pairs of a banded sign-LSH join
+    over ``n_vectors`` unrelated vectors: bands * C(n, 2) / 2^bits - the
+    quadratic law the r17 census measured exactly (LSH_BUCKETS_r17.json:
+    x100.6 and x105.2 candidates per corpus decade at 8x8; the measured
+    8x8 counts sit within 20% of this estimate at 2k/20k/200k vectors).
+    True near-duplicates add ~bands * true_pairs on top (they collide in
+    every band), which is the linear, unavoidable part of the workload."""
+    return bands * (n_vectors * (n_vectors - 1) / 2.0) / float(1 << band_bits)
+
+
+def lsh_geometry_for(
+    n_vectors: int,
+    total_planes: int = HYPERPLANE_DIM,
+    pairs_per_vector: int = 32,
+) -> tuple[int, int]:
+    """Corpus-sized banded sign-LSH geometry (bands, band_bits) - the r17
+    100x finding as engine behavior (VERDICT r17 #5): band bit-width must
+    track the corpus, bits ~ 2*log2(N) - log2(target_pairs/bands), or the
+    candidate join grows quadratically (x100 candidates per x10 corpus,
+    measured in LSH_BUCKETS_r17.json and validated end-to-end in
+    LSH_4X16_100X_r17.json: doubling 8x8 to 4x16 at 200k vectors cut
+    candidates 35x and turned a disk-exhausting join into a 22.8 s run
+    finding exactly the true 100x pair workload).
+
+    Walks band_bits up the power-of-two ladder within the fixed
+    ``total_planes`` hyperplane budget (bands = total_planes // band_bits,
+    so narrower bands buy recall back with MORE bands) and returns the
+    narrowest bit-width whose expected random-collision candidate volume
+    (``expected_lsh_candidates``) stays within ``pairs_per_vector *
+    n_vectors`` - a LINEAR total workload. At 2k vectors this picks 8x8
+    (the geometry the declared dedup_embedding / sim_knn_graph queries pin
+    explicitly - right at test scale, where 4x16 collapses recall: 233
+    candidates); at 20k and 200k it picks 4x16 (the validated 100x
+    geometry); at web scale (~1e10 docs) it reaches 2x32 within a 64-plane
+    budget - the hash lengths production LSH deployments use. Run the
+    sim_lsh_census query as the pre-flight to measure, not estimate, a
+    real corpus before paying for the pair join."""
+    budget = float(pairs_per_vector) * max(n_vectors, 1)
+    bits = 4
+    while bits < total_planes:
+        if expected_lsh_candidates(n_vectors, total_planes // bits, bits) <= budget:
+            return total_planes // bits, bits
+        bits *= 2
+    return 1, total_planes
+
+
 def near_dup_pairs(
     df: DataFrame,
     min_cos: float,
-    bands: int = 8,
-    band_bits: int = 8,
+    bands: int | None = None,
+    band_bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= min_cos).
 
     Banded sign-LSH candidate generation + exact cosine verification - the
     same shape as MinHash+LSH dedup: a pair is a candidate iff it agrees on
     ALL bits of at least one of ``bands`` disjoint ``band_bits``-bit
-    random-hyperplane sign bands (default 8x8 = 64 planes), then only
+    random-hyperplane sign bands, then only
     candidates get the exact cosine. Each band is an equi-join on its bucket value - co-partitioned
     shuffle joins, never a cross product; candidate volume is ~bands/2^bits
     of all pairs for unrelated vectors, while near-identical vectors collide
@@ -486,7 +534,16 @@ def near_dup_pairs(
     ``ann_topk_lsh``); truly near-duplicate vectors (cos ~ 1) are recalled
     with overwhelming probability. The DuckDB oracle reproduces the banding
     as one naive OR-join, so parity checks the algorithm, not the plan.
+
+    Geometry defaults to ``lsh_geometry_for`` over the corpus size (one
+    count job when ``n_vectors`` isn't supplied) - the r18 default wiring
+    the measured bits ~ 2*log2(N) sizing rule in; callers with a pinned
+    cross-engine oracle (dedup_embedding, sim_knn_graph) pass their
+    geometry explicitly instead.
     """
+    if bands is None or band_bits is None:
+        n = n_vectors if n_vectors is not None else df.count()
+        bands, band_bits = lsh_geometry_for(n)
     base = with_norms(df, id_col, vec_col)
     # all bands x bits plane dots come from the Arrow-batched numpy kernel
     # (one array column), the JVM side only rounds + thresholds: inlining
