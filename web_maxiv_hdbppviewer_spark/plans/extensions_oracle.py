@@ -2778,6 +2778,84 @@ EXTENSION_ORACLE["pipe_url_filter"] = f"""
     ORDER BY doc_id
 """
 
+# URL-grain crawl dedup (extensions.pipe_url_dedup): the raw crawl-record
+# derivation (group = doc_id // 3, scheme/www/case/tracking/slash variant
+# channels, five weekly crawl_ts snapshots) and the canonical_url regex
+# chain replayed verbatim (every pattern is RE2-and-Java portable);
+# keep-latest per canonical URL as a row_number window where the engine
+# uses a groupBy max_by - same (crawl_ts DESC, doc_id DESC) order.
+EXTENSION_ORACLE["pipe_url_dedup"] = """
+    WITH crawlg AS (
+      SELECT doc_id, doc_id // 3 AS g FROM documents),
+    crawlparts AS (
+      SELECT doc_id, g,
+             list_extract(['archive-docs.org', 'best-casino-777.com',
+               'city-library.net', 'daily-news-site.com',
+               'edu-lectures.edu', 'free-prize-claim.net',
+               'garden-forum.org', 'home-cooking.net', 'indie-music.com',
+               'journal-open.org', 'kids-stories.net',
+               'live-webcam-chat.com', 'maps-service.com',
+               'news-world.org', 'open-data.gov', 'photo-blog.net'],
+               CAST(g % 16 + 1 AS INT)) AS host,
+             list_extract(['article', 'recipes', 'poker', 'travel',
+               'music', 'webcam', 'science', 'escort', 'sports',
+               'weather', 'history'],
+               CAST(g % 11 + 1 AS INT)) AS pword,
+             CASE WHEN g % 4 = 0 AND doc_id % 11 = 0
+                  THEN '?utm_campaign=crawl&page='
+                       || CAST(g % 9 + 1 AS VARCHAR)
+                  WHEN g % 4 = 0 AND doc_id % 2 = 1
+                  THEN '?page=' || CAST(g % 9 + 1 AS VARCHAR)
+                       || '&utm_source=feed'
+                  WHEN g % 4 = 0
+                  THEN '?page=' || CAST(g % 9 + 1 AS VARCHAR)
+                  WHEN doc_id % 2 = 1 THEN '?utm_source=feed'
+                  WHEN doc_id % 7 = 0 THEN '?ref=social'
+                  ELSE '' END AS qs
+      FROM crawlg),
+    crawlraw AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https://'
+                   ELSE 'http://' END)
+             || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN upper(host) ELSE host END)
+             || '/' || pword || '/page' || CAST(g AS VARCHAR)
+             || (CASE WHEN doc_id % 6 = 0 AND qs = '' THEN '/'
+                      ELSE '' END)
+             || qs AS url,
+             CAST(1704067200 + ((doc_id * 7 + 3) % 5) * 604800
+                  AS BIGINT) AS crawl_ts
+      FROM crawlparts),
+    crawlcanon AS (
+      SELECT doc_id, crawl_ts,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(lower(url), '^https?://', '', 'g'),
+                         '^www\\.', '', 'g'),
+                       '(utm_[a-z]+|ref|fbclid)=[^&#]*&?', '', 'g'),
+                     '\\?&', '?', 'g'),
+                   '[?&]+#', '#', 'g'),
+                 '[?&]+$', '', 'g'),
+               '/$', '', 'g') AS canon_url
+      FROM crawlraw),
+    crawlranked AS (
+      SELECT canon_url, doc_id, crawl_ts,
+             ROW_NUMBER() OVER (PARTITION BY canon_url
+                                ORDER BY crawl_ts DESC, doc_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY canon_url) AS n_crawls
+      FROM crawlcanon)
+    SELECT canon_url,
+           CAST(n_crawls AS BIGINT) AS n_crawls,
+           doc_id AS kept_doc_id,
+           crawl_ts AS kept_crawl_ts
+    FROM crawlranked WHERE rn = 1
+    ORDER BY canon_url
+"""
+
 # the RefinedWeb-shape heuristic funnel (extensions.pipe_refinedweb):
 # every stage runs over the ONE derived stopword-lined corpus (the
 # _lined_docs stopwords=True arithmetic, replayed in the `lined` CTE)
