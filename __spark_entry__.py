@@ -55,106 +55,72 @@ def entry(spark: SparkSession) -> DataFrame:
 # With ~187 declared queries and ~46 fill slots/round, every stable
 # query is re-witnessed at least every 4 rounds.
 #
-# ROUND-17 WINDOW. CORRECTNESS_r16 landed 50/50 green (all hash
-# matches); steady-state rotation continues: the r17 changelist leads,
+# ROUND-18 WINDOW. CORRECTNESS_r17 landed 50/50 green (all hash
+# matches); steady-state rotation continues: the r18 changelist leads,
 # then the fill is exactly the oldest-first prefix of the recomputed
-# ledger - the entire 43-row r13 cohort (the list the r16 rotation
-# tripwire printed), then the r14 cohort alphabetically to 50. After
-# this round no row is older than r14.
+# ledger. Freshness is DERIVED from the committed CORRECTNESS_r*.json
+# history (the r17 hand-written claim overclaimed; the suite recomputes
+# the real numbers): the fill head is the 5 remaining r13 rows
+# (text_fingerprint/langid/quality/repetition/tokens - the alphabetical
+# tail the r17 rotation left), then the r14 cohort alphabetically to
+# 50. With a 6-entry changelist and 44 fill slots, the ledger says the
+# post-r18 histogram is r14 x 7 / r15 x 46 / r16 x 46 / r17 x 47 /
+# r18 x 50: nothing older than r14, and the 7 remaining r14 rows lead
+# the r19 fill (the tripwire prints them when CORRECTNESS_r18 lands).
 #
-# Round-17 changelist: pipe_stage_order (NEW r17 - VERDICT r16 #6, the
-# filter-order ablation: dedup-before-filter vs filter-before-dedup
-# over the trained curation funnel, both orders' eight stage frames in
-# ONE labeled-union report; the trained models are shared (trained
-# once, the _curation_scores memo) - the orders differ through
-# representative selection and each order's own per-language surprisal
-# median, and the two final budgets provably differ on the synthetic
-# corpus, suite-pinned).
-# pipe_dump_dedup (NEW r17 - VERDICT r16 #5, FineWeb's per-snapshot
-# dedup ablation, Penedo et al. 2024 §4.4: deterministic dump =
-# doc_id % 5, ONE pass over the session-shared minhash_lsh pair rung,
-# global vs same-dump domination (a pure predicate - dump is
-# id-derived, no join), per-dump doc + token budgets for both modes;
-# per-dump keeps a row-wise superset, suite-pinned, with a constructed
-# cross-dump-duplicate corpus where the verdicts differ).
-# pipe_curation_lr (NEW r17 - VERDICT r16 #8 stretch, the
-# hashed-n-gram LINEAR quality gate: operators/linear.py's averaged
-# perceptron - LR_STEPS=5 full-batch INTEGER subgradient steps, driver
-# holds only the D x L weight table, the published model is the
-# argmax-equivalent integer SUM of the per-step tables - swapped in as
-# the trained funnel's stage 1; training replayed exactly by unrolled
-# MATERIALIZED integer CTEs in the oracle. Honest dial: the synthetic
-# corpus's unigram distributions are label-independent, so the gate
-# settles at the majority class; true convergence is pinned on a
-# constructed separable corpus).
-# pipe_lr_agreement (NEW r17 - the LR-vs-NB gate agreement row: full
-# confusion matrix + round-6 Cohen kappa, the pipe_classifier_agreement
-# discipline over the two TRAINED gates).
-# pipe_curation_trained (CHANGED r17 - stage chain factored into the
-# session-memoized _trained_stages shared with pipe_stage_order's
-# filter_first arm; s4 now localCheckpoint-ed; values identical,
-# row-for-row equality with the ablation arm suite-pinned).
-# text_nb_classify / text_nb_eval / pipe_classifier_agreement /
-# pipe_curation_sweep (CHANGED r17 - the NB prediction frame is now the
-# session-shared _nb_preds memo, the r16 curation-scores sharing win
-# applied to the other trained model: five consumers re-ran the whole
-# classify plan, ~2 s each at sf0.1; values identical by construction,
-# plans now read one lazy localCheckpoint).
-# sim_chunk_probe_sweep (NEW r17 - the recall-vs-nprobe dial at the
-# CHUNK grain, completing the RAG family's symmetry with
-# sim_ivf_probe_sweep: per nprobe 1/2/4 the memoized IVFPQ rung
-# retrieves, max-pools to parent-doc top-5, and scores against the ONE
-# exact float-cosine parent-doc leg; the oracle is one shared
-# force-MATERIALIZED chunk chain with a probe-filtered ADC tail per
-# setting. Honest dial: recall can DECREASE with nprobe here - more
-# probed candidates compete for the 20-chunk cap under approximate ADC
-# scores, the cap-vs-quantizer interaction the dial exists to expose).
-# sim_chunk_ann_recall (CHANGED r17 - its exact parent-doc leg moved
-# into the _chunk_exact_docs session memo shared with the sweep;
-# values identical).
-# sim_lsh_census (NEW r17 - the 100x sign-LSH finding as a first-class
-# query: the banded candidate volume is ~bands/2^bits * N^2, measured
-# x100 per corpus decade (LSH_BUCKETS_r17.json; the 8x8 wall-clock run
-# at 200k vectors exhausted the disk) - this census computes the EXACT
-# candidate-pair count and worst bucket per geometry (8x8 vs 4x16 over
-# the same 64 hyperplanes) with per-bucket integer C(nb,2) sums, no
-# pair materialized: the pre-flight that sizes band bit-width ~
-# 2*log2(N) before paying for the pair join).
+# Round-18 changelist: pipe_url_dedup (NEW r18 - VERDICT r17 #6,
+# URL-grain crawl dedup, the stage upstream of all content dedup in
+# every published web pipeline, RefinedWeb §3.1: canonicalize raw crawl
+# URLs - lowercase, strip scheme/www./tracking params preserving real
+# query params, repair separators, strip trailing slash, one
+# Java/RE2-portable regex chain - then keep the LATEST crawl per
+# canonical URL via one groupBy max_by on (crawl_ts, doc_id). The
+# derived fixture fetches each logical page up to 3x under DISTINCT raw
+# strings, so the collapse is pure canonicalization work, suite-pinned;
+# oracle replays derivation + regex chain + keep-latest window).
+# sim_chunk_probe_sweep (CHANGED r18 - VERDICT r17 #2: the probe join +
+# ADC aggregation now runs ONCE at max(nprobe) via the factored
+# similarity.ann_adc_ivfpq carrying each candidate's probe cell_rank,
+# localCheckpoint'd; each setting is a pure cell_rank filter +
+# per-query top-k + pooling - the plan shape the query's own oracle
+# already used. Values hash-identical; the battery line drops from the
+# 12 s class to the ~4 s class of sim_chunk_ann).
+# sim_chunk_ann / sim_chunk_ann_recall / sim_ann_ivfpq / sim_ann_compare
+# (CHANGED r18 - consumers of ann_topk_ivfpq, which is now a thin
+# top-k wrapper over ann_adc_ivfpq: the probe explode carries a rank
+# (posexplode) and the ADC aggregate carries first(cell_rank), pruned
+# by Catalyst when unused. Values bit-identical, suite-pinned by
+# test_round18's per-nprobe equivalence replay; re-witnessed because
+# the physical plan was touched.)
+#
 _CHANGED_THIS_ROUND = [
-    "pipe_stage_order",
-    "pipe_dump_dedup",
-    "pipe_curation_lr",
-    "pipe_lr_agreement",
-    "pipe_curation_trained",
-    "text_nb_classify",
-    "text_nb_eval",
-    "pipe_classifier_agreement",
-    "pipe_curation_sweep",
+    "pipe_url_dedup",
     "sim_chunk_probe_sweep",
+    "sim_chunk_ann",
     "sim_chunk_ann_recall",
-    "sim_lsh_census",
+    "sim_ann_ivfpq",
+    "sim_ann_compare",
 ]
-# fill: the first 38 rows of the 43-row r13 cohort (oldest-first,
-# alphabetical - the exact list the r16 rotation tripwire printed; the
-# 12-entry changelist leaves 38 slots, so the cohort's alphabetical
-# tail text_fingerprint / text_langid / text_quality /
-# text_repetition / text_tokens rotates into r18's window). After this
-# round no declared query is older than r13, and only those five r13
-# rows remain.
-_STALE_R13 = [
-    "dedup_fuzzy", "dedup_incremental", "dedup_keep_best", "dedup_semantic",
-    "dedup_substr", "events_anomaly", "events_attribution",
-    "events_distinct_approx", "events_funnel_seq", "events_heavy_hitters",
-    "events_markov", "events_props_parse", "events_quantiles_approx",
-    "events_retention", "events_scaffold", "lifecycle_query",
-    "multimodal_extract", "multimodal_frames", "multimodal_meta",
-    "multimodal_resize", "pipe_delta", "pipe_funnel", "q35", "q36",
-    "sim_ann_ivfpq", "sim_pca", "sim_pca_gram", "sim_quantize",
-    "sim_topk_pq", "stream_dedup", "stream_last_value", "stream_raster",
-    "stream_sessions", "stream_window", "text_bm25", "text_bpe",
-    "text_bpe_apply", "text_bpe_train",
+# fill: the oldest-first prefix of the recomputed ledger (44 slots) -
+# the 5 remaining r13 rows, then the r14 cohort alphabetically
+# (machine-checked by test_round14's tripwire against the committed
+# CORRECTNESS_r*.json history)
+_FILL_R18 = [
+    "text_fingerprint", "text_langid", "text_quality", "text_repetition",
+    "text_tokens", "dedup_compare", "dedup_cross_source", "dedup_winnow",
+    "events_changepoint", "events_gap_fill", "events_lttb",
+    "events_rolling", "lifecycle_aggregate", "lifecycle_image",
+    "lifecycle_image_stream", "pipe_bootstrap", "pipe_curriculum",
+    "pipe_dedup_sweep", "pipe_delta_apply", "pipe_dsir", "pipe_manifest",
+    "pipe_pack_bpe", "pipe_reweight", "pipe_stats", "pipe_stats_delta",
+    "pipe_temperature_mix", "q20", "q21", "q9", "scale_bucketed",
+    "scale_colstats", "scale_compact", "scale_zorder",
+    "sim_hard_negatives", "sim_hybrid_rrf", "sim_ivf_probe_sweep",
+    "sim_kcenter", "sim_knn_graph", "sim_mmr", "sim_sparse_topk",
+    "stream_classify", "stream_join", "stream_restart",
+    "stream_sessions_evict",
 ]
-_WINDOW = _CHANGED_THIS_ROUND + _STALE_R13
+_WINDOW = _CHANGED_THIS_ROUND + _FILL_R18
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

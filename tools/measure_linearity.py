@@ -107,6 +107,12 @@ def main() -> None:
     ).save()
 
     results: dict[str, dict[str, float]] = {}
+    # ADVICE r17: the "first" phase readings depend on QUERIES order -
+    # the session memos are shared (dedup_minhash_lsh's first run builds
+    # the shingle/signature artifacts dedup_chunk_near and dedup_substr
+    # then ride), so a reordering shifts the build cost to whichever
+    # memo owner runs first. Keep the owner-first order above, or read
+    # only the "steady" column when comparing across tool revisions.
     for sf_dir, label in ((SRC, "sf0.1"), (SCRATCH, "sf1x")):
         for name in QUERIES:
             for phase in ("first", "steady"):
