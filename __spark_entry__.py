@@ -63,9 +63,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the real numbers): the fill head is the 5 remaining r13 rows
 # (text_fingerprint/langid/quality/repetition/tokens - the alphabetical
 # tail the r17 rotation left), then the r14 cohort alphabetically to
-# 50. With a 6-entry changelist and 44 fill slots, the ledger says the
-# post-r18 histogram is r14 x 7 / r15 x 46 / r16 x 46 / r17 x 47 /
-# r18 x 50: nothing older than r14, and the 7 remaining r14 rows lead
+# 50. With a 9-entry changelist and 41 fill slots, the ledger says the
+# post-r18 histogram is r14 x 9 / r15 x 46 / r16 x 44 / r17 x 47 /
+# r18 x 50: nothing older than r14, and the 9 remaining r14 rows lead
 # the r19 fill (the tripwire prints them when CORRECTNESS_r18 lands).
 #
 # Round-18 changelist: pipe_url_dedup (NEW r18 - VERDICT r17 #6,
@@ -92,6 +92,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # by Catalyst when unused. Values bit-identical, suite-pinned by
 # test_round18's per-nprobe equivalence replay; re-witnessed because
 # the physical plan was touched.)
+# sim_ivf_probe_sweep (CHANGED r18 - the same ADC-once factoring at the
+# FLAT index: similarity.ann_scored_ivf runs the assignment + probe
+# join + cosine once at max(nprobe) carrying cell_rank; each setting is
+# a filter + per-query top-k. One corpus scan instead of three.)
+# sim_ann_ivf / sim_ann_ivf_trained (CHANGED r18 - consumers of
+# ann_topk_ivf, now the thin top-k wrapper over ann_scored_ivf; values
+# bit-identical, re-witnessed because the physical plan was touched.)
 #
 _CHANGED_THIS_ROUND = [
     "pipe_url_dedup",
@@ -100,8 +107,11 @@ _CHANGED_THIS_ROUND = [
     "sim_chunk_ann_recall",
     "sim_ann_ivfpq",
     "sim_ann_compare",
+    "sim_ann_ivf",
+    "sim_ann_ivf_trained",
+    "sim_ivf_probe_sweep",
 ]
-# fill: the oldest-first prefix of the recomputed ledger (44 slots) -
+# fill: the oldest-first prefix of the recomputed ledger (41 slots) -
 # the 5 remaining r13 rows, then the r14 cohort alphabetically
 # (machine-checked by test_round14's tripwire against the committed
 # CORRECTNESS_r*.json history)
@@ -115,10 +125,9 @@ _FILL_R18 = [
     "pipe_pack_bpe", "pipe_reweight", "pipe_stats", "pipe_stats_delta",
     "pipe_temperature_mix", "q20", "q21", "q9", "scale_bucketed",
     "scale_colstats", "scale_compact", "scale_zorder",
-    "sim_hard_negatives", "sim_hybrid_rrf", "sim_ivf_probe_sweep",
-    "sim_kcenter", "sim_knn_graph", "sim_mmr", "sim_sparse_topk",
-    "stream_classify", "stream_join", "stream_restart",
-    "stream_sessions_evict",
+    "sim_hard_negatives", "sim_hybrid_rrf", "sim_kcenter",
+    "sim_knn_graph", "sim_mmr", "sim_sparse_topk", "stream_classify",
+    "stream_join",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _FILL_R18
 

@@ -191,3 +191,37 @@ def test_canonical_url_channels():
         for r in df.select("url", canonical_url(F.col("url")).alias("c")).collect()
     }
     assert got == cases
+
+
+def test_ivf_flat_cell_rank_filter_reproduces_each_nprobe(spark):
+    """The flat-index twin of the ADC-once invariant: ann_scored_ivf at
+    nprobe_max=4 filtered to cell_rank <= k, re-ranked per query, equals
+    ann_topk_ivf at nprobe=k - the plan sim_ivf_probe_sweep runs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.operators import similarity
+    from web_maxiv_hdbppviewer_spark.plans import extensions as ext
+
+    emb = ext._emb(spark, SF_SMOKE)
+    scored = similarity.ann_scored_ivf(
+        emb, ext.QUERY_IDS_BELOW, ext.IVF_CELLS, max(ext.IVF_SWEEP_PROBES)
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_r").desc(), F.col("cand_id").asc()
+    )
+    for np_ in ext.IVF_SWEEP_PROBES:
+        filtered = {
+            (r["q_id"], r["cand_id"], r["cos_r"], r["rank"])
+            for r in scored.where(F.col("cell_rank") <= np_)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= ext.ANN_TOPK)
+            .collect()
+        }
+        direct = {
+            (r["q_id"], r["cand_id"], r["cos_r"], r["rank"])
+            for r in similarity.ann_topk_ivf(
+                emb, ext.ANN_TOPK, ext.QUERY_IDS_BELOW, ext.IVF_CELLS, np_
+            ).collect()
+        }
+        assert filtered == direct, f"nprobe={np_}"

@@ -365,22 +365,25 @@ def ann_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
 
 
-def ann_topk_ivf(
+def ann_scored_ivf(
     df: DataFrame,
-    k: int,
     query_ids_below: int = 10,
     n_cells: int = 8,
-    nprobe: int = 1,
+    nprobe_max: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-flat approximate top-k: assign every vector to its nearest of
-    ``n_cells`` centroid cells, then search the query's ``nprobe`` nearest
-    cells. Output (q_id, cand_id, cos_r, rank) - recall < 1 by design and
-    rises with ``nprobe`` (the standard IVF recall/cost dial: probing p of
-    K cells scans ~p/K of the corpus; each candidate keeps exactly one
-    cell, so multi-probe never duplicates a (query, candidate) pair).
+    """The IVF-flat probe scan, UNRANKED, carrying each candidate's probe
+    ``cell_rank`` (1-based position of the candidate's cell in the
+    query's nearest-centroid order) - the ann_adc_ivfpq factoring (r18)
+    applied to the flat index, so probe-sweep dials run the assignment +
+    probe join + exact cosine ONCE at ``nprobe_max`` and derive every
+    smaller setting by a pure ``cell_rank <= nprobe`` filter (each
+    candidate keeps exactly one cell and its cosine doesn't depend on
+    which probe surfaced it).
+
+    Returns (q_id, cand_id, cos_r, cell_rank).
 
     Default centroids are the first ``n_cells`` vectors (deterministic,
     training-free seeding so any engine reproduces the cells bit-for-bit);
@@ -391,6 +394,7 @@ def ann_topk_ivf(
     (n x K cosines, one pass, no shuffle), the probe is a cell-equi join -
     the same plan IVF indexes execute.
     """
+    nprobe = nprobe_max
     base = with_norms(df, id_col, vec_col)
     if centroids is None:
         cents = base.where(F.col("id") < n_cells).select(
@@ -443,14 +447,20 @@ def ann_topk_ivf(
             F.col("id").alias("q_id"),
             F.col("v.vec").alias("q_vec"),
             F.col("v.nrm").alias("q_nrm"),
-            F.explode("probes").alias("p"),
+            F.posexplode("probes").alias("pr", "p"),
         )
-        .select("q_id", "q_vec", "q_nrm", F.col("p.cid").alias("cell"))
+        .select(
+            "q_id",
+            "q_vec",
+            "q_nrm",
+            F.col("p.cid").alias("cell"),
+            (F.col("pr") + 1).cast("long").alias("cell_rank"),
+        )
     )
     c = cells.select(
         F.col("id").alias("cand_id"), F.col("vec").alias("c_vec"), F.col("nrm").alias("c_nrm"), "cell"
     )
-    scored = (
+    return (
         c.join(F.broadcast(q), "cell")
         .where(F.col("cand_id") != F.col("q_id"))
         .select(
@@ -459,8 +469,33 @@ def ann_topk_ivf(
             F.round(
                 cosine(F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")), 6
             ).alias("cos_r"),
+            "cell_rank",
         )
     )
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    k: int,
+    query_ids_below: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k: the ``ann_scored_ivf`` probe scan at
+    exactly ``nprobe`` cells, ranked per query (cos desc, id asc) and cut
+    to the top ``k``. Output (q_id, cand_id, cos_r, rank) - recall < 1 by
+    design and rises with ``nprobe`` (the standard IVF recall/cost dial:
+    probing p of K cells scans ~p/K of the corpus; each candidate keeps
+    exactly one cell, so multi-probe never duplicates a pair). Assignment,
+    probe and scale notes live on ``ann_scored_ivf`` (the unranked pass
+    this wraps since r18; values bit-identical to the pre-split
+    operator)."""
+    scored = ann_scored_ivf(
+        df, query_ids_below, n_cells, nprobe, id_col, vec_col, centroids
+    ).drop("cell_rank")
     w = Window.partitionBy("q_id").orderBy(F.col("cos_r").desc(), F.col("cand_id").asc())
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
 

@@ -6192,9 +6192,16 @@ def sim_ivf_probe_sweep(spark, sf_dir):
     recall, linearly more work); the pipe_dedup_sweep pattern applied to
     the ANN family. ONE exact top-k baseline (localCheckpoint'd) joined
     by the IVF ranking at nprobe = 1, 2, 4; per probe count: emitted
-    pairs, hits, recall. Bounded driver values (counts). The oracle
+    pairs, hits, recall. Bounded driver values (counts). The assignment
+    + probe join + cosine scoring runs ONCE at max(nprobe) with each
+    candidate's probe cell_rank carried (similarity.ann_scored_ivf,
+    localCheckpoint'd - the r18 ADC-once factoring at the flat index:
+    each smaller setting is a pure cell_rank filter + per-query top-k),
+    so the sweep pays one corpus scan instead of three. The oracle
     re-derives each setting's full IVF query (the sim_ann_ivf SQL with
     its probe bound rewritten) as a subquery."""
+    from pyspark.sql import Window
+
     emb = _emb(spark, sf_dir)
     exact = (
         similarity.topk_cosine(emb, ANN_TOPK, QUERY_IDS_BELOW)
@@ -6206,12 +6213,18 @@ def sim_ivf_probe_sweep(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
     n_exact = exact.count()
+    scored = similarity.ann_scored_ivf(
+        emb, QUERY_IDS_BELOW, IVF_CELLS, max(IVF_SWEEP_PROBES)
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_r").desc(), F.col("cand_id").asc()
+    )
     rows = []
     for np_ in IVF_SWEEP_PROBES:
         ivf = (
-            similarity.ann_topk_ivf(
-                emb, ANN_TOPK, QUERY_IDS_BELOW, IVF_CELLS, np_
-            )
+            scored.where(F.col("cell_rank") <= np_)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= ANN_TOPK)
             .select("q_id", "cand_id")
             .localCheckpoint(eager=False)
         )
