@@ -81,11 +81,17 @@ def test_near_dup_pairs_defaults_to_rule_geometry(spark):
     n = emb.count()
     bands, bits = similarity.lsh_geometry_for(n)
     # min_cos=-1.0 keeps every banded candidate (sim_knn_graph's setting)
-    # so the pair set is non-empty at the smoke corpus size
+    # so the pair set is non-empty at the smoke corpus size; NO n_vectors
+    # either, so the shipped df.count() -> lsh_geometry_for default path
+    # is the one under test (r18 review)
     implicit = {
         (r["id_a"], r["id_b"], r["cos_r"])
-        for r in similarity.near_dup_pairs(emb, -1.0, n_vectors=n).collect()
+        for r in similarity.near_dup_pairs(emb, -1.0).collect()
     }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity.near_dup_pairs(emb, -1.0, bands=4)  # half-pinned geometry
     explicit = {
         (r["id_a"], r["id_b"], r["cos_r"])
         for r in similarity.near_dup_pairs(
@@ -164,16 +170,16 @@ def test_url_dedup_collapse_is_canonicalization_work(spark):
         assert (r["kept_crawl_ts"], r["kept_doc_id"]) == (ts, did)
 
 
-def test_canonical_url_channels():
-    """The regex chain on constructed literals: scheme/www/case strip,
-    tracking-param removal preserving real params in either order,
-    separator repair, dangling-? trim, trailing-slash strip."""
+def test_canonical_url_channels(spark):
+    """The regex chain on constructed literals: fragment strip,
+    scheme/www/case strip, tracking-param removal ANCHORED to its ?/&
+    separator (a real param whose name merely contains a tracking name -
+    href=, xref= - is untouched) preserving real params in either order,
+    and trailing-slash strip."""
     from pyspark.sql import functions as F
 
     from web_maxiv_hdbppviewer_spark.plans.extensions import canonical_url
-    from web_maxiv_hdbppviewer_spark.session import get_spark
 
-    spark = get_spark(app_name="hdbpp-spark-tests")
     cases = {
         "https://WWW.Site.org/a/page1": "site.org/a/page1",
         "http://site.org/a/page1/": "site.org/a/page1",
@@ -183,7 +189,13 @@ def test_canonical_url_channels():
         "https://site.org/a/page1?utm_campaign=x&page=2":
             "site.org/a/page1?page=2",
         "https://site.org/a/page1?ref=social": "site.org/a/page1",
-        "https://site.org/a/page1?fbclid=abc#": "site.org/a/page1#",
+        "https://site.org/a/page1?fbclid=abc#sec": "site.org/a/page1",
+        "https://site.org/a/page1#sec": "site.org/a/page1",
+        "https://site.org/a/page1?href=x&utm_a=1":
+            "site.org/a/page1?href=x",
+        "https://site.org/a/page1?xref=2": "site.org/a/page1?xref=2",
+        "https://site.org/a/page1?utm_a=1&utm_b=2&page=3":
+            "site.org/a/page1?page=3",
     }
     df = spark.createDataFrame([(k,) for k in cases], "url string")
     got = {

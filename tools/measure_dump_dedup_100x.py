@@ -38,9 +38,6 @@ import time
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
-SRC = "/root/testdata/sf0.1"
-SCRATCH = os.path.join(HERE, "scratch", "sf10x")
-
 
 def main() -> None:
     from web_maxiv_hdbppviewer_spark.session import get_spark
@@ -51,13 +48,15 @@ def main() -> None:
     rung.build_corpus(spark)
     queries = entry_mod.queries()
     q = queries["pipe_dump_dedup"]
-    # JVM / codegen / Arrow warmup (the sibling scripts' discipline)
-    queries["dedup_exact"](spark, SRC).write.format("noop").mode(
+    # JVM / codegen / Arrow warmup (the sibling scripts' discipline).
+    # Corpus paths come FROM the rung module whose build_corpus writes
+    # them, so builder and reader can never diverge (r18 review).
+    queries["dedup_exact"](spark, rung.SRC).write.format("noop").mode(
         "overwrite"
     ).save()
 
     out: dict = {}
-    for sf_dir, label in ((SRC, "sf0.1"), (SCRATCH, "sf10x")):
+    for sf_dir, label in ((rung.SRC, "sf0.1"), (rung.SCRATCH, "sf10x")):
         timings = {}
         rows = None
         # "first" includes the session pair-index build (the memo this

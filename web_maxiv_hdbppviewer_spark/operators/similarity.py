@@ -474,6 +474,22 @@ def ann_scored_ivf(
     )
 
 
+def topk_per_query(
+    scored: DataFrame, k: int, score_col: str, id_col: str = "cand_id"
+) -> DataFrame:
+    """Per-query top-k: rank (score desc, id asc) within q_id, cut to
+    ``k``. The ONE definition of the ANN ranking tail - ann_topk_ivf /
+    ann_topk_ivfpq wrap their scored pass with it, and the probe sweeps
+    apply it to their cell_rank-filtered frames, so a tie-break change
+    can never silently diverge between wrapper and sweep (r18 review)."""
+    w = Window.partitionBy("q_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= k)
+
+
 def ann_topk_ivf(
     df: DataFrame,
     k: int,
@@ -496,8 +512,7 @@ def ann_topk_ivf(
     scored = ann_scored_ivf(
         df, query_ids_below, n_cells, nprobe, id_col, vec_col, centroids
     ).drop("cell_rank")
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_r").desc(), F.col("cand_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
+    return topk_per_query(scored, k, "cos_r")
 
 
 def expected_lsh_candidates(n_vectors: int, bands: int, band_bits: int) -> float:
@@ -576,7 +591,15 @@ def near_dup_pairs(
     cross-engine oracle (dedup_embedding, sim_knn_graph) pass their
     geometry explicitly instead.
     """
-    if bands is None or band_bits is None:
+    if (bands is None) != (band_bits is None):
+        raise ValueError(
+            "near_dup_pairs geometry is all-or-nothing: pass BOTH bands "
+            "and band_bits (a pinned oracle-replayed geometry) or NEITHER "
+            "(the lsh_geometry_for corpus-sized default); a half-pinned "
+            "geometry would silently pair the caller's value with a rule "
+            "value the caller never saw"
+        )
+    if bands is None:
         n = n_vectors if n_vectors is not None else df.count()
         bands, band_bits = lsh_geometry_for(n)
     base = with_norms(df, id_col, vec_col)
@@ -1205,11 +1228,7 @@ def ann_topk_ivfpq(
         centroids,
         codebooks,
     ).drop("cell_rank")
-    w = Window.partitionBy("q_id").orderBy(F.col("acos_r").desc(), F.col("cand_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-    )
+    return topk_per_query(scored, k, "acos_r")
 
 
 def quantize_embeddings(

@@ -1255,8 +1255,6 @@ def sim_chunk_probe_sweep(spark, sf_dir):
     force-MATERIALIZED chunk-ANN chain (assignment, residual codes,
     lookup tables are nprobe-INDEPENDENT) with one probe-filtered
     ADC/pool tail per setting."""
-    from pyspark.sql import Window
-
     store = _chunk_vec_store(spark, sf_dir)
     cmap = store.select("rid", "doc_id", "chunk_idx")
     cents, rcb = _chunk_ivfpq_artifacts(spark, sf_dir)
@@ -1273,15 +1271,10 @@ def sim_chunk_probe_sweep(spark, sf_dir):
         centroids=cents,
         codebooks=rcb,
     ).localCheckpoint(eager=False)
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("acos_r").desc(), F.col("cand_id").asc()
-    )
     rows = []
     for np_ in IVF_SWEEP_PROBES:
-        ann = (
-            adc.where(F.col("cell_rank") <= np_)
-            .withColumn("rank", F.row_number().over(w).cast("long"))
-            .where(F.col("rank") <= CHUNK_ANN_CAND_K)
+        ann = similarity.topk_per_query(
+            adc.where(F.col("cell_rank") <= np_), CHUNK_ANN_CAND_K, "acos_r"
         )
         docs = (
             _pool_parent_docs(
@@ -4227,8 +4220,10 @@ def _crawl_urls(spark, sf_dir):
     UPPERCASED host (% 5), tracking params utm_*/ref in varying
     positions relative to a REAL page= param (group % 4 carries one),
     and a trailing slash (% 6, only when no query string). All raw URLs
-    are DISTINCT strings (the scheme channel alone separates group
-    members), so exact string dedup keeps everything - only
+    are DISTINCT strings - the scheme (%2) and www (%3) channels jointly
+    separate every pair of group members (3g vs 3g+1 and 3g+1 vs 3g+2
+    differ in scheme parity; 3g vs 3g+2 share parity but differ in the
+    %3 www channel) - so exact string dedup keeps everything and only
     canonicalization collapses them. crawl_ts = epoch + ((doc_id*7+3) %
     5) weeks, distinct within every group. Pure codegen over doc_id: no
     text read, no shuffle, no UDF; the oracle replays the identical
@@ -4280,19 +4275,24 @@ def canonical_url(url_col):
     """Crawl-grade URL canonicalization as one Java-portable regex chain
     (the text_pii_scrub discipline - every pattern runs identically
     under Spark's Java regex and DuckDB's RE2): lowercase, strip the
-    scheme and a leading www., remove tracking params (utm_*, ref,
-    fbclid) wherever they sit in the query string while PRESERVING real
-    params, repair the separator a leading removal leaves (?& -> ?),
-    trim a dangling ?/&, and strip a trailing slash. The fixture paths
-    are already lowercase, so the whole-string lower() is exactly the
-    host-only lowercasing real canonicalizers do."""
+    fragment (same fetched resource), strip the scheme and a leading
+    www., remove tracking params (utm_*, ref, fbclid) wherever they sit
+    in the query string while PRESERVING real params, and strip a
+    trailing slash. Every tracking-param pattern is ANCHORED to its
+    ?/& separator, so a real param whose NAME merely contains a
+    tracking name (href=, xref=) is untouched; the three anchored forms
+    cover mid/tail (&-separated, dropped with the &), leading-with-
+    follower (?tracking&real -> ?real), and whole-query (?tracking ->
+    ''). The fixture paths are already lowercase, so the whole-string
+    lower() is exactly the host-only lowercasing real canonicalizers
+    do."""
     c = F.lower(url_col)
+    c = F.regexp_replace(c, r"#.*$", "")
     c = F.regexp_replace(c, r"^https?://", "")
     c = F.regexp_replace(c, r"^www\.", "")
-    c = F.regexp_replace(c, r"(utm_[a-z]+|ref|fbclid)=[^&#]*&?", "")
-    c = F.regexp_replace(c, r"\?&", "?")
-    c = F.regexp_replace(c, r"[?&]+#", "#")
-    c = F.regexp_replace(c, r"[?&]+$", "")
+    c = F.regexp_replace(c, r"&(?:utm_[a-z]+|ref|fbclid)=[^&#]*", "")
+    c = F.regexp_replace(c, r"\?(?:utm_[a-z]+|ref|fbclid)=[^&#]*&", "?")
+    c = F.regexp_replace(c, r"\?(?:utm_[a-z]+|ref|fbclid)=[^&#]*$", "")
     return F.regexp_replace(c, r"/$", "")
 
 
@@ -6200,8 +6200,6 @@ def sim_ivf_probe_sweep(spark, sf_dir):
     so the sweep pays one corpus scan instead of three. The oracle
     re-derives each setting's full IVF query (the sim_ann_ivf SQL with
     its probe bound rewritten) as a subquery."""
-    from pyspark.sql import Window
-
     emb = _emb(spark, sf_dir)
     exact = (
         similarity.topk_cosine(emb, ANN_TOPK, QUERY_IDS_BELOW)
@@ -6216,15 +6214,12 @@ def sim_ivf_probe_sweep(spark, sf_dir):
     scored = similarity.ann_scored_ivf(
         emb, QUERY_IDS_BELOW, IVF_CELLS, max(IVF_SWEEP_PROBES)
     ).localCheckpoint(eager=False)
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cos_r").desc(), F.col("cand_id").asc()
-    )
     rows = []
     for np_ in IVF_SWEEP_PROBES:
         ivf = (
-            scored.where(F.col("cell_rank") <= np_)
-            .withColumn("rank", F.row_number().over(w).cast("long"))
-            .where(F.col("rank") <= ANN_TOPK)
+            similarity.topk_per_query(
+                scored.where(F.col("cell_rank") <= np_), ANN_TOPK, "cos_r"
+            )
             .select("q_id", "cand_id")
             .localCheckpoint(eager=False)
         )

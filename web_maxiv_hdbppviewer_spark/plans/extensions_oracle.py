@@ -2834,12 +2834,12 @@ EXTENSION_ORACLE["pipe_url_dedup"] = """
                    regexp_replace(
                      regexp_replace(
                        regexp_replace(
-                         regexp_replace(lower(url), '^https?://', '', 'g'),
-                         '^www\\.', '', 'g'),
-                       '(utm_[a-z]+|ref|fbclid)=[^&#]*&?', '', 'g'),
-                     '\\?&', '?', 'g'),
-                   '[?&]+#', '#', 'g'),
-                 '[?&]+$', '', 'g'),
+                         regexp_replace(lower(url), '#.*$', '', 'g'),
+                         '^https?://', '', 'g'),
+                       '^www\\.', '', 'g'),
+                     '&(?:utm_[a-z]+|ref|fbclid)=[^&#]*', '', 'g'),
+                   '\\?(?:utm_[a-z]+|ref|fbclid)=[^&#]*&', '?', 'g'),
+                 '\\?(?:utm_[a-z]+|ref|fbclid)=[^&#]*$', '', 'g'),
                '/$', '', 'g') AS canon_url
       FROM crawlraw),
     crawlranked AS (
