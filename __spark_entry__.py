@@ -63,9 +63,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the real numbers): the fill head is the 5 remaining r13 rows
 # (text_fingerprint/langid/quality/repetition/tokens - the alphabetical
 # tail the r17 rotation left), then the r14 cohort alphabetically to
-# 50. With a 9-entry changelist and 41 fill slots, the ledger says the
-# post-r18 histogram is r14 x 9 / r15 x 46 / r16 x 44 / r17 x 47 /
-# r18 x 50: nothing older than r14, and the 9 remaining r14 rows lead
+# 50. With a 14-entry changelist and 36 fill slots, the ledger says the
+# post-r18 histogram is r14 x 13 / r15 x 44 / r16 x 43 / r17 x 46 /
+# r18 x 50: nothing older than r14, and the 13 remaining r14 rows lead
 # the r19 fill (the tripwire prints them when CORRECTNESS_r18 lands).
 #
 # Round-18 changelist: pipe_url_dedup (NEW r18 - VERDICT r17 #6,
@@ -99,6 +99,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # sim_ann_ivf / sim_ann_ivf_trained (CHANGED r18 - consumers of
 # ann_topk_ivf, now the thin top-k wrapper over ann_scored_ivf; values
 # bit-identical, re-witnessed because the physical plan was touched.)
+# dedup_minhash_lsh / dedup_chunk_near / pipe_dump_dedup / dedup_compare
+# (CHANGED r18 - minhash_signatures now DROPS documents with no
+# retained shingles instead of letting their NULL signatures collapse
+# into one "" band bucket whose self-join is quadratic in the
+# boilerplate population - the r18 review's LSH hardening. No fixture
+# doc is affected (the SQL oracles' signature equi-joins never matched
+# NULL signatures anyway - parity was already green), but the filter
+# touches every minhash consumer's physical plan; adversarial corpus
+# suite-pinned in test_round18.)
+# pipe_contamination_bloom (CHANGED r18 - the bloom-filtered candidate
+# frame is now localCheckpoint'd so its two aggregations share ONE
+# eval-side tokenize/explode/md5/Arrow-probe pass instead of re-running
+# it; broadcast now uses the input frame's own session, not
+# getActiveSession.)
 #
 _CHANGED_THIS_ROUND = [
     "pipe_url_dedup",
@@ -110,14 +124,19 @@ _CHANGED_THIS_ROUND = [
     "sim_ann_ivf",
     "sim_ann_ivf_trained",
     "sim_ivf_probe_sweep",
+    "dedup_minhash_lsh",
+    "dedup_chunk_near",
+    "pipe_dump_dedup",
+    "dedup_compare",
+    "pipe_contamination_bloom",
 ]
-# fill: the oldest-first prefix of the recomputed ledger (41 slots) -
+# fill: the oldest-first prefix of the recomputed ledger (36 slots) -
 # the 5 remaining r13 rows, then the r14 cohort alphabetically
 # (machine-checked by test_round14's tripwire against the committed
 # CORRECTNESS_r*.json history)
 _FILL_R18 = [
     "text_fingerprint", "text_langid", "text_quality", "text_repetition",
-    "text_tokens", "dedup_compare", "dedup_cross_source", "dedup_winnow",
+    "text_tokens", "dedup_cross_source", "dedup_winnow",
     "events_changepoint", "events_gap_fill", "events_lttb",
     "events_rolling", "lifecycle_aggregate", "lifecycle_image",
     "lifecycle_image_stream", "pipe_bootstrap", "pipe_curriculum",
@@ -126,8 +145,7 @@ _FILL_R18 = [
     "pipe_temperature_mix", "q20", "q21", "q9", "scale_bucketed",
     "scale_colstats", "scale_compact", "scale_zorder",
     "sim_hard_negatives", "sim_hybrid_rrf", "sim_kcenter",
-    "sim_knn_graph", "sim_mmr", "sim_sparse_topk", "stream_classify",
-    "stream_join",
+    "sim_knn_graph",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _FILL_R18
 

@@ -237,3 +237,35 @@ def test_ivf_flat_cell_rank_filter_reproduces_each_nprobe(spark):
             ).collect()
         }
         assert filtered == direct, f"nprobe={np_}"
+
+
+def test_minhash_empty_signature_docs_generate_no_candidates(spark):
+    """The r18 LSH hardening pin: documents with NO retained shingles
+    (fully df-capped boilerplate, or shorter than the shingle width)
+    are dropped from the signature frame instead of collapsing into one
+    all-colliding "" band bucket whose self-join is quadratic in the
+    boilerplate population - the exact skew blowup max_shingle_df
+    exists to prevent."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.operators import dedup
+
+    # 40 identical templated docs: every bigram has df=40
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta").alias("text"),
+    )
+    arrays = dedup.doc_shingle_arrays(docs, "doc_id", "text")
+    # df-cap below the corpus df: every shingle filtered, no signatures
+    sigs = dedup.minhash_signatures(arrays, max_shingle_df=5)
+    assert sigs.count() == 0
+    assert dedup.lsh_candidates(sigs).count() == 0
+    # uncapped, the same docs all collide legitimately (true duplicates)
+    pairs = dedup.minhash_dedup_pairs(docs, 0.9, "doc_id", "text")
+    assert pairs.count() == 40 * 39 // 2
+    # a doc too short to produce a single shingle is dropped, not
+    # "" -bucketed against other short docs
+    tiny = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "doc_id long, text string"
+    )
+    assert dedup.minhash_dedup_pairs(tiny, 0.0, "doc_id", "text").count() == 0

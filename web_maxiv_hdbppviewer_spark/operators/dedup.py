@@ -256,6 +256,13 @@ def _verify_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         .select(
             "id_a",
             "id_b",
+            # ROUND(jaccard, 6) BEFORE the caller's >= threshold is the
+            # deliberate cross-engine discipline (the oracles round the
+            # same way before the same comparison, so both engines admit
+            # the identical boundary pairs); a raw-value threshold would
+            # re-open the float-ordering parity hole ROUND exists to
+            # close. Consequence: a pair within 5e-7 of the threshold
+            # rounds onto it - in BOTH engines.
             F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6).alias("jaccard"),
         )
     )
@@ -341,6 +348,17 @@ def minhash_signatures(
     ``doc_shingle_arrays``). ``max_shingle_df`` drops ultra-frequent
     shingles from signatures (candidate generation) without touching the
     verification arrays.
+
+    Documents with NO retained shingles (shorter than the shingle width,
+    or fully df-capped boilerplate) are DROPPED from the signature frame
+    (r18): array_min over the empty array is NULL, concat_ws skips
+    NULLs, and every such doc would otherwise share band value "" in
+    every band - one all-colliding bucket whose self-join is quadratic
+    in the boilerplate population, exactly the skew blowup
+    ``max_shingle_df`` exists to prevent. A doc with no retained
+    shingles has no candidate-generation evidence by definition, and
+    the SQL oracles' signature equi-joins never matched NULL signatures
+    anyway (SQL NULL semantics), so dropped rows change no values.
     """
     arr = F.col("arr")
     if max_shingle_df is not None:
@@ -352,7 +370,7 @@ def minhash_signatures(
         ).alias(f"s{k}")
         for k, (a, b) in enumerate(MINHASH_AB)
     ]
-    return docs.select("id", *sig_cols)
+    return docs.select("id", *sig_cols).where(F.col("s0").isNotNull())
 
 
 def lsh_candidates(
@@ -516,9 +534,11 @@ def incremental_ngram_pairs(
     operation a daily ingest actually runs: dedup the new batch against the
     standing corpus (and within itself) WITHOUT re-deduping the corpus.
 
-    Batch membership comes in one of two shapes: ``is_new``, a Column
-    predicate over the normalized ``id`` column (a derivable slice, e.g. a
-    hash bucket), or ``new_ids``, a one-column DataFrame manifest of batch
+    Batch membership comes in one of two shapes: ``is_new``, a CALLABLE
+    mapping the normalized ``id`` Column to a boolean Column (a derivable
+    slice, e.g. ``lambda c: c % 10 == 0`` for a hash bucket; a pre-built
+    Column is rejected with a TypeError at the call site), or
+    ``new_ids``, a one-column DataFrame manifest of batch
     ids - the form an incremental pipeline actually has in hand (e.g. the
     'added' slice of operators/delta.snapshot_diff). A manifest restricts
     the probe side with a LEFT SEMI join on id (AQE broadcasts it when
@@ -1015,7 +1035,10 @@ def bloom_contamination(
     bitmap = np.zeros(m // 8, dtype=np.uint8)
     for row in blobs:
         bitmap |= np.frombuffer(row["bm"], dtype=np.uint8)
-    spark = SparkSession.getActiveSession()
+    # the input frames' own session, NOT getActiveSession(): the active
+    # session is None on worker threads and can be a DIFFERENT session in
+    # a multi-session driver (r18 review)
+    spark = train_docs.sparkSession
     bc = spark.sparkContext.broadcast(bitmap.tobytes())
 
     def _probe_kernel(p0, p1):
@@ -1029,7 +1052,15 @@ def bloom_contamination(
 
     in_bloom = pandas_udf(_probe_kernel, "boolean")
 
-    cand = ev.where(in_bloom(F.col("p0"), F.col("p1")))
+    # lazy checkpoint: cand feeds TWO aggregations (candidate counts and
+    # the exact shared pass) - unmaterialized, each would re-run the
+    # whole eval-side tokenize/explode/md5/Arrow-probe chain (r18
+    # review); checkpointed, the second consumer reads the blocks. The
+    # frame is eval-shingles x bloom-positive-fraction - eval-sized, not
+    # train-sized.
+    cand = ev.where(in_bloom(F.col("p0"), F.col("p1"))).localCheckpoint(
+        eager=False
+    )
     n_cand = cand.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates")
     )
@@ -1084,12 +1115,22 @@ def fuzzy_pairs(
          shares an uncapped gram with every true partner);
       2. guarantee-restoring fallback: docs whose raw gram count exceeds
          D but whose UNCAPPED count fell to <= D (all-boilerplate docs -
-         the only docs whose pigeonhole guarantee the cap removed) are
-         paired against each other directly via a length-bucketized
-         self-join (a missed pair needs BOTH endpoints guarantee-less,
-         so the fallback is R x R within the length band, never
-         R x corpus). Docs with <= D raw grams never had the guarantee,
-         cap or no cap - identical contract to the uncapped operator;
+         the docs whose pigeonhole guarantee the cap removed) are paired
+         against each other directly via a length-bucketized self-join
+         (a pair missed by the posting join needs BOTH endpoints without
+         a post-cap guarantee, so the fallback is R x R within the
+         length band, never R x corpus). CONTRACT (corrected r18): the
+         capped operator guarantees every pair where at least one
+         endpoint retains > D UNCAPPED grams, plus all R x R pairs; a
+         pair between an R doc and a doc with <= D RAW grams whose few
+         shared grams are all capped CAN be missed even though the
+         uncapped operator (whose pigeonhole only needs raw > D on one
+         endpoint) finds it - the standard recall concession every
+         df-capped production blocker makes, bounded to pairs where one
+         side is short AND the other is all-boilerplate. Extending the
+         fallback to R x {raw <= D} would reintroduce the quadratic
+         boilerplate join the cap exists to prevent (a short-boilerplate
+         corpus makes that R x corpus);
       3. length filter: ``|len_a - len_b| <= len_band`` (edit distance is
          >= the length difference, so any band >= max_lev is exact-recall)
          - applied to the gram rows BEFORE the candidate-pair distinct,
