@@ -63,7 +63,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the real numbers): the fill head is the 5 remaining r13 rows
 # (text_fingerprint/langid/quality/repetition/tokens - the alphabetical
 # tail the r17 rotation left), then the r14 cohort alphabetically to
-# 50. With a 14-entry changelist and 36 fill slots, the ledger says the
+# 50. With a 16-entry changelist and 34 fill slots, the ledger says the
 # post-r18 histogram is r14 x 13 / r15 x 44 / r16 x 43 / r17 x 46 /
 # r18 x 50: nothing older than r14, and the 13 remaining r14 rows lead
 # the r19 fill (the tripwire prints them when CORRECTNESS_r18 lands).
@@ -113,6 +113,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # eval-side tokenize/explode/md5/Arrow-probe pass instead of re-running
 # it; broadcast now uses the input frame's own session, not
 # getActiveSession.)
+# lifecycle_image / lifecycle_image_stream (CHANGED r18 - raster-path
+# hardening from the same review: the rasterline kernel caps segment
+# sample counts at 8*(w+h) and skips non-finite endpoints (a manual-
+# axis-bounds sensor glitch previously asked linspace for a value-
+# proportional allocation; NaN lone points raised), lone points map by
+# FLOOR like bin_2d (int() truncation painted (-1,0) coords onto the
+# canvas edge), and the untiled segment walk now IS the tiled walk with
+# all segments native. The streaming raster bins its UNCLIPPED
+# synthetic event time with xbin_long (int32 wrap on a far-out-of-
+# canvas event could jump the watermark months ahead) and watermarks
+# BEFORE the y-range filter (out-of-band excursions must advance event
+# time). In-view geometry samples identically: both pinned pixel
+# digests and all parities are unchanged, re-witnessed for the plan
+# touch.)
 #
 _CHANGED_THIS_ROUND = [
     "pipe_url_dedup",
@@ -129,8 +143,10 @@ _CHANGED_THIS_ROUND = [
     "pipe_dump_dedup",
     "dedup_compare",
     "pipe_contamination_bloom",
+    "lifecycle_image",
+    "lifecycle_image_stream",
 ]
-# fill: the oldest-first prefix of the recomputed ledger (36 slots) -
+# fill: the oldest-first prefix of the recomputed ledger (34 slots) -
 # the 5 remaining r13 rows, then the r14 cohort alphabetically
 # (machine-checked by test_round14's tripwire against the committed
 # CORRECTNESS_r*.json history)
@@ -138,14 +154,13 @@ _FILL_R18 = [
     "text_fingerprint", "text_langid", "text_quality", "text_repetition",
     "text_tokens", "dedup_cross_source", "dedup_winnow",
     "events_changepoint", "events_gap_fill", "events_lttb",
-    "events_rolling", "lifecycle_aggregate", "lifecycle_image",
-    "lifecycle_image_stream", "pipe_bootstrap", "pipe_curriculum",
-    "pipe_dedup_sweep", "pipe_delta_apply", "pipe_dsir", "pipe_manifest",
-    "pipe_pack_bpe", "pipe_reweight", "pipe_stats", "pipe_stats_delta",
-    "pipe_temperature_mix", "q20", "q21", "q9", "scale_bucketed",
-    "scale_colstats", "scale_compact", "scale_zorder",
-    "sim_hard_negatives", "sim_hybrid_rrf", "sim_kcenter",
-    "sim_knn_graph",
+    "events_rolling", "lifecycle_aggregate", "pipe_bootstrap",
+    "pipe_curriculum", "pipe_dedup_sweep", "pipe_delta_apply",
+    "pipe_dsir", "pipe_manifest", "pipe_pack_bpe", "pipe_reweight",
+    "pipe_stats", "pipe_stats_delta", "pipe_temperature_mix", "q20",
+    "q21", "q9", "scale_bucketed", "scale_colstats", "scale_compact",
+    "scale_zorder", "sim_hard_negatives", "sim_hybrid_rrf",
+    "sim_kcenter", "sim_knn_graph",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _FILL_R18
 

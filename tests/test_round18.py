@@ -269,3 +269,48 @@ def test_minhash_empty_signature_docs_generate_no_candidates(spark):
         [(1, "one"), (2, "two"), (3, "three")], "doc_id long, text string"
     )
     assert dedup.minhash_dedup_pairs(tiny, 0.0, "doc_id", "text").count() == 0
+
+
+def test_streaming_raster_watermark_hardening(spark):
+    """r18 streaming-raster pins: (1) the unclipped synthetic event time
+    bins with xbin_long - a far-out-of-canvas event (epoch-0 on a zoomed
+    canvas) yields a faithful far-NEGATIVE column, where the int32-
+    narrowed xbin wraps it to a garbage positive column that would jump
+    the watermark months ahead; (2) the event-time watermark sits BELOW
+    the y-range filter in the plan, so out-of-band excursions still
+    advance event time (frozen-watermark stall)."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.operators.raster import xbin, xbin_long
+    from web_maxiv_hdbppviewer_spark.streaming.incremental import (
+        streaming_raster_windowed,
+    )
+
+    # zoomed canvas: 60 s span, 1000 columns; one epoch-0 event
+    x0 = 1_704_067_200_000_000
+    span, nx = 60_000_000.0, 1000
+    row = spark.range(1).select(F.lit(0).cast("long").alias("t_us"))
+    got = row.select(
+        xbin_long(F.col("t_us"), x0, span, nx).alias("ok")
+    ).collect()[0]
+    assert got["ok"] < -(1 << 31), "epoch-0 must bin beyond int32 range"
+    # the int32-narrowed form cannot represent this column at all: under
+    # ANSI (Spark 4 default) the cast THROWS - which in the streaming
+    # raster would kill the live query on one corrupt row; with ANSI off
+    # it wraps to a garbage positive column that jumps the watermark
+    with pytest.raises(Exception, match="CAST_OVERFLOW|overflow"):
+        row.select(xbin(F.col("t_us"), x0, span, nx)).collect()
+
+    stream = (
+        spark.readStream.format("rate").load()
+        .select(F.col("timestamp").alias("ts"), F.lit(1.0).alias("value"))
+    )
+    plan = streaming_raster_windowed(
+        stream, x0, 60_000_000.0, 100, 0.0, 1.0, 80
+    )._jdf.queryExecution().analyzed().toString()
+    fpos = plan.find("Filter")
+    wpos = plan.find("EventTimeWatermark")
+    assert 0 <= fpos < wpos, (
+        "y-range filter must sit ABOVE the watermark operator "
+        "(i.e. apply after it), so every event advances event time"
+    )

@@ -63,9 +63,22 @@ def _canvas_time_clip(df: DataFrame, x0_us: int, span_us: float,
     )
 
 
+def xbin_long(t_us: Column, x0_us: int, span_us: float, nx: int) -> Column:
+    """Pixel column index as LONG: floor((t - x0) / span * nx). The
+    un-narrowed form for consumers that bin UNCLIPPED timestamps (the
+    streaming raster's synthetic event time): a far-out-of-canvas event
+    (a corrupt epoch-0 row on a zoomed live canvas) overflows int32 and
+    would wrap to a garbage positive column - months-in-the-future
+    synthetic time that jumps the watermark and drops all live data
+    (r18 review). floor() already returns long; canvas-clipped callers
+    narrow via ``xbin``."""
+    return F.floor((t_us - F.lit(x0_us)) / F.lit(float(span_us)) * F.lit(nx))
+
+
 def xbin(t_us: Column, x0_us: int, span_us: float, nx: int) -> Column:
-    """Pixel column index: floor((t - x0) / span * nx)."""
-    return F.floor((t_us - F.lit(x0_us)) / F.lit(float(span_us)) * F.lit(nx)).cast("int")
+    """Pixel column index: floor((t - x0) / span * nx), as int for the
+    canvas-clipped batch paths (values in [0, nx] by construction)."""
+    return xbin_long(t_us, x0_us, span_us, nx).cast("int")
 
 
 def ybin(v: Column, ymin: float, ymax: float, ny: int) -> Column:

@@ -45,27 +45,32 @@ LINE_PIXELS_SCHEMA = StructType(
 DEFAULT_TILE_PX = 256
 
 
+def _draw_dot(grid: np.ndarray, x: float, y: float, w: int, h: int) -> None:
+    """Paint one point at FLOOR pixel coordinates (bin_2d's mapping - a
+    coordinate in (-1, 0) floors to -1 and is dropped; plain int() would
+    truncate it to 0 and paint an off-canvas point onto the canvas edge,
+    r18 review). Non-finite coordinates paint nothing."""
+    if not (np.isfinite(x) and np.isfinite(y)):
+        return
+    xi, yi = int(np.floor(x)), int(np.floor(y))
+    if 0 <= xi < w and 0 <= yi < h:
+        grid[yi, xi] += 1
+
+
 def _segments_to_pixels(xs: np.ndarray, ys: np.ndarray, w: int, h: int) -> np.ndarray:
     """Walk each consecutive segment, marking covered pixels (dense w x h
     count grid). Vectorized per segment via linear interpolation at
-    max(|dx|,|dy|)+1 sample points - equivalent coverage to Bresenham."""
-    grid = np.zeros((h, w), dtype=np.int64)
+    max(|dx|,|dy|)+1 sample points - equivalent coverage to Bresenham.
+    One body: the all-segments walk IS the tiled walk with every segment
+    native (r18 review - the two copies previously had to be kept
+    bit-identical by hand for the tiled==untiled property)."""
     if len(xs) == 1:
-        x, y = int(xs[0]), int(ys[0])
-        if 0 <= x < w and 0 <= y < h:
-            grid[y, x] += 1
+        grid = np.zeros((h, w), dtype=np.int64)
+        _draw_dot(grid, xs[0], ys[0], w, h)
         return grid
-    for i in range(len(xs) - 1):
-        x0, y0, x1, y1 = xs[i], ys[i], xs[i + 1], ys[i + 1]
-        n = int(max(abs(x1 - x0), abs(y1 - y0))) + 1
-        px = np.rint(np.linspace(x0, x1, n)).astype(np.int64)
-        py = np.rint(np.linspace(y0, y1, n)).astype(np.int64)
-        keep = (px >= 0) & (px < w) & (py >= 0) & (py < h)
-        if keep.any():
-            # dedup within the segment so a pixel counts once per pass
-            flat = np.unique(py[keep] * w + px[keep])
-            grid.flat[flat] += 1
-    return grid
+    return _tile_segments_to_pixels(
+        xs, ys, np.ones(len(xs), dtype=bool), w, h
+    )
 
 
 def _tile_segments_to_pixels(
@@ -73,17 +78,31 @@ def _tile_segments_to_pixels(
 ) -> np.ndarray:
     """Like _segments_to_pixels but draws only segments whose FIRST endpoint
     is tile-native (duplicated boundary points exist solely to complete the
-    crossing segments owned by this tile)."""
+    crossing segments owned by this tile).
+
+    Hardening (r18 review): a segment with a non-finite endpoint paints
+    nothing (previously int(inf) raised OverflowError; a NaN endpoint
+    already painted nothing through the keep mask), and the sample count
+    is capped at 8*(w+h) - a bound no segment whose pixel span stays
+    within 8 canvas sizes can hit, so in-view geometry is sampled
+    exactly as before, while a single wild out-of-range value (manual
+    axis bounds + a sensor glitch) no longer asks linspace for a
+    value-proportional, potentially TB-scale allocation."""
     grid = np.zeros((h, w), dtype=np.int64)
+    n_cap = 8.0 * (w + h)
     for i in range(len(xs) - 1):
         if not native[i]:
             continue
         x0, y0, x1, y1 = xs[i], ys[i], xs[i + 1], ys[i + 1]
-        n = int(max(abs(x1 - x0), abs(y1 - y0))) + 1
+        span = max(abs(x1 - x0), abs(y1 - y0))
+        if not np.isfinite(span):
+            continue
+        n = int(min(span, n_cap)) + 1
         px = np.rint(np.linspace(x0, x1, n)).astype(np.int64)
         py = np.rint(np.linspace(y0, y1, n)).astype(np.int64)
         keep = (px >= 0) & (px < w) & (py >= 0) & (py < h)
         if keep.any():
+            # dedup within the segment so a pixel counts once per pass
             flat = np.unique(py[keep] * w + px[keep])
             grid.flat[flat] += 1
     return grid
@@ -126,9 +145,7 @@ def rasterize_lines(
             # multi-point series' point sitting alone in its tile draws
             # nothing here - its segments are owned by neighboring tiles.
             grid = np.zeros((h, w), dtype=np.int64)
-            x, y = int(xs[0]), int(ys[0])
-            if 0 <= x < w and 0 <= y < h:
-                grid[y, x] += 1
+            _draw_dot(grid, xs[0], ys[0], w, h)
         else:
             grid = _tile_segments_to_pixels(xs, ys, native, w, h)
         yy, xx = np.nonzero(grid)

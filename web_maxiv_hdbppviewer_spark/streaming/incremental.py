@@ -37,10 +37,17 @@ def incremental_merge(
     """cached + freshly fetched suffix, exact-once on the seam.
 
     ``fetch_from(watermark)`` must return rows with ts >= watermark (the
-    pushed lower-bound scan S2). The seam row (ts == watermark) may appear
-    in both sides; dropDuplicates on (keys, ts) keeps one - replacing the
-    reference's truncate-one-second + re-fetch (F4).
-    """
+    pushed lower-bound scan S2). The seam is handled by the STRICT cache
+    trim: ``keep`` holds ts < watermark and ``fresh`` holds ts >=
+    watermark, so the watermark row itself always comes from the fresh
+    fetch and the two sides cannot overlap - replacing the reference's
+    truncate-one-second + re-fetch (F4). dropDuplicates on (keys, ts) is
+    the SECOND, independent guarantee (r18 review - previously
+    documented as the seam mechanism, which the strict trim already is):
+    it makes the merge idempotent per (key, ts) WITHIN each side too, so
+    a source that re-delivers a row (an at-least-once upstream) yields
+    the same merged frame as a clean fetch - the same final-state
+    contract the oracle's full-refetch twin checks."""
     wm = watermark_us(cached, ts_col)
     if wm is None:
         return fetch_from(None)
@@ -125,7 +132,7 @@ def streaming_raster_windowed(
     pixel column.
     """
     from ..functions.time import epoch_us
-    from ..operators.raster import xbin, ybin
+    from ..operators.raster import xbin_long, ybin
 
     col_us = span_us / nx
     assert col_us == int(col_us), (
@@ -135,9 +142,14 @@ def streaming_raster_windowed(
     dur = f"{col_us} microseconds"
     off = f"{x0_us % col_us} microseconds"
     v = F.col(value_col)
+    # xbin_long, never the int32-narrowed xbin: this timestamp is
+    # deliberately UNCLIPPED (see below), and a far-out-of-canvas event
+    # must bin to a far-away-but-faithful column, not int32-wrap to a
+    # months-in-the-future synthetic time that jumps the watermark and
+    # finalizes every open column (r18 review)
     col_start = F.timestamp_micros(
         F.lit(x0_us)
-        + xbin(epoch_us(F.col(ts_col)), x0_us, span_us, nx).cast("long")
+        + xbin_long(epoch_us(F.col(ts_col)), x0_us, span_us, nx)
         * F.lit(col_us)
     )
     keys = keys or []  # per-series rasters (the /image multi-line panel)
@@ -153,10 +165,16 @@ def streaming_raster_windowed(
     # x0+span must fold column nx into nx-1 itself -
     # api/png.snap_streamed_edge_rows does the cnt-merge (ADVICE r13;
     # lifecycle_image_stream applies it).
+    # watermark BEFORE the y-range filter (r18 review): the same "must
+    # ride every event" rationale that keeps x unclipped applies to y -
+    # filtered-out out-of-band excursions must still advance event time,
+    # or a sensor excursing above the canvas for an hour freezes the
+    # watermark, stalls every completed in-range column (append mode
+    # emits nothing) and retains state unbounded for the duration
     return (
-        stream.where((v >= ymin) & (v <= ymax))
-        .withColumn("_col_ts", col_start)
+        stream.withColumn("_col_ts", col_start)
         .withWatermark("_col_ts", late_threshold)
+        .where((v >= ymin) & (v <= ymax))
         .groupBy(
             *keys,
             F.window(F.col("_col_ts"), dur, dur, off).alias("win"),
