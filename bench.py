@@ -237,6 +237,7 @@ def main() -> None:
             "lr_preds": extensions._LR_PREDS_MEMO,
             "nb_preds": extensions._NB_PREDS_MEMO,
             "coarse_centroids": extensions._COARSE_MEMO,
+            "ann_scored": extensions._ANN_SCORED_MEMO,
         }
         # (id-set, strong refs): the refs keep every snapshotted entry
         # alive for the snapshot's lifetime, so an LRU-evicted entry

@@ -271,14 +271,19 @@ def test_minhash_empty_signature_docs_generate_no_candidates(spark):
     assert dedup.minhash_dedup_pairs(tiny, 0.0, "doc_id", "text").count() == 0
 
 
-def test_streaming_raster_watermark_hardening(spark):
+def test_streaming_raster_watermark_hardening(spark, tmp_path):
     """r18 streaming-raster pins: (1) the unclipped synthetic event time
     bins with xbin_long - a far-out-of-canvas event (epoch-0 on a zoomed
     canvas) yields a faithful far-NEGATIVE column, where the int32-
     narrowed xbin wraps it to a garbage positive column that would jump
     the watermark months ahead; (2) the event-time watermark sits BELOW
-    the y-range filter in the plan, so out-of-band excursions still
-    advance event time (frozen-watermark stall)."""
+    the y-range filter in the OPTIMIZED plan of a STARTED query, so
+    out-of-band excursions still advance event time (frozen-watermark
+    stall). r19 (ADVICE r18 high): asserting on the analyzed plan was
+    vacuous - PushPredicateThroughNonJoin pushed a plain value-range
+    predicate back below EventTimeWatermark at optimization time; the
+    predicate now references _col_ts so it CANNOT be pushed, and this
+    test pins the optimized plan of an executed micro-batch."""
     from pyspark.sql import functions as F
 
     from web_maxiv_hdbppviewer_spark.operators.raster import xbin, xbin_long
@@ -301,16 +306,39 @@ def test_streaming_raster_watermark_hardening(spark):
     with pytest.raises(Exception, match="CAST_OVERFLOW|overflow"):
         row.select(xbin(F.col("t_us"), x0, span, nx)).collect()
 
-    stream = (
-        spark.readStream.format("rate").load()
-        .select(F.col("timestamp").alias("ts"), F.lit(1.0).alias("value"))
+    src = str(tmp_path / "wm_src")
+    batch = spark.range(10).select(
+        F.timestamp_micros(F.lit(x0) + F.col("id") * 1_000_000).alias("ts"),
+        (F.col("id") * 0.1).alias("value"),
     )
-    plan = streaming_raster_windowed(
-        stream, x0, 60_000_000.0, 100, 0.0, 1.0, 80
-    )._jdf.queryExecution().analyzed().toString()
-    fpos = plan.find("Filter")
-    wpos = plan.find("EventTimeWatermark")
-    assert 0 <= fpos < wpos, (
-        "y-range filter must sit ABOVE the watermark operator "
-        "(i.e. apply after it), so every event advances event time"
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    plan = streaming_raster_windowed(stream, x0, 60_000_000.0, 100, 0.0, 1.0, 80)
+    # trigger(once) runs the data in ONE micro-batch, so explainInternal
+    # reports that batch's plan (availableNow appends a trailing EMPTY
+    # batch whose collapsed plan would hide the filter entirely)
+    q = (
+        plan.writeStream.format("memory")
+        .queryName("wm_hardening")
+        .outputMode("append")
+        .trigger(once=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    optimized = q._jsq.explainInternal(True)
+    opt = optimized[optimized.find("== Optimized Logical Plan =="):]
+    wpos = opt.find("EventTimeWatermark")
+    assert wpos > 0, opt[:500]
+    # the value-range predicate must survive optimization ABOVE the
+    # watermark operator (earlier offset = outer/later-executing in the
+    # root-first plan text); before the r19 fix its first occurrence
+    # was in a pushed-down Filter BELOW the watermark
+    vrange = opt.find(">= 0.0")
+    assert 0 <= vrange < wpos, (
+        "y-range filter must sit ABOVE EventTimeWatermark in the "
+        "OPTIMIZED plan, so every event advances event time:\n"
+        + opt[:1200]
     )

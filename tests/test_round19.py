@@ -1,0 +1,307 @@
+"""Round-19 pins.
+
+1. Rasterline canvas clipping (VERDICT r18 #4 / ADVICE r18 low): the
+   segment kernel Liang-Barsky-clips each segment to the conservative
+   canvas slab [-1, w] x [-1, h] BEFORE computing the sample count, so
+   a far-off-canvas endpoint no longer triggers either a value-
+   proportional allocation (pre-r18) or the r18 8*(w+h) sample cap
+   that rendered the in-view crossing DOTTED. Pins: in-slab segments
+   walk bit-identically to the historical unclipped kernel (the
+   geometry every pinned image digest exercises - the clip is an
+   identity there), far-anchored crossings render SOLID at any finite
+   endpoint magnitude (including 1e12+, where the unclipped walk could
+   never even allocate, and 1e9+, where the unclipped formula's float
+   cancellation would alias samples onto .5 boundaries and dot the
+   line anyway), clipped coverage stays within 1px of the unclipped
+   ground truth wherever that ground truth is materializable, and
+   allocation is bounded by the slab.
+
+2. Streaming raster watermark predicate (ADVICE r18 high) is pinned in
+   tests/test_round18.py::test_streaming_raster_watermark_hardening
+   (rewritten to assert the OPTIMIZED plan of a started query).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _unclipped_walk(x0, y0, x1, y1, w, h):
+    """The pre-r18 exact kernel: full linspace walk, no cap - the
+    ground truth for in-slab bit-equality (only materializable for
+    moderate spans)."""
+    grid = np.zeros((h, w), dtype=np.int64)
+    span = max(abs(x1 - x0), abs(y1 - y0))
+    if not np.isfinite(span):
+        return grid
+    n = int(span) + 1
+    px = np.rint(np.linspace(x0, x1, n)).astype(np.int64)
+    py = np.rint(np.linspace(y0, y1, n)).astype(np.int64)
+    keep = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+    if keep.any():
+        flat = np.unique(py[keep] * w + px[keep])
+        grid.flat[flat] += 1
+    return grid
+
+
+def _clipped_walk(x0, y0, x1, y1, w, h):
+    from web_maxiv_hdbppviewer_spark.operators.rasterline import (
+        _tile_segments_to_pixels,
+    )
+
+    return _tile_segments_to_pixels(
+        np.asarray([x0, x1]), np.asarray([y0, y1]),
+        np.asarray([True, True]), w, h,
+    )
+
+
+def _dilate(mask: np.ndarray) -> np.ndarray:
+    """8-neighborhood binary dilation (no scipy in the container)."""
+    out = mask.copy()
+    out[1:, :] |= mask[:-1, :]
+    out[:-1, :] |= mask[1:, :]
+    out[:, 1:] |= mask[:, :-1]
+    out[:, :-1] |= mask[:, 1:]
+    out[1:, 1:] |= mask[:-1, :-1]
+    out[:-1, :-1] |= mask[1:, 1:]
+    out[1:, :-1] |= mask[:-1, 1:]
+    out[:-1, 1:] |= mask[1:, :-1]
+    return out
+
+
+def test_in_slab_segments_bit_equal_unclipped_walk():
+    """Property: for random segments wholly inside the slab
+    [-1, w] x [-1, h] the clip is an identity, so the kernel must
+    reproduce the historical unclipped walk EXACTLY - same pixels,
+    same counts. This is the geometry every pinned digest exercises."""
+    rng = np.random.default_rng(1907)
+    w, h = 100, 80
+    for trial in range(300):
+        x0, x1 = rng.uniform(-1.0, w, 2)
+        y0, y1 = rng.uniform(-1.0, h, 2)
+        got = _clipped_walk(x0, y0, x1, y1, w, h)
+        want = _unclipped_walk(x0, y0, x1, y1, w, h)
+        assert np.array_equal(got, want), (
+            f"trial {trial}: segment ({x0},{y0})->({x1},{y1}) diverged"
+        )
+
+
+def test_out_of_slab_coverage_within_1px_of_ground_truth():
+    """Property: for segments with endpoints beyond the slab (spans up
+    to ~1e5 px, still materializable by the ground-truth walk), the
+    clipped walk's sample phase differs from the unclipped walk's, but
+    coverage must agree to within 1px Hausdorff both ways - the same
+    Bresenham-equivalence class."""
+    rng = np.random.default_rng(4111)
+    w, h = 100, 80
+    for trial in range(200):
+        scale = 10.0 ** rng.uniform(2, 5)
+        x0, x1 = rng.uniform(-scale, scale, 2)
+        y0, y1 = rng.uniform(-scale, scale, 2)
+        got = _clipped_walk(x0, y0, x1, y1, w, h) > 0
+        want = _unclipped_walk(x0, y0, x1, y1, w, h) > 0
+        assert not (got & ~_dilate(want)).any(), f"trial {trial}: extra pixel"
+        assert not (want & ~_dilate(got)).any(), f"trial {trial}: missing pixel"
+
+
+def test_axis_aligned_and_degenerate_cases_match_ground_truth():
+    """Deterministic edges: axis-aligned crossings (where clipped and
+    unclipped pixel sets agree exactly, not just within 1px), zero-
+    length and sub-pixel segments, slab-boundary hugs, full misses."""
+    w, h = 64, 48
+    exact = [
+        (0.0, 10.0, 63.0, 10.0),         # horizontal, full width
+        (5.0, 0.0, 5.0, 47.0),           # vertical, full height
+        (0.0, 0.0, 63.0, 47.0),          # diagonal, in-slab
+        (12.3, 40.1, 12.3, 40.1),        # zero-length (n == 1 dot)
+        (7.6, 7.4, 7.9, 7.2),            # sub-pixel span (n == 1)
+        (-0.49, 10.0, 63.49, 10.0),      # rint boundary hug, in-slab
+        (-200.0, -200.0, -100.0, -50.0),  # fully off-canvas -> empty
+        (-0.6, 24.0, -0.6, 30.0),        # just inside slab left edge
+        (0.0, 47.49, 63.0, 47.49),       # top-edge rounding band
+        (-500.0, 20.0, 563.0, 20.0),     # horizontal THROUGH the canvas
+        (30.0, -977.0, 30.0, 1100.0),    # vertical THROUGH the canvas
+    ]
+    for x0, y0, x1, y1 in exact:
+        got = _clipped_walk(x0, y0, x1, y1, w, h)
+        want = _unclipped_walk(x0, y0, x1, y1, w, h)
+        assert np.array_equal(got > 0, want > 0), (x0, y0, x1, y1)
+
+
+def test_far_endpoint_crossing_renders_solid_not_dotted():
+    """The ADVICE r18 low: a FINITE wild endpoint (sensor glitch under
+    manual axis bounds) anchoring a segment that crosses the canvas.
+    The r18 cap subsampled the whole span - every span/(8*(w+h))-th
+    pixel - so the in-view crossing rendered dotted. The clipped walk
+    must paint the crossing SOLID (gap-free) at ANY finite magnitude,
+    including spans the unclipped walk could never allocate (1e12 px
+    ~ 8 TB of samples) and magnitudes where the unclipped formula's
+    own float cancellation would alias the line (>= ~1e9)."""
+    w, h = 100, 80
+    for far in (1e6, 1e9, 1e12, 1e15):
+        # near-horizontal line from deep off-canvas through the canvas
+        grid = _clipped_walk(-far, 40.25, 99.5, 40.25, w, h)
+        cols = np.nonzero(grid.sum(axis=0))[0]
+        assert cols.size >= w - 1, (
+            f"far={far}: only {cols.size}/{w} columns painted - dotted"
+        )
+        assert np.all(np.diff(cols) == 1), f"far={far}: gap in crossing"
+        # steep crossing: every row must be hit
+        grid = _clipped_walk(50.2, -far, 50.2, 79.5, w, h)
+        rows = np.nonzero(grid.sum(axis=1))[0]
+        assert rows.size >= h - 1 and np.all(np.diff(rows) == 1), (
+            f"far={far}: vertical crossing has gaps"
+        )
+
+
+def test_clip_bounds_allocation_by_slab():
+    """The clipped span - hence the walk's sample count - is bounded by
+    the slab perimeter for ANY endpoint magnitude."""
+    from web_maxiv_hdbppviewer_spark.operators.rasterline import _clip_to_slab
+
+    w, h = 100, 80
+    for far in (1e6, 1e9, 1e15, 1e18, 1e300):
+        clip = _clip_to_slab(-far, 40.25, 99.5, 40.25, w, h)
+        assert clip is not None
+        cx0, cy0, cx1, cy1 = clip
+        assert max(abs(cx1 - cx0), abs(cy1 - cy0)) <= w + h + 4, far
+        assert -1.0 <= cx0 <= w and -1.0 <= cy0 <= h, far
+    # in-slab: identity, ORIGINAL floats back (bit-exact legacy walk)
+    seg = (3.7, 2.2, 63.1, 41.9)
+    assert _clip_to_slab(*seg, w, h) == seg
+    # fully-off-canvas: no segment at all
+    assert _clip_to_slab(-1e9, 200.0, 1e9, 200.0, w, h) is None
+    assert _clip_to_slab(200.0, -5.0, 300.0, 90.0, w, h) is None
+
+
+def test_minhash_geometry_rule_outputs():
+    """VERDICT r18 #6: the (b, r)-from-threshold S-curve chooser.
+    Inflections at NUM_PERM=12: 12x1=0.083, 6x2=0.408, 4x3=0.630,
+    3x4=0.760, 2x6=0.891, 1x12=1.0. Pins the prescribed t=0.5/0.7/0.9
+    choices, budget exhaustion (b*r == n_perms always), the recall-
+    favoring tie-break, and input validation."""
+    import pytest
+
+    from web_maxiv_hdbppviewer_spark.operators.dedup import (
+        NUM_PERM, minhash_geometry_for,
+    )
+
+    assert minhash_geometry_for(0.5) == (6, 2)   # 0.408 nearer than 0.630
+    assert minhash_geometry_for(0.7) == (3, 4)   # 0.760 nearer than 0.630
+    assert minhash_geometry_for(0.9) == (2, 6)   # 0.891
+    # extremes
+    assert minhash_geometry_for(0.05) == (12, 1)
+    assert minhash_geometry_for(1.0) == (1, 12)
+    # the repo's historical default geometry is the rule's answer for
+    # thresholds near its own inflection
+    assert minhash_geometry_for(0.63) == (4, 3)
+    # budget is always fully used, for any budget
+    for n in (4, 6, 12, 16, 24):
+        for t in (0.3, 0.5, 0.7, 0.9):
+            b, r = minhash_geometry_for(t, n)
+            assert b * r == n, (t, n, b, r)
+    # near-tie at the midpoint of adjacent inflections (n=4: 2x2=0.707,
+    # 1x4=1.0; the midpoint's distances differ only in the last ulp):
+    # resolves deterministically to 2x2 - and the documented exact-tie
+    # rule (more bands, i.e. the recall side) would give the same answer
+    b_lo, r_lo = minhash_geometry_for(((1 / 2) ** (1 / 2) + 1.0) / 2, 4)
+    assert (b_lo, r_lo) == (2, 2)
+    with pytest.raises(ValueError):
+        minhash_geometry_for(0.0)
+    with pytest.raises(ValueError):
+        minhash_geometry_for(1.5)
+    with pytest.raises(ValueError):
+        minhash_geometry_for(0.5, 0)
+    assert NUM_PERM == 12  # the documented budget the pins above assume
+
+
+def test_alignment_gate_fires_on_constructed_pairs(spark):
+    """VERDICT r18 #5 pin: the image-text alignment gate keeps aligned
+    pairs and cuts mismatched captions. Constructed corpus: doc 0 (a
+    multiple of ALIGN_MISALIGN_EVERY) takes doc 1's caption - two docs
+    with DISJOINT vocabularies, so the mismatched pair's cosine is ~0 -
+    while docs 1..3 keep their own captions (score ~1, capped-tf vs raw
+    counts keeps it below exactly 1 only when a word repeats > cap)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from web_maxiv_hdbppviewer_spark.operators.multimodal import (
+        attach_payload, image_tower, text_tower,
+    )
+    from web_maxiv_hdbppviewer_spark.plans.extensions import (
+        ALIGN_MIN_COS, ALIGN_MISALIGN_EVERY, multimodal_alignment,
+    )
+
+    # 7 is coprime with the generator's doc_id % 20 source assignment:
+    # every source sees a mix of aligned and mismatched pairs (5 aliased
+    # onto 4 all-misaligned sources in the first cut of this fixture)
+    assert ALIGN_MISALIGN_EVERY == 7 and ALIGN_MIN_COS == 0.93
+
+    docs = spark.createDataFrame(
+        [
+            # doc 0: vocabulary A; its caption will be doc 1's (disjoint
+            # vocabulary B) -> misaligned, must be CUT
+            (0, "alpha beta gamma alpha alpha beta", "srcA"),
+            # docs 1..3 keep their own captions -> aligned, must be KEPT
+            (1, "delta epsilon zeta delta", "srcA"),
+            (2, "eta theta iota eta eta eta eta", "srcB"),
+            (3, "kappa lambda mu", "srcB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+
+    # Direct pair-level check through the towers: the aligned pair's
+    # score clears the gate, the constructed mismatch scores ~0
+    img = {
+        (r["doc_id"], r["dim"]): r["iw"]
+        for r in image_tower(attach_payload(docs)).collect()
+    }
+    txt = {
+        (r["doc_id"], r["dim"]): r["tw"]
+        for r in text_tower(docs).collect()
+    }
+
+    def cos(i, j):
+        dims = {d for (k, d) in img if k == i} & {d for (k, d) in txt if k == j}
+        dot = sum(img[(i, d)] * txt[(j, d)] for d in dims)
+        n_i = sum(v * v for (k, _), v in img.items() if k == i) ** 0.5
+        n_j = sum(v * v for (k, _), v in txt.items() if k == j) ** 0.5
+        return dot / (n_i * n_j)
+
+    assert cos(0, 1) == 0.0, "disjoint vocabularies must score 0"
+    assert cos(1, 1) > ALIGN_MIN_COS
+    # capped tf (3) vs raw count (4x 'eta') pulls doc 2's self-score
+    # below 1 but far above the gate
+    assert ALIGN_MIN_COS < cos(2, 2) < 1.0
+    assert abs(cos(3, 3) - 1.0) < 1e-12  # no word repeats > cap
+
+    # The declared-query shape end-to-end on a tmp sf_dir-like frame is
+    # covered by oracle parity; here pin the report on this corpus by
+    # monkey-loading the docs frame through the query's own internals:
+    # srcA has pairs (0->cap1 misaligned CUT, 1->1 kept) = retention 0.5,
+    # srcB has (2->2, 3->3) kept = retention 1.0
+    import web_maxiv_hdbppviewer_spark.plans.extensions as ext
+
+    orig = ext._docs
+    ext._docs = lambda spark_, sf_dir_: docs
+    try:
+        rep = {
+            r["source"]: r
+            for r in multimodal_alignment(spark, "ignored").collect()
+        }
+    finally:
+        ext._docs = orig
+    assert rep["srcA"]["n_pairs"] == 2 and rep["srcA"]["n_kept"] == 1
+    assert rep["srcA"]["retention_r"] == 0.5
+    assert rep["srcB"]["n_pairs"] == 2 and rep["srcB"]["n_kept"] == 2
+    assert rep["srcB"]["retention_r"] == 1.0
+    assert rep["srcA"]["min_score"] == 0.0  # the constructed mismatch
+
+
+def test_nonfinite_endpoints_still_paint_nothing():
+    """r18 finite-guard preserved: NaN/inf endpoints draw no pixels and
+    raise nothing."""
+    w, h = 32, 32
+    for bad in (np.nan, np.inf, -np.inf):
+        assert _clipped_walk(bad, 10.0, 20.0, 10.0, w, h).sum() == 0
+        assert _clipped_walk(5.0, bad, 20.0, 10.0, w, h).sum() == 0
+        assert _clipped_walk(5.0, 10.0, bad, bad, w, h).sum() == 0

@@ -373,6 +373,52 @@ def minhash_signatures(
     return docs.select("id", *sig_cols).where(F.col("s0").isNotNull())
 
 
+def minhash_geometry_for(threshold: float, n_perms: int = NUM_PERM) -> tuple[int, int]:
+    """(bands, rows_per_band) for a target Jaccard threshold within the
+    ``n_perms`` permutation budget - the S-curve rule t ~ (1/b)^(1/r)
+    (Leskovec/Rajaraman/Ullman, MMDS 3.4.3): the text-MinHash analogue
+    of the embedding side's ``lsh_geometry_for`` (VERDICT r18 #6 - the
+    same "constant that should be a function of the threshold" smell
+    the r17 finding cured for sign-LSH bands). A pair with Jaccard s
+    becomes a candidate with probability 1 - (1 - s^r)^b, an S-curve
+    whose inflection sits near (1/b)^(1/r); the factorization whose
+    inflection lands nearest the threshold balances false-positive
+    candidates (inflection far below t) against false negatives
+    (far above t).
+
+    Exhaustive over the exact factorizations b*r = n_perms - a handful
+    of integer candidates, bit-reproducible by any engine, no float
+    search. Exact-distance ties break toward MORE bands (the lower
+    inflection can only ADD candidates, never drop a true pair - the
+    recall-favoring side, which is what dedup wants). Unlike sign-LSH
+    bands, hash-valued MinHash bands don't random-collide by the
+    2^-bits law, so there is no corpus-size term here - the threshold
+    alone fixes the geometry.
+
+    At the repo's NUM_PERM=12 budget the rule gives 6x2 for t=0.5,
+    3x4 for t=0.7, 2x6 for t=0.9; the declared battery queries keep
+    pinning the historical 4x3 geometry (inflection ~0.63) explicitly -
+    their SQL oracles encode that banding - and dedup_compare's
+    measured recall documents that 4x3 already recalls every >= 0.5
+    fixture pair the exact prefix-filter finds, so the rule exists for
+    NEW thresholds/corpora, exactly as lsh_geometry_for serves new
+    embedding corpora."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if n_perms < 1:
+        raise ValueError(f"n_perms must be >= 1, got {n_perms}")
+    best = None
+    for r in range(1, n_perms + 1):
+        if n_perms % r:
+            continue
+        b = n_perms // r
+        inflection = (1.0 / b) ** (1.0 / r)
+        key = (abs(inflection - threshold), -b)
+        if best is None or key < best[0]:
+            best = (key, (b, r))
+    return best[1]
+
+
 def lsh_candidates(
     sigs: DataFrame, bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND
 ) -> DataFrame:

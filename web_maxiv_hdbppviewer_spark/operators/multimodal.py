@@ -214,6 +214,97 @@ def sample_frames(df: DataFrame, every: int = 4) -> DataFrame:
     return df.mapInPandas(batches, FRAME_SCHEMA)
 
 
+#: joint-embedding dimensionality of the alignment towers (hashed
+#: bag-of-features space both encoders project into)
+ALIGN_DIM = 64
+#: sublinear-tf cap of the text tower (the structural difference between
+#: the two encoders - see image_tower)
+ALIGN_TF_CAP = 3
+
+ALIGN_TOWER_SCHEMA = "doc_id long, dim long, iw long"
+
+
+def image_tower(df: DataFrame) -> DataFrame:
+    """The "vision encoder" of the image-text alignment gate (VERDICT
+    r18 #5 - the CLIP-score curation stage, LAION/DataComp: gate
+    image-text pairs on joint-embedding cosine BEFORE any other
+    curation touches the pair). Input: ``attach_payload`` output
+    (opaque binary payload + typed meta); output: the payload's SPARSE
+    joint embedding, (doc_id, dim, iw) rows over the ALIGN_DIM hashed
+    feature space.
+
+    Deterministic stand-in encoder (the multimodal_phash discipline -
+    real CLIP swaps decoded-pixel features in behind the identical
+    Arrow plumbing): tokenize the raw payload BYTES on 0x20, drop
+    empties, md5-hash each token into one of ALIGN_DIM dimensions
+    (int(hexdigest[:15], 16) % D - bit-identical to the JVM/SQL
+    md5_int60 rule), weight = raw occurrence count. The text tower
+    hashes the SAME backbone from the caption STRING but caps counts
+    at ALIGN_TF_CAP (sublinear tf), so an aligned pair scores high but
+    not exactly 1 and a mismatched caption scores by vocabulary-profile
+    overlap only - the measured sf0.001 separation is aligned
+    >= 0.937 vs misaligned mean 0.73 with overlapping tails, a
+    realistic gate surface.
+
+    Scale: mapInPandas streams Arrow batches, output is
+    corpus-sparse-linear (<= distinct tokens per doc, <= ALIGN_DIM rows
+    after the in-kernel collapse), no shuffle; the hashlib.md5 calls
+    run per DISTINCT token per doc, not per byte."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        D = ALIGN_DIM
+        for pdf in it:
+            out = {"doc_id": [], "dim": [], "iw": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                dims: dict[int, int] = {}
+                for w in bytes(blob).split(b" "):
+                    if not w:
+                        continue
+                    h = int(hashlib.md5(w).hexdigest()[:15], 16)
+                    d = h % D
+                    dims[d] = dims.get(d, 0) + 1
+                for d, n in dims.items():
+                    out["doc_id"].append(int(doc_id))
+                    out["dim"].append(d)
+                    out["iw"].append(n)
+            yield pd.DataFrame(
+                {k: pd.array(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return df.mapInPandas(batches, ALIGN_TOWER_SCHEMA)
+
+
+def text_tower(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The "text encoder" of the alignment gate: the same hashed
+    bag-of-features backbone as ``image_tower`` - split on single
+    spaces, drop empties, md5_int60 % ALIGN_DIM - but weighted by
+    SUBLINEAR tf (counts capped at ALIGN_TF_CAP), the structural
+    difference that keeps aligned cosines high-but-not-degenerate.
+    Output (doc_id, dim, tw) sparse rows; pure JVM expressions (split /
+    explode / two map-side-combinable aggregations), no Python in the
+    text path."""
+    from ..functions.texthash import md5_int60
+
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda w: w != F.lit("")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "doc_id",
+            F.pmod(md5_int60(F.col("w")), F.lit(ALIGN_DIM)).alias("dim"),
+            F.least(F.col("n"), F.lit(ALIGN_TF_CAP)).alias("tw"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("tw").cast("long").alias("tw"))
+    )
+
+
 #: blocks in the content signature (min corpus doc is 44 bytes > 32, so
 #: every block is non-empty; 32 bits keeps the signature far inside int64)
 PHASH_BLOCKS = 32

@@ -73,6 +73,53 @@ def _segments_to_pixels(xs: np.ndarray, ys: np.ndarray, w: int, h: int) -> np.nd
     )
 
 
+def _clip_to_slab(
+    x0: float, y0: float, x1: float, y1: float, w: int, h: int
+):
+    """Liang-Barsky clip of one segment to the conservative canvas slab
+    [-1, w] x [-1, h] (r19, VERDICT r18 #4 / ADVICE r18). The slab has
+    >= 0.5px margin around every coordinate the keep mask can accept
+    (rint maps exactly [-0.5, limit-0.5] into the canvas), so clipping
+    never removes geometry that could paint a pixel.
+
+    Returns the clipped endpoints, or None when the segment misses the
+    slab. A segment already inside the slab comes back with its
+    ORIGINAL float endpoints (t stays exactly [0, 1]) - the subsequent
+    walk is bit-identical to the historical unclipped walk, which is
+    what the pinned image digests exercise. Clipped endpoints of a
+    far-anchored segment carry only O(|span| * eps) absolute error from
+    the parametric evaluation, and are clamped back into the slab.
+    """
+    dx, dy = x1 - x0, y1 - y0
+    t0, t1 = 0.0, 1.0
+    for p, q in (
+        (-dx, x0 - (-1.0)),
+        (dx, float(w) - x0),
+        (-dy, y0 - (-1.0)),
+        (dy, float(h) - y0),
+    ):
+        if p == 0.0:
+            if q < 0.0:
+                return None
+            continue
+        r = q / p
+        if p < 0.0:
+            if r > t1:
+                return None
+            if r > t0:
+                t0 = r
+        else:
+            if r < t0:
+                return None
+            if r < t1:
+                t1 = r
+    cx0 = x0 if t0 == 0.0 else min(max(x0 + t0 * dx, -1.0), float(w))
+    cy0 = y0 if t0 == 0.0 else min(max(y0 + t0 * dy, -1.0), float(h))
+    cx1 = x1 if t1 == 1.0 else min(max(x0 + t1 * dx, -1.0), float(w))
+    cy1 = y1 if t1 == 1.0 else min(max(y0 + t1 * dy, -1.0), float(h))
+    return cx0, cy0, cx1, cy1
+
+
 def _tile_segments_to_pixels(
     xs: np.ndarray, ys: np.ndarray, native: np.ndarray, w: int, h: int
 ) -> np.ndarray:
@@ -82,22 +129,36 @@ def _tile_segments_to_pixels(
 
     Hardening (r18 review): a segment with a non-finite endpoint paints
     nothing (previously int(inf) raised OverflowError; a NaN endpoint
-    already painted nothing through the keep mask), and the sample count
-    is capped at 8*(w+h) - a bound no segment whose pixel span stays
-    within 8 canvas sizes can hit, so in-view geometry is sampled
-    exactly as before, while a single wild out-of-range value (manual
-    axis bounds + a sensor glitch) no longer asks linspace for a
-    value-proportional, potentially TB-scale allocation."""
+    already painted nothing through the keep mask). r19 (VERDICT r18
+    #4): each segment is Liang-Barsky-clipped to the canvas slab BEFORE
+    the sample count is computed, so the walk's allocation is bounded by
+    the in-slab span (<= w + h + 4 samples) for ANY endpoint magnitude
+    and in-view coverage stays solid (Bresenham-equivalent). This
+    replaces the r18 8*(w+h) sample cap, which subsampled a
+    far-anchored segment's whole span and rendered its in-view crossing
+    DOTTED. In-slab segments are untouched by the clip and walk
+    bit-identically to the historical kernel. (Clipping also sidesteps
+    the unclipped formula's float trap: at |endpoint| >~ 1e9 px the
+    cancellation in k*step+start rounds in-canvas samples onto exact
+    .5 boundaries, where banker's rounding halves the coverage - the
+    clipped walk computes from slab-sized coordinates and never
+    cancels.)"""
     grid = np.zeros((h, w), dtype=np.int64)
-    n_cap = 8.0 * (w + h)
     for i in range(len(xs) - 1):
         if not native[i]:
             continue
         x0, y0, x1, y1 = xs[i], ys[i], xs[i + 1], ys[i + 1]
-        span = max(abs(x1 - x0), abs(y1 - y0))
-        if not np.isfinite(span):
+        if not (
+            np.isfinite(x0) and np.isfinite(y0)
+            and np.isfinite(x1) and np.isfinite(y1)
+        ):
             continue
-        n = int(min(span, n_cap)) + 1
+        clip = _clip_to_slab(x0, y0, x1, y1, w, h)
+        if clip is None:
+            continue
+        x0, y0, x1, y1 = clip
+        span = max(abs(x1 - x0), abs(y1 - y0))
+        n = int(span) + 1
         px = np.rint(np.linspace(x0, x1, n)).astype(np.int64)
         py = np.rint(np.linspace(y0, y1, n)).astype(np.int64)
         keep = (px >= 0) & (px < w) & (py >= 0) & (py < h)

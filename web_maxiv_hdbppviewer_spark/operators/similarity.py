@@ -322,19 +322,22 @@ def hyperplane_bucket(vec_col, nbits: int = 8, plane_offset: int = 0):
     return bit_sum
 
 
-def ann_topk_lsh(
+def ann_scored_lsh(
     df: DataFrame,
-    k: int,
     query_ids_below: int = 10,
     nbits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """LSH-bucketed approximate top-k: candidates share the query's
-    random-hyperplane sign bucket. Output (q_id, cand_id, cos_r, rank) -
-    recall < 1 by design. Buckets derive from the Arrow plane-dot kernel
-    (same bits as ``hyperplane_bucket``, measured ~2x faster than the
-    nbits x dim inline expression chain at sf0.1)."""
+    """The LSH bucket-join scoring pass, UNRANKED (r19, VERDICT r18 #3 -
+    the ann_scored_ivf/ann_adc_ivfpq factoring applied to the sign-LSH
+    method): candidates sharing the query's random-hyperplane sign
+    bucket, scored by exact cosine. Returns (q_id, cand_id, cos_r); the
+    scored frame does not depend on ``k``, so sim_ann_compare and the
+    per-method query rank the SAME session-memoized pass instead of
+    re-running the bucket join. Buckets derive from the Arrow plane-dot
+    kernel (same bits as ``hyperplane_bucket``, measured ~2x faster
+    than the nbits x dim inline expression chain at sf0.1)."""
     dots = all_plane_dots(F.col("vec"))
     bits = [
         F.when(F.round(F.element_at(dots, i + 1), 6) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
@@ -350,7 +353,7 @@ def ann_topk_lsh(
     c = base.select(
         F.col("id").alias("cand_id"), F.col("vec").alias("c_vec"), F.col("nrm").alias("c_nrm"), "bkt"
     )
-    scored = (
+    return (
         c.join(F.broadcast(q), "bkt")
         .where(F.col("cand_id") != F.col("q_id"))
         .select(
@@ -361,8 +364,23 @@ def ann_topk_lsh(
             ).alias("cos_r"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_r").desc(), F.col("cand_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    k: int,
+    query_ids_below: int = 10,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: the ``ann_scored_lsh`` bucket
+    join ranked per query (cos desc, id asc) and cut to the top ``k``.
+    Output (q_id, cand_id, cos_r, rank) - recall < 1 by design. Values
+    bit-identical to the pre-split operator (same window, same
+    tiebreak, via the shared ``topk_per_query`` tail)."""
+    scored = ann_scored_lsh(df, query_ids_below, nbits, id_col, vec_col)
+    return topk_per_query(scored, k, "cos_r")
 
 
 def ann_scored_ivf(
@@ -599,9 +617,6 @@ def near_dup_pairs(
             "geometry would silently pair the caller's value with a rule "
             "value the caller never saw"
         )
-    if bands is None:
-        n = n_vectors if n_vectors is not None else df.count()
-        bands, band_bits = lsh_geometry_for(n)
     base = with_norms(df, id_col, vec_col)
     # all bands x bits plane dots come from the Arrow-batched numpy kernel
     # (one array column), the JVM side only rounds + thresholds: inlining
@@ -616,6 +631,14 @@ def near_dup_pairs(
     from .dedup import _memoized_checkpoint
 
     dotted = _memoized_checkpoint(_DOTS_CACHE, dotted)
+    if bands is None:
+        # Geometry count runs on the MEMOIZED checkpoint, not the raw
+        # input (ADVICE r18): with_norms never drops rows, so the counts
+        # are equal, but counting `dotted` materializes blocks the
+        # candidate self-join needs anyway - an expensive upstream
+        # pipeline is computed once, not once-extra for the count.
+        n = n_vectors if n_vectors is not None else dotted.count()
+        bands, band_bits = lsh_geometry_for(n)
 
     def _bucket(b: int):
         bits = [
@@ -861,9 +884,8 @@ def pq_assign(
     )
 
 
-def topk_cosine_pq(
+def adc_scored_pq(
     df: DataFrame,
-    k: int,
     query_ids_below: int = 10,
     n_sub: int = PQ_M,
     sub_dim: int = PQ_SUBDIM,
@@ -874,10 +896,13 @@ def topk_cosine_pq(
     codebooks: DataFrame | None = None,
     codes: DataFrame | None = None,
 ) -> DataFrame:
-    """Asymmetric-distance (ADC) cosine top-k over PQ codes: queries stay
-    full-precision, candidates are 4-byte codes. Output (q_id, cand_id,
-    acos_r, rank) - the PQ sibling of ``topk_cosine_quantized``, directly
-    diffable against the float baseline for rank drift.
+    """The plain-PQ ADC scoring pass, UNRANKED (r19, VERDICT r18 #3 -
+    the scored/ranked split applied to the PQ method): queries stay
+    full-precision, candidates are 4-byte codes. Returns
+    (q_id, cand_id, acos_r); the scored frame does not depend on ``k``,
+    so sim_topk_pq (k=TOPK) and sim_ann_compare (k=ANN_TOPK) rank the
+    SAME session-memoized pass instead of re-running encode + table
+    join.
 
     approx dot(q, x) = sum_m pd[q][m][code_m(x)] where pd is the per-query
     lookup table of ROUND(subquery . codeword, 6) partial dots; approx
@@ -936,18 +961,41 @@ def topk_cosine_pq(
             expr = expr + F.col(f"{prefix}{m}")
         return expr
 
-    scored = g.select(
+    return g.select(
         "q_id",
         "cand_id",
         F.round(_ltr("pd") / (F.col("q_nrm") * F.sqrt(_ltr("nsq"))), 6).alias(
             "acos_r"
         ),
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("acos_r").desc(), F.col("cand_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
+
+
+def topk_cosine_pq(
+    df: DataFrame,
+    k: int,
+    query_ids_below: int = 10,
+    n_sub: int = PQ_M,
+    sub_dim: int = PQ_SUBDIM,
+    n_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) cosine top-k over PQ codes: the
+    ``adc_scored_pq`` pass ranked per query (acos desc, id asc) and cut
+    to the top ``k``. Output (q_id, cand_id, acos_r, rank) - the PQ
+    sibling of ``topk_cosine_quantized``, directly diffable against the
+    float baseline for rank drift. Values bit-identical to the
+    pre-split operator (same window, same tiebreak, via the shared
+    ``topk_per_query`` tail); all ADC algebra and scale notes live on
+    ``adc_scored_pq``."""
+    scored = adc_scored_pq(
+        df, query_ids_below, n_sub, sub_dim, n_codes, iters,
+        id_col, vec_col, codebooks, codes,
     )
+    return topk_per_query(scored, k, "acos_r")
 
 
 def _coarse_assign_residuals(

@@ -388,15 +388,80 @@ def sim_mips(spark, sf_dir):
     )
 
 
+#: Session-bound scored-frame memos for the doc-grain ANN family
+#: (VERDICT r18 #3): each index method's candidate-generation + scoring
+#: pass runs ONCE per (session, sf_dir) - sim_ann_lsh / sim_ann_ivf /
+#: sim_topk_pq / sim_ann_ivfpq, sim_ivf_probe_sweep and sim_ann_compare
+#: all rank the SAME lazily-checkpointed frame with topk_per_query (the
+#: one ranking-tail definition), so the compare table stops re-running
+#: four candidate generators from scratch. Registered in bench.py's
+#: _memo_sizes ("ann_scored") for first-touch attribution.
+_ANN_SCORED_MEMO: dict = {}
+
+
+def _ann_scored(spark, sf_dir, method):
+    """Session-memoized scored frame for one doc-grain ANN method (or
+    the exact float baseline). Scored frames are k-free and carry
+    cell_rank where the method has a probe dial, so every consumer
+    derives its setting by pure filter + topk_per_query - the r18
+    ADC-once sweep discipline applied battery-wide:
+
+    - "exact": topk_cosine at ANN_TOPK -> (q_id, cand_id), the recall
+      baseline (lazy checkpoint; recall consumers count it first, which
+      materializes the blocks once before any multi-branch union reads
+      them - the r14 duplicate-compute measurement).
+    - "ivf":   ann_scored_ivf at max(IVF_SWEEP_PROBES) with cell_rank.
+    - "ivfpq": ann_adc_ivfpq at IVF_NPROBE (no doc-grain nprobe sweep)
+      with the trained _ivfpq_artifacts.
+    - "lsh":   ann_scored_lsh at ANN_NBITS.
+    - "pq":    adc_scored_pq with the memoized _pq_codebooks.
+    """
+    # FLAT key (session, sf_dir, method) - bench.py's first-touch
+    # attribution diffs the store's value identities, so each method's
+    # frame must be its own top-level entry
+    key = (*_session_key(spark, sf_dir), method)
+    store = _ANN_SCORED_MEMO
+    if key not in store:
+        emb = _emb(spark, sf_dir)
+        if method == "exact":
+            df = similarity.topk_cosine(
+                emb, ANN_TOPK, QUERY_IDS_BELOW
+            ).select("q_id", "cand_id")
+        elif method == "ivf":
+            df = similarity.ann_scored_ivf(
+                emb, QUERY_IDS_BELOW, IVF_CELLS, max(IVF_SWEEP_PROBES)
+            )
+        elif method == "ivfpq":
+            cents, rcb = _ivfpq_artifacts(spark, sf_dir)
+            df = similarity.ann_adc_ivfpq(
+                emb, QUERY_IDS_BELOW, IVF_CELLS, IVF_NPROBE, KMEANS_ITERS,
+                centroids=cents, codebooks=rcb,
+            )
+        elif method == "lsh":
+            df = similarity.ann_scored_lsh(emb, QUERY_IDS_BELOW, ANN_NBITS)
+        elif method == "pq":
+            df = similarity.adc_scored_pq(
+                emb, QUERY_IDS_BELOW, codebooks=_pq_codebooks(spark, sf_dir)
+            )
+        else:
+            raise ValueError(f"unknown ANN method {method!r}")
+        store[key] = df.localCheckpoint(eager=False)
+    return store[key]
+
+
 def sim_ann_lsh(spark, sf_dir):
-    return similarity.ann_topk_lsh(
-        _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW, ANN_NBITS
+    return similarity.topk_per_query(
+        _ann_scored(spark, sf_dir, "lsh"), ANN_TOPK, "cos_r"
     ).orderBy("q_id", "rank")
 
 
 def sim_ann_ivf(spark, sf_dir):
-    return similarity.ann_topk_ivf(
-        _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW, IVF_CELLS, IVF_NPROBE
+    return similarity.topk_per_query(
+        _ann_scored(spark, sf_dir, "ivf")
+        .where(F.col("cell_rank") <= IVF_NPROBE)
+        .drop("cell_rank"),
+        ANN_TOPK,
+        "cos_r",
     ).orderBy("q_id", "rank")
 
 
@@ -406,10 +471,11 @@ def sim_topk_pq(spark, sf_dir):
     reduced to 4 codes each, queries kept full-precision. Oracle unrolls
     the identical subspace k-means, encoding and table-lookup ranking in
     SQL. Same output shape as sim_topk_cosine so PQ rank drift is
-    directly diffable against the float baseline."""
-    return similarity.topk_cosine_pq(
-        _emb(spark, sf_dir), TOPK, QUERY_IDS_BELOW,
-        codebooks=_pq_codebooks(spark, sf_dir),
+    directly diffable against the float baseline. Ranks the memoized
+    adc_scored_pq pass (r19) at k=TOPK; values bit-identical to the
+    pre-memo topk_cosine_pq call."""
+    return similarity.topk_per_query(
+        _ann_scored(spark, sf_dir, "pq"), TOPK, "acos_r"
     ).orderBy("q_id", "rank")
 
 
@@ -419,11 +485,13 @@ def sim_ann_ivfpq(spark, sf_dir):
     queries probe nprobe cells and score candidates purely from code
     lookups plus centroid cross terms. The oracle unrolls BOTH trainings
     (coarse cosine k-means + per-subspace residual k-means), the residual
-    arithmetic, and the full ADC algebra - parity is bit-exact."""
-    cents, rcb = _ivfpq_artifacts(spark, sf_dir)
-    return similarity.ann_topk_ivfpq(
-        _emb(spark, sf_dir), ANN_TOPK, QUERY_IDS_BELOW, IVF_CELLS, IVF_NPROBE,
-        KMEANS_ITERS, centroids=cents, codebooks=rcb,
+    arithmetic, and the full ADC algebra - parity is bit-exact. Ranks
+    the memoized ann_adc_ivfpq pass (r19); values bit-identical to the
+    pre-memo ann_topk_ivfpq call."""
+    return similarity.topk_per_query(
+        _ann_scored(spark, sf_dir, "ivfpq").drop("cell_rank"),
+        ANN_TOPK,
+        "acos_r",
     ).orderBy("q_id", "rank")
 
 
@@ -2148,32 +2216,37 @@ def sim_ann_compare(spark, sf_dir):
     unchanged and still individually exercised (sim_ann_lsh /
     sim_topk_pq / sim_ann_ivfpq; plain sim_ann_ivf's recall is witnessed
     HERE since its solo query rotated out in r9)."""
-    emb = _emb(spark, sf_dir)
-    exact = (
-        similarity.topk_cosine(emb, ANN_TOPK, QUERY_IDS_BELOW)
-        .select("q_id", "cand_id")
-        # EAGER on purpose (r14 measured): the four method branches sit
-        # in ONE union plan, so with a lazy checkpoint they all start
-        # computing the unpersisted baseline concurrently and
-        # duplicate-compute its partitions before any block lands
-        # (12.7 s vs 7.4 s). One clean materialization job wins when the
-        # consumers are parallel branches of a single job; lazy wins only
-        # when the first consumer is sequential (see dedup_compare).
-        .localCheckpoint()
-    )
-    cents, rcb = _ivfpq_artifacts(spark, sf_dir)
+    exact = _ann_scored(spark, sf_dir, "exact")
+    # materialize the shared lazy checkpoint ONCE before the 4-branch
+    # union consumes it 8 ways (r14 measured: parallel branches over an
+    # unmaterialized checkpoint duplicate-compute its partitions -
+    # 12.7 s vs 7.4 s; the bounded count is that one clean
+    # materialization job, and a no-op when another recall query
+    # already touched the memo this session)
+    exact.count()
+    # every ranking is topk_per_query over the session-memoized scored
+    # frame of its method (r19, VERDICT r18 #3 - the r18 sweep
+    # transformation applied to the compare table): ONE candidate-
+    # generation pass per index family per session, shared with
+    # sim_ann_lsh / sim_ann_ivf / sim_topk_pq / sim_ann_ivfpq and the
+    # probe sweep; per-method plans and values are bit-identical to the
+    # pre-memo wrappers (same scored pass, same ranking tail)
     anns = {
-        "ivfpq": similarity.ann_topk_ivfpq(
-            emb, ANN_TOPK, QUERY_IDS_BELOW, IVF_CELLS, IVF_NPROBE,
-            KMEANS_ITERS, centroids=cents, codebooks=rcb,
+        "ivfpq": similarity.topk_per_query(
+            _ann_scored(spark, sf_dir, "ivfpq").drop("cell_rank"),
+            ANN_TOPK, "acos_r",
         ),
-        "ivf": similarity.ann_topk_ivf(
-            emb, ANN_TOPK, QUERY_IDS_BELOW, IVF_CELLS, IVF_NPROBE
+        "ivf": similarity.topk_per_query(
+            _ann_scored(spark, sf_dir, "ivf")
+            .where(F.col("cell_rank") <= IVF_NPROBE)
+            .drop("cell_rank"),
+            ANN_TOPK, "cos_r",
         ),
-        "lsh": similarity.ann_topk_lsh(emb, ANN_TOPK, QUERY_IDS_BELOW, ANN_NBITS),
-        "pq": similarity.topk_cosine_pq(
-            emb, ANN_TOPK, QUERY_IDS_BELOW,
-            codebooks=_pq_codebooks(spark, sf_dir),
+        "lsh": similarity.topk_per_query(
+            _ann_scored(spark, sf_dir, "lsh"), ANN_TOPK, "cos_r"
+        ),
+        "pq": similarity.topk_per_query(
+            _ann_scored(spark, sf_dir, "pq"), ANN_TOPK, "acos_r"
         ),
     }
     out = None
@@ -6200,20 +6273,15 @@ def sim_ivf_probe_sweep(spark, sf_dir):
     so the sweep pays one corpus scan instead of three. The oracle
     re-derives each setting's full IVF query (the sim_ann_ivf SQL with
     its probe bound rewritten) as a subquery."""
-    emb = _emb(spark, sf_dir)
-    exact = (
-        similarity.topk_cosine(emb, ANN_TOPK, QUERY_IDS_BELOW)
-        .select("q_id", "cand_id")
-        # lazy: the first consumer's job materializes the persisted
-        # blocks - eager would spend a separate full exact-top-k pass
-        # just writing them (r14; within-job branch reuse still hits the
-        # checkpoint's MEMORY_AND_DISK blocks)
-        .localCheckpoint(eager=False)
-    )
+    # both legs are the session-memoized frames (r19, VERDICT r18 #3):
+    # the lazy exact checkpoint materializes under this first count (the
+    # r14 discipline - no separate write pass), the scored frame under
+    # its first setting's count; both are shared with sim_ann_ivf and
+    # sim_ann_compare, so whichever query runs first pays the one
+    # candidate-generation pass for the session
+    exact = _ann_scored(spark, sf_dir, "exact")
     n_exact = exact.count()
-    scored = similarity.ann_scored_ivf(
-        emb, QUERY_IDS_BELOW, IVF_CELLS, max(IVF_SWEEP_PROBES)
-    ).localCheckpoint(eager=False)
+    scored = _ann_scored(spark, sf_dir, "ivf")
     rows = []
     for np_ in IVF_SWEEP_PROBES:
         ivf = (
@@ -6331,6 +6399,103 @@ def _phash_near_dup_pairs(sigs):
     return cand.select(
         "doc_a", "doc_b", ham.cast("long").alias("hamming")
     ).where(F.col("hamming") <= PHASH_HAM_MAX)
+
+
+#: image-text alignment gate (VERDICT r18 #5): every 7th doc's caption
+#: is deterministically swapped with its neighbor's (the constructed
+#: misaligned-pair fixture - a crawl's wrong alt-text). 7 is COPRIME
+#: with the generator's doc_id % 20 source assignment, so every source
+#: sees a mix of aligned and mismatched pairs (5 would alias onto 4
+#: all-misaligned sources). The keep threshold sits just under the
+#: measured aligned-score floor (sf0.001: aligned >= 0.937, misaligned
+#: mean ~0.73 with a tail crossing the threshold - the realistic
+#: CLIP-gate shape where a few mismatched captions survive)
+ALIGN_MISALIGN_EVERY = 7
+ALIGN_MIN_COS = 0.93
+
+
+def multimodal_alignment(spark, sf_dir):
+    """Image-text alignment filtering - the CLIP-score curation stage
+    (LAION-400M/-5B and DataComp gate image-text pairs on joint-embedding
+    cosine BEFORE any other curation touches the pair; VERDICT r18 #5,
+    the one published curation-stage family the battery lacked). Each
+    doc's stored payload (the "image") meets its caption: doc_id % 7 == 0
+    rows take their NEIGHBOR's caption (constructed misalignment), the
+    rest their own. Both sides embed into the shared ALIGN_DIM hashed
+    feature space - multimodal.image_tower (Arrow kernel over payload
+    BYTES, raw tf) vs multimodal.text_tower (JVM expressions over the
+    caption STRING, sublinear tf) - and the pair's score is the exact
+    integer-dot cosine, round-6. Output: the per-source retention report
+    (source, n_pairs, n_kept, retention_r, min_score, max_score) -
+    what a curation run publishes per upstream dump.
+
+    Scale: towers are corpus-sparse-linear with map-side-combinable
+    aggregations; the score join is a per-pair sparse-dim equi-join
+    (shuffle keyed on (id, dim) - candidate volume = nnz overlap, never
+    |pairs| x D); the report is a tiny groupBy. All arithmetic before
+    the final round-6 division is exact int64, so the oracle replays it
+    bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    cap_id = F.when(
+        F.col("doc_id") % ALIGN_MISALIGN_EVERY == 0, F.col("doc_id") + 1
+    ).otherwise(F.col("doc_id"))
+    pairs = (
+        docs.select(
+            F.col("doc_id").alias("img_id"),
+            cap_id.alias("cap_id"),
+            "source",
+        )
+        # inner join drops a dangling swapped caption at the corpus edge
+        # (no doc N): the pair simply doesn't form, same as the oracle
+        .join(docs.select(F.col("doc_id").alias("cap_id")), "cap_id")
+    )
+    img = multimodal.image_tower(multimodal.attach_payload(docs))
+    txt = multimodal.text_tower(docs)
+    in2 = img.groupBy("doc_id").agg(
+        F.sum(F.col("iw") * F.col("iw")).alias("n2")
+    ).select(F.col("doc_id").alias("img_id"), F.col("n2").alias("in2"))
+    tn2 = txt.groupBy("doc_id").agg(
+        F.sum(F.col("tw") * F.col("tw")).alias("n2")
+    ).select(F.col("doc_id").alias("cap_id"), F.col("n2").alias("tn2"))
+    dots = (
+        pairs.join(
+            img.select(F.col("doc_id").alias("img_id"), "dim", "iw"), "img_id"
+        )
+        .join(
+            txt.select(F.col("doc_id").alias("cap_id"), "dim", "tw"),
+            ["cap_id", "dim"],
+        )
+        .groupBy("img_id", "cap_id")
+        .agg(F.sum(F.col("iw") * F.col("tw")).alias("dot"))
+    )
+    score = F.when(
+        (F.col("in2") > 0) & (F.col("tn2") > 0),
+        F.round(
+            F.coalesce(F.col("dot"), F.lit(0))
+            / (F.sqrt(F.col("in2")) * F.sqrt(F.col("tn2"))),
+            6,
+        ),
+    )
+    scored = (
+        pairs.join(dots, ["img_id", "cap_id"], "left")
+        .join(in2, "img_id")
+        .join(tn2, "cap_id")
+        .select("img_id", "source", score.alias("score"))
+    )
+    kept = F.when(F.col("score") >= ALIGN_MIN_COS, 1).otherwise(0)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.round(
+                F.sum(kept) / F.count(F.lit(1)), 6
+            ).alias("retention_r"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("source")
+    )
 
 
 #: per-source token budget for pipe_token_budget (sources carry ~1.3-1.5k
@@ -6712,6 +6877,8 @@ EXTENSION_QUERIES = {
     "pipe_split_safe": pipe_split_safe,
     "sim_ivf_probe_sweep": sim_ivf_probe_sweep,
     "multimodal_phash": multimodal_phash,
+    # r19: the CLIP-score curation stage (VERDICT r18 #5)
+    "multimodal_alignment": multimodal_alignment,
     # -- round 11, batch 6 --
     "pipe_token_budget": pipe_token_budget,
     "dedup_cross_source": dedup_cross_source,

@@ -5234,3 +5234,61 @@ EXTENSION_ORACLE["sim_hard_negatives"] = """
     SELECT q_id, cand_id, cand_label, cos_r, rank FROM ranked
     WHERE rank <= 5 ORDER BY q_id, rank
 """
+
+# image-text alignment gate (NEW r19, mirrors
+# extensions.multimodal_alignment - VERDICT r18 #5, the CLIP-score
+# curation stage): independent replay of BOTH towers from the documents
+# table (the "image" payload is the UTF-8 text bytes, ASCII corpus, so
+# the per-word md5 walk is byte-identical), the doc_id % 7 caption swap,
+# the exact integer sparse dot / sqrt-norm cosine at round-6, the 0.93
+# keep cut and the per-source retention rollup. Constants mirror
+# multimodal.ALIGN_DIM=64 / ALIGN_TF_CAP=3 and
+# extensions.ALIGN_MISALIGN_EVERY=7 / ALIGN_MIN_COS=0.93.
+EXTENSION_ORACLE["multimodal_alignment"] = f"""
+    WITH wc AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS w
+            FROM documents)
+      GROUP BY doc_id, w),
+    img AS (
+      SELECT doc_id, {H.format(x="w")} % 64 AS dim, SUM(n) AS iw
+      FROM wc GROUP BY 1, 2),
+    txt AS (
+      SELECT doc_id, {H.format(x="w")} % 64 AS dim,
+             SUM(LEAST(n, 3)) AS tw
+      FROM wc GROUP BY 1, 2),
+    in2 AS (SELECT doc_id, SUM(iw * iw) AS n2 FROM img GROUP BY doc_id),
+    tn2 AS (SELECT doc_id, SUM(tw * tw) AS n2 FROM txt GROUP BY doc_id),
+    pairs AS (
+      SELECT d.doc_id AS img_id, c.doc_id AS cap_id, d.source
+      FROM documents d
+      JOIN documents c
+        ON c.doc_id = CASE WHEN d.doc_id % 7 = 0 THEN d.doc_id + 1
+                           ELSE d.doc_id END),
+    dots AS (
+      SELECT p.img_id, p.cap_id, SUM(i.iw * t.tw) AS dot
+      FROM pairs p
+      JOIN img i ON i.doc_id = p.img_id
+      JOIN txt t ON t.doc_id = p.cap_id AND t.dim = i.dim
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT p.img_id, p.source,
+             CASE WHEN a.n2 > 0 AND b.n2 > 0 THEN
+               ROUND(COALESCE(d.dot, 0) / (sqrt(a.n2) * sqrt(b.n2)), 6)
+             END AS score
+      FROM pairs p
+      LEFT JOIN dots d ON d.img_id = p.img_id AND d.cap_id = p.cap_id
+      JOIN in2 a ON a.doc_id = p.img_id
+      JOIN tn2 b ON b.doc_id = p.cap_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN score >= 0.93 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN score >= 0.93 THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS retention_r,
+           MIN(score) AS min_score,
+           MAX(score) AS max_score
+    FROM scored GROUP BY source ORDER BY source
+"""

@@ -170,11 +170,27 @@ def streaming_raster_windowed(
     # filtered-out out-of-band excursions must still advance event time,
     # or a sensor excursing above the canvas for an hour freezes the
     # watermark, stalls every completed in-range column (append mode
-    # emits nothing) and retains state unbounded for the duration
+    # emits nothing) and retains state unbounded for the duration.
+    # The predicate must REFERENCE the event-time column (r19, ADVICE
+    # r18): Catalyst's PushPredicateThroughNonJoin pushes any
+    # deterministic predicate whose references exclude the watermark
+    # attribute straight back below EventTimeWatermark, so a plain
+    # value-range filter placed "after" withWatermark still filtered
+    # BEFORE the watermark in the optimized plan and the stall
+    # persisted. Wrapping it in CASE WHEN isnotnull(_col_ts) makes
+    # _col_ts a reference of the predicate, which pins it above the
+    # watermark operator (verified on the OPTIMIZED plan of a started
+    # query; tests/test_round18.py asserts exactly that). Rows with a
+    # NULL event time are dropped either way - F.window(NULL) already
+    # produced a NULL key the consumers crop.
     return (
         stream.withColumn("_col_ts", col_start)
         .withWatermark("_col_ts", late_threshold)
-        .where((v >= ymin) & (v <= ymax))
+        .where(
+            F.when(
+                F.col("_col_ts").isNotNull(), (v >= ymin) & (v <= ymax)
+            ).otherwise(F.lit(False))
+        )
         .groupBy(
             *keys,
             F.window(F.col("_col_ts"), dur, dur, off).alias("win"),
