@@ -60,10 +60,28 @@ def test_dedup_queries_have_no_cross_product(spark):
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
 
 
+def _ivf_operator_plan(spark):
+    """The from-scratch IVF-flat plan at the declared query's settings.
+
+    Since r19 the declared sim_ann_ivf ranks a session-memoized
+    localCheckpoint of the scored pass (its own plan is just Window over
+    a checkpoint scan - asserted separately below), so the assignment/
+    probe shape these audits pin lives in the OPERATOR's plan."""
+    from web_maxiv_hdbppviewer_spark.operators import similarity
+    from web_maxiv_hdbppviewer_spark.plans import extensions as ext
+
+    return _plan(
+        similarity.ann_topk_ivf(
+            ext._emb(spark, SF_SMOKE), ext.ANN_TOPK, ext.QUERY_IDS_BELOW,
+            ext.IVF_CELLS, ext.IVF_NPROBE,
+        )
+    )
+
+
 def test_ivf_assignment_broadcasts_centroids(spark):
     """IVF cell assignment is a broadcast of the tiny centroid table (the
     corpus side must stream); the probe join must not be a cross product."""
-    plan = _plan(QUERIES["sim_ann_ivf"](spark, SF_SMOKE))
+    plan = _ivf_operator_plan(spark)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
@@ -74,13 +92,27 @@ def test_ivf_assignment_is_aggregation_not_window(spark):
     shuffles+sorts K corpus-amplified vector-carrying rows. The only Window
     allowed in the whole plan is the final per-query rank (q_id-partitioned,
     candidate-sized input)."""
-    plan = _plan(QUERIES["sim_ann_ivf"](spark, SF_SMOKE))
+    plan = _ivf_operator_plan(spark)
     # "Window [" is the real Window node; WindowGroupLimit (the top-k
     # pre-filter Spark derives from rank<=k) is fine and expected.
     n_windows = plan.count("Window [")
     assert n_windows == 1, f"expected exactly the final-rank Window, got {n_windows}"
     # and the assignment must partial-aggregate before its exchange
     assert "partial_max_by" in plan
+
+
+def test_memoized_ann_consumers_serve_from_checkpoint(spark):
+    """The r19 flip side: the DECLARED per-method ANN queries rank the
+    session-memoized scored checkpoint - their own plans must be exactly
+    the serve tail (one final-rank Window over a checkpoint scan), with
+    no candidate generation (no joins, no Arrow eval) re-running."""
+    for name in ("sim_ann_ivf", "sim_ann_lsh", "sim_topk_pq", "sim_ann_ivfpq"):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "Scan ExistingRDD" in plan, name
+        assert plan.count("Window [") == 1, (name, plan.count("Window ["))
+        for node in ("BroadcastHashJoin", "SortMergeJoin", "CartesianProduct",
+                     "ArrowEvalPython"):
+            assert node not in plan, (name, node)
 
 
 def test_q29_split_aggregation_shape(spark):
@@ -529,8 +561,20 @@ def test_pq_adc_broadcast_only_no_cartesian(spark):
     aggregation (an ObjectHashAggregate/SortAggregate pair), not a Window
     over the n_sub x k amplified rows. The residual IVF-PQ plan
     (sim_ann_ivfpq) must satisfy the same join discipline - its one
-    allowed shuffle join is the narrow (id, cell) index-build join."""
-    plan = _plan(QUERIES["sim_topk_pq"](spark, SF_SMOKE))
+    allowed shuffle join is the narrow (id, cell) index-build join.
+    Audited on the OPERATOR plans since r19 (the declared queries serve
+    from the memoized checkpoint - see
+    test_memoized_ann_consumers_serve_from_checkpoint)."""
+    from web_maxiv_hdbppviewer_spark.operators import similarity
+    from web_maxiv_hdbppviewer_spark.plans import extensions as ext
+
+    emb = ext._emb(spark, SF_SMOKE)
+    plan = _plan(
+        similarity.topk_cosine_pq(
+            emb, ext.TOPK, ext.QUERY_IDS_BELOW,
+            codebooks=ext._pq_codebooks(spark, SF_SMOKE),
+        )
+    )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
@@ -540,7 +584,13 @@ def test_pq_adc_broadcast_only_no_cartesian(spark):
     assert plan.count("Window [") == 1, plan.count("Window [")
     assert "min_by" in plan
 
-    ivfpq = _plan(QUERIES["sim_ann_ivfpq"](spark, SF_SMOKE))
+    cents, rcb = ext._ivfpq_artifacts(spark, SF_SMOKE)
+    ivfpq = _plan(
+        similarity.ann_topk_ivfpq(
+            emb, ext.ANN_TOPK, ext.QUERY_IDS_BELOW, ext.IVF_CELLS,
+            ext.IVF_NPROBE, ext.KMEANS_ITERS, centroids=cents, codebooks=rcb,
+        )
+    )
     assert "CartesianProduct" not in ivfpq
     # the K-row centroid broadcast plans as BroadcastNestedLoopJoin Cross
     # (the intended IVF assignment shape, as in sim_ann_ivf) - tolerated;

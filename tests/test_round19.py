@@ -297,6 +297,33 @@ def test_alignment_gate_fires_on_constructed_pairs(spark):
     assert rep["srcA"]["min_score"] == 0.0  # the constructed mismatch
 
 
+def test_stream_index_append_matches_batch_and_survives_restart(spark):
+    """VERDICT r18 #8 pin: the streamed index-append lifecycle restarts
+    mid-stream (the declared query's two checkpointed phases) and must
+    (a) certify its own exactly-once contracts - codes_exact (combined
+    code table has n_vectors * PQ_M rows, all (id, m) distinct, i.e. no
+    replayed duplicate and no lost append) and resumed_only_delta
+    (phase 2 read exactly the late files from the offset log) - and
+    (b) serve an ADC top-k VALUE-IDENTICAL to the batch append path
+    (sim_index_append): PQ encoding is per-row, so stream and batch can
+    never legitimately drift."""
+    from web_maxiv_hdbppviewer_spark.plans.extensions import (
+        sim_index_append, stream_index_append,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = stream_index_append(spark, sf).collect()
+    assert streamed, "served top-k must be non-empty"
+    assert all(r["codes_exact"] for r in streamed)
+    assert all(r["resumed_only_delta"] for r in streamed)
+    batch = sim_index_append(spark, sf).collect()
+    assert [
+        (r["q_id"], r["cand_id"], r["acos_r"], r["rank"]) for r in streamed
+    ] == [
+        (r["q_id"], r["cand_id"], r["acos_r"], r["rank"]) for r in batch
+    ], "streamed append must serve the exact batch-append ranking"
+
+
 def test_nonfinite_endpoints_still_paint_nothing():
     """r18 finite-guard preserved: NaN/inf endpoints draw no pixels and
     raise nothing."""

@@ -5292,3 +5292,22 @@ EXTENSION_ORACLE["multimodal_alignment"] = f"""
            MAX(score) AS max_score
     FROM scored GROUP BY source ORDER BY source
 """
+
+# streaming ANN index append (NEW r19, mirrors
+# extensions.stream_index_append - VERDICT r18 #8): PQ encoding is
+# per-row, so the stream's foreachBatch append-encode against reloaded
+# frozen codebooks must land the identical code table as the batch
+# append, which itself equals one full re-encode against base-trained
+# codebooks - sim_index_append's unrolled SQL verbatim. The engine-side
+# exactly-once contracts (codes_exact: n_vectors * PQ_M rows, all
+# (id, m) keys distinct, across a mid-stream restart;
+# resumed_only_delta: phase 2 read exactly the late files) are derived
+# on the Spark side and pinned true here (the sim_mips aug_ok
+# discipline) - a replayed duplicate batch, a lost append file, or a
+# directory re-read on restart flips the hash.
+EXTENSION_ORACLE["stream_index_append"] = f"""
+    SELECT q_id, cand_id, acos_r, rank,
+           true AS codes_exact, true AS resumed_only_delta
+    FROM ({EXTENSION_ORACLE["sim_index_append"]})
+    ORDER BY q_id, rank
+"""
