@@ -55,114 +55,91 @@ def entry(spark: SparkSession) -> DataFrame:
 # With ~187 declared queries and ~46 fill slots/round, every stable
 # query is re-witnessed at least every 4 rounds.
 #
-# ROUND-18 WINDOW. CORRECTNESS_r17 landed 50/50 green (all hash
-# matches); steady-state rotation continues: the r18 changelist leads,
+# ROUND-19 WINDOW. CORRECTNESS_r18 landed 50/50 green (all hash
+# matches); steady-state rotation continues: the r19 changelist leads,
 # then the fill is exactly the oldest-first prefix of the recomputed
-# ledger. Freshness is DERIVED from the committed CORRECTNESS_r*.json
-# history (the r17 hand-written claim overclaimed; the suite recomputes
-# the real numbers): the fill head is the 5 remaining r13 rows
-# (text_fingerprint/langid/quality/repetition/tokens - the alphabetical
-# tail the r17 rotation left), then the r14 cohort alphabetically to
-# 50. With a 16-entry changelist and 34 fill slots, the ledger says the
-# post-r18 histogram is r14 x 13 / r15 x 44 / r16 x 43 / r17 x 46 /
-# r18 x 50: nothing older than r14, and the 13 remaining r14 rows lead
-# the r19 fill (the tripwire prints them when CORRECTNESS_r18 lands).
+# ledger - the 13 remaining r14 rows (sim_mmr first, exactly the head
+# the r18 tripwire printed), then the r15 cohort alphabetically to 50.
+# With a 12-entry changelist and 38 fill slots, the ledger says the
+# post-r19 histogram is r15 x 17 / r16 x 42 / r17 x 45 / r18 x 44 /
+# r19 x 50: nothing older than r15, and the 17 remaining r15 rows lead
+# the r20 fill.
 #
-# Round-18 changelist: pipe_url_dedup (NEW r18 - VERDICT r17 #6,
-# URL-grain crawl dedup, the stage upstream of all content dedup in
-# every published web pipeline, RefinedWeb §3.1: canonicalize raw crawl
-# URLs - lowercase, strip scheme/www./tracking params preserving real
-# query params, repair separators, strip trailing slash, one
-# Java/RE2-portable regex chain - then keep the LATEST crawl per
-# canonical URL via one groupBy max_by on (crawl_ts, doc_id). The
-# derived fixture fetches each logical page up to 3x under DISTINCT raw
-# strings, so the collapse is pure canonicalization work, suite-pinned;
-# oracle replays derivation + regex chain + keep-latest window).
-# sim_chunk_probe_sweep (CHANGED r18 - VERDICT r17 #2: the probe join +
-# ADC aggregation now runs ONCE at max(nprobe) via the factored
-# similarity.ann_adc_ivfpq carrying each candidate's probe cell_rank,
-# localCheckpoint'd; each setting is a pure cell_rank filter +
-# per-query top-k + pooling - the plan shape the query's own oracle
-# already used. Values hash-identical; the battery line drops from the
-# 12 s class to the ~4 s class of sim_chunk_ann).
-# sim_chunk_ann / sim_chunk_ann_recall / sim_ann_ivfpq / sim_ann_compare
-# (CHANGED r18 - consumers of ann_topk_ivfpq, which is now a thin
-# top-k wrapper over ann_adc_ivfpq: the probe explode carries a rank
-# (posexplode) and the ADC aggregate carries first(cell_rank), pruned
-# by Catalyst when unused. Values bit-identical, suite-pinned by
-# test_round18's per-nprobe equivalence replay; re-witnessed because
-# the physical plan was touched.)
-# sim_ivf_probe_sweep (CHANGED r18 - the same ADC-once factoring at the
-# FLAT index: similarity.ann_scored_ivf runs the assignment + probe
-# join + cosine once at max(nprobe) carrying cell_rank; each setting is
-# a filter + per-query top-k. One corpus scan instead of three.)
-# sim_ann_ivf / sim_ann_ivf_trained (CHANGED r18 - consumers of
-# ann_topk_ivf, now the thin top-k wrapper over ann_scored_ivf; values
-# bit-identical, re-witnessed because the physical plan was touched.)
-# dedup_minhash_lsh / dedup_chunk_near / pipe_dump_dedup / dedup_compare
-# (CHANGED r18 - minhash_signatures now DROPS documents with no
-# retained shingles instead of letting their NULL signatures collapse
-# into one "" band bucket whose self-join is quadratic in the
-# boilerplate population - the r18 review's LSH hardening. No fixture
-# doc is affected (the SQL oracles' signature equi-joins never matched
-# NULL signatures anyway - parity was already green), but the filter
-# touches every minhash consumer's physical plan; adversarial corpus
-# suite-pinned in test_round18.)
-# pipe_contamination_bloom (CHANGED r18 - the bloom-filtered candidate
-# frame is now localCheckpoint'd so its two aggregations share ONE
-# eval-side tokenize/explode/md5/Arrow-probe pass instead of re-running
-# it; broadcast now uses the input frame's own session, not
-# getActiveSession.)
-# lifecycle_image / lifecycle_image_stream (CHANGED r18 - raster-path
-# hardening from the same review: the rasterline kernel caps segment
-# sample counts at 8*(w+h) and skips non-finite endpoints (a manual-
-# axis-bounds sensor glitch previously asked linspace for a value-
-# proportional allocation; NaN lone points raised), lone points map by
-# FLOOR like bin_2d (int() truncation painted (-1,0) coords onto the
-# canvas edge), and the untiled segment walk now IS the tiled walk with
-# all segments native. The streaming raster bins its UNCLIPPED
-# synthetic event time with xbin_long (int32 wrap on a far-out-of-
-# canvas event could jump the watermark months ahead) and watermarks
-# BEFORE the y-range filter (out-of-band excursions must advance event
-# time). In-view geometry samples identically: both pinned pixel
-# digests and all parities are unchanged, re-witnessed for the plan
-# touch.)
+# Round-19 changelist: multimodal_alignment (NEW r19 - VERDICT r18 #5,
+# the CLIP-score image-text alignment gate, LAION/DataComp's first
+# curation stage: both "towers" hash the shared word backbone into a
+# 64-dim feature space - the image side an Arrow kernel over the raw
+# payload bytes at raw tf, the text side JVM expressions over the
+# caption at capped tf - exact integer sparse dot / round-6 cosine,
+# doc_id % 7 caption-swap misalignment fixture (7 is coprime with the
+# generator's %20 source assignment so every source reports a mixed
+# retention), per-source retention report; oracle replays towers,
+# swap, cosine and rollup).
+# stream_index_append (NEW r19 - VERDICT r18 #8 stretch, streaming ANN
+# index maintenance: arrivals stream through a checkpointed
+# foreachBatch that encodes against the RELOADED frozen codebooks and
+# parquet-appends idempotently (per-batch dir overwrite), with a
+# mid-stream restart on the same checkpoint; serves ADC top-k from the
+# combined index plus self-certifying codes_exact /
+# resumed_only_delta columns; oracle = sim_index_append's unrolled SQL
+# with the contracts pinned true).
+# lifecycle_image (CHANGED r19 - rasterline kernel now Liang-Barsky-
+# clips each segment to the canvas slab before sampling, replacing the
+# r18 8*(w+h) sample cap: far-anchored crossings render solid instead
+# of dotted, allocation is slab-bounded for any endpoint magnitude,
+# in-slab walks bit-identical - pinned digest unchanged).
+# lifecycle_image_stream (CHANGED r19 - ADVICE r18 high: the streaming
+# raster's y-range filter now REFERENCES the event-time column, so
+# PushPredicateThroughNonJoin can no longer push it back below
+# EventTimeWatermark; the r18 source-order fix was a runtime no-op -
+# the optimized plan still filtered before the watermark and
+# out-of-band excursions froze event time. Values unchanged;
+# test_round18 now asserts the OPTIMIZED plan of a started query.)
+# sim_ann_compare / sim_ann_lsh / sim_ann_ivf / sim_topk_pq /
+# sim_ann_ivfpq / sim_ivf_probe_sweep (CHANGED r19 - VERDICT r18 #3:
+# every doc-grain ANN method's candidate-generation + scoring pass is
+# now a session-memoized lazy localCheckpoint (_ann_scored, incl. the
+# exact baseline); all six queries rank the SAME frame with
+# topk_per_query, so the compare table stops re-running four
+# generators from scratch. Values bit-identical; plans now serve from
+# the checkpoint - plan-audited in test_plans.)
+# sim_index_persist / sim_index_append (CHANGED r19 - consumers of
+# topk_cosine_pq, now the thin topk_per_query wrapper over the
+# factored adc_scored_pq (same split as r18's ann_topk_ivfpq); values
+# bit-identical, re-witnessed for the operator refactor per the r18
+# precedent.)
 #
 _CHANGED_THIS_ROUND = [
-    "pipe_url_dedup",
-    "sim_chunk_probe_sweep",
-    "sim_chunk_ann",
-    "sim_chunk_ann_recall",
-    "sim_ann_ivfpq",
-    "sim_ann_compare",
-    "sim_ann_ivf",
-    "sim_ann_ivf_trained",
-    "sim_ivf_probe_sweep",
-    "dedup_minhash_lsh",
-    "dedup_chunk_near",
-    "pipe_dump_dedup",
-    "dedup_compare",
-    "pipe_contamination_bloom",
+    "multimodal_alignment",
+    "stream_index_append",
     "lifecycle_image",
     "lifecycle_image_stream",
+    "sim_ann_compare",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_topk_pq",
+    "sim_ann_ivfpq",
+    "sim_ivf_probe_sweep",
+    "sim_index_persist",
+    "sim_index_append",
 ]
-# fill: the oldest-first prefix of the recomputed ledger (34 slots) -
-# the 5 remaining r13 rows, then the r14 cohort alphabetically
+# fill: the oldest-first prefix of the recomputed ledger (38 slots) -
+# the 13 remaining r14 rows, then the r15 cohort alphabetically
 # (machine-checked by test_round14's tripwire against the committed
 # CORRECTNESS_r*.json history)
-_FILL_R18 = [
-    "text_fingerprint", "text_langid", "text_quality", "text_repetition",
-    "text_tokens", "dedup_cross_source", "dedup_winnow",
-    "events_changepoint", "events_gap_fill", "events_lttb",
-    "events_rolling", "lifecycle_aggregate", "pipe_bootstrap",
-    "pipe_curriculum", "pipe_dedup_sweep", "pipe_delta_apply",
-    "pipe_dsir", "pipe_manifest", "pipe_pack_bpe", "pipe_reweight",
-    "pipe_stats", "pipe_stats_delta", "pipe_temperature_mix", "q20",
-    "q21", "q9", "scale_bucketed", "scale_colstats", "scale_compact",
-    "scale_zorder", "sim_hard_negatives", "sim_hybrid_rrf",
-    "sim_kcenter", "sim_knn_graph",
+_FILL_R19 = [
+    "sim_mmr", "sim_sparse_topk", "stream_classify", "stream_join",
+    "stream_restart", "stream_sessions_evict", "stream_sink_compact",
+    "text_collocations", "text_domain_shift", "text_fertility",
+    "text_lm_score", "text_nb_train", "text_vocab", "dedup_chunk",
+    "dedup_clusters", "dedup_clusters_semantic", "dedup_exact",
+    "events_scd2", "multimodal_near_dup", "multimodal_phash",
+    "pipe_epoch_shuffle", "pipe_interleave", "pipe_mixture_schedule",
+    "pipe_pref_pairs", "pipe_sample_weighted", "pipe_split_safe",
+    "pipe_token_budget", "q1", "q10", "q11", "q12", "q13", "q14", "q15",
+    "q16", "q17", "q2", "q22",
 ]
-_WINDOW = _CHANGED_THIS_ROUND + _FILL_R18
+_WINDOW = _CHANGED_THIS_ROUND + _FILL_R19
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
