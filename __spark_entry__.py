@@ -60,9 +60,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # then the fill is exactly the oldest-first prefix of the recomputed
 # ledger - the 13 remaining r14 rows (sim_mmr first, exactly the head
 # the r18 tripwire printed), then the r15 cohort alphabetically to 50.
-# With a 12-entry changelist and 38 fill slots, the ledger says the
-# post-r19 histogram is r15 x 17 / r16 x 42 / r17 x 45 / r18 x 44 /
-# r19 x 50: nothing older than r15, and the 17 remaining r15 rows lead
+# With a 26-entry changelist and 24 fill slots, the ledger says the
+# post-r19 histogram is r15 x 27 / r16 x 39 / r17 x 42 / r18 x 40 /
+# r19 x 50: nothing older than r15, and the 27 remaining r15 rows lead
 # the r20 fill.
 #
 # Round-19 changelist: multimodal_alignment (NEW r19 - VERDICT r18 #5,
@@ -108,6 +108,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # factored adc_scored_pq (same split as r18's ann_topk_ivfpq); values
 # bit-identical, re-witnessed for the operator refactor per the r18
 # precedent.)
+# text_quality / text_bpe / text_entropy / pipe_stats / pipe_curriculum
+# / pipe_curation / pipe_funnel / pipe_pref_pairs / pipe_delta_apply /
+# pipe_token_attribution / dedup_keep_best (CHANGED r19 - the
+# textquality review pass: quality_scores and bpe_token_stats ratios
+# now divide by NULLIF(n, 0), so ONE degenerate (token-less) document
+# emits NULL ratios instead of throwing ANSI DIVIDE_BY_ZERO and
+# killing the whole job - the at-100TB one-bad-row hazard; DuckDB
+# divides-to-NULL already, so the oracles match without change.
+# unigram_entropy reuses size(counts) for n_distinct (one
+# array_distinct pass per row instead of two). No fixture doc is
+# token-less: values identical, plans touched, AST-traced consumer
+# set re-witnessed.)
+# text_gopher_rules / text_c4_rules / pipe_refinedweb (CHANGED r19 -
+# same review: the line trims are now ASCII-WHITESPACE-aware
+# (regexp \s) instead of space-only, matching the published C4/Gopher
+# semantics and the suite twins' str.strip: a tab-only line is blank,
+# a CRLF line's terminal punctuation is judged after stripping the
+# \r. Oracles mirrored with the chr()-charset trim; the hypothesis
+# rule-corpus alphabet now includes tab/CR words so the divergence
+# class stays pinned. ASCII fixture corpus: values identical.)
 #
 _CHANGED_THIS_ROUND = [
     "multimodal_alignment",
@@ -122,8 +142,22 @@ _CHANGED_THIS_ROUND = [
     "sim_ivf_probe_sweep",
     "sim_index_persist",
     "sim_index_append",
+    "text_quality",
+    "text_bpe",
+    "text_entropy",
+    "text_gopher_rules",
+    "text_c4_rules",
+    "pipe_stats",
+    "pipe_curriculum",
+    "pipe_curation",
+    "pipe_funnel",
+    "pipe_pref_pairs",
+    "pipe_delta_apply",
+    "pipe_token_attribution",
+    "pipe_refinedweb",
+    "dedup_keep_best",
 ]
-# fill: the oldest-first prefix of the recomputed ledger (38 slots) -
+# fill: the oldest-first prefix of the recomputed ledger (24 slots) -
 # the 13 remaining r14 rows, then the r15 cohort alphabetically
 # (machine-checked by test_round14's tripwire against the committed
 # CORRECTNESS_r*.json history)
@@ -135,9 +169,7 @@ _FILL_R19 = [
     "dedup_clusters", "dedup_clusters_semantic", "dedup_exact",
     "events_scd2", "multimodal_near_dup", "multimodal_phash",
     "pipe_epoch_shuffle", "pipe_interleave", "pipe_mixture_schedule",
-    "pipe_pref_pairs", "pipe_sample_weighted", "pipe_split_safe",
-    "pipe_token_budget", "q1", "q10", "q11", "q12", "q13", "q14", "q15",
-    "q16", "q17", "q2", "q22",
+    "pipe_sample_weighted",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _FILL_R19
 

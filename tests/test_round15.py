@@ -610,7 +610,14 @@ _RULE_WORD = st.sampled_from(
      "incomprehensibilities", "…", "-", "*", "javascript", "lorem", "ipsum",
      # terminal-punctuation and brace words: without them the C4
      # kept-line and has_brace paths never fire in random corpora
-     "dog.", "run!", "why?", 'said"', "{x}"]
+     "dog.", "run!", "why?", 'said"', "{x}",
+     # r19: ASCII-whitespace words (tab / CR) - the engine's line trims
+     # are \s-aware since the whitespace-parity fix (a tab-only line is
+     # blank, a CRLF line's terminal punctuation is judged after
+     # stripping the \r); without these words the trim semantics are
+     # never exercised and the r18-era space-only divergence from the
+     # twins' str.strip would have kept passing silently
+     "\t", "\tcat", "dog.\r", "-\tbullet", "end…\r"]
 )
 _RULE_LINE = st.lists(_RULE_WORD, min_size=0, max_size=10).map(" ".join)
 _RULE_DOC = st.lists(_RULE_LINE, min_size=1, max_size=6).map("\n".join)

@@ -324,6 +324,60 @@ def test_stream_index_append_matches_batch_and_survives_restart(spark):
     ], "streamed append must serve the exact batch-append ranking"
 
 
+def test_degenerate_docs_do_not_kill_text_stats(spark):
+    """r19 textquality review: under ANSI mode (Spark 4 default) a
+    single token-less document (empty / whitespace-only text) used to
+    throw DIVIDE_BY_ZERO inside quality_scores' and bpe_token_stats'
+    ratio projections and kill the WHOLE job - the one-bad-row-at-100TB
+    hazard class. The NULLIF guards must keep the row with NULL ratios;
+    healthy docs are unaffected. bm25_scores at b=1.0 (zero-token doc
+    -> denominator tf+norm == 0) must emit the BM25 tf->0 limit (a 0
+    contribution), not crash."""
+    from web_maxiv_hdbppviewer_spark.operators import textquality as tq
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat and the hat of the house"),
+            (1, ""),           # empty -> token-less
+            (2, "   "),        # space-only -> token-less
+            # tab/newline runs are NON-empty under the defined
+            # space-split tokenizer (words()): 2 "tokens", ratios
+            # well-defined - included to pin that the guard does not
+            # over-trigger
+            (3, "\t\n \n\t"),
+        ],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r for r in tq.quality_scores(docs).collect()}
+    assert set(q) == {0, 1, 2, 3}, "degenerate rows must survive"
+    assert q[0]["quality"] is not None and q[0]["n_tokens"] == 8
+    for i in (1, 2):
+        assert q[i]["n_tokens"] == 0
+        assert q[i]["stop_ratio"] is None
+        assert q[i]["distinct_ratio"] is None
+        assert q[i]["quality"] is None
+    assert q[3]["n_tokens"] == 2 and q[3]["quality"] is not None
+
+    b = {r["doc_id"]: r for r in tq.bpe_token_stats(docs).collect()}
+    assert b[0]["mean_tok_len"] is not None
+    for i in (1, 2, 3):  # BPE pattern skips \s entirely: all three empty
+        assert b[i]["n_bpe"] == 0 and b[i]["mean_tok_len"] is None
+
+    # b=1.0 puts norm at k1*b*dl/avgdl: zero for the token-less docs
+    s = {
+        r["doc_id"]: r["bm25"]
+        for r in tq.bm25_scores(docs, ["cat", "zzz"], b=1.0).collect()
+    }
+    assert set(s) == {0, 1, 2, 3}
+    assert s[0] is not None and s[0] > 0.0
+    for i in (1, 2):
+        assert s[i] == 0.0, "tf->0 limit is a zero score, not a crash"
+
+    e = {r["id"]: r for r in tq.unigram_entropy(docs).collect()}
+    assert e[0]["n_distinct"] == 6  # size(counts) == distinct count
+    assert e[1]["n_tokens"] == 0 and e[1]["entropy_r"] == 0.0
+
+
 def test_nonfinite_endpoints_still_paint_nothing():
     """r18 finite-guard preserved: NaN/inf endpoints draw no pixels and
     raise nothing."""

@@ -39,6 +39,26 @@ def _count_in(tokens, vocab: list[str]):
     return F.size(F.filter(tokens, lambda x: x.isin(lits)))
 
 
+# Whitespace-aware trims (r19 review): F.trim/ltrim/rtrim strip ONLY the
+# space character, while the published C4/Gopher line rules (and the
+# suite's Python twins via str.strip) treat tabs/CR as blank too - a
+# tab-only line counted as nonblank here but blank in the twin, and a
+# CRLF line failed the terminal-punctuation check because rtrim left
+# the '\r'. These helpers strip the ASCII whitespace class (Java regex
+# \s = [ \t\n\x0B\f\r]; lines are already split on \n), and the
+# gopher/c4 oracles mirror them with the same regex.
+def _wtrim(c):
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def _wltrim(c):
+    return F.regexp_replace(c, r"^\s+", "")
+
+
+def _wrtrim(c):
+    return F.regexp_replace(c, r"\s+$", "")
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Whitespace token counts: total and distinct per document."""
     toks = words(F.col(text_col))
@@ -68,7 +88,12 @@ def bpe_token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.size(F.array_distinct(toks)).cast("long").alias("n_bpe_distinct"),
         F.round(
             F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
-            / F.size(toks),
+            # NULLIF guard (r19 review): a token-less doc (whitespace-only
+            # text) must emit a NULL mean, not throw DIVIDE_BY_ZERO under
+            # ANSI (Spark 4 default) and kill the whole job on one
+            # degenerate row - the gopher_rules r15 contract applied to
+            # the stats projections (SQL twin: x / NULLIF(n, 0))
+            / F.nullif(F.size(toks), F.lit(0)),
             6,
         ).alias("mean_tok_len"),
     )
@@ -92,8 +117,15 @@ def quality_scores(
     # otherwise re-inlines the split into each of the ~6 uses per row
     def _feat(toks):
         n = F.size(toks)
-        stop_ratio = _count_in(toks, STOPWORDS) / n
-        dist_ratio = F.size(F.array_distinct(toks)) / n
+        # NULLIF guard (r19 review): a token-less doc (empty or
+        # whitespace-only text) gets NULL ratios and a NULL quality -
+        # the row survives with its counts - instead of throwing
+        # DIVIDE_BY_ZERO under ANSI (Spark 4 default) and killing
+        # text_quality / pipe_stats / pipe_curriculum on one degenerate
+        # row (SQL twin: x / NULLIF(n, 0))
+        nz = F.nullif(n, F.lit(0))
+        stop_ratio = _count_in(toks, STOPWORDS) / nz
+        dist_ratio = F.size(F.array_distinct(toks)) / nz
         len_score = F.least(n / F.lit(100.0), F.lit(1.0))
         return F.struct(
             n.cast("long").alias("n_tokens"),
@@ -189,7 +221,7 @@ def gopher_rules(
             F.size(
                 F.filter(
                     lines,
-                    lambda ln: F.substring(F.ltrim(ln), 1, 1).isin(
+                    lambda ln: F.substring(_wltrim(ln), 1, 1).isin(
                         [F.lit(b) for b in _BULLETS]
                     ),
                 )
@@ -201,8 +233,8 @@ def gopher_rules(
             F.size(
                 F.filter(
                     lines,
-                    lambda ln: F.rtrim(ln).endswith("...")
-                    | F.rtrim(ln).endswith("…"),
+                    lambda ln: _wrtrim(ln).endswith("...")
+                    | _wrtrim(ln).endswith("…"),
                 )
             )
             / nl,
@@ -234,7 +266,7 @@ def gopher_rules(
     # matter: whitespace-only multi-line text ("\n\n") HAS a space-split
     # token but zero nonblank lines (hypothesis-caught,
     # tests/test_round15.py)
-    nonblank = F.filter(F.split(txt, "\n"), lambda ln: F.trim(ln) != "")
+    nonblank = F.filter(F.split(txt, "\n"), lambda ln: _wtrim(ln) != "")
     base = df.where((F.size(words(txt)) > 0) & (F.size(nonblank) > 0)).select(
         F.col(id_col),
         F.explode(
@@ -311,7 +343,7 @@ def c4_rules(
     txt = F.col(text_col)
 
     def _line_ok(ln):
-        r = F.rtrim(ln)
+        r = _wrtrim(ln)
         ends = F.substring(r, -1, 1).isin([F.lit(t) for t in _C4_TERMINALS])
         n_words = F.size(F.filter(F.split(ln, " "), lambda w: w != ""))
         return (
@@ -348,7 +380,7 @@ def c4_rules(
     # line-less docs excluded BEFORE the projection: ANSI mode would
     # throw on the kept_ratio division during struct evaluation (the
     # gopher_rules hypothesis-caught contract)
-    nonblank = F.filter(F.split(txt, "\n"), lambda ln: F.trim(ln) != "")
+    nonblank = F.filter(F.split(txt, "\n"), lambda ln: _wtrim(ln) != "")
     base = df.where(F.size(nonblank) > 0).select(
         F.col(id_col),
         txt.contains("{").alias("has_brace"),
@@ -596,7 +628,21 @@ def bm25_scores(
     score = None
     for t, idf in zip(terms, idfs):
         tf = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
-        part = F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
+        # zero-denominator guard (r19 review): at b=1.0 a token-less doc
+        # has norm == 0 and tf == 0, so the bare division is 0/0 - an
+        # ANSI DIVIDE_BY_ZERO that would fail the whole scoring
+        # projection. The BM25 limit for tf -> 0 is a 0 contribution,
+        # which the WHEN branch emits; NULL text still propagates NULL
+        # (the condition is NULL, not true). Applied ONLY where zero is
+        # reachable (b >= 1 or k1 <= 0): for b < 1, k1 > 0 the
+        # denominator is >= k1*(1-b) > 0 for every document, so the
+        # declared queries (b=0.25) keep their exact historical plan.
+        if b >= 1.0 or k1 <= 0.0:
+            part = F.when(tf + norm == 0.0, F.lit(0.0)).otherwise(
+                F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
+            )
+        else:
+            part = F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
         score = part if score is None else score + part
     return _tok_bound(df, F.col(id_col)).select(
         F.col(id_col), F.round(score, 6).alias("bm25")
@@ -1245,7 +1291,10 @@ def unigram_entropy(
         )
         return F.struct(
             n.cast("long").alias("n_tokens"),
-            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+            # size(counts) IS the distinct count (counts maps over
+            # array_distinct) - reusing it saves a second O(n log n)
+            # array_distinct pass per row (r19 review)
+            F.size(counts).cast("long").alias("n_distinct"),
             F.round(
                 -(nanonats.cast("double") / F.lit(1.0e9)) + F.lit(0.0), 6
             ).alias("entropy_r"),

@@ -1734,10 +1734,10 @@ EXTENSION_ORACLE["text_gopher_rules"] = """
     WITH t AS (
       SELECT doc_id, text,
              list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
-             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+             list_filter(string_split(text, chr(10)), x -> trim(x, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) <> '') AS lines
       FROM documents
       WHERE len(list_filter(string_split(text, chr(10)),
-                            x -> trim(x) <> '')) > 0),
+                            x -> trim(x, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) <> '')) > 0),
     f AS (
       SELECT doc_id,
              CAST(len(toks) AS BIGINT) AS n_words,
@@ -1750,10 +1750,10 @@ EXTENSION_ORACLE["text_gopher_rules"] = """
                     + length(text) - length(replace(text, '…', '')))
                    / len(toks), 6) AS ellipsis_sym_ratio,
              ROUND(len(list_filter(lines,
-                     l -> ltrim(l)[1:1] IN ('-', '*', '•')))
+                     l -> ltrim(l, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))[1:1] IN ('-', '*', '•')))
                    / len(lines), 6) AS frac_bullet,
              ROUND(len(list_filter(lines,
-                     l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+                     l -> ends_with(rtrim(l, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '...') OR ends_with(rtrim(l, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '…')))
                    / len(lines), 6) AS frac_ellipsis,
              ROUND(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
                    / len(toks), 6) AS frac_alpha,
@@ -1852,14 +1852,14 @@ EXTENSION_ORACLE["text_c4_rules"] = """
       FROM raw WHERE len(toks) > 0),
     t AS (
       SELECT doc_id, text,
-             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+             list_filter(string_split(text, chr(10)), x -> trim(x, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) <> '') AS lines,
              contains(text, '{') AS has_brace,
              contains(lower(text), 'lorem ipsum') AS has_lorem
       FROM lined),
     k AS (
       SELECT doc_id, has_brace, has_lorem, lines,
              list_filter(lines, l ->
-                right(rtrim(l), 1) IN ('.', '!', '?', '"')
+                right(rtrim(l, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 1) IN ('.', '!', '?', '"')
                 AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
                 AND NOT contains(lower(l), 'javascript')) AS kept
       FROM t WHERE len(lines) > 0),
@@ -2898,14 +2898,14 @@ EXTENSION_ORACLE["pipe_refinedweb"] = f"""
     s2 AS (SELECT doc_id FROM s1 JOIN gop USING (doc_id) WHERE gop.keep),
     c4t AS (
       SELECT doc_id, text,
-             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+             list_filter(string_split(text, chr(10)), x -> trim(x, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) <> '') AS lines,
              contains(text, '{{') AS has_brace,
              contains(lower(text), 'lorem ipsum') AS has_lorem
       FROM lined),
     c4k AS (
       SELECT doc_id, has_brace, has_lorem,
              COALESCE(array_to_string(list_filter(lines, l ->
-                right(rtrim(l), 1) IN ('.', '!', '?', '"')
+                right(rtrim(l, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), 1) IN ('.', '!', '?', '"')
                 AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
                 AND NOT contains(lower(l), 'javascript')), chr(10)), '')
                AS cleaned
