@@ -60,9 +60,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # then the fill is exactly the oldest-first prefix of the recomputed
 # ledger - the 13 remaining r14 rows (sim_mmr first, exactly the head
 # the r18 tripwire printed), then the r15 cohort alphabetically to 50.
-# With a 26-entry changelist and 24 fill slots, the ledger says the
-# post-r19 histogram is r15 x 27 / r16 x 39 / r17 x 42 / r18 x 40 /
-# r19 x 50: nothing older than r15, and the 27 remaining r15 rows lead
+# With a 31-entry changelist and 19 fill slots, the ledger says the
+# post-r19 histogram is r15 x 31 / r16 x 37 / r17 x 42 / r18 x 38 /
+# r19 x 50: nothing older than r15, and the 31 remaining r15 rows lead
 # the r20 fill.
 #
 # Round-19 changelist: multimodal_alignment (NEW r19 - VERDICT r18 #5,
@@ -120,6 +120,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # array_distinct pass per row instead of two). No fixture doc is
 # token-less: values identical, plans touched, AST-traced consumer
 # set re-witnessed.)
+# pipe_sample_weighted / pipe_pack / pipe_pack_bpe / pipe_shard_sink /
+# pipe_temperature_mix (CHANGED r19 - the sampling review pass, VALUE
+# changes on the first four, oracles updated in lockstep:
+# weighted_sample's E-S key is now integer nano-nats of ln(u) divided
+# by the weight - the old round-6 of the quotient quantized absolutely
+# and collapsed ~0.1% of a large corpus into one top tie bin,
+# silently degrading weighted selection to smallest-id order;
+# pack_sequences orders within a shard by the FULL 60-bit hash instead
+# of the 10k bucket, whose coarseness packed doc_id-ascending
+# ingestion runs contiguously at scale (shard assignment unchanged);
+# temperature_rebalance joins null-safely so a NULL stratum keeps by
+# its own threshold instead of silently keeping nothing while
+# depressing n_min. Plus parameter guards: per-entry hash_split
+# fractions, positive seq_len/n_shards/n_buckets, alpha in [0,1],
+# and write_training_shards drops docs-side columns that collide with
+# the pack assignment.)
 # text_gopher_rules / text_c4_rules / pipe_refinedweb (CHANGED r19 -
 # same review: the line trims are now ASCII-WHITESPACE-aware
 # (regexp \s) instead of space-only, matching the published C4/Gopher
@@ -156,8 +172,13 @@ _CHANGED_THIS_ROUND = [
     "pipe_token_attribution",
     "pipe_refinedweb",
     "dedup_keep_best",
+    "pipe_sample_weighted",
+    "pipe_pack",
+    "pipe_pack_bpe",
+    "pipe_shard_sink",
+    "pipe_temperature_mix",
 ]
-# fill: the oldest-first prefix of the recomputed ledger (24 slots) -
+# fill: the oldest-first prefix of the recomputed ledger (19 slots) -
 # the 13 remaining r14 rows, then the r15 cohort alphabetically
 # (machine-checked by test_round14's tripwire against the committed
 # CORRECTNESS_r*.json history)
@@ -167,9 +188,7 @@ _FILL_R19 = [
     "text_collocations", "text_domain_shift", "text_fertility",
     "text_lm_score", "text_nb_train", "text_vocab", "dedup_chunk",
     "dedup_clusters", "dedup_clusters_semantic", "dedup_exact",
-    "events_scd2", "multimodal_near_dup", "multimodal_phash",
-    "pipe_epoch_shuffle", "pipe_interleave", "pipe_mixture_schedule",
-    "pipe_sample_weighted",
+    "events_scd2", "multimodal_near_dup",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _FILL_R19
 

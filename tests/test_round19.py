@@ -378,6 +378,156 @@ def test_degenerate_docs_do_not_kill_text_stats(spark):
     assert e[1]["n_tokens"] == 0 and e[1]["entropy_r"] == 0.0
 
 
+def _md5_int60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_weighted_sample_key_resolves_large_equal_weight_corpora(spark):
+    """r19 sampling review: the old round-6 of the ln(u)/w QUOTIENT
+    quantized absolutely - with realistic weights (~2000 chars) every
+    key lay in [-0.021, 0] and the top bin collected mass ties, so the
+    'weighted' sample silently became the smallest doc_ids. The
+    nano-nat key (round(ln(u)*1e9) / w) is relative to ln(u): on a
+    2000-doc equal-weight corpus the selection must be hash-ordered,
+    not id-ordered, and must equal the exact Python replay."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from web_maxiv_hdbppviewer_spark.operators.sampling import weighted_sample
+
+    n, k, w = 2000, 50, 2000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(w).alias("n_chars")
+    )
+    got = [r["doc_id"] for r in weighted_sample(docs, k).collect()]
+    assert len(got) == k
+    # exact replay: key = round(ln((h+1)/2^60)*1e9) / w, top-k desc
+    import math
+
+    def key(i):
+        u = (_md5_int60(f"wsample:{i}") + 1) / float(1 << 60)
+        fp = round(math.log(u) * 1e9)
+        return fp / w
+
+    want = sorted(range(n), key=lambda i: (-key(i), i))[:k]
+    assert got == want, "selection must follow the E-S key order exactly"
+    assert got != list(range(k)), (
+        "equal weights must NOT collapse to smallest-id order"
+    )
+
+
+def test_pack_sequences_orders_by_full_hash_not_bucket(spark):
+    """r19 sampling review: within a shard the pack order is the FULL
+    60-bit seeded hash (then id) - the coarse 10k bucket would pack
+    |shard|/10k-document doc_id runs contiguously at scale. Pinned by
+    replaying the exact hash order in Python; shard assignment (bucket
+    % n_shards) is unchanged."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from web_maxiv_hdbppviewer_spark.operators.sampling import (
+        BUCKETS, pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 7 + 1)) for i in range(300)],
+        "doc_id long, text string",
+    )
+    rows = pack_sequences(docs, seq_len=16, n_shards=4).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["start_tok"])
+        got_order = [r["doc_id"] for r in rs]
+        want_order = sorted(
+            got_order, key=lambda i: (_md5_int60(f"pack:{i}"), i)
+        )
+        assert got_order == want_order, f"shard {shard} not in hash order"
+        # shard assignment still derives from the bucket
+        for r in rs:
+            assert (_md5_int60(f"pack:{r['doc_id']}") % BUCKETS) % 4 == shard
+        # streams tile: start_tok cumsum is gapless
+        pos = 0
+        for r in rs:
+            assert r["start_tok"] == pos
+            pos = r["end_tok"]
+
+
+def test_temperature_rebalance_null_stratum_is_a_real_domain(spark):
+    """r19 sampling review: NULL-source rows previously vanished from
+    the kept-count join (equi-join drops NULL keys) while still setting
+    n_min - every other domain's fraction was depressed by a stratum
+    that itself kept nothing. Null-safe joins make the NULL stratum a
+    first-class domain: it keeps by its own threshold (the rarest
+    domain keeps everything)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from web_maxiv_hdbppviewer_spark.operators.sampling import (
+        temperature_rebalance,
+    )
+
+    rows = [(i, "web") for i in range(400)] + [
+        (1000 + i, None) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r for r in temperature_rebalance(df, 0.5).collect()}
+    assert set(out) == {"web", None}
+    null_row = out[None]
+    assert null_row["n_total"] == 10
+    assert null_row["keep_bp"] == 10_000, "rarest domain keeps everything"
+    assert null_row["n_kept"] == 10, "NULL stratum must actually keep rows"
+    assert out["web"]["keep_bp"] == round((10 / 400) ** 0.5 * 10_000)
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_rebalance(df, 1.5)
+
+
+def test_sampling_parameter_guards(spark):
+    """r19 sampling review: the validation gaps - a negative fraction
+    that sums to 1.0, non-positive seq_len/n_shards, non-positive DSIR
+    n_buckets - now raise instead of silently producing wrong splits /
+    NULL assignments / empty selections."""
+    import pytest
+
+    from web_maxiv_hdbppviewer_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="outside"):
+        sampling.hash_split(docs, {"train": 1.1, "val": -0.1})
+    with pytest.raises(ValueError, match="seq_len"):
+        sampling.pack_sequences(docs, seq_len=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        sampling.pack_sequences(docs, seq_len=16, n_shards=0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        sampling.dsir_select(docs, 5, n_buckets=0)
+
+
+def test_write_training_shards_tolerates_split_on_docs(spark, tmp_path):
+    """r19 sampling review: passing hash_split output as ``docs`` (split
+    lives on BOTH frames) used to raise an ambiguous-reference
+    AnalysisException at the repartition; the pack assignment columns
+    are now authoritative and the docs-side duplicates are dropped."""
+    from web_maxiv_hdbppviewer_spark.operators.sampling import (
+        hash_split, pack_sequences, write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 5) for i in range(40)], "doc_id long, text string"
+    )
+    split_docs = hash_split(docs, {"train": 0.5, "val": 0.5})
+    packed = pack_sequences(split_docs, seq_len=16, n_shards=2, by=["split"])
+    path = str(tmp_path / "shards")
+    write_training_shards(split_docs, packed, path)
+    out = spark.read.parquet(path)
+    assert out.count() == 40
+    assert set(r["split"] for r in out.select("split").distinct().collect()) \
+        <= {"train", "val"}
+
+
 def test_nonfinite_endpoints_still_paint_nothing():
     """r18 finite-guard preserved: NaN/inf endpoints draw no pixels and
     raise nothing."""

@@ -49,6 +49,13 @@ def hash_split(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1.0 / BUCKETS:
         raise ValueError(f"fractions must sum to 1.0, got {total}")
+    # per-entry validation (r19 review): {'train': 1.1, 'val': -0.1}
+    # sums to 1.0 but silently routes EVERY row to 'train' - each
+    # fraction must be a valid share on its own, as stratified_sample
+    # already enforces
+    for name, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {name!r} outside [0, 1]: {v}")
     bucket = hash_bucket(F.col(id_col), seed)
     cum = 0.0
     expr = None
@@ -114,9 +121,16 @@ def pack_sequences(
     Scale shape: ONE shuffle by shard + a per-shard window cumsum; shards
     are hash-assigned, so ``n_shards`` is the parallelism dial (size it to
     ~executor count x a small constant; each task sorts |corpus|/n_shards
-    rows). Order within a shard is (hash bucket, id) - deterministic across
-    engines and cluster sizes, so the packed layout is reproducible
-    bit-for-bit, unlike RNG-shuffled packing.
+    rows). Order within a shard is (FULL 60-bit seeded hash, id) -
+    deterministic across engines and cluster sizes, so the packed layout
+    is reproducible bit-for-bit, unlike RNG-shuffled packing. The full
+    hash, not the 10,000-valued bucket (r19 review): a large shard
+    ordered by the coarse bucket degenerates into |shard|/10k-document
+    doc_id-ascending RUNS - adjacent ingestion-order ids packed
+    contiguously, correlating training sequences with crawl batches
+    exactly as RNG-free packing must not (token_budget_fill already
+    orders by the full hash for the same reason). Shard ASSIGNMENT
+    still derives from the bucket, so shard membership is unchanged.
 
     ``by`` adds grouping columns (e.g. the ``split`` from ``hash_split``)
     so token streams tile each (*by, shard) independently - pack WITHIN a
@@ -125,24 +139,24 @@ def pack_sequences(
     (default: whitespace tokens) - pipe_pack_bpe passes the BPE
     pre-tokenizer count, the unit LLM training actually budgets by.
     """
-    from pyspark.sql import Window
-
-    from ..functions.texthash import words
-
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
     by = list(by or [])
-    b = hash_bucket(F.col(id_col), seed)
+    h = md5_int60(F.col(id_col).cast("string"), salt=seed)
     base = df.select(
         F.col(id_col),
         *by,
-        b.alias("_b"),
-        (b % n_shards).alias("shard"),
+        h.alias("_h"),
+        ((h % BUCKETS) % n_shards).alias("shard"),
         (
             length if length is not None else F.size(words(F.col(text_col)))
         ).cast("long").alias("_n"),
     )
     w = (
         Window.partitionBy(*by, "shard")
-        .orderBy("_b", id_col)
+        .orderBy("_h", id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
@@ -176,10 +190,19 @@ def write_training_shards(
     partitions, then sortWithinPartitions - Spark writes each (split,
     shard) directory from a single sorted task, so files are span-ordered
     without a global sort.
+
+    ``docs`` columns that collide with ``packed``'s assignment columns
+    (e.g. a caller passing hash_split output as docs) are DROPPED from
+    the docs side - the pack assignment is authoritative; before this
+    the duplicate 'split' made the repartition throw an
+    ambiguous-reference AnalysisException (r19 review).
     """
     cols = packed.columns
     if "split" not in cols:
         packed = packed.withColumn("split", F.lit("train"))
+    overlap = sorted((set(docs.columns) & set(packed.columns)) - {id_col})
+    if overlap:
+        docs = docs.drop(*overlap)
     out = (
         docs.join(packed, id_col)
         .repartition(F.col("split"), F.col("shard"))
@@ -207,7 +230,16 @@ def temperature_rebalance(
     step (divide, sqrt, scale, half-up round to integer basis points) is
     IEEE correctly rounded, so any engine reproduces keep_bp bit-for-bit.
     Scale shape: one count aggregation, a K-row broadcast of thresholds
-    back onto the corpus filter, one kept-count aggregation."""
+    back onto the corpus filter, one kept-count aggregation.
+
+    A NULL stratum is a real domain (r19 review): the joins are
+    null-safe, so unlabeled rows keep by their own threshold and appear
+    in the audit instead of silently keeping NOTHING while their count
+    still depresses n_min for everyone else. alpha outside [0, 1]
+    raises - alpha > 1 silently inverted the rebalance into a
+    keep-everything no-op."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_total"))
     n_min = counts.agg(F.min("n_total").alias("n_min"))
     ratio = F.col("n_min").cast("double") / F.col("n_total")
@@ -225,18 +257,23 @@ def temperature_rebalance(
         )
     )
     bucket = hash_bucket(F.col(id_col), seed)
+    thr = th.select(F.col(strata_col).alias("_s"), "keep_bp")
     kept = (
-        df.select(strata_col, bucket.alias("_b"))
-        .join(F.broadcast(th.select(strata_col, "keep_bp")), strata_col)
+        df.select(F.col(strata_col), bucket.alias("_b"))
+        .join(F.broadcast(thr), F.col(strata_col).eqNullSafe(F.col("_s")))
         .where(F.col("_b") < F.col("keep_bp"))
         .groupBy(strata_col)
         .agg(F.count(F.lit(1)).alias("n_kept"))
+        .select(F.col(strata_col).alias("_s2"), "n_kept")
     )
-    return th.join(kept, strata_col, "left").select(
-        strata_col,
-        F.col("n_total").cast("long").alias("n_total"),
-        "keep_bp",
-        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    return (
+        th.join(kept, F.col(strata_col).eqNullSafe(F.col("_s2")), "left")
+        .select(
+            strata_col,
+            F.col("n_total").cast("long").alias("n_total"),
+            "keep_bp",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
     )
 
 
@@ -269,8 +306,6 @@ def mixture_schedule(
     single-partition sort of K rows - bounded by the domain vocabulary,
     never the corpus, the same boundedness argument as the codebook
     collects)."""
-    from pyspark.sql.window import Window
-
     if total_slots <= 0:
         raise ValueError(f"total_slots must be positive, got {total_slots}")
     counts = df.groupBy(strata_col).agg(
@@ -323,9 +358,20 @@ def weighted_sample(
     exponential-key trick (Efraimidis & Spirakis 2006): each row draws a
     deterministic uniform u = (h + 1) / 2^60 from the seeded portable
     hash, and the k rows with the largest u^(1/w) win. Ranking by
-    ln(u)/w is the same order (ln and ^(1/w) are monotone), avoids the
-    pow() call, and keeps the only float a single round-6'd ln-ratio any
-    SQL engine reproduces.
+    ln(u)/w is the same order (ln and ^(1/w) are monotone) and avoids
+    the pow() call.
+
+    Key resolution (r19 review): ln(u) is snapped to integer NANO-NATS
+    - round(ln(u) * 1e9) as a long, the dsir/lm fixed-point discipline
+    - and the ranking key is that exact integer divided by the weight
+    (one correctly-rounded IEEE division, identical on any engine). The
+    previous round-6 of the QUOTIENT quantized absolutely: with weights
+    ~2000, every key lay within [-0.021, 0] and ~0.1% of a large corpus
+    tied at the exact top bin, silently degrading E-S selection to
+    smallest-doc_id order - invisible at bench scale, fatal at 1e8
+    docs. Nano-nat snapping is relative to ln(u) itself, so top-of-
+    ranking keys stay distinct to ~1e9 docs; residual exact ties break
+    by id ascending as before.
 
     This is THE primitive for importance-weighted corpus subsampling
     (sample documents proportional to token count / quality / domain
@@ -349,12 +395,15 @@ def weighted_sample(
     u = (
         md5_int60(F.col(id_col).cast("string"), salt=seed) + 1
     ) / F.lit(float(1 << 60))
-    key = F.round(F.log(u) / F.col(weight_col), 6)
+    lnu_fp = F.round(F.log(u) * F.lit(1.0e9), 0).cast("long")
+    key = lnu_fp / F.col(weight_col)
     return (
         df.where(F.col(weight_col) > 0)
-        .withColumn("w_key_r", key)
-        .orderBy(F.desc("w_key_r"), F.col(id_col).asc())
+        .withColumn("w_key_r", F.round(key, 6))
+        .withColumn("_key", key)
+        .orderBy(F.desc("_key"), F.col(id_col).asc())
         .limit(k)
+        .drop("_key")
     )
 
 
@@ -451,16 +500,23 @@ def dsir_select(
     = inf), g_fp = round(-ln(-ln u) * 1e6). Re-running on any layout
     returns the identical selection.
 
-    Scale shape (100 TB): one exploded pass feeds a ``n_buckets``-row
-    conditional count aggregate (map-side combinable, model size FIXED
-    by construction - the reason DSIR hashes); scoring broadcast-joins
-    that model and reduces with ONE groupBy(doc) aggregate; selection
+    Scale shape (100 TB): TWO exploded corpus passes - one feeds the
+    ``n_buckets``-row conditional count aggregate (map-side combinable,
+    model size FIXED by construction - the reason DSIR hashes), the
+    second scores the pool by broadcast-joining that model and reducing
+    with ONE groupBy(doc) aggregate (model-fit-then-score is the
+    standard DSIR shape; materializing the exploded token frame to save
+    the second scan would store more than the corpus itself); selection
     is a global top-k (TakeOrderedAndProject, per-partition heaps).
     Documents that tokenize to nothing carry no evidence and are
     excluded (documented; DSIR is undefined on empty feature vectors).
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if n_buckets <= 0:
+        # % 0 yields NULL buckets, the model join matches nothing, and
+        # the selection silently returns EMPTY (r19 review)
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     # NULL labels are POOL, explicitly: a bare `col == value` is NULL for
     # NULL labels, and a NULL is_t silently vanishes from Spark's
     # conditional count sums while a SQL CASE WHEN routes it to ELSE -

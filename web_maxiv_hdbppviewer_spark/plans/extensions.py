@@ -6562,8 +6562,15 @@ def multimodal_alignment(spark, sf_dir):
         # (no doc N): the pair simply doesn't form, same as the oracle
         .join(docs.select(F.col("doc_id").alias("cap_id")), "cap_id")
     )
-    img = multimodal.image_tower(multimodal.attach_payload(docs))
-    txt = multimodal.text_tower(docs)
+    # each tower feeds TWO consumers (the dot join and its norm
+    # aggregate): lazy-checkpoint the corpus-sparse-linear tower
+    # outputs so the Arrow payload kernel and the JVM explode/count
+    # pass run ONCE per corpus, not once per consumer (plan showed 2
+    # MapInPandas nodes before this)
+    img = multimodal.image_tower(
+        multimodal.attach_payload(docs)
+    ).localCheckpoint(eager=False)
+    txt = multimodal.text_tower(docs).localCheckpoint(eager=False)
     in2 = img.groupBy("doc_id").agg(
         F.sum(F.col("iw") * F.col("iw")).alias("n2")
     ).select(F.col("doc_id").alias("img_id"), F.col("n2").alias("in2"))

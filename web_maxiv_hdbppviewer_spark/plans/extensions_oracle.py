@@ -1559,12 +1559,12 @@ EXTENSION_ORACLE = {
           SELECT doc_id,
                  len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
                    AS n_tok,
-                 {H.format(x="'pack:' || CAST(doc_id AS VARCHAR)")} % 10000 AS b
+                 {H.format(x="'pack:' || CAST(doc_id AS VARCHAR)")} AS h
           FROM documents),
         c AS (
-          SELECT doc_id, b % 16 AS shard, n_tok,
+          SELECT doc_id, (h % 10000) % 16 AS shard, n_tok,
                  CAST(COALESCE(SUM(n_tok) OVER (
-                   PARTITION BY b % 16 ORDER BY b, doc_id
+                   PARTITION BY (h % 10000) % 16 ORDER BY h, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS BIGINT) AS start_tok
           FROM t)
@@ -1583,17 +1583,17 @@ EXTENSION_ORACLE = {
                  len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
                    AS n_tok,
                  {H.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 10000 AS bs,
-                 {H.format(x="'pack:' || CAST(doc_id AS VARCHAR)")} % 10000 AS bp
+                 {H.format(x="'pack:' || CAST(doc_id AS VARCHAR)")} AS hp
           FROM documents),
         s AS (
-          SELECT doc_id, n_tok, bp,
+          SELECT doc_id, n_tok, hp,
                  CASE WHEN bs < 8000 THEN 'train'
                       WHEN bs < 9000 THEN 'val' ELSE 'test' END AS split
           FROM t),
         c AS (
-          SELECT split, bp % 16 AS shard, n_tok,
+          SELECT split, (hp % 10000) % 16 AS shard, n_tok,
                  CAST(COALESCE(SUM(n_tok) OVER (
-                   PARTITION BY split, bp % 16 ORDER BY bp, doc_id
+                   PARTITION BY split, (hp % 10000) % 16 ORDER BY hp, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS BIGINT) AS start_tok
           FROM s)
@@ -3743,12 +3743,12 @@ EXTENSION_ORACLE["pipe_pack_bpe"] = r"""
                  len(regexp_extract_all(lower(text),
                    '''[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS n_tok,
                  ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                   % 10000 AS b
+                   AS h
           FROM documents),
         c AS (
-          SELECT doc_id, b % 16 AS shard, n_tok,
+          SELECT doc_id, (h % 10000) % 16 AS shard, n_tok,
                  CAST(COALESCE(SUM(n_tok) OVER (
-                   PARTITION BY b % 16 ORDER BY b, doc_id
+                   PARTITION BY (h % 10000) % 16 ORDER BY h, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS BIGINT) AS start_tok
           FROM t)
@@ -3883,11 +3883,14 @@ EXTENSION_ORACLE["pipe_dsir"] = f"""
 EXTENSION_ORACLE["pipe_sample_weighted"] = f"""
         WITH k AS (
           SELECT doc_id, lang, source, n_chars,
-                 ROUND(ln(({H.format(x="'wsample:' || CAST(doc_id AS VARCHAR)")} + 1)
-                          / 1152921504606846976.0) / n_chars, 6) AS w_key_r
+                 CAST(ROUND(ln(({H.format(x="'wsample:' || CAST(doc_id AS VARCHAR)")} + 1)
+                               / 1152921504606846976.0) * 1e9, 0) AS BIGINT)
+                   AS lnu_fp
           FROM documents
           WHERE n_chars > 0)  -- mirror the operator's w>0 contract guard
-        SELECT * FROM k ORDER BY w_key_r DESC, doc_id LIMIT 100
+        SELECT doc_id, lang, source, n_chars,
+               ROUND(lnu_fp / n_chars, 6) AS w_key_r
+        FROM k ORDER BY lnu_fp / n_chars DESC, doc_id LIMIT 100
     """
 
 # blocked edit-distance linkage (extensions.dedup_fuzzy /
