@@ -60,9 +60,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # then the fill is exactly the oldest-first prefix of the recomputed
 # ledger - the 13 remaining r14 rows (sim_mmr first, exactly the head
 # the r18 tripwire printed), then the r15 cohort alphabetically to 50.
-# With a 31-entry changelist and 19 fill slots, the ledger says the
-# post-r19 histogram is r15 x 31 / r16 x 37 / r17 x 42 / r18 x 38 /
-# r19 x 50: nothing older than r15, and the 31 remaining r15 rows lead
+# With a 33-entry changelist and 17 fill slots, the ledger says the
+# post-r19 histogram is r15 x 33 / r16 x 37 / r17 x 41 / r18 x 37 /
+# r19 x 50: nothing older than r15, and the 33 remaining r15 rows lead
 # the r20 fill.
 #
 # Round-19 changelist: multimodal_alignment (NEW r19 - VERDICT r18 #5,
@@ -136,6 +136,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # fractions, positive seq_len/n_shards/n_buckets, alpha in [0,1],
 # and write_training_shards drops docs-side columns that collide with
 # the pack assignment.)
+# lifecycle_query / lifecycle_aggregate (CHANGED r19 - the lifecycle
+# review pass: request windows now go through _time_window -
+# push_time_filter bounds (the raw _ts_ns integer compare where the
+# scan column exists) PLUS the period day-partition IN-list when the
+# store carries the reference's partition column, so /query and the
+# /image extrema+line scans prune the (data_type, period) layout
+# instead of reading every day directory. Same pass: log axes now BIN
+# on log10 positions while aggregating raw values (datashader
+# y_axis_type='log' parity - linear binning collapsed a decade spread
+# into the bottom pixels; bin_2d gained a bin_col, linear plans
+# bit-identical), empty attribute lists resolve to empty results,
+# color specs accept #rgb/basic names, and run_cancellable restores
+# the caller's job properties including interruptOnCancel. Fixture
+# requests are linear-axis and catalog-complete: values identical,
+# plans touched - the whole engine-consumer set re-witnessed
+# (lifecycle_image / lifecycle_image_stream already lead the list).)
 # text_gopher_rules / text_c4_rules / pipe_refinedweb (CHANGED r19 -
 # same review: the line trims are now ASCII-WHITESPACE-aware
 # (regexp \s) instead of space-only, matching the published C4/Gopher
@@ -177,8 +193,10 @@ _CHANGED_THIS_ROUND = [
     "pipe_pack_bpe",
     "pipe_shard_sink",
     "pipe_temperature_mix",
+    "lifecycle_query",
+    "lifecycle_aggregate",
 ]
-# fill: the oldest-first prefix of the recomputed ledger (19 slots) -
+# fill: the oldest-first prefix of the recomputed ledger (17 slots) -
 # the 13 remaining r14 rows, then the r15 cohort alphabetically
 # (machine-checked by test_round14's tripwire against the committed
 # CORRECTNESS_r*.json history)
@@ -188,7 +206,6 @@ _FILL_R19 = [
     "text_collocations", "text_domain_shift", "text_fertility",
     "text_lm_score", "text_nb_train", "text_vocab", "dedup_chunk",
     "dedup_clusters", "dedup_clusters_semantic", "dedup_exact",
-    "events_scd2", "multimodal_near_dup",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _FILL_R19
 

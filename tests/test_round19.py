@@ -528,6 +528,121 @@ def test_write_training_shards_tolerates_split_on_docs(spark, tmp_path):
         <= {"train", "val"}
 
 
+def test_log_axis_bins_on_log10_positions(spark):
+    """r19 lifecycle review (reference parity): datashader with
+    y_axis_type='log' (reference plot.py:22-24) bins on log10 POSITIONS
+    while aggregating raw values; the engine previously binned log axes
+    in LINEAR value space, collapsing an exponential decade spread into
+    the bottom pixels. Pin: a three-decade series (10/100/1000) on a
+    log axis lands its points at equally-spaced canvas heights, the
+    aggregated values stay RAW, and a linear axis reproduces the
+    historical geometry."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from web_maxiv_hdbppviewer_spark.api.lifecycle import HdbppQueryEngine
+    from web_maxiv_hdbppviewer_spark.sources.fixtures import hdbpp_fixture
+    from tests.conftest import SF_SMOKE
+
+    catalog, datapoints = hdbpp_fixture(spark, SF_SMOKE)
+    # replace the fixture datapoints with a constructed 3-decade series
+    # on one known attribute id
+    uid = datapoints.select("att_conf_id").limit(1).collect()[0][0]
+    t_mid = datetime(2024, 1, 2, 12, 0, 0)
+    rows = [
+        (uid, datetime(2024, 1, 2, 12, 0, i), float(v))
+        for i, v in enumerate((10.0, 100.0, 1000.0))
+    ]
+    dp = spark.createDataFrame(
+        rows, "att_conf_id int, ts timestamp, value_r double"
+    )
+    engine = HdbppQueryEngine(catalog, dp)
+    name_row = catalog.att_conf.where(
+        F.col("att_conf_id") == uid
+    ).collect()[0]
+    name = f"{name_row['cs_name']}/{name_row['att_name']}"
+    attrs = [{"name": name, "y_axis": 0}]
+    t0 = datetime(2024, 1, 2, 11, 0, 0)
+    t1 = datetime(2024, 1, 2, 13, 0, 0)
+    h = 90
+
+    aggs = engine.image_aggregates(
+        attrs, t0, t1, (100, h), axes={"0": {"scale": "log", "min": 10, "max": 1000}}
+    )
+    ax = aggs[0]
+    import math
+
+    # manual bounds then the reference's 5% LOG-space pad (plot.py:181-185)
+    b0, b1 = ax["bin_range"]
+    assert (b0, b1) == (0.9, 3.1)
+    assert ax["y_range"] == (10 ** 0.9, 10 ** 3.1)
+    got = {r["vmin"]: r["yb"] for r in ax["raster"].collect()}
+    # raw values preserved in aggregates; log10 POSITIONS in yb - the
+    # three decades land equally spaced on the canvas
+    assert set(got) == {10.0, 100.0, 1000.0}
+    bins = [
+        math.floor((math.log10(v) - b0) / (b1 - b0) * h)
+        for v in (10.0, 100.0, 1000.0)
+    ]
+    assert [got[10.0], got[100.0], got[1000.0]] == bins
+    spacings = [bins[1] - bins[0], bins[2] - bins[1]]
+    assert abs(spacings[0] - spacings[1]) <= 1, "decades must be equidistant"
+    # linear axis: the historical geometry (100 of the padded band sits low)
+    lin = engine.image_aggregates(
+        attrs, t0, t1, (100, h),
+        axes={"0": {"scale": "linear", "min": 10, "max": 1000}},
+    )[0]
+    ly0, ly1 = lin["y_range"]
+    lin_got = {r["vmin"]: r["yb"] for r in lin["raster"].collect()}
+    assert lin_got[100.0] == math.floor((100 - ly0) / (ly1 - ly0) * h)
+    assert lin_got[100.0] < h // 4, "linear geometry keeps 100 low on the canvas"
+
+
+def test_lifecycle_api_hardening(spark):
+    """r19 lifecycle review pins: (1) an empty attributes list resolves
+    to an empty result instead of crashing schema inference; (2) color
+    specs accept #rgb shorthand and basic names, and reject garbage
+    with a clear error; (3) run_cancellable restores the caller's
+    thread-local job properties - including interruptOnCancel - instead
+    of leaking executor-interrupt onto every later job."""
+    from datetime import datetime
+
+    import pytest
+
+    from web_maxiv_hdbppviewer_spark.api.lifecycle import (
+        HdbppQueryEngine, _parse_color,
+    )
+    from web_maxiv_hdbppviewer_spark.sources.fixtures import hdbpp_fixture
+    from tests.conftest import SF_SMOKE
+
+    catalog, datapoints = hdbpp_fixture(spark, SF_SMOKE)
+    engine = HdbppQueryEngine(catalog, datapoints)
+    assert engine._resolve([]) == {}
+    out = engine.query_raw([], datetime(2024, 1, 1), datetime(2024, 1, 2))
+    assert out == {}
+
+    assert _parse_color("#abc") == (0xAA, 0xBB, 0xCC)
+    assert _parse_color("#a1b2c3") == (0xA1, 0xB2, 0xC3)
+    assert _parse_color("red") == (255, 0, 0)
+    assert _parse_color(" Navy ") == (0, 0, 128)
+    with pytest.raises(ValueError, match="color"):
+        _parse_color("#abcd")
+    with pytest.raises(ValueError, match="color"):
+        _parse_color("not-a-color")
+
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.jobGroup.id", "outer-req")
+    try:
+        engine.run_cancellable("inner-req", lambda: 1)
+        assert sc.getLocalProperty("spark.jobGroup.id") == "outer-req"
+        assert sc.getLocalProperty("spark.job.interruptOnCancel") in (
+            None, "false",
+        ), "interruptOnCancel must not leak past the cancellable scope"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+
 def test_nonfinite_endpoints_still_paint_nothing():
     """r18 finite-guard preserved: NaN/inf endpoints draw no pixels and
     raise nothing."""

@@ -11,16 +11,17 @@ search) ever reach the driver.
 
 from __future__ import annotations
 
+import math
 from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.time import datetime_to_epoch_us, epoch_us
+from ..functions.time import datetime_to_epoch_us, epoch_us, push_time_filter
 from ..operators.extrema import pad_range, series_extrema
 from ..operators.raster import bin_2d, hover_stats
 from ..operators.resample import freq_to_us, resample_mean
-from ..sources.hdbpp import HdbppCatalog
+from ..sources.hdbpp import HdbppCatalog, day_partitions
 
 
 def _split_attr(full_name: str) -> tuple[str, str]:
@@ -70,6 +71,43 @@ def _covered_day_span_utc(
     return to_naive_utc(d0), to_naive_utc(d1)
 
 
+#: basic CSS/matplotlib color names -> RGB; the reference hands color
+#: strings straight to datashader/matplotlib, which accepts any
+#: matplotlib color - the engine supports the core named set plus
+#: #rgb/#rrggbb hex (r19 review: 3-digit shorthand and named colors
+#: previously raised ValueError and 500'd the whole /image request)
+_NAMED_COLORS = {
+    "black": (0, 0, 0), "white": (255, 255, 255), "red": (255, 0, 0),
+    "green": (0, 128, 0), "lime": (0, 255, 0), "blue": (0, 0, 255),
+    "yellow": (255, 255, 0), "cyan": (0, 255, 255), "aqua": (0, 255, 255),
+    "magenta": (255, 0, 255), "fuchsia": (255, 0, 255),
+    "orange": (255, 165, 0), "purple": (128, 0, 128),
+    "gray": (128, 128, 128), "grey": (128, 128, 128),
+    "silver": (192, 192, 192), "maroon": (128, 0, 0),
+    "olive": (128, 128, 0), "navy": (0, 0, 128), "teal": (0, 128, 128),
+    "brown": (165, 42, 42), "pink": (255, 192, 203),
+}
+
+
+def _parse_color(color: str) -> tuple[int, int, int]:
+    """Color spec -> (r, g, b): #rrggbb, #rgb shorthand (each digit
+    doubled, CSS semantics), or a basic color name. Raises ValueError
+    naming the spec for anything else - a clear 4xx-shaped error
+    instead of the bare int() traceback."""
+    name = color.strip().lower()
+    if name in _NAMED_COLORS:
+        return _NAMED_COLORS[name]
+    c = name.lstrip("#")
+    try:
+        if len(c) == 3:
+            return tuple(int(ch * 2, 16) for ch in c)
+        if len(c) == 6:
+            return tuple(int(c[i : i + 2], 16) for i in (0, 2, 4))
+    except ValueError:
+        pass
+    raise ValueError(f"unsupported color spec {color!r}")
+
+
 class HdbppQueryEngine:
     """Query surface over an HdbppCatalog + unified datapoints DataFrame.
 
@@ -99,22 +137,50 @@ class HdbppQueryEngine:
         self.history = history
         self.period_zone = period_zone
 
+    def _time_window(
+        self, df: DataFrame, t0: datetime, t1: datetime,
+        upper_inclusive: bool = False,
+    ) -> DataFrame:
+        """Sargable request-window scan (r19 review): push_time_filter
+        expresses the bounds on the raw ``_ts_ns`` integer scan column
+        where it exists (X2 - a predicate on the DERIVED timestamp is
+        opaque to parquet row-group statistics, so /query and the
+        /image extrema+line scans previously read full history on
+        ns-backed stores), and when the store carries the reference's
+        ``period`` day-partition column, the covered local-date keys
+        are added as an IN-list - the reference's day fan-out
+        (hdbpp.py:303-321) as a PRUNING predicate, without which the
+        planner enumerates every day directory of the documented
+        (data_type, period)-partitioned 100 TB layout."""
+        out = push_time_filter(
+            df, t0=t0, t1=t1, upper_inclusive=upper_inclusive
+        )
+        if "period" in df.columns:
+            p1 = t1 if upper_inclusive else t1 - timedelta(microseconds=1)
+            out = out.where(
+                F.col("period").isin(
+                    day_partitions(t0, max(t0, p1), self.period_zone)
+                )
+            )
+        return out
+
     # --- routing ---------------------------------------------------------
 
     def _resolve(self, attributes: list[str]) -> dict[str, int]:
         """Lower-cased name -> att_conf_id via the broadcast-joined catalog
         (J1). Names absent from the catalog are dropped, like the
         reference's None results (reference data.py:107,113 F7)."""
+        # names are lowered HERE, once (_split_attr over a.lower());
+        # the explicit schema keeps an EMPTY attribute list a valid
+        # request resolving to {} - the reference returns an empty
+        # result for it, while schema inference over [] raised
+        # ValueError and 500'd the endpoint (r19 review)
         wanted = [(a, *_split_attr(a.lower())) for a in attributes]
         spark = self.datapoints.sparkSession
         req = spark.createDataFrame(
-            [(orig, cs, att) for orig, cs, att in wanted],
-            ["orig_name", "cs_name", "att_name"],
+            wanted, schema="orig_name string, cs_name string, att_name string"
         )
-        routed = self.catalog.route(
-            req.withColumn("att_name", F.lower(F.col("att_name")))
-            .withColumn("cs_name", F.lower(F.col("cs_name")))
-        )
+        routed = self.catalog.route(req)
         rows = routed.where(F.col("att_conf_id").isNotNull()).collect()
         return {r["orig_name"]: r["att_conf_id"] for r in rows}
 
@@ -145,7 +211,7 @@ class HdbppQueryEngine:
         ).where(F.col("att_conf_id") >= 0)
         df = self.datapoints.where(F.col("att_conf_id").isin(list(ids.values()) or [-1]))
         if restrict_time:
-            df = df.where(F.col("ts").between(F.lit(t0), F.lit(t1)))
+            df = self._time_window(df, t0, t1, upper_inclusive=True)
         else:
             # /httpquery semantics (reference server.py:167-181 ->
             # get_data restrict_time=False): WHOLE covered day-periods,
@@ -158,7 +224,7 @@ class HdbppQueryEngine:
             # UTC, still one sargable ts-range predicate, so partition
             # pruning holds at scale.
             day0, day1 = _covered_day_span_utc(t0, t1, self.period_zone)
-            df = df.where((F.col("ts") >= F.lit(day0)) & (F.col("ts") < F.lit(day1)))
+            df = self._time_window(df, day0, day1, upper_inclusive=False)
         if interval:
             width = freq_to_us(interval)
             res = resample_mean(df, width, value_col="value_r", keys=["att_conf_id"])
@@ -265,12 +331,8 @@ class HdbppQueryEngine:
             # anchor points, and a point exactly at t1 is drawn but not
             # counted in extrema). Both windows stay sargable ts ranges.
             day0, day1 = _covered_day_span_utc(t0, t1, self.period_zone)
-            days = routed.where(
-                (F.col("ts") >= F.lit(day0)) & (F.col("ts") < F.lit(day1))
-            )
-            view = routed.where(
-                (F.col("ts") >= F.lit(t0)) & (F.col("ts") < F.lit(t1))
-            )
+            days = self._time_window(routed, day0, day1, upper_inclusive=False)
+            view = self._time_window(routed, t0, t1, upper_inclusive=False)
 
             # per-series extrema (A2, log filter F3) - tiny driver result
             ext = {
@@ -304,12 +366,38 @@ class HdbppQueryEngine:
             y0, y1 = pad_range(vmin, vmax, log_scale)
 
             plot_data = days
+            # log axes bin on log10 POSITIONS while aggregating RAW
+            # values - datashader Canvas(y_axis_type='log'), reference
+            # plot.py:24 (r19 review: the raster previously binned log
+            # axes in LINEAR value space, collapsing an exponential
+            # decade spread into the bottom pixels). Positivity filter
+            # (F3) guarantees log10 is defined; pad_range's log clamp
+            # keeps y0 > 0. bin_range/bin_col carry the transformed
+            # geometry to the line raster in render_image.
             if log_scale:
                 plot_data = plot_data.where(F.col("value_r") > 0)
+                plot_data = plot_data.withColumn(
+                    "_v_bin", F.log10(F.col("value_r"))
+                )
+                if y0 > 0 and y1 > 0:
+                    bin_lo, bin_hi = math.log10(y0), math.log10(y1)
+                else:
+                    # pad_range's total-surface fallbacks for no-data /
+                    # zero-constant axes ((0,1), (-0.5,0.5)) are not
+                    # log-representable; the positivity filter leaves
+                    # such rasters EMPTY, so any valid log band renders
+                    # identically - one decade keeps the surface total
+                    bin_lo, bin_hi = 0.0, 1.0
+                bin_col = "_v_bin"
+            else:
+                bin_lo, bin_hi = y0, y1
+                bin_col = None
             raster = bin_2d(
-                plot_data, x0_us, span_us, w, y0, y1, h,
-                value_col="value_r", keys=["att_conf_id"],
+                plot_data, x0_us, span_us, w, bin_lo, bin_hi, h,
+                value_col="value_r", keys=["att_conf_id"], bin_col=bin_col,
             )
+            # hover clips on raw values (monotone-equivalent to the bin-
+            # space clip) and never y-bins, so it stays in data space
             hover = hover_stats(
                 plot_data, x0_us, span_us, w, y0, y1,
                 value_col="value_r", keys=["att_conf_id"],
@@ -317,6 +405,8 @@ class HdbppQueryEngine:
             result[axis] = {
                 "y_range": (y0, y1),
                 "x_range": (x0_us, x1_us),
+                "bin_range": (bin_lo, bin_hi),
+                "bin_col": bin_col or "value_r",
                 "raster": raster,
                 "hover": hover,
                 "descs": descs,
@@ -355,9 +445,13 @@ class HdbppQueryEngine:
             # aggregate pass - no second catalog collect, no rebuilt scan
             ids = ax["ids"]
             y0, y1 = ax["y_range"]
+            # the line raster draws in the BIN space (log10 positions on
+            # a log axis - the aggregate pass already projected _v_bin)
+            b0, b1 = ax["bin_range"]
             x0 = ax["x_range"][0]
             pixel_rows = rasterize_lines(
-                ax["data"], x0, float(ax["x_range"][1] - x0), w, y0, y1, h
+                ax["data"], x0, float(ax["x_range"][1] - x0), w, b0, b1, h,
+                value_col=ax["bin_col"],
             ).collect()
             colors = {}
             widths = {}
@@ -368,10 +462,7 @@ class HdbppQueryEngine:
                 if spec["name"] not in ids:
                     continue
                 if spec.get("color"):
-                    c = spec["color"].lstrip("#")
-                    colors[ids[spec["name"]]] = tuple(
-                        int(c[i : i + 2], 16) for i in (0, 2, 4)
-                    )
+                    colors[ids[spec["name"]]] = _parse_color(spec["color"])
                 if spec.get("width"):
                     # per-series line widening (reference tf.spread px=width)
                     widths[ids[spec["name"]]] = int(spec["width"])
@@ -454,14 +545,29 @@ class HdbppQueryEngine:
         still runs to completion. Engine-side we can do better: a
         superseding request calls ``cancel(tag)`` and the stale request's
         jobs are interrupted instead of burning cluster time.
+
+        The cleanup RESTORES the caller's previous thread-local job
+        properties - all THREE that setJobGroup sets, including
+        ``spark.job.interruptOnCancel`` (r19 review: clearing only
+        group/description leaked interruptOnCancel=true onto every later
+        job on the thread - executor-side Thread.interrupt that Spark
+        defaults OFF because it can wedge storage clients - and
+        resetting to None instead of the previous values untagged the
+        outer request's remaining jobs under nesting).
         """
         sc = self.datapoints.sparkSession.sparkContext
+        props = (
+            "spark.jobGroup.id",
+            "spark.job.description",
+            "spark.job.interruptOnCancel",
+        )
+        prev = {p: sc.getLocalProperty(p) for p in props}
         sc.setJobGroup(tag, f"hdbpp request {tag}", interruptOnCancel=True)
         try:
             return fn()
         finally:
-            sc.setLocalProperty("spark.jobGroup.id", None)
-            sc.setLocalProperty("spark.job.description", None)
+            for p in props:
+                sc.setLocalProperty(p, prev[p])
 
     def cancel(self, tag: str) -> None:
         """Cancel all running Spark jobs tagged with ``tag`` (X10)."""

@@ -97,12 +97,21 @@ def bin_2d(
     ts_col: str = "ts",
     value_col: str = "value",
     keys: list[str] | None = None,
+    bin_col: str | None = None,
 ) -> DataFrame:
     """2-D binned aggregate over the (time x value) plane (SURVEY A6).
 
     Output: (keys..., xb, yb, cnt, vmean, vmin, vmax) - the datashader
     ``summary(count, mean, min, max)`` decomposed into built-in aggregates
     (reference plot.py:29-33).
+
+    ``bin_col`` (r19): the y BIN-COORDINATE column when the plot axis is
+    a transformed space - datashader with ``y_axis_type='log'``
+    (reference plot.py:24) bins on log10 POSITIONS while aggregating RAW
+    values, so log-axis callers pass a pre-projected log10 column here
+    (with ``ymin``/``ymax`` in the same log space) and keep
+    ``value_col`` raw. Defaults to ``value_col`` - linear axes keep the
+    exact historical expression tree.
 
     Canvas semantics (r13 parity): datashader's Canvas bounds are
     INCLUSIVE on both ends, with a point exactly on the upper edge mapped
@@ -117,17 +126,18 @@ def bin_2d(
     for pre-trimmed feeds, wrong for the edge rows themselves.
     """
     v = F.col(value_col)
+    bv = F.col(bin_col) if bin_col is not None else v
     t_us = epoch_us(F.col(ts_col))
     binned = (
         _canvas_time_clip(
-            df.where((v >= ymin) & (v <= ymax)), x0_us, span_us, ts_col
+            df.where((bv >= ymin) & (bv <= ymax)), x0_us, span_us, ts_col
         )
         .select(
             *(keys or []),
             F.least(
                 xbin(t_us, x0_us, span_us, nx), F.lit(nx - 1)
             ).alias("xb"),
-            F.least(ybin(v, ymin, ymax, ny), F.lit(ny - 1)).alias("yb"),
+            F.least(ybin(bv, ymin, ymax, ny), F.lit(ny - 1)).alias("yb"),
             v.alias("_v"),
         )
     )

@@ -5057,10 +5057,15 @@ def pipe_sample_weighted(spark, sf_dir):
     portable hash (operators/sampling.weighted_sample). The oracle
     replays the key algebra; the plan is a projection + global top-k
     (TakeOrderedAndProject - per-partition heaps, no global sort)."""
+    # no outer orderBy (r19): TakeOrderedAndProject already emits the
+    # rows in (full nano-nat key desc, id) order - deterministic - and
+    # an outer sort on the ROUNDED display key would both add a Sort
+    # node (the plan-audited no-global-sort property) and reorder
+    # rounded ties away from the selection order
     return sampling.weighted_sample(
         _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars"),
         WSAMPLE_K,
-    ).orderBy(F.desc("w_key_r"), "doc_id")
+    )
 
 
 def dedup_fuzzy(spark, sf_dir):
