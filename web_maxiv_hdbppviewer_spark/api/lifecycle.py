@@ -59,10 +59,15 @@ def _covered_day_span_utc(
     WOULD want, which the reference can't express."""
     from zoneinfo import ZoneInfo
 
+    from ..sources.hdbpp import _as_naive_utc
+
     tz = ZoneInfo(zone)
     utc = timezone.utc
-    d0 = t0.replace(tzinfo=utc).astimezone(tz).date()
-    d1 = t1.replace(tzinfo=utc).astimezone(tz).date() + timedelta(days=1)
+    # aware datetimes are CONVERTED to UTC first (r19 review, the
+    # day_partitions fix): a bare replace() would reinterpret a non-UTC
+    # offset as UTC wall-clock and disagree with the ts predicate
+    d0 = _as_naive_utc(t0).replace(tzinfo=utc).astimezone(tz).date()
+    d1 = _as_naive_utc(t1).replace(tzinfo=utc).astimezone(tz).date() + timedelta(days=1)
     to_naive_utc = lambda d: (  # noqa: E731
         datetime(d.year, d.month, d.day, tzinfo=tz)
         .astimezone(utc)

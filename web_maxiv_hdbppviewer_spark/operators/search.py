@@ -67,4 +67,8 @@ def search_names(
             # suffix - a silent superset of the reference's result
             cond = F.upper(name).rlike("^" + fnmatch.translate(pattern.upper()))
     out = df.where(cond).orderBy(name_col)
-    return out.limit(limit) if limit else out
+    # `is not None`, not truthiness (r19 review): limit=0 is a real cap
+    # (zero rows) - the falsy check turned it into an UNCAPPED scan of
+    # the whole catalog, the exact unbounded-response class the cap
+    # exists to prevent; only None means "no cap"
+    return out.limit(limit) if limit is not None else out

@@ -74,21 +74,34 @@ def read_cassandra_datapoints(
     data_time), reproducing the reference's per-day prepared statements
     (hdbpp.py:196-208,303-321) without the client-side fan-out loop.
     """
+    # the unified row shape is NUMERIC (value_r/value_w doubles): the
+    # reference's string/state/enum tables carry text values that the
+    # double cast would kill under ANSI (or silently NULL without it) -
+    # refuse them loudly (r19 review); a deployment adds a typed
+    # normalization per family, the engine's typed q29/q32 pattern
+    for bad in ("devstring", "devstate", "devenum", "devencoded"):
+        if bad in data_type:
+            raise ValueError(
+                f"{data_type!r} is not a numeric scalar family; the "
+                "unified double row shape cannot represent it"
+            )
     df = source if source is not None else cassandra_table(
         spark, keyspace, TABLE_PREFIX + data_type
     )
     if att_conf_ids is not None:
         df = df.where(F.col("att_conf_id").isin([int(i) for i in att_conf_ids]))
     if t0 is not None and t1 is not None:
+        # partition-key day enumeration needs both bounds
         df = df.where(F.col("period").isin(day_partitions(t0, t1, zone)))
-        # clustering-column range on the SECOND-precision storage column:
-        # bounds widened to whole seconds so the exact microsecond trim
-        # below never loses edge rows (reference trims client-side too,
-        # data.py:102-108)
-        df = df.where(
-            (F.col("data_time") >= F.lit(t0.replace(microsecond=0)))
-            & (F.col("data_time") <= F.lit(t1))
-        )
+    # clustering-column range on the SECOND-precision storage column:
+    # lower bound widened to the whole second so the exact microsecond
+    # trim downstream never loses edge rows (reference trims client-side
+    # too, data.py:102-108). Bounds apply INDEPENDENTLY (r19 review: a
+    # single bound previously disabled time filtering entirely).
+    if t0 is not None:
+        df = df.where(F.col("data_time") >= F.lit(t0.replace(microsecond=0)))
+    if t1 is not None:
+        df = df.where(F.col("data_time") <= F.lit(t1))
     out = df.select(
         F.col("att_conf_id").cast("long").alias("att_conf_id"),
         F.lit(data_type).alias("data_type"),

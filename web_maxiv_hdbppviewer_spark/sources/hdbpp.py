@@ -43,6 +43,18 @@ from ..functions.names import attr_full_name
 DEFAULT_PERIOD_ZONE = "UTC"
 
 
+def _as_naive_utc(t: datetime) -> datetime:
+    """Engine convention: naive datetimes ARE UTC. An AWARE datetime is
+    CONVERTED to UTC first (r19 review) - the previous bare
+    ``replace(tzinfo=UTC)`` silently reinterpreted a non-UTC offset as
+    UTC wall-clock, so the period day keys disagreed with the ts
+    predicate (which Spark converts correctly) and edge-day rows were
+    silently pruned away."""
+    if t.tzinfo is None:
+        return t
+    return t.astimezone(ZoneInfo("UTC")).replace(tzinfo=None)
+
+
 def day_partitions(t0: datetime, t1: datetime, zone: str = DEFAULT_PERIOD_ZONE) -> list[str]:
     """Enumerate local-calendar-date period keys covering [t0, t1].
 
@@ -51,8 +63,8 @@ def day_partitions(t0: datetime, t1: datetime, zone: str = DEFAULT_PERIOD_ZONE) 
     planner does the rest; no per-day query fan-out.
     """
     tz = ZoneInfo(zone)
-    d0 = t0.replace(tzinfo=ZoneInfo("UTC")).astimezone(tz).date()
-    d1 = t1.replace(tzinfo=ZoneInfo("UTC")).astimezone(tz).date()
+    d0 = _as_naive_utc(t0).replace(tzinfo=ZoneInfo("UTC")).astimezone(tz).date()
+    d1 = _as_naive_utc(t1).replace(tzinfo=ZoneInfo("UTC")).astimezone(tz).date()
     days = []
     d = d0
     while d <= d1:
@@ -132,13 +144,23 @@ class HdbppCatalog:
 
 
 def write_datapoints(df: DataFrame, path: str, zone: str = DEFAULT_PERIOD_ZONE) -> None:
-    """Write the unified datapoint stream in the 100 TB layout."""
+    """Write the unified datapoint stream in the 100 TB layout.
+
+    The within-partition sort LEADS with the partition columns (r19
+    review): FileFormatWriter requires its input ordered on the
+    partition columns and inserts its OWN sort when it is not - a
+    planner sort that is not guaranteed stable, so at spill scale the
+    documented within-file (att_conf_id, ts) clustering (and with it
+    S1/X2 row-group pruning) would silently degrade. Declaring the full
+    (data_type, period, att_conf_id, ts) order satisfies the writer's
+    requirement, so no extra sort is inserted and the clustering is
+    guaranteed (the bucketed writer below is safe by its sortBy)."""
     out = df
     if "period" not in df.columns:
         out = out.withColumn("period", derive_period(F.col("ts"), zone))
     (
         out.repartition("data_type", "period")
-        .sortWithinPartitions("att_conf_id", "ts")
+        .sortWithinPartitions("data_type", "period", "att_conf_id", "ts")
         .write.partitionBy("data_type", "period")
         .mode("overwrite")
         .parquet(path)
@@ -178,6 +200,30 @@ def write_datapoints_bucketed(
     w.saveAsTable(table)
 
 
+def prune_window(
+    df: DataFrame,
+    att_conf_ids: list[int] | None = None,
+    t0: datetime | None = None,
+    t1: datetime | None = None,
+    zone: str = DEFAULT_PERIOD_ZONE,
+) -> DataFrame:
+    """The engine's ONE store-pruning predicate (r19 review - previously
+    three divergence-prone copies across the readers): the ``period``
+    day-key IN-list when BOTH bounds exist (an open-ended bound cannot
+    enumerate days), the ``ts`` bounds applied INDEPENDENTLY - a single
+    bound previously disabled time filtering entirely, silently
+    returning the full-history scan - and the attribute IN-list."""
+    if t0 is not None and t1 is not None:
+        df = df.where(F.col("period").isin(day_partitions(t0, t1, zone)))
+    if t0 is not None:
+        df = df.where(F.col("ts") >= F.lit(t0))
+    if t1 is not None:
+        df = df.where(F.col("ts") <= F.lit(t1))
+    if att_conf_ids is not None:
+        df = df.where(F.col("att_conf_id").isin([int(i) for i in att_conf_ids]))
+    return df
+
+
 def read_datapoints_bucketed(
     spark,
     table: str,
@@ -189,13 +235,7 @@ def read_datapoints_bucketed(
     """Pruned scan of the bucketed table (see ``read_datapoints`` for the
     predicate semantics; bucket pruning additionally skips non-matching
     ``att_conf_id`` bucket files before any IO)."""
-    df = spark.table(table)
-    if t0 is not None and t1 is not None:
-        df = df.where(F.col("period").isin(day_partitions(t0, t1, zone)))
-        df = df.where(F.col("ts").between(F.lit(t0), F.lit(t1)))
-    if att_conf_ids is not None:
-        df = df.where(F.col("att_conf_id").isin([int(i) for i in att_conf_ids]))
-    return df
+    return prune_window(spark.table(table), att_conf_ids, t0, t1, zone)
 
 
 def read_datapoints(
@@ -212,10 +252,4 @@ def read_datapoints(
     (X1); ``ts`` bounds push down to parquet row groups (X2); attribute
     filtering rides the row-group sort (S1).
     """
-    df = spark.read.parquet(path)
-    if t0 is not None and t1 is not None:
-        df = df.where(F.col("period").isin(day_partitions(t0, t1, zone)))
-        df = df.where(F.col("ts").between(F.lit(t0), F.lit(t1)))
-    if att_conf_ids is not None:
-        df = df.where(F.col("att_conf_id").isin([int(i) for i in att_conf_ids]))
-    return df
+    return prune_window(spark.read.parquet(path), att_conf_ids, t0, t1, zone)

@@ -41,9 +41,13 @@ TESTDATA_TABLES = [
     "embeddings",
 ]
 
-# (spark-instance id, sf_dir) -> {table: DataFrame}; avoids re-deriving the
+# (applicationId, sf_dir) -> {table: DataFrame}; avoids re-deriving the
 # normalized plans for every declared query in one verification run.
-_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# Keyed by applicationId, NOT id(spark) (r19 review): a stopped session's
+# id() can be recycled by CPython for a NEW session at the same address,
+# which would serve DataFrames bound to the dead session - the same
+# hazard class the extensions _session_key discipline already closes.
+_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
 def _normalize(df: DataFrame) -> DataFrame:
@@ -73,7 +77,7 @@ def load_tables(
     tables: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """Load (and temp-view register) the testdata tables for one scale factor."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _CACHE:
         return _CACHE[key]
     configure(spark)
