@@ -60,9 +60,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # then the fill is exactly the oldest-first prefix of the recomputed
 # ledger - the 13 remaining r14 rows (sim_mmr first, exactly the head
 # the r18 tripwire printed), then the r15 cohort alphabetically to 50.
-# With a 33-entry changelist and 17 fill slots, the ledger says the
-# post-r19 histogram is r15 x 33 / r16 x 37 / r17 x 41 / r18 x 37 /
-# r19 x 50: nothing older than r15, and the 33 remaining r15 rows lead
+# With a 36-entry changelist and 14 fill slots, the ledger says the
+# post-r19 histogram is r15 x 35 / r16 x 35 / r17 x 41 / r18 x 37 /
+# r19 x 50: nothing older than r15, and the 35 remaining r15 rows lead
 # the r20 fill.
 #
 # Round-19 changelist: multimodal_alignment (NEW r19 - VERDICT r18 #5,
@@ -152,6 +152,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # requests are linear-axis and catalog-complete: values identical,
 # plans touched - the whole engine-consumer set re-witnessed
 # (lifecycle_image / lifecycle_image_stream already lead the list).)
+# q15 / q30 / q31 (CHANGED r19 - the core-query review pass: naive
+# datetime literals previously rode py4j's DatetimeConverter, which
+# converts via time.mktime - the HOST local zone - so on any non-UTC
+# machine every literal time bound silently shifted by the host offset
+# while the oracles and the period pruning did not; all literal bounds
+# now build from the integer epoch (functions/time.utc_ts_lit,
+# constant-folded back to a pushable literal). q30/q31 additionally
+# gain deterministic tiebreaks (description / event) in their top-1 /
+# rank windows - unique-by-corpus-invariant before, deterministic BY
+# CONSTRUCTION now - with the oracles mirrored. lifecycle_query also
+# resolves the catalog ONCE for its three query_raw_df variants via
+# _ids, and the lifecycle_aggregate oracle now mirrors the engine's
+# half-open extrema window and inclusive-with-snap canvas edges
+# exactly. Values identical on the UTC driver host.)
 # text_gopher_rules / text_c4_rules / pipe_refinedweb (CHANGED r19 -
 # same review: the line trims are now ASCII-WHITESPACE-aware
 # (regexp \s) instead of space-only, matching the published C4/Gopher
@@ -195,8 +209,11 @@ _CHANGED_THIS_ROUND = [
     "pipe_temperature_mix",
     "lifecycle_query",
     "lifecycle_aggregate",
+    "q15",
+    "q30",
+    "q31",
 ]
-# fill: the oldest-first prefix of the recomputed ledger (17 slots) -
+# fill: the oldest-first prefix of the recomputed ledger (14 slots) -
 # the 13 remaining r14 rows, then the r15 cohort alphabetically
 # (machine-checked by test_round14's tripwire against the committed
 # CORRECTNESS_r*.json history)
@@ -205,7 +222,6 @@ _FILL_R19 = [
     "stream_restart", "stream_sessions_evict", "stream_sink_compact",
     "text_collocations", "text_domain_shift", "text_fertility",
     "text_lm_score", "text_nb_train", "text_vocab", "dedup_chunk",
-    "dedup_clusters", "dedup_clusters_semantic", "dedup_exact",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _FILL_R19
 

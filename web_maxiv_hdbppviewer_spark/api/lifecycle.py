@@ -17,7 +17,9 @@ from datetime import datetime, timedelta, timezone
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.time import datetime_to_epoch_us, epoch_us, push_time_filter
+from ..functions.time import (
+    datetime_to_epoch_us, epoch_us, push_time_filter, utc_ts_lit,
+)
 from ..operators.extrema import pad_range, series_extrema
 from ..operators.raster import bin_2d, hover_stats
 from ..operators.resample import freq_to_us, resample_mean
@@ -523,7 +525,7 @@ class HdbppQueryEngine:
         df = self.history.where(F.col("att_conf_id") == ids[attr])
         if time_window is not None:
             t0, t1 = time_window
-            df = df.where((F.col("time") > F.lit(t0)) & (F.col("time") < F.lit(t1)))
+            df = df.where((F.col("time") > utc_ts_lit(t0)) & (F.col("time") < utc_ts_lit(t1)))
             df = df.orderBy("time").limit(limit)
         else:
             df = df.orderBy("time")

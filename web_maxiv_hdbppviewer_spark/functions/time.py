@@ -35,6 +35,21 @@ def datetime_to_epoch_us(t: datetime) -> int:
     return (t - epoch) // _US
 
 
+def utc_ts_lit(t: datetime) -> Column:
+    """TIMESTAMP literal for a datetime, HOST-TIMEZONE-INDEPENDENT.
+
+    A naive datetime handed to ``F.lit`` rides py4j's DatetimeConverter,
+    which converts via ``time.mktime`` - the HOST LOCAL zone - so on any
+    non-UTC machine every literal time bound silently shifts by the host
+    offset while the engine's naive-IS-UTC contract (and the DuckDB
+    oracles, and the period day-key pruning) do not (r19 review;
+    pyspark/sql/types.py DatetimeConverter). Building the literal from
+    the integer epoch via ``timestamp_micros`` pins the instant exactly;
+    Catalyst constant-folds it back to a plain literal, so predicate
+    pushdown is unaffected."""
+    return F.timestamp_micros(F.lit(datetime_to_epoch_us(t)))
+
+
 def parse_time_to_naive_utc(timestring: str) -> datetime:
     """API-edge request-time parsing, the reference's rule verbatim
     (reference utils.py:14-19): the database speaks UTC and the engine's
@@ -101,11 +116,15 @@ def push_time_filter(
             hi = _us(t1) + 1 if upper_inclusive else _us(t1)
             df = df.where(c < hi * 1000)
         return df
+    # utc_ts_lit, never F.lit(datetime): the bare literal converts via
+    # the HOST zone (r19 review - see utc_ts_lit)
     c = F.col(ts_col)
     if t0 is not None:
-        df = df.where(c >= F.lit(t0) if lower_inclusive else c > F.lit(t0))
+        lo = utc_ts_lit(t0)
+        df = df.where(c >= lo if lower_inclusive else c > lo)
     if t1 is not None:
-        df = df.where(c <= F.lit(t1) if upper_inclusive else c < F.lit(t1))
+        hi = utc_ts_lit(t1)
+        df = df.where(c <= hi if upper_inclusive else c < hi)
     return df
 
 

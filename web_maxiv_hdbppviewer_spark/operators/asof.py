@@ -39,9 +39,14 @@ def latest_before(
     ts_col: str = "ts",
     tiebreak: list[str] | None = None,
 ) -> DataFrame:
-    """Latest row strictly before ``t`` per key (reference hdbpp.py:261-270)."""
+    """Latest row strictly before ``t`` per key (reference hdbpp.py:261-270).
+
+    The cutoff literal goes through utc_ts_lit (r19: a naive datetime in
+    F.lit converts via the HOST zone - see functions/time.utc_ts_lit)."""
+    from ..functions.time import utc_ts_lit
+
     order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in (tiebreak or [])]
-    return latest_per_key(df.where(F.col(ts_col) < F.lit(t)), keys, order)
+    return latest_per_key(df.where(F.col(ts_col) < utc_ts_lit(t)), keys, order)
 
 
 def asof_join(

@@ -310,7 +310,7 @@ CORE_ORACLE = {
           FROM events WHERE event_id % 7 = 0),
         ranked AS (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY att_conf_id
-                                       ORDER BY recv_time DESC) AS rn
+                                       ORDER BY recv_time DESC, description DESC) AS rn
           FROM params WHERE recv_time < TIMESTAMP '2024-01-20 00:00:00')
         SELECT att_conf_id, epoch_us(recv_time) AS recv_us, label, unit,
                description
@@ -325,12 +325,12 @@ CORE_ORACLE = {
           FROM events WHERE event_type IN ('signup', 'purchase', 'error')),
         ranked AS (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY att_conf_id
-                                       ORDER BY time) AS rn
+                                       ORDER BY time, event) AS rn
           FROM history
           WHERE time > TIMESTAMP '2024-01-05 00:00:00'
             AND time < TIMESTAMP '2024-01-20 00:00:00')
         SELECT att_conf_id, epoch_us(time) AS t_us, event, CAST(rn AS BIGINT) AS rn
-        FROM ranked WHERE rn <= 10 ORDER BY att_conf_id, t_us
+        FROM ranked WHERE rn <= 10 ORDER BY att_conf_id, t_us, event
     """,
     # spectrum_resample over the rebuilt mixed-type fixture: only the
     # array-typed attributes (user_id % 4 = 3), per-channel daily means;
@@ -409,18 +409,28 @@ CORE_ORACLE = {
           WHERE user_id < 10
             AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
                        AND TIMESTAMP '2024-01-20 00:00:00'),
+        -- extrema over the HALF-OPEN request slice [t0, t1), exactly the
+        -- engine's view window (r19: the inclusive dp slice serves only
+        -- the canvas-clipped raster, whose [t0, t1] bounds ARE inclusive;
+        -- a row landing bitwise on t1 would otherwise shift y0/y1 on one
+        -- side only)
         rng AS (
           SELECT MIN(value_r) - (MAX(value_r) - MIN(value_r)) * 0.05 AS y0,
                  MAX(value_r) + (MAX(value_r) - MIN(value_r)) * 0.05 AS y1
-          FROM dp),
+          FROM dp WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+        -- canvas clip INCLUSIVE on both y edges with the upper-edge snap
+        -- into the last bin (bin_2d's LEAST discipline, mirrored from the
+        -- q20/q21 oracles - r19: the half-open y clip and the unsnapped
+        -- x bin diverged from the engine at the exact boundary instants)
         clipped AS (
           SELECT att_conf_id,
-                 CAST(FLOOR((epoch_us(ts) - 1704412800000000)
-                            / 1296000000000.0 * 100) AS INT) AS xb,
-                 CAST(FLOOR((value_r - y0) / (y1 - y0) * 80) AS INT) AS yb,
+                 LEAST(CAST(FLOOR((epoch_us(ts) - 1704412800000000)
+                            / 1296000000000.0 * 100) AS INT), 99) AS xb,
+                 LEAST(CAST(FLOOR((value_r - y0) / (y1 - y0) * 80) AS INT),
+                       79) AS yb,
                  value_r
           FROM dp, rng
-          WHERE value_r >= y0 AND value_r < y1),
+          WHERE value_r >= y0 AND value_r <= y1),
         raster AS (
           SELECT 'raster' AS kind, att_conf_id, xb, yb,
                  COUNT(*) AS cnt, ROUND(AVG(value_r), 6) AS vmean,

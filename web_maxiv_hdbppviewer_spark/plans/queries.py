@@ -1,4 +1,5 @@
-"""Declared correctness queries Q1-Q28 (SURVEY.md §2.11).
+"""Declared correctness queries q1-q36 + the three lifecycle witnesses
+(SURVEY.md §2.11).
 
 Each function takes (spark, sf_dir) and returns a DataFrame; each has a
 DuckDB-oracle twin in ``plans.oracle``. The queries are built with the
@@ -25,7 +26,10 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.time import epoch_us, epoch_ms, nearest_bucket, push_time_filter, US_PER_DAY
+from ..functions.time import (
+    epoch_us, epoch_ms, nearest_bucket, push_time_filter, utc_ts_lit,
+    US_PER_DAY,
+)
 from ..operators.asof import latest_per_key
 from ..operators.raster import bin_2d, hover_stats
 from ..operators.resample import resample_mean
@@ -98,7 +102,9 @@ def q6(spark, sf_dir):
 
 
 def q7(spark, sf_dir):
-    """P7: NaN/NULL normalization at the sink boundary."""
+    """P7: NULL normalization at the sink boundary (coalesce passes NaN
+    through untouched - the NaN->NULL leg of P7 is witnessed by q22/q23's
+    sink byte-shape tests, not this frame)."""
     e = _t(spark, sf_dir, "events")
     return e.select(
         "event_id", F.coalesce(F.col("value"), F.lit(-1.0)).alias("v")
@@ -208,7 +214,7 @@ def q15(spark, sf_dir):
     """Semi join: orders having a lineitem shipped after a date."""
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit(datetime(1995, 1, 1))
+        F.col("l_shipdate") > utc_ts_lit(datetime(1995, 1, 1))
     )
     return (
         o.join(l, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
@@ -379,8 +385,13 @@ def q30(spark, sf_dir):
     from ..sources.fixtures import parameter_history_fixture
 
     params, _ = parameter_history_fixture(spark, sf_dir)
+    # tiebreak (r19 review): (att_conf_id, recv_time) is unique on the
+    # current corpus (the (user_id, ts) invariant), but the top-1 pick
+    # must stay deterministic BY CONSTRUCTION if a regenerated fixture
+    # ever lands two snapshots on one microsecond - the q13 convention
     latest = latest_before(
-        params, datetime(2024, 1, 20), keys=["att_conf_id"], ts_col="recv_time"
+        params, datetime(2024, 1, 20), keys=["att_conf_id"],
+        ts_col="recv_time", tiebreak=["description"],
     )
     return latest.select(
         "att_conf_id",
@@ -399,13 +410,15 @@ def q31(spark, sf_dir):
 
     _, history = parameter_history_fixture(spark, sf_dir)
     t0, t1 = datetime(2024, 1, 5), datetime(2024, 1, 20)
-    w = Window.partitionBy("att_conf_id").orderBy("time")
+    # "event" tiebreak (r19 review): deterministic rank under same-
+    # microsecond events by construction, not by corpus invariant
+    w = Window.partitionBy("att_conf_id").orderBy("time", "event")
     return (
-        history.where((F.col("time") > F.lit(t0)) & (F.col("time") < F.lit(t1)))
+        history.where((F.col("time") > utc_ts_lit(t0)) & (F.col("time") < utc_ts_lit(t1)))
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 10)
         .select("att_conf_id", epoch_us("time").alias("t_us"), "event", "rn")
-        .orderBy("att_conf_id", "t_us")
+        .orderBy("att_conf_id", "t_us", "event")
     )
 
 
@@ -545,10 +558,15 @@ def lifecycle_query(spark, sf_dir):
     engine = HdbppQueryEngine(catalog, datapoints)
     names = [f"cs1/dom{u % 5}/fam{u % 10}/mem{u % 3}/attr{u}" for u in range(6)]
     t0, t1 = datetime(2024, 1, 5), datetime(2024, 1, 20)
-    raw = engine.query_raw_df(names, t0, t1).select(
+    # ONE catalog resolve for all three variants (r19 review: three
+    # query_raw_df calls each ran the ~0.8 s broadcast-route collect for
+    # the SAME six names - the image_aggregates one-resolve discipline,
+    # via the _ids parameter built for exactly this reuse)
+    ids = engine._resolve(names)
+    raw = engine.query_raw_df(names, t0, t1, _ids=ids).select(
         F.lit("raw").alias("kind"), "name", "t", "value_r"
     )
-    res = engine.query_raw_df(names, t0, t1, interval="12h").select(
+    res = engine.query_raw_df(names, t0, t1, interval="12h", _ids=ids).select(
         F.lit("resampled").alias("kind"),
         "name",
         "t",
@@ -563,6 +581,7 @@ def lifecycle_query(spark, sf_dir):
         datetime(2024, 1, 5, 12),
         datetime(2024, 1, 19, 18),
         restrict_time=False,
+        _ids=ids,
     ).select(F.lit("httpquery").alias("kind"), "name", "t", "value_r")
     return raw.unionAll(res).unionAll(http).orderBy("kind", "name", "t")
 

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .hdbpp import DEFAULT_PERIOD_ZONE, day_partitions
+from ..functions.time import utc_ts_lit
 
 #: Spark Cassandra connector data source (public artifact
 #: com.datastax.spark:spark-cassandra-connector; not bundled here)
@@ -99,9 +100,9 @@ def read_cassandra_datapoints(
     # too, data.py:102-108). Bounds apply INDEPENDENTLY (r19 review: a
     # single bound previously disabled time filtering entirely).
     if t0 is not None:
-        df = df.where(F.col("data_time") >= F.lit(t0.replace(microsecond=0)))
+        df = df.where(F.col("data_time") >= utc_ts_lit(t0.replace(microsecond=0)))
     if t1 is not None:
-        df = df.where(F.col("data_time") <= F.lit(t1))
+        df = df.where(F.col("data_time") <= utc_ts_lit(t1))
     out = df.select(
         F.col("att_conf_id").cast("long").alias("att_conf_id"),
         F.lit(data_type).alias("data_type"),
@@ -122,8 +123,12 @@ def read_cassandra_datapoints(
         F.col("quality").cast("int").alias("quality"),
         F.col("error_desc"),
     )
-    if t0 is not None and t1 is not None:
-        out = out.where(F.col("ts").between(F.lit(t0), F.lit(t1)))
+    # exact microsecond trim on the derived ts, host-TZ-independent
+    # literals (r19 - see utc_ts_lit); bounds apply independently
+    if t0 is not None:
+        out = out.where(F.col("ts") >= utc_ts_lit(t0))
+    if t1 is not None:
+        out = out.where(F.col("ts") <= utc_ts_lit(t1))
     return out
 
 

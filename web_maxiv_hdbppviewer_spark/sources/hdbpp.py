@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.names import attr_full_name
+from ..functions.time import utc_ts_lit
 
 #: the reference pins Europe/Stockholm for period derivation
 #: (reference Dockerfile:14-17); ours is explicit and per-deployment
@@ -216,9 +217,9 @@ def prune_window(
     if t0 is not None and t1 is not None:
         df = df.where(F.col("period").isin(day_partitions(t0, t1, zone)))
     if t0 is not None:
-        df = df.where(F.col("ts") >= F.lit(t0))
+        df = df.where(F.col("ts") >= utc_ts_lit(t0))
     if t1 is not None:
-        df = df.where(F.col("ts") <= F.lit(t1))
+        df = df.where(F.col("ts") <= utc_ts_lit(t1))
     if att_conf_ids is not None:
         df = df.where(F.col("att_conf_id").isin([int(i) for i in att_conf_ids]))
     return df
