@@ -212,16 +212,39 @@ _CHANGED_THIS_ROUND = [
     "q15",
     "q30",
     "q31",
+    # optimization r19 (plan-only, values bit-identical, oracle parity
+    # re-proven in the suite): the chunk-grain ANN family now serves
+    # from session-memoized scored/pooled checkpoints
+    # (_chunk_adc_scored at max(IVF_SWEEP_PROBES) + _chunk_ann_pooled
+    # at IVF_NPROBE - the VERDICT r18 #3 discipline applied at the
+    # chunk grain), so the three queries share ONE candidate-generation
+    # pass per session instead of running three.
+    "sim_chunk_ann",
+    "sim_chunk_ann_recall",
+    "sim_chunk_probe_sweep",
+    # optimization r19 (plan-only, values bit-identical): the
+    # approximate dedup methods' verified-pair frames are
+    # session-memoized (_method_pairs) - dedup_compare and
+    # pipe_dump_dedup read the same checkpoints as the standalone
+    # method queries instead of re-running the pipelines.
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_winnow",
+    "dedup_compare",
+    "pipe_dump_dedup",
+    # optimization r19 (plan-only, values bit-identical): centroids now
+    # come from the session-memoized _coarse_centroids (the SAME
+    # deterministic Lloyd training dedup_semantic shares) instead of
+    # re-training inline.
+    "sim_ann_ivf_trained",
 ]
-# fill: the oldest-first prefix of the recomputed ledger (14 slots) -
-# the 13 remaining r14 rows, then the r15 cohort alphabetically
-# (machine-checked by test_round14's tripwire against the committed
-# CORRECTNESS_r*.json history)
+# fill: the oldest-first prefix of the recomputed ledger (5 slots
+# after the optimization round's 9 plan-changed memo-sharing entries) -
+# 5 of the 13 remaining r14 rows (machine-checked by test_round14's
+# tripwire against the committed CORRECTNESS_r*.json history)
 _FILL_R19 = [
     "sim_mmr", "sim_sparse_topk", "stream_classify", "stream_join",
-    "stream_restart", "stream_sessions_evict", "stream_sink_compact",
-    "text_collocations", "text_domain_shift", "text_fertility",
-    "text_lm_score", "text_nb_train", "text_vocab", "dedup_chunk",
+    "stream_restart",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _FILL_R19
 

@@ -231,6 +231,9 @@ def main() -> None:
             "chunk_vec_store": extensions._CHUNK_STORE_MEMO,
             "chunk_exact_docs": extensions._CHUNK_EXACT_DOCS_MEMO,
             "chunk_ivfpq_artifacts": extensions._CHUNK_IVFPQ_MEMO,
+            "chunk_adc_scored": extensions._CHUNK_ADC_MEMO,
+            "chunk_ann_pooled": extensions._CHUNK_ANN_POOLED_MEMO,
+            "dedup_method_pairs": extensions._DEDUP_PAIRS_MEMO,
             "refinedweb_stages": extensions._RW_STAGES_MEMO,
             "curation_scores": extensions._CURATION_SCORES_MEMO,
             "trained_stages": extensions._TRAINED_STAGES_MEMO,

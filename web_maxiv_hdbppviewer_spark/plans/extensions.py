@@ -97,14 +97,46 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+#: Session-bound verified-pair memos for the approximate dedup methods
+#: (optimization r19 - the _ann_scored discipline applied to the dedup
+#: family): each method's full pipeline (shingle/fingerprint stage,
+#: banded candidate join, exact verification) runs ONCE per
+#: (session, sf_dir) and every battery consumer reads the one
+#: lazily-checkpointed pair frame - previously dedup_minhash_lsh /
+#: dedup_simhash / dedup_winnow each ran their pipeline AND
+#: dedup_compare re-ran all three from scratch (pipe_dump_dedup a
+#: fourth copy of the minhash one). Values bit-identical: same
+#: operator call, same threshold constants. Registered in bench.py's
+#: _memo_sizes ("dedup_method_pairs") for first-touch attribution.
+_DEDUP_PAIRS_MEMO: dict = {}
+
+
+def _method_pairs(spark, sf_dir, method):
+    """Session-memoized verified near-dup pair frame for one
+    approximate method (full output columns, unordered)."""
+    key = (*_session_key(spark, sf_dir), method)
+    if key not in _DEDUP_PAIRS_MEMO:
+        docs = _docs(spark, sf_dir)
+        if method == "minhash_lsh":
+            df = dedup.minhash_dedup_pairs(docs, JACCARD_THRESHOLD)
+        elif method == "simhash":
+            df = dedup.simhash_pairs(docs, SIMHASH_MAX_HAMMING)
+        elif method == "winnow":
+            df = textquality.winnow_matches(docs)
+        else:
+            raise ValueError(f"unknown dedup method {method!r}")
+        _DEDUP_PAIRS_MEMO[key] = df.localCheckpoint(eager=False)
+    return _DEDUP_PAIRS_MEMO[key]
+
+
 def dedup_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_dedup_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD).orderBy(
+    return _method_pairs(spark, sf_dir, "minhash_lsh").orderBy(
         "id_a", "id_b"
     )
 
 
 def dedup_simhash(spark, sf_dir):
-    return dedup.simhash_pairs(_docs(spark, sf_dir), SIMHASH_MAX_HAMMING).orderBy(
+    return _method_pairs(spark, sf_dir, "simhash").orderBy(
         "id_a", "id_b"
     )
 
@@ -514,9 +546,13 @@ def sim_ivfpq_recall(spark, sf_dir):
 def sim_ann_ivf_trained(spark, sf_dir):
     """IVF with a TRAINED quantizer: deterministic Lloyd k-means centroids
     (round-6 discipline) feed the same assignment/probe plan. The oracle
-    unrolls the identical training iterations in SQL."""
+    unrolls the identical training iterations in SQL. Centroids come
+    from the session-memoized _coarse_centroids (optimization r19) -
+    the SAME train_ivf_centroids(emb, IVF_CELLS, KMEANS_ITERS) call
+    dedup_semantic already shares, so the battery trains the coarse
+    quantizer once instead of re-running the Lloyd passes here."""
     emb = _emb(spark, sf_dir)
-    cents = similarity.train_ivf_centroids(emb, IVF_CELLS, KMEANS_ITERS)
+    cents = _coarse_centroids(spark, sf_dir)
     return similarity.ann_topk_ivf(
         emb, ANN_TOPK, QUERY_IDS_BELOW, IVF_CELLS, IVF_NPROBE, centroids=cents
     ).orderBy("q_id", "rank")
@@ -1141,46 +1177,94 @@ def _chunk_ivfpq_artifacts(spark, sf_dir):
     )
 
 
+#: Session-bound scored/pooled frame memos for the CHUNK-grain ANN
+#: family (optimization r19 - the VERDICT r18 #3 discipline applied at
+#: the chunk grain): the residual-IVFPQ ADC scoring pass runs ONCE per
+#: (session, sf_dir) at max(IVF_SWEEP_PROBES) carrying cell_rank, and
+#: every consumer - sim_chunk_ann, sim_chunk_ann_recall,
+#: sim_chunk_probe_sweep - derives its nprobe setting by pure
+#: cell_rank filter + topk_per_query (a candidate lives in exactly one
+#: cell and ADC values are nprobe-independent, the proven r18
+#: equivalence the sweep oracles already use). The nprobe=IVF_NPROBE
+#: parent-document pooling is likewise computed once (the two pooling
+#: windows are identical in sim_chunk_ann and the recall's ANN leg).
+#: Registered in bench.py's _memo_sizes for first-touch attribution.
+_CHUNK_ADC_MEMO: dict = {}
+_CHUNK_ANN_POOLED_MEMO: dict = {}
+
+
+def _chunk_adc_scored(spark, sf_dir):
+    """Session-memoized chunk-grain IVFPQ ADC pass (q_id, cand_id,
+    acos_r, cell_rank) at max(IVF_SWEEP_PROBES) - the _ann_scored
+    discipline at the chunk grain; every smaller nprobe is a pure
+    cell_rank filter over this one lazily-checkpointed frame."""
+    key = _session_key(spark, sf_dir)
+    if key not in _CHUNK_ADC_MEMO:
+        store = _chunk_vec_store(spark, sf_dir)
+        cents, rcb = _chunk_ivfpq_artifacts(spark, sf_dir)
+        _CHUNK_ADC_MEMO[key] = similarity.ann_adc_ivfpq(
+            store,
+            QUERY_IDS_BELOW,
+            IVF_CELLS,
+            max(IVF_SWEEP_PROBES),
+            KMEANS_ITERS,
+            id_col="rid",
+            vec_col="cvec",
+            centroids=cents,
+            codebooks=rcb,
+        ).localCheckpoint(eager=False)
+    return _CHUNK_ADC_MEMO[key]
+
+
+def _chunk_ann_pooled(spark, sf_dir):
+    """The nprobe=IVF_NPROBE chunk retrieval pooled to parent documents
+    (full coordinates + rank), session-memoized: sim_chunk_ann returns
+    it ordered, sim_chunk_ann_recall's ANN leg projects its doc ids -
+    previously each ran the whole candidate-generation + pooling chain
+    from scratch. Values bit-identical to the pre-memo
+    ann_topk_ivfpq(..., nprobe=IVF_NPROBE) wrapper: same scored pass
+    (cell_rank <= nprobe filter), same ranking tail, same windows."""
+    key = _session_key(spark, sf_dir)
+    if key not in _CHUNK_ANN_POOLED_MEMO:
+        store = _chunk_vec_store(spark, sf_dir)
+        ann = similarity.topk_per_query(
+            _chunk_adc_scored(spark, sf_dir)
+            .where(F.col("cell_rank") <= IVF_NPROBE)
+            .drop("cell_rank"),
+            CHUNK_ANN_CAND_K,
+            "acos_r",
+        )
+        _CHUNK_ANN_POOLED_MEMO[key] = _pool_parent_docs(
+            ann.select("q_id", "cand_id", "acos_r"),
+            store.select("rid", "doc_id", "chunk_idx"),
+            "acos_r",
+        ).localCheckpoint(eager=False)
+    return _CHUNK_ANN_POOLED_MEMO[key]
+
+
 def sim_chunk_ann(spark, sf_dir):
     """Chunk-grain ANN retrieval with parent-document max-pooling - the
     DENSE twin of sim_chunk_bm25, closing the RAG retrieval family at
     the grain retrieval actually serves (VERDICT r15 #8): the chunk
     embedding store (_chunk_vec_store) is indexed with the production
-    residual IVF-PQ ladder rung (similarity.ann_topk_ivfpq - trained
-    coarse cells, product-quantized residuals, ADC scoring), each query
-    chunk retrieves its top-20 candidate CHUNKS, candidates from the
-    query's own parent are excluded, the best chunk per candidate
-    document is selected (acos desc, chunk_idx asc - the deterministic
-    max-pool) and the top-5 parent documents are returned with their
-    best chunk's coordinates.
+    residual IVF-PQ ladder rung (trained coarse cells, product-quantized
+    residuals, ADC scoring), each query chunk retrieves its top-20
+    candidate CHUNKS, candidates from the query's own parent are
+    excluded, the best chunk per candidate document is selected (acos
+    desc, chunk_idx asc - the deterministic max-pool) and the top-5
+    parent documents are returned with their best chunk's coordinates.
 
     Scale shape: the store build is one narrow explode + the
     distributed global rank + a doc-keyed equi-join; index training is
     the memoized driver-bounded artifact pair (|cells| + |codebook|
-    rows); the probe join and ADC are ann_topk_ivfpq's established
-    broadcast plan; the pooling windows partition by (q_id) and
-    (q_id, cand_doc) - never global; output is |queries| x 5 rows.
-    Oracle: the full k-means + residual-PQ + ADC chain replayed over
-    the identical derived store, then the same two pooling windows."""
-    store = _chunk_vec_store(spark, sf_dir)
-    cents, rcb = _chunk_ivfpq_artifacts(spark, sf_dir)
-    ann = similarity.ann_topk_ivfpq(
-        store,
-        CHUNK_ANN_CAND_K,
-        QUERY_IDS_BELOW,
-        IVF_CELLS,
-        IVF_NPROBE,
-        KMEANS_ITERS,
-        id_col="rid",
-        vec_col="cvec",
-        centroids=cents,
-        codebooks=rcb,
-    )
-    return _pool_parent_docs(
-        ann.select("q_id", "cand_id", "acos_r"),
-        store.select("rid", "doc_id", "chunk_idx"),
-        "acos_r",
-    ).orderBy("q_id", "rank")
+    rows); the probe join and ADC are ann_adc_ivfpq's established
+    broadcast plan, run ONCE per session (_chunk_adc_scored) and
+    filtered to nprobe=IVF_NPROBE; the pooling windows partition by
+    (q_id) and (q_id, cand_doc) - never global; output is
+    |queries| x 5 rows. Oracle: the full k-means + residual-PQ + ADC
+    chain replayed over the identical derived store, then the same two
+    pooling windows."""
+    return _chunk_ann_pooled(spark, sf_dir).orderBy("q_id", "rank")
 
 
 def _pool_parent_docs(scored, cmap, score_col):
@@ -1273,24 +1357,13 @@ def sim_chunk_ann_recall(spark, sf_dir):
     cosine (queries bounded by construction); both legs reuse the
     memoized chunk store and index artifacts; pooling windows partition
     by q_id; output is |queries| bounded rows."""
-    store = _chunk_vec_store(spark, sf_dir)
-    cmap = store.select("rid", "doc_id", "chunk_idx")
-    cents, rcb = _chunk_ivfpq_artifacts(spark, sf_dir)
-    ann = similarity.ann_topk_ivfpq(
-        store,
-        CHUNK_ANN_CAND_K,
-        QUERY_IDS_BELOW,
-        IVF_CELLS,
-        IVF_NPROBE,
-        KMEANS_ITERS,
-        id_col="rid",
-        vec_col="cvec",
-        centroids=cents,
-        codebooks=rcb,
+    # ANN leg: the session-shared nprobe=IVF_NPROBE pooled frame
+    # (_chunk_ann_pooled - the same retrieval sim_chunk_ann serves);
+    # previously this re-ran the whole candidate-generation + pooling
+    # chain from scratch per query
+    ann_docs = _chunk_ann_pooled(spark, sf_dir).select(
+        "q_id", F.col("cand_doc").alias("cand_id")
     )
-    ann_docs = _pool_parent_docs(
-        ann.select("q_id", "cand_id", "acos_r"), cmap, "acos_r"
-    ).select("q_id", F.col("cand_doc").alias("cand_id"))
     # exact leg: pool over ALL candidate chunks (k = corpus bound), so
     # the exact top-5 documents are the true ones, not a capped proxy -
     # session-shared with sim_chunk_probe_sweep (r17)
@@ -1325,20 +1398,12 @@ def sim_chunk_probe_sweep(spark, sf_dir):
     ADC/pool tail per setting."""
     store = _chunk_vec_store(spark, sf_dir)
     cmap = store.select("rid", "doc_id", "chunk_idx")
-    cents, rcb = _chunk_ivfpq_artifacts(spark, sf_dir)
     exact_docs = _chunk_exact_docs(spark, sf_dir)
     n_exact = exact_docs.count()
-    adc = similarity.ann_adc_ivfpq(
-        store,
-        QUERY_IDS_BELOW,
-        IVF_CELLS,
-        max(IVF_SWEEP_PROBES),
-        KMEANS_ITERS,
-        id_col="rid",
-        vec_col="cvec",
-        centroids=cents,
-        codebooks=rcb,
-    ).localCheckpoint(eager=False)
+    # the one ADC pass at max(nprobe) is the session-shared
+    # _chunk_adc_scored checkpoint (optimization r19) - previously the
+    # sweep built its own per-query copy of the identical frame
+    adc = _chunk_adc_scored(spark, sf_dir)
     rows = []
     for np_ in IVF_SWEEP_PROBES:
         ann = similarity.topk_per_query(
@@ -3701,9 +3766,11 @@ def pipe_dump_dedup(spark, sf_dir):
         (d % DUMP_COUNT).cast("int").alias("dump"),
         F.size(words(F.col("text"))).cast("long").alias("n_tok"),
     )
-    pairs = dedup.minhash_dedup_pairs(
-        _docs(spark, sf_dir), JACCARD_THRESHOLD
-    ).select("id_a", "id_b")
+    # the session-memoized minhash pair frame (optimization r19) -
+    # identical call shape to dedup_minhash_lsh's, now computed once
+    pairs = _method_pairs(spark, sf_dir, "minhash_lsh").select(
+        "id_a", "id_b"
+    )
     dom_global = (
         pairs.select(F.col("id_b").alias("doc_id"))
         .distinct()
@@ -6235,9 +6302,7 @@ def dedup_winnow(spark, sf_dir):
     complement to whole-doc Jaccard and fixed-grid spans. One posting
     equi-join + map-side count aggregation; oracle replays selection +
     the naive posting join over the shared winnow CTEs."""
-    return textquality.winnow_matches(_docs(spark, sf_dir)).orderBy(
-        "id_a", "id_b"
-    )
+    return _method_pairs(spark, sf_dir, "winnow").orderBy("id_a", "id_b")
 
 
 def dedup_compare(spark, sf_dir):
@@ -6254,8 +6319,6 @@ def dedup_compare(spark, sf_dir):
     session-memoized materialization (shingle arrays, pair cache,
     winnow marks). Oracle: each method's full oracle query as a
     subquery, counted the naive way."""
-    from ..operators import textquality as tq
-
     docs = _docs(spark, sf_dir)
     exact = (
         dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
@@ -6263,14 +6326,13 @@ def dedup_compare(spark, sf_dir):
         .localCheckpoint(eager=False)  # first count() materializes (r14)
     )
     n_exact = exact.count()
+    # each method serves from its session-memoized verified-pair
+    # checkpoint (_method_pairs, optimization r19) - shared with
+    # dedup_minhash_lsh / dedup_simhash / dedup_winnow /
+    # pipe_dump_dedup instead of re-running three pipelines here
     methods = {
-        "minhash_lsh": dedup.minhash_dedup_pairs(
-            docs, JACCARD_THRESHOLD
-        ).select("id_a", "id_b"),
-        "simhash": dedup.simhash_pairs(docs, SIMHASH_MAX_HAMMING).select(
-            "id_a", "id_b"
-        ),
-        "winnow": tq.winnow_matches(docs).select("id_a", "id_b"),
+        m: _method_pairs(spark, sf_dir, m).select("id_a", "id_b")
+        for m in ("minhash_lsh", "simhash", "winnow")
     }
     rows = []
     for name in sorted(methods):
