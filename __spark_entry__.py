@@ -237,14 +237,20 @@ _CHANGED_THIS_ROUND = [
     # deterministic Lloyd training dedup_semantic shares) instead of
     # re-training inline.
     "sim_ann_ivf_trained",
+    # optimization r19 (plan-only, values bit-identical): the embedding
+    # sign-LSH candidate + exact-cosine verification runs once per
+    # session with the threshold open (_emb_scored_pairs, 8x8 pinned
+    # geometry); the three consumers filter the one checkpoint.
+    "dedup_embedding",
+    "dedup_clusters_semantic",
+    "sim_knn_graph",
 ]
-# fill: the oldest-first prefix of the recomputed ledger (5 slots
-# after the optimization round's 9 plan-changed memo-sharing entries) -
-# 5 of the 13 remaining r14 rows (machine-checked by test_round14's
+# fill: the oldest-first prefix of the recomputed ledger (2 slots
+# after the optimization round's 12 plan-changed memo-sharing entries) -
+# 2 of the 13 remaining r14 rows (machine-checked by test_round14's
 # tripwire against the committed CORRECTNESS_r*.json history)
 _FILL_R19 = [
-    "sim_mmr", "sim_sparse_topk", "stream_classify", "stream_join",
-    "stream_restart",
+    "sim_mmr", "sim_sparse_topk",
 ]
 _WINDOW = _CHANGED_THIS_ROUND + _FILL_R19
 

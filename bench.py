@@ -234,6 +234,7 @@ def main() -> None:
             "chunk_adc_scored": extensions._CHUNK_ADC_MEMO,
             "chunk_ann_pooled": extensions._CHUNK_ANN_POOLED_MEMO,
             "dedup_method_pairs": extensions._DEDUP_PAIRS_MEMO,
+            "emb_scored_pairs": extensions._EMB_PAIRS_MEMO,
             "refinedweb_stages": extensions._RW_STAGES_MEMO,
             "curation_scores": extensions._CURATION_SCORES_MEMO,
             "trained_stages": extensions._TRAINED_STAGES_MEMO,

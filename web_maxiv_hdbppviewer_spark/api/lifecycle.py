@@ -318,9 +318,43 @@ class HdbppQueryEngine:
         # drop-unknown-names semantics (F7), one broadcast-join job.
         all_ids = self._resolve([spec["name"] for spec in attributes])
 
+        # ONE extrema job per distinct axis SCALE, not per axis
+        # (optimization r19): series_extrema groups by att_conf_id, so
+        # the per-series rows over the union of a scale-group's ids are
+        # identical to the per-axis runs - one collect instead of one
+        # per axis (the 2-axis fixture halves the extrema jobs; the
+        # log-positivity filter is the only per-axis plan difference,
+        # hence the grouping key). Driver result stays <= |attributes|
+        # rows.
+        scale_of = {
+            axis: axes.get(str(axis), {}).get("scale") == "log"
+            for axis in by_axis
+        }
+        ext_rows: dict[int, dict] = {}
+        for log_scale in sorted(set(scale_of.values())):
+            grp_ids = [
+                all_ids[n]
+                for axis in by_axis
+                if scale_of[axis] == log_scale
+                for n in by_axis[axis]
+                if n in all_ids
+            ]
+            if not grp_ids:
+                continue
+            routed_grp = self.datapoints.where(
+                F.col("att_conf_id").isin(grp_ids)
+            )
+            view_grp = self._time_window(
+                routed_grp, t0, t1, upper_inclusive=False
+            )
+            for r in series_extrema(
+                view_grp, ["att_conf_id"], "value_r", log_scale
+            ).collect():
+                ext_rows[r["att_conf_id"]] = r
+
         for axis, names in by_axis.items():
             cfg = axes.get(str(axis), {})
-            log_scale = cfg.get("scale") == "log"
+            log_scale = scale_of[axis]
             ids = {n: all_ids[n] for n in names if n in all_ids}
             if not ids:
                 continue
@@ -339,14 +373,11 @@ class HdbppQueryEngine:
             # counted in extrema). Both windows stay sargable ts ranges.
             day0, day1 = _covered_day_span_utc(t0, t1, self.period_zone)
             days = self._time_window(routed, day0, day1, upper_inclusive=False)
-            view = self._time_window(routed, t0, t1, upper_inclusive=False)
 
-            # per-series extrema (A2, log filter F3) - tiny driver result
+            # per-series extrema (A2, log filter F3) - sliced from the
+            # scale-group collect above, values identical per series
             ext = {
-                r["att_conf_id"]: r
-                for r in series_extrema(
-                    view, ["att_conf_id"], "value_r", log_scale
-                ).collect()
+                i: ext_rows[i] for i in ids.values() if i in ext_rows
             }
             descs = {
                 id_to_name[i]: {
@@ -440,14 +471,37 @@ class HdbppQueryEngine:
         The line raster (A7) runs as a pandas kernel per series; the driver
         only ever sees pixel rows and the tiny extrema results.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         from ..operators.rasterline import rasterize_lines
         from .png import render_png_base64
 
         w, h = size
         aggs = self.image_aggregates(attributes, t0, t1, size, axes)
-        images: dict = {}
         descs: dict = {}
-        for axis, ax in aggs.items():
+
+        # per-axis line raster + PNG encode are INDEPENDENT chains
+        # (separate ids, separate bin geometry) - overlap them from a
+        # small thread pool (guide-standard concurrent-jobs pattern) so
+        # axis 1's kernel tasks back-fill executors freed by axis 0's
+        # stragglers instead of running serially. Job-group properties
+        # are thread-local; copy the caller's into each worker so
+        # run_cancellable's tag (X10) still covers every job.
+        sc = self.datapoints.sparkSession.sparkContext
+        job_props = {
+            p: sc.getLocalProperty(p)
+            for p in (
+                "spark.jobGroup.id",
+                "spark.job.description",
+                "spark.job.interruptOnCancel",
+            )
+        }
+
+        def _axis_image(item):
+            axis, ax = item
+            for p, v in job_props.items():
+                if v is not None:
+                    sc.setLocalProperty(p, v)
             # reuse the axis' resolved ids and filtered window plan from the
             # aggregate pass - no second catalog collect, no rebuilt scan
             ids = ax["ids"]
@@ -473,7 +527,7 @@ class HdbppQueryEngine:
                 if spec.get("width"):
                     # per-series line widening (reference tf.spread px=width)
                     widths[ids[spec["name"]]] = int(spec["width"])
-            images[axis] = {
+            return axis, {
                 "image": render_png_base64(
                     pixel_rows, w, h, colors or None, widths=widths or None,
                     order=order,
@@ -481,6 +535,13 @@ class HdbppQueryEngine:
                 "y_range": [y0, y1],
                 "x_range": list(ax["x_range"]),
             }
+
+        if len(aggs) > 1:
+            with ThreadPoolExecutor(max_workers=min(len(aggs), 3)) as pool:
+                images = dict(pool.map(_axis_image, aggs.items()))
+        else:
+            images = dict(map(_axis_image, aggs.items()))
+        for ax in aggs.values():
             descs.update(ax["descs"])
         return {"images": images, "descs": descs}
 

@@ -46,17 +46,26 @@ def _count_in(tokens, vocab: list[str]):
 # CRLF line failed the terminal-punctuation check because rtrim left
 # the '\r'. These helpers strip the ASCII whitespace class (Java regex
 # \s = [ \t\n\x0B\f\r]; lines are already split on \n), and the
-# gopher/c4 oracles mirror them with the same regex.
+# gopher/c4 oracles mirror them with the same charset.
+#
+# Implemented as CHARSET trims (StringTrim/Left/Right with an explicit
+# trim set - optimization r19), not regexp_replace: a leading/trailing
+# run of characters from a set is exactly what TRIM(BOTH/LEADING/
+# TRAILING trimStr ...) computes, as a plain codegen char loop with no
+# regex engine; these run once per LINE across every rules query.
+_WS = " \t\n\x0b\f\r"
+
+
 def _wtrim(c):
-    return F.regexp_replace(c, r"^\s+|\s+$", "")
+    return F.btrim(c, F.lit(_WS))
 
 
 def _wltrim(c):
-    return F.regexp_replace(c, r"^\s+", "")
+    return F.call_function("ltrim", F.lit(_WS), c)
 
 
 def _wrtrim(c):
-    return F.regexp_replace(c, r"\s+$", "")
+    return F.call_function("rtrim", F.lit(_WS), c)
 
 
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

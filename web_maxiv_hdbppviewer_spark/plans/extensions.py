@@ -141,13 +141,38 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
+#: Session-bound scored candidate-pair memo for the embedding sign-LSH
+#: family (optimization r19): near_dup_pairs' min_cos is a pure final
+#: filter over the banded-candidate + exact-cosine verification, so the
+#: whole pipeline runs ONCE per session with the threshold OPEN
+#: (min_cos = -1) and dedup_embedding / dedup_clusters_semantic /
+#: sim_knn_graph derive their outputs by filter - previously each ran
+#: the full candidate join + verification. Geometry pinned 8x8 (the
+#: oracle-replayed bands all three consumers already shared).
+#: Registered in bench.py's _memo_sizes ("emb_scored_pairs").
+_EMB_PAIRS_MEMO: dict = {}
+
+
+def _emb_scored_pairs(spark, sf_dir):
+    """(id_a, id_b, cos_r) for every banded sign-LSH candidate pair of
+    the embedding corpus at the pinned 8x8 geometry, session-memoized."""
+    key = _session_key(spark, sf_dir)
+    if key not in _EMB_PAIRS_MEMO:
+        _EMB_PAIRS_MEMO[key] = similarity.near_dup_pairs(
+            _emb(spark, sf_dir), -1.0, bands=8, band_bits=8
+        ).localCheckpoint(eager=False)
+    return _EMB_PAIRS_MEMO[key]
+
+
 def dedup_embedding(spark, sf_dir):
     # geometry pinned 8x8: the oracle replays these exact bands, and at
     # test-scale corpora 8x8 is the right point on the lsh_geometry_for
     # ladder anyway (4x16 collapses recall at 2k vectors)
-    return similarity.near_dup_pairs(
-        _emb(spark, sf_dir), EMBED_NEAR_DUP_COS, bands=8, band_bits=8
-    ).orderBy("id_a", "id_b")
+    return (
+        _emb_scored_pairs(spark, sf_dir)
+        .where(F.col("cos_r") >= EMBED_NEAR_DUP_COS)
+        .orderBy("id_a", "id_b")
+    )
 
 
 def dedup_incremental(spark, sf_dir):
@@ -264,9 +289,14 @@ def dedup_clusters_semantic(spark, sf_dir):
     from ..operators import graph
 
     emb = _emb(spark, sf_dir)
-    pairs = similarity.near_dup_pairs(
-        emb, EMBED_NEAR_DUP_COS, bands=8, band_bits=8
-    ).select("id_a", "id_b")
+    # the session-shared scored-pair checkpoint (optimization r19),
+    # filtered to the near-dup threshold - identical rows to the direct
+    # near_dup_pairs call
+    pairs = (
+        _emb_scored_pairs(spark, sf_dir)
+        .where(F.col("cos_r") >= EMBED_NEAR_DUP_COS)
+        .select("id_a", "id_b")
+    )
     ids = emb.select(F.col("vec_id").alias("id"))
     return graph.duplicate_clusters(ids, pairs, id_col="id").orderBy("id")
 
@@ -5376,9 +5406,7 @@ def sim_knn_graph(spark, sf_dir):
     never global. Edges per node bounded by k."""
     from pyspark.sql.window import Window
 
-    pairs = similarity.near_dup_pairs(
-        _emb(spark, sf_dir), -1.0, bands=8, band_bits=8
-    )
+    pairs = _emb_scored_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("id_a").alias("id"), F.col("id_b").alias("nbr"), "cos_r"
     ).unionAll(
