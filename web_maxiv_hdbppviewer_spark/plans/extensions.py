@@ -5608,6 +5608,42 @@ _PQ_GEN_PATHS: list[str] = []
 _PQ_GEN_RETAIN = 2
 
 
+def _overlapped(spark, *thunks):
+    """Run INDEPENDENT write/action thunks concurrently (optimization
+    r19, the guide-standard concurrent-jobs pattern): Spark's scheduler
+    happily runs several jobs at once, so a small write's tasks
+    back-fill executors freed by a big write's stragglers instead of
+    waiting for a serial barrier. Job-group properties are thread-local;
+    the caller's are copied into each worker so bench labels and the
+    X10 cancellation tag still cover every job. Only for thunks over
+    DISJOINT outputs with no data dependency - callers sequence
+    dependent writes themselves."""
+    sc = spark.sparkContext
+    props = {
+        p: sc.getLocalProperty(p)
+        for p in (
+            "spark.jobGroup.id",
+            "spark.job.description",
+            "spark.job.interruptOnCancel",
+        )
+    }
+
+    def _tagged(fn):
+        def run():
+            for p, v in props.items():
+                if v is not None:
+                    sc.setLocalProperty(p, v)
+            return fn()
+
+        return run
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        for fut in [pool.submit(_tagged(t)) for t in thunks]:
+            fut.result()
+
+
 def _pq_index_gen_dir(spark, sf_dir) -> str:
     """Fresh per-call generation directory under the warehouse for PQ
     index artifacts, with retention cleanup of superseded generations.
@@ -5655,8 +5691,18 @@ def sim_index_persist(spark, sf_dir):
     # retention cleanup in _pq_index_gen_dir. The query's RESULT is
     # path-independent, so determinism is unaffected.
     base = _pq_index_gen_dir(spark, sf_dir)
-    codes.write.mode("overwrite").parquet(os.path.join(base, "codes"))
-    cb.write.mode("overwrite").parquet(os.path.join(base, "codebooks"))
+    # the code table and the codebooks are independent artifacts over
+    # disjoint directories - overlap the two writes (_overlapped r19);
+    # the tiny codebook write rides under the bulk code write's tail
+    _overlapped(
+        spark,
+        lambda: codes.write.mode("overwrite").parquet(
+            os.path.join(base, "codes")
+        ),
+        lambda: cb.write.mode("overwrite").parquet(
+            os.path.join(base, "codebooks")
+        ),
+    )
     codes_r = spark.read.parquet(os.path.join(base, "codes"))
     cb_r = spark.read.parquet(os.path.join(base, "codebooks"))
     return similarity.topk_cosine_pq(
@@ -5704,8 +5750,18 @@ def sim_index_append(spark, sf_dir):
     cb = _pq_base_codebooks(spark, sf_dir)
     gen = _pq_index_gen_dir(spark, sf_dir)
     codes_path = os.path.join(gen, "codes")
-    similarity.pq_assign(base_emb, cb).write.mode("overwrite").parquet(codes_path)
-    cb.write.mode("overwrite").parquet(os.path.join(gen, "codebooks"))
+    # base-code and codebook writes are independent (disjoint dirs) -
+    # overlapped (r19); the APPEND below depends on both (it reloads
+    # the codebooks and appends into the code dir) and stays sequenced
+    _overlapped(
+        spark,
+        lambda: similarity.pq_assign(base_emb, cb)
+        .write.mode("overwrite")
+        .parquet(codes_path),
+        lambda: cb.write.mode("overwrite").parquet(
+            os.path.join(gen, "codebooks")
+        ),
+    )
     # the append pass: frozen reloaded codebooks, batch rows only
     cb_r = spark.read.parquet(os.path.join(gen, "codebooks"))
     similarity.pq_assign(batch_emb, cb_r).write.mode("append").parquet(codes_path)
@@ -5769,51 +5825,16 @@ def stream_index_append(spark, sf_dir):
     early = F.floor(F.col("vec_id") / F.lit(APPEND_MOD)) % 2 == 0
     # the stored generation (base codes + the frozen codebooks) and the
     # phase-1 arrivals are three INDEPENDENT writes over disjoint
-    # outputs - overlap them from a small thread pool (optimization
-    # r19, guide-standard concurrent-jobs pattern; the render path's
-    # property-copy discipline so bench/X10 job tags still cover every
-    # job). Values untouched: same frames, same directories.
-    sc = spark.sparkContext
-    job_props = {
-        p: sc.getLocalProperty(p)
-        for p in (
-            "spark.jobGroup.id",
-            "spark.job.description",
-            "spark.job.interruptOnCancel",
-        )
-    }
-
-    def _tagged(fn):
-        def run():
-            for p, v in job_props.items():
-                if v is not None:
-                    sc.setLocalProperty(p, v)
-            fn()
-        return run
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        for fut in [
-            pool.submit(
-                _tagged(
-                    lambda: similarity.pq_assign(base_emb, cb)
-                    .write.mode("overwrite")
-                    .parquet(codes_base)
-                )
-            ),
-            pool.submit(
-                _tagged(lambda: cb.write.mode("overwrite").parquet(cb_dir))
-            ),
-            pool.submit(
-                _tagged(
-                    lambda: batch_emb.where(early)
-                    .repartition(2)
-                    .write.parquet(src)
-                )
-            ),
-        ]:
-            fut.result()
+    # outputs - overlapped (r19). Values untouched: same frames, same
+    # directories.
+    _overlapped(
+        spark,
+        lambda: similarity.pq_assign(base_emb, cb)
+        .write.mode("overwrite")
+        .parquet(codes_base),
+        lambda: cb.write.mode("overwrite").parquet(cb_dir),
+        lambda: batch_emb.where(early).repartition(2).write.parquet(src),
+    )
     cb_r = spark.read.parquet(cb_dir)
     schema = spark.read.parquet(src).schema
 
