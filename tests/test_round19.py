@@ -707,3 +707,93 @@ def test_nonfinite_endpoints_still_paint_nothing():
         assert _clipped_walk(bad, 10.0, 20.0, 10.0, w, h).sum() == 0
         assert _clipped_walk(5.0, bad, 20.0, 10.0, w, h).sum() == 0
         assert _clipped_walk(5.0, 10.0, bad, bad, w, h).sum() == 0
+
+
+# --- optimization r19: boilerplate df-pass min/max rewrite ---------------
+
+
+def test_boilerplate_minmax_df_pass_matches_count_distinct(spark):
+    """min_df=2 now tests min(id) != max(id) instead of
+    count_distinct(id) >= 2 (one map-side-combinable g-keyed exchange
+    instead of the distinct-count's two). The rewrite is exact: >= 2
+    distinct non-null ids iff min != max. Pin value parity against the
+    general count-distinct branch (min_df=3 exercises it) and against a
+    corpus with the adversarial case - a gram repeated WITHIN one doc
+    (must not be boiler) next to a gram shared ACROSS docs (must be)."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.operators import textquality
+
+    header = "shared header gram words one two three eight"  # 8 words
+    docs = [
+        # the 8-gram "a b c d e f g h" occurs TWICE in doc 1 (positions
+        # 0 and 8) but in no other doc: within-doc repetition must not
+        # make it boiler under either df-pass implementation
+        (1, "a b c d e f g h a b c d e f g h"),
+        (2, header + " alpha beta"),
+        (3, header + " gamma delta"),
+        (4, "wholly unique text with no overlapping gram content here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in textquality.boilerplate_stats(df, k=8, min_df=2).collect()
+    }
+    # doc 1: 9 gram positions, none boiler (its repeat is within-doc)
+    assert out[1]["n_grams"] == 9 and out[1]["n_boiler"] == 0
+    # docs 2/3: the 3 8-grams inside the 10-word text that lie fully in
+    # the shared 8-word header + suffix overlap... compute directly:
+    # each text has 10 words -> 3 positions; only position 0 (the header
+    # itself) is shared across docs
+    for did in (2, 3):
+        assert out[did]["n_grams"] == 3 and out[did]["n_boiler"] == 1
+    assert out[4]["n_boiler"] == 0
+
+    # independent replay with the general branch's arithmetic
+    from web_maxiv_hdbppviewer_spark.functions.texthash import (
+        word_kgrams, words,
+    )
+
+    toks = words(F.col("text"))
+    grams = df.select(
+        F.col("doc_id").alias("id"),
+        F.explode(word_kgrams(toks, 8)).alias("g"),
+    )
+    boiler = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("id").alias("dfd"))
+        .where("dfd >= 2")
+        .select("g")
+    )
+    want = {
+        r["id"]: r["nb"]
+        for r in grams.join(boiler, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .collect()
+    }
+    for did in (1, 2, 3, 4):
+        assert out[did]["n_boiler"] == want.get(did, 0)
+
+
+def test_boilerplate_minmax_plan_drops_one_exchange(spark):
+    """Self-relative plan pin: on the same frame, the min_df=2 plan
+    carries exactly one fewer Exchange than the count-distinct branch
+    (min_df=3), because the (g, id) incidence exchange is gone."""
+    from web_maxiv_hdbppviewer_spark.operators import textquality
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")],
+        "doc_id long, text string",
+    )
+
+    def n_exchanges(min_df):
+        plan = (
+            textquality.boilerplate_stats(df, k=8, min_df=min_df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        return plan.count("Exchange hashpartitioning")
+
+    assert n_exchanges(2) == n_exchanges(3) - 1

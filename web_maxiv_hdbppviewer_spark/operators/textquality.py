@@ -1204,8 +1204,10 @@ def boilerplate_stats(
     stripper would cut.
 
     Scale shape (100 TB): two corpus-linear passes over the gram stream -
-    a (gram -> distinct-doc df) aggregation (partial map-side; the
-    distinct is per-gram-keyed, never global) and a semi-join of gram
+    a (gram -> distinct-doc df) aggregation (for the default min_df=2
+    the distinct-count collapses to the map-side-combinable
+    min(id) != max(id), one g-keyed exchange of partials; for higher
+    thresholds a per-gram-keyed distinct, never global) and a semi-join of gram
     positions against the high-df survivors (equi-join on the gram key;
     at deployment scale the join key would be a 64-bit gram hash -
     dictionary-width shuffle - with the string join kept here for exact
@@ -1225,12 +1227,26 @@ def boilerplate_stats(
         F.col(id_col).alias("id"),
         F.explode(word_kgrams(toks, k)).alias("g"),
     )
-    boiler = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("id").alias("df_docs"))
-        .where(F.col("df_docs") >= min_df)
-        .select("g")
-    )
+    if min_df == 2:
+        # count_distinct(id) >= 2 is exactly min(id) != max(id): a pure
+        # map-side-combinable aggregate, so the df pass shuffles ONE
+        # g-keyed exchange of (g, min, max) partials instead of the
+        # distinct-count's two (the (g, id) incidence list itself -
+        # corpus-scale rows keyed by the full gram string - never
+        # crosses the network; optimization r19, guide §2.3/§2.4).
+        boiler = (
+            grams.groupBy("g")
+            .agg(F.min("id").alias("_id_mn"), F.max("id").alias("_id_mx"))
+            .where(F.col("_id_mn") != F.col("_id_mx"))
+            .select("g")
+        )
+    else:
+        boiler = (
+            grams.groupBy("g")
+            .agg(F.count_distinct("id").alias("df_docs"))
+            .where(F.col("df_docs") >= min_df)
+            .select("g")
+        )
     n_boiler = (
         grams.join(boiler, "g", "left_semi")
         .groupBy("id")
