@@ -240,6 +240,7 @@ def main() -> None:
             "trained_stages": extensions._TRAINED_STAGES_MEMO,
             "lr_preds": extensions._LR_PREDS_MEMO,
             "nb_preds": extensions._NB_PREDS_MEMO,
+            "nb_artifacts": extensions._NB_ARTIFACTS_MEMO,
             "coarse_centroids": extensions._COARSE_MEMO,
             "ann_scored": extensions._ANN_SCORED_MEMO,
         }

@@ -797,3 +797,57 @@ def test_boilerplate_minmax_plan_drops_one_exchange(spark):
         return plan.count("Exchange hashpartitioning")
 
     assert n_exchanges(2) == n_exchanges(3) - 1
+
+
+def test_symmetric_diff_count_equals_directional_anti_joins(spark):
+    """scale_bucketed's one-job mismatch count (optimization r19) must
+    equal the two directional anti-joins it replaced, on frames built to
+    exercise every case: agreeing keys, value disagreements (both
+    directions), one-sided keys on each side, duplicate rows, and NULL
+    keys (an equi-anti-join never matches NULLs, so a NULL-keyed row
+    must count as mismatched on both sides even when the tuples agree)."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.plans.extensions import (
+        _symmetric_diff_count,
+    )
+
+    cols = ["k", "n", "mx"]
+    schema = "k long, n long, mx double"
+    a = spark.createDataFrame(
+        [
+            (1, 10, 1.5),    # agrees with b
+            (2, 20, 2.5),    # value disagreement vs b's (2, 21, 2.5)
+            (3, 30, 3.5),    # only in a
+            (5, 50, 5.5),    # duplicated row in a, single in b
+            (5, 50, 5.5),
+            (None, 70, 7.5), # NULL key, tuple-identical in b
+        ],
+        schema,
+    )
+    b = spark.createDataFrame(
+        [
+            (1, 10, 1.5),
+            (2, 21, 2.5),
+            (4, 40, 4.5),    # only in b
+            (5, 50, 5.5),
+            (None, 70, 7.5),
+        ],
+        schema,
+    )
+    expected = (
+        a.join(b, cols, "left_anti").count()
+        + b.join(a, cols, "left_anti").count()
+    )
+    # the NULL-keyed rows are anti-join mismatches on BOTH sides despite
+    # equal tuples - guard that the fixture really exercises that case
+    assert expected == 2 + 1 + 1 + 1 + 1  # (2,*) both ways, 3, 4, NULLs
+    assert _symmetric_diff_count(a, b, cols) == expected
+    # self-comparison: the NULL-free rows all match (0), while the
+    # NULL-keyed row never anti-join-matches even itself - both forms
+    # agree on that too
+    a_nn = a.where(F.col("k").isNotNull())
+    assert _symmetric_diff_count(a_nn, a_nn.select(*cols), cols) == 0
+    assert _symmetric_diff_count(a, a.select(*cols), cols) == (
+        a.join(a.select(*cols), cols, "left_anti").count() * 2
+    )

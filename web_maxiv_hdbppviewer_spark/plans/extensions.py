@@ -2151,6 +2151,38 @@ def sim_pq_recall(spark, sf_dir):
     return _recall_vs_exact(pq, exact, ANN_TOPK)
 
 
+def _symmetric_diff_count(a, b, cols) -> int:
+    """``|a ANTI b| + |b ANTI a|`` (equi-match on all ``cols``) computed
+    as ONE side-tagged aggregation job with each input evaluated once -
+    the two directional anti-joins evaluate BOTH inputs twice apiece
+    (optimization r19, guide §1.2).
+
+    Equivalence, for any inputs: a ``cols``-group holding both side
+    tags is a match and contributes 0; every single-sided group row is
+    exactly one anti-join row ([_nb==0]*_na + [_na==0]*_nb). NULL-key
+    exactness: an equi-anti-join never matches a NULL join column while
+    groupBy groups NULLs together, so any group carrying a NULL in
+    ``cols`` counts as all-mismatch explicitly. Pinned against the
+    anti-join form on adversarial frames in tests/test_round19.py."""
+    tagged = a.select(*cols).withColumn("_side", F.lit(1)).unionAll(
+        b.select(*cols).withColumn("_side", F.lit(2))
+    )
+    any_null = F.lit(False)
+    for c in cols:
+        any_null = any_null | F.col(c).isNull()
+    row = (
+        tagged.groupBy(cols)
+        .agg(
+            F.count(F.when(F.col("_side") == 1, 1)).alias("_na"),
+            F.count(F.when(F.col("_side") == 2, 1)).alias("_nb"),
+        )
+        .where((F.col("_na") == 0) | (F.col("_nb") == 0) | any_null)
+        .agg(F.sum(F.col("_na") + F.col("_nb")).alias("m"))
+        .collect()[0]
+    )
+    return int(row["m"] or 0)
+
+
 def scale_bucketed(spark, sf_dir):
     """Driver witness for the scale utilities (VERDICT r8 #5): write the
     fixture datapoint stream in the 100 TB bucketed layout
@@ -2220,10 +2252,14 @@ def scale_bucketed(spark, sf_dir):
         ["att_conf_id"],
         {"n": ("value_r", "count"), "mx": ("value_r", "max")},
     ).select("att_conf_id", "n", F.coalesce("mx", F.lit(-1.0)).alias("mx"))
-    mismatch = (
-        plain.join(salted, cols, "left_anti").count()
-        + salted.join(plain, cols, "left_anti").count()
-    )
+    # the two directional anti-joins each consumed BOTH aggregates
+    # across two count jobs, running the plain/salted aggregation
+    # passes over the bucketed table twice apiece (4 passes, 2 jobs);
+    # the side-tagged symmetric-difference count computes each pass
+    # ONCE - 2 passes, 1 job, provably the same sum
+    # (optimization r19, guide §1.2; equivalence pinned in
+    # tests/test_round19.py)
+    mismatch = _symmetric_diff_count(plain, salted, cols)
 
     return pipeline.select(
         "att_conf_id",
@@ -2266,25 +2302,50 @@ def scale_compact(spark, sf_dir):
     frag, comp = os.path.join(base, "frag"), os.path.join(base, "comp")
     shutil.rmtree(base, ignore_errors=True)
     cp.write_fragmented(ev, frag, COMPACT_FRAG_FILES)
-    cp.compact(spark, frag, comp, "event_id", COMPACT_TARGET_ROWS)
 
-    src_sum = ev.agg(F.sum("event_id").alias("s")).collect()[0]["s"]
-    stats = {}
-    for stage, path in (("fragmented", frag), ("compacted", comp)):
-        row = (
-            spark.read.parquet(path)
-            .agg(
-                F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+    # the compaction rewrite, the source checksum and the fragmented-
+    # stage stats are mutually independent (disjoint inputs/outputs):
+    # run them overlapped so the small certification aggregates
+    # back-fill the compaction write's tail instead of serializing
+    # behind it, then overlap the two compacted-side reads the same way
+    # (optimization r19, guide §2.6)
+    res = {}
+
+    def _stage_stats(stage, path):
+        def run():
+            row = (
+                spark.read.parquet(path)
+                .agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
-        stats[stage] = (cp.count_part_files(path), row["n"], row["s"])
+            res[stage] = (cp.count_part_files(path), row["n"], row["s"])
+
+        return run
+
+    def _src_sum():
+        res["src_sum"] = ev.agg(F.sum("event_id").alias("s")).collect()[0]["s"]
+
+    _overlapped(
+        spark,
+        lambda: cp.compact(spark, frag, comp, "event_id", COMPACT_TARGET_ROWS),
+        _src_sum,
+        _stage_stats("fragmented", frag),
+    )
+
+    def _comp_overlaps():
+        res["n_overlaps"] = cp.n_range_overlaps(spark, comp, "event_id")
+
+    _overlapped(spark, _stage_stats("compacted", comp), _comp_overlaps)
+    src_sum = res["src_sum"]
+    stats = {k: res[k] for k in ("fragmented", "compacted")}
     n = stats["fragmented"][1]
     files_ok = stats["fragmented"][0] == min(COMPACT_FRAG_FILES, n) and stats[
         "compacted"
     ][0] == -(-n // COMPACT_TARGET_ROWS)
     checksum_ok = all(s == src_sum for _, _, s in stats.values())
-    clustered_ok = cp.n_range_overlaps(spark, comp, "event_id") == 0
+    clustered_ok = res["n_overlaps"] == 0
     return spark.createDataFrame(
         [
             (stage, stats[stage][0], stats[stage][1])
@@ -2782,9 +2843,16 @@ def stream_restart(spark, sf_dir):
     schema = spark.read.parquet(src).schema
 
     def run_phase():
+        # availableNow drains everything unprocessed in ONE micro-batch
+        # (optimization r19, the stream_index_append precedent: the
+        # r8-build maxFilesPerTrigger=2 split each phase's 4 files into
+        # two batches - an extra sink plan+write+commit round-trip per
+        # phase certifying nothing the one-batch drain does not: the
+        # restart/offset-log contract is per PHASE, and phase 2's
+        # numInputRows counts exactly the late files' rows under any
+        # batch split)
         q = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "2")
             .parquet(src)
             .writeStream.format("parquet")
             .option("path", land)
@@ -2804,15 +2872,28 @@ def stream_restart(spark, sf_dir):
     phase2_rows = sum(
         p["numInputRows"] for p in q2.recentProgress
     )
-    odd_rows = ev.where(F.col("event_id") % 2 == 1).count()
-    landed = spark.read.parquet(land).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct("event_id").alias("nd"),
-        F.sum("event_id").alias("s"),
-    ).collect()[0]
-    src_row = ev.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
-    ).collect()[0]
+    # ONE combined pass over the batch table (count + checksum + odd-half
+    # count were two scans), overlapped with the independent landed-side
+    # aggregate (optimization r19, guide §2.6)
+    res = {}
+
+    def _landed_stats():
+        res["landed"] = spark.read.parquet(land).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("event_id").alias("nd"),
+            F.sum("event_id").alias("s"),
+        ).collect()[0]
+
+    def _src_stats():
+        res["src"] = ev.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("s"),
+            F.count(F.when(F.col("event_id") % 2 == 1, 1)).alias("n_odd"),
+        ).collect()[0]
+
+    _overlapped(spark, _landed_stats, _src_stats)
+    landed, src_row = res["landed"], res["src"]
+    odd_rows = src_row["n_odd"]
     return spark.createDataFrame(
         [(
             landed["n"],
@@ -2824,6 +2905,27 @@ def stream_restart(spark, sf_dir):
         "n_rows long, checksum long, checksum_ok boolean, "
         "no_dupes boolean, resumed_only_delta boolean",
     )
+
+
+#: NB driver artifacts (model dict + label stats) shared by the two
+#: streaming servers (stream_classify / stream_curation), which each
+#: re-ran the identical deterministic training aggregation + two
+#: bounded collects (optimization r19, guide §1.2). Plain driver data
+#: (the _BPE_MERGE_MEMO class - survives sessions safely), bounded by
+#: the vocabulary cut x |labels|. Registered in bench.py's _memo_sizes
+#: ("nb_artifacts") for first-touch attribution.
+_NB_ARTIFACTS_MEMO: dict = {}
+
+
+def _nb_artifacts(spark, sf_dir):
+    from ..operators import nbayes
+
+    key = (sf_dir, NB_MIN_COUNT)
+    if key not in _NB_ARTIFACTS_MEMO:
+        _NB_ARTIFACTS_MEMO[key] = nbayes.nb_artifacts(
+            _docs(spark, sf_dir), NB_MIN_COUNT
+        )
+    return _NB_ARTIFACTS_MEMO[key]
 
 
 def stream_classify(spark, sf_dir):
@@ -2841,7 +2943,7 @@ def stream_classify(spark, sf_dir):
     from ..operators import nbayes
     from ..session import configure
 
-    model, stats = nbayes.nb_artifacts(_docs(spark, sf_dir), NB_MIN_COUNT)
+    model, stats = _nb_artifacts(spark, sf_dir)
     kernel, _labels = nbayes.nb_score_kernel(model, stats)
     configure(spark)
     physical = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -2901,7 +3003,7 @@ def stream_curation(spark, sf_dir):
     from ..operators import nbayes
     from ..session import configure
 
-    model, stats = nbayes.nb_artifacts(_docs(spark, sf_dir), NB_MIN_COUNT)
+    model, stats = _nb_artifacts(spark, sf_dir)
     kernel, _labels = nbayes.nb_score_kernel(model, stats)
     configure(spark)
     physical = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -3008,23 +3110,48 @@ def stream_sink_compact(spark, sf_dir):
         .start()
     )
     _drain(q)
-    cp.compact(spark, land, comp, "event_id", COMPACT_TARGET_ROWS)
 
-    src_sum = ev.agg(F.sum("event_id").alias("s")).collect()[0]["s"]
-    stats = {}
-    for stage, path in (("compacted", comp), ("landed", land)):
-        row = (
-            spark.read.parquet(path)
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s"))
-            .collect()[0]
-        )
-        stats[stage] = (cp.count_part_files(path), row["n"], row["s"])
+    # compaction, the batch-side checksum and the landed-stage stats are
+    # mutually independent once the sink has drained: overlap them, then
+    # overlap the two compacted-side certification reads (optimization
+    # r19, guide §2.6 - the scale_compact shape)
+    res = {}
+
+    def _stage_stats(stage, path):
+        def run():
+            row = (
+                spark.read.parquet(path)
+                .agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+                )
+                .collect()[0]
+            )
+            res[stage] = (cp.count_part_files(path), row["n"], row["s"])
+
+        return run
+
+    def _src_sum():
+        res["src_sum"] = ev.agg(F.sum("event_id").alias("s")).collect()[0]["s"]
+
+    _overlapped(
+        spark,
+        lambda: cp.compact(spark, land, comp, "event_id", COMPACT_TARGET_ROWS),
+        _src_sum,
+        _stage_stats("landed", land),
+    )
+
+    def _comp_overlaps():
+        res["n_overlaps"] = cp.n_range_overlaps(spark, comp, "event_id")
+
+    _overlapped(spark, _stage_stats("compacted", comp), _comp_overlaps)
+    src_sum = res["src_sum"]
+    stats = {k: res[k] for k in ("landed", "compacted")}
     n = stats["landed"][1]
     files_ok = stats["landed"][0] == min(STREAM_SINK_FILES, n) and stats[
         "compacted"
     ][0] == -(-n // COMPACT_TARGET_ROWS)
     checksum_ok = all(s == src_sum for _, _, s in stats.values())
-    clustered_ok = cp.n_range_overlaps(spark, comp, "event_id") == 0
+    clustered_ok = res["n_overlaps"] == 0
     return (
         spark.createDataFrame(
             [(st, stats[st][0], stats[st][1]) for st in ("compacted", "landed")],
