@@ -3303,6 +3303,11 @@ def scale_zorder(spark, sf_dir):
     stats = ev.agg(
         F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
         F.min("day").alias("dmin"), F.max("day").alias("dmax"),
+        # the source-side checksum rides the same single pass the
+        # envelope scaling needs anyway - the separate ev.agg(sum) scan
+        # is gone (optimization r19, guide §1.2); the extra broadcast
+        # column is bytes
+        F.sum("event_id").alias("esum"),
     )
     sc = ev.crossJoin(F.broadcast(stats)).select(
         "event_id", "user_id", "day",
@@ -3323,32 +3328,54 @@ def scale_zorder(spark, sf_dir):
         "zorder_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/")),
     )
     shutil.rmtree(base, ignore_errors=True)
-    (
-        laid.select("event_id", "user_id", "day", "zb")
-        .repartition("zb")
-        .write.partitionBy("zb")
-        .parquet(base)
-    )
-    rb = spark.read.parquet(base)
+    # the bucketed write and the driver stats row are independent
+    # (optimization r19, guide §2.6) - the stats job back-fills the
+    # write's tail; afterwards the three certification reads (both
+    # envelope collects and the read-back checksum) are mutually
+    # independent too and run overlapped
+    res = {}
 
-    st = stats.collect()[0]
+    def _write():
+        (
+            laid.select("event_id", "user_id", "day", "zb")
+            .repartition("zb")
+            .write.partitionBy("zb")
+            .parquet(base)
+        )
+
+    def _st():
+        res["st"] = stats.collect()[0]
+
+    _overlapped(spark, _write, _st)
+    st = res["st"]
+    rb = spark.read.parquet(base)
     probes = {
         "user_id": st["umin"] + (st["umax"] - st["umin"]) // 2,
         "day": st["dmin"] + (st["dmax"] - st["dmin"]) // 2,
     }
+
     # each envelope is <= ZORDER_BUCKETS rows - collect ONCE and count
     # driver-side rather than re-running the groupBy per probe (bounded
     # by construction; 6 redundant jobs otherwise)
-    env = {
-        "zorder": zo.bucket_envelopes(rb, "zb", ["user_id", "day"]).collect(),
-        "rangesort": zo.bucket_envelopes(laid, "sb", ["user_id", "day"]).collect(),
-    }
+    def _env(layout, frame, bucket_col):
+        def run():
+            res[layout] = zo.bucket_envelopes(
+                frame, bucket_col, ["user_id", "day"]
+            ).collect()
+
+        return run
+
+    def _rb_sum():
+        res["rb_sum"] = rb.agg(F.sum("event_id")).collect()[0][0]
+
+    _overlapped(
+        spark, _env("zorder", rb, "zb"), _env("rangesort", laid, "sb"), _rb_sum
+    )
+    env = {"zorder": res["zorder"], "rangesort": res["rangesort"]}
     n_dirs = sum(1 for e in os.scandir(base) if e.name.startswith("zb="))
     files_ok = n_dirs == len(env["zorder"])
-    checksum_ok = (
-        rb.agg(F.sum("event_id")).collect()[0][0]
-        == ev.agg(F.sum("event_id")).collect()[0][0]
-    )
+    # the source side of the checksum rode the stats pass (esum)
+    checksum_ok = res["rb_sum"] == st["esum"]
     out = []
     for layout, rows in env.items():
         for dim, probe in probes.items():
