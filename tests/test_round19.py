@@ -851,3 +851,30 @@ def test_symmetric_diff_count_equals_directional_anti_joins(spark):
     assert _symmetric_diff_count(a, a.select(*cols), cols) == (
         a.join(a.select(*cols), cols, "left_anti").count() * 2
     )
+
+
+def test_pagerank_single_read_superstep_covers_all_nodes(spark):
+    """The r19 superstep rebuilds state from (contrib JOIN deg) with an
+    INNER join - sound only because on the doubled edge list every node
+    is both a src and a dst, so the contribution aggregate covers the
+    whole node set. Pin the minimal cases where a lost node would show:
+    a single edge (both endpoints degree-1), and a leaf whose only
+    neighbor contributes pr DIV deg == 0 after truncation (the row must
+    still exist: zero-valued contribution, not absent node)."""
+    from pyspark.sql import functions as F
+
+    from web_maxiv_hdbppviewer_spark.operators.graph import pagerank
+
+    # single undirected pair: symmetric, both nodes present, equal pr
+    one = spark.createDataFrame([(1, 2)], "src long, dst long")
+    rows = {r["id"]: r["pr"] for r in pagerank(one, iterations=3).collect()}
+    assert set(rows) == {1, 2} and rows[1] == rows[2]
+
+    # zero-valued contributions: scale=1 makes every pr DIV deg == 0
+    # after the first step, so every node's incoming sum is 0 - the
+    # node set must survive (9 nodes, star + path, two components)
+    edges = [(0, i) for i in range(1, 6)] + [(6, 7), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    tiny = pagerank(df, iterations=4, scale=1)
+    assert tiny.count() == 9
+    assert tiny.where(F.col("pr").isNull()).count() == 0
