@@ -288,3 +288,40 @@ def test_lifecycle_image_digest_matches_independent_compositor(spark):
         mutated = img.copy()
         mutated[0, 0, 3] ^= 1
         assert hashlib.sha256(mutated.tobytes()).hexdigest() != digest
+
+
+def test_extrema_cache_keyed_by_axis_scale(spark):
+    # ADVICE r19 (medium): the per-scale extrema cache must be keyed by
+    # (log_scale, att_conf_id), not att_conf_id alone - the same attribute
+    # requested on a linear AND a log axis must give each axis its own
+    # extrema row (the log group's positivity-filtered vmin must not
+    # overwrite the linear group's).
+    catalog, dp = hdbpp_fixture(spark, SF_SMOKE)
+    uid = dp.select("att_conf_id").limit(1).collect()[0][0]
+    sub = dp.where(F.col("att_conf_id") == uid)
+    t_min = sub.agg(F.min("ts")).collect()[0][0]
+    # plant one negative reading at the series' earliest timestamp so the
+    # log filter provably changes vmin for this series
+    dp2 = dp.withColumn(
+        "value_r",
+        F.when(
+            (F.col("att_conf_id") == uid) & (F.col("ts") == t_min),
+            F.lit(-5.0),
+        ).otherwise(F.col("value_r")),
+    )
+    eng = HdbppQueryEngine(catalog, dp2)
+    name = f"cs1/dom{uid % 5}/fam{uid % 10}/mem{uid % 3}/attr{uid}"
+    aggs = eng.image_aggregates(
+        [{"name": name, "y_axis": 0}, {"name": name, "y_axis": 1}],
+        datetime(2023, 1, 1),
+        datetime(2025, 1, 1),
+        (64, 48),
+        axes={"1": {"scale": "log"}},
+    )
+    lin = aggs[0]["descs"][name]
+    log = aggs[1]["descs"][name]
+    assert lin["min_value"] <= -5.0  # linear axis sees the negative reading
+    assert log["min_value"] is None or log["min_value"] > 0  # log axis filtered
+    assert lin["total_points"] == log["total_points"]  # n counts rows, unfiltered
+    assert aggs[0]["y_range"][0] <= -5.0  # auto linear y-range covers it
+    assert aggs[1]["y_range"][0] > 0  # log y-range stays positive

@@ -330,7 +330,11 @@ class HdbppQueryEngine:
             axis: axes.get(str(axis), {}).get("scale") == "log"
             for axis in by_axis
         }
-        ext_rows: dict[int, dict] = {}
+        # keyed by (log_scale, id), NOT id alone: the same attribute may
+        # be requested on two axes with different scales (nothing upstream
+        # prevents it), and the log group's positivity-filtered row must
+        # not overwrite the linear group's (ADVICE r19)
+        ext_rows: dict[tuple[bool, int], dict] = {}
         for log_scale in sorted(set(scale_of.values())):
             grp_ids = [
                 all_ids[n]
@@ -350,7 +354,7 @@ class HdbppQueryEngine:
             for r in series_extrema(
                 view_grp, ["att_conf_id"], "value_r", log_scale
             ).collect():
-                ext_rows[r["att_conf_id"]] = r
+                ext_rows[(log_scale, r["att_conf_id"])] = r
 
         for axis, names in by_axis.items():
             cfg = axes.get(str(axis), {})
@@ -375,9 +379,12 @@ class HdbppQueryEngine:
             days = self._time_window(routed, day0, day1, upper_inclusive=False)
 
             # per-series extrema (A2, log filter F3) - sliced from the
-            # scale-group collect above, values identical per series
+            # scale-group collect above WITH this axis's own scale key,
+            # values identical per series
             ext = {
-                i: ext_rows[i] for i in ids.values() if i in ext_rows
+                i: ext_rows[(log_scale, i)]
+                for i in ids.values()
+                if (log_scale, i) in ext_rows
             }
             descs = {
                 id_to_name[i]: {

@@ -18,7 +18,7 @@ import os
 import re
 import shutil
 
-from pyspark.sql import Observation
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..operators import bpe, dedup, multimodal, sampling, similarity, textquality
@@ -54,6 +54,7 @@ IVF_CELLS = 8
 IVF_NPROBE = 2
 KMEANS_ITERS = 2
 QUERY_IDS_BELOW = 10
+KNN_K = 3  # sim_knn_graph top-k; also bounds _emb_scored_pairs (VERDICT r19 #2)
 
 
 def _docs(spark, sf_dir):
@@ -83,6 +84,25 @@ def _session_key(spark, sf_dir):
     (_IVFPQ_MEMO etc. - plain Python lists) survive sessions safely and
     stay keyed by sf_dir alone."""
     return (spark.sparkContext.applicationId, sf_dir)
+
+
+#: LRU cap for the dict-shaped session memo stores (VERDICT r19 #3 -
+#: the operators/dedup._MEMO_MAX discipline applied here): one process
+#: serving multiple sf_dirs/sessions must not retain checkpoints
+#: unboundedly. 4 matches the list-store cap; per-method stores hold
+#: (methods x sessions) entries, so callers with a composite key pass a
+#: proportionally larger cap.
+_MEMO_MAX = 4
+
+
+def _memo_put(store: dict, key, value, cap: int = _MEMO_MAX):
+    """Insert into a memo dict, evicting oldest entries beyond ``cap``
+    (dict preserves insertion order; re-inserting an existing key keeps
+    its old position - fine, eviction is a bound, not a usage ranking)."""
+    store[key] = value
+    while len(store) > cap:
+        store.pop(next(iter(store)))
+    return value
 
 
 # --- deduplication -------------------------------------------------------
@@ -126,7 +146,13 @@ def _method_pairs(spark, sf_dir, method):
             df = textquality.winnow_matches(docs)
         else:
             raise ValueError(f"unknown dedup method {method!r}")
-        _DEDUP_PAIRS_MEMO[key] = df.localCheckpoint(eager=False)
+        # cap = 3 methods x _MEMO_MAX sessions (the key carries the method)
+        _memo_put(
+            _DEDUP_PAIRS_MEMO,
+            key,
+            df.localCheckpoint(eager=False),
+            cap=3 * _MEMO_MAX,
+        )
     return _DEDUP_PAIRS_MEMO[key]
 
 
@@ -155,13 +181,51 @@ _EMB_PAIRS_MEMO: dict = {}
 
 
 def _emb_scored_pairs(spark, sf_dir):
-    """(id_a, id_b, cos_r) for every banded sign-LSH candidate pair of
-    the embedding corpus at the pinned 8x8 geometry, session-memoized."""
+    """(id_a, id_b, cos_r) candidate pairs of the embedding corpus at
+    the pinned 8x8 sign-LSH geometry, session-memoized and BOUNDED
+    (VERDICT r19 #2): the open-threshold candidate frame can be orders
+    of magnitude larger than any consumer's output at 100 TB, so the
+    checkpoint keeps only the rows some consumer can read -
+      - pairs at cos_r >= EMBED_NEAR_DUP_COS (dedup_embedding /
+        dedup_clusters_semantic's exact filter), plus
+      - pairs in the top-KNN_K of EITHER endpoint by sim_knn_graph's
+        own (cos_r desc, nbr asc) order (min over the pair's two
+        directed ranks <= KNN_K).
+    Consumer outputs are provably unchanged: both dedup consumers
+    filter at the threshold (every such pair is kept), and a node's
+    top-k by a total order is invariant under removing rows ranked
+    below k at both endpoints. Size bound: |threshold pairs| +
+    2*KNN_K*|vectors| rows - corpus-linear, never candidate-quadratic."""
     key = _session_key(spark, sf_dir)
     if key not in _EMB_PAIRS_MEMO:
-        _EMB_PAIRS_MEMO[key] = similarity.near_dup_pairs(
+        from pyspark.sql.window import Window
+
+        scored = similarity.near_dup_pairs(
             _emb(spark, sf_dir), -1.0, bands=8, band_bits=8
-        ).localCheckpoint(eager=False)
+        )
+        sym = scored.select(
+            F.col("id_a").alias("id"), F.col("id_b").alias("nbr"),
+            "id_a", "id_b", "cos_r",
+        ).unionAll(
+            scored.select(
+                F.col("id_b").alias("id"), F.col("id_a").alias("nbr"),
+                "id_a", "id_b", "cos_r",
+            )
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("cos_r"), F.asc("nbr"))
+        bounded = (
+            sym.withColumn("rk", F.row_number().over(w))
+            .groupBy("id_a", "id_b")
+            .agg(F.min("rk").alias("_min_rk"), F.min("cos_r").alias("cos_r"))
+            .where(
+                (F.col("_min_rk") <= KNN_K)
+                | (F.col("cos_r") >= EMBED_NEAR_DUP_COS)
+            )
+            .select("id_a", "id_b", "cos_r")
+        )
+        _memo_put(
+            _EMB_PAIRS_MEMO, key, bounded.localCheckpoint(eager=False)
+        )
     return _EMB_PAIRS_MEMO[key]
 
 
@@ -1233,17 +1297,21 @@ def _chunk_adc_scored(spark, sf_dir):
     if key not in _CHUNK_ADC_MEMO:
         store = _chunk_vec_store(spark, sf_dir)
         cents, rcb = _chunk_ivfpq_artifacts(spark, sf_dir)
-        _CHUNK_ADC_MEMO[key] = similarity.ann_adc_ivfpq(
-            store,
-            QUERY_IDS_BELOW,
-            IVF_CELLS,
-            max(IVF_SWEEP_PROBES),
-            KMEANS_ITERS,
-            id_col="rid",
-            vec_col="cvec",
-            centroids=cents,
-            codebooks=rcb,
-        ).localCheckpoint(eager=False)
+        _memo_put(
+            _CHUNK_ADC_MEMO,
+            key,
+            similarity.ann_adc_ivfpq(
+                store,
+                QUERY_IDS_BELOW,
+                IVF_CELLS,
+                max(IVF_SWEEP_PROBES),
+                KMEANS_ITERS,
+                id_col="rid",
+                vec_col="cvec",
+                centroids=cents,
+                codebooks=rcb,
+            ).localCheckpoint(eager=False),
+        )
     return _CHUNK_ADC_MEMO[key]
 
 
@@ -1265,11 +1333,15 @@ def _chunk_ann_pooled(spark, sf_dir):
             CHUNK_ANN_CAND_K,
             "acos_r",
         )
-        _CHUNK_ANN_POOLED_MEMO[key] = _pool_parent_docs(
-            ann.select("q_id", "cand_id", "acos_r"),
-            store.select("rid", "doc_id", "chunk_idx"),
-            "acos_r",
-        ).localCheckpoint(eager=False)
+        _memo_put(
+            _CHUNK_ANN_POOLED_MEMO,
+            key,
+            _pool_parent_docs(
+                ann.select("q_id", "cand_id", "acos_r"),
+                store.select("rid", "doc_id", "chunk_idx"),
+                "acos_r",
+            ).localCheckpoint(eager=False),
+        )
     return _CHUNK_ANN_POOLED_MEMO[key]
 
 
@@ -2102,15 +2174,22 @@ def window_sliding(spark, sf_dir):
 
 def _recall_vs_exact(ann, exact, k):
     """Per-query recall@k of an approximate ranking against the exact one:
-    (q_id, n_hits, recall_r). Shared by every ANN-measurement query."""
+    (q_id, n_hits, recall_r). Shared by every ANN-measurement query.
+
+    Both inputs are bounded at |queries| x k rows BY CONSTRUCTION
+    (queries are the fixed id prefix, k a constant), so the joins
+    broadcast explicitly (optimization r20, VERDICT r19 #3): the
+    checkpointed inputs carry no size statistics, and Spark otherwise
+    plans two SortMergeJoins - five exchanges + four sorts of
+    constant-bounded frames."""
     hits = (
-        exact.join(ann, ["q_id", "cand_id"], "left_semi")
+        exact.join(F.broadcast(ann), ["q_id", "cand_id"], "left_semi")
         .groupBy("q_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
     qids = exact.select("q_id").distinct()
     return (
-        qids.join(hits, "q_id", "left")
+        qids.join(F.broadcast(hits), "q_id", "left")
         .select(
             "q_id",
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
@@ -2922,9 +3001,16 @@ def _nb_artifacts(spark, sf_dir):
 
     key = (sf_dir, NB_MIN_COUNT)
     if key not in _NB_ARTIFACTS_MEMO:
-        _NB_ARTIFACTS_MEMO[key] = nbayes.nb_artifacts(
-            _docs(spark, sf_dir), NB_MIN_COUNT
-        )
+        value = nbayes.nb_artifacts(_docs(spark, sf_dir), NB_MIN_COUNT)
+        # session-unkeyed on purpose: the value is fully-collected DRIVER
+        # data (model dict + stats row), which survives sessions safely.
+        # Guard the assumption (ADVICE r19): a future change returning a
+        # DataFrame/lazy checkpoint would silently violate the r16
+        # session-binding rule the frame memos follow.
+        assert not any(
+            isinstance(v, DataFrame) for v in value
+        ), "_nb_artifacts must memoize driver data, not session-bound frames"
+        _memo_put(_NB_ARTIFACTS_MEMO, key, value)
     return _NB_ARTIFACTS_MEMO[key]
 
 
@@ -5540,7 +5626,6 @@ def events_scd2(spark, sf_dir):
 # --- round 10, batch 2: kNN graph / stats card / domain shift /
 # --- soft-dedup weights / threshold sweep ------------------------------
 
-KNN_K = 3
 SWEEP_THRESHOLDS = [0.6, 0.7, 0.8, 0.9, 0.95]
 
 
@@ -5771,7 +5856,24 @@ def _overlapped(spark, *thunks):
     the caller's are copied into each worker so bench labels and the
     X10 cancellation tag still cover every job. Only for thunks over
     DISJOINT outputs with no data dependency - callers sequence
-    dependent writes themselves."""
+    dependent writes themselves.
+
+    REQUIRES PySpark pinned-thread mode (the default since Spark 3.2):
+    local properties set from a Python worker thread map to that
+    thread's own JVM thread only under PYSPARK_PIN_THREAD; with it
+    disabled, concurrent setLocalProperty calls can clobber a shared
+    JVM thread's locals and the cancellation tag may not cover (or may
+    wrongly cover) overlapped jobs (ADVICE r19). When the mode is
+    explicitly disabled we run the thunks serially - correct either
+    way, just without the overlap."""
+    import os as _os
+
+    if _os.environ.get("PYSPARK_PIN_THREAD", "true").lower() in (
+        "false", "0", "no",
+    ):
+        for t in thunks:
+            t()
+        return
     sc = spark.sparkContext
     props = {
         p: sc.getLocalProperty(p)
