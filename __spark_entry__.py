@@ -245,14 +245,101 @@ _CHANGED_THIS_ROUND = [
     "dedup_clusters_semantic",
     "sim_knn_graph",
 ]
-# fill: the oldest-first prefix of the recomputed ledger (2 slots
-# after the optimization round's 12 plan-changed memo-sharing entries) -
-# 2 of the 13 remaining r14 rows (machine-checked by test_round14's
-# tripwire against the committed CORRECTNESS_r*.json history)
-_FILL_R19 = [
-    "sim_mmr", "sim_sparse_topk",
+# (the r19 changelist above is retained as documentation of that
+# round's witness set; the live changelist below supersedes it)
+_CHANGED_R19 = _CHANGED_THIS_ROUND
+
+# ROUND-20 WINDOW (optimization round 2/2). CORRECTNESS_r19 landed
+# 50/50 green; steady-state rotation continues. Round-20 changelist -
+# every query whose PLAN changed this round (all plan-only, values
+# bit-identical, oracle parity re-proven in the suite):
+#   dedup_containment (pair exchange carries least(na,nb) instead of
+#     (na,nb) - the VERDICT r19 #1 narrowing; the array-per-hash
+#     regroup was implemented, ABAB-measured 2.3x WORSE, and rejected);
+#   pipe_contamination (train/eval gram semi-join keys on the map-side
+#     60-bit md5 hash instead of gram strings - guide SS2.3, the bloom
+#     variant's established contract);
+#   sim_chunk_ann_recall / sim_ann_compare / sim_ivf_probe_sweep
+#     (_recall_vs_exact broadcasts its constant-bounded inputs -
+#     SortMergeJoins over |queries| x k rows become broadcast joins);
+#   sim_ann_ivfpq / sim_chunk_ann / sim_chunk_probe_sweep (+ the two
+#     recall consumers above) (ann_adc_ivfpq fuses coarse-assign +
+#     PQ-encode: cell rides the argmin aggregation, deleting the
+#     codes JOIN residuals id-join and its duplicated residual
+#     subtree - plan: 2 SortMergeJoin -> 0 in the ADC pass);
+#   lifecycle_query / lifecycle_aggregate / lifecycle_image (the
+#     fixture catalog's att_conf dimension is a session checkpoint -
+#     one distinct-over-events derivation per session instead of one
+#     per resolve; plus the ADVICE r19 per-scale extrema cache key
+#     fix on the render path);
+#   stream_index_append (certification count + stats overlapped; the
+#     one-query-two-triggers idea investigated and closed - availableNow
+#     terminates, and the NEW-query restart IS the witnessed claim);
+#   dedup_embedding / dedup_clusters_semantic / sim_knn_graph
+#     (_emb_scored_pairs bounded: threshold pairs + per-node top-k
+#     edges instead of the open candidate frame - VERDICT r19 #2;
+#     consumer outputs provably unchanged, suite-pinned);
+#   stream_classify / stream_curation (_nb_artifacts memo gains the
+#     LRU cap + driver-data assert - VERDICT r19 #3 / ADVICE r19).
+_CHANGED_THIS_ROUND = [
+    "dedup_containment",
+    "pipe_contamination",
+    "sim_chunk_ann_recall",
+    "sim_ann_compare",
+    "sim_ivf_probe_sweep",
+    "sim_ann_ivfpq",
+    "sim_chunk_ann",
+    "sim_chunk_probe_sweep",
+    "lifecycle_query",
+    "lifecycle_aggregate",
+    "lifecycle_image",
+    "stream_index_append",
+    "dedup_embedding",
+    "dedup_clusters_semantic",
+    "sim_knn_graph",
+    "stream_classify",
+    "stream_curation",
 ]
-_WINDOW = _CHANGED_THIS_ROUND + _FILL_R19
+# fill: the oldest-first prefix of the recomputed ledger (33 slots
+# after the 17 plan-changed entries) - the 10 remaining r14 rows then
+# the r15 cohort alphabetically (machine-checked by test_round14's
+# tripwire against the committed CORRECTNESS_r*.json history)
+_FILL_R20 = [
+    "stream_join",
+    "stream_restart",
+    "stream_sessions_evict",
+    "stream_sink_compact",
+    "text_collocations",
+    "text_domain_shift",
+    "text_fertility",
+    "text_lm_score",
+    "text_nb_train",
+    "text_vocab",
+    "dedup_chunk",
+    "dedup_clusters",
+    "dedup_exact",
+    "events_scd2",
+    "multimodal_near_dup",
+    "multimodal_phash",
+    "pipe_epoch_shuffle",
+    "pipe_interleave",
+    "pipe_mixture_schedule",
+    "pipe_split_safe",
+    "pipe_token_budget",
+    "q1",
+    "q10",
+    "q11",
+    "q12",
+    "q13",
+    "q14",
+    "q16",
+    "q17",
+    "q2",
+    "q22",
+    "q29",
+    "q3",
+]
+_WINDOW = _CHANGED_THIS_ROUND + _FILL_R20
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

